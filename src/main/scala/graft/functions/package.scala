@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
+  CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.graft.expressions.EwmaWindow
 import org.apache.spark.sql.types.DoubleType
@@ -8,14 +11,33 @@ import org.apache.spark.sql.types.DoubleType
 /** Custom column functions built on catalyst expressions (zero UDFs). */
 package object functions {
 
-  /** Exponentially-weighted moving average window function — evaluate
-    * with `.over(spec)` where `spec` has partition/order but no frame
-    * (the function pins `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`).
+  /** Exponentially-weighted moving average over an ordered (optionally
+    * partitioned) frame, pinned to `ROWS UNBOUNDED PRECEDING .. CURRENT
+    * ROW`.
     *
-    * `ema(span)` of the reference = `ewma(c, 2.0 / (span + 1), adjust = false)`
+    * The catalyst `WindowExpression` is built directly (rather than via
+    * `Column.over`) because the public `.over` path wraps any
+    * `AggregateFunction` — including an `AggregateWindowFunction` — in
+    * an `AggregateExpression`, which the analyzer then rejects
+    * (WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE).
+    *
+    * `ema(span)` of the reference = alpha 2/(span+1), adjust=false
     * (indicators.py:175-179); bare `ewm_mean(span=s)` of the reference =
-    * `ewma(c, 2.0 / (s + 1), adjust = true)` (indicators.py:885).
+    * same alpha, adjust=true (indicators.py:885).
     */
-  def ewma(c: Column, alpha: Double, adjust: Boolean): Column =
-    ColumnBridge.column(EwmaWindow(ColumnBridge.expression(c.cast(DoubleType)), alpha, adjust))
+  def ewmaOver(
+      c: Column,
+      alpha: Double,
+      adjust: Boolean,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column]): Column = {
+    val spec = WindowSpecDefinition(
+      partitionBy.map(ColumnBridge.expression),
+      orderBy.map(o => SortOrder(ColumnBridge.expression(o), Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    ColumnBridge.column(
+      WindowExpression(
+        EwmaWindow(ColumnBridge.expression(c.cast(DoubleType)), alpha, adjust),
+        spec))
+  }
 }

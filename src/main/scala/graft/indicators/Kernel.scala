@@ -68,14 +68,16 @@ object Kernel {
   def shift(c: Column, k: Int, spec: WindowSpec): Column =
     if (k >= 0) lag(c, k).over(spec) else lead(c, -k).over(spec)
 
-  /** polars cum_sum (indicators.py:722). NULL inputs are skipped by
-    * Spark's sum, matching polars on the leading-null shapes the
-    * reference produces (nulls only at frame head).
+  /** polars cum_sum (indicators.py:722): skips nulls in the running
+    * total but emits null AT each null position (Spark's bare
+    * sum-over-window would emit the running total there instead).
     */
-  def cumSum(c: Column, spec: WindowSpec): Column = sum(c).over(running(spec))
+  def cumSum(c: Column, spec: WindowSpec): Column =
+    when(c.isNotNull, sum(c).over(running(spec)))
 
-  /** polars cum_prod (indicators.py:571). */
-  def cumProd(c: Column, spec: WindowSpec): Column = product(c).over(running(spec))
+  /** polars cum_prod (indicators.py:571); same null placement as cumSum. */
+  def cumProd(c: Column, spec: WindowSpec): Column =
+    when(c.isNotNull, product(c).over(running(spec)))
 
   /** polars pct_change(n) == (c - shift(n)) / shift(n) (indicators.py:743). */
   def pctChange(c: Column, n: Int, spec: WindowSpec): Column = {
@@ -83,13 +85,24 @@ object Kernel {
     (c - s) / s
   }
 
-  /** polars sum_horizontal: nulls treated as 0 unless every input is
-    * null (indicators.py:1240).
+  /** polars sum_horizontal (indicators.py:1240): nulls treated as 0,
+    * including the all-null row (current polars ignore_nulls=True
+    * default returns 0 there, not null).
     */
-  def sumHorizontal(cols: Seq[Column]): Column = {
-    val anyNonNull = cols.map(_.isNotNull).reduce(_ || _)
-    when(anyNonNull, cols.map(c => coalesce(c, lit(0.0))).reduce(_ + _))
-  }
+  def sumHorizontal(cols: Seq[Column]): Column =
+    cols.map(c => coalesce(c, lit(0.0))).reduce(_ + _)
+
+  /** EWM over the per-symbol ordered frame (polars
+    * `ewm_mean(...).over("symbol")`, indicators.py:179).
+    */
+  def ewmaSym(c: Column, alpha: Double, adjust: Boolean): Column =
+    graft.functions.ewmaOver(c, alpha, adjust, Seq(col(Symbol)), Seq(col(Ts)))
+
+  /** EWM over the global ordered frame (reference `ewm_mean` call sites
+    * without `.over`, e.g. indicators.py:885).
+    */
+  def ewmaGlobal(c: Column, alpha: Double, adjust: Boolean): Column =
+    graft.functions.ewmaOver(c, alpha, adjust, Nil, Seq(col(Ts)))
 
   /** Python f-string rendering of numeric params in output column names:
     * ints render bare, whole floats keep python's int default (the
