@@ -1,0 +1,550 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.indicators.Indicators
+import graft.sources.Bars
+
+/** Declared driver queries + their DuckDB oracle SQL (SURVEY.md §7.5).
+  *
+  * Conventions that make the hash compare work:
+  *  - both sides derive bars from `events` with the identical CTE
+  *    (FIXTURES.md §2); global-window operators additionally restrict
+  *    to ONE symbol so the global ordering has no timestamp ties;
+  *  - output = symbol, "timestamp", then round(x, 6) per float column,
+  *    aliased identically on both sides (snake_case, no `%`/`+`);
+  *  - ORDER BY symbol, "timestamp" on both sides;
+  *  - null head rows are KEPT (they round-trip fine); fixtures avoid
+  *    0-denominator ±Inf paths (verified at sf0.01).
+  */
+object Queries {
+
+  /** The single symbol used for global-window queries. */
+  private val OneSym = "click"
+
+  private def bars(s: SparkSession, dir: String): DataFrame = Bars.fromEvents(s, dir)
+
+  /** Single-symbol fixture for global-window ops. Degenerate bars
+    * (high == low, i.e. single-event buckets) are excluded: Spark float
+    * division by zero yields NaN/Inf (polars parity, ANSI off) while
+    * DuckDB yields NULL, so any 0-denominator row would hash-mismatch
+    * by construction. The exclusion is textually identical on both
+    * sides (Bars1Cte).
+    */
+  private def bars1(s: SparkSession, dir: String): DataFrame =
+    bars(s, dir).where(col("symbol") === OneSym && col("high") =!= col("low"))
+
+  /** Shared DuckDB bars CTE (FIXTURES.md §2). */
+  val BarsCte: String =
+    """WITH bars AS (
+      |  SELECT event_type AS symbol,
+      |         date_trunc('hour', ts) AS "timestamp",
+      |         min(value) AS low,
+      |         max(value) AS high,
+      |         arg_min(value, event_id) AS open,
+      |         arg_max(value, event_id) AS close,
+      |         CAST(count(*) AS BIGINT) AS volume
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Bars restricted to the single-symbol fixture (see [[bars1]]). */
+  val Bars1Cte: String =
+    BarsCte + ",\nb1 AS (SELECT * FROM bars WHERE symbol = 'click' AND high <> low)"
+
+  /** Recursive-CTE variant: DuckDB computes window aggregates with a
+    * segment tree, whose non-sequential association drifts from Spark's
+    * sequential running-frame accumulation by ulps — visible after
+    * round(6) on large magnitudes. Cumulative oracles therefore use an
+    * explicit row-by-row recursion, which IS bit-identical.
+    */
+  val Bars1CteRec: String = "WITH RECURSIVE" + Bars1Cte.stripPrefix("WITH")
+  val BarsCteRec: String = "WITH RECURSIVE" + BarsCte.stripPrefix("WITH")
+
+  private val Tail = "ORDER BY symbol, \"timestamp\""
+
+  /** Query result shaper: symbol, timestamp, rounded outputs. */
+  private def shape(df: DataFrame, outs: (String, String)*): DataFrame =
+    df.select(
+      col("symbol") +: col("timestamp") +:
+        outs.map { case (src, alias) => round(col(src), 6).as(alias) }: _*)
+      .orderBy("symbol", "timestamp")
+
+  // ------------------------------------------------------------------
+  // Rolling family (per-symbol ops run multi-symbol; global ops on b1)
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sma" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).sma(Seq("close"), 20).dataframe,
+        "close_sma_20" -> "close_sma_20")),
+
+    "awesome_oscillator" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).awesome_oscillator().dataframe,
+        "ao_5_34" -> "ao_5_34")),
+
+    "bollinger_bands" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).bollinger_bands(Seq("close")).dataframe,
+        "close_upprsier_band_20_2" -> "close_upper_band_20_2",
+        "close_lower_band_20_2" -> "close_lower_band_20_2")),
+
+    "wma" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).wma(Seq("close"), 10).dataframe,
+        "close_wma_10" -> "close_wma_10")),
+
+    "roc" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).roc(Seq("close")).dataframe,
+        "close_roc_10" -> "close_roc_10")),
+
+    "atr" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).atr().dataframe, "atr" -> "atr")),
+
+    "stochastic_oscillator" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).stochastic_oscillator().dataframe,
+        "stochastic_oscillator_14" -> "stochastic_oscillator_14")),
+
+    "williams_ri" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).williams_ri().dataframe,
+        "williams_%r_14" -> "williams_r_14")),
+
+    "donchian_channel" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).donchian_channel().dataframe,
+        "donchian_upper_20" -> "donchian_upper_20",
+        "donchian_lower_20" -> "donchian_lower_20",
+        "donchian_mid_20" -> "donchian_mid_20")),
+
+    "dpo" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).dpo(Seq("close")).dataframe,
+        "close_dpo_20" -> "close_dpo_20")),
+
+    "cci" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).cci().dataframe, "CCI" -> "cci")),
+
+    "rsi" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).rsi(Seq("close")).dataframe,
+        "close_rsi_14" -> "close_rsi_14")),
+
+    "vortex" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).vortex().dataframe,
+        "+VI" -> "vi_plus",
+        "-VI" -> "vi_minus")),
+
+    "chaikin_money_flow" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).chaikin_money_flow().dataframe,
+        "cmf_14" -> "cmf_14")),
+
+    "ichimoku" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).ichimoku().dataframe,
+        "tenkan_sen" -> "tenkan_sen",
+        "kijun_sen" -> "kijun_sen",
+        "senkou_span_a" -> "senkou_span_a",
+        "senkou_span_b" -> "senkou_span_b",
+        "chikou_span" -> "chikou_span")),
+
+    "adx" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).adx().dataframe, "adx" -> "adx")),
+
+    "ultimate_oscillator" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).ultimate_oscillator().dataframe,
+        "UO_7_14_28_4_2_2" -> "uo_7_14_28_4_2_2")),
+
+    "unlcer_index" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).unlcer_index(Seq("close")).dataframe,
+        "close_ulcer_index_14" -> "close_ulcer_index_14")),
+
+    "aroon" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).aroon().dataframe,
+        "aroon_up_14" -> "aroon_up_14",
+        "aroon_down_14" -> "aroon_down_14")),
+
+    "kst" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).kst(Seq("close")).dataframe,
+        "close_kst" -> "close_kst")),
+
+    "mfi" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).mfi().dataframe, "MFI" -> "mfi")),
+
+    // ---------------------------------------------------- cumulative
+
+    "vwap" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).vwap().dataframe, "vwap" -> "vwap")),
+
+    "vpt" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).vpt().dataframe, "vpt" -> "vpt")),
+
+    "obv" -> ((s, dir) =>
+      Indicators(bars1(s, dir)).obv().dataframe
+        .select(col("symbol"), col("timestamp"), col("obv").cast("bigint").as("obv"))
+        .orderBy("symbol", "timestamp")),
+
+    "adi" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).adi().dataframe, "ADI" -> "adi")),
+
+    "negative_volume_index" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).negative_volume_index().dataframe,
+        "nvi" -> "nvi")),
+
+    "force_index" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).force_index().dataframe,
+        "force_index" -> "force_index")),
+
+    "ease_of_movement" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).ease_of_movement().dataframe,
+        "ease_of_movement" -> "ease_of_movement")),
+
+    "daily_return" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).daily_return(Seq("close")).dataframe,
+        "close_daily_return" -> "close_daily_return")),
+
+    "daily_log_return" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).daily_log_return(Seq("close")).dataframe,
+        "close_daily_log_return" -> "close_daily_log_return")),
+
+    // No round(6): the compounded product reaches 1e9+ magnitudes where
+    // DuckDB's scale-by-1e6 round() and Spark's BigDecimal round()
+    // disagree by a final digit; the raw sequential product is
+    // bit-identical on both sides, so compare unrounded.
+    "cumulative_returns" -> ((s, dir) =>
+      Indicators(bars(s, dir)).cumulative_returns(Seq("close")).dataframe
+        .select(col("symbol"), col("timestamp"), col("close_cumulative_return"))
+        .orderBy("symbol", "timestamp")),
+
+    "fill_null_forward" -> ((s, dir) => {
+      val withNulls = bars(s, dir).withColumn(
+        "close",
+        when(col("volume") % 7 === 0, lit(null)).otherwise(col("close")))
+      Indicators(withNulls)
+        .fill_null(Seq("close"), method = Some("forward"))
+        .dataframe
+        .select(col("symbol"), col("timestamp"), round(col("close"), 6).as("close_filled"))
+        .orderBy("symbol", "timestamp")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // Oracle SQL — DuckDB, same bars CTE, same arithmetic order.
+  // ------------------------------------------------------------------
+
+  private def q(body: String, cte: String = BarsCte): String = s"$cte\n$body"
+
+  /** min_periods gate + aggregate over a trailing n-row frame. */
+  private def gated(agg: String, c: String, n: Int, part: String): String = {
+    val w = s"(${part}ORDER BY \"timestamp\" ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+    s"CASE WHEN count($c) OVER $w = $n THEN $agg($c) OVER $w END"
+  }
+  private def gS(agg: String, c: String, n: Int) = gated(agg, c, n, "PARTITION BY symbol ")
+  private def gG(agg: String, c: String, n: Int) = gated(agg, c, n, "")
+
+  val oracleSql: Map[String, String] = Map(
+    "sma" -> q(s"""SELECT symbol, "timestamp", round(${gS("avg", "close", 20)}, 6) AS close_sma_20 FROM bars $Tail"""),
+
+    "awesome_oscillator" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gS("avg", "(high + low) / 2", 5)} - ${gS("avg", "(high + low) / 2", 34)}, 6) AS ao_5_34
+         |FROM bars $Tail""".stripMargin),
+
+    "bollinger_bands" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gS("avg", "close", 20)} + 2 * ${gS("stddev_samp", "close", 20)}, 6) AS close_upper_band_20_2,
+         |round(${gS("avg", "close", 20)} - 2 * ${gS("stddev_samp", "close", 20)}, 6) AS close_lower_band_20_2
+         |FROM bars $Tail""".stripMargin),
+
+    "wma" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(CASE WHEN count(close) OVER (PARTITION BY symbol ORDER BY "timestamp" ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) = 10 THEN
+         |(${(0 until 10).map(i => s"lag(close, $i) OVER (PARTITION BY symbol ORDER BY \"timestamp\") * ${10 - i}").mkString(" + ")}) / 55.0
+         |END, 6) AS close_wma_10
+         |FROM bars $Tail""".stripMargin),
+
+    "roc" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((close - lag(close, 10) OVER w) / lag(close, 10) OVER w * 100, 6) AS close_roc_10
+         |FROM b1 WINDOW w AS (ORDER BY "timestamp") $Tail""".stripMargin,
+      Bars1Cte),
+
+    "atr" -> q(
+      s"""SELECT symbol, "timestamp", round(${gG("avg", "tr", 14)}, 6) AS atr
+         |FROM (SELECT symbol, "timestamp",
+         |        greatest(high - low,
+         |                 abs(high - lag(close, 1) OVER (ORDER BY "timestamp")),
+         |                 abs(low - lag(close, 1) OVER (ORDER BY "timestamp"))) AS tr
+         |      FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "stochastic_oscillator" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gG("min", "close - low", 14)} / (${gG("max", "high", 14)} - ${gG("min", "low", 14)}) * 100, 6) AS stochastic_oscillator_14
+         |FROM b1 $Tail""".stripMargin,
+      Bars1Cte),
+
+    "williams_ri" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((${gG("max", "high", 14)} - close) / (${gG("max", "high", 14)} - ${gG("min", "low", 14)}) * -100, 6) AS williams_r_14
+         |FROM b1 $Tail""".stripMargin,
+      Bars1Cte),
+
+    "donchian_channel" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gG("max", "high", 20)}, 6) AS donchian_upper_20,
+         |round(${gG("min", "low", 20)}, 6) AS donchian_lower_20,
+         |round((${gG("max", "high", 20)} + ${gG("min", "low", 20)}) / 2, 6) AS donchian_mid_20
+         |FROM b1 $Tail""".stripMargin,
+      Bars1Cte),
+
+    "dpo" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(close - lag(ma, 11) OVER (ORDER BY "timestamp"), 6) AS close_dpo_20
+         |FROM (SELECT symbol, "timestamp", close, ${gG("avg", "close", 20)} AS ma FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "cci" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((tp - sma_tp) / (0.015 * ${gG("avg", "abs(tp - sma_tp)", 14)}), 6) AS cci
+         |FROM (SELECT symbol, "timestamp", tp, ${gG("avg", "tp", 14)} AS sma_tp
+         |      FROM (SELECT symbol, "timestamp", (high + low + close) / 3 AS tp FROM b1)) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "rsi" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(100 - (100 / (1 + ${gG("avg", "gain", 14)} / ${gG("avg", "loss", 14)})), 6) AS close_rsi_14
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") > 0 THEN close - lag(close, 1) OVER (ORDER BY "timestamp") ELSE 0 END AS gain,
+         |        CASE WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") < 0 THEN abs(close - lag(close, 1) OVER (ORDER BY "timestamp")) ELSE 0 END AS loss
+         |      FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "vortex" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gG("sum", "vmp", 14)} / ${gG("sum", "tr", 14)}, 6) AS vi_plus,
+         |round(${gG("sum", "vmn", 14)} / ${gG("sum", "tr", 14)}, 6) AS vi_minus
+         |FROM (SELECT symbol, "timestamp",
+         |        greatest(high - low,
+         |                 abs(high - lag(close, 1) OVER (ORDER BY "timestamp")),
+         |                 abs(low - lag(close, 1) OVER (ORDER BY "timestamp"))) AS tr,
+         |        abs(high - lag(low, 1) OVER (ORDER BY "timestamp")) AS vmp,
+         |        abs(low - lag(high, 1) OVER (ORDER BY "timestamp")) AS vmn
+         |      FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "chaikin_money_flow" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gG("sum", "(close - low - (high - close)) / (high - low) * volume", 14)} / ${gG("sum", "volume", 14)}, 6) AS cmf_14
+         |FROM b1 $Tail""".stripMargin,
+      Bars1Cte),
+
+    "ichimoku" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(tenkan_sen, 6) AS tenkan_sen,
+         |round(kijun_sen, 6) AS kijun_sen,
+         |round(lag((tenkan_sen + kijun_sen) / 2, 26) OVER (ORDER BY "timestamp"), 6) AS senkou_span_a,
+         |round(lag(sb_raw, 26) OVER (ORDER BY "timestamp"), 6) AS senkou_span_b,
+         |round(chikou_span, 6) AS chikou_span
+         |FROM (SELECT symbol, "timestamp",
+         |        (${gG("max", "high", 9)} + ${gG("min", "low", 9)}) / 2 AS tenkan_sen,
+         |        (${gG("max", "high", 26)} + ${gG("min", "low", 26)}) / 2 AS kijun_sen,
+         |        (${gG("max", "high", 52)} + ${gG("min", "low", 52)}) / 2 AS sb_raw,
+         |        lead(close, 26) OVER (ORDER BY "timestamp") AS chikou_span
+         |      FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "adx" -> q(
+      s"""SELECT symbol, "timestamp", round(${gG("avg", "dx", 14)}, 6) AS adx
+         |FROM (
+         |  SELECT symbol, "timestamp",
+         |         abs(pdi - ndi) / (pdi + ndi) * 100 AS dx
+         |  FROM (
+         |    SELECT symbol, "timestamp",
+         |           ${gG("avg", "pdm", 14)} / ${gG("avg", "tr", 14)} * 100 AS pdi,
+         |           ${gG("avg", "ndm", 14)} / ${gG("avg", "tr", 14)} * 100 AS ndi
+         |    FROM (
+         |      SELECT symbol, "timestamp",
+         |             greatest(high - close,
+         |                      abs(high - lag(close, 1) OVER (ORDER BY "timestamp")),
+         |                      abs(low - lag(close, 1) OVER (ORDER BY "timestamp"))) AS tr,
+         |             CASE WHEN high - lag(high, 1) OVER (ORDER BY "timestamp") > 0 THEN high - lag(high, 1) OVER (ORDER BY "timestamp") ELSE 0 END AS pdm,
+         |             CASE WHEN lag(low, 1) OVER (ORDER BY "timestamp") - low > 0 THEN lag(low, 1) OVER (ORDER BY "timestamp") - low ELSE 0 END AS ndm
+         |      FROM b1))) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "ultimate_oscillator" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((coalesce(${gG("avg", "bp", 7)} / ${gG("avg", "tr", 7)} * 4, 0)
+         |     + coalesce(${gG("avg", "bp", 14)} / ${gG("avg", "tr", 14)} * 2, 0)
+         |     + coalesce(${gG("avg", "bp", 28)} / ${gG("avg", "tr", 28)} * 2, 0)) * 100 / 8, 6) AS uo_7_14_28_4_2_2
+         |FROM (SELECT symbol, "timestamp",
+         |        close - least(low, lag(close, 1) OVER (ORDER BY "timestamp")) AS bp,
+         |        greatest(high, lag(close, 1) OVER (ORDER BY "timestamp"))
+         |          - greatest(low, lag(close, 1) OVER (ORDER BY "timestamp")) AS tr
+         |      FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "unlcer_index" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(sqrt(${gG("avg", "dd", 14)}), 6) AS close_ulcer_index_14
+         |FROM (SELECT symbol, "timestamp",
+         |        pow(close / ${gG("max", "close", 14)} - 1, 2) AS dd
+         |      FROM b1) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "aroon" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(CASE WHEN cnt = 14 THEN 100.0 * (14 - (rn - mx + 1)) / 14 END, 6) AS aroon_up_14,
+         |round(CASE WHEN cnt = 14 THEN 100.0 * (14 - (rn - mn + 1)) / 14 END, 6) AS aroon_down_14
+         |FROM (SELECT symbol, "timestamp", rn,
+         |        count(rn) OVER wf AS cnt,
+         |        (max({'h': high, 'r': rn}) OVER wf).r AS mx,
+         |        (max({'h': -low, 'r': rn}) OVER wf).r AS mn
+         |      FROM (SELECT symbol, "timestamp", high, low,
+         |              row_number() OVER (ORDER BY "timestamp") AS rn FROM b1)
+         |      WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "kst" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(${gG("avg", "roc0", 10)} * 1 + ${gG("avg", "roc1", 10)} * 2 + ${gG("avg", "roc2", 10)} * 3 + ${gG("avg", "roc3", 15)} * 4, 6) AS close_kst
+         |FROM (SELECT symbol, "timestamp",
+         |        (close - lag(close, 10) OVER w) / lag(close, 10) OVER w * 100 AS roc0,
+         |        (close - lag(close, 15) OVER w) / lag(close, 15) OVER w * 100 AS roc1,
+         |        (close - lag(close, 20) OVER w) / lag(close, 20) OVER w * 100 AS roc2,
+         |        (close - lag(close, 30) OVER w) / lag(close, 30) OVER w * 100 AS roc3
+         |      FROM b1 WINDOW w AS (ORDER BY "timestamp")) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "mfi" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(100 - (100 / (1 + ${gG("sum", "pmf", 14)} / ${gG("sum", "nmf", 14)})), 6) AS mfi
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN tp > lag(tp, 1) OVER (ORDER BY "timestamp") THEN tp * volume ELSE 0 END AS pmf,
+         |        CASE WHEN tp <= lag(tp, 1) OVER (ORDER BY "timestamp") THEN tp * volume ELSE 0 END AS nmf
+         |      FROM (SELECT symbol, "timestamp", volume, (high + low + close) / 3 AS tp FROM b1)) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "vwap" -> q(
+      s"""SELECT symbol, "timestamp", round(stpv / sv, 6) AS vwap FROM r $Tail""",
+      Bars1CteRec + """,
+        |b AS (SELECT symbol, "timestamp",
+        |        (high + low + close) / 3 * volume AS tpv, volume AS v,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT rn, symbol, "timestamp", tpv AS stpv, v AS sv FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.symbol, b."timestamp", r.stpv + b.tpv, r.sv + b.v
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "vpt" -> q(
+      s"""SELECT b.symbol, b."timestamp", round(r.s, 6) AS vpt
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + """,
+        |b AS (SELECT symbol, "timestamp",
+        |        (close - lag(close, 1) OVER w) / lag(close, 1) OVER w * volume AS vc,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT rn, vc AS s FROM b WHERE rn = 2
+        |  UNION ALL
+        |  SELECT b.rn, r.s + b.vc FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "obv" -> q(
+      s"""SELECT symbol, "timestamp",
+         |CAST(sum(oc) OVER (ORDER BY "timestamp" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+         |FROM (SELECT symbol, "timestamp",
+         |        (CASE WHEN close - lag(close, 1) OVER w > 0 THEN 1
+         |              WHEN close - lag(close, 1) OVER w < 0 THEN -1 ELSE 0 END) * volume AS oc
+         |      FROM b1 WINDOW w AS (ORDER BY "timestamp")) $Tail""".stripMargin,
+      Bars1Cte),
+
+    "adi" -> q(
+      s"""SELECT symbol, "timestamp", round(s, 6) AS adi FROM r $Tail""",
+      Bars1CteRec + """,
+        |b AS (SELECT symbol, "timestamp",
+        |        (close - low - (high - close)) / (high - low) * volume AS mfv,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT rn, symbol, "timestamp", mfv AS s FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.symbol, b."timestamp", r.s + b.mfv
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "negative_volume_index" -> q(
+      s"""SELECT b.symbol, b."timestamp",
+         |round(CASE WHEN b.volume < b.pv THEN r.s ELSE 0 END, 6) AS nvi
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + """,
+        |b AS (SELECT symbol, "timestamp", volume,
+        |        lag(volume, 1) OVER w AS pv,
+        |        close / lag(close, 1) OVER w - 1 AS ret,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT rn, CAST(0.0 AS DOUBLE) AS s FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, r.s + b.ret FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "force_index" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((close - lag(close, 1) OVER (ORDER BY "timestamp")) * volume, 6) AS force_index
+         |FROM b1 $Tail""".stripMargin,
+      Bars1Cte),
+
+    "ease_of_movement" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((high + low - lag(high, 1) OVER (ORDER BY "timestamp") - lag(low, 1) OVER (ORDER BY "timestamp")) / volume, 6) AS ease_of_movement
+         |FROM b1 $Tail""".stripMargin,
+      Bars1Cte),
+
+    "daily_return" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((close - lag(close, 1) OVER w) / lag(close, 1) OVER w * 100, 6) AS close_daily_return
+         |FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp") $Tail""".stripMargin),
+
+    "daily_log_return" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(ln(close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY "timestamp")), 6) AS close_daily_log_return
+         |FROM bars $Tail""".stripMargin),
+
+    "cumulative_returns" -> q(
+      s"""SELECT b.symbol, b."timestamp", r.s AS close_cumulative_return
+         |FROM b LEFT JOIN r ON b.symbol = r.symbol AND b.rn = r.rn
+         |ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      BarsCteRec + """,
+        |b AS (SELECT symbol, "timestamp",
+        |        (close - lag(close, 1) OVER w) / lag(close, 1) OVER w * 100 AS dr,
+        |        row_number() OVER w AS rn
+        |      FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT symbol, rn, dr + 1 AS s FROM b WHERE rn = 2
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, r.s * (b.dr + 1)
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)""".stripMargin),
+
+    "fill_null_forward" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(last_value(c IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY "timestamp" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin)
+  )
+}
