@@ -59,8 +59,17 @@ object Queries {
     * round(6) on large magnitudes. Cumulative oracles therefore use an
     * explicit row-by-row recursion, which IS bit-identical.
     */
-  val Bars1CteRec: String = "WITH RECURSIVE" + Bars1Cte.stripPrefix("WITH")
-  val BarsCteRec: String = "WITH RECURSIVE" + BarsCte.stripPrefix("WITH")
+  // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, so a
+  // recursion referencing an un-materialized CTE re-evaluates it every
+  // iteration — for the chained EWM recursions (macd r1 -> m -> r2)
+  // that is O(n^2) whole recursions and ran for minutes-to-forever.
+  val Bars1CteRec: String =
+    ("WITH RECURSIVE" + Bars1Cte.stripPrefix("WITH"))
+      .replace("bars AS (", "bars AS MATERIALIZED (")
+      .replace("b1 AS (", "b1 AS MATERIALIZED (")
+  val BarsCteRec: String =
+    ("WITH RECURSIVE" + BarsCte.stripPrefix("WITH"))
+      .replace("bars AS (", "bars AS MATERIALIZED (")
 
   private val Tail = "ORDER BY symbol, \"timestamp\""
 
@@ -241,7 +250,57 @@ object Queries {
         .dataframe
         .select(col("symbol"), col("timestamp"), round(col("close"), 6).as("close_filled"))
         .orderBy("symbol", "timestamp")
-    })
+    }),
+
+    // ------------------------------------------------------- EWM family
+
+    "ema" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).ema(Seq("close"), 9).dataframe,
+        "close_ema_9" -> "close_ema_9")),
+
+    "macd" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).macd(Seq("close")).dataframe,
+        "close_signal_line" -> "close_signal_line")),
+
+    "ppo" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).ppo().dataframe,
+        "ppo_12_26" -> "ppo_12_26",
+        "ppo_signal_12_26" -> "ppo_signal_12_26",
+        "ppo_histogram_12_26" -> "ppo_histogram_12_26")),
+
+    "pvo" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir)).pvo().dataframe,
+        "pvo_12_26" -> "pvo_12_26",
+        "pvo_signal_12_26" -> "pvo_signal_12_26",
+        "pvo_histogram_12_26" -> "pvo_histogram_12_26")),
+
+    "trix" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).trix().dataframe, "trix_15" -> "trix_15")),
+
+    "mass_index" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).mass_index().dataframe,
+        "mass_index_9_26" -> "mass_index_9_26")),
+
+    "keltner_channel" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).keltner_channel().dataframe,
+        "KC_Upper_Band_20_14_2" -> "kc_upper_band_20_14_2",
+        "KC_Lower_Band_20_14_2" -> "kc_lower_band_20_14_2")),
+
+    "true_strength_index" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).true_strength_index(Seq("close"), 13, 25).dataframe,
+        "close_tsi_13_25" -> "close_tsi_13_25")),
+
+    "stochastic_rsi" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).stochastic_rsi(Seq("close")).dataframe,
+        "close_stoch_rsi_14_14" -> "close_stoch_rsi_14_14"))
   )
 
   // ------------------------------------------------------------------
@@ -257,6 +316,23 @@ object Queries {
   }
   private def gS(agg: String, c: String, n: Int) = gated(agg, c, n, "PARTITION BY symbol ")
   private def gG(agg: String, c: String, n: Int) = gated(agg, c, n, "")
+
+  // EWM recursion building blocks. Alpha/beta are spelled so DuckDB
+  // computes the IDENTICAL doubles as the Scala engine (all-DOUBLE
+  // casts — bare 2.0/26 would be DECIMAL arithmetic in DuckDB), and
+  // each recursion step mirrors EwmaWindow's expression tree
+  // operation-for-operation, making the oracle bit-exact rather than
+  // merely close.
+  private def A(span: Int) = s"(CAST(2 AS DOUBLE) / CAST(${span + 1} AS DOUBLE))"
+  private def B(span: Int) = s"(CAST(1 AS DOUBLE) - ${A(span)})"
+
+  /** adjust=false step: y' = (B*y + A*x) / (B + A). */
+  private def ef(span: Int, y: String, x: String) =
+    s"((${B(span)} * $y + ${A(span)} * $x) / (${B(span)} + ${A(span)}))"
+
+  /** adjust=true numerator/denominator steps. */
+  private def etN(span: Int, num: String, x: String) = s"(${B(span)} * $num + $x)"
+  private def etD(span: Int, den: String) = s"(${B(span)} * $den + CAST(1 AS DOUBLE))"
 
   val oracleSql: Map[String, String] = Map(
     "sma" -> q(s"""SELECT symbol, "timestamp", round(${gS("avg", "close", 20)}, 6) AS close_sma_20 FROM bars $Tail"""),
@@ -445,7 +521,7 @@ object Queries {
     "vwap" -> q(
       s"""SELECT symbol, "timestamp", round(stpv / sv, 6) AS vwap FROM r $Tail""",
       Bars1CteRec + """,
-        |b AS (SELECT symbol, "timestamp",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
         |        (high + low + close) / 3 * volume AS tpv, volume AS v,
         |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
         |r AS (
@@ -458,7 +534,7 @@ object Queries {
       s"""SELECT b.symbol, b."timestamp", round(r.s, 6) AS vpt
          |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
       Bars1CteRec + """,
-        |b AS (SELECT symbol, "timestamp",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
         |        (close - lag(close, 1) OVER w) / lag(close, 1) OVER w * volume AS vc,
         |        row_number() OVER w AS rn
         |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
@@ -479,7 +555,7 @@ object Queries {
     "adi" -> q(
       s"""SELECT symbol, "timestamp", round(s, 6) AS adi FROM r $Tail""",
       Bars1CteRec + """,
-        |b AS (SELECT symbol, "timestamp",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
         |        (close - low - (high - close)) / (high - low) * volume AS mfv,
         |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
         |r AS (
@@ -493,7 +569,7 @@ object Queries {
          |round(CASE WHEN b.volume < b.pv THEN r.s ELSE 0 END, 6) AS nvi
          |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
       Bars1CteRec + """,
-        |b AS (SELECT symbol, "timestamp", volume,
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", volume,
         |        lag(volume, 1) OVER w AS pv,
         |        close / lag(close, 1) OVER w - 1 AS ret,
         |        row_number() OVER w AS rn
@@ -530,7 +606,7 @@ object Queries {
          |FROM b LEFT JOIN r ON b.symbol = r.symbol AND b.rn = r.rn
          |ORDER BY b.symbol, b."timestamp"""".stripMargin,
       BarsCteRec + """,
-        |b AS (SELECT symbol, "timestamp",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
         |        (close - lag(close, 1) OVER w) / lag(close, 1) OVER w * 100 AS dr,
         |        row_number() OVER w AS rn
         |      FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp")),
@@ -545,6 +621,174 @@ object Queries {
          |round(last_value(c IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY "timestamp" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close_filled
          |FROM (SELECT symbol, "timestamp",
          |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
-         |      FROM bars) $Tail""".stripMargin)
+         |      FROM bars) $Tail""".stripMargin),
+
+    // ------------------------------------------------------- EWM family
+
+    "ema" -> q(
+      s"""SELECT symbol, "timestamp", round(y, 6) AS close_ema_9 FROM r $Tail""",
+      BarsCteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn FROM bars),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp", close AS y FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp", ${ef(9, "r.y", "b.close")}
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)""".stripMargin),
+
+    "macd" -> q(
+      s"""SELECT symbol, "timestamp", round(sig, 6) AS close_signal_line FROM r2 $Tail""",
+      BarsCteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn FROM bars),
+        |r1 AS (
+        |  SELECT symbol, rn, "timestamp", close AS e12, close AS e26 FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp",
+        |         ${ef(12, "r1.e12", "b.close")}, ${ef(26, "r1.e26", "b.close")}
+        |  FROM b JOIN r1 ON b.symbol = r1.symbol AND b.rn = r1.rn + 1),
+        |m AS MATERIALIZED (SELECT symbol, rn, "timestamp", e12 - e26 AS macd FROM r1),
+        |r2 AS (
+        |  SELECT symbol, rn, "timestamp", macd AS sig FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.symbol, m.rn, m."timestamp", ${ef(9, "r2.sig", "m.macd")}
+        |  FROM m JOIN r2 ON m.symbol = r2.symbol AND m.rn = r2.rn + 1)""".stripMargin),
+
+    "ppo" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(line, 6) AS ppo_12_26,
+         |round(sig, 6) AS ppo_signal_12_26,
+         |round(line - sig, 6) AS ppo_histogram_12_26
+         |FROM r2 $Tail""".stripMargin,
+      BarsCteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn FROM bars),
+        |r1 AS (
+        |  SELECT symbol, rn, "timestamp", close AS e12, close AS e26 FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp",
+        |         ${ef(12, "r1.e12", "b.close")}, ${ef(26, "r1.e26", "b.close")}
+        |  FROM b JOIN r1 ON b.symbol = r1.symbol AND b.rn = r1.rn + 1),
+        |m AS MATERIALIZED (SELECT symbol, rn, "timestamp", (e12 - e26) / e26 * 100 AS line FROM r1),
+        |r2 AS (
+        |  SELECT symbol, rn, "timestamp", line, line AS sig FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.symbol, m.rn, m."timestamp", m.line, ${ef(9, "r2.sig", "m.line")}
+        |  FROM m JOIN r2 ON m.symbol = r2.symbol AND m.rn = r2.rn + 1)""".stripMargin),
+
+    "pvo" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(line, 6) AS pvo_12_26,
+         |round(sig, 6) AS pvo_signal_12_26,
+         |round(line - sig, 6) AS pvo_histogram_12_26
+         |FROM r2 $Tail""".stripMargin,
+      BarsCteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", CAST(volume AS DOUBLE) AS v,
+        |        row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn FROM bars),
+        |r1 AS (
+        |  SELECT symbol, rn, "timestamp", v AS e12, v AS e26 FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp",
+        |         ${ef(12, "r1.e12", "b.v")}, ${ef(26, "r1.e26", "b.v")}
+        |  FROM b JOIN r1 ON b.symbol = r1.symbol AND b.rn = r1.rn + 1),
+        |m AS MATERIALIZED (SELECT symbol, rn, "timestamp", (e12 - e26) / e26 * 100 AS line FROM r1),
+        |r2 AS (
+        |  SELECT symbol, rn, "timestamp", line, line AS sig FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.symbol, m.rn, m."timestamp", m.line, ${ef(9, "r2.sig", "m.line")}
+        |  FROM m JOIN r2 ON m.symbol = r2.symbol AND m.rn = r2.rn + 1)""".stripMargin),
+
+    "trix" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((e3 - lag(e3, 1) OVER (ORDER BY "timestamp")) / lag(e3, 1) OVER (ORDER BY "timestamp"), 6) AS trix_15
+         |FROM r $Tail""".stripMargin,
+      Bars1CteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp", close AS e1, close AS e2, close AS e3 FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT symbol, rn, "timestamp", ne1, ne2, ${ef(15, "e3", "ne2")} FROM (
+        |    SELECT t1.*, ${ef(15, "t1.e2", "t1.ne1")} AS ne2 FROM (
+        |      SELECT b.symbol, b.rn, b."timestamp", r.e2, r.e3, ${ef(15, "r.e1", "b.close")} AS ne1
+        |      FROM b JOIN r ON b.rn = r.rn + 1) t1) t2)""".stripMargin),
+
+    "mass_index" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(CASE WHEN count(ratio) OVER wf = 26 THEN sum(ratio) OVER wf END, 6) AS mass_index_9_26
+         |FROM (SELECT symbol, "timestamp", (n1 / d1) / (n2 / d2) AS ratio FROM r)
+         |WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) $Tail""".stripMargin,
+      Bars1CteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", high - low AS hl,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp",
+        |         hl AS n1, CAST(1 AS DOUBLE) AS d1, hl AS n2, CAST(1 AS DOUBLE) AS d2
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT symbol, rn, "timestamp", nn1, nd1,
+        |         ${etN(9, "n2", "(nn1 / nd1)")}, ${etD(9, "d2")}
+        |  FROM (
+        |    SELECT b.symbol, b.rn, b."timestamp", r.n2, r.d2,
+        |           ${etN(9, "r.n1", "b.hl")} AS nn1, ${etD(9, "r.d1")} AS nd1
+        |    FROM b JOIN r ON b.rn = r.rn + 1) t)""".stripMargin),
+
+    "keltner_channel" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(n / d + (CASE WHEN count(tr) OVER wf = 14 THEN avg(tr) OVER wf END) * 2, 6) AS kc_upper_band_20_14_2,
+         |round(n / d - (CASE WHEN count(tr) OVER wf = 14 THEN avg(tr) OVER wf END) * 2, 6) AS kc_lower_band_20_14_2
+         |FROM r WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) $Tail""".stripMargin,
+      Bars1CteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        greatest(high, lag(close, 1) OVER w) - least(low, lag(close, 1) OVER w) AS tr,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp", tr, close AS n, CAST(1 AS DOUBLE) AS d FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp", b.tr,
+        |         ${etN(20, "r.n", "b.close")}, ${etD(20, "r.d")}
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "true_strength_index" -> q(
+      s"""SELECT b.symbol, b."timestamp",
+         |round(100 * (r.n2 / r.d2) / (r.n2a / r.d2a), 6) AS close_tsi_13_25
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
+        |        close - lag(close, 1) OVER w AS delta,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp",
+        |         delta AS n1, CAST(1 AS DOUBLE) AS d1,
+        |         abs(delta) AS n1a, CAST(1 AS DOUBLE) AS d1a,
+        |         delta AS n2, CAST(1 AS DOUBLE) AS d2,
+        |         abs(delta) AS n2a, CAST(1 AS DOUBLE) AS d2a
+        |  FROM b WHERE rn = 2
+        |  UNION ALL
+        |  SELECT symbol, rn, "timestamp", nn1, nd1, nn1a, nd1a,
+        |         ${etN(25, "n2", "(nn1 / nd1)")}, ${etD(25, "d2")},
+        |         ${etN(25, "n2a", "(nn1a / nd1a)")}, ${etD(25, "d2a")}
+        |  FROM (
+        |    SELECT b.symbol, b.rn, b."timestamp", r.n2, r.d2, r.n2a, r.d2a,
+        |           ${etN(13, "r.n1", "b.delta")} AS nn1, ${etD(13, "r.d1")} AS nd1,
+        |           ${etN(13, "r.n1a", "abs(b.delta)")} AS nn1a, ${etD(13, "r.d1a")} AS nd1a
+        |    FROM b JOIN r ON b.rn = r.rn + 1) t)""".stripMargin),
+
+    "stochastic_rsi" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((r - gmin) / (gmax - gmin), 6) AS close_stoch_rsi_14_14
+         |FROM (SELECT symbol, "timestamp", r,
+         |        CASE WHEN count(r) OVER wf = 14 THEN min(r) OVER wf END AS gmin,
+         |        CASE WHEN count(r) OVER wf = 14 THEN max(r) OVER wf END AS gmax
+         |      FROM (SELECT symbol, "timestamp",
+         |              100 - (100 / (1 + ${gG("avg", "gain", 14)} / ${gG("avg", "loss", 14)})) AS r
+         |            FROM (SELECT symbol, "timestamp",
+         |                    CASE WHEN close - lag(close, 1) OVER wl > 0 THEN close - lag(close, 1) OVER wl ELSE 0 END AS gain,
+         |                    CASE WHEN close - lag(close, 1) OVER wl < 0 THEN abs(close - lag(close, 1) OVER wl) ELSE 0 END AS loss
+         |                  FROM b1 WINDOW wl AS (ORDER BY "timestamp")))
+         |      WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) $Tail""".stripMargin,
+      Bars1Cte)
   )
 }
