@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sessionize, Similarity, TextOps}
+
+/** Declared queries + DuckDB oracles for the beyond-reference
+  * training-data pipeline operators (documents / embeddings / events).
+  * Hash primitives are md5-derived on both sides so results are
+  * bit-reproducible across engines (see graft.pipeline.TextOps).
+  */
+object QueriesPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val nTok = size(t).cast("bigint")
+      val stopRatio = TextOps.stopCount(col("text"), TextOps.EnStop).cast("double") / nTok
+      docs(s, dir).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_computed"),
+        round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 6).as("avg_token_len"),
+        round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
+          length(col("text")), 6).as("punct_ratio"),
+        ceil(length(col("text")) / 4.0).cast("bigint").as("bpe_token_est"),
+        round(least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5, 6)
+          .as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      val en = TextOps.stopCount(col("text"), TextOps.EnStop).cast("bigint")
+      val es = TextOps.stopCount(col("text"), TextOps.EsStop).cast("bigint")
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        en.as("en_score"),
+        es.as("es_score"),
+        when(en > es, "en").when(es > en, "es").otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        TextOps.hash32(col("text")).as("content_hash32"),
+        TextOps.hash32(substring(col("text"), 1, 64)).as("prefix_hash32"))
+        .orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
+
+    "dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashes(docs(s, dir)).orderBy("doc_id")),
+
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    "ann_topk" -> ((s, dir) =>
+      Similarity.topK(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
+    "ann_topk_lsh" -> ((s, dir) =>
+      Similarity.topKBucketed(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessions(events(s, dir))
+        .orderBy("user_id", "session_idx")),
+
+    "multimodal_meta" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          col("text").cast("binary").as("blob"),
+          col("source"))
+        .select(
+          col("doc_id"),
+          length(col("blob")).cast("bigint").as("blob_len"),
+          md5(col("blob")).as("blob_md5"),
+          col("source"),
+          lit("text").as("modality"))
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+
+  /** DuckDB equivalent of TextOps.hash32. */
+  private def h32(c: String) = s"CAST(concat('0x', substr(md5($c), 1, 8)) AS BIGINT)"
+
+  private val Toks = "string_split(text, ' ')"
+
+  /** DuckDB 3-gram shingles of a text column. */
+  private val Shingles =
+    s"list_transform(range(1, len($Toks) - 1), i -> array_to_string(list_slice($Toks, i, i + 2), ' '))"
+
+  private def minhashSql(i: Int): String = {
+    val (a, b) = TextOps.MinhashParams(i)
+    s"list_min(list_transform(sh, s -> (${h32("s")} * $a + $b) % 1000000007))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+         |  round(CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks), 6) AS avg_token_len,
+         |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
+         |  round(least(len($Toks) / 100.0, 1.0) * 0.5 +
+         |        least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5, 6) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS BIGINT) AS en_score,
+         |  CAST(len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) AS BIGINT) AS es_score,
+         |  CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
+         |       WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
+         |       ELSE 'und' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS content_md5,
+         |  ${h32("text")} AS content_hash32,
+         |  ${h32("substr(text, 1, 64)")} AS prefix_hash32
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+         |FROM (SELECT doc_id, $Shingles AS sh FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_pairs" ->
+      s"""WITH sigs AS MATERIALIZED (
+         |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+         |  FROM (SELECT doc_id, $Shingles AS sh FROM documents)),
+         |bands AS (
+         |  SELECT doc_id, b.band, CASE b.band
+         |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
+         |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
+         |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
+         |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH sigs AS MATERIALIZED (
+         |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+         |  FROM (SELECT doc_id, $Shingles AS sh FROM documents)),
+         |bands AS (
+         |  SELECT doc_id, b.band, CASE b.band
+         |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
+         |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
+         |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
+         |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
+         |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM documents)
+         |SELECT p.doc_a, p.doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id,
+         |  ${(0 until 32).map(j =>
+              s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
+              .mkString(" + ")} AS simhash
+         |FROM (SELECT doc_id, list_transform($Toks, t -> ${h32("t")}) AS th FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "embedding_neardup" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)
+         |SELECT id_a, id_b, round(cosv, 6) AS cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x) /
+         |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)) *
+         |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x))) AS cosv
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cosv >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (acc, x) -> acc + x) /
+         |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)) *
+         |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (acc, x) -> acc + x))) AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_lsh" -> {
+      def planeSql(p: Int, d: Int) =
+        s"((${h32(s"'plane_${p}_$d'")} % 1000) / 500.0 - 1.0)"
+      def dotSql(p: Int, tbl: String) =
+        (0 until 64).map(d => s"CAST($tbl.embedding[${d + 1}] AS DOUBLE) * ${planeSql(p, d)}")
+          .mkString(" + ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${(0 until 4).map(p => s"(CASE WHEN ${dotSql(p, "embeddings")} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")} AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (acc, x) -> acc + x) /
+         |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)) *
+         |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (acc, x) -> acc + x))) AS cosine
+         |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < 5 AND q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "sessionize" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |n AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |x AS (SELECT user_id, ts_us,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM n)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  make_timestamp(min(ts_us)) AS session_start,
+        |  make_timestamp(max(ts_us)) AS session_end
+        |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+        |  md5(text) AS blob_md5,
+        |  source,
+        |  'text' AS modality
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

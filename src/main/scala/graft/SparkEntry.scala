@@ -25,11 +25,15 @@ object SparkEntry {
       .orderBy("symbol", "timestamp")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * beyond-reference pipeline operators (QueriesPipeline).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries ++ QueriesPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  def oracleSql: Map[String, String] =
+    Queries.oracleSql ++ QueriesPipeline.oracleSql
 }

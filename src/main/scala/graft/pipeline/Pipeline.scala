@@ -1,0 +1,258 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Large-scale training-data pipeline operators over the `documents`,
+  * `embeddings` and `events` tables — the beyond-reference surface
+  * (SURVEY.md §7.6). Everything is native Column expressions (zero
+  * UDFs, whole-stage codegen) and every hash primitive is md5-derived
+  * so a DuckDB oracle can reproduce results bit-for-bit.
+  *
+  * Scale design notes (100 TB):
+  *  - all per-document ops (hashing, stats, signatures) are
+  *    embarrassingly parallel projections — no shuffle;
+  *  - dedup group-bys shuffle once on the hash/signature key with
+  *    map-side partial aggregation;
+  *  - LSH candidate generation shuffles on the band key — the whole
+  *    point of banding is that this key is selective, so the join
+  *    explodes only within buckets;
+  *  - brute-force ANN broadcasts the (small) query set against the
+  *    corpus — a map-only pass followed by a per-query top-k
+  *    (partial top-k per partition, merged at the driver-side window);
+  *  - sessionization shuffles once on user_id, then a linear
+  *    per-partition window pass.
+  */
+object TextOps {
+
+  val M: Long = 1000000007L
+
+  /** Whitespace tokens (the documents corpus is single-space text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 32-bit hash: first 8 hex chars of md5, parsed as an integer.
+    * Identical in DuckDB: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT).
+    */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Word n-gram shingles (documents all have >= n tokens). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  /** One MinHash value: min over shingles of (A*h + B) mod M. */
+  def minhash(sh: Column, a: Long, b: Long): Column =
+    array_min(transform(sh, s => (hash32(s) * a + b) % M))
+
+  /** Deterministic per-function MinHash parameters. Kept below 2^30 so
+    * a*h stays under 2^62 for 32-bit h — DuckDB BIGINT multiplication
+    * errors on overflow (Spark would silently wrap, desynchronizing
+    * the two sides).
+    */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (999999937L, 433494437L), (715827883L, 514229L),
+    (536870923L, 39088169L), (402653189L, 63245986L),
+    (268435459L, 2971215L), (201326611L, 1134903L),
+    (134217757L, 24157817L), (67108879L, 75025L))
+
+  /** 32-bit SimHash over token hashes: bit j set iff the majority of
+    * tokens have bit j set (+1/−1 vote, strict > 0).
+    */
+  def simhash32(text: Column): Column = {
+    val th = transform(tokens(text), t => hash32(t))
+    val bits = (0 until 32).map { j =>
+      val vote = aggregate(
+        th,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "to", "and")
+  val EsStop: Seq[String] = Seq("el", "la", "de", "y", "que")
+
+  def stopCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops: _*)))
+}
+
+object Dedup {
+  import TextOps._
+
+  /** Exact duplicate groups by content hash. One shuffle on md5(text)
+    * with map-side combine; linear at any scale.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc_id"))
+
+  /** Per-document MinHash signature columns m0..m{k-1}. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(col("text"))
+    val sigs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      minhash(sh, a, b).as(s"m$i")
+    }
+    docs.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH band keys (bands of 2 minhashes) appended to the signature. */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      ((col(s"m${2 * b}") * 31 + col(s"m${2 * b + 1}")) % M).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: (0 until 8).map(i => col(s"m$i")) ++: bands: _*)
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band value. The
+    * join key is (band index, band value) — selective by construction,
+    * so the shuffle join explodes only within buckets.
+    */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val banded = lshBands(minhashSignatures(docs))
+    val exploded = banded.select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"), col(s"band$b").as("v"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Word-3-gram Jaccard similarity for a pair table (doc_a, doc_b). */
+  def jaccardPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val withSets = docs.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    pairs
+      .join(withSets.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(withSets.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+          size(array_union(col("da.sh"), col("db.sh")))).as("jaccard"))
+  }
+
+  /** Per-document SimHash (near-dup via small hamming distance). */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash32(col("text")).as("simhash"))
+}
+
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double with a sequential fold (bit-reproducible; DuckDB
+    * list_reduce matches).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force top-k cosine neighbors for a query set. The query set
+    * is broadcast (map-only similarity pass); ranking is a per-query
+    * window. At 100 TB: per-partition partial top-k then a tiny final
+    * shuffle on query_id.
+    */
+  def topK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val queries = broadcast(
+      embeddings.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = queries.join(
+        embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val r = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Random-hyperplane LSH bucket id (nbits deterministic pseudo-random
+    * planes derived from md5 of the (plane, dim) index). The scale path
+    * for ANN: bucket once (map-only), then search within buckets.
+    */
+  def lshBucket(e: Column, dims: Int = 64, nbits: Int = 4): Column = {
+    def plane(p: Int, d: Int): Column =
+      (TextOps.hash32(lit(s"plane_${p}_$d")) % 1000L).cast("double") / 500.0 - 1.0
+    val bits = (0 until nbits).map { p =>
+      val dot = (0 until dims).map(d => element_at(e, d + 1).cast("double") * plane(p, d))
+        .reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: exact cosine only within matching LSH buckets. */
+  def topKBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val withBucket = embeddings.withColumn("bucket", lshBucket(col("embedding")))
+    val queries = broadcast(
+      withBucket.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket")))
+    val scored = queries.join(
+        withBucket.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket")),
+        Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
+
+object Sessionize {
+
+  /** Session windows over the events stream: a new session starts after
+    * a gap > `gapMinutes` within a user. One shuffle on user_id, then a
+    * linear window pass — the canonical distributed sessionization.
+    *
+    * `ts` arrives as long nanos (nanosAsLong parquet reading); integer
+    * `div` keeps µs exact (nano longs exceed double's mantissa).
+    */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val tsUs = expr("ts div 1000")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val staged = events
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+      .withColumn(
+        "is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn(
+        "session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    staged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        timestamp_micros(min(col("ts_us"))).as("session_start"),
+        timestamp_micros(max(col("ts_us"))).as("session_end"))
+  }
+}

@@ -26,8 +26,10 @@ object Bars {
     fromEventsDF(spark.read.parquet(s"$sfDir/events.parquet"))
 
   def fromEventsDF(events: DataFrame): DataFrame = {
+    // Integer `div`, not `/`: nano longs (~1.7e18) exceed double's
+    // 53-bit mantissa, so float division would round by ±hundreds of ns.
     val ts: Column = events.schema("ts").dataType match {
-      case LongType => timestamp_micros((col("ts") / 1000).cast(LongType))
+      case LongType => timestamp_micros(expr("ts div 1000"))
       case _ => col("ts")
     }
     events
