@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) pipeline plumbing.
+  *
+  * The container has no media codecs, so the DECODE STEP IS A STUB
+  * ([[DeterministicFakeDecoder]]) — but everything Spark-side is real
+  * and tested: the opaque-binary + typed-metadata schema, the
+  * per-partition batched execution shape (the Scala analogue of a
+  * batched pandas UDF: decode cost amortized over `batchSize` records,
+  * no per-row JVM<->codec churn), and the feature-vector output
+  * contract that downstream similarity search consumes.
+  *
+  * Scale design: decode/featurize is a map-only pass — linear in input
+  * splits, no shuffle; `repartition(n)` upstream controls decode
+  * parallelism when blobs are few-but-huge (video) vs many-but-small
+  * (thumbnails).
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      id: Long,
+      modality: String,
+      blob: Array[Byte],
+      source: String)
+
+  case class MediaFeatures(
+      id: Long,
+      modality: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float])
+
+  case class Decoded(width: Int, height: Int, nFrames: Int, payload: Array[Byte])
+
+  /** The pluggable decode seam. A production deployment binds an
+    * actual codec here; the signature (bytes in, dimensioned payload
+    * out) is the real contract.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(modality: String, blob: Array[Byte]): Decoded
+  }
+
+  /** STUB decoder — deterministic fake standing in for the absent
+    * image/audio libraries. "Dimensions" derive from the blob hash,
+    * the "decoded payload" is the blob itself; stable across runs so
+    * tests can pin outputs.
+    */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    override def decode(modality: String, blob: Array[Byte]): Decoded = {
+      val h = java.util.Arrays.hashCode(blob)
+      val w = 16 + math.floorMod(h, 16)
+      val hgt = 16 + math.floorMod(h >> 8, 16)
+      val frames = if (modality == "video") 1 + math.floorMod(h >> 16, 8) else 1
+      Decoded(w, hgt, frames, blob)
+    }
+  }
+
+  /** Batched per-partition decode + featurize (the mapInPandas shape).
+    * The 16-bin byte histogram is the deterministic stand-in for a
+    * model-based feature extractor.
+    */
+  def extractFeatures(
+      ds: Dataset[MediaRecord],
+      decoder: MediaDecoder = DeterministicFakeDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val d = decoder.decode(r.modality, r.blob)
+          val hist = new Array[Float](16)
+          d.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+          val n = math.max(d.payload.length, 1).toFloat
+          MediaFeatures(
+            r.id, r.modality, r.blob.length.toLong,
+            d.width, d.height, d.nFrames,
+            hist.map(_ / n))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video-modality records: keep every k-th frame
+    * index (metadata-level; real decoders sample before featurizing).
+    */
+  def sampleFrameIndexes(features: DataFrame, everyK: Int): DataFrame =
+    features.withColumn(
+      "sampled_frames",
+      filter(sequence(lit(0), col("n_frames") - 1), i => i % everyK === 0))
+
+  /** Documents table viewed as a media corpus (text blobs), the
+    * driver-testable stand-in for an image/audio table.
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      lit("text").as("modality"),
+      col("text").cast("binary").as("blob"),
+      col("source"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+
+class PipelineSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      rows.map { case (id, t) => Row(id, t, s"src$id") }.asJava, docSchema)
+
+  test("hash32 matches the DuckDB formula on a known md5") {
+    // md5('hello') = 5d41402a... -> 0x5d41402a = 1564557354
+    val out = docs((1L, "hello"))
+      .select(TextOps.hash32(col("text")).as("h")).collect()
+    assert(out.head.getLong(0) == 1564557354L)
+  }
+
+  test("shingles are word 3-grams") {
+    val out = docs((1L, "a b c d"))
+      .select(TextOps.shingles(col("text")).as("sh")).collect()
+    assert(out.head.getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+    val g = Dedup.exactGroups(d).orderBy("canonical_doc_id").collect()
+    assert(g.length == 2)
+    assert(g.head.getAs[Long]("n_docs") == 2 && g.head.getAs[Long]("canonical_doc_id") == 1)
+  }
+
+  test("LSH candidates include identical docs; jaccard is 1 for them") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated words that share nothing at all ok"))
+    val pairs = Dedup.lshCandidatePairs(d).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2))
+    val j = Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
+      .where("doc_a = 1 AND doc_b = 2").collect()
+    assert(j.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash identical for identical docs, int32 range") {
+    val d = docs((1L, "one two three four"), (2L, "one two three four"), (3L, "five six seven"))
+    val out = Dedup.simhashes(d).orderBy("doc_id").collect().map(_.getLong(1))
+    assert(out(0) == out(1))
+    assert(out.forall(h => h >= 0 && h < (1L << 32)))
+  }
+
+  test("cosine is 1 for identical vectors and 0 for orthogonal") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      Row(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).asJava
+    val out = spark.createDataFrame(rows, schema)
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+  }
+
+  test("topK returns k ranked neighbors per query on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.topK(e, numQueries = 3, k = 4).collect()
+    assert(out.length == 12)
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("bucketed ANN neighbors share the query bucket and rank consistently") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.topKBucketed(e, numQueries = 3, k = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("rank") <= 4))
+  }
+
+  test("sessionize splits on gaps and aggregates correctly") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", LongType)))
+    val h = 3600L * 1000000000L // 1h in nanos
+    val rows = Seq(
+      Row(1L, 7L, 0L), Row(2L, 7L, 60L * 1000000000L), // same session
+      Row(3L, 7L, 2 * h), // new session (gap 2h - 1min)
+      Row(4L, 8L, 0L)).asJava
+    val out = Sessionize.sessions(spark.createDataFrame(rows, schema))
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 8L)
+  }
+
+  test("multimodal feature extraction: schema, determinism, batching") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.fromDocuments(spark, d)
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64).collect()
+    assert(f1.length == d.count())
+    // batch size must not change results (pure per-record featurize)
+    val m1 = f1.map(r => r.id -> r.features.toSeq).toMap
+    val m2 = f2.map(r => r.id -> r.features.toSeq).toMap
+    assert(m1 == m2)
+    assert(f1.forall(_.features.length == 16))
+    assert(f1.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3))
+    assert(f1.forall(r => r.width >= 16 && r.width < 32))
+  }
+
+  test("frame sampling keeps every k-th index") {
+    val d = docs((1L, "x y z"))
+    val media = Multimodal.fromDocuments(spark, d)
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .withColumn("n_frames", lit(6))
+    val out = Multimodal.sampleFrameIndexes(feats, 2).collect()
+    assert(out.head.getSeq[Int](out.head.fieldIndex("sampled_frames")).toList == List(0, 2, 4))
+  }
+}
