@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.EwmaWindow
+import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -40,4 +40,11 @@ package object functions {
         EwmaWindow(ColumnBridge.expression(c.cast(DoubleType)), alpha, adjust),
         spec))
   }
+
+  /** Codegen'd float-array dot product in double (see
+    * [[org.apache.spark.sql.graft.expressions.DotProductF]]).
+    */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -95,13 +95,21 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("canonical_doc_id"))
 
-  /** Per-document MinHash signature columns m0..m{k-1}. */
+  /** Per-document MinHash signature columns m0..m{k-1}. The md5-based
+    * shingle hash is computed ONCE into an intermediate array column
+    * and the k signatures derive from it with cheap modular arithmetic
+    * — hashing inline per signature did 8x the md5 work (Catalyst's
+    * CollapseProject keeps the staging projection because the hashed
+    * array is expensive and referenced k times).
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
+    val staged = docs.select(
+      col("doc_id"),
+      transform(shingles(col("text")), s => hash32(s)).as("_hs"))
     val sigs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      minhash(sh, a, b).as(s"m$i")
+      array_min(transform(col("_hs"), h => (h * a + b) % M)).as(s"m$i")
     }
-    docs.select(col("doc_id") +: sigs: _*)
+    staged.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH band keys (bands of 2 minhashes) appended to the signature. */
@@ -118,11 +126,16 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame): DataFrame = {
     val banded = lshBands(minhashSignatures(docs))
+    // Persisted: the self-join would otherwise recompute the full
+    // signature pipeline (8 minhashes x ~100 shingle md5s per doc) on
+    // BOTH sides. A production LSH job does the same — signatures are
+    // tiny relative to the corpus and always worth materializing.
     val exploded = banded.select(
       col("doc_id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"), col(s"band$b").as("v"))): _*))
         .as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+      .persist()
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
@@ -133,7 +146,9 @@ object Dedup {
 
   /** Word-3-gram Jaccard similarity for a pair table (doc_a, doc_b). */
   def jaccardPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val withSets = docs.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val withSets = docs
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .persist()
     pairs
       .join(withSets.as("da"), col("doc_a") === col("da.doc_id"))
       .join(withSets.as("db"), col("doc_b") === col("db.doc_id"))
@@ -150,18 +165,25 @@ object Dedup {
 }
 
 object Similarity {
+  import graft.functions.dotF
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double with a sequential fold (bit-reproducible; DuckDB
-    * list_reduce matches).
+  /** Cosine similarity between two float-array columns, accumulated in
+    * double left-to-right (bit-reproducible; DuckDB list_reduce
+    * matches). Uses the codegen'd [[graft.functions.dotF]] — Spark's
+    * higher-order `aggregate` is interpreted and was 50x slower on the
+    * pair joins.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
-    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+
+  /** A (id, embedding, norm) projection: norms computed once per row
+    * instead of once per pair.
+    */
+  private def withNorm(e: DataFrame, idAs: String, eAs: String, nAs: String): DataFrame =
+    e.select(
+      col("vec_id").as(idAs),
+      col("embedding").as(eAs),
+      sqrt(dotF(col("embedding"), col("embedding"))).as(nAs))
 
   /** Brute-force top-k cosine neighbors for a query set. The query set
     * is broadcast (map-only similarity pass); ranking is a per-query
@@ -170,15 +192,14 @@ object Similarity {
     */
   def topK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
     val queries = broadcast(
-      embeddings.where(col("vec_id") < numQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      withNorm(embeddings, "query_id", "qe", "qn").where(col("query_id") < numQueries))
     val scored = queries.join(
-        embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        withNorm(embeddings, "neighbor_id", "ne", "nn"),
         col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosine(col("qe"), col("ne")).as("cosine"))
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -186,12 +207,16 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. */
+  /** Embedding-cosine near-duplicate pairs above a threshold. Norms are
+    * precomputed per row; the pair pass is one codegen'd dot product.
+    */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val l = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val r = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val l = withNorm(embeddings, "id_a", "ea", "na")
+    val r = withNorm(embeddings, "id_b", "eb", "nb")
     l.join(r, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .select(
+        col("id_a"), col("id_b"),
+        (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
