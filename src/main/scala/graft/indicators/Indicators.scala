@@ -41,9 +41,25 @@ import Kernel._
   */
 final class Indicators private (
     private val df: DataFrame,
-    private val syntheticSymbol: Boolean) {
+    private val syntheticSymbol: Boolean,
+    private val partitionAll: Boolean) {
 
   import Indicators.validateColumns
+
+  /** The "global" window of the reference (no `.over`, spans the whole
+    * timestamp-sorted frame). In [[Indicators.scaled]] mode it is
+    * rerouted per-symbol: reference parity keeps the single-partition
+    * window (exact on one symbol, quirky-but-faithful on many), while
+    * the scaled mode hash-partitions every window on symbol so all ~40
+    * operators parallelize across executors at 100 TB. On single-symbol
+    * frames the two are equivalent (SURVEY.md §2.5).
+    */
+  private val g: org.apache.spark.sql.expressions.WindowSpec =
+    if (partitionAll) bySymbol else global
+
+  private def ewmaG(c: Column, alpha: Double, adjust: Boolean): Column =
+    if (partitionAll) ewmaSym(c, alpha, adjust)
+    else Kernel.ewmaGlobal(c, alpha, adjust)
 
   /** Reference `collect()` (indicators.py:30-39): drop the synthetic
     * symbol and hand back the frame, timestamp-sorted like the
@@ -59,7 +75,8 @@ final class Indicators private (
     */
   def dataframe: DataFrame = df
 
-  private def chain(d: DataFrame): Indicators = new Indicators(d, syntheticSymbol)
+  private def chain(d: DataFrame): Indicators =
+    new Indicators(d, syntheticSymbol, partitionAll)
 
   private def require_(cols: Seq[String]): Unit = validateColumns(cols, df.columns)
 
@@ -150,7 +167,7 @@ final class Indicators private (
   def rsi(columns: Seq[String], period: Int = 14, _suffix: String = ""): Indicators = {
     require_(columns)
     val staged = withCols(df, columns.flatMap { c =>
-      val delta = col(c) - lag(col(c), 1).over(global)
+      val delta = col(c) - lag(col(c), 1).over(g)
       Seq(
         s"_${c}_gain" -> when(delta > 0, delta).otherwise(0),
         s"_${c}_loss" -> when(delta < 0, abs(delta)).otherwise(0))
@@ -218,7 +235,7 @@ final class Indicators private (
     */
   def atr(period: Int = 14, _suffix: String = ""): Indicators = {
     require_(Seq("high", "low", "close"))
-    val prevClose = lag(col("close"), 1).over(global)
+    val prevClose = lag(col("close"), 1).over(g)
     val staged = df.withColumn(
       "_true_range",
       greatest(
@@ -227,7 +244,7 @@ final class Indicators private (
         abs(col("low") - prevClose)))
     val out = staged.withColumn(
       s"${_suffix}atr",
-      rollMean(col("_true_range"), period, global))
+      rollMean(col("_true_range"), period, g))
     chain(out.drop("_true_range"))
   }
 
@@ -239,8 +256,8 @@ final class Indicators private (
     */
   def stochastic_oscillator(period: Int = 14, _suffix: String = ""): Indicators = {
     require_(Seq("high", "low", "close"))
-    val num = rollMin(col("close") - col("low"), period, global)
-    val den = rollMax(col("high"), period, global) - rollMin(col("low"), period, global)
+    val num = rollMin(col("close") - col("low"), period, g)
+    val den = rollMax(col("high"), period, g) - rollMin(col("low"), period, g)
     chain(df.withColumn(s"${_suffix}stochastic_oscillator_$period", num / den * 100))
   }
 
@@ -282,7 +299,7 @@ final class Indicators private (
   def roc(columns: Seq[String], period: Int = 10): Indicators = {
     require_(columns)
     chain(withCols(df, columns.map { c =>
-      s"${c}_roc_$period" -> (pctChange(col(c), period, global) * 100)
+      s"${c}_roc_$period" -> (pctChange(col(c), period, g) * 100)
     }))
   }
 
@@ -304,8 +321,8 @@ final class Indicators private (
     val d = withRsi.df
     val out = withCols(d, columns.map { c =>
       val r = col(s"_${c}_rsi_$rsi_period")
-      val lo = rollMin(r, stoch_period, global)
-      val hi = rollMax(r, stoch_period, global)
+      val lo = rollMin(r, stoch_period, g)
+      val hi = rollMax(r, stoch_period, g)
       s"${c}_stoch_rsi_${rsi_period}_$stoch_period" -> ((r - lo) / (hi - lo))
     })
     chain(out.drop(columns.map(c => s"_${c}_rsi_$rsi_period"): _*))
@@ -352,9 +369,9 @@ final class Indicators private (
     */
   def adx(period: Int = 14): Indicators = {
     require_(Seq("high", "low", "close"))
-    val prevClose = lag(col("close"), 1).over(global)
-    val upMove = col("high") - lag(col("high"), 1).over(global)
-    val downMove = lag(col("low"), 1).over(global) - col("low")
+    val prevClose = lag(col("close"), 1).over(g)
+    val upMove = col("high") - lag(col("high"), 1).over(g)
+    val downMove = lag(col("low"), 1).over(g) - col("low")
     val staged = withCols(
       df,
       Seq(
@@ -364,11 +381,11 @@ final class Indicators private (
           abs(col("low") - prevClose)),
         "_pdm" -> when(upMove > 0, upMove).otherwise(0),
         "_ndm" -> when(downMove > 0, downMove).otherwise(0)))
-    val smoothTr = rollMean(col("_tr"), period, global)
-    val pdi = rollMean(col("_pdm"), period, global) / smoothTr * 100
-    val ndi = rollMean(col("_ndm"), period, global) / smoothTr * 100
+    val smoothTr = rollMean(col("_tr"), period, g)
+    val pdi = rollMean(col("_pdm"), period, g) / smoothTr * 100
+    val ndi = rollMean(col("_ndm"), period, g) / smoothTr * 100
     val staged2 = staged.withColumn("_dx", abs(pdi - ndi) / (pdi + ndi) * 100)
-    val out = staged2.withColumn("adx", rollMean(col("_dx"), period, global))
+    val out = staged2.withColumn("adx", rollMean(col("_dx"), period, g))
     chain(out.drop("_tr", "_pdm", "_ndm", "_dx"))
   }
 
@@ -378,8 +395,8 @@ final class Indicators private (
   def cci(period: Int = 14): Indicators = {
     require_(Seq("high", "low", "close"))
     val staged = df.withColumn("_typical_price", (col("high") + col("low") + col("close")) / 3)
-    val staged2 = staged.withColumn("_sma_tp", rollMean(col("_typical_price"), period, global))
-    val meanDev = rollMean(abs(col("_typical_price") - col("_sma_tp")), period, global)
+    val staged2 = staged.withColumn("_sma_tp", rollMean(col("_typical_price"), period, g))
+    val meanDev = rollMean(abs(col("_typical_price") - col("_sma_tp")), period, g)
     val out = staged2.withColumn(
       "CCI",
       (col("_typical_price") - col("_sma_tp")) / (lit(0.015) * meanDev))
@@ -394,7 +411,7 @@ final class Indicators private (
   def vwap(): Indicators = {
     require_(Seq("high", "low", "close", "volume"))
     val tpVol = (col("high") + col("low") + col("close")) / 3 * col("volume")
-    chain(df.withColumn("vwap", cumSum(tpVol, global) / cumSum(col("volume"), global)))
+    chain(df.withColumn("vwap", cumSum(tpVol, g) / cumSum(col("volume"), g)))
   }
 
   // ---------------------------------------------------------------- vpt
@@ -402,8 +419,8 @@ final class Indicators private (
   /** Volume price trend, global (indicators.py:737-751). */
   def vpt(): Indicators = {
     require_(Seq("close", "volume"))
-    val staged = df.withColumn("_vpt_change", pctChange(col("close"), 1, global) * col("volume"))
-    val out = staged.withColumn("vpt", cumSum(col("_vpt_change"), global))
+    val staged = df.withColumn("_vpt_change", pctChange(col("close"), 1, g) * col("volume"))
+    val out = staged.withColumn("vpt", cumSum(col("_vpt_change"), g))
     chain(out.drop("_vpt_change"))
   }
 
@@ -412,10 +429,10 @@ final class Indicators private (
   /** On-balance volume, global (indicators.py:753-772). */
   def obv(): Indicators = {
     require_(Seq("close", "volume"))
-    val diff = col("close") - lag(col("close"), 1).over(global)
+    val diff = col("close") - lag(col("close"), 1).over(g)
     val direction = when(diff > 0, 1).otherwise(when(diff < 0, -1).otherwise(0))
     val staged = df.withColumn("_obv_change", direction * col("volume"))
-    val out = staged.withColumn("obv", cumSum(col("_obv_change"), global))
+    val out = staged.withColumn("obv", cumSum(col("_obv_change"), g))
     chain(out.drop("_obv_change"))
   }
 
@@ -428,20 +445,20 @@ final class Indicators private (
   def ichimoku(window_one: Int = 9, window_two: Int = 26, window_three: Int = 52): Indicators = {
     require_(Seq("high", "low", "close"))
     def channel(n: Int): Column =
-      (rollMax(col("high"), n, global) + rollMin(col("low"), n, global)) / 2
+      (rollMax(col("high"), n, g) + rollMin(col("low"), n, g)) / 2
     val staged = withCols(
       df,
       Seq(
         "tenkan_sen" -> channel(window_one),
         "kijun_sen" -> channel(window_two),
         "_sb_raw" -> channel(window_three),
-        "chikou_span" -> lead(col("close"), window_two).over(global)))
+        "chikou_span" -> lead(col("close"), window_two).over(g)))
     val out = withCols(
       staged,
       Seq(
-        "senkou_span_b" -> lag(col("_sb_raw"), 26).over(global),
+        "senkou_span_b" -> lag(col("_sb_raw"), 26).over(g),
         "senkou_span_a" ->
-          lag((col("tenkan_sen") + col("kijun_sen")) / 2, window_two).over(global)))
+          lag((col("tenkan_sen") + col("kijun_sen")) / 2, window_two).over(g)))
     chain(out.drop("_sb_raw"))
   }
 
@@ -450,7 +467,7 @@ final class Indicators private (
   /** Vortex indicator, global windows (indicators.py:825-854). */
   def vortex(period: Int = 14): Indicators = {
     require_(Seq("high", "low", "close"))
-    val prevClose = lag(col("close"), 1).over(global)
+    val prevClose = lag(col("close"), 1).over(g)
     val staged = withCols(
       df,
       Seq(
@@ -458,14 +475,14 @@ final class Indicators private (
           col("high") - col("low"),
           abs(col("high") - prevClose),
           abs(col("low") - prevClose)),
-        "_vm_plus" -> abs(col("high") - lag(col("low"), 1).over(global)),
-        "_vm_minus" -> abs(col("low") - lag(col("high"), 1).over(global))))
-    val trSum = rollSum(col("_tr"), period, global)
+        "_vm_plus" -> abs(col("high") - lag(col("low"), 1).over(g)),
+        "_vm_minus" -> abs(col("low") - lag(col("high"), 1).over(g))))
+    val trSum = rollSum(col("_tr"), period, g)
     val out = withCols(
       staged,
       Seq(
-        "+VI" -> (rollSum(col("_vm_plus"), period, global) / trSum),
-        "-VI" -> (rollSum(col("_vm_minus"), period, global) / trSum)))
+        "+VI" -> (rollSum(col("_vm_plus"), period, g) / trSum),
+        "-VI" -> (rollSum(col("_vm_minus"), period, g) / trSum)))
     chain(out.drop("_tr", "_vm_plus", "_vm_minus"))
   }
 
@@ -481,7 +498,7 @@ final class Indicators private (
     val d1 = df.withColumn("_ema1", e(col("close")))
     val d2 = d1.withColumn("_ema2", e(col("_ema1")))
     val d3 = d2.withColumn("_ema3", e(col("_ema2")))
-    val out = d3.withColumn(s"trix_$period", pctChange(col("_ema3"), 1, global))
+    val out = d3.withColumn(s"trix_$period", pctChange(col("_ema3"), 1, g))
     chain(out.drop("_ema1", "_ema2", "_ema3"))
   }
 
@@ -495,11 +512,11 @@ final class Indicators private (
     val alpha = 2.0 / (ema_period + 1)
     val d1 = df.withColumn(
       "_ema1",
-      ewmaGlobal(col("high") - col("low"), alpha, adjust = true))
-    val d2 = d1.withColumn("_ema2", ewmaGlobal(col("_ema1"), alpha, adjust = true))
+      ewmaG(col("high") - col("low"), alpha, adjust = true))
+    val d2 = d1.withColumn("_ema2", ewmaG(col("_ema1"), alpha, adjust = true))
     val out = d2.withColumn(
       s"mass_index_${ema_period}_$mi_period",
-      rollSum(col("_ema1") / col("_ema2"), mi_period, global))
+      rollSum(col("_ema1") / col("_ema2"), mi_period, g))
     chain(out.drop("_ema1", "_ema2"))
   }
 
@@ -508,8 +525,8 @@ final class Indicators private (
   /** Williams %R, global windows (indicators.py:909-926). */
   def williams_ri(lookback: Int = 14): Indicators = {
     require_(Seq("high", "low", "close"))
-    val hh = rollMax(col("high"), lookback, global)
-    val ll = rollMin(col("low"), lookback, global)
+    val hh = rollMax(col("high"), lookback, g)
+    val ll = rollMin(col("low"), lookback, g)
     chain(df.withColumn(s"williams_%r_$lookback", (hh - col("close")) / (hh - ll) * -100))
   }
 
@@ -520,7 +537,7 @@ final class Indicators private (
     require_(Seq("close", "volume"))
     chain(df.withColumn(
       "force_index",
-      (col("close") - lag(col("close"), 1).over(global)) * col("volume")))
+      (col("close") - lag(col("close"), 1).over(g)) * col("volume")))
   }
 
   // ------------------------------------------- negative_volume_index
@@ -531,10 +548,10 @@ final class Indicators private (
     */
   def negative_volume_index(): Indicators = {
     require_(Seq("close", "volume"))
-    val staged = df.withColumn("_r", col("close") / lag(col("close"), 1).over(global) - 1)
+    val staged = df.withColumn("_r", col("close") / lag(col("close"), 1).over(g) - 1)
     val out = staged.withColumn(
       "nvi",
-      when(col("volume") < lag(col("volume"), 1).over(global), cumSum(col("_r"), global))
+      when(col("volume") < lag(col("volume"), 1).over(g), cumSum(col("_r"), g))
         .otherwise(0))
     chain(out.drop("_r"))
   }
@@ -549,8 +566,8 @@ final class Indicators private (
     val staged = withCols(
       df,
       Seq(
-        s"donchian_upper_$look_back" -> rollMax(col("high"), look_back, global),
-        s"donchian_lower_$look_back" -> rollMin(col("low"), look_back, global)))
+        s"donchian_upper_$look_back" -> rollMax(col("high"), look_back, g),
+        s"donchian_lower_$look_back" -> rollMin(col("low"), look_back, g)))
     chain(staged.withColumn(
       s"donchian_mid_$look_back",
       (col(s"donchian_upper_$look_back") + col(s"donchian_lower_$look_back")) / 2))
@@ -565,7 +582,7 @@ final class Indicators private (
       (col("high") - col("low")) * col("volume")
     chain(df.withColumn(
       s"cmf_$look_back",
-      rollSum(mfv, look_back, global) / rollSum(col("volume"), look_back, global)))
+      rollSum(mfv, look_back, g) / rollSum(col("volume"), look_back, g)))
   }
 
   // -------------------------------------------------------- unlcer_index
@@ -577,10 +594,10 @@ final class Indicators private (
   def unlcer_index(columns: Seq[String], look_back: Int = 14): Indicators = {
     require_(columns)
     val staged = withCols(df, columns.map { c =>
-      s"_${c}_dd" -> pow(col(c) / rollMax(col(c), look_back, global) - 1, 2)
+      s"_${c}_dd" -> pow(col(c) / rollMax(col(c), look_back, g) - 1, 2)
     })
     val out = withCols(staged, columns.map { c =>
-      s"${c}_ulcer_index_$look_back" -> sqrt(rollMean(col(s"_${c}_dd"), look_back, global))
+      s"${c}_ulcer_index_$look_back" -> sqrt(rollMean(col(s"_${c}_dd"), look_back, g))
     })
     chain(out.drop(columns.map(c => s"_${c}_dd"): _*))
   }
@@ -598,10 +615,10 @@ final class Indicators private (
     require_(columns)
     val offset = look_back / 2 + 1
     val staged = withCols(df, columns.map { c =>
-      s"_${c}_ma" -> rollMean(col(c), look_back, global)
+      s"_${c}_ma" -> rollMean(col(c), look_back, g)
     })
     val out = withCols(staged, columns.map { c =>
-      s"${c}_dpo_$look_back" -> (col(c) - lag(col(s"_${c}_ma"), offset).over(global))
+      s"${c}_dpo_$look_back" -> (col(c) - lag(col(s"_${c}_ma"), offset).over(g))
     })
     chain(out.drop(columns.map(c => s"_${c}_ma"): _*))
   }
@@ -616,7 +633,7 @@ final class Indicators private (
     chain(df.withColumn(
       "ease_of_movement",
       (col("high") + col("low") -
-        lag(col("high"), 1).over(global) - lag(col("low"), 1).over(global)) / col("volume")))
+        lag(col("high"), 1).over(g) - lag(col("low"), 1).over(g)) / col("volume")))
   }
 
   // ---------------------------------------------- true_strength_index
@@ -635,17 +652,17 @@ final class Indicators private (
     val aS = 2.0 / (short_period + 1)
     val aL = 2.0 / (long_preiod + 1)
     val staged = withCols(df, columns.map { c =>
-      s"_${c}_delta" -> (col(c) - lag(col(c), 1).over(global))
+      s"_${c}_delta" -> (col(c) - lag(col(c), 1).over(g))
     })
     val staged2 = withCols(staged, columns.flatMap { c =>
       Seq(
-        s"_${c}_sm1" -> ewmaGlobal(col(s"_${c}_delta"), aS, adjust = true),
-        s"_${c}_sm1abs" -> ewmaGlobal(abs(col(s"_${c}_delta")), aS, adjust = true))
+        s"_${c}_sm1" -> ewmaG(col(s"_${c}_delta"), aS, adjust = true),
+        s"_${c}_sm1abs" -> ewmaG(abs(col(s"_${c}_delta")), aS, adjust = true))
     })
     val staged3 = withCols(staged2, columns.flatMap { c =>
       Seq(
-        s"_${c}_sm2" -> ewmaGlobal(col(s"_${c}_sm1"), aL, adjust = true),
-        s"_${c}_sm2abs" -> ewmaGlobal(col(s"_${c}_sm1abs"), aL, adjust = true))
+        s"_${c}_sm2" -> ewmaG(col(s"_${c}_sm1"), aL, adjust = true),
+        s"_${c}_sm2abs" -> ewmaG(col(s"_${c}_sm1abs"), aL, adjust = true))
     })
     val out = withCols(staged3, columns.map { c =>
       s"${c}_tsi_${short_period}_$long_preiod" ->
@@ -670,14 +687,14 @@ final class Indicators private (
       medium_wt: Int = 2,
       long_wt: Int = 2): Indicators = {
     require_(Seq("high", "low", "close"))
-    val prevClose = lag(col("close"), 1).over(global)
+    val prevClose = lag(col("close"), 1).over(g)
     val staged = withCols(
       df,
       Seq(
         "_bp" -> (col("close") - least(col("low"), prevClose)),
         "_tr" -> (greatest(col("high"), prevClose) - greatest(col("low"), prevClose))))
     def horizon(n: Int, wt: Int): Column =
-      rollMean(col("_bp"), n, global) / rollMean(col("_tr"), n, global) * wt
+      rollMean(col("_bp"), n, g) / rollMean(col("_tr"), n, g) * wt
     val uo = sumHorizontal(
       Seq(horizon(short, short_wt), horizon(medium, medium_wt), horizon(long, long_wt))) *
       100 / (short_wt + medium_wt + long_wt)
@@ -696,13 +713,13 @@ final class Indicators private (
       multiplyer: Double = 2): Indicators = {
     require_(Seq("high", "low", "close"))
     val alpha = 2.0 / (ema_period + 1)
-    val prevClose = lag(col("close"), 1).over(global)
+    val prevClose = lag(col("close"), 1).over(g)
     val staged = withCols(
       df,
       Seq(
         "_tr" -> (greatest(col("high"), prevClose) - least(col("low"), prevClose)),
-        "_middle_band" -> ewmaGlobal(col("close"), alpha, adjust = true)))
-    val atrCol = rollMean(col("_tr"), atr_period, global)
+        "_middle_band" -> ewmaG(col("close"), alpha, adjust = true)))
+    val atrCol = rollMean(col("_tr"), atr_period, g)
     val m = fmtNum(multiplyer)
     val out = withCols(
       staged,
@@ -743,9 +760,9 @@ final class Indicators private (
     */
   def aroon(look_back: Int = 14): Indicators = {
     require_(Seq("high", "low"))
-    val rn = row_number().over(global)
+    val rn = row_number().over(g)
     val staged = df.withColumn("_rn", rn)
-    val frame = trailing(global, look_back)
+    val frame = trailing(g, look_back)
     val gate = count(col("_rn")).over(frame) === look_back
     val sinceMax = col("_rn") - max_by(col("_rn"), struct(col("high"), col("_rn"))).over(frame) + 1
     val sinceMin = col("_rn") - max_by(col("_rn"), struct(-col("low"), col("_rn"))).over(frame) + 1
@@ -771,12 +788,12 @@ final class Indicators private (
     require_(columns)
     val staged = withCols(df, columns.flatMap { c =>
       roc_periods.zipWithIndex.map { case (p, i) =>
-        s"_${c}_roc_$i" -> (pctChange(col(c), p, global) * 100)
+        s"_${c}_roc_$i" -> (pctChange(col(c), p, g) * 100)
       }
     })
     val out = withCols(staged, columns.map { c =>
       val terms = sma_periods.zip(weights).zipWithIndex.map { case ((sp, w), i) =>
-        rollMean(col(s"_${c}_roc_$i"), sp, global) * w
+        rollMean(col(s"_${c}_roc_$i"), sp, g) * w
       }
       s"${c}_kst" -> terms.reduce(_ + _)
     })
@@ -791,7 +808,7 @@ final class Indicators private (
     val mfv = (col("close") - col("low") - (col("high") - col("close"))) /
       (col("high") - col("low")) * col("volume")
     val staged = df.withColumn("_mfv", mfv)
-    chain(staged.withColumn("ADI", cumSum(col("_mfv"), global)).drop("_mfv"))
+    chain(staged.withColumn("ADI", cumSum(col("_mfv"), g)).drop("_mfv"))
   }
 
   /** Money flow index — dead-code intent at indicators.py:1441-1488;
@@ -800,7 +817,7 @@ final class Indicators private (
   def mfi(window: Int = 14): Indicators = {
     require_(Seq("high", "low", "close", "volume"))
     val staged = df.withColumn("_tp", (col("high") + col("low") + col("close")) / 3)
-    val prevTp = lag(col("_tp"), 1).over(global)
+    val prevTp = lag(col("_tp"), 1).over(g)
     val rmf = col("_tp") * col("volume")
     val staged2 = withCols(
       staged,
@@ -810,7 +827,7 @@ final class Indicators private (
     val out = staged2.withColumn(
       "MFI",
       lit(100) - lit(100) / (lit(1) +
-        rollSum(col("_pmf"), window, global) / rollSum(col("_nmf"), window, global)))
+        rollSum(col("_pmf"), window, g) / rollSum(col("_nmf"), window, g)))
     chain(out.drop("_tp", "_pmf", "_nmf"))
   }
 }
@@ -820,10 +837,20 @@ object Indicators {
   /** Wrap a frame; inject the synthetic constant symbol when absent
     * (indicators.py:25-27). No eager sort — see class doc.
     */
-  def apply(df: DataFrame): Indicators = {
+  def apply(df: DataFrame): Indicators = build(df, partitionAll = false)
+
+  /** Scale mode: every window is partitioned by symbol, so all
+    * operators parallelize across executors instead of funnelling the
+    * reference's global windows through one partition. Semantics are
+    * identical on single-symbol frames and saner (no cross-symbol
+    * leakage) on multi-symbol ones.
+    */
+  def scaled(df: DataFrame): Indicators = build(df, partitionAll = true)
+
+  private def build(df: DataFrame, partitionAll: Boolean): Indicators = {
     require(df.columns.contains(Kernel.Ts), s"required column '${Kernel.Ts}' is missing")
-    if (df.columns.contains(Kernel.Symbol)) new Indicators(df, false)
-    else new Indicators(df.withColumn(Kernel.Symbol, lit("x")), true)
+    if (df.columns.contains(Kernel.Symbol)) new Indicators(df, false, partitionAll)
+    else new Indicators(df.withColumn(Kernel.Symbol, lit("x")), true, partitionAll)
   }
 
   /** Reference `validate_columns` (utils.py:4-8). */

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed two-pass prefix aggregation (SURVEY.md §7.7) — the
+  * 100 TB execution path for the reference's GLOBAL cumulative
+  * operators (vwap/vpt/obv/adi/nvi, global EWMs), which parity mode
+  * computes with a single-partition window.
+  *
+  * Pattern (classic distributed prefix sum):
+  *   1. range-repartition on the order key, sort within partitions;
+  *   2. per-partition end-state aggregates — one tiny job returning
+  *      numPartitions rows to the driver;
+  *   3. exclusive prefix states composed on the driver (numPartitions
+  *      is small, the fold is O(parts));
+  *   4. per-partition windows (parallel) + state composition per row.
+  *
+  * EWM composes because the recursion is linear: a partition maps an
+  * incoming state y_in to y_t = C_t + D_t*y_in, with C_t the
+  * zero-state local response and D_t = beta^t the decay.
+  *
+  * Results are not bit-identical to the sequential single-partition
+  * plan (different association); they agree to ulps — tests assert
+  * 1e-9 relative agreement.
+  */
+object Scale {
+
+  /** Globally-ordered cumulative sum of `valueCol`, parallelized
+    * across `numParts` range partitions. Appends `outName`.
+    */
+  def cumSumDistributed(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      outName: String,
+      numParts: Int = 32): DataFrame = {
+    val parted = df
+      .repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+    // Pass 1: per-partition totals (numParts rows to the driver).
+    val partials = parted.groupBy("_pid")
+      .agg(sum(col(valueCol).cast("double")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val exclusive = {
+      var acc = 0.0
+      partials.keys.toSeq.sorted.map { pid =>
+        val o = pid -> acc
+        acc += partials(pid)
+        o
+      }.toMap
+    }
+    val offsetExpr = exclusive.foldLeft(lit(0.0)) { case (e, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn(outName, sum(col(valueCol).cast("double")).over(w) + offsetExpr)
+      .drop("_pid")
+  }
+
+  /** Globally-ordered EWM (adjust=false, non-null input) of `valueCol`
+    * via linear-recurrence composition.
+    *
+    * Per partition with local rows x_1..x_n:
+    *   C_t = alpha * sum_{i<=t} beta^(t-i) x_i   (zero-state response)
+    *       = ewm_adjustTrue_t * (1 - beta^t)     (since the adjust=true
+    *         denominator is (1 - beta^t)/alpha)
+    *   D_t = beta^t
+    *   y_t = C_t + D_t * y_in
+    * The first global partition instead uses the plain adjust=false
+    * EWM (seed y_1 = x_1).
+    */
+  def ewmaDistributed(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      alpha: Double,
+      outName: String,
+      numParts: Int = 32): DataFrame = {
+    val beta = 1.0 - alpha
+    val parted = df
+      .repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(Window.partitionBy("_pid").orderBy(orderCol)))
+    val adjTrue = graft.functions.ewmaOver(
+      col(valueCol), alpha, adjust = true, Seq(col("_pid")), Seq(col(orderCol)))
+    val plain = graft.functions.ewmaOver(
+      col(valueCol), alpha, adjust = false, Seq(col("_pid")), Seq(col(orderCol)))
+    val withCD = parted
+      .withColumn("_D", pow(lit(beta), col("_rn")))
+      .withColumn("_C", adjTrue * (lit(1.0) - pow(lit(beta), col("_rn"))))
+      .withColumn("_plain", plain)
+    // Pass 1: per-partition end states.
+    val ends = withCD.groupBy("_pid")
+      .agg(max(struct(col("_rn"), col("_C"), col("_D"), col("_plain"))).as("e"))
+      .select(col("_pid"), col("e._C"), col("e._D"), col("e._plain"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // Driver fold: state entering each partition (NaN = none yet).
+    val incoming = {
+      var y = Double.NaN
+      ends.keys.toSeq.sorted.map { pid =>
+        val in = pid -> y
+        val (c, d, pl) = ends(pid)
+        y = if (y.isNaN) pl else c + d * y
+        in
+      }.toMap
+    }
+    val inExpr = incoming.foldLeft(lit(Double.NaN)) { case (e, (pid, y)) =>
+      when(col("_pid") === pid, lit(y)).otherwise(e)
+    }
+    // Pass 2: compose per row; the first partition keeps the plain EWM.
+    withCD
+      .withColumn(
+        outName,
+        when(isnan(inExpr), col("_plain"))
+          .otherwise(col("_C") + col("_D") * inExpr))
+      .drop("_pid", "_rn", "_C", "_D", "_plain")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.Scale
+
+/** The distributed prefix-aggregation plans must agree with the
+  * single-partition sequential plans to ulps (1e-9 relative).
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    .select(col("event_id"), col("value"))
+
+  test("distributed cum_sum equals the global-window cum_sum") {
+    val seq = events.withColumn(
+      "cs",
+      sum(col("value")).over(
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dist = Scale.cumSumDistributed(events, "value", "event_id", "cs", numParts = 7)
+    val a = seq.orderBy("event_id").select("cs").collect().map(_.getDouble(0))
+    val b = dist.orderBy("event_id").select("cs").collect().map(_.getDouble(0))
+    assert(a.length == b.length && a.length == 1000)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$x != $y")
+    }
+  }
+
+  test("distributed ewma equals the global-window ewma") {
+    val alpha = 0.2
+    val seq = events.withColumn(
+      "e",
+      graft.functions.ewmaOver(col("value"), alpha, adjust = false, Nil, Seq(col("event_id"))))
+    val dist = Scale.ewmaDistributed(events, "value", "event_id", alpha, "e", numParts = 7)
+    val a = seq.orderBy("event_id").select("e").collect().map(_.getDouble(0))
+    val b = dist.orderBy("event_id").select("e").collect().map(_.getDouble(0))
+    assert(a.length == b.length && a.length == 1000)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$x != $y")
+    }
+  }
+
+  test("scaled-mode Indicators equal parity mode on a single symbol") {
+    val bars1 = graft.sources.Bars.fromEvents(spark, "/root/testdata/sf0.001")
+      .where("symbol = 'click' AND high <> low")
+    def run(mk: org.apache.spark.sql.DataFrame => graft.indicators.Indicators) =
+      mk(bars1).atr().vwap().obv().ema(Seq("close"), 9).toDF
+        .select("timestamp", "atr", "vwap", "obv", "close_ema_9")
+        .orderBy("timestamp").collect()
+    val parity = run(graft.indicators.Indicators.apply)
+    val scaled = run(graft.indicators.Indicators.scaled)
+    assert(parity.sameElements(scaled))
+  }
+
+  test("scaled mode keeps windows inside symbol partitions on multi-symbol frames") {
+    val bars = graft.sources.Bars.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = graft.indicators.Indicators.scaled(bars).vwap().obv().toDF
+    // per-symbol anchored vwap: first row of EVERY symbol equals its own
+    // typical price (global mode would mix symbols after the first)
+    val firsts = out.withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("symbol").orderBy("timestamp")))
+      .where("rn = 1")
+      .select("symbol", "vwap", "high", "low", "close")
+      .collect()
+    assert(firsts.length > 1)
+    firsts.foreach { r =>
+      val tp = (r.getAs[Double]("high") + r.getAs[Double]("low") + r.getAs[Double]("close")) / 3
+      assert(math.abs(r.getAs[Double]("vwap") - tp) < 1e-9)
+    }
+  }
+}
