@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming counterparts of the
+  * batch bars derivation, the EWM recursion, and sessionization.
+  *
+  * Scale design: all three are keyed stateful ops — state is
+  * hash-partitioned on the key (symbol / user), checkpointed
+  * incrementally, and each micro-batch touches only updated keys.
+  * Watermarks bound state growth for the windowed aggregations.
+  */
+object Streaming {
+
+  /** Streaming OHLCV bars: 1-hour tumbling event-time windows per
+    * event_type, watermarked so late data beyond `lateness` is dropped
+    * and window state is evicted. Mirrors graft.sources.Bars.
+    */
+  def bars(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", lateness)
+      .groupBy(
+        col("event_type").as("symbol"),
+        window(col("ts"), "1 hour"))
+      .agg(
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        min_by(col("value"), col("event_id")).as("open"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("volume"))
+      .select(
+        col("symbol"), col("window.start").as("timestamp"),
+        col("low"), col("high"), col("open"), col("close"), col("volume"))
+
+  case class BarInput(symbol: String, timestamp: java.sql.Timestamp, close: Double)
+  case class EmaOutput(symbol: String, timestamp: java.sql.Timestamp, close: Double, ema: Double)
+  case class EmaState(ema: Double)
+
+  /** Streaming per-symbol EMA (adjust=false recursion) via keyed state —
+    * the streaming twin of the EwmaWindow batch expression. Input must
+    * arrive in event order per symbol (e.g. from the bars stream with a
+    * watermark upstream); each record updates y = alpha*x + (1-alpha)*y.
+    */
+  def emaStream(bars: Dataset[BarInput], span: Int): Dataset[EmaOutput] = {
+    import bars.sparkSession.implicits._
+    val alpha = 2.0 / (span + 1)
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, rows: Iterator[BarInput], state: GroupState[EmaState]) => {
+          var y = state.getOption.map(_.ema)
+          val out = rows.toSeq.sortBy(_.timestamp.getTime).map { r =>
+            val next = y match {
+              case None => r.close
+              case Some(prev) => alpha * r.close + (1.0 - alpha) * prev
+            }
+            y = Some(next)
+            EmaOutput(symbol, r.timestamp, r.close, next)
+          }
+          y.foreach(v => state.update(EmaState(v)))
+          out.iterator
+        })
+  }
+
+  /** Streaming sessionization with Spark's native session_window:
+    * per-user sessions that close after `gap` of inactivity; the
+    * watermark finalizes (and evicts) sessions. The streaming twin of
+    * graft.pipeline.Sessionize.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

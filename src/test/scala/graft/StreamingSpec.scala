@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Streaming twins vs their batch counterparts, driven through
+  * MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def t(minutes: Long) = new java.sql.Timestamp(minutes * 60000L)
+
+  test("streaming bars match the batch bars derivation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = Seq(
+      Ev(1, t(0), 1, "click", 10.0), Ev(2, t(10), 1, "click", 30.0),
+      Ev(3, t(70), 2, "click", 20.0), Ev(4, t(80), 2, "view", 5.0))
+    input.addData(events: _*)
+    val q = Streaming.bars(input.toDF()).writeStream
+      .format("memory").queryName("sbars").outputMode("append").start()
+    input.addData(Ev(99, t(600), 1, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbars").orderBy("symbol", "timestamp").collect()
+    // finalized bars: click@h0 (2 events), click@h1, view@h1
+    assert(got.length == 3)
+    val first = got.head
+    assert(first.getAs[String]("symbol") == "click")
+    assert(first.getAs[Double]("open") == 10.0 && first.getAs[Double]("close") == 30.0)
+    assert(first.getAs[Double]("low") == 10.0 && first.getAs[Double]("high") == 30.0)
+    assert(first.getAs[Long]("volume") == 2L)
+  }
+
+  test("streaming EMA equals the batch EWM recursion") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.BarInput]
+    val closes = Seq(10.0, 12.0, 11.0, 15.0)
+    input.addData(closes.zipWithIndex.map { case (c, i) =>
+      Streaming.BarInput("x", t(i * 60), c)
+    }: _*)
+    val q = Streaming.emaStream(input.toDS(), span = 3).writeStream
+      .format("memory").queryName("sema").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sema").orderBy("timestamp").collect()
+      .map(_.getAs[Double]("ema"))
+    val alpha = 2.0 / 4
+    val expected = closes.tail.scanLeft(closes.head)((y, x) => alpha * x + (1 - alpha) * y)
+    assert(got.length == 4)
+    got.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12) }
+  }
+
+  test("streaming sessions split on the gap like the batch sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, t(0), 7, "click", 1.0), Ev(2, t(10), 7, "click", 1.0),
+      Ev(3, t(100), 7, "click", 1.0), // gap > 30min -> new session
+      Ev(4, t(0), 8, "view", 1.0))
+    val q = Streaming.sessions(input.toDF()).writeStream
+      .format("memory").queryName("ssess").outputMode("append").start()
+    input.addData(Ev(99, t(1000), 9, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssess").orderBy("user_id", "session_start").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("user_id") == 7 && got(0).getAs[Long]("n_events") == 2)
+    assert(got(1).getAs[Long]("user_id") == 7 && got(1).getAs[Long]("n_events") == 1)
+    assert(got(2).getAs[Long]("user_id") == 8)
+  }
+}
