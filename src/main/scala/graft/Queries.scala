@@ -300,7 +300,20 @@ object Queries {
     "stochastic_rsi" -> ((s, dir) =>
       shape(
         Indicators(bars1(s, dir)).stochastic_rsi(Seq("close")).dataframe,
-        "close_stoch_rsi_14_14" -> "close_stoch_rsi_14_14"))
+        "close_stoch_rsi_14_14" -> "close_stoch_rsi_14_14")),
+
+    "stc" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).stc(Seq("close")).dataframe,
+        "close_stc_12_26_10" -> "close_stc_12_26_10")),
+
+    "kama" -> ((s, dir) =>
+      shape(
+        Indicators(bars1(s, dir)).kama().dataframe,
+        "KAMA_close" -> "kama_close")),
+
+    "psar" -> ((s, dir) =>
+      shape(Indicators(bars1(s, dir)).psar().dataframe, "psar" -> "psar"))
   )
 
   // ------------------------------------------------------------------
@@ -775,6 +788,87 @@ object Queries {
         |           ${etN(13, "r.n1", "b.delta")} AS nn1, ${etD(13, "r.d1")} AS nd1,
         |           ${etN(13, "r.n1a", "abs(b.delta)")} AS nn1a, ${etD(13, "r.d1a")} AS nd1a
         |    FROM b JOIN r ON b.rn = r.rn + 1) t)""".stripMargin),
+
+    "stc" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round((ml - (CASE WHEN count(ml) OVER wf = 10 THEN min(ml) OVER wf END)) /
+         |      ((CASE WHEN count(ml) OVER wf = 10 THEN max(ml) OVER wf END) -
+         |       (CASE WHEN count(ml) OVER wf = 10 THEN min(ml) OVER wf END)) * 100, 6) AS close_stc_12_26_10
+         |FROM (SELECT symbol, "timestamp", n12 / d12 - n26 / d26 AS ml FROM r)
+         |WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) $Tail""".stripMargin,
+      Bars1CteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp",
+        |         close AS n12, CAST(1 AS DOUBLE) AS d12,
+        |         close AS n26, CAST(1 AS DOUBLE) AS d26
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp",
+        |         ${etN(12, "r.n12", "b.close")}, ${etD(12, "r.d12")},
+        |         ${etN(26, "r.n26", "b.close")}, ${etD(26, "r.d26")}
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "kama" -> q(
+      s"""SELECT b."symbol", b."timestamp", round(r.y, 6) AS kama_close
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + """,
+        |b0 AS (SELECT symbol, "timestamp", close,
+        |         abs(close - lag(close, 1) OVER w) AS ad,
+        |         abs(close - lag(close, 10) OVER w) AS nm,
+        |         row_number() OVER w AS rn
+        |       FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |b AS MATERIALIZED (
+        |  SELECT symbol, "timestamp", close, rn,
+        |    (CASE WHEN scb IS NULL THEN NULL ELSE scb * scb END) AS sc
+        |  FROM (SELECT symbol, "timestamp", close, rn,
+        |          (nm / (CASE WHEN count(ad) OVER wf = 10 THEN sum(ad) OVER wf END))
+        |            * (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(31 AS DOUBLE))
+        |            + CAST(2 AS DOUBLE) / CAST(31 AS DOUBLE) AS scb
+        |        FROM b0
+        |        WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))),
+        |r AS (
+        |  SELECT rn, close AS y FROM b WHERE rn = 11
+        |  UNION ALL
+        |  SELECT b.rn, r.y + b.sc * (b.close - r.y)
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "psar" -> q(
+      s"""SELECT b."symbol", b."timestamp", round(r.sar, 6) AS psar
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + """,
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", high AS h, low AS l,
+        |        lag(high, 1) OVER w AS ph, lag(low, 1) OVER w AS pl,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT rn,
+        |         CASE WHEN h >= ph THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS trend,
+        |         CASE WHEN h >= ph THEN pl ELSE ph END AS sar,
+        |         CASE WHEN h >= ph THEN h ELSE l END AS ep,
+        |         CAST(0.02 AS DOUBLE) AS af
+        |  FROM b WHERE rn = 2
+        |  UNION ALL
+        |  SELECT rn,
+        |    CASE WHEN up THEN (CASE WHEN revup THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)
+        |         ELSE (CASE WHEN revdn THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) END,
+        |    CASE WHEN up THEN (CASE WHEN revup THEN oep ELSE cup END)
+        |         ELSE (CASE WHEN revdn THEN oep ELSE cdn END) END,
+        |    CASE WHEN up THEN (CASE WHEN revup THEN l ELSE greatest(oep, h) END)
+        |         ELSE (CASE WHEN revdn THEN h ELSE least(oep, l) END) END,
+        |    CASE WHEN up THEN (CASE WHEN revup THEN CAST(0.02 AS DOUBLE)
+        |                            WHEN h > oep THEN least(oaf + 0.02, 0.02) ELSE oaf END)
+        |         ELSE (CASE WHEN revdn THEN CAST(0.02 AS DOUBLE)
+        |                    WHEN l < oep THEN least(oaf + 0.02, 0.02) ELSE oaf END) END
+        |  FROM (
+        |    SELECT t1.*, l < cup AS revup, h > cdn AS revdn FROM (
+        |      SELECT b.rn, b.h, b.l, b.ph, b.pl,
+        |             r.trend = CAST(1 AS DOUBLE) AS up,
+        |             r.ep AS oep, r.af AS oaf,
+        |             least(r.sar + r.af * (r.ep - r.sar), b.pl) AS cup,
+        |             greatest(r.sar + r.af * (r.ep - r.sar), b.ph) AS cdn
+        |      FROM b JOIN r ON b.rn = r.rn + 1) t1) t2)""".stripMargin),
 
     "stochastic_rsi" -> q(
       s"""SELECT symbol, "timestamp",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow, PsarWindow, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -47,4 +47,47 @@ package object functions {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Parabolic SAR state machine over an ordered frame — see
+    * [[org.apache.spark.sql.graft.expressions.PsarWindow]].
+    */
+  def psarOver(
+      high: Column, low: Column, prevHigh: Column, prevLow: Column,
+      afStart: Double, afInc: Double, afMax: Double,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    val spec = WindowSpecDefinition(
+      partitionBy.map(ColumnBridge.expression),
+      orderBy.map(o => SortOrder(ColumnBridge.expression(o), Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    ColumnBridge.column(
+      WindowExpression(
+        PsarWindow(
+          ColumnBridge.expression(high.cast(DoubleType)),
+          ColumnBridge.expression(low.cast(DoubleType)),
+          ColumnBridge.expression(prevHigh.cast(DoubleType)),
+          ColumnBridge.expression(prevLow.cast(DoubleType)),
+          afStart, afInc, afMax),
+        spec))
+  }
+
+  /** Variable-alpha EWM (adaptive smoothing, e.g. KAMA) over an
+    * ordered frame — see
+    * [[org.apache.spark.sql.graft.expressions.VarAlphaEwmaWindow]].
+    */
+  def varAlphaEwmaOver(
+      x: Column,
+      alpha: Column,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column]): Column = {
+    val spec = WindowSpecDefinition(
+      partitionBy.map(ColumnBridge.expression),
+      orderBy.map(o => SortOrder(ColumnBridge.expression(o), Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    ColumnBridge.column(
+      WindowExpression(
+        VarAlphaEwmaWindow(
+          ColumnBridge.expression(x.cast(DoubleType)),
+          ColumnBridge.expression(alpha.cast(DoubleType))),
+        spec))
+  }
 }

@@ -811,6 +811,95 @@ final class Indicators private (
     chain(staged.withColumn("ADI", cumSum(col("_mfv"), g)).drop("_mfv"))
   }
 
+  /** Parabolic stop-and-reverse — the reference stubs this outright
+    * (indicators.py:900-907, NotImplementedError, no dead code); the
+    * standard Wilder recursion its signature names is implemented as
+    * the custom state-machine window aggregate
+    * [[org.apache.spark.sql.graft.expressions.PsarWindow]]. The
+    * reference's default `af_max = 0.02` (evidently a typo for 0.2) is
+    * kept verbatim. Global window like its neighbors.
+    */
+  def psar(
+      af_start: Double = 0.02,
+      af_increment: Double = 0.02,
+      af_max: Double = 0.02): Indicators = {
+    require_(Seq("high", "low"))
+    val staged = withCols(
+      df,
+      Seq(
+        "_ph" -> lag(col("high"), 1).over(g),
+        "_pl" -> lag(col("low"), 1).over(g)))
+    val (part, ord) =
+      if (partitionAll) (Seq(col(Symbol)), Seq(col(Ts))) else (Seq.empty[Column], Seq(col(Ts)))
+    val out = staged.withColumn(
+      "psar",
+      graft.functions.psarOver(
+        col("high"), col("low"), col("_ph"), col("_pl"),
+        af_start, af_increment, af_max, part, ord))
+    chain(out.drop("_ph", "_pl"))
+  }
+
+  /** Schaff trend cycle core — dead-code intent at
+    * indicators.py:1330-1380: MACD line from GLOBAL adjust=true EWMs,
+    * then a stochastic of the MACD line over `stoch_period`. The dead
+    * code also computes a signal line it never uses; not emitted.
+    */
+  def stc(
+      columns: Seq[String],
+      fast_period: Int = 12,
+      slow_period: Int = 26,
+      signal_period: Int = 9,
+      stoch_period: Int = 10): Indicators = {
+    require_(columns)
+    val aF = 2.0 / (fast_period + 1)
+    val aS = 2.0 / (slow_period + 1)
+    val staged = withCols(df, columns.map { c =>
+      s"_${c}_ml" ->
+        (ewmaG(col(c), aF, adjust = true) - ewmaG(col(c), aS, adjust = true))
+    })
+    val out = withCols(staged, columns.map { c =>
+      val ml = col(s"_${c}_ml")
+      val lo = rollMin(ml, stoch_period, g)
+      val hi = rollMax(ml, stoch_period, g)
+      s"${c}_stc_${fast_period}_${slow_period}_$stoch_period" ->
+        ((ml - lo) / (hi - lo) * 100)
+    })
+    chain(out.drop(columns.map(c => s"_${c}_ml"): _*))
+  }
+
+  /** Kaufman adaptive moving average — the reference's dead code
+    * (indicators.py:1382-1414) divides by a nonsensical quantity and
+    * could never run; this implements the standard KAMA its constants
+    * point at: efficiency ratio |Δn| / Σ|Δ1| over `window`, smoothing
+    * constant (ER·(2/3 − 2/31) + 2/31)², then the variable-alpha
+    * recursion y_t = y_{t-1} + SC_t·(x_t − y_{t-1}) via the custom
+    * [[org.apache.spark.sql.graft.expressions.VarAlphaEwmaWindow]].
+    * Global window like the dead code (no `.over`).
+    */
+  def kama(price_col: String = "close", window: Int = 10): Indicators = {
+    require_(Seq(price_col))
+    val fastSc = 2.0 / (2 + 1)
+    val slowSc = 2.0 / (30 + 1)
+    val c = col(price_col)
+    val staged = df.withColumn(
+      s"_${price_col}_er",
+      abs(c - lag(c, window).over(g)) / rollSum(abs(c - lag(c, 1).over(g)), window, g))
+    // Self-multiplication, not pow(x, 2): libm pow is only 1-ulp
+    // accurate and may differ from DuckDB's, which would desync the
+    // oracle recursion; IEEE multiply is exact-rounded everywhere.
+    val scBase = col(s"_${price_col}_er") * (fastSc - slowSc) + slowSc
+    val staged2 = staged.withColumn(s"_${price_col}_sc", scBase * scBase)
+    val out = staged2.withColumn(
+      s"KAMA_$price_col",
+      if (partitionAll)
+        graft.functions.varAlphaEwmaOver(
+          c, col(s"_${price_col}_sc"), Seq(col(Symbol)), Seq(col(Ts)))
+      else
+        graft.functions.varAlphaEwmaOver(
+          c, col(s"_${price_col}_sc"), Nil, Seq(col(Ts))))
+    chain(out.drop(s"_${price_col}_er", s"_${price_col}_sc"))
+  }
+
   /** Money flow index — dead-code intent at indicators.py:1441-1488;
     * global windows.
     */

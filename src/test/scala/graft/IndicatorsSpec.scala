@@ -147,6 +147,9 @@ class IndicatorsSpec extends SparkSpec {
       .kst(Seq("close"))
       .adi()
       .mfi()
+      .stc(Seq("close"))
+      .kama()
+      .psar()
       .fill_null(Seq("close"), method = Some("forward"))
       .toDF
     val expected = Seq(
@@ -162,7 +165,7 @@ class IndicatorsSpec extends SparkSpec {
       "close_ulcer_index_14", "close_dpo_20", "ease_of_movement",
       "close_tsi_13_25", "UO_7_14_28_4_2_2", "KC_Upper_Band_20_14_2",
       "KC_Lower_Band_20_14_2", "close_wma_5", "aroon_up_14", "aroon_down_14",
-      "close_kst", "ADI", "MFI")
+      "close_kst", "ADI", "MFI", "close_stc_12_26_10", "KAMA_close", "psar")
     val cols = out.columns.toSet
     val missing = expected.filterNot(cols.contains)
     assert(missing.isEmpty, s"missing output columns: $missing")
