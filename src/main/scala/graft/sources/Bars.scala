@@ -23,7 +23,21 @@ import org.apache.spark.sql.types.LongType
   */
 object Bars {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
-    fromEventsDF(spark.read.parquet(s"$sfDir/events.parquet"))
+    fromEventsDF(readEvents(spark, sfDir))
+
+  /** Events reader that works in ANY session: nanosAsLong is a runtime
+    * SQL conf, so set it here defensively — the driver smoke-checks
+    * `SparkEntry.entry` from a session we don't configure, and a bare
+    * session would otherwise throw PARQUET_TYPE_ILLEGAL on the
+    * TIMESTAMP(NANOS) events parquet.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Engine contract (SURVEY.md §2.6 Q12): float division by zero must
+    // yield ±Inf/NaN like polars, not ANSI errors (Spark 4 default).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
 
   def fromEventsDF(events: DataFrame): DataFrame = {
     // Integer `div`, not `/`: nano longs (~1.7e18) exceed double's
