@@ -142,7 +142,7 @@ object QueriesPipeline {
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
          |  round(least(len($Toks) / 100.0, 1.0) * 0.5 +
          |        least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5, 6) AS quality_score
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""SELECT doc_id, lang,
@@ -151,28 +151,28 @@ object QueriesPipeline {
          |  CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
          |       WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
          |       ELSE 'und' END AS lang_pred
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,
          |  ${h32("text")} AS content_hash32,
          |  ${h32("substr(text, 1, 64)")} AS prefix_hash32
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS canonical_doc_id
-        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+        |FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY 1 ORDER BY content_md5""".stripMargin,
 
     "dedup_minhash" ->
       s"""SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-         |FROM (SELECT doc_id, $Shingles AS sh FROM documents) ORDER BY doc_id""".stripMargin,
+         |FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet')) ORDER BY doc_id""".stripMargin,
 
     "dedup_lsh_pairs" ->
       s"""WITH sigs AS MATERIALIZED (
          |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-         |  FROM (SELECT doc_id, $Shingles AS sh FROM documents)),
+         |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
          |bands AS (
          |  SELECT doc_id, b.band, CASE b.band
          |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
@@ -187,7 +187,7 @@ object QueriesPipeline {
     "dedup_jaccard" ->
       s"""WITH sigs AS MATERIALIZED (
          |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-         |  FROM (SELECT doc_id, $Shingles AS sh FROM documents)),
+         |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
          |bands AS (
          |  SELECT doc_id, b.band, CASE b.band
          |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
@@ -198,7 +198,7 @@ object QueriesPipeline {
          |pairs AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
-         |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM documents)
+         |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM read_parquet('{SFDIR}/documents.parquet'))
          |SELECT p.doc_a, p.doc_b,
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -210,11 +210,11 @@ object QueriesPipeline {
          |  ${(0 until 32).map(j =>
               s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
               .mkString(" + ")} AS simhash
-         |FROM (SELECT doc_id, list_transform($Toks, t -> ${h32("t")}) AS th FROM documents)
+         |FROM (SELECT doc_id, list_transform($Toks, t -> ${h32("t")}) AS th FROM read_parquet('{SFDIR}/documents.parquet'))
          |ORDER BY doc_id""".stripMargin,
 
     "embedding_neardup" ->
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))
          |SELECT id_a, id_b, round(cosv, 6) AS cosine FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, x) -> acc + x) /
@@ -225,7 +225,7 @@ object QueriesPipeline {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_topk" ->
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
          |scored AS (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (acc, x) -> acc + x) /
@@ -248,7 +248,7 @@ object QueriesPipeline {
       s"""WITH e AS MATERIALIZED (
          |  SELECT vec_id, embedding,
          |    ${(0 until 4).map(p => s"(CASE WHEN ${dotSql(p, "embeddings")} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")} AS bucket
-         |  FROM embeddings),
+         |  FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings),
          |scored AS (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (acc, x) -> acc + x) /
@@ -283,6 +283,6 @@ object QueriesPipeline {
         |  md5(text) AS blob_md5,
         |  source,
         |  'text' AS modality
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin
   )
 }
