@@ -177,6 +177,24 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("multi-column operator calls append one output per input column") {
+    val out = Indicators(tiny)
+      .sma(Seq("close", "open"), 3)
+      .rsi(Seq("close", "open"), 3)
+      .bollinger_bands(Seq("close", "open"), 3, 2)
+      .dpo(Seq("close", "open"), 4)
+      .toDF
+    val cols = out.columns.toSet
+    Seq(
+      "close_sma_3", "open_sma_3", "close_rsi_3", "open_rsi_3",
+      "close_upprsier_band_3_2", "open_upprsier_band_3_2",
+      "close_dpo_4", "open_dpo_4").foreach(c => assert(cols.contains(c), c))
+    assert(!cols.exists(_.startsWith("_")))
+    // open = close in the fixture, so paired outputs agree
+    assert(doubles(out, "close_sma_3") == doubles(out, "open_sma_3"))
+    assert(doubles(out, "close_rsi_3") == doubles(out, "open_rsi_3"))
+  }
+
   test("validate_columns raises on missing") {
     intercept[IllegalArgumentException] {
       Indicators(tiny.drop("volume")).vwap()
