@@ -88,6 +88,13 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    "ann_topk_ivf" -> ((s, dir) =>
+      Similarity.topKIvf(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.topKBucketed(embs(s, dir))
         .select(
@@ -131,6 +138,13 @@ object QueriesPipeline {
     val (a, b) = TextOps.MinhashParams(i)
     s"list_min(list_transform(sh, s -> (${h32("s")} * $a + $b) % 1000000007))"
   }
+
+  /** DuckDB sequential-fold dot product matching DotProductF. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -236,6 +250,24 @@ object QueriesPipeline {
          |  SELECT query_id, neighbor_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_ivf" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |cents AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 8),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS ccos
+         |        FROM e, cents c)),
+         |corpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid AS cell FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell FROM asg WHERE vec_id < 5 AND crank <= 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM (SELECT p.query_id, c.neighbor_id, ${cosSql("p.qe", "c.ne")} AS cosine
+         |        FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id))
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -235,6 +235,50 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nCentroids` deterministic
+    * centroid vectors partitions the corpus (argmax-cosine
+    * assignment); queries probe their `nProbe` nearest cells and score
+    * exactly only within them. The classic billion-scale layout:
+    * centroids broadcast everywhere, the corpus hash-partitioned by
+    * cell, per-query work bounded by probed cells.
+    */
+  def topKIvf(
+      embeddings: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nCentroids: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val norm = sqrt(graft.functions.dotF(col("embedding"), col("embedding")))
+    val e = embeddings.select(col("vec_id"), col("embedding"), norm.as("nrm"))
+    val cents = broadcast(
+      e.where(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
+    val scoredCells = e.join(cents)
+      .select(
+        col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (graft.functions.dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("ccos"))
+    val cellRank = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = scoredCells
+      .withColumn("crank", row_number().over(cellRank))
+    val corpus = assigned.where(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("cid").as("cell"))
+    val probes = broadcast(
+      assigned.where(col("vec_id") < numQueries && col("crank") <= nProbe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cid").as("cell")))
+    val scored = probes.join(corpus, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (graft.functions.dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine only within matching LSH buckets. */
   def topKBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
     val withBucket = embeddings.withColumn("bucket", lshBucket(col("embedding")))
