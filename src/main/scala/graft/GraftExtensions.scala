@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow, VarAlphaEwmaWindow}
+
+/** SQL surface for graft's custom catalyst expressions.
+  *
+  * Two ways in:
+  *  - config: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *    at session build time (the standard extensions mechanism);
+  *  - runtime: `GraftExtensions.register(spark)` on an existing session.
+  *
+  * Registered:
+  *  - `ewma(x, alpha, adjust)` — window function (use with OVER);
+  *  - `var_alpha_ewma(x, alpha)` — window function (use with OVER);
+  *  - `dot_product_f(a, b)` — scalar codegen float-array dot product.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def doubleLit(e: Expression, what: String): Double =
+    if (e.foldable) e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other =>
+        throw new IllegalArgumentException(s"$what must be numeric, got $other")
+    }
+    else throw new IllegalArgumentException(s"$what must be a constant, got $e")
+
+  private def boolLit(e: Expression, what: String): Boolean =
+    if (e.foldable) e.eval() match {
+      case b: Boolean => b
+      case other =>
+        throw new IllegalArgumentException(s"$what must be boolean, got $other")
+    }
+    else throw new IllegalArgumentException(s"$what must be a constant, got $e")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "ewma",
+      new ExpressionInfo(classOf[EwmaWindow].getName, "ewma"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "ewma(x, alpha, adjust) takes 3 arguments")
+        EwmaWindow(args.head, doubleLit(args(1), "alpha"), boolLit(args(2), "adjust"))
+      }),
+    (
+      "var_alpha_ewma",
+      new ExpressionInfo(classOf[VarAlphaEwmaWindow].getName, "var_alpha_ewma"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "var_alpha_ewma(x, alpha) takes 2 arguments")
+        VarAlphaEwmaWindow(args.head, args(1))
+      }),
+    (
+      "dot_product_f",
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product_f(a, b) takes 2 arguments")
+        DotProductF(args.head, args(1))
+      }))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+
+  private implicit def noop(r: FunctionRegistry): FunctionRegistry = r
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.ewmaOver
+import org.apache.spark.sql.functions.col
+
+/** The SQL function surface must agree with the Column API. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("ewma is callable from SQL with OVER and matches the Column API") {
+    GraftExtensions.register(spark)
+    val df = bars("x", Seq(1.0, 2.0, 3.0, 4.0))
+    df.createOrReplaceTempView("ext_bars")
+    val viaSql = spark.sql(
+      """SELECT ewma(close, CAST(0.5 AS DOUBLE), false)
+        |  OVER (PARTITION BY symbol ORDER BY timestamp) AS y
+        |FROM ext_bars ORDER BY timestamp""".stripMargin)
+      .collect().map(_.getDouble(0))
+    val viaApi = df.withColumn(
+        "y", ewmaOver(col("close"), 0.5, adjust = false, Seq(col("symbol")), Seq(col("timestamp"))))
+      .orderBy("timestamp").select("y").collect().map(_.getDouble(0))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("dot_product_f is callable from SQL") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT dot_product_f(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(out == 11.0)
+  }
+
+  test("var_alpha_ewma is callable from SQL with OVER") {
+    GraftExtensions.register(spark)
+    val df = bars("x", Seq(10.0, 20.0, 30.0))
+    df.createOrReplaceTempView("ext_bars2")
+    val got = spark.sql(
+      """SELECT var_alpha_ewma(close, CAST(0.5 AS DOUBLE))
+        |  OVER (PARTITION BY symbol ORDER BY timestamp) AS y
+        |FROM ext_bars2 ORDER BY timestamp""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(10.0, 15.0, 22.5))
+  }
+}
