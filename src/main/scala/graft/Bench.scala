@@ -7,19 +7,28 @@ object Bench {
     val spark = graft.sources.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (parquet footer reads, codegen compiler, shuffle
-    // machinery) so the first measured query doesn't absorb JVM startup.
-    spark.read.parquet(s"$sfDir/events.parquet").count()
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    // machinery) with a FIXED pipeline that is not in the measured set, so
+    // no declared query gets a double-run advantage that shifts with Map
+    // ordering.
+    graft.indicators.Indicators(graft.sources.Bars.fromEvents(spark, sfDir))
+      .sma(Seq("close"), 5).toDF.count()
+    // A failed query is reported as the NEGATED elapsed seconds (and on
+    // stderr) — a silent catch would make failures look like fast passes.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -73,11 +73,9 @@ object GraftExtensions {
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach { case (name, info, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
   }
-
-  private implicit def noop(r: FunctionRegistry): FunctionRegistry = r
 }

@@ -420,8 +420,8 @@ object Queries {
       s"""SELECT symbol, "timestamp",
          |round(100 - (100 / (1 + ${gG("avg", "gain", 14)} / ${gG("avg", "loss", 14)})), 6) AS close_rsi_14
          |FROM (SELECT symbol, "timestamp",
-         |        CASE WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") > 0 THEN close - lag(close, 1) OVER (ORDER BY "timestamp") ELSE 0 END AS gain,
-         |        CASE WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") < 0 THEN abs(close - lag(close, 1) OVER (ORDER BY "timestamp")) ELSE 0 END AS loss
+         |        CASE WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") > 0 THEN close - lag(close, 1) OVER (ORDER BY "timestamp") WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") <= 0 THEN 0 END AS gain,
+         |        CASE WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") < 0 THEN abs(close - lag(close, 1) OVER (ORDER BY "timestamp")) WHEN close - lag(close, 1) OVER (ORDER BY "timestamp") >= 0 THEN 0 END AS loss
          |      FROM b1) $Tail""".stripMargin,
       Bars1Cte),
 
@@ -473,8 +473,8 @@ object Queries {
          |             greatest(high - close,
          |                      abs(high - lag(close, 1) OVER (ORDER BY "timestamp")),
          |                      abs(low - lag(close, 1) OVER (ORDER BY "timestamp"))) AS tr,
-         |             CASE WHEN high - lag(high, 1) OVER (ORDER BY "timestamp") > 0 THEN high - lag(high, 1) OVER (ORDER BY "timestamp") ELSE 0 END AS pdm,
-         |             CASE WHEN lag(low, 1) OVER (ORDER BY "timestamp") - low > 0 THEN lag(low, 1) OVER (ORDER BY "timestamp") - low ELSE 0 END AS ndm
+         |             CASE WHEN high - lag(high, 1) OVER (ORDER BY "timestamp") > 0 THEN high - lag(high, 1) OVER (ORDER BY "timestamp") WHEN high - lag(high, 1) OVER (ORDER BY "timestamp") <= 0 THEN 0 END AS pdm,
+         |             CASE WHEN lag(low, 1) OVER (ORDER BY "timestamp") - low > 0 THEN lag(low, 1) OVER (ORDER BY "timestamp") - low WHEN lag(low, 1) OVER (ORDER BY "timestamp") - low <= 0 THEN 0 END AS ndm
          |      FROM b1))) $Tail""".stripMargin,
       Bars1Cte),
 
@@ -526,8 +526,8 @@ object Queries {
       s"""SELECT symbol, "timestamp",
          |round(100 - (100 / (1 + ${gG("sum", "pmf", 14)} / ${gG("sum", "nmf", 14)})), 6) AS mfi
          |FROM (SELECT symbol, "timestamp",
-         |        CASE WHEN tp > lag(tp, 1) OVER (ORDER BY "timestamp") THEN tp * volume ELSE 0 END AS pmf,
-         |        CASE WHEN tp <= lag(tp, 1) OVER (ORDER BY "timestamp") THEN tp * volume ELSE 0 END AS nmf
+         |        CASE WHEN tp > lag(tp, 1) OVER (ORDER BY "timestamp") THEN tp * volume WHEN tp <= lag(tp, 1) OVER (ORDER BY "timestamp") THEN 0 END AS pmf,
+         |        CASE WHEN tp <= lag(tp, 1) OVER (ORDER BY "timestamp") THEN tp * volume WHEN tp > lag(tp, 1) OVER (ORDER BY "timestamp") THEN 0 END AS nmf
          |      FROM (SELECT symbol, "timestamp", volume, (high + low + close) / 3 AS tp FROM b1)) $Tail""".stripMargin,
       Bars1Cte),
 
@@ -561,7 +561,7 @@ object Queries {
          |CAST(sum(oc) OVER (ORDER BY "timestamp" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
          |FROM (SELECT symbol, "timestamp",
          |        (CASE WHEN close - lag(close, 1) OVER w > 0 THEN 1
-         |              WHEN close - lag(close, 1) OVER w < 0 THEN -1 ELSE 0 END) * volume AS oc
+         |              WHEN close - lag(close, 1) OVER w < 0 THEN -1 WHEN close - lag(close, 1) OVER w = 0 THEN 0 END) * volume AS oc
          |      FROM b1 WINDOW w AS (ORDER BY "timestamp")) $Tail""".stripMargin,
       Bars1Cte),
 
@@ -579,7 +579,7 @@ object Queries {
 
     "negative_volume_index" -> q(
       s"""SELECT b.symbol, b."timestamp",
-         |round(CASE WHEN b.volume < b.pv THEN r.s ELSE 0 END, 6) AS nvi
+         |round(CASE WHEN b.volume < b.pv THEN r.s WHEN b.volume >= b.pv THEN 0 END, 6) AS nvi
          |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
       Bars1CteRec + """,
         |b AS MATERIALIZED (SELECT symbol, "timestamp", volume,
@@ -879,8 +879,8 @@ object Queries {
          |      FROM (SELECT symbol, "timestamp",
          |              100 - (100 / (1 + ${gG("avg", "gain", 14)} / ${gG("avg", "loss", 14)})) AS r
          |            FROM (SELECT symbol, "timestamp",
-         |                    CASE WHEN close - lag(close, 1) OVER wl > 0 THEN close - lag(close, 1) OVER wl ELSE 0 END AS gain,
-         |                    CASE WHEN close - lag(close, 1) OVER wl < 0 THEN abs(close - lag(close, 1) OVER wl) ELSE 0 END AS loss
+         |                    CASE WHEN close - lag(close, 1) OVER wl > 0 THEN close - lag(close, 1) OVER wl WHEN close - lag(close, 1) OVER wl <= 0 THEN 0 END AS gain,
+         |                    CASE WHEN close - lag(close, 1) OVER wl < 0 THEN abs(close - lag(close, 1) OVER wl) WHEN close - lag(close, 1) OVER wl >= 0 THEN 0 END AS loss
          |                  FROM b1 WINDOW wl AS (ORDER BY "timestamp")))
          |      WINDOW wf AS (ORDER BY "timestamp" ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) $Tail""".stripMargin,
       Bars1Cte)

@@ -166,11 +166,15 @@ final class Indicators private (
     */
   def rsi(columns: Seq[String], period: Int = 14, _suffix: String = ""): Indicators = {
     require_(columns)
+    // No bare .otherwise(0): polars when/then/otherwise is Kleene —
+    // a null condition yields null, not the otherwise branch, so the
+    // head row's gain/loss must stay null (delaying the rolling gate
+    // by one row exactly like the reference).
     val staged = withCols(df, columns.flatMap { c =>
       val delta = col(c) - lag(col(c), 1).over(g)
       Seq(
-        s"_${c}_gain" -> when(delta > 0, delta).otherwise(0),
-        s"_${c}_loss" -> when(delta < 0, abs(delta)).otherwise(0))
+        s"_${c}_gain" -> when(delta > 0, delta).when(delta <= 0, lit(0)),
+        s"_${c}_loss" -> when(delta < 0, abs(delta)).when(delta >= 0, lit(0)))
     })
     val out = withCols(staged, columns.map { c =>
       val avgGain = rollMean(col(s"_${c}_gain"), period, bySymbol)
@@ -379,8 +383,8 @@ final class Indicators private (
           col("high") - col("close"),
           abs(col("high") - prevClose),
           abs(col("low") - prevClose)),
-        "_pdm" -> when(upMove > 0, upMove).otherwise(0),
-        "_ndm" -> when(downMove > 0, downMove).otherwise(0)))
+        "_pdm" -> when(upMove > 0, upMove).when(upMove <= 0, lit(0)),
+        "_ndm" -> when(downMove > 0, downMove).when(downMove <= 0, lit(0))))
     val smoothTr = rollMean(col("_tr"), period, g)
     val pdi = rollMean(col("_pdm"), period, g) / smoothTr * 100
     val ndi = rollMean(col("_ndm"), period, g) / smoothTr * 100
@@ -430,7 +434,8 @@ final class Indicators private (
   def obv(): Indicators = {
     require_(Seq("close", "volume"))
     val diff = col("close") - lag(col("close"), 1).over(g)
-    val direction = when(diff > 0, 1).otherwise(when(diff < 0, -1).otherwise(0))
+    // Kleene: null diff (head row) -> null direction, like polars.
+    val direction = when(diff > 0, 1).when(diff < 0, -1).when(diff === 0, 0)
     val staged = df.withColumn("_obv_change", direction * col("volume"))
     val out = staged.withColumn("obv", cumSum(col("_obv_change"), g))
     chain(out.drop("_obv_change"))
@@ -549,10 +554,11 @@ final class Indicators private (
   def negative_volume_index(): Indicators = {
     require_(Seq("close", "volume"))
     val staged = df.withColumn("_r", col("close") / lag(col("close"), 1).over(g) - 1)
+    val prevVol = lag(col("volume"), 1).over(g)
     val out = staged.withColumn(
       "nvi",
-      when(col("volume") < lag(col("volume"), 1).over(g), cumSum(col("_r"), g))
-        .otherwise(0))
+      when(col("volume") < prevVol, cumSum(col("_r"), g))
+        .when(col("volume") >= prevVol, lit(0)))
     chain(out.drop("_r"))
   }
 
@@ -911,8 +917,8 @@ final class Indicators private (
     val staged2 = withCols(
       staged,
       Seq(
-        "_pmf" -> when(col("_tp") > prevTp, rmf).otherwise(0),
-        "_nmf" -> when(col("_tp") <= prevTp, rmf).otherwise(0)))
+        "_pmf" -> when(col("_tp") > prevTp, rmf).when(col("_tp") <= prevTp, lit(0)),
+        "_nmf" -> when(col("_tp") <= prevTp, rmf).when(col("_tp") > prevTp, lit(0))))
     val out = staged2.withColumn(
       "MFI",
       lit(100) - lit(100) / (lit(1) +

@@ -38,11 +38,15 @@ object Multimodal {
   case class Decoded(width: Int, height: Int, nFrames: Int, payload: Array[Byte])
 
   /** The pluggable decode seam. A production deployment binds an
-    * actual codec here; the signature (bytes in, dimensioned payload
-    * out) is the real contract.
+    * actual codec here; the BATCH signature is the real contract — a
+    * codec amortizes model/context setup across the whole batch (the
+    * same reason pandas UDFs are batched), so the per-record method is
+    * only the default degenerate case.
     */
   trait MediaDecoder extends Serializable {
     def decode(modality: String, blob: Array[Byte]): Decoded
+    def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Decoded] =
+      batch.map { case (m, b) => decode(m, b) }
   }
 
   /** STUB decoder — deterministic fake standing in for the absent
@@ -71,8 +75,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val d = decoder.decode(r.modality, r.blob)
+        val decoded = decoder.decodeBatch(batch.map(r => (r.modality, r.blob)))
+        batch.zip(decoded).map { case (r, d) =>
           val hist = new Array[Float](16)
           d.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
           val n = math.max(d.payload.length, 1).toFloat

@@ -36,10 +36,15 @@ object Scale {
       orderCol: String,
       outName: String,
       numParts: Int = 32): DataFrame = {
+    // Persisted: repartitionByRange samples to pick boundaries, and the
+    // sample is seeded per execution — without pinning the frame, the
+    // pass-1 offsets job and the pass-2 window job could assign
+    // boundary rows to DIFFERENT partitions, corrupting the prefix.
     val parted = df
       .repartitionByRange(numParts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("_pid", spark_partition_id())
+      .persist()
     // Pass 1: per-partition totals (numParts rows to the driver).
     val partials = parted.groupBy("_pid")
       .agg(sum(col(valueCol).cast("double")).as("_s"))
@@ -57,6 +62,10 @@ object Scale {
     }
     val w = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOTE: parted stays persisted until the caller's action completes —
+    // unpersisting here would let pass 2 recompute (and re-sample) the
+    // partitioning the pass-1 offsets were derived from. Blocks are
+    // MEMORY_AND_DISK and LRU-evictable.
     parted
       .withColumn(outName, sum(col(valueCol).cast("double")).over(w) + offsetExpr)
       .drop("_pid")
@@ -82,11 +91,15 @@ object Scale {
       outName: String,
       numParts: Int = 32): DataFrame = {
     val beta = 1.0 - alpha
+    // Persisted for the same two-job consistency reason as
+    // cumSumDistributed: the range partitioning must not be re-sampled
+    // between the end-state collect and the final composition pass.
     val parted = df
       .repartitionByRange(numParts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_rn", row_number().over(Window.partitionBy("_pid").orderBy(orderCol)))
+      .persist()
     val adjTrue = graft.functions.ewmaOver(
       col(valueCol), alpha, adjust = true, Seq(col("_pid")), Seq(col(orderCol)))
     val plain = graft.functions.ewmaOver(

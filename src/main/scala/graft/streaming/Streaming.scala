@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming surface: the streaming counterparts of the
   * batch bars derivation, the EWM recursion, and sessionization.
@@ -14,13 +15,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Event-time column handling that actually mirrors the batch side:
+    * a LongType ts is the repo's canonical long-of-NANOS (nanosAsLong
+    * parquet reading) and must go through integer `div 1000` +
+    * timestamp_micros — a bare cast(long -> timestamp) would interpret
+    * it as SECONDS and overflow. Timestamp-typed input passes through.
+    */
+  private def eventTime(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
   /** Streaming OHLCV bars: 1-hour tumbling event-time windows per
     * event_type, watermarked so late data beyond `lateness` is dropped
     * and window state is evicted. Mirrors graft.sources.Bars.
     */
   def bars(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", eventTime(events))
       .withWatermark("ts", lateness)
       .groupBy(
         col("event_type").as("symbol"),
@@ -72,7 +85,7 @@ object Streaming {
     */
   def sessions(events: DataFrame, gap: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
     events
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", eventTime(events))
       .withWatermark("ts", lateness)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

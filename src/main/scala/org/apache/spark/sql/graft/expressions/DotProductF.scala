@@ -9,9 +9,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 /** Whole-stage-codegen dot product of two float arrays, accumulated in
   * double, left to right — numerically identical to
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)`
-  * but ~50x faster: Spark's higher-order functions are interpreted
-  * (CodegenFallback) and allocate an intermediate array per row, which
-  * dominated the 12.5M-pair similarity joins at bench scale.
+  * (including NULL on length mismatch: zip_with pads with null, which
+  * poisons the sum) but ~50x faster: Spark's higher-order functions are
+  * interpreted (CodegenFallback) and allocate an intermediate array per
+  * row, which dominated the 12.5M-pair similarity joins at bench scale.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -19,18 +20,22 @@ case class DotProductF(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -38,10 +43,14 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
          |}
        """.stripMargin
     })

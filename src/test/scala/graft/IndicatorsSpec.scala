@@ -33,9 +33,9 @@ class IndicatorsSpec extends SparkSpec {
 
   test("obv golden") {
     val out = Indicators(tiny).obv().toDF
-    // direction: 0,+1,+1,-1,-1,+1,+1,-1 ; vol 100..800
+    // direction: null (Kleene head),+1,+1,-1,-1,+1,+1,-1 ; vol 100..800
     assertSeq(doubles(out.selectExpr("symbol", "timestamp", "CAST(obv AS DOUBLE) AS obv"), "obv"),
-      Seq(Some(0.0), Some(200.0), Some(500.0), Some(100.0), Some(-400.0), Some(200.0),
+      Seq(None, Some(200.0), Some(500.0), Some(100.0), Some(-400.0), Some(200.0),
         Some(900.0), Some(100.0)))
   }
 
