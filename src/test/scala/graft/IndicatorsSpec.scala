@@ -68,6 +68,9 @@ class IndicatorsSpec extends SparkSpec {
     vals.foreach(v => assert(v >= 0.0 && v <= 100.0, s"rsi out of range: $v"))
     // rows 1..3 deltas: +1,+1,-1 -> gain mean 2/3, loss mean 1/3 -> rs=2 -> rsi=66.67
     assertSeq(Seq(doubles(out, "close_rsi_3")(3)), Seq(Some(100.0 - 100.0 / 3)))
+    // Kleene head: gain/loss at row 0 are null (not 0), so the rolling
+    // gate is not satisfied until row 3 — row 2 must still be null
+    assert(doubles(out, "close_rsi_3")(2).isEmpty)
   }
 
   test("per-symbol vs global partitioning (sma vs atr)") {

@@ -13,6 +13,22 @@ class ScaleSpec extends SparkSpec {
   private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     .select(col("event_id"), col("value"))
 
+  test("distributed cum_sum holds at 10k rows / 13 partitions (sampled boundaries)") {
+    val big = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"), col("value"))
+    val seq = big.withColumn(
+      "cs",
+      sum(col("value")).over(
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dist = Scale.cumSumDistributed(big, "value", "event_id", "cs", numParts = 13)
+    val a = seq.orderBy("event_id").select("cs").collect().map(_.getDouble(0))
+    val b = dist.orderBy("event_id").select("cs").collect().map(_.getDouble(0))
+    assert(a.length == b.length && a.length == 10000)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$x != $y")
+    }
+  }
+
   test("distributed cum_sum equals the global-window cum_sum") {
     val seq = events.withColumn(
       "cs",

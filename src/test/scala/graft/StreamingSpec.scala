@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpec {
     got.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12) }
   }
 
+  case class EvNanos(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  test("streaming bars handle the canonical long-nanos ts like batch Bars") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvNanos]
+    def nanos(minutes: Long) = minutes * 60L * 1000000000L
+    input.addData(
+      EvNanos(1, nanos(0), 1, "click", 10.0),
+      EvNanos(2, nanos(10), 1, "click", 30.0))
+    val q = Streaming.bars(input.toDF()).writeStream
+      .format("memory").queryName("sbars_nanos").outputMode("append").start()
+    input.addData(EvNanos(99, nanos(600), 1, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbars_nanos").orderBy("timestamp").collect()
+    assert(got.length == 1)
+    // a bare cast(long -> timestamp) would have read these as SECONDS
+    // (year ~1970+19k); the div-1000 path puts the bar at epoch hour 0
+    assert(got.head.getAs[java.sql.Timestamp]("timestamp").getTime == 0L)
+    assert(got.head.getAs[Double]("open") == 10.0 && got.head.getAs[Double]("close") == 30.0)
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
