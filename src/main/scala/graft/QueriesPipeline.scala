@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Sessionize, Similarity, TextOps}
+import graft.pipeline.{Corpus, Dedup, Sessionize, Similarity, TextOps}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -101,6 +101,11 @@ object QueriesPipeline {
           col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
+
+    "tfidf_top_tokens" -> ((s, dir) =>
+      Corpus.topTfidfTokens(docs(s, dir))
+        .select(col("doc_id"), col("top_token"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id")),
 
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir))
@@ -294,6 +299,25 @@ object QueriesPipeline {
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "tfidf_top_tokens" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len($Toks) AS DOUBLE) AS n_tok,
+         |         unnest($Toks) AS token
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |tf AS (SELECT doc_id, token, count(*) / first(n_tok) AS tf
+         |       FROM tok GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc
+         |        FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n
+         |       FROM read_parquet('{SFDIR}/documents.parquet')),
+         |scored AS (
+         |  SELECT t.doc_id, t.token, t.tf * ln(nn.n / d.dfc) AS tfidf
+         |  FROM tf t JOIN dfq d ON t.token = d.token CROSS JOIN nn)
+         |SELECT doc_id, token AS top_token, round(tfidf, 6) AS tfidf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+         |      FROM scored)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "sessionize" ->
       """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -164,6 +164,35 @@ object Dedup {
     docs.select(col("doc_id"), simhash32(col("text")).as("simhash"))
 }
 
+object Corpus {
+  import TextOps._
+
+  /** Per-document top token by TF-IDF (ties broken lexicographically).
+    * tf = in-doc count / doc tokens; idf = ln(N / df). The classic
+    * explode -> aggregate -> broadcast-join -> per-doc top-1 shape:
+    * token stats shuffle once on the token, the document-frequency
+    * table is small (vocabulary-sized) and broadcast back.
+    */
+  def topTfidfTokens(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val tokenized = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("n_tok"),
+      explode(tokens(col("text"))).as("token"))
+    val tf = tokenized.groupBy("doc_id", "token")
+      .agg((count(lit(1)) / first(col("n_tok"))).as("tf"))
+    val df_ = tokenized.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    val scored = tf.join(broadcast(df_), Seq("token"))
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
+  }
+}
+
 object Similarity {
   import graft.functions.dotF
 
