@@ -1,0 +1,206 @@
+package graft
+
+import graft.indicators.Indicators
+
+/** Independent cross-check: the DuckDB oracles are engineered to mirror
+  * the engine's expression trees, so a systematic translation error
+  * could pass both. This spec recomputes indicators with plain Scala
+  * loops written directly from the REFERENCE formulas
+  * (/root/reference/indicators.py) and compares. 40-bar fixture covers
+  * the default windows' non-null tails.
+  */
+class ReferenceFormulaSpec extends SparkSpec {
+
+  private val closes: Vector[Double] =
+    Vector.tabulate(40)(i => 100.0 + 15 * math.sin(i / 3.0) + (i % 7) - 3)
+  private val highs = closes.map(_ + 2.0)
+  private val lows = closes.map(_ - 2.0)
+  private val vols = Vector.tabulate(40)(i => 100.0 * ((i % 5) + 1))
+
+  private def frame = bars("x", closes.map(java.lang.Double.valueOf))
+  // bars() derives high = close + 1, low = close - 1, volume = 100*(i+1);
+  // recompute the loop expectations from those shapes instead:
+  private val H = closes.map(_ + 1.0)
+  private val L = closes.map(_ - 1.0)
+  private val V = Vector.tabulate(40)(i => 100.0 * (i + 1))
+
+  // polars ewm_mean(alpha, adjust=False, ignore_nulls=False), no nulls
+  private def emaRef(xs: Seq[Double], span: Int): Vector[Double] = {
+    val a = 2.0 / (span + 1)
+    xs.tail.scanLeft(xs.head) { (y, x) => ((1 - a) * y + a * x) / ((1 - a) + a) }.toVector
+  }
+
+  // polars ewm_mean(span, adjust=True)
+  private def ewmAdjRef(xs: Seq[Double], span: Int): Vector[Double] = {
+    val a = 2.0 / (span + 1)
+    var num = 0.0; var den = 0.0
+    xs.map { x => num = (1 - a) * num + x; den = (1 - a) * den + 1.0; num / den }.toVector
+  }
+
+  private def rollMeanRef(xs: Seq[Option[Double]], n: Int): Vector[Option[Double]] =
+    xs.indices.map { i =>
+      if (i + 1 < n) None
+      else {
+        val w = xs.slice(i - n + 1, i + 1)
+        if (w.exists(_.isEmpty)) None else Some(w.flatten.sum / n)
+      }
+    }.toVector
+
+  private def close(a: Option[Double], b: Option[Double], tol: Double = 1e-9): Boolean =
+    (a, b) match {
+      case (None, None) => true
+      case (Some(x), Some(y)) => math.abs(x - y) <= tol * math.max(1.0, math.abs(y))
+      case _ => false
+    }
+
+  private def check(colName: String, expected: Seq[Option[Double]], out: org.apache.spark.sql.DataFrame): Unit = {
+    val got = doubles(out, colName)
+    assert(got.length == expected.length)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(close(g, e), s"$colName row $i: engine=$g reference=$e")
+    }
+  }
+
+  test("ema matches the loop recursion") {
+    val out = Indicators(frame).ema(Seq("close"), 9).toDF
+    check("close_ema_9", emaRef(closes, 9).map(Some(_)), out)
+  }
+
+  test("macd signal line matches chained loop recursions") {
+    val e12 = emaRef(closes, 12)
+    val e26 = emaRef(closes, 26)
+    val macd = e12.zip(e26).map { case (a, b) => a - b }
+    val signal = emaRef(macd, 9)
+    val out = Indicators(frame).macd(Seq("close")).toDF
+    check("close_signal_line", signal.map(Some(_)), out)
+  }
+
+  test("keltner channel matches loop (adjust=true middle + SMA atr)") {
+    val middle = ewmAdjRef(closes, 20)
+    // max/min_horizontal ignore nulls: row 0's TR is high - low
+    val tr = closes.indices.map { i =>
+      if (i == 0) Some(H(0) - L(0))
+      else Some(math.max(H(i), closes(i - 1)) - math.min(L(i), closes(i - 1)))
+    }
+    val atr = rollMeanRef(tr, 14)
+    val upper = closes.indices.map(i => atr(i).map(a => middle(i) + a * 2))
+    val out = Indicators(frame).keltner_channel().toDF
+    check("KC_Upper_Band_20_14_2", upper, out)
+  }
+
+  test("ultimate oscillator matches loop (max-max TR quirk, 4/2/2 weights)") {
+    // max/min_horizontal ignore nulls: row 0 uses bare low/high
+    val bp = closes.indices.map { i =>
+      if (i == 0) Some(closes(0) - L(0))
+      else Some(closes(i) - math.min(L(i), closes(i - 1)))
+    }
+    val tr = closes.indices.map { i =>
+      if (i == 0) Some(H(0) - L(0))
+      else Some(math.max(H(i), closes(i - 1)) - math.max(L(i), closes(i - 1)))
+    }
+    def ratio(n: Int, wt: Int) = {
+      val b = rollMeanRef(bp, n); val t = rollMeanRef(tr, n)
+      closes.indices.map(i => (b(i), t(i)) match {
+        case (Some(x), Some(y)) => Some(x / y * wt)
+        case _ => None
+      })
+    }
+    val r7 = ratio(7, 4); val r14 = ratio(14, 2); val r28 = ratio(28, 2)
+    val uo = closes.indices.map { i =>
+      val s = r7(i).getOrElse(0.0) + r14(i).getOrElse(0.0) + r28(i).getOrElse(0.0)
+      Some(s * 100 / 8)
+    }
+    val out = Indicators(frame).ultimate_oscillator().toDF
+    check("UO_7_14_28_4_2_2", uo, out)
+  }
+
+  test("tsi matches double adjust=true smoothing, short-then-long") {
+    val delta = closes.indices.map(i => if (i == 0) None else Some(closes(i) - closes(i - 1)))
+    def ewmOpt(xs: Seq[Option[Double]], span: Int): Vector[Option[Double]] = {
+      val a = 2.0 / (span + 1)
+      var num = 0.0; var den = 0.0
+      xs.map {
+        case Some(x) =>
+          num = (1 - a) * num + x; den = (1 - a) * den + 1.0; Some(num / den)
+        case None =>
+          num = (1 - a) * num; den = (1 - a) * den
+          if (den == 0.0) None else Some(num / den)
+      }.toVector
+    }
+    val sm = ewmOpt(ewmOpt(delta, 13), 25)
+    val smAbs = ewmOpt(ewmOpt(delta.map(_.map(math.abs)), 13), 25)
+    val tsi = sm.zip(smAbs).map {
+      case (Some(a), Some(b)) => Some(100 * a / b)
+      case _ => None
+    }
+    val out = Indicators(frame).true_strength_index(Seq("close"), 13, 25).toDF
+    check("close_tsi_13_25", tsi, out)
+  }
+
+  test("kama matches the variable-alpha loop") {
+    val n = 10
+    val er = closes.indices.map { i =>
+      if (i < n) None
+      else {
+        val num = math.abs(closes(i) - closes(i - n))
+        val den = (i - n + 1 to i).map(j => math.abs(closes(j) - closes(j - 1))).sum
+        Some(num / den)
+      }
+    }
+    val fast = 2.0 / 3; val slow = 2.0 / 31
+    val sc = er.map(_.map { e => val b = e * (fast - slow) + slow; b * b })
+    var y: Option[Double] = None
+    val kama = closes.indices.map { i =>
+      sc(i) match {
+        case Some(a) =>
+          y = Some(y match {
+            case None => closes(i)
+            case Some(prev) => prev + a * (closes(i) - prev)
+          })
+          y
+        case None => y
+      }
+    }
+    val out = Indicators(frame).kama().toDF
+    check("KAMA_close", kama, out)
+  }
+
+  test("psar matches the state-machine loop") {
+    var trend = 0; var sar = 0.0; var ep = 0.0; var af = 0.0
+    val afS = 0.02; val afI = 0.02; val afM = 0.02
+    var init = false
+    val expected = closes.indices.map { i =>
+      if (i == 0) None
+      else if (!init) {
+        init = true
+        trend = if (H(i) >= H(i - 1)) 1 else -1
+        sar = if (trend == 1) L(i - 1) else H(i - 1)
+        ep = if (trend == 1) H(i) else L(i)
+        af = afS
+        Some(sar)
+      } else {
+        val cand = sar + af * (ep - sar)
+        if (trend == 1) {
+          val clamped = math.min(cand, L(i - 1))
+          if (L(i) < clamped) {
+            trend = -1; sar = ep; ep = L(i); af = afS
+          } else {
+            sar = clamped
+            if (H(i) > ep) { af = math.min(af + afI, afM); ep = math.max(ep, H(i)) }
+          }
+        } else {
+          val clamped = math.max(cand, H(i - 1))
+          if (H(i) > clamped) {
+            trend = 1; sar = ep; ep = H(i); af = afS
+          } else {
+            sar = clamped
+            if (L(i) < ep) { af = math.min(af + afI, afM); ep = math.min(ep, L(i)) }
+          }
+        }
+        Some(sar)
+      }
+    }
+    val out = Indicators(frame).psar().toDF
+    check("psar", expected, out)
+  }
+}
