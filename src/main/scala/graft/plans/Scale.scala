@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Two-phase salted aggregation for skew-prone keys: phase 1
+    * aggregates on (key, salt) so a hot key's rows spread over
+    * `salts` reducers; phase 2 merges the per-salt partials. Use when
+    * one key holds a large fraction of all rows (the classic
+    * power-law event stream) and AQE's skew handling isn't available
+    * to the aggregation.
+    *
+    * `aggs` must be algebraic (sum/count/min/max style) so partials
+    * merge associatively; the caller provides both phases.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCol: String,
+      saltSource: org.apache.spark.sql.Column,
+      salts: Int,
+      phase1: Seq[org.apache.spark.sql.Column],
+      phase2: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(phase1.head, phase1.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(phase2.head, phase2.tail: _*)
+
   /** Globally-ordered cumulative sum of `valueCol`, parallelized
     * across `numParts` range partitions. Appends `outName`.
     */

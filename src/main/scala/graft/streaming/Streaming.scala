@@ -78,6 +78,32 @@ object Streaming {
         })
   }
 
+  case class SmaOutput(symbol: String, timestamp: java.sql.Timestamp, close: Double,
+      sma: Option[Double])
+  case class RingState(values: List[Double])
+
+  /** Streaming rolling SMA via a keyed ring buffer of the last n
+    * closes — the SURVEY §7.7 state shape for windowed indicators on
+    * unbounded streams. min_periods semantics match the batch kernel:
+    * null until the buffer holds n values.
+    */
+  def smaStream(bars: Dataset[BarInput], n: Int): Dataset[SmaOutput] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, rows: Iterator[BarInput], state: GroupState[RingState]) => {
+          var ring = state.getOption.map(_.values).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.timestamp.getTime).map { r =>
+            ring = (r.close :: ring).take(n)
+            val sma = if (ring.length == n) Some(ring.sum / n) else None
+            SmaOutput(symbol, r.timestamp, r.close, sma)
+          }
+          state.update(RingState(ring))
+          out.iterator
+        })
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

@@ -81,6 +81,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getAs[Double]("open") == 10.0 && got.head.getAs[Double]("close") == 30.0)
   }
 
+  test("streaming rolling SMA via ring-buffer state matches the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.BarInput]
+    val closes = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    // feed in two micro-batches to exercise state carry-over
+    input.addData(closes.take(2).zipWithIndex.map { case (c, i) =>
+      Streaming.BarInput("x", t(i * 60), c)
+    }: _*)
+    val q = Streaming.smaStream(input.toDS(), n = 3).writeStream
+      .format("memory").queryName("ssma").outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(closes.drop(2).zipWithIndex.map { case (c, i) =>
+      Streaming.BarInput("x", t((i + 2) * 60), c)
+    }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssma").orderBy("timestamp").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("sma"))) None else Some(r.getAs[Double]("sma")))
+    assert(got.toSeq == Seq(None, None, Some(2.0), Some(3.0), Some(4.0)))
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
