@@ -11,18 +11,16 @@ import graft.indicators.Indicators
   */
 class ReferenceFormulaSpec extends SparkSpec {
 
+  // 90 bars so even ichimoku's 52-window + 26-shift tail is exercised
   private val closes: Vector[Double] =
-    Vector.tabulate(40)(i => 100.0 + 15 * math.sin(i / 3.0) + (i % 7) - 3)
-  private val highs = closes.map(_ + 2.0)
-  private val lows = closes.map(_ - 2.0)
-  private val vols = Vector.tabulate(40)(i => 100.0 * ((i % 5) + 1))
+    Vector.tabulate(90)(i => 100.0 + 15 * math.sin(i / 3.0) + (i % 7) - 3)
 
   private def frame = bars("x", closes.map(java.lang.Double.valueOf))
   // bars() derives high = close + 1, low = close - 1, volume = 100*(i+1);
-  // recompute the loop expectations from those shapes instead:
+  // the loop expectations use those shapes:
   private val H = closes.map(_ + 1.0)
   private val L = closes.map(_ - 1.0)
-  private val V = Vector.tabulate(40)(i => 100.0 * (i + 1))
+  private val V = Vector.tabulate(90)(i => 100.0 * (i + 1))
 
   // polars ewm_mean(alpha, adjust=False, ignore_nulls=False), no nulls
   private def emaRef(xs: Seq[Double], span: Int): Vector[Double] = {
@@ -163,6 +161,69 @@ class ReferenceFormulaSpec extends SparkSpec {
     }
     val out = Indicators(frame).kama().toDF
     check("KAMA_close", kama, out)
+  }
+
+  test("rsi matches the loop incl. Kleene-null head") {
+    val delta = closes.indices.map(i => if (i == 0) None else Some(closes(i) - closes(i - 1)))
+    val gain = delta.map(_.map(d => if (d > 0) d else 0.0))
+    val loss = delta.map(_.map(d => if (d < 0) math.abs(d) else 0.0))
+    val ag = rollMeanRef(gain, 14)
+    val al = rollMeanRef(loss, 14)
+    val rsi = closes.indices.map { i =>
+      (ag(i), al(i)) match {
+        case (Some(g), Some(l)) => Some(100.0 - 100.0 / (1.0 + g / l))
+        case _ => None
+      }
+    }
+    val out = Indicators(frame).rsi(Seq("close")).toDF
+    check("close_rsi_14", rsi, out)
+  }
+
+  test("vwap matches the running loop") {
+    var num = 0.0; var den = 0.0
+    val vwap = closes.indices.map { i =>
+      num += (H(i) + L(i) + closes(i)) / 3 * V(i)
+      den += V(i)
+      Some(num / den)
+    }
+    val out = Indicators(frame).vwap().toDF
+    check("vwap", vwap, out)
+  }
+
+  test("stochastic oscillator matches the loop (rolling_min(close-low) quirk)") {
+    val cl = closes.indices.map(i => Some(closes(i) - L(i)))
+    val so = closes.indices.map { i =>
+      if (i + 1 < 14) None
+      else {
+        val numW = (i - 13 to i).map(j => closes(j) - L(j)).min
+        val den = (i - 13 to i).map(H(_)).max - (i - 13 to i).map(L(_)).min
+        Some(numW / den * 100)
+      }
+    }
+    val _ = cl
+    val out = Indicators(frame).stochastic_oscillator().toDF
+    check("stochastic_oscillator_14", so, out)
+  }
+
+  test("ichimoku senkou spans match the loop (hard-coded shift 26)") {
+    def channel(i: Int, n: Int): Option[Double] =
+      if (i + 1 < n) None
+      else Some(((i - n + 1 to i).map(H(_)).max + (i - n + 1 to i).map(L(_)).min) / 2)
+    val tenkan = closes.indices.map(channel(_, 9))
+    val kijun = closes.indices.map(channel(_, 26))
+    val sbRaw = closes.indices.map(channel(_, 52))
+    val senkouA = closes.indices.map { i =>
+      if (i < 26) None
+      else (tenkan(i - 26), kijun(i - 26)) match {
+        case (Some(t), Some(k)) => Some((t + k) / 2)
+        case _ => None
+      }
+    }
+    val senkouB = closes.indices.map(i => if (i < 26) None else sbRaw(i - 26))
+    val out = Indicators(frame).ichimoku().toDF
+    check("senkou_span_a", senkouA, out)
+    check("senkou_span_b", senkouB, out)
+    check("tenkan_sen", tenkan, out)
   }
 
   test("psar matches the state-machine loop") {
