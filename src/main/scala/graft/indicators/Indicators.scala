@@ -66,8 +66,10 @@ final class Indicators private (
     * reference's constructor sort. Caller picks the action.
     */
   def toDF: DataFrame = {
-    val base = if (syntheticSymbol) df.drop(Symbol) else df
-    base.orderBy(col(Ts).asc_nulls_first)
+    if (syntheticSymbol)
+      df.orderBy(col(Ts).asc_nulls_first).drop(Symbol)
+    else
+      df.orderBy(col(Ts).asc_nulls_first, col(Symbol))
   }
 
   /** Reference `get_lazyframe()` (indicators.py:56-63): internal frame,
@@ -836,7 +838,8 @@ final class Indicators private (
         "_ph" -> lag(col("high"), 1).over(g),
         "_pl" -> lag(col("low"), 1).over(g)))
     val (part, ord) =
-      if (partitionAll) (Seq(col(Symbol)), Seq(col(Ts))) else (Seq.empty[Column], Seq(col(Ts)))
+      if (partitionAll) (Seq(col(Symbol)), Seq(col(Ts)))
+      else (Seq.empty[Column], Seq(col(Ts), col(Symbol)))
     val out = staged.withColumn(
       "psar",
       graft.functions.psarOver(
@@ -902,7 +905,7 @@ final class Indicators private (
           c, col(s"_${price_col}_sc"), Seq(col(Symbol)), Seq(col(Ts)))
       else
         graft.functions.varAlphaEwmaOver(
-          c, col(s"_${price_col}_sc"), Nil, Seq(col(Ts))))
+          c, col(s"_${price_col}_sc"), Nil, Seq(col(Ts), col(Symbol))))
     chain(out.drop(s"_${price_col}_er", s"_${price_col}_sc"))
   }
 

@@ -31,8 +31,14 @@ object Kernel {
   /** Per-symbol ordered window (indicators.py:95 `.over("symbol")`). */
   def bySymbol: WindowSpec = Window.partitionBy(Symbol).orderBy(Ts)
 
-  /** Global ordered window (reference ops without `.over`). */
-  def global: WindowSpec = Window.partitionBy().orderBy(Ts)
+  /** Global ordered window (reference ops without `.over`). The symbol
+    * tiebreak makes multi-symbol frames with equal timestamps
+    * deterministic — the reference's unstable `sort("timestamp")`
+    * leaves tie order unspecified, so any stable refinement is within
+    * its semantics, and a reproducible answer beats a run-dependent
+    * one.
+    */
+  def global: WindowSpec = Window.partitionBy().orderBy(Ts, Symbol)
 
   /** Whole-partition (unordered) per-symbol window — fill_null min/max/mean. */
   def bySymbolAll: WindowSpec = Window.partitionBy(Symbol)
@@ -99,10 +105,11 @@ object Kernel {
     graft.functions.ewmaOver(c, alpha, adjust, Seq(col(Symbol)), Seq(col(Ts)))
 
   /** EWM over the global ordered frame (reference `ewm_mean` call sites
-    * without `.over`, e.g. indicators.py:885).
+    * without `.over`, e.g. indicators.py:885); symbol tiebreak as in
+    * [[global]].
     */
   def ewmaGlobal(c: Column, alpha: Double, adjust: Boolean): Column =
-    graft.functions.ewmaOver(c, alpha, adjust, Nil, Seq(col(Ts)))
+    graft.functions.ewmaOver(c, alpha, adjust, Nil, Seq(col(Ts), col(Symbol)))
 
   /** Python f-string rendering of numeric params in output column names:
     * ints render bare, whole floats keep python's int default (the

@@ -191,7 +191,6 @@ class ReferenceFormulaSpec extends SparkSpec {
   }
 
   test("stochastic oscillator matches the loop (rolling_min(close-low) quirk)") {
-    val cl = closes.indices.map(i => Some(closes(i) - L(i)))
     val so = closes.indices.map { i =>
       if (i + 1 < 14) None
       else {
@@ -200,7 +199,6 @@ class ReferenceFormulaSpec extends SparkSpec {
         Some(numW / den * 100)
       }
     }
-    val _ = cl
     val out = Indicators(frame).stochastic_oscillator().toDF
     check("stochastic_oscillator_14", so, out)
   }

@@ -57,12 +57,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("distributed ewma holds at 10k rows / 13 sampled partitions") {
+    val alpha = 0.1
+    val big = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"), col("value"))
+    val seq = big.withColumn(
+      "e",
+      graft.functions.ewmaOver(col("value"), alpha, adjust = false, Nil, Seq(col("event_id"))))
+    val dist = Scale.ewmaDistributed(big, "value", "event_id", alpha, "e", numParts = 13)
+    val a = seq.orderBy("event_id").select("e").collect().map(_.getDouble(0))
+    val b = dist.orderBy("event_id").select("e").collect().map(_.getDouble(0))
+    assert(a.length == b.length && a.length == 10000)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$x != $y")
+    }
+  }
+
   test("scaled-mode Indicators equal parity mode on a single symbol") {
     val bars1 = graft.sources.Bars.fromEvents(spark, "/root/testdata/sf0.001")
       .where("symbol = 'click' AND high <> low")
     def run(mk: org.apache.spark.sql.DataFrame => graft.indicators.Indicators) =
-      mk(bars1).atr().vwap().obv().ema(Seq("close"), 9).toDF
-        .select("timestamp", "atr", "vwap", "obv", "close_ema_9")
+      mk(bars1).atr().vwap().obv().ema(Seq("close"), 9).kama().psar().toDF
+        .select("timestamp", "atr", "vwap", "obv", "close_ema_9", "KAMA_close", "psar")
         .orderBy("timestamp").collect()
     val parity = run(graft.indicators.Indicators.apply)
     val scaled = run(graft.indicators.Indicators.scaled)
