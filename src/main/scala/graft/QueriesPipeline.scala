@@ -32,6 +32,7 @@ object QueriesPipeline {
         round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
           length(col("text")), 6).as("punct_ratio"),
         ceil(length(col("text")) / 4.0).cast("bigint").as("bpe_token_est"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("bigint").as("bpe_regex_tokens"),
         round(least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5, 6)
           .as("quality_score"))
         .orderBy("doc_id")
@@ -159,6 +160,7 @@ object QueriesPipeline {
          |  round(CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks), 6) AS avg_token_len,
          |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
+         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_regex_tokens,
          |  round(least(len($Toks) / 100.0, 1.0) * 0.5 +
          |        least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5, 6) AS quality_score
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
