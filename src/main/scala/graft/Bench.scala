@@ -24,6 +24,11 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Query-scoped cache lifecycle: the LSH dedup queries persist
+      // their signature frames (load-bearing under broadcast joins,
+      // where ReuseExchange can't dedup the two sides); the harness
+      // owns the release so repeated runs don't accumulate blocks.
+      spark.catalog.clearCache()
       name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

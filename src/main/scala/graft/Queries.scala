@@ -53,6 +53,16 @@ object Queries {
   val Bars1Cte: String =
     BarsCte + ",\nb1 AS (SELECT * FROM bars WHERE symbol = 'click' AND high <> low)"
 
+  /** TWO-symbol fixture for the cross-symbol global-window quirk
+    * (SURVEY.md §2.5): global ops mix symbols in one
+    * timestamp-ordered window. Both symbols share every hour bucket,
+    * so the (timestamp, symbol) tiebreak is exercised on every row.
+    * Only used with operators that have no division (atr), so
+    * degenerate bars need no exclusion.
+    */
+  val Bars2Cte: String =
+    BarsCte + ",\nb2 AS (SELECT * FROM bars WHERE symbol IN ('click', 'view'))"
+
   /** Recursive-CTE variant: DuckDB computes window aggregates with a
     * segment tree, whose non-sequential association drifts from Spark's
     * sequential running-frame accumulation by ulps — visible after
@@ -72,6 +82,25 @@ object Queries {
       .replace("bars AS (", "bars AS MATERIALIZED (")
 
   private val Tail = "ORDER BY symbol, \"timestamp\""
+
+  /** Shared fill_null fixture: every 7th-volume bar's close nulled,
+    * then filled with the given strategy/value (same CASE on the
+    * oracle side).
+    */
+  private def fillNullQuery(
+      s: SparkSession,
+      dir: String,
+      value: Option[Double] = None,
+      method: Option[String] = None): DataFrame = {
+    val withNulls = bars(s, dir).withColumn(
+      "close",
+      when(col("volume") % 7 === 0, lit(null)).otherwise(col("close")))
+    Indicators(withNulls)
+      .fill_null(Seq("close"), value = value, method = method)
+      .dataframe
+      .select(col("symbol"), col("timestamp"), round(col("close"), 6).as("close_filled"))
+      .orderBy("symbol", "timestamp")
+  }
 
   /** Query result shaper: symbol, timestamp, rounded outputs. */
   private def shape(df: DataFrame, outs: (String, String)*): DataFrame =
@@ -113,6 +142,16 @@ object Queries {
 
     "atr" -> ((s, dir) =>
       shape(Indicators(bars1(s, dir)).atr().dataframe, "atr" -> "atr")),
+
+    // Cross-symbol global-window semantics under oracle: the same atr,
+    // but on a TWO-symbol frame, where the reference's global windows
+    // mix symbols in one timestamp-ordered pass (engine tiebreak:
+    // timestamp, symbol — Kernel.global).
+    "atr_multisym" -> ((s, dir) =>
+      shape(
+        Indicators(bars(s, dir).where(col("symbol").isin("click", "view")))
+          .atr().dataframe,
+        "atr" -> "atr")),
 
     "stochastic_oscillator" -> ((s, dir) =>
       shape(
@@ -196,6 +235,30 @@ object Queries {
     "vwap" -> ((s, dir) =>
       shape(Indicators(bars1(s, dir)).vwap().dataframe, "vwap" -> "vwap")),
 
+    // Distributed-plan twins: the same arithmetic as vwap/ema, but
+    // executed through the two-pass prefix plans (graft.plans.Scale)
+    // instead of a single-partition global window — the 100 TB path
+    // itself under the DuckDB oracle. Same oracle SQL as the parity
+    // twin: round(6) absorbs the two-pass association drift (ulps).
+    "vwap_distributed" -> ((s, dir) => {
+      val b = bars1(s, dir).withColumn(
+        "_tpv", (col("high") + col("low") + col("close")) / 3 * col("volume"))
+      val c1 = graft.plans.Scale.cumSumDistributed(b, "_tpv", "timestamp", "_cum_pv")
+      val c2 = graft.plans.Scale.cumSumDistributed(c1, "volume", "timestamp", "_cum_vol")
+      c2.select(
+          col("symbol"), col("timestamp"),
+          round(col("_cum_pv") / col("_cum_vol"), 6).as("vwap"))
+        .orderBy("symbol", "timestamp")
+    }),
+
+    "ema_distributed" -> ((s, dir) =>
+      graft.plans.Scale.ewmaDistributed(
+          bars1(s, dir), "close", "timestamp", 2.0 / 10, "close_ema_9")
+        .select(
+          col("symbol"), col("timestamp"),
+          round(col("close_ema_9"), 6).as("close_ema_9"))
+        .orderBy("symbol", "timestamp")),
+
     "vpt" -> ((s, dir) =>
       shape(Indicators(bars1(s, dir)).vpt().dataframe, "vpt" -> "vpt")),
 
@@ -241,16 +304,17 @@ object Queries {
         .select(col("symbol"), col("timestamp"), col("close_cumulative_return"))
         .orderBy("symbol", "timestamp")),
 
-    "fill_null_forward" -> ((s, dir) => {
-      val withNulls = bars(s, dir).withColumn(
-        "close",
-        when(col("volume") % 7 === 0, lit(null)).otherwise(col("close")))
-      Indicators(withNulls)
-        .fill_null(Seq("close"), method = Some("forward"))
-        .dataframe
-        .select(col("symbol"), col("timestamp"), round(col("close"), 6).as("close_filled"))
-        .orderBy("symbol", "timestamp")
-    }),
+    "fill_null_forward" -> ((s, dir) => fillNullQuery(s, dir, method = Some("forward"))),
+
+    // The remaining fill_null strategies (indicators.py:141-165), one
+    // declared query per distinct implementation shape: constant fill
+    // (zero/one share this code path with other literals), backward
+    // running window, and the whole-partition min/max/mean fills.
+    "fill_null_value" -> ((s, dir) => fillNullQuery(s, dir, value = Some(-1.0))),
+    "fill_null_backward" -> ((s, dir) => fillNullQuery(s, dir, method = Some("backward"))),
+    "fill_null_mean" -> ((s, dir) => fillNullQuery(s, dir, method = Some("mean"))),
+    "fill_null_min" -> ((s, dir) => fillNullQuery(s, dir, method = Some("min"))),
+    "fill_null_max" -> ((s, dir) => fillNullQuery(s, dir, method = Some("max"))),
 
     // ------------------------------------------------------- EWM family
 
@@ -323,12 +387,17 @@ object Queries {
   private def q(body: String, cte: String = BarsCte): String = s"$cte\n$body"
 
   /** min_periods gate + aggregate over a trailing n-row frame. */
-  private def gated(agg: String, c: String, n: Int, part: String): String = {
-    val w = s"(${part}ORDER BY \"timestamp\" ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+  private def gated(
+      agg: String, c: String, n: Int, part: String,
+      ord: String = "\"timestamp\""): String = {
+    val w = s"(${part}ORDER BY $ord ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
     s"CASE WHEN count($c) OVER $w = $n THEN $agg($c) OVER $w END"
   }
   private def gS(agg: String, c: String, n: Int) = gated(agg, c, n, "PARTITION BY symbol ")
   private def gG(agg: String, c: String, n: Int) = gated(agg, c, n, "")
+  /** Global gated agg with the multi-symbol (timestamp, symbol) tiebreak. */
+  private def gGm(agg: String, c: String, n: Int) =
+    gated(agg, c, n, "", "\"timestamp\", symbol")
 
   // EWM recursion building blocks. Alpha/beta are spelled so DuckDB
   // computes the IDENTICAL doubles as the Scala engine (all-DOUBLE
@@ -382,6 +451,15 @@ object Queries {
          |                 abs(low - lag(close, 1) OVER (ORDER BY "timestamp"))) AS tr
          |      FROM b1) $Tail""".stripMargin,
       Bars1Cte),
+
+    "atr_multisym" -> q(
+      s"""SELECT symbol, "timestamp", round(${gGm("avg", "tr", 14)}, 6) AS atr
+         |FROM (SELECT symbol, "timestamp",
+         |        greatest(high - low,
+         |                 abs(high - lag(close, 1) OVER (ORDER BY "timestamp", symbol)),
+         |                 abs(low - lag(close, 1) OVER (ORDER BY "timestamp", symbol))) AS tr
+         |      FROM b2) $Tail""".stripMargin,
+      Bars2Cte),
 
     "stochastic_oscillator" -> q(
       s"""SELECT symbol, "timestamp",
@@ -543,6 +621,31 @@ object Queries {
         |  SELECT b.rn, b.symbol, b."timestamp", r.stpv + b.tpv, r.sv + b.v
         |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
 
+    // Same oracle as "vwap": the distributed plan must agree with the
+    // sequential recursion after round(6).
+    "vwap_distributed" -> q(
+      s"""SELECT symbol, "timestamp", round(stpv / sv, 6) AS vwap FROM r $Tail""",
+      Bars1CteRec + """,
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
+        |        (high + low + close) / 3 * volume AS tpv, volume AS v,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT rn, symbol, "timestamp", tpv AS stpv, v AS sv FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.symbol, b."timestamp", r.stpv + b.tpv, r.sv + b.v
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    "ema_distributed" -> q(
+      s"""SELECT symbol, "timestamp", round(y, 6) AS close_ema_9 FROM r $Tail""",
+      Bars1CteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp", close AS y FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp", ${ef(9, "r.y", "b.close")}
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
     "vpt" -> q(
       s"""SELECT b.symbol, b."timestamp", round(r.s, 6) AS vpt
          |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
@@ -632,6 +735,41 @@ object Queries {
     "fill_null_forward" -> q(
       s"""SELECT symbol, "timestamp",
          |round(last_value(c IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY "timestamp" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_value" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(coalesce(c, CAST(-1 AS DOUBLE)), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_backward" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(first_value(c IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY "timestamp" ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_mean" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(coalesce(c, avg(c) OVER (PARTITION BY symbol)), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_min" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(coalesce(c, min(c) OVER (PARTITION BY symbol)), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_max" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(coalesce(c, max(c) OVER (PARTITION BY symbol)), 6) AS close_filled
          |FROM (SELECT symbol, "timestamp",
          |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
          |      FROM bars) $Tail""".stripMargin),

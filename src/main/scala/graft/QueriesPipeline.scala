@@ -82,6 +82,18 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // The approximate (banded multi-table LSH) near-dup path, declared
+    // separately so the scale plan is itself oracle-gated: the md5
+    // planes make it fully deterministic, and the DuckDB mirror
+    // computes the identical buckets, candidates and cosines. Recall
+    // vs the exact query is a measured property of the corpus (19/59
+    // qualifying pairs at sf0.01's τ=0.4 — see Similarity.nearDupPairs
+    // Scaladoc for why no sound sub-quadratic plan exists down there).
+    "embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(embs(s, dir), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir))
         .select(
@@ -244,6 +256,30 @@ object QueriesPipeline {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cosv >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "embedding_neardup_lsh" -> {
+      def planeSql(p: Int, d: Int) =
+        s"((${h32(s"'plane_${p}_$d'")} % 1000) / 500.0 - 1.0)"
+      def bucketSql(t: Int, nbits: Int, tbl: String) =
+        (0 until nbits).map { i =>
+          val dot = (0 until 64)
+            .map(d => s"CAST($tbl.embedding[${d + 1}] AS DOUBLE) * ${planeSql(t * nbits + i, d)}")
+            .mkString(" + ")
+          s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      // An OR-of-tables join emits each qualifying pair once, matching
+      // the Spark side's union + distinct across per-table joins.
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql(0, 4, "embeddings")} AS b0,
+         |    ${bucketSql(1, 4, "embeddings")} AS b1
+         |  FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings)
+         |SELECT id_a, id_b, round(cosv, 6) AS cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cosv
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+         |WHERE cosv >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "ann_topk" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),

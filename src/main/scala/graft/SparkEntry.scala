@@ -14,6 +14,11 @@ object SparkEntry {
     * window rows only.
     */
   def entry(spark: SparkSession): DataFrame = {
+    // The driver smoke-checks entry from a session it builds (not
+    // Sessions.builder), so the engine-semantic conf is set at THIS
+    // entry point: float division by zero must yield ±Inf/NaN like
+    // polars (SURVEY.md §2.6 Q12), not Spark 4's default ANSI error.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     val bars = Bars.fromEvents(spark, "/root/testdata/sf0.001")
     Indicators(bars)
       .sma(Seq("close"), 20)
@@ -31,9 +36,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ QueriesPipeline.queries
 
+  /** DuckDB `round` preserves IEEE −0.0 (and yields −0.0 for tiny
+    * negatives that round to zero at 6dp); Spark's BigDecimal-based
+    * `round` always returns +0.0 — so any rounded output reaching zero
+    * from below hash-mismatches byte-wise even though the values compare
+    * numerically equal (seen on williams_ri, where close == 14-bar
+    * rolling max ⇒ 0.0 × −100 = −0.0). `x + 0` maps −0.0 → +0.0 and is
+    * the identity on every other double (NULL/NaN/±Inf included), so it
+    * is appended to every outer `round(..., 6) AS alias` in the oracle
+    * SQL. All such closings in Queries/QueriesPipeline are spelled
+    * exactly ", 6) AS " (single-line or as the last line of a
+    * multi-line round), which makes the rewrite total.
+    */
+  private def normNegZero(sql: String): String =
+    sql.replace(", 6) AS ", ", 6) + 0 AS ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Queries.oracleSql ++ QueriesPipeline.oracleSql
+    (Queries.oracleSql ++ QueriesPipeline.oracleSql)
+      .view.mapValues(normNegZero).toMap
 }

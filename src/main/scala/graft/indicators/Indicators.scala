@@ -928,6 +928,103 @@ final class Indicators private (
         rollSum(col("_pmf"), window, g) / rollSum(col("_nmf"), window, g)))
     chain(out.drop("_tp", "_pmf", "_nmf"))
   }
+
+  // --------------------------------------------- Column-selector overloads
+
+  /** Reference `_get_column_names` (indicators.py:65-76): resolve
+    * Column selectors/expressions to concrete output names with a
+    * plan-only select — no job; Spark's eager analyzer is the analog
+    * of polars' collect_schema(). Lets the fluent API accept the
+    * reference's actual call shapes (`pl.col("close")`,
+    * `pl.col("close").alias(...)`) alongside bare strings.
+    */
+  private def resolve(columns: Seq[Column]): Seq[String] =
+    df.select(columns: _*).schema.fieldNames.toSeq
+
+  // Scala forbids default arguments on more than one overloaded
+  // alternative, so these selector overloads spell every scalar
+  // parameter; the Seq[String] originals keep the reference defaults.
+  // The DummyImplicit disambiguates post-erasure Seq[Column] vs
+  // Seq[String].
+
+  def sma(columns: Seq[Column], window_size: Int)(implicit d: DummyImplicit): Indicators =
+    sma(resolve(columns), window_size)
+
+  def ema(columns: Seq[Column], span: Int)(implicit d: DummyImplicit): Indicators =
+    ema(resolve(columns), span)
+
+  def rsi(columns: Seq[Column], period: Int)(implicit d: DummyImplicit): Indicators =
+    rsi(resolve(columns), period)
+
+  def roc(columns: Seq[Column], period: Int)(implicit d: DummyImplicit): Indicators =
+    roc(resolve(columns), period)
+
+  def wma(columns: Seq[Column], window_size: Int)(implicit d: DummyImplicit): Indicators =
+    wma(resolve(columns), window_size)
+
+  def dpo(columns: Seq[Column], look_back: Int)(implicit d: DummyImplicit): Indicators =
+    dpo(resolve(columns), look_back)
+
+  def unlcer_index(columns: Seq[Column], look_back: Int)(implicit d: DummyImplicit): Indicators =
+    unlcer_index(resolve(columns), look_back)
+
+  def ulcer_index(columns: Seq[Column], look_back: Int)(implicit d: DummyImplicit): Indicators =
+    ulcer_index(resolve(columns), look_back)
+
+  def bollinger_bands(
+      columns: Seq[Column],
+      window_size: Int,
+      num_std_dev: Double)(implicit d: DummyImplicit): Indicators =
+    bollinger_bands(resolve(columns), window_size, num_std_dev)
+
+  def macd(
+      columns: Seq[Column],
+      short_span: Int,
+      long_span: Int,
+      signal_span: Int)(implicit d: DummyImplicit): Indicators =
+    macd(resolve(columns), short_span, long_span, signal_span)
+
+  def stochastic_rsi(
+      columns: Seq[Column],
+      rsi_period: Int,
+      stoch_period: Int)(implicit d: DummyImplicit): Indicators =
+    stochastic_rsi(resolve(columns), rsi_period, stoch_period)
+
+  def true_strength_index(
+      columns: Seq[Column],
+      short_period: Int,
+      long_preiod: Int)(implicit d: DummyImplicit): Indicators =
+    true_strength_index(resolve(columns), short_period, long_preiod)
+
+  def kst(
+      columns: Seq[Column],
+      roc_periods: Seq[Int],
+      sma_periods: Seq[Int],
+      weights: Seq[Int])(implicit d: DummyImplicit): Indicators =
+    kst(resolve(columns), roc_periods, sma_periods, weights)
+
+  def stc(
+      columns: Seq[Column],
+      fast_period: Int,
+      slow_period: Int,
+      signal_period: Int,
+      stoch_period: Int)(implicit d: DummyImplicit): Indicators =
+    stc(resolve(columns), fast_period, slow_period, signal_period, stoch_period)
+
+  def fill_null(
+      columns: Seq[Column],
+      value: Option[Double],
+      method: Option[String])(implicit d: DummyImplicit): Indicators =
+    fill_null(resolve(columns), value, method)
+
+  def daily_return(columns: Column*): Indicators =
+    daily_return(resolve(columns))
+
+  def daily_log_return(columns: Column*)(implicit d: DummyImplicit): Indicators =
+    daily_log_return(resolve(columns))
+
+  def cumulative_returns(columns: Column*)(implicit d: DummyImplicit): Indicators =
+    cumulative_returns(resolve(columns))
 }
 
 object Indicators {

@@ -128,8 +128,12 @@ object Dedup {
     val banded = lshBands(minhashSignatures(docs))
     // Persisted: the self-join would otherwise recompute the full
     // signature pipeline (8 minhashes x ~100 shingle md5s per doc) on
-    // BOTH sides. A production LSH job does the same — signatures are
+    // BOTH sides — ReuseExchange can't dedup them when one side is
+    // broadcast. A production LSH job does the same — signatures are
     // tiny relative to the corpus and always worth materializing.
+    // Cache lifecycle is caller-owned: release with
+    // spark.catalog.clearCache() (or unpersist) after the consuming
+    // action, as Bench/Verify do per query.
     val exploded = banded.select(
       col("doc_id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"), col(s"band$b").as("v"))): _*))
@@ -144,7 +148,11 @@ object Dedup {
       .distinct()
   }
 
-  /** Word-3-gram Jaccard similarity for a pair table (doc_a, doc_b). */
+  /** Word-3-gram Jaccard similarity for a pair table (doc_a, doc_b).
+    * The shingle-set frame is persisted (joined twice — doc_a and
+    * doc_b side); cache lifecycle is caller-owned, as in
+    * [[lshCandidatePairs]].
+    */
   def jaccardPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val withSets = docs
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
@@ -174,7 +182,9 @@ object Corpus {
     * table is small (vocabulary-sized) and broadcast back.
     */
   def topTfidfTokens(docs: DataFrame): DataFrame = {
-    val n = docs.count()
+    // Corpus size N folded in as a broadcast 1-row aggregate instead of
+    // a docs.count() driver action — one Spark job, not two.
+    val nDf = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
     val tokenized = docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("double").as("n_tok"),
@@ -183,7 +193,9 @@ object Corpus {
       .agg((count(lit(1)) / first(col("n_tok"))).as("tf"))
     val df_ = tokenized.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+      .crossJoin(nDf)
+      .withColumn("idf", log(col("n") / col("df")))
+      .drop("n")
     val scored = tf.join(broadcast(df_), Seq("token"))
       .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf"))
     val w = Window.partitionBy("doc_id")
@@ -236,30 +248,116 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. Norms are
-    * precomputed per row; the pair pass is one codegen'd dot product.
+  /** Embedding-cosine near-duplicate pairs above a threshold — EXACT,
+    * as a distributed block-grid self-join (the textbook triangle
+    * grid): both sides are tagged with `id mod numBlocks`, a broadcast
+    * grid of the B·(B+1)/2 unordered block pairs fans each side out to
+    * the cells it participates in, and the heavy join is a plain
+    * shuffle equi-join on the composite (block_a, block_b) key. Every
+    * cell is exactly one |block|² tile, so work is evenly spread over
+    * B·(B+1)/2 tasks, per-task memory is two blocks, and nothing
+    * broadcasts the corpus — unlike the naive `id_a < id_b` theta-join,
+    * which Spark executes as a BroadcastNestedLoopJoin (whole table to
+    * every task; driver OOM long before 100 TB).
+    *
+    * The O(n²) *comparison count* is inherent to the exact query at
+    * low thresholds on isotropic embeddings, not an implementation
+    * artifact: on this corpus qualifying pairs sit barely above the
+    * 0.4 threshold (max cosine 0.60) while the background is ~0, so a
+    * random hyperplane agrees on a qualifying pair w.p. ~0.64 vs ~0.50
+    * for noise. Measured on sf0.1: every multi-table hyperplane-LSH
+    * configuration reaching 100% recall inspects MORE candidate pairs
+    * than all-pairs (b=1/T=8: 8.0M vs 2.0M all-pairs), and cone
+    * pruning over 16-64 IVF cells prunes 0 of the cell pairs (cell
+    * radii ~80°). For the approximate regime (realistic near-dup
+    * thresholds ≥ ~0.8, where LSH does win) use [[nearDupPairsLsh]].
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, numBlocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def score(pairs: DataFrame): DataFrame = pairs.select(
+      col("id_a"), col("id_b"),
+      (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
     val l = withNorm(embeddings, "id_a", "ea", "na")
+      .withColumn("ba", pmod(col("id_a"), lit(numBlocks)).cast("int"))
     val r = withNorm(embeddings, "id_b", "eb", "nb")
-    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("bb", pmod(col("id_b"), lit(numBlocks)).cast("int"))
+    // Off-diagonal tiles: the strict upper-triangle grid (ba < bb) fans
+    // the left side out over cells where its block is the FIRST
+    // coordinate and the right side over cells where its block is the
+    // SECOND, so a cross-block unordered {p, q} pair meets in exactly
+    // one cell — (min, max) — regardless of which id carries which
+    // block. Output ids are re-canonicalized with least/greatest (the
+    // sequential-fold dot product is bit-symmetric in its arguments).
+    val grid = broadcast(
+      (for { i <- 0 until numBlocks; j <- i + 1 until numBlocks } yield (i, j))
+        .toDF("ba", "bb"))
+    val offDiag = score(l.join(grid, Seq("ba")).join(r, Seq("bb")))
       .select(
-        col("id_a"), col("id_b"),
-        (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cosine"))
+    // Diagonal tiles: within-block pairs, ordered by id.
+    val diag = score(
+      l.join(r, col("ba") === col("bb") && col("id_a") < col("id_b")))
+    offDiag.union(diag).where(col("cosine") >= threshold)
+  }
+
+  /** Approximate near-duplicate pairs via banded multi-table
+    * random-hyperplane LSH: `tables` independent bucket functions of
+    * `nbits` planes each; candidates are pairs sharing a bucket in ANY
+    * table (equi-join on the (table, bucket) key — explodes only
+    * within buckets); exact cosine verifies candidates. Candidate
+    * volume ≈ tables · n²/2^nbits; per-pair recall for pairs at
+    * cosine c is 1 − (1 − (1 − θ/π)^nbits)^tables with θ = acos(c) —
+    * the scale path when the threshold is in the true near-dup regime
+    * (c ≥ ~0.8) where that recall is ~1 at small `tables`. Fully
+    * deterministic (md5-derived planes), so a DuckDB oracle reproduces
+    * it bit-for-bit.
+    */
+  def nearDupPairsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      nbits: Int = 4,
+      tables: Int = 2): DataFrame = {
+    val e = withNorm(embeddings, "vid", "emb", "nrm")
+    // One bucketed self-join per table, unioned. Each projection holds
+    // a single lshBucket expression (nbits × dims multiply-adds) —
+    // packing all tables into one exploded array-of-structs overflowed
+    // janino in the Generate stage and dropped the whole stage out of
+    // codegen.
+    val perTable = (0 until tables).map { t =>
+      val b = e.withColumn("b", lshBucket(col("emb"), 64, nbits, t * nbits))
+      val l = b.select(
+        col("vid").as("id_a"), col("emb").as("ea"), col("nrm").as("na"), col("b"))
+      val r = b.select(
+        col("vid").as("id_b"), col("emb").as("eb"), col("nrm").as("nb"), col("b"))
+      l.join(r, Seq("b"))
+        .where(col("id_a") < col("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+    }
+    perTable.reduce(_ union _)
       .where(col("cosine") >= threshold)
+      // a pair found in several tables has bit-identical cosine, so a
+      // plain distinct dedups across tables
+      .distinct()
   }
 
   /** Random-hyperplane LSH bucket id (nbits deterministic pseudo-random
-    * planes derived from md5 of the (plane, dim) index). The scale path
-    * for ANN: bucket once (map-only), then search within buckets.
+    * planes derived from md5 of the (plane, dim) index, starting at
+    * plane index `firstPlane` — offset tables give independent hash
+    * functions). The scale path for ANN: bucket once (map-only), then
+    * search within buckets.
     */
-  def lshBucket(e: Column, dims: Int = 64, nbits: Int = 4): Column = {
+  def lshBucket(e: Column, dims: Int = 64, nbits: Int = 4, firstPlane: Int = 0): Column = {
     def plane(p: Int, d: Int): Column =
       (TextOps.hash32(lit(s"plane_${p}_$d")) % 1000L).cast("double") / 500.0 - 1.0
-    val bits = (0 until nbits).map { p =>
-      val dot = (0 until dims).map(d => element_at(e, d + 1).cast("double") * plane(p, d))
+    val bits = (0 until nbits).map { i =>
+      val dot = (0 until dims).map(d => element_at(e, d + 1).cast("double") * plane(firstPlane + i, d))
         .reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -331,11 +429,13 @@ object Sessionize {
     * a gap > `gapMinutes` within a user. One shuffle on user_id, then a
     * linear window pass — the canonical distributed sessionization.
     *
-    * `ts` arrives as long nanos (nanosAsLong parquet reading); integer
-    * `div` keeps µs exact (nano longs exceed double's mantissa).
+    * `ts` dispatch (long nanos vs native timestamp) is shared with the
+    * bars derivation and the streaming twin via
+    * [[graft.sources.Bars.eventTimeMicros]], so batch and streaming
+    * sessionization accept the same inputs.
     */
   def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val tsUs = expr("ts div 1000")
+    val tsUs = graft.sources.Bars.eventTimeMicros(events)
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val gapUs = gapMinutes * 60L * 1000000L
     val staged = events

@@ -80,9 +80,14 @@ object Scale {
         o
       }.toMap
     }
-    val offsetExpr = exclusive.foldLeft(lit(0.0)) { case (e, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(e)
-    }
+    // Offsets as a broadcast-joined numParts-row table, not a nested
+    // when-chain: a fold of `when`s is O(numParts) expression DEPTH,
+    // which breaks codegen and analyzer time in the thousands of
+    // partitions a 100 TB run uses; a broadcast hash join on _pid is
+    // O(1) depth at any partition count.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(exclusive.toSeq.toDF("_pid", "_off"))
     val w = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NOTE: parted stays persisted until the caller's action completes —
@@ -90,8 +95,9 @@ object Scale {
     // partitioning the pass-1 offsets were derived from. Blocks are
     // MEMORY_AND_DISK and LRU-evictable.
     parted
-      .withColumn(outName, sum(col(valueCol).cast("double")).over(w) + offsetExpr)
-      .drop("_pid")
+      .join(offsets, Seq("_pid"))
+      .withColumn(outName, sum(col(valueCol).cast("double")).over(w) + col("_off"))
+      .drop("_pid", "_off")
   }
 
   /** Globally-ordered EWM (adjust=false, non-null input) of `valueCol`
@@ -148,15 +154,18 @@ object Scale {
         in
       }.toMap
     }
-    val inExpr = incoming.foldLeft(lit(Double.NaN)) { case (e, (pid, y)) =>
-      when(col("_pid") === pid, lit(y)).otherwise(e)
-    }
+    // Broadcast-joined incoming states (same O(1)-depth rationale as
+    // cumSumDistributed's offsets table; NaN = no state yet).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inStates = broadcast(incoming.toSeq.toDF("_pid", "_yin"))
     // Pass 2: compose per row; the first partition keeps the plain EWM.
     withCD
+      .join(inStates, Seq("_pid"))
       .withColumn(
         outName,
-        when(isnan(inExpr), col("_plain"))
-          .otherwise(col("_C") + col("_D") * inExpr))
-      .drop("_pid", "_rn", "_C", "_D", "_plain")
+        when(isnan(col("_yin")), col("_plain"))
+          .otherwise(col("_C") + col("_D") * col("_yin")))
+      .drop("_pid", "_rn", "_C", "_D", "_plain", "_yin")
   }
 }

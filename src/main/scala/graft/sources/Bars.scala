@@ -25,27 +25,37 @@ object Bars {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
     fromEventsDF(readEvents(spark, sfDir))
 
-  /** Events reader that works in ANY session: nanosAsLong is a runtime
-    * SQL conf, so set it here defensively — the driver smoke-checks
-    * `SparkEntry.entry` from a session we don't configure, and a bare
-    * session would otherwise throw PARQUET_TYPE_ILLEGAL on the
-    * TIMESTAMP(NANOS) events parquet.
+  /** Events reader that works in ANY session. nanosAsLong is a runtime
+    * SQL conf and strictly required for this table's footer — the
+    * driver smoke-checks `SparkEntry.entry` from a session we don't
+    * configure, and a bare session would otherwise throw
+    * PARQUET_TYPE_ILLEGAL on the TIMESTAMP(NANOS) events parquet.
+    * NOTE: this mutates the caller's session conf (unavoidable — there
+    * is no per-read form of this option). It is the ONLY conf touched
+    * here; engine-semantic confs (ANSI off etc.) belong to
+    * [[Sessions.builder]] / the entry point, not to a table reader.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Engine contract (SURVEY.md §2.6 Q12): float division by zero must
-    // yield ±Inf/NaN like polars, not ANSI errors (Spark 4 default).
-    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  def fromEventsDF(events: DataFrame): DataFrame = {
-    // Integer `div`, not `/`: nano longs (~1.7e18) exceed double's
-    // 53-bit mantissa, so float division would round by ±hundreds of ns.
-    val ts: Column = events.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts")
+  /** Event-time in LONG microseconds for either encoding of `ts`: the
+    * repo-canonical long-of-NANOS (nanosAsLong parquet reading) via
+    * integer `div` — exact where float division of ~1.7e18 nanos would
+    * round by ±hundreds of ns (past double's 53-bit mantissa) — or a
+    * native timestamp via unix_micros. Shared by the batch bars
+    * derivation, batch sessionization and the streaming twins so every
+    * surface accepts the same inputs.
+    */
+  def eventTimeMicros(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
     }
+
+  def fromEventsDF(events: DataFrame): DataFrame = {
+    val ts: Column = timestamp_micros(eventTimeMicros(events))
     events
       .groupBy(
         col("event_type").as("symbol"),

@@ -20,12 +20,11 @@ object Streaming {
     * parquet reading) and must go through integer `div 1000` +
     * timestamp_micros — a bare cast(long -> timestamp) would interpret
     * it as SECONDS and overflow. Timestamp-typed input passes through.
+    * The dispatch itself is shared with batch bars/sessionization
+    * ([[graft.sources.Bars.eventTimeMicros]]).
     */
   private def eventTime(events: DataFrame): Column =
-    events.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
+    timestamp_micros(graft.sources.Bars.eventTimeMicros(events))
 
   /** Streaming OHLCV bars: 1-hour tumbling event-time windows per
     * event_type, watermarked so late data beyond `lateness` is dropped

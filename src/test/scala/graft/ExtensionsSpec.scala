@@ -29,6 +29,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == 11.0)
   }
 
+  test("Column-selector overloads resolve like the reference's _get_column_names") {
+    import graft.indicators.Indicators
+    val df = bars("x", Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // Column selectors resolve via a plan-only select (indicators.py:65-76)
+    val viaCols = Indicators(df).sma(Seq(col("close")), 3).dataframe
+      .orderBy("timestamp").select("close_sma_3").collect()
+    val viaStrings = Indicators(df).sma(Seq("close"), 3).dataframe
+      .orderBy("timestamp").select("close_sma_3").collect()
+    assert(viaCols.sameElements(viaStrings))
+    // varargs form + an expression selector producing a derived name
+    val derived = Indicators(df.withColumn("c2", col("close") * 2))
+      .daily_return(col("c2")).dataframe
+    assert(derived.columns.contains("c2_daily_return"))
+  }
+
   test("var_alpha_ewma is callable from SQL with OVER") {
     GraftExtensions.register(spark)
     val df = bars("x", Seq(10.0, 20.0, 30.0))

@@ -89,6 +89,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Int]("rank") <= 4))
   }
 
+  test("blocked nearDupPairs is exact (matches naive all-pairs) with no cartesian/BNLJ") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val blocked = Similarity.nearDupPairs(e, 0.4, numBlocks = 8)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "blocked plan must not contain a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "blocked plan must not contain a BNLJ")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("ea"), col("eb")).as("cosine"))
+      .where(col("cosine") >= 0.4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(brute)
+    assert(pairs(blocked) == exact)
+    // the approximate LSH path returns a deterministic subset
+    val lsh = pairs(Similarity.nearDupPairsLsh(e, 0.4))
+    assert(lsh.subsetOf(exact) && lsh == pairs(Similarity.nearDupPairsLsh(e, 0.4)))
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),

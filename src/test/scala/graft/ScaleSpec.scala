@@ -73,6 +73,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("distributed cum_sum and ewma hold at numParts=256 (broadcast offset join)") {
+    val big = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"), col("value"))
+    val seqCs = big.withColumn(
+      "cs",
+      sum(col("value")).over(
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val distCs = Scale.cumSumDistributed(big, "value", "event_id", "cs", numParts = 256)
+    val a = seqCs.orderBy("event_id").select("cs").collect().map(_.getDouble(0))
+    val b = distCs.orderBy("event_id").select("cs").collect().map(_.getDouble(0))
+    assert(a.length == b.length && a.length == 10000)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$x != $y")
+    }
+    val alpha = 0.1
+    val seqE = big.withColumn(
+      "e",
+      graft.functions.ewmaOver(col("value"), alpha, adjust = false, Nil, Seq(col("event_id"))))
+    val distE = Scale.ewmaDistributed(big, "value", "event_id", alpha, "e", numParts = 256)
+    val c = seqE.orderBy("event_id").select("e").collect().map(_.getDouble(0))
+    val d = distE.orderBy("event_id").select("e").collect().map(_.getDouble(0))
+    assert(c.length == d.length && c.length == 10000)
+    c.zip(d).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$x != $y")
+    }
+  }
+
   test("scaled-mode Indicators equal parity mode on a single symbol") {
     val bars1 = graft.sources.Bars.fromEvents(spark, "/root/testdata/sf0.001")
       .where("symbol = 'click' AND high <> low")
