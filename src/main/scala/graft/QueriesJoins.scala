@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeJoins
+import graft.sources.Bars
+
+/** Declared queries + DuckDB oracles for the time-series join
+  * operators (graft.operators.TimeJoins). Both oracles mirror the
+  * Spark plan's semantics in portable SQL: the as-of oracle uses the
+  * identical union-merge construction (so tie semantics are spelled
+  * out, not engine-dependent), and the range oracle is the plain
+  * theta-join the bucketed plan is equivalent to.
+  */
+object QueriesJoins {
+
+  private val HourUs = 3600000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Every raw event joined to the most recent hourly bar (bar start
+    // <= event time) of ITS OWN symbol — the canonical point-in-time
+    // enrichment.
+    "asof_join" -> ((s, dir) => {
+      val ev = Bars.readEvents(s, dir)
+      val left = ev.select(
+        col("event_id"),
+        col("event_type").as("symbol"),
+        Bars.eventTimeMicros(ev).as("ts_us"),
+        col("value"))
+      val barCloses = Bars.fromEvents(s, dir).select(
+        col("symbol"),
+        unix_micros(col("timestamp")).as("bar_us"),
+        col("close").as("bar_close"))
+      TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us", Seq("bar_close"))
+        .select(
+          col("event_id"), col("symbol"), col("ts_us"),
+          round(col("value"), 6).as("value"),
+          round(col("bar_close"), 6).as("bar_close"))
+        .orderBy("event_id")
+    }),
+
+    // Events of ANY type landing inside the 20 busiest 'click' hours —
+    // an interval join with no equi-key (the interval set comes from
+    // one symbol, the probe side spans all of them). The top-k interval
+    // derivation is a TakeOrderedAndProject (per-partition top-k +
+    // merge), not a global sort.
+    "range_join" -> ((s, dir) => {
+      val ev = Bars.readEvents(s, dir)
+      val pts = ev.select(
+        col("event_id"),
+        col("event_type"),
+        Bars.eventTimeMicros(ev).as("ts_us"))
+      val topWindows = Bars.fromEvents(s, dir)
+        .where(col("symbol") === "click")
+        .select(
+          unix_micros(col("timestamp")).as("w_start"),
+          (unix_micros(col("timestamp")) + HourUs).as("w_end"),
+          col("volume"))
+        .orderBy(col("volume").desc, col("w_start").asc)
+        .limit(20)
+        .select("w_start", "w_end")
+      TimeJoins.rangeJoin(pts, "ts_us", topWindows, "w_start", "w_end", HourUs / 2)
+        .select(col("event_id"), col("event_type"), col("ts_us"), col("w_start"))
+        .orderBy("event_id", "w_start")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join" ->
+      s"""${Queries.BarsCte},
+         |l AS (SELECT event_id, event_type AS symbol, epoch_us(ts) AS ts_us, value FROM events),
+         |r AS (SELECT symbol, epoch_us("timestamp") AS t, close AS bar_close FROM bars),
+         |u AS (
+         |  SELECT symbol, ts_us AS t, 1 AS side, event_id, value, CAST(NULL AS DOUBLE) AS bar_close FROM l
+         |  UNION ALL
+         |  SELECT symbol, t, 0, NULL, NULL, bar_close FROM r),
+         |f AS (
+         |  SELECT symbol, t, side, event_id, value,
+         |    last_value(bar_close IGNORE NULLS) OVER (
+         |      PARTITION BY symbol ORDER BY t, side
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bar_close
+         |  FROM u)
+         |SELECT event_id, symbol, t AS ts_us,
+         |  round(value, 6) AS value, round(bar_close, 6) AS bar_close
+         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "range_join" ->
+      s"""${Queries.BarsCte},
+         |topw AS (
+         |  SELECT epoch_us("timestamp") AS w_start,
+         |         epoch_us("timestamp") + $HourUs AS w_end
+         |  FROM bars WHERE symbol = 'click'
+         |  ORDER BY volume DESC, "timestamp" ASC LIMIT 20)
+         |SELECT e.event_id, e.event_type, epoch_us(e.ts) AS ts_us, t.w_start
+         |FROM events e JOIN topw t
+         |  ON epoch_us(e.ts) >= t.w_start AND epoch_us(e.ts) < t.w_end
+         |ORDER BY event_id, w_start""".stripMargin
+  )
+}

@@ -77,6 +77,19 @@ object QueriesPipeline {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashes(docs(s, dir)).orderBy("doc_id")),
 
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // LSH pairs -> jaccard-verified edges -> connected components ->
+    // one canonical doc per cluster: the full distributed dedup chain.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.clusters(edges).orderBy("doc_id")
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -164,6 +177,31 @@ object QueriesPipeline {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** The 32-bit majority-vote simhash over a token-hash list `th`. */
+  private val SimhashSum: String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Shared CTE chain: minhash signatures -> LSH bands -> candidate
+    * pairs -> distinct shingle sets (dedup_jaccard, dedup_clusters).
+    */
+  private val LshPairCtes: String =
+    s"""sigs AS MATERIALIZED (
+       |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+       |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
+       |bands AS (
+       |  SELECT doc_id, b.band, CASE b.band
+       |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
+       |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
+       |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
+       |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
+       |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM read_parquet('{SFDIR}/documents.parquet'))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -218,31 +256,44 @@ object QueriesPipeline {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard" ->
-      s"""WITH sigs AS MATERIALIZED (
-         |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-         |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
-         |bands AS (
-         |  SELECT doc_id, b.band, CASE b.band
-         |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
-         |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
-         |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
-         |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
-         |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM read_parquet('{SFDIR}/documents.parquet'))
+      s"""WITH $LshPairCtes
          |SELECT p.doc_a, p.doc_b,
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id, $SimhashSum AS simhash
+         |  FROM (SELECT doc_id, list_transform($Toks, t -> ${h32("t")}) AS th FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |sbands AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS v
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $LshPairCtes,
+         |ej AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej UNION SELECT doc_b, doc_a FROM ej),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
-      s"""SELECT doc_id,
-         |  ${(0 until 32).map(j =>
-              s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
-              .mkString(" + ")} AS simhash
+      s"""SELECT doc_id, $SimhashSum AS simhash
          |FROM (SELECT doc_id, list_transform($Toks, t -> ${h32("t")}) AS th FROM read_parquet('{SFDIR}/documents.parquet'))
          |ORDER BY doc_id""".stripMargin,
 

@@ -34,7 +34,7 @@ object SparkEntry {
     * beyond-reference pipeline operators (QueriesPipeline).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ QueriesPipeline.queries
+    Queries.queries ++ QueriesPipeline.queries ++ QueriesJoins.queries
 
   /** DuckDB `round` preserves IEEE −0.0 (and yields −0.0 for tiny
     * negatives that round to zero at 6dp); Spark's BigDecimal-based
@@ -55,6 +55,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    (Queries.oracleSql ++ QueriesPipeline.oracleSql)
+    (Queries.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesJoins.oracleSql)
       .view.mapValues(normNegZero).toMap
 }

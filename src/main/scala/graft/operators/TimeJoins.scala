@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators the reference's bar data model implies
+  * but neither Polars-as-used (reference has zero joins —
+  * SURVEY.md §2.4.3) nor Spark offers as a single scale-safe operator:
+  * the point-in-time (as-of) join and the interval-containment (range)
+  * join. Both are implemented as shuffle-friendly compositions of
+  * existing relational operators — no theta-join, no
+  * BroadcastNestedLoopJoin, no per-row subquery — so the plans hold at
+  * 100 TB.
+  */
+object TimeJoins {
+
+  /** As-of join: for every left row, attach the payload of the most
+    * recent right row with `rightTime` &lt;= `leftTime` in the same
+    * `key` group (inclusive match; left rows before any right row get
+    * NULL payloads).
+    *
+    * Implemented with the union-merge trick: tag each side, union them
+    * into one stream, and run a single running
+    * `last(payload, ignoreNulls)` window per key ordered by
+    * (time, side) — right rows sort BEFORE left rows on time ties,
+    * which is exactly the inclusive (&lt;=) semantic. One shuffle on
+    * the key, then a linear per-partition pass: cost is
+    * O((|L|+|R|) log) with NO range explosion, unlike the
+    * `l.ts >= r.ts` theta-join Spark would execute as a nested-loop
+    * join. This is the canonical distributed as-of plan.
+    *
+    * Requirements: `payload` column names must not collide with left
+    * columns; right rows with NULL payload are treated as missing
+    * (skipped over); if several right rows share (key, time) the
+    * latest in the union order wins — give the right side a unique
+    * (key, time) or pre-aggregate to make that deterministic.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val othersL = left.columns.toSeq.filterNot(_ == key)
+    // Identical union schema: key, _t, _side, left passthroughs
+    // (NULL-typed on right rows), payloads (NULL-typed on left rows).
+    val l = left.select(
+      col(key) +: left.col(leftTime).cast("long").as("_t") +: lit(1).as("_side") +:
+        (othersL.map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+    val r = right.select(
+      col(key) +: right.col(rightTime).cast("long").as("_t") +: lit(0).as("_side") +:
+        (othersL.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(col)): _*)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(
+        col(key) +: col("_side") +:
+          (othersL.map(col) ++
+            payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Interval-containment (range) join WITHOUT an equi-key, made
+    * shuffle-friendly by time bucketing: each interval is exploded onto
+    * every fixed-width bucket it overlaps, each point maps to its
+    * single bucket, the two sides equi-join on the bucket id, and the
+    * precise half-open containment `start <= t < end` filters within
+    * the bucket. A match appears exactly once (the point's bucket is
+    * unique), so no post-dedup is needed.
+    *
+    * Scale: work is |points| + |intervals| x (span/bucketWidth) +
+    * |matches| — linear, one hash shuffle on the bucket id, versus the
+    * nested-loop join Spark picks for a bare `t >= start AND t < end`
+    * predicate. Pick `bucketWidth` near the typical interval span so
+    * the explosion factor stays small; skewed hot buckets fall under
+    * AQE skew-join handling like any other equi-join.
+    *
+    * `pointTime`, `startCol`, `endCol` are LONG epochs in the same
+    * unit; intervals must be non-empty (`end > start`). Column names
+    * must be disjoint between the two sides.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    val ivb = intervals.withColumn(
+      "_bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    val pb = points.withColumn(
+      "_bucket",
+      floor(col(pointTime) / bucketWidth).cast("long"))
+    pb.join(ivb, Seq("_bucket"))
+      .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("_bucket")
+  }
+}

@@ -170,6 +170,98 @@ object Dedup {
   /** Per-document SimHash (near-dup via small hamming distance). */
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash32(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs by byte banding: the 32-bit simhash splits
+    * into 4 bytes; docs sharing ANY byte band equi-join into candidate
+    * pairs, and `bit_count(xor)` verifies the full hamming distance.
+    * By pigeonhole, 4 bands catch EVERY pair with hamming <= 3 (three
+    * differing bits can touch at most 3 bands), so up to that distance
+    * the banded plan is exhaustive — same recall as all-pairs at a
+    * fraction of the comparisons (the band join explodes only within
+    * 256-value byte buckets). Same scale shape as [[lshCandidatePairs]].
+    *
+    * The simhash frame is persisted across the self-join sides; cache
+    * lifecycle is caller-owned as in [[lshCandidatePairs]].
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4-band/32-bit banding is only exhaustive to hamming 3")
+    val banded = simhashes(docs).select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.band").as("band"), col("bv.v").as("v"))
+      .persist()
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast(LongType).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Connected components over an undirected near-dup edge list —
+    * the step that turns pairwise LSH matches into dedup clusters
+    * (cluster id = min doc id in the component; `is_canonical` marks
+    * the one document to keep per cluster).
+    *
+    * Iterative min-label propagation with pointer jumping: each round
+    * takes the min over the node's own label, its neighbors' labels,
+    * and its label's label (path halving), which converges in
+    * O(log diameter) rounds — the same round complexity as the
+    * large-star/small-star map-reduce CC algorithm, expressed with
+    * plain shuffle joins so AQE handles skew. Near-dup components are
+    * shallow (dup clusters, not social graphs), so rounds stay small;
+    * every round is one join + one aggregate on the edge list.
+    */
+  def clusters(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val viaNbr = labels
+        .join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      val jumped = viaNbr.as("a")
+        .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cl")),
+          col("a.cluster_id") === col("p_id"), "left")
+        .select(
+          col("a.doc_id").as("doc_id"),
+          least(col("a.cluster_id"), coalesce(col("p_cl"), col("a.cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = jumped
+        .join(labels.select(col("doc_id").as("o_id"), col("cluster_id").as("o_cl")),
+          col("doc_id") === col("o_id"))
+        .where(col("cluster_id") =!= col("o_cl"))
+        .count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(
+      col("doc_id"),
+      col("cluster_id"),
+      (col("cluster_id") === col("doc_id")).as("is_canonical"))
+  }
 }
 
 object Corpus {

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeJoins
+import graft.pipeline.Dedup
+
+import scala.jdk.CollectionConverters._
+
+class TimeJoinsSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private val leftSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("t", LongType),
+    StructField("x", LongType)))
+  private val rightSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("rt", LongType),
+    StructField("p", DoubleType)))
+
+  test("asof: inclusive match, per-key, null before first right row") {
+    val left = df(leftSchema,
+      Row("a", 5L, 1L), Row("a", 10L, 2L), Row("a", 15L, 3L), Row("a", 30L, 4L),
+      Row("b", 10L, 5L),
+      Row("c", 7L, 6L))
+    val right = df(rightSchema,
+      Row("a", 10L, 1.0), Row("a", 20L, 2.0),
+      Row("b", 9L, 3.0))
+    val out = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"))
+      .orderBy("x").collect()
+    // t=5: before any right -> null; t=10: inclusive tie -> 1.0;
+    // t=15: still 1.0; t=30: 2.0; key b: 3.0; key c: no right rows -> null
+    assert(out.map(r => if (r.isNullAt(r.fieldIndex("p"))) None
+      else Some(r.getDouble(r.fieldIndex("p")))).toSeq ==
+      Seq(None, Some(1.0), Some(1.0), Some(2.0), Some(3.0), None))
+    // left columns pass through
+    assert(out.map(_.getLong(out.head.fieldIndex("t"))).toSeq ==
+      Seq(5L, 10L, 15L, 30L, 10L, 7L))
+  }
+
+  test("asof plan has no nested-loop / cartesian join") {
+    val left = df(leftSchema, Row("a", 5L, 1L))
+    val right = df(rightSchema, Row("a", 10L, 1.0))
+    val plan = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  private val ptsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("t", LongType)))
+  private val ivSchema = StructType(Seq(
+    StructField("s", LongType),
+    StructField("e", LongType),
+    StructField("w", StringType)))
+
+  test("rangeJoin: half-open containment, multi-bucket intervals, no dup matches") {
+    val pts = df(ptsSchema,
+      Row(1L, 0L), Row(2L, 10L), Row(3L, 19L), Row(4L, 20L), Row(5L, 35L), Row(6L, 100L))
+    // [10, 20) spans buckets 1..1 at width 10; [5, 36) spans 0..3
+    val ivs = df(ivSchema, Row(10L, 20L, "w1"), Row(5L, 36L, "w2"))
+    val out = TimeJoins.rangeJoin(pts, "t", ivs, "s", "e", 10L)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (2L, "w1"), (3L, "w1"),            // 10,19 in [10,20); 20 excluded
+      (2L, "w2"), (3L, "w2"), (4L, "w2"), (5L, "w2")))  // 10..35 in [5,36)
+  }
+
+  test("rangeJoin executes as an equi-join on the bucket (no nested loop)") {
+    val pts = df(ptsSchema, Row(1L, 0L))
+    val ivs = df(ivSchema, Row(0L, 5L, "w"))
+    val plan = TimeJoins.rangeJoin(pts, "t", ivs, "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  private val edgeSchema = StructType(Seq(
+    StructField("doc_a", LongType),
+    StructField("doc_b", LongType)))
+
+  test("clusters: connected components with min-id labels and canonical flags") {
+    // components: {1,2,3,9} (chain 9-1, 1-2, 2-3), {5,6}, {7,8}
+    val edges = df(edgeSchema,
+      Row(1L, 2L), Row(2L, 3L), Row(9L, 1L), Row(5L, 6L), Row(7L, 8L))
+    val out = Dedup.clusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+  }
+
+  test("clusters: long path converges (pointer jumping)") {
+    // a 12-node path: diameter 11, must converge well within maxIter
+    val edges = df(edgeSchema, (0L until 11L).map(i => Row(i + 1, i + 2)): _*)
+    val out = Dedup.clusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("simhashPairs finds perturbed near-dups within banded hamming") {
+    val docs = {
+      import spark.implicits._
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (3L, "completely unrelated text about distributed query engines and columnar io"))
+        .toDF("doc_id", "text")
+    }
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1-2 differ in one token -> tiny hamming; doc 3 should not pair
+    // with either at hamming <= 3 unless hashes collide (deterministic
+    // fixture: verified stable)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+}
