@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Corpus, Dedup, Sessionize, Similarity, TextOps}
@@ -90,6 +91,48 @@ object QueriesPipeline {
       Dedup.clusters(edges).orderBy("doc_id")
     }),
 
+    // The end-to-end curation decision a training-data pipeline makes
+    // per document: exact-dup canonical AND near-dup-cluster canonical
+    // AND quality gate AND language agreement. Every input is one of
+    // the already-declared operators; composing them keeps the whole
+    // chain map/shuffle-parallel (md5 window for exact canonicals, the
+    // CC labels joined back for near-dup canonicals, pure projections
+    // for the two content gates).
+    "corpus_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val dupIds = Dedup.clusters(edges)
+        .where(!col("is_canonical"))
+        .select(col("doc_id").as("dup_id"))
+      val t = TextOps.tokens(col("text"))
+      val nTok = size(t).cast("bigint")
+      val stopRatio = TextOps.stopCount(col("text"), TextOps.EnStop).cast("double") / nTok
+      val en = TextOps.stopCount(col("text"), TextOps.EnStop).cast("bigint")
+      val es = TextOps.stopCount(col("text"), TextOps.EsStop).cast("bigint")
+      val w = Window.partitionBy("cmd5")
+      val base = d.select(
+        col("doc_id"),
+        md5(col("text")).as("cmd5"),
+        (least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5)
+          .as("q"),
+        (when(en > es, "en").when(es > en, "es").otherwise("und") === col("lang"))
+          .as("lang_ok"))
+      base
+        .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .select(
+          col("doc_id"),
+          col("is_exact_canonical"),
+          col("dup_id").isNull.as("is_neardup_canonical"),
+          (col("q") >= 0.5).as("quality_ok"),
+          col("lang_ok"),
+          (col("is_exact_canonical") && col("dup_id").isNull &&
+            col("q") >= 0.5 && col("lang_ok")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -127,6 +170,22 @@ object QueriesPipeline {
           col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
+
+    // Exact per-symbol close-price quantiles (linear interpolation).
+    // Exact percentile buffers each group's values — fine for bounded
+    // per-symbol bar counts; at 100 TB the same query shape runs with
+    // approx_percentile (t-digest, mergeable map-side sketches).
+    "bar_quantiles" -> ((s, dir) =>
+      graft.sources.Bars.fromEvents(s, dir)
+        .groupBy("symbol")
+        .agg(
+          count(lit(1)).as("n_bars"),
+          round(expr("percentile(close, 0.25)"), 6).as("p25"),
+          round(expr("percentile(close, 0.5)"), 6).as("p50"),
+          round(expr("percentile(close, 0.75)"), 6).as("p75"),
+          round(expr("percentile(close, 0.9)"), 6).as("p90"),
+          round(expr("percentile(close, 0.99)"), 6).as("p99"))
+        .orderBy("symbol")),
 
     "tfidf_top_tokens" -> ((s, dir) =>
       Corpus.topTfidfTokens(docs(s, dir))
@@ -388,6 +447,47 @@ object QueriesPipeline {
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "corpus_filter" ->
+      s"""WITH RECURSIVE $LshPairCtes,
+         |ej AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej UNION SELECT doc_b, doc_a FROM ej),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src),
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |base AS (
+         |  SELECT doc_id, lang, md5(text) AS cmd5,
+         |    least(len($Toks) / 100.0, 1.0) * 0.5 +
+         |    least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5 AS q,
+         |    (CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
+         |          WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
+         |          ELSE 'und' END) = lang AS lang_ok
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT doc_id,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS is_exact_canonical,
+         |  (doc_id NOT IN (SELECT doc_id FROM dups)) AS is_neardup_canonical,
+         |  (q >= 0.5) AS quality_ok,
+         |  lang_ok,
+         |  ((doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AND
+         |   (doc_id NOT IN (SELECT doc_id FROM dups)) AND q >= 0.5 AND lang_ok) AS kept
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "bar_quantiles" ->
+      s"""${Queries.BarsCte}
+         |SELECT symbol,
+         |  CAST(count(*) AS BIGINT) AS n_bars,
+         |  round(quantile_cont(close, 0.25), 6) AS p25,
+         |  round(quantile_cont(close, 0.5), 6) AS p50,
+         |  round(quantile_cont(close, 0.75), 6) AS p75,
+         |  round(quantile_cont(close, 0.9), 6) AS p90,
+         |  round(quantile_cont(close, 0.99), 6) AS p99
+         |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     "tfidf_top_tokens" ->
       s"""WITH tok AS MATERIALIZED (

@@ -91,14 +91,18 @@ object TimeJoins {
       startCol: String,
       endCol: String,
       bucketWidth: Long): DataFrame = {
+    // Integer `div`, not floor(x / w): double division is ulp-fragile
+    // exactly at bucket boundaries for epoch-scale longs (~1e15 us),
+    // where a misrounded quotient would silently drop a boundary
+    // match. `div` is exact for the required nonnegative epochs.
     val ivb = intervals.withColumn(
       "_bucket",
       explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+        expr(s"`$startCol` div $bucketWidth"),
+        expr(s"(`$endCol` - 1) div $bucketWidth"))))
     val pb = points.withColumn(
       "_bucket",
-      floor(col(pointTime) / bucketWidth).cast("long"))
+      expr(s"`$pointTime` div $bucketWidth"))
     pb.join(ivb, Seq("_bucket"))
       .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("_bucket")

@@ -60,14 +60,19 @@ object TextOps {
     (268435459L, 2971215L), (201326611L, 1134903L),
     (134217757L, 24157817L), (67108879L, 75025L))
 
-  /** 32-bit SimHash over token hashes: bit j set iff the majority of
-    * tokens have bit j set (+1/−1 vote, strict > 0).
+  /** 32-bit SimHash over a PRE-HASHED token array column: bit j set
+    * iff the majority of tokens have bit j set (+1/−1 vote, strict
+    * > 0). Takes the hashed array — not the text — because the 32
+    * per-bit votes each reference their input: handed the raw
+    * tokenize+md5 pipeline, Catalyst inlines that full pipeline 32
+    * times (measured in the executed plan); handed a staged array
+    * column (see [[Dedup.simhashes]]), the expensive hashing runs once
+    * and the 32 votes are cheap arithmetic passes over it.
     */
-  def simhash32(text: Column): Column = {
-    val th = transform(tokens(text), t => hash32(t))
+  def simhash32(tokenHashes: Column): Column = {
     val bits = (0 until 32).map { j =>
       val vote = aggregate(
-        th,
+        tokenHashes,
         lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
@@ -167,9 +172,18 @@ object Dedup {
           size(array_union(col("da.sh"), col("db.sh")))).as("jaccard"))
   }
 
-  /** Per-document SimHash (near-dup via small hamming distance). */
+  /** Per-document SimHash (near-dup via small hamming distance).
+    * Token hashes are staged once into an array column (hash-once, as
+    * in [[minhashSignatures]] — CollapseProject keeps the staging
+    * projection because the hashed array is expensive and referenced
+    * 32 times), so the md5 work is 1x per token, not 32x.
+    */
   def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash32(col("text")).as("simhash"))
+    docs
+      .select(
+        col("doc_id"),
+        transform(tokens(col("text")), t => hash32(t)).as("_th"))
+      .select(col("doc_id"), simhash32(col("_th")).as("simhash"))
 
   /** SimHash near-dup pairs by byte banding: the 32-bit simhash splits
     * into 4 bytes; docs sharing ANY byte band equi-join into candidate
