@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Corpus, Dedup, Sessionize, Similarity, TextOps}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Sessionize, Similarity, TextOps}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -195,6 +195,24 @@ object QueriesPipeline {
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir))
         .orderBy("user_id", "session_idx")),
+
+    // The batched per-partition decode seam (mapPartitions, the
+    // mapInPandas shape) run end-to-end with the deterministic fake
+    // decoder; its hash-derived dimensions are reproduced byte-exactly
+    // by the oracle (Java Arrays.hashCode emulated with wrapped 32-bit
+    // arithmetic), so the WHOLE seam — Dataset encoding, batching,
+    // decode contract, schema — is correctness-gated, not just assumed.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(s, docs(s, dir)))
+        .toDF()
+        .select(
+          col("id").as("doc_id"),
+          col("modality"),
+          col("n_bytes"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+        .orderBy("doc_id")),
 
     "multimodal_meta" -> ((s, dir) =>
       docs(s, dir)
@@ -521,6 +539,20 @@ object QueriesPipeline {
         |  make_timestamp(min(ts_us)) AS session_start,
         |  make_timestamp(max(ts_us)) AS session_end
         |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "multimodal_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, b) -> (((31 * acc + b + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648) AS jh
+        |  FROM read_parquet('{SFDIR}/documents.parquet'))
+        |SELECT doc_id, 'text' AS modality, n_bytes,
+        |  CAST(16 + ((jh % 16) + 16) % 16 AS BIGINT) AS width,
+        |  CAST(16 + ((CAST(floor(jh / 256.0) AS BIGINT) % 16) + 16) % 16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,
