@@ -103,6 +103,42 @@ object Streaming {
         })
   }
 
+  case class AsofIn(symbol: String, t: Long, side: Int,
+      event_id: Option[Long], value: Option[Double], payload: Option[Double])
+  case class AsofOut(symbol: String, t: Long, event_id: Long, value: Double,
+      payload: Option[Double])
+  case class AsofState(lastPayload: Option[Double])
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * [[graft.operators.TimeJoins.asof]]. Both sides arrive unioned and
+    * tagged (side 0 = right/reference, side 1 = left/probe, exactly
+    * the batch union-merge encoding); keyed state holds the most
+    * recent right payload per key, so each probe row is enriched with
+    * the latest reference value at or before its time. Within a
+    * micro-batch rows are processed in (t, side) order — the same
+    * inclusive tie rule as the batch plan; across batches correctness
+    * relies on per-key event-order arrival (e.g. from an upstream
+    * watermarked bar stream), like the other stateful twins here.
+    * State is O(1) per key and never evicted (the latest reference
+    * value stays relevant indefinitely).
+    */
+  def asofStream(rows: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, it: Iterator[AsofIn], state: GroupState[AsofState]) => {
+          var last = state.getOption.flatMap(_.lastPayload)
+          val out = Seq.newBuilder[AsofOut]
+          it.toSeq.sortBy(r => (r.t, r.side)).foreach { r =>
+            if (r.side == 0) last = r.payload.orElse(last)
+            else out += AsofOut(symbol, r.t, r.event_id.get, r.value.get, last)
+          }
+          state.update(AsofState(last))
+          out.result().iterator
+        })
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

@@ -105,6 +105,82 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("asof matches brute-force semantics on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c")
+    val lrows = (1 to 200).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i.toLong))
+    val rrows = (1 to 60).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i * 1.0))
+      // unique (key, time) required for deterministic asof
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    import spark.implicits._
+    val left = lrows.toDF("k", "t", "x")
+    val right = rrows.toDF("k", "rt", "p")
+    val got = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("x")),
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p")))))
+      .toMap
+    val expected = lrows.map { case (k, t, x) =>
+      val cand = rrows.filter(r => r._1 == k && r._2 <= t)
+      x -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("rangeJoin matches brute-force theta join on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val prows = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val irows = (1 to 40).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (s, s + 1 + rnd.nextInt(120), i.toLong)
+    }
+    import spark.implicits._
+    val pts = prows.toDF("id", "t")
+    val ivs = irows.toDF("s", "e", "w")
+    // bucket width deliberately NOT dividing the interval spans
+    val got = TimeJoins.rangeJoin(pts, "t", ivs, "s", "e", 37L)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (id, t) <- prows
+      (s, e, w) <- irows
+      if t >= s && t < e
+    } yield (id, w)).toSet
+    assert(got == expected)
+  }
+
+  test("streaming asof twin equals the batch asof") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lrows = (1 to 50).map(i => ("s" + rnd.nextInt(2), rnd.nextInt(30).toLong, i.toLong))
+    val rrows = (1 to 20).map(i => ("s" + rnd.nextInt(2), rnd.nextInt(30).toLong, i * 1.0))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val tagged =
+      lrows.map { case (k, t, id) => Streaming.AsofIn(k, t, 1, Some(id), Some(id * 0.5), None) } ++
+      rrows.map { case (k, t, p) => Streaming.AsofIn(k, t, 0, None, None, Some(p)) }
+    val input = MemoryStream[Streaming.AsofIn]
+    input.addData(tagged: _*) // one micro-batch: in-batch (t, side) ordering applies
+    val q = Streaming.asofStream(input.toDS()).writeStream
+      .format("memory").queryName("sasof").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sasof").collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")),
+        if (r.isNullAt(r.fieldIndex("payload"))) None
+        else Some(r.getDouble(r.fieldIndex("payload"))))).toMap
+    val batch = TimeJoins.asof(
+      lrows.toDF("k", "t", "x"), rrows.toDF("k", "rt", "p"), "k", "t", "rt", Seq("p"))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("x")),
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p")))))
+      .toMap
+    assert(got == batch)
+  }
+
   test("simhashPairs finds perturbed near-dups within banded hamming") {
     val docs = {
       import spark.implicits._
