@@ -187,6 +187,32 @@ object QueriesPipeline {
           round(expr("percentile(close, 0.99)"), 6).as("p99"))
         .orderBy("symbol")),
 
+    // Unigram corpus log-probability per document — the classic cheap
+    // "fluency" signal for pipeline filtering (docs of rare tokens
+    // score low). Same shape as TF-IDF: one token shuffle for the
+    // vocabulary, broadcast back, per-doc aggregate. The per-token
+    // log-probs are summed in exact integer MICRO units (round(logp *
+    // 1e6) as BIGINT): a double sum's value depends on partial-agg
+    // order, which differs between Spark and DuckDB and would make the
+    // 6-dp hash compare flaky; integer summation is order-independent
+    // and exact.
+    "doc_logprob" -> ((s, dir) => {
+      val tok = docs(s, dir).select(
+        col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val total = broadcast(tok.agg(count(lit(1)).cast("double").as("n_total")))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(total)
+        .select(
+          col("token"),
+          round(log(col("cnt") / col("n_total")) * 1e6, 0).cast("bigint").as("logp_micro"))
+      tok.join(broadcast(vocab), Seq("token"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("logp_micro")).as("logprob_micro"))
+        .orderBy("doc_id")
+    }),
+
     "tfidf_top_tokens" -> ((s, dir) =>
       Corpus.topTfidfTokens(docs(s, dir))
         .select(col("doc_id"), col("top_token"), round(col("tfidf"), 6).as("tfidf"))
@@ -506,6 +532,20 @@ object QueriesPipeline {
          |  round(quantile_cont(close, 0.9), 6) AS p90,
          |  round(quantile_cont(close, 0.99), 6) AS p99
          |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "doc_logprob" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest($Toks) AS token
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok),
+         |vocab AS (
+         |  SELECT token, CAST(round(ln(count(*) / tot.n_total) * 1e6, 0) AS BIGINT) AS logp_micro
+         |  FROM tok, tot GROUP BY token, tot.n_total)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(v.logp_micro) AS BIGINT) AS logprob_micro
+         |FROM tok t JOIN vocab v ON t.token = v.token
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "tfidf_top_tokens" ->
       s"""WITH tok AS MATERIALIZED (

@@ -139,6 +139,38 @@ object Streaming {
         })
   }
 
+  case class DocIn(doc_id: Long, content_md5: String)
+  case class DedupOut(doc_id: Long, content_md5: String, is_first: Boolean)
+  case class SeenState(seen: Boolean)
+
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.pipeline.Dedup.exactGroups]]: keyed state per content
+    * hash marks whether the content was already emitted, so each doc
+    * is flagged kept (first arrival) or duplicate. Within a
+    * micro-batch ties resolve by doc_id (matching the batch
+    * min-doc_id canonical); across batches first-arrival wins — the
+    * streaming-native semantic. State is one boolean per distinct
+    * content hash, hash-partitioned like any keyed state; a production
+    * deployment bounds it with a TTL timeout where re-emitting a dup
+    * after expiry is acceptable.
+    */
+  def dedupStream(docs: Dataset[DocIn]): Dataset[DedupOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.content_md5)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (md5: String, rows: Iterator[DocIn], state: GroupState[SeenState]) => {
+          var seen = state.getOption.exists(_.seen)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val first = !seen
+            seen = true
+            DedupOut(r.doc_id, md5, first)
+          }
+          state.update(SeenState(seen))
+          out.iterator
+        })
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

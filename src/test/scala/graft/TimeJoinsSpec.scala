@@ -181,6 +181,27 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming exact dedup keeps one doc per content hash across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val input = MemoryStream[Streaming.DocIn]
+    val q = Streaming.dedupStream(input.toDS()).writeStream
+      .format("memory").queryName("sdedup").outputMode("append").start()
+    // batch 1: h1 appears twice (doc 5, 2 -> doc 2 kept), h2 once
+    input.addData(
+      Streaming.DocIn(5, "h1"), Streaming.DocIn(2, "h1"), Streaming.DocIn(3, "h2"))
+    q.processAllAvailable()
+    // batch 2: h1 again (dup of earlier batch), h3 new
+    input.addData(Streaming.DocIn(1, "h1"), Streaming.DocIn(4, "h3"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L)) // first arrival wins; in-batch tie -> min doc_id
+  }
+
   test("simhashPairs finds perturbed near-dups within banded hamming") {
     val docs = {
       import spark.implicits._
