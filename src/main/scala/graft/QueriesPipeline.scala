@@ -171,6 +171,37 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Deterministic hash-based train/valid/test assignment — the
+    // reproducible split a training pipeline needs (no RNG state, no
+    // ordering dependence; any engine computing the same md5 agrees).
+    // Map-only at any scale.
+    "corpus_split" -> ((s, dir) => {
+      val bucket = pmod(
+        TextOps.hash32(concat(lit("split_"), col("doc_id").cast("string"))), lit(100L))
+      docs(s, dir).select(
+        col("doc_id"),
+        bucket.as("bucket_pct"),
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+          .as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source corpus composition: doc/token/type counts and
+    // type-token ratio. Distinct aggregates shuffle once on source
+    // with partial distinct combining.
+    "source_stats" -> ((s, dir) => {
+      val tok = docs(s, dir).select(
+        col("doc_id"), col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      tok.groupBy("source")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_types"),
+          round(countDistinct(col("token")).cast("double") / count(lit(1)), 6)
+            .as("type_token_ratio"))
+        .orderBy("source")
+    }),
+
     // Exact per-symbol close-price quantiles (linear interpolation).
     // Exact percentile buffers each group's values — fine for bounded
     // per-symbol bar counts; at 100 TB the same query shape runs with
@@ -532,6 +563,25 @@ object QueriesPipeline {
          |  round(quantile_cont(close, 0.9), 6) AS p90,
          |  round(quantile_cont(close, 0.99), 6) AS p99
          |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "corpus_split" ->
+      s"""SELECT doc_id,
+         |  ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 AS bucket_pct,
+         |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "source_stats" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest($Toks) AS token
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+         |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS type_token_ratio
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_logprob" ->
       s"""WITH tok AS MATERIALIZED (

@@ -241,6 +241,7 @@ object Dedup {
       .persist()
     var iter = 0
     var converged = false
+    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
     while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels, col("dst") === col("doc_id"))
@@ -260,14 +261,15 @@ object Dedup {
           least(col("a.cluster_id"), coalesce(col("p_cl"), col("a.cluster_id")))
             .as("cluster_id"))
         .persist()
-      val changed = jumped
-        .join(labels.select(col("doc_id").as("o_id"), col("cluster_id").as("o_cl")),
-          col("doc_id") === col("o_id"))
-        .where(col("cluster_id") =!= col("o_cl"))
-        .count()
+      // Labels only ever decrease, so the label sum is a strictly
+      // monotone convergence witness: unchanged sum <=> fixpoint. One
+      // cheap aggregate action per round instead of a join-and-count
+      // against the previous labels.
+      val sumNow = jumped.agg(sum(col("cluster_id"))).head.getLong(0)
       labels.unpersist()
       labels = jumped
-      converged = changed == 0
+      converged = sumNow == prevSum
+      prevSum = sumNow
       iter += 1
     }
     sym.unpersist()
