@@ -64,18 +64,35 @@ object Multimodal {
     }
   }
 
-  /** Batched per-partition decode + featurize (the mapInPandas shape).
-    * The 16-bin byte histogram is the deterministic stand-in for a
-    * model-based feature extractor.
+  /** Deterministic nearest-neighbor "resize" of a decoded payload to
+    * target dimensions — the byte-level stand-in for the image resize
+    * a codec-backed deployment slots between decode and featurize.
+    * Source indexes follow exact NN resampling (src = i*len/dstLen),
+    * payload length rescales with the pixel-count ratio.
+    */
+  def resize(d: Decoded, targetW: Int, targetH: Int): Decoded = {
+    val srcPixels = math.max(1L, d.width.toLong * d.height)
+    val dstLen = math.max(1L,
+      d.payload.length.toLong * (targetW.toLong * targetH) / srcPixels).toInt
+    val out = Array.tabulate(dstLen)(i =>
+      d.payload(((i.toLong * d.payload.length) / dstLen).toInt))
+    Decoded(targetW, targetH, d.nFrames, out)
+  }
+
+  /** Batched per-partition decode [+ resize] + featurize (the
+    * mapInPandas shape). The 16-bin byte histogram is the
+    * deterministic stand-in for a model-based feature extractor.
     */
   def extractFeatures(
       ds: Dataset[MediaRecord],
       decoder: MediaDecoder = DeterministicFakeDecoder,
-      batchSize: Int = 64): Dataset[MediaFeatures] = {
+      batchSize: Int = 64,
+      resizeTo: Option[(Int, Int)] = None): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val decoded = decoder.decodeBatch(batch.map(r => (r.modality, r.blob)))
+          .map(d => resizeTo.fold(d) { case (w, h) => resize(d, w, h) })
         batch.zip(decoded).map { case (r, d) =>
           val hist = new Array[Float](16)
           d.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink helpers with the 100 TB disciplines baked in:
+  *
+  *  - readers take an EXPLICIT schema — schema inference on csv/json
+  *    is a full extra pass over the data (at 100 TB, an extra 100 TB
+  *    scan) and silently types everything it guesses;
+  *  - the parquet sink supports `partitionBy` so downstream readers
+  *    get partition pruning (a predicate on the partition column
+  *    becomes a directory skip, verified in IoSpec), and a target
+  *    file-count repartition so writers neither emit thousands of tiny
+  *    files nor one giant one.
+  */
+object Io {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil, filesPerPartition: Int = 0): Unit = {
+    val d = if (filesPerPartition > 0) df.repartition(filesPerPartition) else df
+    val w = d.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
