@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.indicators.Indicators
+import graft.sources.{Bars, Sessions}
+
+/** Scaling-linearity smoke: run the load-bearing paths at 1x and Nx the
+  * sf0.1 event volume and report the time ratio. The Nx frame is the
+  * provided events table unioned N times with disjoint event_id and
+  * symbol spaces — a pure volume amplifier (more symbols x same
+  * per-symbol density, matching how production data grows), not new
+  * synthetic fixtures. A path whose ratio tracks N is shuffle/window
+  * linear; superlinear ratios expose accidental cross-partition or
+  * quadratic work.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [N]
+  */
+object ScaleSmoke {
+
+  private def amplify(events: DataFrame, n: Int): DataFrame = {
+    val maxId = 10000000L
+    (0 until n).map { i =>
+      events.select(
+        (col("event_id") + i * maxId).as("event_id"),
+        col("ts"),
+        (col("user_id") + i * maxId).as("user_id"),
+        concat(col("event_type"), lit(s"_$i")).as("event_type"),
+        col("value"))
+    }.reduce(_ union _)
+  }
+
+  private def time(what: String, f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val rows = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"$what%-28s $dt%7.2f s   ($rows rows)")
+    dt
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev1 = Bars.readEvents(spark, sfDir)
+    // warm up (codegen, footer reads)
+    ev1.count()
+
+    def chain(ev: DataFrame): Long =
+      Indicators(Bars.fromEventsDF(ev))
+        .sma(Seq("close"), 20).ema(Seq("close"), 9).rsi(Seq("close"), 14)
+        .dataframe.count()
+
+    def asof(ev: DataFrame): Long = {
+      val left = ev.select(
+        col("event_id"), col("event_type").as("symbol"),
+        Bars.eventTimeMicros(ev).as("ts_us"), col("value"))
+      val barCloses = Bars.fromEventsDF(ev).select(
+        col("symbol"), unix_micros(col("timestamp")).as("bar_us"),
+        col("close").as("bar_close"))
+      graft.operators.TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us",
+        Seq("bar_close")).count()
+    }
+
+    def sess(ev: DataFrame): Long =
+      graft.pipeline.Sessionize.sessions(ev).count()
+
+    val evN = amplify(ev1, n)
+    println(s"== 1x (${ev1.count()} events) vs ${n}x ==")
+    val results = Seq(
+      "indicator chain" -> (time("chain 1x", chain(ev1)), time(s"chain ${n}x", chain(evN))),
+      "asof join" -> (time("asof 1x", asof(ev1)), time(s"asof ${n}x", asof(evN))),
+      "sessionize" -> (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN))))
+    results.foreach { case (name, (t1, tn)) =>
+      println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
+    }
+    spark.stop()
+  }
+}
