@@ -24,7 +24,6 @@ object QueriesPipeline {
     "text_stats" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
       val nTok = size(t).cast("bigint")
-      val stopRatio = TextOps.stopCount(col("text"), TextOps.EnStop).cast("double") / nTok
       docs(s, dir).select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -34,8 +33,7 @@ object QueriesPipeline {
           length(col("text")), 6).as("punct_ratio"),
         ceil(length(col("text")) / 4.0).cast("bigint").as("bpe_token_est"),
         regexp_count(col("text"), lit("[a-z]{1,4}")).cast("bigint").as("bpe_regex_tokens"),
-        round(least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5, 6)
-          .as("quality_score"))
+        round(TextOps.qualityScore(col("text")), 6).as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -47,7 +45,7 @@ object QueriesPipeline {
         col("lang"),
         en.as("en_score"),
         es.as("es_score"),
-        when(en > es, "en").when(es > en, "es").otherwise("und").as("lang_pred"))
+        TextOps.langPred(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
@@ -106,19 +104,12 @@ object QueriesPipeline {
       val dupIds = Dedup.clusters(edges)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      val t = TextOps.tokens(col("text"))
-      val nTok = size(t).cast("bigint")
-      val stopRatio = TextOps.stopCount(col("text"), TextOps.EnStop).cast("double") / nTok
-      val en = TextOps.stopCount(col("text"), TextOps.EnStop).cast("bigint")
-      val es = TextOps.stopCount(col("text"), TextOps.EsStop).cast("bigint")
       val w = Window.partitionBy("cmd5")
       val base = d.select(
         col("doc_id"),
         md5(col("text")).as("cmd5"),
-        (least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5)
-          .as("q"),
-        (when(en > es, "en").when(es > en, "es").otherwise("und") === col("lang"))
-          .as("lang_ok"))
+        TextOps.qualityScore(col("text")).as("q"),
+        (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"))
       base
         .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
@@ -186,6 +177,22 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sample: N docs per source, chosen by
+    // md5-hash order — the reproducible per-stratum downsampling step
+    // of a training-mix builder. Executes as per-partition partial
+    // top-k (WindowGroupLimit) before the per-source shuffle, like the
+    // ANN rankers.
+    "corpus_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(TextOps.hash32(concat(lit("sample_"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("sample_rank", row_number().over(w))
+        .where(col("sample_rank") <= 5)
+        .orderBy("source", "sample_rank")
+    }),
+
     // Per-source corpus composition: doc/token/type counts and
     // type-token ratio. Distinct aggregates shuffle once on source
     // with partial distinct combining.
@@ -228,8 +235,13 @@ object QueriesPipeline {
     // 6-dp hash compare flaky; integer summation is order-independent
     // and exact.
     "doc_logprob" -> ((s, dir) => {
+      // tokenize once: tok feeds the corpus total, the vocabulary AND
+      // the probe join — three lineages that would each re-explode the
+      // corpus. Cache lifecycle is harness-owned (clearCache), as for
+      // the LSH signature persists.
       val tok = docs(s, dir).select(
         col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .persist()
       val total = broadcast(tok.agg(count(lit(1)).cast("double").as("n_total")))
       val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
         .crossJoin(total)
@@ -336,6 +348,34 @@ object QueriesPipeline {
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
        |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM read_parquet('{SFDIR}/documents.parquet'))""".stripMargin
 
+  /** CC chain over jaccard>=0.5 LSH pairs (extends [[LshPairCtes]];
+    * caller must open with WITH RECURSIVE). Shared by dedup_clusters
+    * and corpus_filter so the two can never disagree about components.
+    */
+  private val CcCtes: String =
+    s"""$LshPairCtes,
+       |ej AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej UNION SELECT doc_b, doc_a FROM ej),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src)""".stripMargin
+
+  /** Quality score / language prediction SQL — single source of truth
+    * mirroring TextOps.qualityScore / TextOps.langPred.
+    */
+  private val QualitySql: String =
+    s"""least(len($Toks) / 100.0, 1.0) * 0.5 +
+       |    least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5""".stripMargin
+  private val LangPredSql: String =
+    s"""CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
+       |          WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
+       |          ELSE 'und' END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -345,17 +385,14 @@ object QueriesPipeline {
          |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
          |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_regex_tokens,
-         |  round(least(len($Toks) / 100.0, 1.0) * 0.5 +
-         |        least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5, 6) AS quality_score
+         |  round($QualitySql, 6) AS quality_score
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""SELECT doc_id, lang,
          |  CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS BIGINT) AS en_score,
          |  CAST(len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) AS BIGINT) AS es_score,
-         |  CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
-         |       WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
-         |       ELSE 'und' END AS lang_pred
+         |  $LangPredSql AS lang_pred
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
@@ -411,17 +448,7 @@ object QueriesPipeline {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $LshPairCtes,
-         |ej AS (
-         |  SELECT p.doc_a, p.doc_b
-         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej UNION SELECT doc_b, doc_a FROM ej),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src)
+      s"""WITH RECURSIVE $CcCtes
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
@@ -524,25 +551,12 @@ object QueriesPipeline {
     },
 
     "corpus_filter" ->
-      s"""WITH RECURSIVE $LshPairCtes,
-         |ej AS (
-         |  SELECT p.doc_a, p.doc_b
-         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej UNION SELECT doc_b, doc_a FROM ej),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src),
+      s"""WITH RECURSIVE $CcCtes,
          |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
          |base AS (
          |  SELECT doc_id, lang, md5(text) AS cmd5,
-         |    least(len($Toks) / 100.0, 1.0) * 0.5 +
-         |    least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5 AS q,
-         |    (CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
-         |          WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
-         |          ELSE 'und' END) = lang AS lang_ok
+         |    $QualitySql AS q,
+         |    ($LangPredSql) = lang AS lang_ok
          |  FROM read_parquet('{SFDIR}/documents.parquet'))
          |SELECT doc_id,
          |  (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS is_exact_canonical,
@@ -571,6 +585,14 @@ object QueriesPipeline {
          |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      s"""SELECT doc_id, source, sample_rank FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h32("concat('sample_', CAST(doc_id AS VARCHAR))")} ASC, doc_id ASC) AS INTEGER) AS sample_rank
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
 
     "source_stats" ->
       s"""WITH tok AS (
@@ -635,7 +657,8 @@ object QueriesPipeline {
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |    list_reduce(
         |      list_prepend(CAST(1 AS BIGINT),
-        |        list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        |        list_transform(range(0, octet_length(encode(text))),
+        |          i -> CAST((CAST(concat('0x', substr(hex(encode(text)), 2 * i + 1, 2)) AS INTEGER) + 128) % 256 - 128 AS BIGINT))),
         |      (acc, b) -> (((31 * acc + b + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648) AS jh
         |  FROM read_parquet('{SFDIR}/documents.parquet'))
         |SELECT doc_id, 'text' AS modality, n_bytes,

@@ -43,6 +43,21 @@ object TimeJoins {
       leftTime: String,
       rightTime: String,
       payload: Seq[String]): DataFrame = {
+    // A TimestampType here would silently cast to epoch SECONDS,
+    // collapsing sub-second order (and letting a later-in-the-second
+    // right row enrich an earlier probe). Demand integral epochs; the
+    // caller picks the unit (cf. Bars.eventTimeMicros).
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"asof time column `$c` must be an integral epoch (got $other); " +
+            "convert timestamps explicitly, e.g. unix_micros(col)")
+      }
+    }
+    requireIntegral(left, leftTime)
+    requireIntegral(right, rightTime)
     val othersL = left.columns.toSeq.filterNot(_ == key)
     // Identical union schema: key, _t, _side, left passthroughs
     // (NULL-typed on right rows), payloads (NULL-typed on left rows).

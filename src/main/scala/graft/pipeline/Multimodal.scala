@@ -71,6 +71,7 @@ object Multimodal {
     * payload length rescales with the pixel-count ratio.
     */
   def resize(d: Decoded, targetW: Int, targetH: Int): Decoded = {
+    if (d.payload.isEmpty) return Decoded(targetW, targetH, d.nFrames, d.payload)
     val srcPixels = math.max(1L, d.width.toLong * d.height)
     val dstLen = math.max(1L,
       d.payload.length.toLong * (targetW.toLong * targetH) / srcPixels).toInt

@@ -85,6 +85,26 @@ object TextOps {
 
   def stopCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops: _*)))
+
+  /** Quality score in [0,1]: length term + English-stopword-density
+    * term. SINGLE source of truth — text_stats and corpus_filter must
+    * agree or the curation decision silently desynchronizes from the
+    * reported score.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("bigint")
+    val stopRatio = stopCount(text, EnStop).cast("double") / nTok
+    least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5
+  }
+
+  /** Stopword-voting language prediction (en/es/und) — shared by
+    * lang_id and corpus_filter.
+    */
+  def langPred(text: Column): Column = {
+    val en = stopCount(text, EnStop).cast("bigint")
+    val es = stopCount(text, EsStop).cast("bigint")
+    when(en > es, "en").when(es > en, "es").otherwise("und")
+  }
 }
 
 object Dedup {
@@ -239,9 +259,13 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist()
+    // sum() over an empty frame is NULL — coalesce so a corpus with no
+    // qualifying edges returns an empty result instead of an NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head.getLong(0)
     var iter = 0
     var converged = false
-    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels, col("dst") === col("doc_id"))
@@ -265,7 +289,7 @@ object Dedup {
       // monotone convergence witness: unchanged sum <=> fixpoint. One
       // cheap aggregate action per round instead of a join-and-count
       // against the previous labels.
-      val sumNow = jumped.agg(sum(col("cluster_id"))).head.getLong(0)
+      val sumNow = labelSum(jumped)
       labels.unpersist()
       labels = jumped
       converged = sumNow == prevSum
@@ -273,6 +297,13 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // Partially-converged labels would silently keep duplicate docs
+    // downstream (several is_canonical=true per true component) — fail
+    // loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds; " +
+          "raise maxIter (components deeper than 2^maxIter are not near-dup-shaped)")
     labels.select(
       col("doc_id"),
       col("cluster_id"),

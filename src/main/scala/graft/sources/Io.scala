@@ -26,9 +26,20 @@ object Io {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** `targetFiles` bounds output file count. With `partitionBy`, rows
+    * repartition BY THE PARTITION COLUMNS first, so each task holds few
+    * partition values (one open parquet writer each) — a plain
+    * round-robin repartition would hand every task rows of EVERY value:
+    * numValues x targetFiles files and the classic many-open-writers
+    * OOM. Without partitionBy it is simply the total file count.
+    */
   def writeParquet(df: DataFrame, path: String,
-      partitionBy: Seq[String] = Nil, filesPerPartition: Int = 0): Unit = {
-    val d = if (filesPerPartition > 0) df.repartition(filesPerPartition) else df
+      partitionBy: Seq[String] = Nil, targetFiles: Int = 0): Unit = {
+    val d =
+      if (targetFiles <= 0) df
+      else if (partitionBy.nonEmpty)
+        df.repartition(targetFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(targetFiles)
     val w = d.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }

@@ -20,7 +20,12 @@ import graft.sources.{Bars, Sessions}
 object ScaleSmoke {
 
   private def amplify(events: DataFrame, n: Int): DataFrame = {
-    val maxId = 10000000L
+    // offset derived from the data: a hardcoded stride would silently
+    // collide id spaces on inputs with larger ids, merging unrelated
+    // users/events and corrupting the measurement
+    val maxId = events
+      .agg(greatest(max(col("event_id")), max(col("user_id"))))
+      .head.getLong(0) + 1
     (0 until n).map { i =>
       events.select(
         (col("event_id") + i * maxId).as("event_id"),

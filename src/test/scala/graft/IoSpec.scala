@@ -29,7 +29,7 @@ class IoSpec extends SparkSpec {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"p${i % 4}", i * 1.0)).toDF("id", "part", "v")
     val p = tmp("parq")
-    Io.writeParquet(df, p, partitionBy = Seq("part"), filesPerPartition = 2)
+    Io.writeParquet(df, p, partitionBy = Seq("part"), targetFiles = 2)
     val read = Io.readParquet(spark, p).where(col("part") === "p1")
     assert(read.count() == 25)
     val scan = read.queryExecution.executedPlan.toString

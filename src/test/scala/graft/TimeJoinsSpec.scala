@@ -97,6 +97,22 @@ class TimeJoinsSpec extends SparkSpec {
       (7L, 7L, true), (8L, 7L, false)))
   }
 
+  test("clusters: empty edge list yields empty result (no NPE on null sum)") {
+    val edges = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), edgeSchema)
+    assert(Dedup.clusters(edges).count() == 0)
+  }
+
+  test("asof rejects non-integral time columns instead of silently truncating") {
+    import spark.implicits._
+    val left = Seq(("a", new java.sql.Timestamp(1200L), 1L)).toDF("k", "t", "x")
+    val right = Seq(("a", 1000L, 1.0)).toDF("k", "rt", "p")
+    val e = intercept[IllegalArgumentException] {
+      TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"))
+    }
+    assert(e.getMessage.contains("integral epoch"))
+  }
+
   test("clusters: long path converges (pointer jumping)") {
     // a 12-node path: diameter 11, must converge well within maxIter
     val edges = df(edgeSchema, (0L until 11L).map(i => Row(i + 1, i + 2)): _*)
