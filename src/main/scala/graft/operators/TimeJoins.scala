@@ -36,13 +36,25 @@ object TimeJoins {
     * latest in the union order wins — give the right side a unique
     * (key, time) or pre-aggregate to make that deterministic.
     */
+  /** `direction`: "backward" (default) matches the most recent right
+    * row with rightTime &lt;= leftTime; "forward" matches the earliest
+    * right row with rightTime &gt;= leftTime (both inclusive).
+    * `tolerance`: maximum |leftTime − rightTime| in the times' own
+    * unit; matches farther away yield NULL payloads. Same single
+    * shuffle + linear window either way — forward is just the
+    * descending-time ordering of the same union-merge plan.
+    */
   def asof(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     // A TimestampType here would silently cast to epoch SECONDS,
     // collapsing sub-second order (and letting a later-in-the-second
     // right row enrich an earlier probe). Demand integral epochs; the
@@ -69,13 +81,20 @@ object TimeJoins {
       col(key) +: right.col(rightTime).cast("long").as("_t") +: lit(0).as("_side") +:
         (othersL.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(col)): _*)
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+    // Backward scans time ascending (last right seen = latest <= t);
+    // forward scans descending (last right seen = earliest >= t). In
+    // both, right (_side 0) sorts before left on ties => inclusive.
+    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
+    val w = Window.partitionBy(key).orderBy(tOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRt = last(when(col("_side") === 0, col("_t")), ignoreNulls = true).over(w)
+    val inTol = tolerance.fold(lit(true))(tol => abs(col("_t") - matchedRt) <= tol)
     l.unionByName(r)
       .select(
         col(key) +: col("_side") +:
           (othersL.map(col) ++
-            payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+            payload.map(p =>
+              when(inTol, last(col(p), ignoreNulls = true).over(w)).as(p))): _*)
       .where(col("_side") === 1)
       .drop("_side")
   }

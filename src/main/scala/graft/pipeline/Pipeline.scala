@@ -214,6 +214,14 @@ object Dedup {
     * fraction of the comparisons (the band join explodes only within
     * 256-value byte buckets). Same scale shape as [[lshCandidatePairs]].
     *
+    * Scale honesty: 256-value bands are selective to ~1e5-1e6 docs; a
+    * 32-bit fingerprint itself saturates (random collisions) well
+    * before web scale. At 1e9+ documents the production shape is a
+    * 64-bit simhash with wider bands or Manku-style permuted sorted
+    * tables; in this engine the primary web-scale near-dup path is the
+    * MinHash-LSH chain ([[lshCandidatePairs]]), whose band-value space
+    * (minhash pairs mod 1e9+7) grows with the corpus.
+    *
     * The simhash frame is persisted across the self-join sides; cache
     * lifecycle is caller-owned as in [[lshCandidatePairs]].
     */

@@ -121,6 +121,48 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("asof forward direction and tolerance") {
+    val left = df(leftSchema,
+      Row("a", 5L, 1L), Row("a", 10L, 2L), Row("a", 25L, 3L))
+    val right = df(rightSchema,
+      Row("a", 10L, 1.0), Row("a", 20L, 2.0))
+    def payloads(out: Array[org.apache.spark.sql.Row]) =
+      out.sortBy(_.getLong(out.head.fieldIndex("x")))
+        .map(r => if (r.isNullAt(r.fieldIndex("p"))) None
+          else Some(r.getDouble(r.fieldIndex("p")))).toSeq
+    // forward: first right at-or-after t
+    val fwd = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"), direction = "forward")
+    assert(payloads(fwd.collect()) == Seq(Some(1.0), Some(1.0), None))
+    // backward with tolerance 3: t=5 no match; t=10 exact; t=25 has rt=20 at distance 5 > 3 -> null
+    val tol = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"), tolerance = Some(3L))
+    assert(payloads(tol.collect()) == Seq(None, Some(1.0), None))
+    // forward with tolerance 5: t=5 -> rt=10 at distance 5 (inclusive); t=25 -> none
+    val ft = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"),
+      direction = "forward", tolerance = Some(5L))
+    assert(payloads(ft.collect()) == Seq(Some(1.0), Some(1.0), None))
+  }
+
+  test("asof forward matches brute-force semantics on randomized data") {
+    val rnd = new scala.util.Random(99)
+    val keys = Seq("a", "b")
+    val lrows = (1 to 150).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(50).toLong, i.toLong))
+    val rrows = (1 to 40).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(50).toLong, i * 1.0))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    import spark.implicits._
+    val got = TimeJoins.asof(
+      lrows.toDF("k", "t", "x"), rrows.toDF("k", "rt", "p"), "k", "t", "rt", Seq("p"),
+      direction = "forward", tolerance = Some(7L))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("x")),
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p")))))
+      .toMap
+    val expected = lrows.map { case (k, t, x) =>
+      val cand = rrows.filter(r => r._1 == k && r._2 >= t)
+      x -> cand.sortBy(_._2).headOption.collect { case (_, rt, p) if rt - t <= 7 => p }
+    }.toMap
+    assert(got == expected)
+  }
+
   test("asof matches brute-force semantics on randomized data") {
     val rnd = new scala.util.Random(42)
     val keys = Seq("a", "b", "c")
