@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,11 +38,14 @@ object TimeJoins {
     */
   /** `direction`: "backward" (default) matches the most recent right
     * row with rightTime &lt;= leftTime; "forward" matches the earliest
-    * right row with rightTime &gt;= leftTime (both inclusive).
+    * right row with rightTime &gt;= leftTime (both inclusive);
+    * "nearest" picks whichever of the two is closer in time (exact tie
+    * -&gt; the backward match, like pandas merge_asof).
     * `tolerance`: maximum |leftTime − rightTime| in the times' own
     * unit; matches farther away yield NULL payloads. Same single
-    * shuffle + linear window either way — forward is just the
-    * descending-time ordering of the same union-merge plan.
+    * shuffle either way — forward is the descending-time ordering of
+    * the same union-merge plan, nearest evaluates both orderings as
+    * two Window passes over the one exchange.
     */
   def asof(
       left: DataFrame,
@@ -53,8 +56,8 @@ object TimeJoins {
       payload: Seq[String],
       direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     // A TimestampType here would silently cast to epoch SECONDS,
     // collapsing sub-second order (and letting a later-in-the-second
     // right row enrich an earlier probe). Demand integral epochs; the
@@ -84,19 +87,42 @@ object TimeJoins {
     // Backward scans time ascending (last right seen = latest <= t);
     // forward scans descending (last right seen = earliest >= t). In
     // both, right (_side 0) sorts before left on ties => inclusive.
-    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
-    val w = Window.partitionBy(key).orderBy(tOrd, col("_side").asc)
+    def spec(asc: Boolean) = Window.partitionBy(key)
+      .orderBy(if (asc) col("_t").asc else col("_t").desc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedRt = last(when(col("_side") === 0, col("_t")), ignoreNulls = true).over(w)
-    val inTol = tolerance.fold(lit(true))(tol => abs(col("_t") - matchedRt) <= tol)
-    l.unionByName(r)
-      .select(
-        col(key) +: col("_side") +:
-          (othersL.map(col) ++
-            payload.map(p =>
-              when(inTol, last(col(p), ignoreNulls = true).over(w)).as(p))): _*)
-      .where(col("_side") === 1)
-      .drop("_side")
+    val wB = spec(asc = true)
+    val wF = spec(asc = false)
+    def rt(w: org.apache.spark.sql.expressions.WindowSpec) =
+      last(when(col("_side") === 0, col("_t")), ignoreNulls = true).over(w)
+    def inTol(matchedRt: Column) =
+      tolerance.fold(lit(true))(tol => abs(col("_t") - matchedRt) <= tol)
+    val unioned = l.unionByName(r)
+    val enriched = direction match {
+      case "backward" | "forward" =>
+        val w = if (direction == "backward") wB else wF
+        val tolOk = inTol(rt(w))
+        unioned.select(
+          col(key) +: col("_side") +:
+            (othersL.map(col) ++
+              payload.map(p =>
+                when(tolOk, last(col(p), ignoreNulls = true).over(w)).as(p))): _*)
+      case "nearest" =>
+        // nearer of the two candidates wins; exact tie -> backward.
+        // Both windows share the key partitioning: one exchange, two
+        // in-partition sort+scan passes.
+        val dB = col("_t") - rt(wB)
+        val dF = rt(wF) - col("_t")
+        val pickB = rt(wF).isNull || (rt(wB).isNotNull && dB <= dF)
+        unioned.select(
+          col(key) +: col("_side") +:
+            (othersL.map(col) ++
+              payload.map { p =>
+                val pb = when(inTol(rt(wB)), last(col(p), ignoreNulls = true).over(wB))
+                val pf = when(inTol(rt(wF)), last(col(p), ignoreNulls = true).over(wF))
+                when(pickB, pb).otherwise(pf).as(p)
+              }): _*)
+    }
+    enriched.where(col("_side") === 1).drop("_side")
   }
 
   /** Interval-containment (range) join WITHOUT an equi-key, made

@@ -142,6 +142,32 @@ class TimeJoinsSpec extends SparkSpec {
     assert(payloads(ft.collect()) == Seq(Some(1.0), Some(1.0), None))
   }
 
+  test("asof nearest matches brute-force semantics on randomized data (tie -> backward)") {
+    val rnd = new scala.util.Random(123)
+    val keys = Seq("a", "b")
+    val lrows = (1 to 150).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(50).toLong, i.toLong))
+    val rrows = (1 to 40).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(50).toLong, i * 1.0))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    import spark.implicits._
+    val got = TimeJoins.asof(
+      lrows.toDF("k", "t", "x"), rrows.toDF("k", "rt", "p"), "k", "t", "rt", Seq("p"),
+      direction = "nearest", tolerance = Some(6L))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("x")),
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p")))))
+      .toMap
+    val expected = lrows.map { case (k, t, x) =>
+      val back = rrows.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      val fwd = rrows.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      x -> pick.collect { case (_, rt, p) if math.abs(t - rt) <= 6 => p }
+    }.toMap
+    assert(got == expected)
+  }
+
   test("asof forward matches brute-force semantics on randomized data") {
     val rnd = new scala.util.Random(99)
     val keys = Seq("a", "b")
