@@ -64,6 +64,30 @@ object QueriesJoins {
         .orderBy("event_id")
     }),
 
+    // The nearest direction (closer of the two candidates, exact tie ->
+    // backward) with the same one-hour tolerance — pins down the
+    // pick-then-tolerance order: the nearer bar is chosen first, and
+    // only then nulled if it is out of tolerance.
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = Bars.readEvents(s, dir)
+      val left = ev.select(
+        col("event_id"),
+        col("event_type").as("symbol"),
+        Bars.eventTimeMicros(ev).as("ts_us"),
+        col("value"))
+      val barCloses = Bars.fromEvents(s, dir).select(
+        col("symbol"),
+        unix_micros(col("timestamp")).as("bar_us"),
+        col("close").as("bar_close"))
+      TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us", Seq("bar_close"),
+        direction = "nearest", tolerance = Some(HourUs))
+        .select(
+          col("event_id"), col("symbol"), col("ts_us"),
+          round(col("value"), 6).as("value"),
+          round(col("bar_close"), 6).as("bar_close"))
+        .orderBy("event_id")
+    }),
+
     // Events of ANY type landing inside the 20 busiest 'click' hours —
     // an interval join with no equi-key (the interval set comes from
     // one symbol, the probe side spans all of them). The top-k interval
@@ -126,6 +150,31 @@ object QueriesJoins {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT event_id, symbol, t AS ts_us, round(value, 6) AS value,
          |  round(CASE WHEN abs(t - rt) <= ${3600000000L} THEN bar_close END, 6) AS bar_close
+         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "asof_join_nearest" ->
+      s"""${Queries.BarsCte},
+         |l AS (SELECT event_id, event_type AS symbol, epoch_us(ts) AS ts_us, value FROM events),
+         |r AS (SELECT symbol, epoch_us("timestamp") AS t, close AS bar_close FROM bars),
+         |u AS (
+         |  SELECT symbol, ts_us AS t, 1 AS side, event_id, value, CAST(NULL AS DOUBLE) AS bar_close FROM l
+         |  UNION ALL
+         |  SELECT symbol, t, 0, NULL, NULL, bar_close FROM r),
+         |f AS (
+         |  SELECT symbol, t, side, event_id, value,
+         |    last_value(bar_close IGNORE NULLS) OVER wb AS pb,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wb AS rtb,
+         |    last_value(bar_close IGNORE NULLS) OVER wf AS pf,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wf AS rtf
+         |  FROM u
+         |  WINDOW wb AS (PARTITION BY symbol ORDER BY t ASC, side ASC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY symbol ORDER BY t DESC, side ASC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, symbol, t AS ts_us, round(value, 6) AS value,
+         |  round(CASE WHEN rtf IS NULL OR (rtb IS NOT NULL AND t - rtb <= rtf - t)
+         |             THEN CASE WHEN abs(t - rtb) <= $HourUs THEN pb END
+         |             ELSE CASE WHEN abs(t - rtf) <= $HourUs THEN pf END END, 6) AS bar_close
          |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "range_join" ->
