@@ -57,6 +57,26 @@ object QueriesPipeline {
         TextOps.hash32(substring(col("text"), 1, 64)).as("prefix_hash32"))
         .orderBy("doc_id")),
 
+    "repetition_stats" -> ((s, dir) =>
+      Corpus.repetitionStats(docs(s, dir))
+        .select(
+          col("doc_id"),
+          round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"),
+          round(col("top_token_frac"), 6).as("top_token_frac"))
+        .orderBy("doc_id")),
+
+    "ngram_counts" -> ((s, dir) =>
+      Corpus.ngramCounts(docs(s, dir)).orderBy(col("cnt").desc, col("ngram").asc)),
+
+    // Benchmark set = every 50th document (stands in for an eval
+    // suite); 4-gram overlap so incidental collisions are possible but
+    // rare — the result mixes true dups with a few single-gram hits.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.where(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")),
 
@@ -307,9 +327,12 @@ object QueriesPipeline {
 
   private val Toks = "string_split(text, ' ')"
 
+  /** DuckDB word n-gram shingles of a text column. */
+  private def shinglesSql(n: Int): String =
+    s"list_transform(range(1, len($Toks) - ${n - 2}), i -> array_to_string(list_slice($Toks, i, i + ${n - 1}), ' '))"
+
   /** DuckDB 3-gram shingles of a text column. */
-  private val Shingles =
-    s"list_transform(range(1, len($Toks) - 1), i -> array_to_string(list_slice($Toks, i, i + 2), ' '))"
+  private val Shingles = shinglesSql(3)
 
   private def minhashSql(i: Int): String = {
     val (a, b) = TextOps.MinhashParams(i)
@@ -400,6 +423,34 @@ object QueriesPipeline {
          |  ${h32("text")} AS content_hash32,
          |  ${h32("substr(text, 1, 64)")} AS prefix_hash32
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "repetition_stats" ->
+      s"""SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles), 6) AS dup_trigram_frac,
+         |  round(CAST(list_max(list_transform(list_distinct($Toks), w -> len(list_filter($Toks, x -> x = w)))) AS DOUBLE) / len($Toks), 6) AS top_token_frac
+         |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "ngram_counts" ->
+      s"""WITH g AS (
+         |  SELECT unnest(${shinglesSql(2)}) AS ngram
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+         |FROM g GROUP BY ngram
+         |ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+         |  FROM g WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM read_parquet('{SFDIR}/documents.parquet') d
+         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5,

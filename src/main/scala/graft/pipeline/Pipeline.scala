@@ -246,6 +246,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: flag every document sharing at least
+    * one word-n-gram with a benchmark/eval set — the standard
+    * train-set hygiene pass before pretraining. `n_hits` counts the
+    * DISTINCT contaminated n-grams per document (hashed; [[TextOps.hash32]]
+    * keeps both engines bit-identical).
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to the
+    * corpus (eval suites are MBs, corpora are TBs), so it broadcasts;
+    * the corpus side is a map-only explode into a broadcast LEFT SEMI
+    * join — no shuffle of corpus data at all, the same plan a
+    * Bloom-filter pre-pass would approximate (here the exact set fits
+    * comfortably in memory: ~50 n-grams per benchmark doc).
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(transform(shingles(col("text"), n), g => hash32(g))).as("g"): _*)
+    val benchGrams = broadcast(grams(benchmark).select("g").distinct())
+    val hits = grams(docs, col("doc_id"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected near-dup edge list —
     * the step that turns pairwise LSH matches into dedup clusters
     * (cluster id = min doc id in the component; `is_canonical` marks
@@ -321,6 +350,39 @@ object Dedup {
 
 object Corpus {
   import TextOps._
+
+  /** Per-document repetition signals (the Gopher/FineWeb-style quality
+    * heuristics): `dup_trigram_frac` = fraction of word-3-gram
+    * occurrences that are repeats of an earlier occurrence;
+    * `top_token_frac` = share of the single most frequent token.
+    * Both are pure array expressions over the tokenized doc — a
+    * map-only projection, no shuffle at any scale. The per-token count
+    * scan is O(distinct·n) per document, which is the right trade
+    * below ~1e4 tokens/doc (no per-doc explode+groupBy shuffle).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = shingles(col("text"))
+    docs.select(
+      col("doc_id"),
+      (lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .as("dup_trigram_frac"),
+      (array_max(transform(array_distinct(t), w => size(filter(t, x => x === w))))
+        .cast("double") / size(t)).as("top_token_frac"))
+  }
+
+  /** Corpus-wide top-k word n-grams — the frequency table a BPE/LM
+    * vocabulary build starts from. Explode -> hash-aggregate with
+    * map-side combine (one shuffle of (ngram, partial count), not of
+    * text) -> TakeOrderedAndProject: per-partition top-k, merged at
+    * the driver. Ties broken lexicographically for determinism.
+    */
+  def ngramCounts(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame =
+    docs.select(explode(shingles(col("text"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
 
   /** Per-document top token by TF-IDF (ties broken lexicographically).
     * tf = in-doc count / doc tokens; idf = ln(N / df). The classic

@@ -109,6 +109,44 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == pairs(Similarity.nearDupPairsLsh(e, 0.4)))
   }
 
+  test("repetition stats: dup trigram fraction and top token fraction") {
+    // "a b a b a b": trigrams = [aba, bab, aba, bab] -> 2 distinct of 4
+    // -> dup frac 0.5; 'a' appears 3 of 6 tokens -> top frac 0.5.
+    val out = graft.pipeline.Corpus.repetitionStats(docs((1L, "a b a b a b")))
+      .collect().head
+    assert(out.getAs[Double]("dup_trigram_frac") == 0.5)
+    assert(out.getAs[Double]("top_token_frac") == 0.5)
+    // All-distinct text: no repeated trigrams, every token unique.
+    val uniq = graft.pipeline.Corpus.repetitionStats(docs((2L, "p q r s t")))
+      .collect().head
+    assert(uniq.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(uniq.getAs[Double]("top_token_frac") == 0.2)
+  }
+
+  test("ngram counts rank bigrams by frequency with lexicographic ties") {
+    val out = graft.pipeline.Corpus.ngramCounts(
+      docs((1L, "x y x y z"), (2L, "x y q")), n = 2, k = 3).collect()
+    // bigrams: doc1 = [x y, y x, x y, y z], doc2 = [x y, y q]
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x y", 3L), ("y q", 1L), ("y x", 1L)))
+  }
+
+  test("decontaminate flags docs sharing a 4-gram with the benchmark, broadcast semi-join") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta rest of text"), // shares "alpha beta gamma delta"
+      (2L, "totally unrelated words in this doc"),
+      (3L, "alpha beta gamma delta rest of text")) // exact dup of 1
+    val bench = docs((100L, "prefix alpha beta gamma delta suffix"))
+    val out = Dedup.decontaminate(corpus, bench)
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+    // The benchmark gram set must broadcast — no shuffle of corpus text.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join, got:\n$plan")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
