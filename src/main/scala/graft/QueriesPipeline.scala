@@ -54,7 +54,8 @@ object QueriesPipeline {
         col("doc_id"),
         md5(col("text")).as("content_md5"),
         TextOps.hash32(col("text")).as("content_hash32"),
-        TextOps.hash32(substring(col("text"), 1, 64)).as("prefix_hash32"))
+        TextOps.hash32(substring(col("text"), 1, 64)).as("prefix_hash32"),
+        TextOps.polyHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
 
     "repetition_stats" -> ((s, dir) =>
@@ -421,7 +422,10 @@ object QueriesPipeline {
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,
          |  ${h32("text")} AS content_hash32,
-         |  ${h32("substr(text, 1, 64)")} AS prefix_hash32
+         |  ${h32("substr(text, 1, 64)")} AS prefix_hash32,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list_transform($Toks, t -> ${h32("t")})),
+         |    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rolling_hash
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "repetition_stats" ->

@@ -80,6 +80,19 @@ object TextOps {
     bits.reduce(_ + _)
   }
 
+  /** Order-sensitive polynomial (Rabin-style rolling) hash of the
+    * token stream: fold of `acc*B + hash32(token) (mod M)`. Unlike the
+    * order-insensitive MinHash/SimHash signatures, two docs with the
+    * same tokens in different order fingerprint differently. B and the
+    * 32-bit token hashes keep `acc*B + h` under 2^62, so the DuckDB
+    * mirror (BIGINT, errors on overflow) folds identically.
+    */
+  def polyHash(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => hash32(t)),
+      lit(0L),
+      (acc, h) => (acc * 1000003L + h) % M)
+
   val EnStop: Seq[String] = Seq("the", "a", "of", "to", "and")
   val EsStop: Seq[String] = Seq("el", "la", "de", "y", "que")
 
@@ -274,6 +287,21 @@ object Dedup {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** The benchmark's distinct hashed n-gram set, collected to the
+    * driver. Deliberately a driver-side collect: eval suites are MBs
+    * against TB corpora, so the set is broadcast-sized by construction
+    * — this is the same object [[decontaminate]] broadcasts, exposed
+    * for the streaming twin where a literal array makes the check a
+    * stateless map (see graft.streaming.Streaming.decontaminateStream).
+    */
+  def benchmarkGrams(benchmark: DataFrame, n: Int = 4): Seq[Long] =
+    benchmark
+      .select(explode(transform(shingles(col("text"), n), g => hash32(g))).as("g"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
 
   /** Connected components over an undirected near-dup edge list —
     * the step that turns pairwise LSH matches into dedup clusters

@@ -171,6 +171,24 @@ object Streaming {
         })
   }
 
+  /** Streaming decontamination — the stream twin of
+    * [[graft.pipeline.Dedup.decontaminate]]. The benchmark gram set is
+    * tiny and static (collect it once with
+    * [[graft.pipeline.Dedup.benchmarkGrams]]), so it ships as a
+    * literal array and the check is a stateless map-only
+    * `array_intersect` per micro-batch — no state store, no watermark,
+    * append mode. Same n_hits semantics as the batch operator
+    * (distinct shared grams; array_intersect deduplicates).
+    */
+  def decontaminateStream(docs: DataFrame, benchGrams: Seq[Long], n: Int = 4): DataFrame = {
+    import graft.pipeline.TextOps
+    val grams = transform(TextOps.shingles(col("text"), n), g => TextOps.hash32(g))
+    docs.select(
+      col("doc_id"),
+      size(array_intersect(grams, typedlit(benchGrams))).cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

@@ -109,6 +109,21 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == pairs(Similarity.nearDupPairsLsh(e, 0.4)))
   }
 
+  test("polyHash is an order-sensitive fold matching the formula") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = Seq("a", "b", "c")
+      .foldLeft(0L)((acc, t) => (acc * 1000003L + h32(t)) % 1000000007L)
+    val out = docs((1L, "a b c"), (2L, "c b a"))
+      .select(col("doc_id"), TextOps.polyHash(col("text")).as("h"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == expected)
+    // Same bag of tokens, different order -> different fingerprint.
+    assert(out(0).getLong(1) != out(1).getLong(1))
+  }
+
   test("repetition stats: dup trigram fraction and top token fraction") {
     // "a b a b a b": trigrams = [aba, bab, aba, bab] -> 2 distinct of 4
     // -> dup frac 0.5; 'a' appears 3 of 6 tokens -> top frac 0.5.

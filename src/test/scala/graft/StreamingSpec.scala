@@ -58,6 +58,7 @@ class StreamingSpec extends SparkSpec {
     got.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12) }
   }
 
+  case class Doc(doc_id: Long, text: String)
   case class EvNanos(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
 
@@ -100,6 +101,28 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("ssma").orderBy("timestamp").collect()
       .map(r => if (r.isNullAt(r.fieldIndex("sma"))) None else Some(r.getAs[Double]("sma")))
     assert(got.toSeq == Seq(None, None, Some(2.0), Some(3.0), Some(4.0)))
+  }
+
+  test("streaming decontamination matches the batch operator per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val bench = spark.createDataFrame(
+      java.util.Arrays.asList(R(100L, "prefix alpha beta gamma delta suffix")), docSchema)
+    val grams = graft.pipeline.Dedup.benchmarkGrams(bench)
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(1, "alpha beta gamma delta rest of text"),
+      Doc(2, "totally unrelated words in this doc"))
+    val q = Streaming.decontaminateStream(input.toDF(), grams).writeStream
+      .format("memory").queryName("sdecon").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdecon").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false)))
   }
 
   test("streaming sessions split on the gap like the batch sessionizer") {
