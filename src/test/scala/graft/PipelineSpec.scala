@@ -162,6 +162,44 @@ class PipelineSpec extends SparkSpec {
       s"expected broadcast left-semi join, got:\n$plan")
   }
 
+  test("repetition stats invariants on randomized docs; degenerate all-same doc") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("u", "v", "w", "x", "y")
+    val rows = (1L to 20L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val out = graft.pipeline.Corpus.repetitionStats(docs(rows: _*)).collect()
+    out.foreach { r =>
+      val (d, t) = (r.getAs[Double]("dup_trigram_frac"), r.getAs[Double]("top_token_frac"))
+      assert(d >= 0.0 && d < 1.0)
+      assert(t > 0.0 && t <= 1.0)
+    }
+    // "z z ... z" (10 tokens): one distinct trigram of 8 -> 7/8; top frac 1.
+    val deg = graft.pipeline.Corpus.repetitionStats(
+      docs((99L, Seq.fill(10)("z").mkString(" ")))).collect().head
+    assert(math.abs(deg.getAs[Double]("dup_trigram_frac") - 7.0 / 8) < 1e-15)
+    assert(deg.getAs[Double]("top_token_frac") == 1.0)
+  }
+
+  test("decontaminate flags every benchmark member when the benchmark is a subset") {
+    val rows = (1L to 12L).map(i => (i, s"doc $i word alpha beta gamma delta tail $i"))
+    val corpus = docs(rows: _*)
+    val bench = corpus.where(col("doc_id") % 4 === 0)
+    val out = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (1L to 12L).foreach { i =>
+      if (i % 4 == 0) assert(out(i), s"benchmark doc $i must be contaminated")
+    }
+  }
+
+  test("ngram counts plan: partial aggregation + top-k, no global sort") {
+    val out = graft.pipeline.Corpus.ngramCounts(
+      docs((1L, "x y x y z"), (2L, "x y q")), n = 2, k = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator, got:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "expected partial+final aggregate")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
