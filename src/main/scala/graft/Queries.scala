@@ -323,6 +323,22 @@ object Queries {
         Indicators(bars(s, dir)).ema(Seq("close"), 9).dataframe,
         "close_ema_9" -> "close_ema_9")),
 
+    // The registered-SQL surface of the custom EWM window function:
+    // the same adjust=false recursion driven entirely through
+    // spark.sql over a temp view, proving the GraftExtensions
+    // function-registration path end-to-end (not just the fluent
+    // Column API the other queries use). alpha 0.2 == span 9.
+    "sql_ewma" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      bars(s, dir).createOrReplaceTempView("bars_sql")
+      s.sql(
+        """SELECT symbol, timestamp,
+          |  round(ewma(close, CAST(0.2 AS DOUBLE), false) OVER (
+          |    PARTITION BY symbol ORDER BY timestamp
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema_sql
+          |FROM bars_sql ORDER BY symbol, timestamp""".stripMargin)
+    }),
+
     "macd" -> ((s, dir) =>
       shape(
         Indicators(bars(s, dir)).macd(Seq("close")).dataframe,
@@ -778,6 +794,20 @@ object Queries {
 
     "ema" -> q(
       s"""SELECT symbol, "timestamp", round(y, 6) AS close_ema_9 FROM r $Tail""",
+      BarsCteRec + s""",
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
+        |        row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn FROM bars),
+        |r AS (
+        |  SELECT symbol, rn, "timestamp", close AS y FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b."timestamp", ${ef(9, "r.y", "b.close")}
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)""".stripMargin),
+
+    // Same recursion as `ema` (alpha 0.2 == span 9); only the alias
+    // differs — the Spark side goes through the registered SQL
+    // function instead of the fluent API.
+    "sql_ewma" -> q(
+      s"""SELECT symbol, "timestamp", round(y, 6) AS ema_sql FROM r $Tail""",
       BarsCteRec + s""",
         |b AS MATERIALIZED (SELECT symbol, "timestamp", close,
         |        row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn FROM bars),

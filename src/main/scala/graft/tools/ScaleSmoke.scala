@@ -36,6 +36,18 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  private def amplifyDocs(docs: DataFrame, n: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until n).map { i =>
+      docs.select(
+        (col("doc_id") + i * maxId).as("doc_id"),
+        // suffix token varies the tail grams per copy; fine here because
+        // the decontamination path has no pairwise (copy-vs-copy) work
+        concat(col("text"), lit(s" copy$i")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+  }
+
   private def time(what: String, f: => Long): Double = {
     val t0 = System.nanoTime()
     val rows = f
@@ -74,12 +86,23 @@ object ScaleSmoke {
     def sess(ev: DataFrame): Long =
       graft.pipeline.Sessionize.sessions(ev).count()
 
+    // Fixed 1x benchmark against the amplified corpus — the production
+    // shape (eval suites don't grow with the corpus); measures the
+    // map+broadcast-semi corpus side alone.
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench1 = docs1.where(col("doc_id") % 50 === 0)
+    def decon(d: DataFrame): Long =
+      graft.pipeline.Dedup.decontaminate(d, bench1)
+        .where(col("contaminated")).count()
+
     val evN = amplify(ev1, n)
+    val docsN = amplifyDocs(docs1, n)
     println(s"== 1x (${ev1.count()} events) vs ${n}x ==")
     val results = Seq(
       "indicator chain" -> (time("chain 1x", chain(ev1)), time(s"chain ${n}x", chain(evN))),
       "asof join" -> (time("asof 1x", asof(ev1)), time(s"asof ${n}x", asof(evN))),
-      "sessionize" -> (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN))))
+      "sessionize" -> (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN))),
+      "decontaminate" -> (time("decontaminate 1x", decon(docs1)), time(s"decontaminate ${n}x", decon(docsN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
