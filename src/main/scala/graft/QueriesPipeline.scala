@@ -430,7 +430,8 @@ object QueriesPipeline {
 
     "repetition_stats" ->
       s"""SELECT doc_id,
-         |  round(1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles), 6) AS dup_trigram_frac,
+         |  round(CASE WHEN len($Shingles) = 0 THEN 0.0
+         |             ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END, 6) AS dup_trigram_frac,
          |  round(CAST(list_max(list_transform(list_distinct($Toks), w -> len(list_filter($Toks, x -> x = w)))) AS DOUBLE) / len($Toks), 6) AS top_token_frac
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 

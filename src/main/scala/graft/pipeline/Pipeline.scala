@@ -393,7 +393,9 @@ object Corpus {
     val sh = shingles(col("text"))
     docs.select(
       col("doc_id"),
-      (lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      // a doc shorter than 3 tokens has no trigrams: 0 repeats, not 0/0
+      when(size(sh) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
         .as("dup_trigram_frac"),
       (array_max(transform(array_distinct(t), w => size(filter(t, x => x === w))))
         .cast("double") / size(t)).as("top_token_frac"))

@@ -178,6 +178,10 @@ class PipelineSpec extends SparkSpec {
       docs((99L, Seq.fill(10)("z").mkString(" ")))).collect().head
     assert(math.abs(deg.getAs[Double]("dup_trigram_frac") - 7.0 / 8) < 1e-15)
     assert(deg.getAs[Double]("top_token_frac") == 1.0)
+    // shorter than a trigram: no repeats (0.0), not NaN from 0/0
+    val tiny = graft.pipeline.Corpus.repetitionStats(docs((100L, "a b"))).collect().head
+    assert(tiny.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(tiny.getAs[Double]("top_token_frac") == 0.5)
   }
 
   test("decontaminate flags every benchmark member when the benchmark is a subset") {
