@@ -17,76 +17,52 @@ object QueriesJoins {
 
   private val HourUs = 3600000000L
 
+  /** Shared probe shape for the three asof_join_* queries: every raw
+    * event against its own symbol's hourly bar closes. One definition
+    * so the three oracle-gated directions can never diverge on the
+    * probe side.
+    */
+  private def asofQuery(
+      s: SparkSession,
+      dir: String,
+      direction: String,
+      tolerance: Option[Long]): DataFrame = {
+    val ev = Bars.readEvents(s, dir)
+    val left = ev.select(
+      col("event_id"),
+      col("event_type").as("symbol"),
+      Bars.eventTimeMicros(ev).as("ts_us"),
+      col("value"))
+    val barCloses = Bars.fromEvents(s, dir).select(
+      col("symbol"),
+      unix_micros(col("timestamp")).as("bar_us"),
+      col("close").as("bar_close"))
+    TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us", Seq("bar_close"),
+      direction = direction, tolerance = tolerance)
+      .select(
+        col("event_id"), col("symbol"), col("ts_us"),
+        round(col("value"), 6).as("value"),
+        round(col("bar_close"), 6).as("bar_close"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Every raw event joined to the most recent hourly bar (bar start
     // <= event time) of ITS OWN symbol — the canonical point-in-time
     // enrichment.
-    "asof_join" -> ((s, dir) => {
-      val ev = Bars.readEvents(s, dir)
-      val left = ev.select(
-        col("event_id"),
-        col("event_type").as("symbol"),
-        Bars.eventTimeMicros(ev).as("ts_us"),
-        col("value"))
-      val barCloses = Bars.fromEvents(s, dir).select(
-        col("symbol"),
-        unix_micros(col("timestamp")).as("bar_us"),
-        col("close").as("bar_close"))
-      TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us", Seq("bar_close"))
-        .select(
-          col("event_id"), col("symbol"), col("ts_us"),
-          round(col("value"), 6).as("value"),
-          round(col("bar_close"), 6).as("bar_close"))
-        .orderBy("event_id")
-    }),
+    "asof_join" -> ((s, dir) => asofQuery(s, dir, "backward", None)),
 
     // The forward direction (earliest bar at-or-after the event) with
     // a one-hour tolerance — the other half of the merge_asof surface,
     // oracle-gated separately because the tie/tolerance rules are the
     // subtle part.
-    "asof_join_forward" -> ((s, dir) => {
-      val ev = Bars.readEvents(s, dir)
-      val left = ev.select(
-        col("event_id"),
-        col("event_type").as("symbol"),
-        Bars.eventTimeMicros(ev).as("ts_us"),
-        col("value"))
-      val barCloses = Bars.fromEvents(s, dir).select(
-        col("symbol"),
-        unix_micros(col("timestamp")).as("bar_us"),
-        col("close").as("bar_close"))
-      TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us", Seq("bar_close"),
-        direction = "forward", tolerance = Some(HourUs))
-        .select(
-          col("event_id"), col("symbol"), col("ts_us"),
-          round(col("value"), 6).as("value"),
-          round(col("bar_close"), 6).as("bar_close"))
-        .orderBy("event_id")
-    }),
+    "asof_join_forward" -> ((s, dir) => asofQuery(s, dir, "forward", Some(HourUs))),
 
     // The nearest direction (closer of the two candidates, exact tie ->
     // backward) with the same one-hour tolerance — pins down the
     // pick-then-tolerance order: the nearer bar is chosen first, and
     // only then nulled if it is out of tolerance.
-    "asof_join_nearest" -> ((s, dir) => {
-      val ev = Bars.readEvents(s, dir)
-      val left = ev.select(
-        col("event_id"),
-        col("event_type").as("symbol"),
-        Bars.eventTimeMicros(ev).as("ts_us"),
-        col("value"))
-      val barCloses = Bars.fromEvents(s, dir).select(
-        col("symbol"),
-        unix_micros(col("timestamp")).as("bar_us"),
-        col("close").as("bar_close"))
-      TimeJoins.asof(left, barCloses, "symbol", "ts_us", "bar_us", Seq("bar_close"),
-        direction = "nearest", tolerance = Some(HourUs))
-        .select(
-          col("event_id"), col("symbol"), col("ts_us"),
-          round(col("value"), 6).as("value"),
-          round(col("bar_close"), 6).as("bar_close"))
-        .orderBy("event_id")
-    }),
+    "asof_join_nearest" -> ((s, dir) => asofQuery(s, dir, "nearest", Some(HourUs))),
 
     // Events of ANY type landing inside the 20 busiest 'click' hours —
     // an interval join with no equi-key (the interval set comes from

@@ -92,33 +92,41 @@ object TimeJoins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wB = spec(asc = true)
     val wF = spec(asc = false)
-    def rt(w: org.apache.spark.sql.expressions.WindowSpec) =
-      last(when(col("_side") === 0, col("_t")), ignoreNulls = true).over(w)
+    // Matched time PER PAYLOAD COLUMN, from right rows where that
+    // payload is non-null — NULL-payload rows are "skipped over"
+    // (Scaladoc), so the tolerance (and the nearest pick) must be
+    // measured against the row the payload actually comes from, not
+    // the latest right row of any kind. With a shared rt, a recent
+    // NULL-payload row would let a stale out-of-tolerance payload
+    // through.
+    def rtP(p: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      last(when(col("_side") === 0 && col(p).isNotNull, col("_t")),
+        ignoreNulls = true).over(w)
     def inTol(matchedRt: Column) =
       tolerance.fold(lit(true))(tol => abs(col("_t") - matchedRt) <= tol)
     val unioned = l.unionByName(r)
     val enriched = direction match {
       case "backward" | "forward" =>
         val w = if (direction == "backward") wB else wF
-        val tolOk = inTol(rt(w))
         unioned.select(
           col(key) +: col("_side") +:
             (othersL.map(col) ++
               payload.map(p =>
-                when(tolOk, last(col(p), ignoreNulls = true).over(w)).as(p))): _*)
+                when(inTol(rtP(p, w)), last(col(p), ignoreNulls = true).over(w)).as(p))): _*)
       case "nearest" =>
         // nearer of the two candidates wins; exact tie -> backward.
         // Both windows share the key partitioning: one exchange, two
-        // in-partition sort+scan passes.
-        val dB = col("_t") - rt(wB)
-        val dF = rt(wF) - col("_t")
-        val pickB = rt(wF).isNull || (rt(wB).isNotNull && dB <= dF)
+        // in-partition sort+scan passes. The pick is per payload
+        // column (each column's candidates are its own non-null rows).
         unioned.select(
           col(key) +: col("_side") +:
             (othersL.map(col) ++
               payload.map { p =>
-                val pb = when(inTol(rt(wB)), last(col(p), ignoreNulls = true).over(wB))
-                val pf = when(inTol(rt(wF)), last(col(p), ignoreNulls = true).over(wF))
+                val rb = rtP(p, wB)
+                val rf = rtP(p, wF)
+                val pickB = rf.isNull || (rb.isNotNull && (col("_t") - rb) <= (rf - col("_t")))
+                val pb = when(inTol(rb), last(col(p), ignoreNulls = true).over(wB))
+                val pf = when(inTol(rf), last(col(p), ignoreNulls = true).over(wF))
                 when(pickB, pb).otherwise(pf).as(p)
               }): _*)
     }

@@ -37,12 +37,21 @@ object TextOps {
     */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
-  /** Word n-gram shingles (documents all have >= n tokens). */
+  /** Word n-gram shingles; empty for docs shorter than n tokens.
+    * The short-doc branch is load-bearing: `sequence(1, size-n+1)`
+    * with size < n counts DOWN (Spark defaults to step -1 when
+    * start > stop), producing index 0 and a slice() runtime error —
+    * and a downstream guard like `when(size(sh) === 0, ...)` cannot
+    * help because its condition already evaluates the throwing
+    * expression. DuckDB's range() returns empty for the same bounds,
+    * so this branch also keeps the engines aligned.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
-    transform(
-      sequence(lit(1), size(t) - (n - 1)),
-      i => concat_ws(" ", slice(t, i, lit(n))))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
   /** One MinHash value: min over shingles of (A*h + B) mod M. */

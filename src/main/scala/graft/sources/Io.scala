@@ -26,20 +26,26 @@ object Io {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** `targetFiles` bounds output file count. With `partitionBy`, rows
-    * repartition BY THE PARTITION COLUMNS first, so each task holds few
-    * partition values (one open parquet writer each) — a plain
-    * round-robin repartition would hand every task rows of EVERY value:
-    * numValues x targetFiles files and the classic many-open-writers
-    * OOM. Without partitionBy it is simply the total file count.
+  /** `targetFiles` bounds output file count — total without
+    * `partitionBy`, PER PARTITION VALUE with it. The partitioned path
+    * repartitions on (partition columns, salt): the partition columns
+    * keep each task to few values (one open parquet writer each — a
+    * plain round-robin repartition hands every task rows of EVERY
+    * value: numValues x tasks files and the many-open-writers OOM),
+    * and the salt spreads one value over up to `targetFiles` tasks —
+    * without it each value collapses into a single task and a hot
+    * value is written as one giant file, the exact skew case the bound
+    * exists for.
     */
   def writeParquet(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil, targetFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val d =
       if (targetFiles <= 0) df
-      else if (partitionBy.nonEmpty)
-        df.repartition(targetFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      else df.repartition(targetFiles)
+      else if (partitionBy.nonEmpty) {
+        val salt = pmod(hash(df.columns.map(col): _*), lit(targetFiles))
+        df.repartition(partitionBy.map(col) :+ salt: _*)
+      } else df.repartition(targetFiles)
     val w = d.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }

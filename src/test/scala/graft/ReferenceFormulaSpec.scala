@@ -262,4 +262,79 @@ class ReferenceFormulaSpec extends SparkSpec {
     val out = Indicators(frame).psar().toDF
     check("psar", expected, out)
   }
+
+  test("trix matches the triple-EMA pct-change loop (no x100 quirk)") {
+    // indicators.py:855-875: three chained ema(span) cascades
+    // (adjust=False), then pct_change(1) — NOT scaled by 100.
+    val e3 = emaRef(emaRef(emaRef(closes, 15), 15), 15)
+    val expected = None +: e3.indices.tail.map(i => Some(e3(i) / e3(i - 1) - 1))
+    val out = Indicators(frame).trix().toDF
+    check("trix_15", expected, out)
+  }
+
+  test("mass index matches the adjust=true double-EWM ratio-sum loop") {
+    // indicators.py:877-898: ewm_mean(span=9) with polars' DEFAULT
+    // adjust=True on high-low, ewm of that, ratio, rolling_sum(26).
+    val e1 = ewmAdjRef(H.zip(L).map { case (h, l) => h - l }, 9)
+    val e2 = ewmAdjRef(e1, 9)
+    val ratio = e1.zip(e2).map { case (a, b) => a / b }
+    val expected = ratio.indices.map { i =>
+      if (i + 1 < 26) None else Some(ratio.slice(i - 25, i + 1).sum)
+    }
+    val out = Indicators(frame).mass_index().toDF
+    check("mass_index_9_26", expected, out)
+  }
+
+  test("adx matches the loop (high-close TR quirk, SMA smoothing, Kleene head)") {
+    // indicators.py:602-663: TR first term is high - close (same row,
+    // not high - low); +/-DM gate a NULL first diff (Kleene -> null);
+    // ALL smoothing is rolling_mean(14), not Wilder's EWM.
+    val C = closes
+    val tr = C.indices.map { i =>
+      if (i == 0) H(0) - C(0) // max_horizontal skips the null shift terms
+      else Seq(H(i) - C(i), math.abs(H(i) - C(i - 1)), math.abs(L(i) - C(i - 1))).max
+    }
+    val dmP = C.indices.map { i =>
+      if (i == 0) None else Some(if (H(i) - H(i - 1) > 0) H(i) - H(i - 1) else 0.0)
+    }
+    val dmM = C.indices.map { i =>
+      if (i == 0) None else Some(if (L(i - 1) - L(i) > 0) L(i - 1) - L(i) else 0.0)
+    }
+    val sTr = rollMeanRef(tr.map(Some(_)), 14)
+    val sP = rollMeanRef(dmP, 14)
+    val sM = rollMeanRef(dmM, 14)
+    val diP = sP.zip(sTr).map { case (p, t) => for { a <- p; b <- t } yield a / b * 100 }
+    val diM = sM.zip(sTr).map { case (p, t) => for { a <- p; b <- t } yield a / b * 100 }
+    val dx = diP.zip(diM).map {
+      case (Some(p), Some(m)) => Some(math.abs(p - m) / (p + m) * 100)
+      case _ => None
+    }
+    val expected = rollMeanRef(dx, 14)
+    val out = Indicators(frame).adx().toDF
+    check("adx", expected, out)
+  }
+
+  test("nvi matches the gated-global-cumsum loop (Kleene head)") {
+    // indicators.py:943-956: cum_sum of pct-change computed over the
+    // WHOLE column, then gated per row by volume < prev volume (the
+    // reference quirk — not the standard recursive NVI); head row's
+    // null comparison stays null.
+    val vols = Vector.tabulate(40)(i => 100.0 * (1 + i % 3)) // decreases at i%3==0
+    val cs = closes.take(40)
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rows = cs.zipWithIndex.map { case (c, i) =>
+      Row("x", new java.sql.Timestamp(i * 3600L * 1000), c, c + 1, c - 1, c, vols(i))
+    }
+    val custom = spark.createDataFrame(rows.asJava, barsSchema)
+    val pct = cs.indices.map(i => if (i == 0) None else Some(cs(i) / cs(i - 1) - 1))
+    val cum = pct.scanLeft(0.0)((acc, p) => acc + p.getOrElse(0.0)).tail
+    val expected = cs.indices.map { i =>
+      if (i == 0) None // volume.shift null -> Kleene null
+      else if (vols(i) < vols(i - 1)) Some(cum(i))
+      else Some(0.0)
+    }
+    val out = Indicators(custom).negative_volume_index().toDF
+    check("nvi", expected, out)
+  }
 }

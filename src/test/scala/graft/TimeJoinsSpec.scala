@@ -142,6 +142,23 @@ class TimeJoinsSpec extends SparkSpec {
     assert(payloads(ft.collect()) == Seq(Some(1.0), Some(1.0), None))
   }
 
+  test("asof tolerance is measured against the skipped-to non-null payload row") {
+    import spark.implicits._
+    // Latest right row (t=95) has a NULL payload and is skipped; the
+    // payload would come from t=10, which is OUTSIDE tolerance 20 even
+    // though t=95 is inside — the match must be NULL.
+    val right = Seq(("k", 10L, Some(1.0)), ("k", 95L, Option.empty[Double]))
+      .toDF("k", "rt", "p")
+    val left = Seq(("k", 100L, 7L)).toDF("k", "t", "x")
+    val tol = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"), tolerance = Some(20L))
+      .collect().head
+    assert(tol.isNullAt(tol.fieldIndex("p")))
+    // Without tolerance the same probe skips over to 1.0.
+    val noTol = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"))
+      .collect().head
+    assert(noTol.getDouble(noTol.fieldIndex("p")) == 1.0)
+  }
+
   test("asof nearest matches brute-force semantics on randomized data (tie -> backward)") {
     val rnd = new scala.util.Random(123)
     val keys = Seq("a", "b")
