@@ -337,4 +337,82 @@ class ReferenceFormulaSpec extends SparkSpec {
     val out = Indicators(custom).negative_volume_index().toDF
     check("nvi", expected, out)
   }
+
+  test("cci matches the mean-deviation loop (uppercase CCI name)") {
+    // indicators.py:672-703: tp, SMA(tp, 14), rolling_mean(|tp - sma|, 14),
+    // (tp - sma) / (0.015 * mean_dev). Note mean_dev uses the CURRENT
+    // row's sma inside each window element (as written: |tp_j - sma_j|).
+    val C = closes
+    val tp = C.indices.map(i => (H(i) + L(i) + C(i)) / 3)
+    val sma = rollMeanRef(tp.map(Some(_)), 14)
+    val dev = tp.indices.map(i => sma(i).map(s => math.abs(tp(i) - s)))
+    val meanDev = rollMeanRef(dev, 14)
+    val expected = tp.indices.map { i =>
+      for { s <- sma(i); d <- meanDev(i) } yield (tp(i) - s) / (0.015 * d)
+    }
+    val out = Indicators(frame).cci().toDF
+    check("CCI", expected, out)
+  }
+
+  test("vortex matches the rolling-sum loop (+VI/-VI)") {
+    // indicators.py:824-853: TR = max_h(h-l, |h-c1|, |l-c1|) (skips the
+    // null shift terms on row 0); VM+ = |h - l.shift|, VM- = |l - h.shift|
+    // (null on row 0); rolling_sum(14) of each; VI = VM_sum / TR_sum.
+    val C = closes
+    def rollSum(xs: Seq[Option[Double]], n: Int): Seq[Option[Double]] =
+      rollMeanRef(xs, n).map(_.map(_ * n))
+    val tr = C.indices.map { i =>
+      if (i == 0) Some(H(0) - L(0))
+      else Some(Seq(H(i) - L(i), math.abs(H(i) - C(i - 1)), math.abs(L(i) - C(i - 1))).max)
+    }
+    val vmP = C.indices.map(i => if (i == 0) None else Some(math.abs(H(i) - L(i - 1))))
+    val vmM = C.indices.map(i => if (i == 0) None else Some(math.abs(L(i) - H(i - 1))))
+    val trS = rollSum(tr, 14)
+    val expectedP = rollSum(vmP, 14).zip(trS).map { case (v, t) =>
+      for { a <- v; b <- t } yield a / b
+    }
+    val expectedM = rollSum(vmM, 14).zip(trS).map { case (v, t) =>
+      for { a <- v; b <- t } yield a / b
+    }
+    val out = Indicators(frame).vortex().toDF
+    check("+VI", expectedP, out)
+    check("-VI", expectedM, out)
+  }
+
+  test("chaikin money flow matches the ratio-of-rolling-sums loop") {
+    // indicators.py:1041-1059: ((c-l-(h-c))/(h-l) * v) rolling_sum /
+    // v rolling_sum, both window 14.
+    val C = closes
+    def rollSum(xs: Seq[Option[Double]], n: Int): Seq[Option[Double]] =
+      rollMeanRef(xs, n).map(_.map(_ * n))
+    val mfv = C.indices.map(i =>
+      Some((C(i) - L(i) - (H(i) - C(i))) / (H(i) - L(i)) * V(i)))
+    val volS = rollSum(V.map(Some(_)), 14)
+    val expected = rollSum(mfv, 14).zip(volS).map { case (m, v) =>
+      for { a <- m; b <- v } yield a / b
+    }
+    val out = Indicators(frame).chaikin_money_flow().toDF
+    check("cmf_14", expected, out)
+  }
+
+  test("dpo matches the shifted-SMA loop") {
+    // indicators.py:1086-1105: close - rolling_mean(close, 20).shift(11)
+    // (offset = look_back/2 + 1).
+    val sma = rollMeanRef(closes.map(Some(_)), 20)
+    val expected = closes.indices.map { i =>
+      if (i < 11) None else sma(i - 11).map(closes(i) - _)
+    }
+    val out = Indicators(frame).dpo(Seq("close")).toDF
+    check("close_dpo_20", expected, out)
+  }
+
+  test("ease of movement matches the unscaled quirk loop") {
+    // indicators.py:1124-1141: (h + l - h.shift - l.shift) / volume —
+    // no box-ratio scaling, no rolling mean (the reference quirk).
+    val expected = closes.indices.map { i =>
+      if (i == 0) None else Some((H(i) + L(i) - H(i - 1) - L(i - 1)) / V(i))
+    }
+    val out = Indicators(frame).ease_of_movement().toDF
+    check("ease_of_movement", expected, out)
+  }
 }
