@@ -406,6 +406,58 @@ class ReferenceFormulaSpec extends SparkSpec {
     check("close_dpo_20", expected, out)
   }
 
+  test("obv matches the gated-direction cumsum loop (Kleene head)") {
+    // indicators.py:754-772: direction = sign(close.diff()) via nested
+    // when (null head stays null), cum_sum of direction * volume.
+    val C = closes
+    val expected = C.indices.map { i =>
+      if (i == 0) None
+      else Some((1 to i).map { j =>
+        val d = C(j) - C(j - 1)
+        (if (d > 0) 1.0 else if (d < 0) -1.0 else 0.0) * V(j)
+      }.sum)
+    }
+    val out = Indicators(frame).obv().toDF
+    check("obv", expected, out)
+  }
+
+  test("vpt matches the pct-change cumsum loop") {
+    // indicators.py:737-752: cum_sum(pct_change(close) * volume).
+    val C = closes
+    val expected = C.indices.map { i =>
+      if (i == 0) None
+      else Some((1 to i).map(j => (C(j) / C(j - 1) - 1) * V(j)).sum)
+    }
+    val out = Indicators(frame).vpt().toDF
+    check("vpt", expected, out)
+  }
+
+  test("force index, roc and the returns family match their loops") {
+    val C = closes
+    val fi = C.indices.map(i => if (i == 0) None else Some((C(i) - C(i - 1)) * V(i)))
+    val roc = C.indices.map(i =>
+      if (i < 10) None else Some((C(i) - C(i - 10)) / C(i - 10) * 100))
+    val dr = C.indices.map(i =>
+      if (i == 0) None else Some((C(i) - C(i - 1)) / C(i - 1) * 100))
+    val dlr = C.indices.map(i =>
+      if (i == 0) None else Some(math.log(C(i) / C(i - 1))))
+    // cumulative_returns quirk (indicators.py:985-1001): the +1 is
+    // applied to the PERCENT daily return (x100), then cum_prod.
+    val cr = C.indices.map { i =>
+      if (i == 0) None
+      else Some((1 to i).map(j => (C(j) - C(j - 1)) / C(j - 1) * 100 + 1).product)
+    }
+    val out = Indicators(frame)
+      .force_index().roc(Seq("close")).daily_return(Seq("close"))
+      .daily_log_return(Seq("close")).cumulative_returns(Seq("close"))
+      .toDF
+    check("force_index", fi, out)
+    check("close_roc_10", roc, out)
+    check("close_daily_return", dr, out)
+    check("close_daily_log_return", dlr, out)
+    check("close_cumulative_return", cr, out)
+  }
+
   test("ease of movement matches the unscaled quirk loop") {
     // indicators.py:1124-1141: (h + l - h.shift - l.shift) / volume —
     // no box-ratio scaling, no rolling mean (the reference quirk).
