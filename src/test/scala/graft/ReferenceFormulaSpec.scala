@@ -458,6 +458,120 @@ class ReferenceFormulaSpec extends SparkSpec {
     check("close_cumulative_return", cr, out)
   }
 
+  test("atr matches the rolling-mean-of-TR loop") {
+    // indicators.py:530-556: TR = max_h(h-l, |h-c1|, |l-c1|), SMA(14)
+    // — max_horizontal skips the null shift terms on row 0.
+    val C = closes
+    val tr = C.indices.map { i =>
+      if (i == 0) Some(H(0) - L(0))
+      else Some(Seq(H(i) - L(i), math.abs(H(i) - C(i - 1)), math.abs(L(i) - C(i - 1))).max)
+    }
+    val out = Indicators(frame).atr().toDF
+    check("atr", rollMeanRef(tr, 14), out)
+  }
+
+  test("ppo and pvo match the chained-EMA loops (line, signal, histogram)") {
+    // indicators.py:395-470: line = (ema12-ema26)/ema26*100, signal =
+    // ema(line, 9), histogram = line - signal; same on volume for pvo.
+    def triple(xs: Vector[Double]) = {
+      val line = emaRef(xs, 12).zip(emaRef(xs, 26)).map { case (s, l) => (s - l) / l * 100 }
+      val signal = emaRef(line, 9)
+      (line, signal, line.zip(signal).map { case (a, b) => a - b })
+    }
+    val (pl_, ps, ph) = triple(closes)
+    val (vl, vs, vh) = triple(V)
+    val out = Indicators(frame).ppo().pvo().toDF
+    check("ppo_12_26", pl_.map(Some(_)), out)
+    check("ppo_signal_12_26", ps.map(Some(_)), out)
+    check("ppo_histogram_12_26", ph.map(Some(_)), out)
+    check("pvo_12_26", vl.map(Some(_)), out)
+    check("pvo_signal_12_26", vs.map(Some(_)), out)
+    check("pvo_histogram_12_26", vh.map(Some(_)), out)
+  }
+
+  test("donchian channel matches the staged-intent loop") {
+    // indicators.py:981-1003 (BROKEN in the reference: mid references
+    // same-projection columns; the staged intent): rolling max/min(20)
+    // and their midpoint.
+    val up = closes.indices.map(i =>
+      if (i < 19) None else Some(H.slice(i - 19, i + 1).max))
+    val lo = closes.indices.map(i =>
+      if (i < 19) None else Some(L.slice(i - 19, i + 1).min))
+    val mid = up.zip(lo).map { case (u, l) => for { a <- u; b <- l } yield (a + b) / 2 }
+    val out = Indicators(frame).donchian_channel().toDF
+    check("donchian_upper_20", up, out)
+    check("donchian_lower_20", lo, out)
+    check("donchian_mid_20", mid, out)
+  }
+
+  test("aroon matches the dead-code-intent loop") {
+    // indicators.py:1005-1039 (dead rolling_apply code):
+    // 100 * (n - (len - argmax)) / n over a trailing 14 window.
+    val n = 14
+    def aroonOf(xs: Vector[Double], maximize: Boolean): Seq[Option[Double]] =
+      xs.indices.map { i =>
+        if (i < n - 1) None
+        else {
+          val w = xs.slice(i - n + 1, i + 1)
+          val target = if (maximize) w.max else w.min
+          val jRel = w.lastIndexOf(target) // ties -> most recent extreme
+          val since = (n - 1 - jRel) + 1
+          Some(100.0 * (n - since) / n)
+        }
+      }
+    val out = Indicators(frame).aroon().toDF
+    check("aroon_up_14", aroonOf(H, maximize = true), out)
+    check("aroon_down_14", aroonOf(L, maximize = false), out)
+  }
+
+  test("mfi matches the money-flow-ratio loop (Kleene head)") {
+    // indicators.py (stub intent, engine Scaladoc): tp = (h+l+c)/3;
+    // pmf/nmf gate on tp vs prev tp (null head -> null), MFI =
+    // 100 - 100/(1 + sum(pmf,14)/sum(nmf,14)).
+    val C = closes
+    val tp = C.indices.map(i => (H(i) + L(i) + C(i)) / 3)
+    val pmf = C.indices.map(i =>
+      if (i == 0) None else Some(if (tp(i) > tp(i - 1)) tp(i) * V(i) else 0.0))
+    val nmf = C.indices.map(i =>
+      if (i == 0) None else Some(if (tp(i) <= tp(i - 1)) tp(i) * V(i) else 0.0))
+    def rollSum(xs: Seq[Option[Double]], n: Int): Seq[Option[Double]] =
+      rollMeanRef(xs, n).map(_.map(_ * n))
+    val expected = rollSum(pmf, 14).zip(rollSum(nmf, 14)).map { case (p, m) =>
+      for { a <- p; b <- m } yield 100.0 - 100.0 / (1 + a / b)
+    }
+    val out = Indicators(frame).mfi().toDF
+    check("MFI", expected, out)
+  }
+
+  test("adi matches the CLV-volume cumsum loop") {
+    // indicators.py:1416-1439 (dead-code intent): cum_sum of
+    // ((c-l-(h-c))/(h-l)) * volume, no nulls anywhere.
+    val C = closes
+    val clv = C.indices.map(i => (C(i) - L(i) - (H(i) - C(i))) / (H(i) - L(i)) * V(i))
+    val expected = clv.scanLeft(0.0)(_ + _).tail.map(Some(_))
+    val out = Indicators(frame).adi().toDF
+    check("ADI", expected, out)
+  }
+
+  test("kst matches the weighted SMA-of-ROC loop") {
+    // indicators.py:1280-1328 (dead-code intent): sum over i of
+    // w_i * SMA(ROC(close, p_i), s_i) with p = (10,15,20,30),
+    // s = (10,10,10,15), w = (1,2,3,4).
+    val C = closes
+    val ps = Seq(10, 15, 20, 30); val ss = Seq(10, 10, 10, 15); val ws = Seq(1, 2, 3, 4)
+    val terms = ps.zip(ss).map { case (p, s) =>
+      val roc = C.indices.map(i =>
+        if (i < p) None else Some((C(i) - C(i - p)) / C(i - p) * 100))
+      rollMeanRef(roc, s)
+    }
+    val expected = C.indices.map { i =>
+      val vals = terms.zip(ws).map { case (t, w) => t(i).map(_ * w) }
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten.sum)
+    }
+    val out = Indicators(frame).kst(Seq("close")).toDF
+    check("close_kst", expected, out)
+  }
+
   test("ease of movement matches the unscaled quirk loop") {
     // indicators.py:1124-1141: (h + l - h.shift - l.shift) / volume —
     // no box-ratio scaling, no rolling mean (the reference quirk).
