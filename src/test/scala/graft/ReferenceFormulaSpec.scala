@@ -572,6 +572,41 @@ class ReferenceFormulaSpec extends SparkSpec {
     check("close_kst", expected, out)
   }
 
+  test("williams %R, wma, ulcer index, and awesome oscillator match their loops") {
+    val C = closes
+    def rollMax(xs: Vector[Double], n: Int, i: Int): Option[Double] =
+      if (i < n - 1) None else Some(xs.slice(i - n + 1, i + 1).max)
+    def rollMin(xs: Vector[Double], n: Int, i: Int): Option[Double] =
+      if (i < n - 1) None else Some(xs.slice(i - n + 1, i + 1).min)
+    // williams_ri (indicators.py:900-926):
+    // (rollmax(h,14) - c) / (rollmax(h,14) - rollmin(l,14)) * -100
+    val wr = C.indices.map { i =>
+      for { mx <- rollMax(H, 14, i); mn <- rollMin(L, 14, i) }
+        yield (mx - C(i)) / (mx - mn) * -100
+    }
+    // wma (stub intent): dot(x, n..1 weights) / (n(n+1)/2), window 10
+    val wma = C.indices.map { i =>
+      if (i < 9) None
+      else Some((0 until 10).map(k => C(i - k) * (10 - k)).sum / 55.0)
+    }
+    // unlcer_index (broken pl.col(col/...) -> evident intent):
+    // sqrt(rolling_mean((c/rollmax(c,14) - 1)^2, 14))
+    val dd = C.indices.map(i => rollMax(C, 14, i).map(m => math.pow(C(i) / m - 1, 2)))
+    val ulcer = rollMeanRef(dd, 14).map(_.map(math.sqrt))
+    // awesome_oscillator: SMA(mid,5) - SMA(mid,34), mid = (h+l)/2
+    val mid = C.indices.map(i => Some((H(i) + L(i)) / 2)).toVector
+    val ao = rollMeanRef(mid, 5).zip(rollMeanRef(mid, 34)).map { case (s, l) =>
+      for { a <- s; b <- l } yield a - b
+    }
+    val out = Indicators(frame)
+      .williams_ri().wma(Seq("close"), 10).unlcer_index(Seq("close"))
+      .awesome_oscillator().toDF
+    check("williams_%r_14", wr, out)
+    check("close_wma_10", wma, out)
+    check("close_ulcer_index_14", ulcer, out)
+    check("ao_5_34", ao, out)
+  }
+
   test("ease of movement matches the unscaled quirk loop") {
     // indicators.py:1124-1141: (h + l - h.shift - l.shift) / volume —
     // no box-ratio scaling, no rolling mean (the reference quirk).
