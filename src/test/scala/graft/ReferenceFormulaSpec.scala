@@ -607,6 +607,51 @@ class ReferenceFormulaSpec extends SparkSpec {
     check("ao_5_34", ao, out)
   }
 
+  test("stochastic rsi and stc match their normalized-range loops") {
+    val C = closes
+    def rollMinOpt(xs: Seq[Option[Double]], n: Int): Seq[Option[Double]] =
+      xs.indices.map { i =>
+        if (i + 1 < n) None
+        else {
+          val w = xs.slice(i - n + 1, i + 1)
+          if (w.exists(_.isEmpty)) None else Some(w.flatten.min)
+        }
+      }
+    def rollMaxOpt(xs: Seq[Option[Double]], n: Int): Seq[Option[Double]] =
+      xs.indices.map { i =>
+        if (i + 1 < n) None
+        else {
+          val w = xs.slice(i - n + 1, i + 1)
+          if (w.exists(_.isEmpty)) None else Some(w.flatten.max)
+        }
+      }
+    // stochastic_rsi (BROKEN in the reference -> corrected intent,
+    // SURVEY Q7): rsi per the reference loop (SMA smoothing, Kleene
+    // head), then (r - rollmin(r,14)) / (rollmax - rollmin).
+    val gain = C.indices.map(i =>
+      if (i == 0) None else Some(math.max(C(i) - C(i - 1), 0.0)))
+    val loss = C.indices.map(i =>
+      if (i == 0) None else Some(math.max(C(i - 1) - C(i), 0.0)))
+    val rsi = rollMeanRef(gain, 14).zip(rollMeanRef(loss, 14)).map { case (g_, l) =>
+      for { a <- g_; b <- l } yield 100.0 - 100.0 / (1 + a / b)
+    }
+    val srsi = rsi.indices.map { i =>
+      for { r <- rsi(i); lo <- rollMinOpt(rsi, 14)(i); hi <- rollMaxOpt(rsi, 14)(i) }
+        yield (r - lo) / (hi - lo)
+    }
+    // stc (dead-code intent): macd line on adjust=TRUE EWMs, then the
+    // stochastic normalization over a 10 window, x100.
+    val ml = ewmAdjRef(C, 12).zip(ewmAdjRef(C, 26)).map { case (f, s) => f - s }
+    val mlOpt = ml.map(Some(_))
+    val stc = ml.indices.map { i =>
+      for { lo <- rollMinOpt(mlOpt, 10)(i); hi <- rollMaxOpt(mlOpt, 10)(i) }
+        yield (ml(i) - lo) / (hi - lo) * 100
+    }
+    val out = Indicators(frame).stochastic_rsi(Seq("close")).stc(Seq("close")).toDF
+    check("close_stoch_rsi_14_14", srsi, out)
+    check("close_stc_12_26_10", stc, out)
+  }
+
   test("ease of movement matches the unscaled quirk loop") {
     // indicators.py:1124-1141: (h + l - h.shift - l.shift) / volume —
     // no box-ratio scaling, no rolling mean (the reference quirk).
