@@ -54,7 +54,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Pre-normNegZero oracle text — exposed so OracleInvariantSpec can
+    * mechanically prove every rewrite site is a round() closing.
+    */
+  private[graft] def rawOracleSql: Map[String, String] =
+    Queries.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesJoins.oracleSql
+
   def oracleSql: Map[String, String] =
-    (Queries.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesJoins.oracleSql)
-      .view.mapValues(normNegZero).toMap
+    rawOracleSql.view.mapValues(normNegZero).toMap
 }
