@@ -218,10 +218,16 @@ class ReferenceFormulaSpec extends SparkSpec {
       }
     }
     val senkouB = closes.indices.map(i => if (i < 26) None else sbRaw(i - 26))
+    // chikou = close.shift(-26): a LEAD — the reference's future-value
+    // quirk kept verbatim (indicators.py:816).
+    val chikou = closes.indices.map(i =>
+      if (i + 26 < closes.length) Some(closes(i + 26)) else None)
     val out = Indicators(frame).ichimoku().toDF
     check("senkou_span_a", senkouA, out)
     check("senkou_span_b", senkouB, out)
     check("tenkan_sen", tenkan, out)
+    check("kijun_sen", kijun, out)
+    check("chikou_span", chikou, out)
   }
 
   test("psar matches the state-machine loop") {
