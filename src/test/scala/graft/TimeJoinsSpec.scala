@@ -159,6 +159,41 @@ class TimeJoinsSpec extends SparkSpec {
     assert(noTol.getDouble(noTol.fieldIndex("p")) == 1.0)
   }
 
+  test("asof with NULL payloads matches skip-over brute force (backward + nearest, tolerance)") {
+    val rnd = new scala.util.Random(321)
+    val keys = Seq("a", "b")
+    val lrows = (1 to 120).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(40).toLong, i.toLong))
+    // ~25% NULL payloads; unique (key, time) on the right side
+    val rrows = (1 to 40).map(i => (keys(rnd.nextInt(2)), rnd.nextInt(40).toLong,
+        if (rnd.nextInt(4) == 0) None else Some(i * 1.0)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    import spark.implicits._
+    val rdf = rrows.toDF("k", "rt", "p")
+    val ldf = lrows.toDF("k", "t", "x")
+    def run(direction: String) = TimeJoins.asof(
+      ldf, rdf, "k", "t", "rt", Seq("p"), direction = direction, tolerance = Some(5L))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("x")),
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p")))))
+      .toMap
+    // Brute force over NON-NULL-payload rows only (skip-over), with
+    // the tolerance measured against the row the payload comes from.
+    val cands = rrows.collect { case (k, rt, Some(p)) => (k, rt, p) }
+    def backOf(k: String, t: Long) = cands.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+    def fwdOf(k: String, t: Long) = cands.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+    def tolOk(t: Long)(r: (String, Long, Double)) = math.abs(t - r._2) <= 5
+    val expB = lrows.map { case (k, t, x) => x -> backOf(k, t).filter(tolOk(t)).map(_._3) }.toMap
+    val expN = lrows.map { case (k, t, x) =>
+      val pick = (backOf(k, t), fwdOf(k, t)) match {
+        case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      x -> pick.filter(tolOk(t)).map(_._3)
+    }.toMap
+    assert(run("backward") == expB)
+    assert(run("nearest") == expN)
+  }
+
   test("asof nearest matches brute-force semantics on randomized data (tie -> backward)") {
     val rnd = new scala.util.Random(123)
     val keys = Seq("a", "b")
