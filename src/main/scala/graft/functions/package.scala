@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow, PsarWindow, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, PsarWindow, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -47,6 +47,14 @@ package object functions {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd dot product of a float array against a double array —
+    * for constant (plane-vector) right sides; see
+    * [[org.apache.spark.sql.graft.expressions.DotProductFD]].
+    */
+  def dotFD(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Parabolic SAR state machine over an ordered frame — see
     * [[org.apache.spark.sql.graft.expressions.PsarWindow]].
