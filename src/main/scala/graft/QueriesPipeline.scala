@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Corpus, Dedup, Multimodal, Sessionize, Similarity, TextOps}
+import graft.pipeline.{Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -84,15 +84,17 @@ object QueriesPipeline {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
 
+    // The four LSH-chain queries (pairs / jaccard / clusters /
+    // corpus_filter) consume successive stages of one pipeline; the
+    // shared stages are materialized once per (session, dir) by
+    // DedupChain instead of re-derived from raw text per query.
     "dedup_lsh_pairs" -> ((s, dir) =>
-      Dedup.lshCandidatePairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+      DedupChain.candidatePairs(s, dir, docs(s, dir)).orderBy("doc_a", "doc_b")),
 
-    "dedup_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
+    "dedup_jaccard" -> ((s, dir) =>
+      DedupChain.jaccardPairs(s, dir, docs(s, dir))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashes(docs(s, dir)).orderBy("doc_id")),
@@ -102,13 +104,8 @@ object QueriesPipeline {
 
     // LSH pairs -> jaccard-verified edges -> connected components ->
     // one canonical doc per cluster: the full distributed dedup chain.
-    "dedup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val edges = Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      Dedup.clusters(edges).orderBy("doc_id")
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      DedupChain.clusterLabels(s, dir, docs(s, dir)).orderBy("doc_id")),
 
     // The end-to-end curation decision a training-data pipeline makes
     // per document: exact-dup canonical AND near-dup-cluster canonical
@@ -119,10 +116,7 @@ object QueriesPipeline {
     // for the two content gates).
     "corpus_filter" -> ((s, dir) => {
       val d = docs(s, dir)
-      val edges = Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d)
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      val dupIds = Dedup.clusters(edges)
+      val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
       val w = Window.partitionBy("cmd5")

@@ -327,12 +327,18 @@ object Dedup {
     * every round is one join + one aggregate on the edge list.
     */
   def clusters(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist) for the loop-carried frames:
+    // persist caches data but leaves the logical plan intact, so each
+    // round's plan nests the previous round's whole lineage and
+    // analysis/optimization cost compounds per round (measured: ~3.5 s
+    // of the chain's bill was planning, not execution). Checkpointing
+    // truncates the plan to a leaf, making every round O(1) to plan.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
+      .localCheckpoint(true)
     // sum() over an empty frame is NULL — coalesce so a corpus with no
     // qualifying edges returns an empty result instead of an NPE.
     def labelSum(df: DataFrame): Long =
@@ -358,19 +364,17 @@ object Dedup {
           col("a.doc_id").as("doc_id"),
           least(col("a.cluster_id"), coalesce(col("p_cl"), col("a.cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       // Labels only ever decrease, so the label sum is a strictly
       // monotone convergence witness: unchanged sum <=> fixpoint. One
       // cheap aggregate action per round instead of a join-and-count
       // against the previous labels.
       val sumNow = labelSum(jumped)
-      labels.unpersist()
       labels = jumped
       converged = sumNow == prevSum
       prevSum = sumNow
       iter += 1
     }
-    sym.unpersist()
     // Partially-converged labels would silently keep duplicate docs
     // downstream (several is_canonical=true per true component) — fail
     // loudly instead.
