@@ -441,9 +441,18 @@ object Corpus {
       col("doc_id"),
       size(tokens(col("text"))).cast("double").as("n_tok"),
       explode(tokens(col("text"))).as("token"))
-    val tf = tokenized.groupBy("doc_id", "token")
-      .agg((count(lit(1)) / first(col("n_tok"))).as("tf"))
-    val df_ = tokenized.select("doc_id", "token").distinct()
+    // One corpus pass: the (doc_id, token) aggregate carries both the
+    // in-doc count (tf numerator) AND, having one row per distinct
+    // (doc_id, token), the document-frequency input — so df derives
+    // from it with a second small aggregate instead of re-exploding
+    // the corpus through a distinct. Persisted because it feeds both
+    // lineages; cache lifecycle is harness-owned (clearCache).
+    val perDocTok = tokenized.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt_dt"), first(col("n_tok")).as("n_tok"))
+      .persist()
+    val tf = perDocTok.select(
+      col("doc_id"), col("token"), (col("cnt_dt") / col("n_tok")).as("tf"))
+    val df_ = perDocTok
       .groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(nDf)
       .withColumn("idf", log(col("n") / col("df")))
