@@ -311,6 +311,8 @@ object Queries {
     // (zero/one share this code path with other literals), backward
     // running window, and the whole-partition min/max/mean fills.
     "fill_null_value" -> ((s, dir) => fillNullQuery(s, dir, value = Some(-1.0))),
+    "fill_null_zero" -> ((s, dir) => fillNullQuery(s, dir, method = Some("zero"))),
+    "fill_null_one" -> ((s, dir) => fillNullQuery(s, dir, method = Some("one"))),
     "fill_null_backward" -> ((s, dir) => fillNullQuery(s, dir, method = Some("backward"))),
     "fill_null_mean" -> ((s, dir) => fillNullQuery(s, dir, method = Some("mean"))),
     "fill_null_min" -> ((s, dir) => fillNullQuery(s, dir, method = Some("min"))),
@@ -758,6 +760,20 @@ object Queries {
     "fill_null_value" -> q(
       s"""SELECT symbol, "timestamp",
          |round(coalesce(c, CAST(-1 AS DOUBLE)), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_zero" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(coalesce(c, CAST(0 AS DOUBLE)), 6) AS close_filled
+         |FROM (SELECT symbol, "timestamp",
+         |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
+         |      FROM bars) $Tail""".stripMargin),
+
+    "fill_null_one" -> q(
+      s"""SELECT symbol, "timestamp",
+         |round(coalesce(c, CAST(1 AS DOUBLE)), 6) AS close_filled
          |FROM (SELECT symbol, "timestamp",
          |        CASE WHEN volume % 7 = 0 THEN NULL ELSE close END AS c
          |      FROM bars) $Tail""".stripMargin),

@@ -102,6 +102,9 @@ object QueriesPipeline {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    "dedup_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs64(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
     // LSH pairs -> jaccard-verified edges -> connected components ->
     // one canonical doc per cluster: the full distributed dedup chain.
     "dedup_clusters" -> ((s, dir) =>
@@ -347,6 +350,22 @@ object QueriesPipeline {
       s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** 64-bit majority-vote simhash over TWO token-hash lists `t1`/`t2`
+    * (bits 0–31 / 32–63), OR-composed so the sign bit (a CAST'd
+    * min-BIGINT literal — DuckDB's negate of 2^63 would promote to
+    * HUGEINT) never enters checked addition. Mirrors
+    * graft.pipeline.Dedup.simhash64 bit for bit.
+    */
+  private val Simhash64Expr: String = {
+    def terms(lst: String, off: Int) = (0 until 32).map { j =>
+      val bitLit =
+        if (off + j == 63) "CAST('-9223372036854775808' AS BIGINT)"
+        else s"(1::BIGINT << ${off + j})"
+      s"(CASE WHEN list_sum(list_transform($lst, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN $bitLit ELSE 0::BIGINT END)"
+    }
+    (terms("t1", 0) ++ terms("t2", 32)).mkString(" | ")
+  }
+
   /** Shared CTE chain: minhash signatures -> LSH bands -> candidate
     * pairs -> distinct shingle sets (dedup_jaccard, dedup_clusters).
     */
@@ -495,6 +514,22 @@ object QueriesPipeline {
          |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
          |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash64_pairs" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id, $Simhash64Expr AS simhash
+         |  FROM (SELECT doc_id,
+         |          list_transform($Toks, t -> ${h32("t")}) AS t1,
+         |          list_transform($Toks, t -> ${h32("concat('s64_', t)")}) AS t2
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |sbands AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS v
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS band) b)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->

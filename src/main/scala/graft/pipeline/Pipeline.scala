@@ -268,6 +268,72 @@ object Dedup {
       .distinct()
   }
 
+  /** 64-bit SimHash — the web-scale fingerprint width (the 32-bit
+    * variant's honesty note: 32 bits saturate with random collisions
+    * at 1e9+ docs). The 64 vote dimensions come from TWO independent
+    * 32-bit md5 token-hash streams (bits 0–31 from `hash32(t)`,
+    * 32–63 from `hash32("s64_" ++ t)`) rather than one 64-bit hash:
+    * DuckDB's BIGINT `<<` is overflow-checked, so composing a 64-bit
+    * token hash by shifting a 32-bit half would error oracle-side,
+    * while per-bit votes on two 32-bit streams fold identically in
+    * both engines. Disjoint bit literals are OR'd (not summed) so the
+    * sign bit (1L << 63) never participates in checked addition.
+    */
+  def simhash64(th1: Column, th2: Column): Column = {
+    def bits(th: Column, off: Int): Seq[Column] = (0 until 32).map { j =>
+      val vote = aggregate(
+        th,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << (off + j))).otherwise(lit(0L))
+    }
+    (bits(th1, 0) ++ bits(th2, 32)).reduce(_ bitwiseOR _)
+  }
+
+  /** Per-document 64-bit SimHash, token hashes staged once (hash-once,
+    * as in [[simhashes]]).
+    */
+  def simhashes64(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        transform(tokens(col("text")), t => hash32(t)).as("_t1"),
+        transform(tokens(col("text")), t => hash32(concat(lit("s64_"), t))).as("_t2"))
+      .select(col("doc_id"), simhash64(col("_t1"), col("_t2")).as("simhash"))
+
+  /** 64-bit SimHash near-dup pairs with configurable banding: `bands`
+    * equal-width bit bands (pigeonhole-exhaustive to hamming
+    * `bands − 1`). The production default — 8 bands of 8 bits,
+    * hamming ≤ 3 — is the Manku-style web-dedup operating point; wider
+    * `bands` trades candidate volume for a higher exhaustive radius.
+    * Same scale shape as [[simhashPairs]]: band equi-join, exact
+    * `bit_count(xor)` verify, one shuffle on the (band, value) key.
+    */
+  def simhashPairs64(docs: DataFrame, maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"$bands-band banding is only exhaustive to hamming ${bands - 1}")
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    val banded = simhashes64(docs).select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), w * b).bitwiseAND(lit(mask)).as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.band").as("band"), col("bv.v").as("v"))
+      .persist()
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast(LongType).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Benchmark decontamination: flag every document sharing at least
     * one word-n-gram with a benchmark/eval set — the standard
     * train-set hygiene pass before pretraining. `n_hits` counts the
