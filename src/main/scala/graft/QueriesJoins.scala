@@ -64,6 +64,32 @@ object QueriesJoins {
     // only then nulled if it is out of tolerance.
     "asof_join_nearest" -> ((s, dir) => asofQuery(s, dir, "nearest", Some(HourUs))),
 
+    // Composite-key as-of through the TimestampType overload: every
+    // event enriched with the most recent "checkpoint" (every 5th
+    // event, max value per (user, type, ts) for right-side (key, time)
+    // uniqueness) of the SAME (user_id, event_type) — the
+    // stream-to-last-snapshot pattern. Gates both asofMulti's tuple
+    // partitioning and asofTs's micros conversion end-to-end.
+    "asof_join_multikey" -> ((s, dir) => {
+      val ev = Bars.readEvents(s, dir)
+      val tsUs = Bars.eventTimeMicros(ev)
+      val left = ev.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(tsUs).as("ts"), col("value"))
+      val ckpts = ev
+        .where(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("event_type"), timestamp_micros(tsUs).as("ckpt_ts"))
+        .agg(max(col("value")).as("ckpt_value"))
+      TimeJoins.asofTs(left, ckpts, Seq("user_id", "event_type"), "ts", "ckpt_ts",
+        Seq("ckpt_value"), toleranceUs = Some(HourUs))
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 6).as("value"),
+          round(col("ckpt_value"), 6).as("ckpt_value"))
+        .orderBy("event_id")
+    }),
+
     // Events of ANY type landing inside the 20 busiest 'click' hours —
     // an interval join with no equi-key (the interval set comes from
     // one symbol, the probe side spans all of them). The top-k interval
@@ -151,6 +177,30 @@ object QueriesJoins {
          |  round(CASE WHEN rtf IS NULL OR (rtb IS NOT NULL AND t - rtb <= rtf - t)
          |             THEN CASE WHEN abs(t - rtb) <= $HourUs THEN pb END
          |             ELSE CASE WHEN abs(t - rtf) <= $HourUs THEN pf END END, 6) AS bar_close
+         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "asof_join_multikey" ->
+      s"""WITH l AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+         |r AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS t, max(value) AS ckpt_value
+         |  FROM events WHERE event_id % 5 = 0
+         |  GROUP BY user_id, event_type, epoch_us(ts)),
+         |u AS (
+         |  SELECT user_id, event_type, ts_us AS t, 1 AS side, event_id, value,
+         |         CAST(NULL AS DOUBLE) AS ckpt_value
+         |  FROM l
+         |  UNION ALL
+         |  SELECT user_id, event_type, t, 0, NULL, NULL, ckpt_value FROM r),
+         |f AS (
+         |  SELECT user_id, event_type, t, side, event_id, value,
+         |    last_value(ckpt_value IGNORE NULLS) OVER w AS ckpt_value,
+         |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER w AS rt
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, side
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, event_type, t AS ts_us,
+         |  round(value, 6) AS value,
+         |  round(CASE WHEN abs(t - rt) <= $HourUs THEN ckpt_value END, 6) AS ckpt_value
          |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "range_join" ->

@@ -55,7 +55,24 @@ object TimeJoins {
       rightTime: String,
       payload: Seq[String],
       direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame =
+    asofMulti(left, right, Seq(key), leftTime, rightTime, payload, direction, tolerance)
+
+  /** [[asof]] with a composite key: the match group is the tuple of
+    * `keys` columns (same names on both sides). Same single shuffle —
+    * the exchange and the in-partition window both hash/order on the
+    * whole tuple.
+    */
+  def asofMulti(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asof needs at least one key column")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
     // A TimestampType here would silently cast to epoch SECONDS,
@@ -73,21 +90,22 @@ object TimeJoins {
     }
     requireIntegral(left, leftTime)
     requireIntegral(right, rightTime)
-    val othersL = left.columns.toSeq.filterNot(_ == key)
-    // Identical union schema: key, _t, _side, left passthroughs
+    val othersL = left.columns.toSeq.filterNot(keys.contains)
+    val keyCols = keys.map(col)
+    // Identical union schema: keys, _t, _side, left passthroughs
     // (NULL-typed on right rows), payloads (NULL-typed on left rows).
     val l = left.select(
-      col(key) +: left.col(leftTime).cast("long").as("_t") +: lit(1).as("_side") +:
+      keyCols ++ (left.col(leftTime).cast("long").as("_t") +: lit(1).as("_side") +:
         (othersL.map(col) ++
-          payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+          payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)))): _*)
     val r = right.select(
-      col(key) +: right.col(rightTime).cast("long").as("_t") +: lit(0).as("_side") +:
+      keyCols ++ (right.col(rightTime).cast("long").as("_t") +: lit(0).as("_side") +:
         (othersL.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(col)): _*)
+          payload.map(col))): _*)
     // Backward scans time ascending (last right seen = latest <= t);
     // forward scans descending (last right seen = earliest >= t). In
     // both, right (_side 0) sorts before left on ties => inclusive.
-    def spec(asc: Boolean) = Window.partitionBy(key)
+    def spec(asc: Boolean) = Window.partitionBy(keyCols: _*)
       .orderBy(if (asc) col("_t").asc else col("_t").desc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wB = spec(asc = true)
@@ -109,17 +127,17 @@ object TimeJoins {
       case "backward" | "forward" =>
         val w = if (direction == "backward") wB else wF
         unioned.select(
-          col(key) +: col("_side") +:
+          keyCols ++ (col("_side") +:
             (othersL.map(col) ++
               payload.map(p =>
-                when(inTol(rtP(p, w)), last(col(p), ignoreNulls = true).over(w)).as(p))): _*)
+                when(inTol(rtP(p, w)), last(col(p), ignoreNulls = true).over(w)).as(p)))): _*)
       case "nearest" =>
         // nearer of the two candidates wins; exact tie -> backward.
         // Both windows share the key partitioning: one exchange, two
         // in-partition sort+scan passes. The pick is per payload
         // column (each column's candidates are its own non-null rows).
         unioned.select(
-          col(key) +: col("_side") +:
+          keyCols ++ (col("_side") +:
             (othersL.map(col) ++
               payload.map { p =>
                 val rb = rtP(p, wB)
@@ -128,9 +146,45 @@ object TimeJoins {
                 val pb = when(inTol(rb), last(col(p), ignoreNulls = true).over(wB))
                 val pf = when(inTol(rf), last(col(p), ignoreNulls = true).over(wF))
                 when(pickB, pb).otherwise(pf).as(p)
-              }): _*)
+              })): _*)
     }
     enriched.where(col("_side") === 1).drop("_side")
+  }
+
+  /** TimestampType convenience for [[asofMulti]]: both time columns
+    * are native timestamps, converted to MICROSECOND epochs (Spark's
+    * own timestamp resolution — `unix_micros`, exact, no truncation)
+    * before the integral-epoch core runs; `toleranceUs` is in
+    * microseconds. The left timestamp column passes through unchanged.
+    * This removes the sharpest edge of the integral-epoch guard — a
+    * caller with plain timestamp frames no longer writes the
+    * conversion (and cannot accidentally `cast("long")` to seconds).
+    */
+  def asofTs(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    def requireTs(df: DataFrame, c: String): Unit =
+      df.schema(c).dataType match {
+        case TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          s"asofTs time column `$c` must be TimestampType (got $other); " +
+            "for integral epochs use asof/asofMulti")
+      }
+    requireTs(left, leftTime)
+    requireTs(right, rightTime)
+    val lt = "_asof_l_us"
+    asofMulti(
+      left.withColumn(lt, unix_micros(col(leftTime))),
+      right.withColumn("_asof_r_us", unix_micros(col(rightTime))),
+      keys, lt, "_asof_r_us", payload, direction, toleranceUs)
+      .drop(lt)
   }
 
   /** Interval-containment (range) join WITHOUT an equi-key, made

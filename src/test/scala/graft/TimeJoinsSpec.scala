@@ -43,6 +43,61 @@ class TimeJoinsSpec extends SparkSpec {
       Seq(5L, 10L, 15L, 30L, 10L, 7L))
   }
 
+  test("asofMulti partitions on the whole key tuple") {
+    val ls = StructType(Seq(
+      StructField("k1", StringType), StructField("k2", LongType),
+      StructField("t", LongType), StructField("x", LongType)))
+    val rs = StructType(Seq(
+      StructField("k1", StringType), StructField("k2", LongType),
+      StructField("rt", LongType), StructField("p", DoubleType)))
+    val left = df(ls,
+      Row("a", 1L, 10L, 1L), Row("a", 2L, 10L, 2L), Row("b", 1L, 10L, 3L))
+    val right = df(rs,
+      Row("a", 1L, 5L, 1.0), Row("a", 2L, 7L, 2.0), Row("b", 2L, 3L, 9.0))
+    val out = TimeJoins.asofMulti(left, right, Seq("k1", "k2"), "t", "rt", Seq("p"))
+      .orderBy("x").collect()
+    // (a,1)->1.0, (a,2)->2.0, (b,1): right has only (b,2) -> null —
+    // a single-column key on either k1 or k2 would wrongly match
+    assert(out.map(r => if (r.isNullAt(r.fieldIndex("p"))) None
+      else Some(r.getDouble(r.fieldIndex("p")))).toSeq ==
+      Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("asofTs converts timestamps to micros and matches the integral-epoch asof") {
+    val left = df(leftSchema,
+      Row("a", 5L, 1L), Row("a", 10L, 2L), Row("a", 15L, 3L))
+    val right = df(rightSchema,
+      Row("a", 10L, 1.0), Row("a", 14L, 2.0))
+    val viaLong = TimeJoins.asof(left, right, "k", "t", "rt", Seq("p"),
+        tolerance = Some(4L))
+      .orderBy("x").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p"))))
+    val viaTs = TimeJoins.asofTs(
+        left.withColumn("t", timestamp_micros(col("t"))),
+        right.withColumn("rt", timestamp_micros(col("rt"))),
+        Seq("k"), "t", "rt", Seq("p"), toleranceUs = Some(4L))
+      .orderBy("x").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getDouble(r.fieldIndex("p"))))
+    assert(viaTs.toSeq == viaLong.toSeq)
+    assert(viaTs.toSeq == Seq(None, Some(1.0), Some(2.0)))
+    // the left timestamp column passes through as a timestamp
+    val outSchema = TimeJoins.asofTs(
+      left.withColumn("t", timestamp_micros(col("t"))),
+      right.withColumn("rt", timestamp_micros(col("rt"))),
+      Seq("k"), "t", "rt", Seq("p")).schema
+    assert(outSchema("t").dataType == TimestampType)
+    assert(!outSchema.fieldNames.contains("_asof_l_us"))
+  }
+
+  test("asofTs rejects non-timestamp time columns") {
+    val left = df(leftSchema, Row("a", 5L, 1L))
+    val right = df(rightSchema, Row("a", 10L, 1.0))
+    val e = intercept[IllegalArgumentException] {
+      TimeJoins.asofTs(left, right, Seq("k"), "t", "rt", Seq("p"))
+    }
+    assert(e.getMessage.contains("TimestampType"))
+  }
+
   test("asof plan has no nested-loop / cartesian join") {
     val left = df(leftSchema, Row("a", 5L, 1L))
     val right = df(rightSchema, Row("a", 10L, 1.0))
