@@ -48,6 +48,34 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  /** Docs amplifier for the PAIRWISE paths (LSH chain): every token
+    * gets a per-copy suffix, so copies of the same document share NO
+    * shingles and cannot LSH-collide across copies — each copy
+    * reproduces the corpus's own near-dup structure and candidate
+    * volume grows ~Nx, which is exactly the linearity being measured.
+    * (The plain `amplifyDocs` text-suffix variant would leave the
+    * minhash signatures of copies nearly identical: cross-copy band
+    * collisions would grow candidates ~N², measuring the FIXTURE's
+    * quadratic duplication, not the operator.)
+    */
+  private def amplifyDocsDistinct(docs: DataFrame, n: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until n).map { i =>
+      docs.select(
+        (col("doc_id") + i * maxId).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+  }
+
+  private def amplifyEmb(e: DataFrame, n: Int): DataFrame = {
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until n).map { i =>
+      e.select((col("vec_id") + i * maxId).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+  }
+
   private def time(what: String, f: => Long): Double = {
     val t0 = System.nanoTime()
     val rows = f
@@ -95,14 +123,36 @@ object ScaleSmoke {
       graft.pipeline.Dedup.decontaminate(d, bench1)
         .where(col("contaminated")).count()
 
+    // The banded dedup chain end-to-end: signatures -> LSH candidates
+    // -> jaccard verify. Built on raw Dedup (not the DedupChain memo)
+    // so both scales do full work; clearCache between timings releases
+    // the chain's internal persists.
+    def lshChain(d: DataFrame): Long = {
+      val m = graft.pipeline.Dedup
+        .jaccardPairs(graft.pipeline.Dedup.lshCandidatePairs(d), d)
+        .where(col("jaccard") >= 0.5).count()
+      spark.catalog.clearCache()
+      m
+    }
+
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // Fixed query set (vec_id < 5 exists only in copy 0) against an
+    // Nx corpus — the production ANN shape: corpus grows, probes don't.
+    def ann(e: DataFrame): Long =
+      graft.pipeline.Similarity.topKBucketed(e).count()
+
     val evN = amplify(ev1, n)
     val docsN = amplifyDocs(docs1, n)
+    val docsNDistinct = amplifyDocsDistinct(docs1, n)
+    val embN = amplifyEmb(emb1, n)
     println(s"== 1x (${ev1.count()} events) vs ${n}x ==")
     val results = Seq(
       "indicator chain" -> (time("chain 1x", chain(ev1)), time(s"chain ${n}x", chain(evN))),
       "asof join" -> (time("asof 1x", asof(ev1)), time(s"asof ${n}x", asof(evN))),
       "sessionize" -> (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN))),
-      "decontaminate" -> (time("decontaminate 1x", decon(docs1)), time(s"decontaminate ${n}x", decon(docsN))))
+      "decontaminate" -> (time("decontaminate 1x", decon(docs1)), time(s"decontaminate ${n}x", decon(docsN))),
+      "lsh dedup chain" -> (time("lsh chain 1x", lshChain(docs1)), time(s"lsh chain ${n}x", lshChain(docsNDistinct))),
+      "ann lsh topk" -> (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
