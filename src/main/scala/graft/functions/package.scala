@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, PsarWindow, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -55,6 +55,14 @@ package object functions {
   def dotFD(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused 32-bit SimHash majority vote over a token-hash array, bits
+    * placed at `offset`..`offset+31` — see
+    * [[org.apache.spark.sql.graft.expressions.SimhashBitsF]].
+    */
+  def simhashBits(tokenHashes: Column, offset: Int = 0): Column =
+    ColumnBridge.column(
+      SimhashBitsF(ColumnBridge.expression(tokenHashes), offset))
 
   /** Parabolic SAR state machine over an ordered frame — see
     * [[org.apache.spark.sql.graft.expressions.PsarWindow]].

@@ -71,23 +71,13 @@ object TextOps {
 
   /** 32-bit SimHash over a PRE-HASHED token array column: bit j set
     * iff the majority of tokens have bit j set (+1/−1 vote, strict
-    * > 0). Takes the hashed array — not the text — because the 32
-    * per-bit votes each reference their input: handed the raw
-    * tokenize+md5 pipeline, Catalyst inlines that full pipeline 32
-    * times (measured in the executed plan); handed a staged array
-    * column (see [[Dedup.simhashes]]), the expensive hashing runs once
-    * and the 32 votes are cheap arithmetic passes over it.
+    * > 0). Takes the hashed array — not the text — so the md5 hashing
+    * is staged once (see [[Dedup.simhashes]]); the vote itself is the
+    * fused codegen [[graft.functions.simhashBits]] (one O(32·n) loop,
+    * replacing 32 interpreted higher-order aggregates per row).
     */
-  def simhash32(tokenHashes: Column): Column = {
-    val bits = (0 until 32).map { j =>
-      val vote = aggregate(
-        tokenHashes,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash32(tokenHashes: Column): Column =
+    graft.functions.simhashBits(tokenHashes)
 
   /** Order-sensitive polynomial (Rabin-style rolling) hash of the
     * token stream: fold of `acc*B + hash32(token) (mod M)`. Unlike the
@@ -279,16 +269,9 @@ object Dedup {
     * both engines. Disjoint bit literals are OR'd (not summed) so the
     * sign bit (1L << 63) never participates in checked addition.
     */
-  def simhash64(th1: Column, th2: Column): Column = {
-    def bits(th: Column, off: Int): Seq[Column] = (0 until 32).map { j =>
-      val vote = aggregate(
-        th,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << (off + j))).otherwise(lit(0L))
-    }
-    (bits(th1, 0) ++ bits(th2, 32)).reduce(_ bitwiseOR _)
-  }
+  def simhash64(th1: Column, th2: Column): Column =
+    graft.functions.simhashBits(th1, 0)
+      .bitwiseOR(graft.functions.simhashBits(th2, 32))
 
   /** Per-document 64-bit SimHash, token hashes staged once (hash-once,
     * as in [[simhashes]]).
