@@ -58,6 +58,69 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(h => h >= 0 && h < (1L << 32)))
   }
 
+  test("simhashBits matches the per-bit vote formula and its null quirks") {
+    val schema = StructType(Seq(
+      StructField("th", ArrayType(LongType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq(0b1011L, 0b1001L, 0b0001L)), // bit0: 3-0, bit1: 1-2, bit3: 2-1
+      Row(Seq.empty[Long]),                // no votes -> 0
+      Row(null),                           // NULL array -> 0 (quirk)
+      Row(Seq(3L, null, null))             // nulls vote -1 everywhere -> 1-2 on bits 0,1
+    ).asJava
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(graft.functions.simhashBits(col("th")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == (1L | (1L << 3)))
+    assert(out(1) == 0L)
+    assert(out(2) == 0L)
+    assert(out(3) == 0L)
+    // offset shifts the bit positions into the high half
+    val hi = df.select(graft.functions.simhashBits(col("th"), 32).as("s"))
+      .collect().map(_.getLong(0))
+    assert(hi(0) == ((1L << 32) | (1L << 35)))
+    // interpreted eval (e.g. under a non-codegen parent) agrees
+    val filtered = df.where(graft.functions.simhashBits(col("th")) === (1L | (1L << 3)))
+    assert(filtered.count() == 1)
+  }
+
+  test("simhash64 splits halves by hash stream and simhashPairs64 finds near-dups") {
+    // 40-token docs: one changed token shifts each bit's vote margin
+    // by at most 2, so the near-dup lands at hamming 6 (computed with
+    // an independent python md5 mirror) while the unrelated doc sits at
+    // 33 — deterministic, since every vote is md5-derived.
+    val base = (0 until 40).map(i => s"tok$i")
+    val d = docs(
+      (1L, base.mkString(" ")),
+      (2L, (base.dropRight(1) :+ "changed").mkString(" ")),
+      (3L, (0 until 40).map(i => s"other$i").mkString(" ")))
+    val sh = Dedup.simhashes64(d).orderBy("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) == 6)
+    assert(ham(sh(0), sh(2)) == 33)
+    val pairs = Dedup.simhashPairs64(d, maxHamming = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // banding config is validated
+    intercept[IllegalArgumentException](Dedup.simhashPairs64(d, maxHamming = 9, bands = 8))
+    intercept[IllegalArgumentException](Dedup.simhashPairs64(d, bands = 7))
+  }
+
+  test("dotFD matches element_at cast chain bit-for-bit") {
+    val schema = StructType(Seq(StructField("e", ArrayType(FloatType))))
+    val rows = Seq(Row(Seq(1.5f, -2.25f, 0.125f)), Row(Seq(0.1f, 0.2f, 0.3f))).asJava
+    val df = spark.createDataFrame(rows, schema)
+    val plane = Array(0.002, -0.754, 1.0)
+    val viaChain = df.select(
+      (0 until 3).map(d => element_at(col("e"), d + 1).cast("double") * lit(plane(d)))
+        .reduce(_ + _).as("dot")).collect().map(_.getDouble(0))
+    val viaF = df.select(graft.functions.dotFD(col("e"), typedlit(plane)).as("dot"))
+      .collect().map(_.getDouble(0))
+    assert(viaChain.toSeq == viaF.toSeq) // exact, not approximate
+    // length mismatch -> NULL
+    val mism = df.select(graft.functions.dotFD(col("e"), typedlit(Array(1.0, 2.0))).as("d"))
+      .collect()
+    assert(mism.forall(_.isNullAt(0)))
+  }
+
   test("cosine is 1 for identical vectors and 0 for orthogonal") {
     val schema = StructType(Seq(
       StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
