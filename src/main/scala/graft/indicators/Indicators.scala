@@ -1017,6 +1017,9 @@ final class Indicators private (
       method: Option[String])(implicit d: DummyImplicit): Indicators =
     fill_null(resolve(columns), value, method)
 
+  def kama(price_col: Column, window: Int): Indicators =
+    kama(resolve(Seq(price_col)).head, window)
+
   def daily_return(columns: Column*): Indicators =
     daily_return(resolve(columns))
 

@@ -42,6 +42,12 @@ class ExtensionsSpec extends SparkSpec {
     val derived = Indicators(df.withColumn("c2", col("close") * 2))
       .daily_return(col("c2")).dataframe
     assert(derived.columns.contains("c2_daily_return"))
+    // single-price-col methods accept a Column too (kama price_col)
+    val viaKamaCol = Indicators(df).kama(col("close"), 3).dataframe
+      .orderBy("timestamp").select("KAMA_close").collect()
+    val viaKamaStr = Indicators(df).kama("close", 3).dataframe
+      .orderBy("timestamp").select("KAMA_close").collect()
+    assert(viaKamaCol.sameElements(viaKamaStr))
   }
 
   test("var_alpha_ewma is callable from SQL with OVER") {
