@@ -96,6 +96,28 @@ object QueriesPipeline {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // Fuzzy verification of the SAME LSH candidates by plain edit
+    // distance (both engines ship classic Levenshtein; integer result,
+    // exact cross-engine) — the alternative verifier to jaccard when
+    // near-dups are character-level (OCR noise, template fills) rather
+    // than token-level. Joins only the candidate pairs, so the O(len²)
+    // DP runs on O(candidates) rows, never all pairs; reuses the
+    // per-session staged chain.
+    "dedup_editdist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val texts = d.select(col("doc_id"), col("text"))
+      DedupChain.candidatePairs(s, dir, d)
+        .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+        .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("bigint").as("edit_distance"),
+          round(
+            levenshtein(col("ta"), col("tb")).cast("double") /
+              greatest(length(col("ta")), length(col("tb"))), 6).as("edit_ratio"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashes(docs(s, dir)).orderBy("doc_id")),
 
@@ -501,6 +523,29 @@ object QueriesPipeline {
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_editdist" ->
+      s"""WITH sigs AS MATERIALIZED (
+         |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
+         |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |bands AS (
+         |  SELECT doc_id, b.band, CASE b.band
+         |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
+         |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
+         |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
+         |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+         |  round(CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |        greatest(length(a.text), length(b.text)), 6) AS edit_ratio
+         |FROM pairs p
+         |JOIN read_parquet('{SFDIR}/documents.parquet') a ON p.doc_a = a.doc_id
+         |JOIN read_parquet('{SFDIR}/documents.parquet') b ON p.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash_pairs" ->
