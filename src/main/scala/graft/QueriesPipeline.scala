@@ -202,6 +202,68 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Fixed-size token chunking with overlap — the context-window
+    // splitting step before embedding/indexing long documents. Pure
+    // array expressions (sequence + slice over the token array), so
+    // it's a map-only explode at any scale; chunk boundaries are
+    // deterministic functions of the token count. size=32, stride=24
+    // (8-token overlap); docs at or under `size` yield one chunk.
+    "chunk_docs" -> ((s, dir) => {
+      val sz = 32
+      val stride = 24
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("n_tok", size(col("t")).cast("bigint"))
+        // number of extra chunks past the first: ceil((n-size)/stride),
+        // clamped (integral `div`; short docs go negative before the
+        // clamp, and Spark's truncating div vs DuckDB's flooring //
+        // agree only because greatest(.., 0) absorbs the difference)
+        .withColumn("extra",
+          greatest(expr(s"(n_tok - $sz + ${stride - 1}) div $stride"), lit(0L)))
+        .select(
+          col("doc_id"),
+          explode(transform(
+            sequence(lit(0L), col("extra")),
+            c => struct(
+              c.as("chunk_id"),
+              concat_ws(" ", slice(col("t"), (c * stride + 1).cast("int"), lit(sz)))
+                .as("chunk_text"))))
+            .as("ch"))
+        .select(
+          col("doc_id"),
+          col("ch.chunk_id").as("chunk_id"),
+          col("ch.chunk_text").as("chunk_text"),
+          size(TextOps.tokens(col("ch.chunk_text"))).cast("bigint").as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // GPT-style sequence packing offsets: concatenate the corpus in
+    // doc_id order and split at fixed context boundaries (ctx=512
+    // tokens); each document gets its exclusive-prefix-sum start
+    // offset and the first/last window it lands in. Integer-exact on
+    // both engines. The global-order running sum is a single-partition
+    // window at parity scale; at 100 TB the identical arithmetic runs
+    // on graft.plans.Scale.cumSumDistributed's two-pass prefix plan
+    // (per-partition sums + composed offsets).
+    "pack_sequences" -> ((s, dir) => {
+      val ctx = 512L
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start_offset", col("cum") - col("n_tokens"))
+        .withColumn("first_window", expr(s"start_offset div $ctx"))
+        .withColumn("last_window", expr(s"(cum - 1) div $ctx"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("start_offset"),
+          col("first_window"),
+          col("last_window"),
+          (col("first_window") =!= col("last_window")).as("spans_boundary"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-based train/valid/test assignment — the
     // reproducible split a training pipeline needs (no RNG state, no
     // ordering dependence; any engine computing the same md5 agrees).
@@ -707,6 +769,33 @@ object QueriesPipeline {
          |  round(quantile_cont(close, 0.9), 6) AS p90,
          |  round(quantile_cont(close, 0.99), 6) AS p99
          |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "chunk_docs" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(0, greatest((len(t) - 32 + 23) // 24, 0) + 1)) AS chunk_id
+         |  FROM d)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
+         |  CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_window,
+         |  (cum - 1) // 512 AS last_window,
+         |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
       s"""SELECT doc_id,
