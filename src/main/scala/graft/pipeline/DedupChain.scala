@@ -34,6 +34,15 @@ object DedupChain {
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, stage), build.localCheckpoint(true))
 
+  // NOT staged: the (doc_id, sh) shingle frame. Measured at sf0.1, a
+  // checkpointed shingle stage saves nothing — whole-stage codegen
+  // already fuses shingle construction into each consumer (the
+  // signature path never materializes string arrays at all, it fuses
+  // shingle->md5 in one pass), so staging O(corpus) data only trades
+  // compute for checkpoint I/O. Callers with a persisted shingle table
+  // (the per-corpus-snapshot production pattern) can use the
+  // Dedup.*Sh variants directly.
+
   /** LSH banded candidate pairs (doc_a, doc_b) for `dir`'s documents. */
   def candidatePairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     cached(s, dir, "pairs")(Dedup.lshCandidatePairs(docs))

@@ -139,10 +139,24 @@ object Dedup {
     * CollapseProject keeps the staging projection because the hashed
     * array is expensive and referenced k times).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val staged = docs.select(
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesSh(shingled(docs))
+
+  /** The (doc_id, sh) shingle frame every chain stage consumes —
+    * shingle-string construction is ~2 s of the sf0.1 chain build, so
+    * the chain stages it once (see graft.pipeline.DedupChain) instead
+    * of re-deriving it for signatures AND jaccard sets. The standard
+    * production staging: the shingle table is written once per corpus
+    * snapshot and every dedup pass reads it.
+    */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** [[minhashSignatures]] over a pre-shingled (doc_id, sh) frame. */
+  def minhashSignaturesSh(sh: DataFrame): DataFrame = {
+    val staged = sh.select(
       col("doc_id"),
-      transform(shingles(col("text")), s => hash32(s)).as("_hs"))
+      transform(col("sh"), s => hash32(s)).as("_hs"))
     val sigs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("_hs"), h => (h * a + b) % M)).as(s"m$i")
     }
@@ -161,8 +175,12 @@ object Dedup {
     * join key is (band index, band value) — selective by construction,
     * so the shuffle join explodes only within buckets.
     */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val banded = lshBands(minhashSignatures(docs))
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    lshCandidatePairsSh(shingled(docs))
+
+  /** [[lshCandidatePairs]] over a pre-shingled (doc_id, sh) frame. */
+  def lshCandidatePairsSh(sh: DataFrame): DataFrame = {
+    val banded = lshBands(minhashSignaturesSh(sh))
     // Persisted: the self-join would otherwise recompute the full
     // signature pipeline (8 minhashes x ~100 shingle md5s per doc) on
     // BOTH sides — ReuseExchange can't dedup them when one side is
@@ -190,9 +208,13 @@ object Dedup {
     * doc_b side); cache lifecycle is caller-owned, as in
     * [[lshCandidatePairs]].
     */
-  def jaccardPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val withSets = docs
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+  def jaccardPairs(pairs: DataFrame, docs: DataFrame): DataFrame =
+    jaccardPairsSh(pairs, shingled(docs))
+
+  /** [[jaccardPairs]] over a pre-shingled (doc_id, sh) frame. */
+  def jaccardPairsSh(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val withSets = sh
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
       .persist()
     pairs
       .join(withSets.as("da"), col("doc_a") === col("da.doc_id"))
