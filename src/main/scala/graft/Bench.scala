@@ -40,8 +40,14 @@ object Bench {
     // stdout JSON can overflow a captured-tail limit (round 3's
     // BENCH_r03.json recorded "parsed": null), losing the
     // machine-readable total. The file is the durable copy.
+    // Best-effort: an unwritable path must not fail the run whose
+    // results are already on stdout.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

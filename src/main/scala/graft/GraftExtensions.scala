@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, SimhashBitsF, VarAlphaEwmaWindow}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -17,7 +17,11 @@ import org.apache.spark.sql.graft.expressions.{DotProductF, EwmaWindow, VarAlpha
   * Registered:
   *  - `ewma(x, alpha, adjust)` — window function (use with OVER);
   *  - `var_alpha_ewma(x, alpha)` — window function (use with OVER);
-  *  - `dot_product_f(a, b)` — scalar codegen float-array dot product.
+  *  - `dot_product_f(a, b)` — scalar codegen float-array dot product;
+  *  - `dot_product_fd(a, b)` — float array × double array (constant
+  *    plane-vector sides);
+  *  - `simhash_bits_f(th[, offset])` — fused 32-bit SimHash majority
+  *    vote over a token-hash array, bits at offset..offset+31.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -69,6 +73,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product_f(a, b) takes 2 arguments")
         DotProductF(args.head, args(1))
+      }),
+    (
+      "dot_product_fd",
+      new ExpressionInfo(classOf[DotProductFD].getName, "dot_product_fd"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product_fd(a, b) takes 2 arguments")
+        DotProductFD(args.head, args(1))
+      }),
+    (
+      "simhash_bits_f",
+      new ExpressionInfo(classOf[SimhashBitsF].getName, "simhash_bits_f"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "simhash_bits_f(th[, offset]) takes 1 or 2 arguments")
+        val offset =
+          if (args.length == 2) doubleLit(args(1), "offset").toInt else 0
+        SimhashBitsF(args.head, offset)
       }))
 
   /** Register on an already-built session. */

@@ -84,8 +84,8 @@ object QueriesPipeline {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
 
-    // The four LSH-chain queries (pairs / jaccard / clusters /
-    // corpus_filter) consume successive stages of one pipeline; the
+    // The five LSH-chain queries (pairs / jaccard / editdist /
+    // clusters / corpus_filter) consume stages of one pipeline; the
     // shared stages are materialized once per (session, dir) by
     // DedupChain instead of re-derived from raw text per query.
     "dedup_lsh_pairs" -> ((s, dir) =>
@@ -451,9 +451,11 @@ object QueriesPipeline {
   }
 
   /** Shared CTE chain: minhash signatures -> LSH bands -> candidate
-    * pairs -> distinct shingle sets (dedup_jaccard, dedup_clusters).
+    * pairs — the ONE spelling of the banding arithmetic every
+    * LSH-chain oracle extends (lsh_pairs, editdist, jaccard, clusters,
+    * corpus_filter), so the engines cannot drift on the candidate set.
     */
-  private val LshPairCtes: String =
+  private val LshCandCtes: String =
     s"""sigs AS MATERIALIZED (
        |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
        |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
@@ -466,7 +468,13 @@ object QueriesPipeline {
        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id)""".stripMargin
+
+  /** [[LshCandCtes]] + the distinct shingle sets the jaccard verifier
+    * reads (dedup_jaccard, dedup_clusters, corpus_filter).
+    */
+  private val LshPairCtes: String =
+    s"""$LshCandCtes,
        |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM read_parquet('{SFDIR}/documents.parquet'))""".stripMargin
 
   /** CC chain over jaccard>=0.5 LSH pairs (extends [[LshPairCtes]];
@@ -565,18 +573,8 @@ object QueriesPipeline {
          |FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet')) ORDER BY doc_id""".stripMargin,
 
     "dedup_lsh_pairs" ->
-      s"""WITH sigs AS MATERIALIZED (
-         |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-         |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
-         |bands AS (
-         |  SELECT doc_id, b.band, CASE b.band
-         |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
-         |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
-         |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
-         |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b)
-         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+      s"""WITH $LshCandCtes
+         |SELECT doc_a, doc_b FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard" ->
@@ -588,19 +586,7 @@ object QueriesPipeline {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_editdist" ->
-      s"""WITH sigs AS MATERIALIZED (
-         |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-         |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
-         |bands AS (
-         |  SELECT doc_id, b.band, CASE b.band
-         |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
-         |    WHEN 1 THEN (m2 * 31 + m3) % 1000000007
-         |    WHEN 2 THEN (m4 * 31 + m5) % 1000000007
-         |    ELSE (m6 * 31 + m7) % 1000000007 END AS v
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id)
+      s"""WITH $LshCandCtes
          |SELECT p.doc_a, p.doc_b,
          |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
          |  round(CAST(levenshtein(a.text, b.text) AS DOUBLE) /

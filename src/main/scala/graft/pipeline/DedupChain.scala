@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Session-scoped memo for the shared MinHash-LSH dedup chain.
   *
-  * Four declared queries (`dedup_lsh_pairs`, `dedup_jaccard`,
-  * `dedup_clusters`, `corpus_filter`) consume successive stages of ONE
-  * pipeline: signatures → banded candidate pairs → Jaccard-verified
-  * pairs → connected-component labels. Re-deriving the whole chain
+  * Five declared queries (`dedup_lsh_pairs`, `dedup_jaccard`,
+  * `dedup_editdist`, `dedup_clusters`, `corpus_filter`) consume
+  * successive stages of ONE pipeline: signatures → banded candidate
+  * pairs → Jaccard-verified pairs → connected-component labels (the
+  * edit-distance verifier branches off the candidate stage).
+  * Re-deriving the whole chain
   * from raw text per query tripled the bench bill (round 3 verdict);
   * a production pipeline materializes each stage once and fans the
   * consumers out from it — this memo is that materialization, keyed on
@@ -33,6 +35,19 @@ object DedupChain {
   private def cached(s: SparkSession, dir: String, stage: String)(
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, stage), build.localCheckpoint(true))
+
+  /** Drop every staged frame for `s` and free its checkpoint blocks.
+    * The memo is session-lifetime by design (Bench/Verify never need
+    * this), but a long-lived session cycling through many scale dirs —
+    * or a test suite about to stop `s` — should release explicitly:
+    * entries hold strong DataFrame references, so neither clearCache
+    * nor the ContextCleaner can reclaim them.
+    */
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
 
   // NOT staged: the (doc_id, sh) shingle frame. Measured at sf0.1, a
   // checkpointed shingle stage saves nothing — whole-stage codegen
@@ -60,4 +75,17 @@ object DedupChain {
         jaccardPairs(s, dir, docs)
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")))
+}
+
+/** The underlying checkpointed RDD of a `localCheckpoint`ed frame —
+  * the handle needed to free its blocks early (the frame itself has a
+  * truncated LogicalRDD plan, so `Dataset.unpersist` is a CacheManager
+  * no-op on it). Only safe when the frame is never read again.
+  */
+private[graft] object CheckpointUtil {
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

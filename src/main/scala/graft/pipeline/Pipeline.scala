@@ -441,11 +441,16 @@ object Dedup {
       // cheap aggregate action per round instead of a join-and-count
       // against the previous labels.
       val sumNow = labelSum(jumped)
+      // free the previous round's checkpoint blocks eagerly — at scale
+      // the label table is O(nodes) and up to maxIter copies would
+      // otherwise sit in the block manager until driver GC
+      CheckpointUtil.checkpointRdd(labels).foreach(_.unpersist(false))
       labels = jumped
       converged = sumNow == prevSum
       prevSum = sumNow
       iter += 1
     }
+    CheckpointUtil.checkpointRdd(sym).foreach(_.unpersist(false))
     // Partially-converged labels would silently keep duplicate docs
     // downstream (several is_canonical=true per true component) — fail
     // loudly instead.
@@ -695,9 +700,15 @@ object Similarity {
     * bit-identical to both the old tree and the oracle's `+` chain.
     */
   def lshBucket(e: Column, dims: Int = 64, nbits: Int = 4, firstPlane: Int = 0): Column = {
+    // slice to `dims` first: dotFD NULLs on length mismatch, but the
+    // replaced element_at chain (and the oracle's fixed range(1,65)
+    // fold) dotted the FIRST dims elements of a longer embedding — the
+    // slice preserves that, and a shorter-than-dims embedding still
+    // yields NULL -> bit 0 either way.
+    val e64 = slice(e, 1, dims)
     val bits = (0 until nbits).map { i =>
       val plane = (0 until dims).map(d => planeVal(firstPlane + i, d)).toArray
-      when(graft.functions.dotFD(e, typedlit(plane)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.dotFD(e64, typedlit(plane)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

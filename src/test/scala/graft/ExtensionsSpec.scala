@@ -50,6 +50,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaKamaCol.sameElements(viaKamaStr))
   }
 
+  test("dot_product_fd and simhash_bits_f are callable from SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT
+        |  dot_product_fd(array(CAST(1.5 AS FLOAT), CAST(-2 AS FLOAT)),
+        |                 array(CAST(2 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS d,
+        |  simhash_bits_f(array(CAST(11 AS BIGINT))) AS s0,
+        |  simhash_bits_f(array(CAST(11 AS BIGINT)), 32) AS s32
+        |""".stripMargin).collect().head
+    assert(got.getDouble(0) == 1.5 * 2 + (-2) * 0.5)
+    assert(got.getLong(1) == 11L) // single token: its own bits win every vote
+    assert(got.getLong(2) == 11L << 32)
+  }
+
   test("var_alpha_ewma is callable from SQL with OVER") {
     GraftExtensions.register(spark)
     val df = bars("x", Seq(10.0, 20.0, 30.0))
