@@ -358,6 +358,46 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM fluency: Σ ln P(w2|w1) per document, with
+    // P(w2|w1) = c(w1 w2) / c(w1 ·) both counted over the corpus
+    // bigram table (the denominator is bigram-initial counts, so the
+    // model is properly normalized without tracking end-of-doc). Same
+    // exact-integer-micro summation as doc_logprob — double sums are
+    // partial-agg-order-dependent across engines, integer sums aren't.
+    // One bigram shuffle for the model, broadcast back, per-doc agg.
+    "doc_bigram_logprob" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+        .persist()
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bg
+        .select(element_at(split(col("bg"), " "), 1).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = c2
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .join(c1, Seq("w1"))
+        .select(
+          col("bg"),
+          round(log(col("c2").cast("double") / col("c1")) * 1e6, 0)
+            .cast("bigint").as("logp_micro"))
+      bg.join(broadcast(model), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("logp_micro")).as("logprob_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-size histogram over the near-dup components — the
+    // dedup-audit view (how much of the corpus is duplicated, and in
+    // what clump sizes). Rides the staged chain: two tiny aggregates
+    // over the memoized CC labels.
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      DedupChain.clusterLabels(s, dir, docs(s, dir))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     "tfidf_top_tokens" -> ((s, dir) =>
       Corpus.topTfidfTokens(docs(s, dir))
         .select(col("doc_id"), col("top_token"), round(col("tfidf"), 6).as("tfidf"))
@@ -823,6 +863,34 @@ object QueriesPipeline {
          |  CAST(sum(v.logp_micro) AS BIGINT) AS logprob_micro
          |FROM tok t JOIN vocab v ON t.token = v.token
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_bigram_logprob" ->
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT doc_id, unnest(${shinglesSql(2)}) AS bg
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1),
+         |model AS (
+         |  SELECT c2.bg,
+         |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e6, 0) AS BIGINT) AS logp_micro
+         |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(m.logp_micro) AS BIGINT) AS logprob_micro
+         |FROM bg b JOIN model m ON b.bg = m.bg
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM labels GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "tfidf_top_tokens" ->
       s"""WITH tok AS MATERIALIZED (
