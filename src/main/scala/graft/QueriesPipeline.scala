@@ -311,6 +311,49 @@ object QueriesPipeline {
         .orderBy("source")
     }),
 
+    // Robust per-source length stats: median token count and the
+    // median absolute deviation around it — the outlier-insensitive
+    // screen for source-level length anomalies (a source whose MAD
+    // explodes is mixing content types). Two passes: medians, join
+    // back, deviation medians; both exact percentile (quantile_cont
+    // parity proven by bar_quantiles) — approx_percentile at 100 TB.
+    "source_robust_stats" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("source"), size(TextOps.tokens(col("text"))).cast("double").as("n_tok"))
+      val med = base.groupBy("source")
+        .agg(expr("percentile(n_tok, 0.5)").as("median_tokens"))
+      base.join(med, Seq("source"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(first(col("median_tokens")), 6).as("median_tokens"),
+          round(expr("percentile(abs(n_tok - median_tokens), 0.5)"), 6).as("mad_tokens"))
+        .orderBy("source")
+    }),
+
+    // Bigram novelty of the valid split vs the train split (splits by
+    // the corpus_split hash): the share of distinct valid-set bigrams
+    // never seen in train — the standard held-out-contamination /
+    // distribution-shift screen run before trusting an eval split. One
+    // anti-join on the bigram key; both sides shuffle once.
+    "split_novelty" -> ((s, dir) => {
+      val bucket = pmod(
+        TextOps.hash32(concat(lit("split_"), col("doc_id").cast("string"))), lit(100L))
+      val bg = docs(s, dir)
+        .withColumn("bucket", bucket)
+        .select(col("bucket"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+      val train = bg.where(col("bucket") < 80).select("bg").distinct()
+      val valid = bg.where(col("bucket") >= 80 && col("bucket") < 90).select("bg").distinct()
+      val unseen = valid.join(train, Seq("bg"), "left_anti")
+      valid.agg(count(lit(1)).as("n_valid_bigrams"))
+        .crossJoin(unseen.agg(count(lit(1)).as("n_unseen")))
+        .select(
+          col("n_valid_bigrams"),
+          col("n_unseen"),
+          round(col("n_unseen").cast("double") / col("n_valid_bigrams"), 6)
+            .as("novelty_ratio"))
+    }),
+
     // Exact per-symbol close-price quantiles (linear interpolation).
     // Exact percentile buffers each group's values — fine for bounded
     // per-symbol bar counts; at 100 TB the same query shape runs with
@@ -838,6 +881,34 @@ object QueriesPipeline {
          |      ORDER BY ${h32("concat('sample_', CAST(doc_id AS VARCHAR))")} ASC, doc_id ASC) AS INTEGER) AS sample_rank
          |  FROM read_parquet('{SFDIR}/documents.parquet'))
          |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+
+    "source_robust_stats" ->
+      s"""WITH base AS (
+         |  SELECT source, CAST(len($Toks) AS DOUBLE) AS n_tok
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |med AS (
+         |  SELECT source, quantile_cont(n_tok, 0.5) AS median_tokens
+         |  FROM base GROUP BY source)
+         |SELECT b.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(first(m.median_tokens), 6) AS median_tokens,
+         |  round(quantile_cont(abs(b.n_tok - m.median_tokens), 0.5), 6) AS mad_tokens
+         |FROM base b JOIN med m ON b.source = m.source
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+
+    "split_novelty" ->
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+         |         unnest(${shinglesSql(2)}) AS bg
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |train AS (SELECT DISTINCT bg FROM bg WHERE bucket < 80),
+         |valid AS (SELECT DISTINCT bg FROM bg WHERE bucket >= 80 AND bucket < 90),
+         |unseen AS (SELECT bg FROM valid WHERE bg NOT IN (SELECT bg FROM train))
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM valid) AS n_valid_bigrams,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM unseen) AS n_unseen,
+         |  round(CAST((SELECT count(*) FROM unseen) AS DOUBLE) /
+         |        (SELECT count(*) FROM valid), 6) AS novelty_ratio""".stripMargin,
 
     "source_stats" ->
       s"""WITH tok AS (
