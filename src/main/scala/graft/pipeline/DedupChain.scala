@@ -58,14 +58,23 @@ object DedupChain {
   // (the per-corpus-snapshot production pattern) can use the
   // Dedup.*Sh variants directly.
 
-  /** LSH banded candidate pairs (doc_a, doc_b) for `dir`'s documents. */
+  /** LSH banded candidate pairs (doc_a, doc_b) for `dir`'s documents.
+    * A projection of the jaccard stage, not its own checkpoint: the
+    * jaccard join is INNER against the all-docs shingle-set frame, so
+    * it preserves every candidate pair — staging both would
+    * materialize the same rows twice and pay an extra checkpoint job
+    * in the build.
+    */
   def candidatePairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
-    cached(s, dir, "pairs")(Dedup.lshCandidatePairs(docs))
+    jaccardPairs(s, dir, docs).select(col("doc_a"), col("doc_b"))
 
-  /** Candidate pairs with exact word-3-gram Jaccard similarity. */
+  /** Candidate pairs with exact word-3-gram Jaccard similarity — the
+    * chain's first staged stage (one build: signatures → bands →
+    * candidate join → jaccard verify).
+    */
   def jaccardPairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame = {
     lazy val d = docs
-    cached(s, dir, "jaccard")(Dedup.jaccardPairs(candidatePairs(s, dir, d), d))
+    cached(s, dir, "jaccard")(Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d))
   }
 
   /** Connected-component labels over the jaccard >= 0.5 edge list. */
