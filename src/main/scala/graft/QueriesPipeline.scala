@@ -423,7 +423,11 @@ object QueriesPipeline {
           col("bg"),
           round(log(col("c2").cast("double") / col("c1")) * 1e6, 0)
             .cast("bigint").as("logp_micro"))
-      bg.join(broadcast(model), Seq("bg"))
+      // No broadcast hint: unlike the unigram vocab, a bigram model is
+      // corpus-scale at 100 TB (billions of entries) — the probe join
+      // must be able to shuffle on the bigram key; AQE still picks a
+      // broadcast when the model measures small (as it does here).
+      bg.join(model, Seq("bg"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_bigrams"),
