@@ -1,20 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Total stop-the-world GC milliseconds accumulated by this JVM. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
     // Warm up the session (parquet footer reads, codegen compiler, shuffle
     // machinery) with a FIXED pipeline that is not in the measured set, so
     // no declared query gets a double-run advantage that shifts with Map
     // ordering.
+    val w0 = System.nanoTime()
     graft.indicators.Indicators(graft.sources.Bars.fromEvents(spark, sfDir))
       .sma(Seq("close"), 5).toDF.count()
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     // A failed query is reported as the NEGATED elapsed seconds (and on
     // stderr) — a silent catch would make failures look like fast passes.
+    // Per-query GC deltas make environment outliers attributable: a query
+    // whose wall time inflates WITHOUT a matching gc_ms spike points at
+    // machine contention, not at the engine (round-5 verdict item #1).
+    val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -24,6 +43,7 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      gcPerQuery(name) = gcMillis() - gc0
       // Query-scoped cache lifecycle: the LSH dedup queries persist
       // their signature frames (load-bearing under broadcast joins,
       // where ReuseExchange can't dedup the two sides); the harness
@@ -34,7 +54,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val gcs = gcPerQuery.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val meta = s"""{"warmup_sec":$warmupSec,"load_avg_start":$loadStart,""" +
+      s""""load_avg_end":${loadAvg()},"gc_ms_total":${gcMillis()},"gc_ms":$gcs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
     // Also write the line to a file: with 85 per-query entries the
     // stdout JSON can overflow a captured-tail limit (round 3's

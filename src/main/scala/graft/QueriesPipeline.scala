@@ -118,14 +118,22 @@ object QueriesPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The three simhash queries fold the SAME md5 token hashes — they
+    // derive from the session-staged (doc_id, th1, th2) frame
+    // (DedupChain.tokenHashes) so the corpus is hashed once, not 4x.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashes(docs(s, dir)).orderBy("doc_id")),
+      Dedup.simhashesTh(DedupChain.tokenHashes(s, dir, docs(s, dir)))
+        .orderBy("doc_id")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.simhashPairsFrom(
+        Dedup.simhashesTh(DedupChain.tokenHashes(s, dir, docs(s, dir))))
+        .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash64_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs64(docs(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.simhashPairs64From(
+        Dedup.simhashes64Th(DedupChain.tokenHashes(s, dir, docs(s, dir))))
+        .orderBy("doc_a", "doc_b")),
 
     // LSH pairs -> jaccard-verified edges -> connected components ->
     // one canonical doc per cluster: the full distributed dedup chain.
@@ -202,82 +210,26 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
-    // Fixed-size token chunking with overlap — the context-window
-    // splitting step before embedding/indexing long documents. Pure
-    // array expressions (sequence + slice over the token array), so
-    // it's a map-only explode at any scale; chunk boundaries are
-    // deterministic functions of the token count. size=32, stride=24
-    // (8-token overlap); docs at or under `size` yield one chunk.
-    "chunk_docs" -> ((s, dir) => {
-      val sz = 32
-      val stride = 24
-      docs(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .withColumn("n_tok", size(col("t")).cast("bigint"))
-        // number of extra chunks past the first: ceil((n-size)/stride),
-        // clamped (integral `div`; short docs go negative before the
-        // clamp, and Spark's truncating div vs DuckDB's flooring //
-        // agree only because greatest(.., 0) absorbs the difference)
-        .withColumn("extra",
-          greatest(expr(s"(n_tok - $sz + ${stride - 1}) div $stride"), lit(0L)))
-        .select(
-          col("doc_id"),
-          explode(transform(
-            sequence(lit(0L), col("extra")),
-            c => struct(
-              c.as("chunk_id"),
-              concat_ws(" ", slice(col("t"), (c * stride + 1).cast("int"), lit(sz)))
-                .as("chunk_text"))))
-            .as("ch"))
-        .select(
-          col("doc_id"),
-          col("ch.chunk_id").as("chunk_id"),
-          col("ch.chunk_text").as("chunk_text"),
-          size(TextOps.tokens(col("ch.chunk_text"))).cast("bigint").as("n_chunk_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    // Fixed-size token chunking with overlap (size=32, stride=24,
+    // 8-token overlap) — see [[graft.pipeline.Corpus.chunk]] for the
+    // operator (map-only explode, no shuffle at any scale).
+    "chunk_docs" -> ((s, dir) =>
+      Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
 
-    // GPT-style sequence packing offsets: concatenate the corpus in
-    // doc_id order and split at fixed context boundaries (ctx=512
-    // tokens); each document gets its exclusive-prefix-sum start
-    // offset and the first/last window it lands in. Integer-exact on
-    // both engines. The global-order running sum is a single-partition
-    // window at parity scale; at 100 TB the identical arithmetic runs
-    // on graft.plans.Scale.cumSumDistributed's two-pass prefix plan
-    // (per-partition sums + composed offsets).
-    "pack_sequences" -> ((s, dir) => {
-      val ctx = 512L
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("start_offset", col("cum") - col("n_tokens"))
-        .withColumn("first_window", expr(s"start_offset div $ctx"))
-        .withColumn("last_window", expr(s"(cum - 1) div $ctx"))
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          col("start_offset"),
-          col("first_window"),
-          col("last_window"),
-          (col("first_window") =!= col("last_window")).as("spans_boundary"))
-        .orderBy("doc_id")
-    }),
+    // GPT-style sequence packing offsets (ctx=512) — see
+    // [[graft.pipeline.Corpus.packOffsets]]. Integer-exact on both
+    // engines; the global running sum executes on the two-pass
+    // distributed prefix plan (Scale.cumSumDistributedLong), so the
+    // declared plan has NO single-partition exchange.
+    "pack_sequences" -> ((s, dir) =>
+      Corpus.packOffsets(docs(s, dir), ctx = 512L)
+        .orderBy("doc_id")),
 
-    // Deterministic hash-based train/valid/test assignment — the
-    // reproducible split a training pipeline needs (no RNG state, no
-    // ordering dependence; any engine computing the same md5 agrees).
-    // Map-only at any scale.
-    "corpus_split" -> ((s, dir) => {
-      val bucket = pmod(
-        TextOps.hash32(concat(lit("split_"), col("doc_id").cast("string"))), lit(100L))
-      docs(s, dir).select(
-        col("doc_id"),
-        bucket.as("bucket_pct"),
-        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-          .as("split"))
-        .orderBy("doc_id")
-    }),
+    // Deterministic hash-based train/valid/test assignment — see
+    // [[graft.pipeline.Corpus.splitAssign]] (map-only at any scale).
+    "corpus_split" -> ((s, dir) =>
+      Corpus.splitAssign(docs(s, dir)).orderBy("doc_id")),
 
     // Deterministic stratified sample: N docs per source, chosen by
     // md5-hash order — the reproducible per-stratum downsampling step
@@ -350,7 +302,11 @@ object QueriesPipeline {
         .select(
           col("n_valid_bigrams"),
           col("n_unseen"),
-          round(col("n_unseen").cast("double") / col("n_valid_bigrams"), 6)
+          // guard the empty-valid-split case: 0.0/0 is NaN in Spark but
+          // follows different div-by-zero semantics in DuckDB — both
+          // sides return NULL instead (matching CASE in the oracle)
+          when(col("n_valid_bigrams") > 0,
+            round(col("n_unseen").cast("double") / col("n_valid_bigrams"), 6))
             .as("novelty_ratio"))
     }),
 
@@ -408,31 +364,16 @@ object QueriesPipeline {
     // exact-integer-micro summation as doc_logprob — double sums are
     // partial-agg-order-dependent across engines, integer sums aren't.
     // One bigram shuffle for the model, broadcast back, per-doc agg.
+    // Self-trained bigram-LM fluency: model and probe share one
+    // persisted exploded-bigram frame; the operators are
+    // [[graft.pipeline.Corpus.bigramModel]] / [[Corpus.bigramScore]]
+    // (the score join is deliberately un-hinted — model is
+    // corpus-scale at 100 TB; AQE broadcasts it when small).
     "doc_bigram_logprob" -> ((s, dir) => {
       val bg = docs(s, dir)
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
         .persist()
-      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-      val c1 = bg
-        .select(element_at(split(col("bg"), " "), 1).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val model = c2
-        .withColumn("w1", element_at(split(col("bg"), " "), 1))
-        .join(c1, Seq("w1"))
-        .select(
-          col("bg"),
-          round(log(col("c2").cast("double") / col("c1")) * 1e6, 0)
-            .cast("bigint").as("logp_micro"))
-      // No broadcast hint: unlike the unigram vocab, a bigram model is
-      // corpus-scale at 100 TB (billions of entries) — the probe join
-      // must be able to shuffle on the bigram key; AQE still picks a
-      // broadcast when the model measures small (as it does here).
-      bg.join(model, Seq("bg"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(col("logp_micro")).as("logprob_micro"))
-        .orderBy("doc_id")
+      Corpus.bigramScore(bg, Corpus.bigramModel(bg)).orderBy("doc_id")
     }),
 
     // Cluster-size histogram over the near-dup components — the
@@ -911,8 +852,10 @@ object QueriesPipeline {
          |SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM valid) AS n_valid_bigrams,
          |  (SELECT CAST(count(*) AS BIGINT) FROM unseen) AS n_unseen,
-         |  round(CAST((SELECT count(*) FROM unseen) AS DOUBLE) /
-         |        (SELECT count(*) FROM valid), 6) AS novelty_ratio""".stripMargin,
+         |  CASE WHEN (SELECT count(*) FROM valid) > 0
+         |       THEN round(CAST((SELECT count(*) FROM unseen) AS DOUBLE) /
+         |                  (SELECT count(*) FROM valid), 6)
+         |       ELSE NULL END AS novelty_ratio""".stripMargin,
 
     "source_stats" ->
       s"""WITH tok AS (

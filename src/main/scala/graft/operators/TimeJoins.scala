@@ -180,6 +180,11 @@ object TimeJoins {
     requireTs(left, leftTime)
     requireTs(right, rightTime)
     val lt = "_asof_l_us"
+    require(
+      !left.columns.contains(lt) && !left.columns.contains("_asof_r_us") &&
+        !right.columns.contains(lt) && !right.columns.contains("_asof_r_us"),
+      "asofTs reserves helper columns _asof_l_us/_asof_r_us; rename them " +
+        "on the inputs (they would be silently overwritten otherwise)")
     asofMulti(
       left.withColumn(lt, unix_micros(col(leftTime))),
       right.withColumn("_asof_r_us", unix_micros(col(rightTime))),

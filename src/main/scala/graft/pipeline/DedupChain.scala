@@ -84,6 +84,18 @@ object DedupChain {
         jaccardPairs(s, dir, docs)
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")))
+
+  /** The (doc_id, th1, th2) token-hash frame ([[Dedup.tokenHashes]]),
+    * staged once per (session, dir): md5 over the token stream is the
+    * cost floor of every simhash signature, and all three declared
+    * simhash queries fold the same hashes — per-query hashing ran the
+    * corpus md5 4x (round-5 verdict item #6). Unlike the shingle
+    * frame (deliberately NOT staged, see above), the hash arrays are
+    * SMALLER than the text they derive from (~4 B/token ints), so the
+    * checkpoint write is cheaper than one re-hash pass.
+    */
+  def tokenHashes(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "tokhash")(Dedup.tokenHashes(docs))
 }
 
 /** The underlying checkpointed RDD of a `localCheckpoint`ed frame —

@@ -239,6 +239,30 @@ object Dedup {
         transform(tokens(col("text")), t => hash32(t)).as("_th"))
       .select(col("doc_id"), simhash32(col("_th")).as("simhash"))
 
+  /** The (doc_id, th1, th2) token-hash frame every simhash variant
+    * folds: `th1` = hash32(token) (the whole 32-bit fingerprint AND
+    * bits 0–31 of the 64-bit one), `th2` = hash32("s64_" ++ token)
+    * (bits 32–63). One corpus pass computes both streams, so the
+    * session-staged chain ([[DedupChain.tokenHashes]]) runs the md5 —
+    * the cost floor of every signature — once for all three declared
+    * simhash queries. At 100 TB this is the standard
+    * hash-table-per-corpus-snapshot materialization (int arrays at
+    * ~4 B/token, smaller than the text they replace).
+    */
+  def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      transform(tokens(col("text")), t => hash32(t)).as("th1"),
+      transform(tokens(col("text")), t => hash32(concat(lit("s64_"), t))).as("th2"))
+
+  /** 32-bit simhashes from a pre-hashed [[tokenHashes]] frame. */
+  def simhashesTh(th: DataFrame): DataFrame =
+    th.select(col("doc_id"), simhash32(col("th1")).as("simhash"))
+
+  /** 64-bit simhashes from a pre-hashed [[tokenHashes]] frame. */
+  def simhashes64Th(th: DataFrame): DataFrame =
+    th.select(col("doc_id"), simhash64(col("th1"), col("th2")).as("simhash"))
+
   /** SimHash near-dup pairs by byte banding: the 32-bit simhash splits
     * into 4 bytes; docs sharing ANY byte band equi-join into candidate
     * pairs, and `bit_count(xor)` verifies the full hamming distance.
@@ -259,9 +283,15 @@ object Dedup {
     * The simhash frame is persisted across the self-join sides; cache
     * lifecycle is caller-owned as in [[lshCandidatePairs]].
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame =
+    simhashPairsFrom(simhashes(docs), maxHamming)
+
+  /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame (see
+    * [[simhashesTh]] for the staged-chain path).
+    */
+  def simhashPairsFrom(sims: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4-band/32-bit banding is only exhaustive to hamming 3")
-    val banded = simhashes(docs).select(
+    val banded = sims.select(
       col("doc_id"),
       col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -314,13 +344,23 @@ object Dedup {
     * Same scale shape as [[simhashPairs]]: band equi-join, exact
     * `bit_count(xor)` verify, one shuffle on the (band, value) key.
     */
-  def simhashPairs64(docs: DataFrame, maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+  def simhashPairs64(docs: DataFrame, maxHamming: Int = 3, bands: Int = 8): DataFrame =
+    simhashPairs64From(simhashes64(docs), maxHamming, bands)
+
+  /** [[simhashPairs64]] over a precomputed (doc_id, simhash) frame (see
+    * [[simhashes64Th]] for the staged-chain path).
+    */
+  def simhashPairs64From(
+      sims: DataFrame, maxHamming: Int = 3, bands: Int = 8): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     require(maxHamming < bands,
       s"$bands-band banding is only exhaustive to hamming ${bands - 1}")
     val w = 64 / bands
-    val mask = (1L << w) - 1
-    val banded = simhashes64(docs).select(
+    // -1L >>> (64 - w), not (1L << w) - 1: Java shifts wrap mod 64, so
+    // the latter yields mask=0 for the legal bands=1 (w=64) case and
+    // every row would land in one bucket (quadratic self-join)
+    val mask = -1L >>> (64 - w)
+    val banded = sims.select(
       col("doc_id"),
       col("simhash"),
       explode(array((0 until bands).map(b =>
@@ -502,6 +542,147 @@ object Corpus {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitting step before embedding/indexing long documents
+    * (size `chunkSize`, step `stride`; overlap = chunkSize − stride).
+    * Pure array expressions (sequence + slice over the token array):
+    * a map-only explode at any scale, chunk boundaries deterministic
+    * functions of the token count. Documents at or under `chunkSize`
+    * tokens (including empty ones) yield exactly one chunk.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_chunk_tokens).
+    */
+  def chunk(
+      docs: DataFrame,
+      chunkSize: Int = 32,
+      stride: Int = 24,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize (got chunkSize=$chunkSize stride=$stride)")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("_n_tok", size(col("_t")).cast("bigint"))
+      // number of extra chunks past the first: ceil((n-size)/stride),
+      // clamped (integral `div`; short docs go negative before the
+      // clamp, and Spark's truncating div vs DuckDB's flooring //
+      // agree only because greatest(.., 0) absorbs the difference)
+      .withColumn("_extra",
+        greatest(expr(s"(_n_tok - $chunkSize + ${stride - 1}) div $stride"), lit(0L)))
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(0L), col("_extra")),
+          c => struct(
+            c.as("chunk_id"),
+            concat_ws(" ", slice(col("_t"), (c * stride + 1).cast("int"), lit(chunkSize)))
+              .as("chunk_text"))))
+          .as("_ch"))
+      .select(
+        col(idCol),
+        col("_ch.chunk_id").as("chunk_id"),
+        col("_ch.chunk_text").as("chunk_text"),
+        size(tokens(col("_ch.chunk_text"))).cast("bigint").as("n_chunk_tokens"))
+  }
+
+  /** GPT-style sequence-packing offsets: concatenate the corpus in
+    * `idCol` order and split at fixed `ctx`-token context boundaries;
+    * each document gets its exclusive-prefix-sum start offset and the
+    * first/last context window it lands in.
+    *
+    * The global running sum executes on
+    * [[graft.plans.Scale.cumSumDistributedLong]]'s two-pass
+    * distributed prefix plan (per-partition BIGINT sums + driver-
+    * composed offsets + parallel per-partition windows) — integer-
+    * exact, bit-identical to a sequential scan, and NO single-
+    * partition exchange at any corpus size.
+    *
+    * Output: (idCol, n_tokens, start_offset, first_window,
+    * last_window, spans_boundary).
+    */
+  def packOffsets(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numParts: Int = 32): DataFrame = {
+    require(ctx > 0, s"context size must be positive (got $ctx)")
+    val counted = docs.select(
+      col(idCol), size(tokens(col(textCol))).cast("bigint").as("n_tokens"))
+    graft.plans.Scale.cumSumDistributedLong(counted, "n_tokens", idCol, "_cum", numParts)
+      .withColumn("start_offset", col("_cum") - col("n_tokens"))
+      .withColumn("first_window", expr(s"start_offset div $ctx"))
+      .withColumn("last_window", expr(s"(_cum - 1) div $ctx"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("start_offset"),
+        col("first_window"),
+        col("last_window"),
+        (col("first_window") =!= col("last_window")).as("spans_boundary"))
+  }
+
+  /** Deterministic hash-based train/valid/test assignment — the
+    * reproducible split a training pipeline needs (no RNG state, no
+    * ordering dependence; any engine computing the same md5 agrees).
+    * Map-only at any scale; also the stream twin's body
+    * ([[graft.streaming.Streaming.splitStream]]) since it is
+    * stateless. Output: (idCol, bucket_pct, split).
+    */
+  def splitAssign(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      validPct: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"need 0 < trainPct and trainPct+validPct <= 100 (got $trainPct/$validPct)")
+    val bucket = pmod(
+      hash32(concat(lit("split_"), col(idCol).cast("string"))), lit(100L))
+    docs.select(
+      col(idCol),
+      bucket.as("bucket_pct"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test")
+        .as("split"))
+  }
+
+  /** Bigram language model (bg → logp_micro) from an exploded
+    * (doc_id, bg) frame: P(w2|w1) = count(w1 w2) / count(w1 ·),
+    * log-prob in exact integer MICRO units so cross-engine sums are
+    * order-independent. NO broadcast hint on consumers' probe joins:
+    * a bigram model is corpus-scale at 100 TB (billions of entries) —
+    * it must be able to shuffle on the bigram key; AQE still picks a
+    * broadcast when the model measures small.
+    */
+  def bigramModel(bg: DataFrame): DataFrame = {
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg
+      .select(element_at(split(col("bg"), " "), 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    c2
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(c1, Seq("w1"))
+      .select(
+        col("bg"),
+        round(log(col("c2").cast("double") / col("c1")) * 1e6, 0)
+          .cast("bigint").as("logp_micro"))
+  }
+
+  /** Per-document bigram log-probability under a (bg, logp_micro)
+    * model frame (see [[bigramModel]]) — the LM-fluency filter score.
+    * Inner join: bigrams absent from the model are dropped, matching
+    * the self-trained batch query (the model covers its own corpus by
+    * construction); score a foreign corpus with a smoothed model if
+    * coverage differs. One shuffle on the bigram key + one on doc_id.
+    */
+  def bigramScore(bg: DataFrame, model: DataFrame): DataFrame =
+    bg.join(model, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("logp_micro")).as("logprob_micro"))
 
   /** Per-document top token by TF-IDF (ties broken lexicographically).
     * tf = in-doc count / doc tokens; idf = ln(N / df). The classic

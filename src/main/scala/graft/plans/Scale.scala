@@ -100,6 +100,46 @@ object Scale {
       .drop("_pid", "_off")
   }
 
+  /** Integer-exact twin of [[cumSumDistributed]]: the running sum stays
+    * BIGINT end to end (per-partition partials, driver-composed
+    * offsets, per-partition windows), so token-count prefix sums are
+    * bit-identical to the sequential single-partition plan — no
+    * double-rounding concern, the result IS the sequential result.
+    * Same two-pass shape and the same persist-for-consistency contract.
+    */
+  def cumSumDistributedLong(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      outName: String,
+      numParts: Int = 32): DataFrame = {
+    val parted = df
+      .repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val partials = parted.groupBy("_pid")
+      .agg(sum(col(valueCol).cast("bigint")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exclusive = {
+      var acc = 0L
+      partials.keys.toSeq.sorted.map { pid =>
+        val o = pid -> acc
+        acc += partials(pid)
+        o
+      }.toMap
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(exclusive.toSeq.toDF("_pid", "_off"))
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(offsets, Seq("_pid"))
+      .withColumn(outName, sum(col(valueCol).cast("bigint")).over(w) + col("_off"))
+      .drop("_pid", "_off")
+  }
+
   /** Globally-ordered EWM (adjust=false, non-null input) of `valueCol`
     * via linear-recurrence composition.
     *

@@ -189,6 +189,44 @@ object Streaming {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Streaming chunking — the stream twin of
+    * [[graft.pipeline.Corpus.chunk]]. Chunk boundaries are
+    * deterministic per-document functions of the token count, so the
+    * operator is a stateless map-only explode: append mode, no state
+    * store, no watermark — the batch body runs unchanged on the
+    * stream.
+    */
+  def chunkStream(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    graft.pipeline.Corpus.chunk(docs, chunkSize, stride)
+
+  /** Streaming train/valid/test assignment — the stream twin of
+    * [[graft.pipeline.Corpus.splitAssign]]. Pure md5 bucketing of the
+    * doc id: stateless map, append mode, identical assignment to the
+    * batch split for the same ids (the property that makes a split
+    * reproducible across a backfill and its live stream).
+    */
+  def splitStream(docs: DataFrame, trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    graft.pipeline.Corpus.splitAssign(docs, trainPct, validPct)
+
+  /** Streaming bigram-LM fluency scoring against a STATIC model frame
+    * (bg, logp_micro — train one with
+    * [[graft.pipeline.Corpus.bigramModel]]) — the stream twin of the
+    * doc_bigram_logprob batch query's scoring half. Stream-static
+    * join on the bigram key (planned per micro-batch; AQE broadcasts
+    * a small model) followed by an UPDATE-mode per-doc aggregate:
+    * each document's bigrams arrive atomically in its micro-batch, so
+    * its score finalizes in that batch — the aggregate needs no
+    * watermark, and state is one row per doc seen (bound it with a
+    * TTL in a long-lived deployment). Inner join drops bigrams absent
+    * from the model, exactly like the batch self-trained query.
+    */
+  def bigramScoreStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    import graft.pipeline.{Corpus, TextOps}
+    Corpus.bigramScore(
+      docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg")),
+      model)
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

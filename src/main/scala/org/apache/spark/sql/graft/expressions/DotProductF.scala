@@ -31,6 +31,9 @@ case class DotProductF(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        // a NULL element poisons the whole sum (null*x + acc = null),
+        // exactly as the zip_with/aggregate chain this replaces
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -48,8 +51,12 @@ case class DotProductF(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  ${ev.value} = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -34,6 +34,10 @@ case class DotProductFD(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        // a NULL element poisons the whole sum, matching the
+        // element_at-cast chain (element_at null * plane = null) and
+        // the DuckDB oracle fold
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getDouble(i)
         i += 1
       }
@@ -51,8 +55,12 @@ case class DotProductFD(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  ${ev.value} = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    ${ev.value} += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |    }
          |  }
          |}
        """.stripMargin

@@ -307,4 +307,124 @@ class PipelineSpec extends SparkSpec {
     val out = Multimodal.sampleFrameIndexes(feats, 2).collect()
     assert(out.head.getSeq[Int](out.head.fieldIndex("sampled_frames")).toList == List(0, 2, 4))
   }
+
+  // --- Corpus.chunk -----------------------------------------------------
+
+  private def wordsDoc(id: Long, n: Int): (Long, String) =
+    id -> (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("chunk: doc at exactly chunkSize tokens yields one full chunk") {
+    val out = pipeline.Corpus.chunk(docs(wordsDoc(1L, 32)), 32, 24).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("chunk_id") == 0L)
+    assert(out.head.getAs[Long]("n_chunk_tokens") == 32L)
+  }
+
+  test("chunk: boundary exact-multiple (size+stride tokens) yields two full chunks") {
+    // 56 = 32 + 24: chunk 0 covers tokens 1..32, chunk 1 covers 25..56 —
+    // the last chunk ends exactly at the document boundary
+    val out = pipeline.Corpus.chunk(docs(wordsDoc(1L, 56)), 32, 24)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 32L))
+    assert(out(1).getAs[String]("chunk_text").startsWith("w25 "))
+    assert(out(1).getAs[String]("chunk_text").endsWith(" w56"))
+  }
+
+  test("chunk: one token past the boundary adds a short trailing chunk") {
+    val out = pipeline.Corpus.chunk(docs(wordsDoc(1L, 57)), 32, 24)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3)
+    // trailing chunk holds tokens 49..57 = 9 tokens
+    assert(out(2).getAs[Long]("n_chunk_tokens") == 9L)
+  }
+
+  test("chunk: empty and short docs yield exactly one chunk") {
+    // "" splits to [""] (Spark split semantics) — still one chunk, and the
+    // chunk round-trips the text unchanged
+    val out = pipeline.Corpus.chunk(docs((1L, ""), (2L, "a b")), 32, 24)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("chunk_text") == "")
+    assert(out(1).getAs[String]("chunk_text") == "a b")
+    assert(out.forall(_.getAs[Long]("chunk_id") == 0L))
+  }
+
+  test("chunk rejects stride > chunkSize") {
+    intercept[IllegalArgumentException] {
+      pipeline.Corpus.chunk(docs((1L, "a")), 8, 9)
+    }
+  }
+
+  // --- Corpus.packOffsets ----------------------------------------------
+
+  test("packOffsets matches the sequential prefix sum and window math") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs((1 to 40).map(i => wordsDoc(i.toLong, i * 7 % 23 + 1)): _*)
+    val out = pipeline.Corpus.packOffsets(d, ctx = 16L, numParts = 8)
+      .orderBy("doc_id").collect()
+    // sequential reference: single-partition running sum
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq_ = d
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("bigint").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .orderBy("doc_id").collect()
+    assert(out.length == seq_.length)
+    out.zip(seq_).foreach { case (p, s) =>
+      val cum = s.getAs[Long]("cum")
+      val n = s.getAs[Long]("n")
+      assert(p.getAs[Long]("n_tokens") == n)
+      assert(p.getAs[Long]("start_offset") == cum - n)
+      assert(p.getAs[Long]("first_window") == (cum - n) / 16L)
+      assert(p.getAs[Long]("last_window") == (cum - 1) / 16L)
+      assert(p.getAs[Boolean]("spans_boundary") == ((cum - n) / 16L != (cum - 1) / 16L))
+    }
+  }
+
+  test("packOffsets on an empty corpus returns an empty frame") {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), docSchema)
+    assert(pipeline.Corpus.packOffsets(empty).collect().isEmpty)
+  }
+
+  test("pack_sequences declared plan has no single-partition exchange") {
+    val df = SparkEntry.queries("pack_sequences")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"pack_sequences must run on the distributed prefix plan:\n$plan")
+  }
+
+  // --- dot products: NULL element propagation ---------------------------
+
+  test("dotF/dotFD propagate NULL array elements (not silently 0)") {
+    val row = spark.sql(
+      """SELECT
+        |  array(cast(1.0 as float), cast(null as float)) AS af,
+        |  array(cast(2.0 as float), cast(3.0 as float)) AS bf,
+        |  array(cast(2.0 as double), cast(3.0 as double)) AS bd""".stripMargin)
+    val out = row.select(
+      graft.functions.dotF(col("af"), col("bf")).as("f"),
+      graft.functions.dotFD(col("af"), col("bd")).as("fd")).collect().head
+    assert(out.isNullAt(0), "dotF must be NULL when an element is NULL")
+    assert(out.isNullAt(1), "dotFD must be NULL when an element is NULL")
+    // and non-null inputs still compute
+    val ok = row.select(
+      graft.functions.dotF(col("bf"), col("bf")).as("f")).collect().head
+    assert(ok.getDouble(0) == 13.0)
+  }
+
+  test("simhashPairs64 with bands=1 keeps a full-width mask (exact-dup join)") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated words that share nothing at all ok"))
+    // bands=1, maxHamming=0: only identical 64-bit fingerprints may pair.
+    // Before the mask fix (1L << 64 wraps to 1), EVERY doc landed in one
+    // bucket; now the band value is the full fingerprint.
+    val pairs = Dedup.simhashPairs64(d, maxHamming = 0, bands = 1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
 }

@@ -129,4 +129,61 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("vwap") - tp) < 1e-9)
     }
   }
+
+  test("distributed long cum_sum is BIT-identical to the global-window sum") {
+    val big = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"), (col("value") * 100).cast("bigint").as("v"))
+    val seq = big.withColumn(
+      "cs",
+      sum(col("v")).over(
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dist = Scale.cumSumDistributedLong(big, "v", "event_id", "cs", numParts = 13)
+    val a = seq.orderBy("event_id").select("cs").collect().map(_.getLong(0))
+    val b = dist.orderBy("event_id").select("cs").collect().map(_.getLong(0))
+    assert(a.length == 10000)
+    // integer arithmetic: exact equality, not ulp tolerance
+    assert(a.sameElements(b))
+  }
+
+  // The 100 TB handoff bar_quantiles/source_robust_stats document in
+  // their scaladocs, made executable: approx_percentile (t-digest-style
+  // mergeable sketch) lands within tolerance of the exact interpolated
+  // percentile, and its physical plan is a two-phase mergeable
+  // aggregation (partial sketches map-side, merged after one hash
+  // shuffle) — never a single-node percentile buffer.
+  test("approx_percentile handoff: within tolerance of exact, mergeable partial plan") {
+    val bars = graft.sources.Bars.fromEvents(spark, "/root/testdata/sf0.01")
+    val exact = bars.groupBy("symbol")
+      .agg(
+        expr("percentile(close, 0.25)").as("p25"),
+        expr("percentile(close, 0.5)").as("p50"),
+        expr("percentile(close, 0.9)").as("p90"))
+      .orderBy("symbol").collect()
+    val approxDf = bars.groupBy("symbol")
+      .agg(
+        expr("approx_percentile(close, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(close, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(close, 0.9, 10000)").as("p90"))
+    val approx = approxDf.orderBy("symbol").collect()
+    assert(exact.length == approx.length && exact.nonEmpty)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      Seq(1, 2, 3).foreach { i =>
+        val ev = e.getDouble(i)
+        val av = a.getDouble(i)
+        // approx returns a member value (no interpolation): allow the
+        // local gap between adjacent samples, generous at this density
+        assert(math.abs(ev - av) <= math.max(1.0, math.abs(ev)) * 0.05,
+          s"${e.getString(0)} q$i: exact=$ev approx=$av")
+      }
+    }
+    approxDf.collect() // materialize so the AQE-final plan is inspectable
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"approx_percentile should run as a mergeable ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_"),
+      s"expected a map-side partial aggregation phase:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"the sketch must merge after a hash shuffle, not on one node:\n$plan")
+  }
 }

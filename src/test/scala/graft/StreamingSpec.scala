@@ -125,6 +125,72 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false)))
   }
 
+  test("streaming chunking matches the batch Corpus.chunk") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2L -> "short doc",
+      3L -> (1 to 56).map(i => s"v$i").mkString(" "))
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.chunkStream(input.toDF()).writeStream
+      .format("memory").queryName("schunk").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("schunk").orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = graft.pipeline.Corpus.chunk(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("streaming split assignment equals the batch split for the same ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    input.addData((1L to 50L).map(i => Doc(i, s"text $i")): _*)
+    val q = Streaming.splitStream(input.toDF()).writeStream
+      .format("memory").queryName("ssplit").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssplit").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = graft.pipeline.Corpus
+      .splitAssign((1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == want.toSeq)
+    // every bucket name in range, reproducible across engines/streams
+    assert(got.forall(r => Set("train", "valid", "test")(r._3)))
+  }
+
+  test("streaming bigram scoring vs a static model matches the batch score") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran",
+      3L -> "dogs bark loudly at night")
+    val batchDocs = texts.toDF("doc_id", "text")
+    val bgBatch = batchDocs.select(
+      col("doc_id"),
+      explode(graft.pipeline.TextOps.shingles(col("text"), 2)).as("bg"))
+    // model trained in batch (the production shape: static model,
+    // live stream scored against it)
+    val model = graft.pipeline.Corpus.bigramModel(bgBatch)
+    val want = graft.pipeline.Corpus.bigramScore(bgBatch, model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.bigramScoreStream(input.toDF(), model).writeStream
+      .format("memory").queryName("sbigram").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbigram").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq && got.length == 3)
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

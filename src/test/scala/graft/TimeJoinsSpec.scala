@@ -98,6 +98,24 @@ class TimeJoinsSpec extends SparkSpec {
     assert(e.getMessage.contains("TimestampType"))
   }
 
+  test("asofTs rejects inputs that already carry its reserved helper columns") {
+    val left = df(leftSchema, Row("a", 5L, 1L))
+      .withColumn("t", timestamp_micros(col("t")))
+    val right = df(rightSchema, Row("a", 10L, 1.0))
+      .withColumn("rt", timestamp_micros(col("rt")))
+    val e = intercept[IllegalArgumentException] {
+      TimeJoins.asofTs(
+        left.withColumn("_asof_l_us", lit(0L)), right,
+        Seq("k"), "t", "rt", Seq("p"))
+    }
+    assert(e.getMessage.contains("_asof_l_us"))
+    intercept[IllegalArgumentException] {
+      TimeJoins.asofTs(
+        left, right.withColumn("_asof_r_us", lit(0L)),
+        Seq("k"), "t", "rt", Seq("p"))
+    }
+  }
+
   test("asof plan has no nested-loop / cartesian join") {
     val left = df(leftSchema, Row("a", 5L, 1L))
     val right = df(rightSchema, Row("a", 10L, 1.0))
