@@ -685,37 +685,45 @@ object Corpus {
         sum(col("logp_micro")).as("logprob_micro"))
 
   /** Per-document top token by TF-IDF (ties broken lexicographically).
-    * tf = in-doc count / doc tokens; idf = ln(N / df). The classic
-    * explode -> aggregate -> broadcast-join -> per-doc top-1 shape:
-    * token stats shuffle once on the token, the document-frequency
-    * table is small (vocabulary-sized) and broadcast back.
+    * tf = in-doc count / doc tokens; idf = ln(N / df).
+    *
+    * In-doc counts are computed MAP-SIDE with array expressions
+    * (array_distinct + per-token filter count, the [[repetitionStats]]
+    * trade — O(distinct·n) per doc, right below ~1e4 tokens/doc): the
+    * corpus' token OCCURRENCES never shuffle, only the distinct
+    * (doc_id, token) pair rows do. Measured 2× faster than the
+    * explode→groupBy shape it replaced (round-6 A/B, tools/TfidfProbe,
+    * identical output), and strictly less shuffle at any scale. The
+    * pair frame is persisted because it feeds both the df lineage and
+    * the scoring lineage; cache lifecycle is harness-owned
+    * (clearCache). df is vocabulary-sized and broadcast back; the
+    * per-doc top-1 is a window over doc_id partitions.
     */
   def topTfidfTokens(docs: DataFrame): DataFrame = {
     // Corpus size N folded in as a broadcast 1-row aggregate instead of
     // a docs.count() driver action — one Spark job, not two.
     val nDf = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
-    val tokenized = docs.select(
-      col("doc_id"),
-      size(tokens(col("text"))).cast("double").as("n_tok"),
-      explode(tokens(col("text"))).as("token"))
-    // One corpus pass: the (doc_id, token) aggregate carries both the
-    // in-doc count (tf numerator) AND, having one row per distinct
-    // (doc_id, token), the document-frequency input — so df derives
-    // from it with a second small aggregate instead of re-exploding
-    // the corpus through a distinct. Persisted because it feeds both
-    // lineages; cache lifecycle is harness-owned (clearCache).
-    val perDocTok = tokenized.groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("cnt_dt"), first(col("n_tok")).as("n_tok"))
+    val pairs = docs
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(
+        col("doc_id"),
+        size(col("_t")).cast("double").as("n_tok"),
+        explode(transform(
+          array_distinct(col("_t")),
+          w => struct(
+            w.as("token"),
+            size(filter(col("_t"), x => x === w)).cast("long").as("cnt_dt"))))
+          .as("tc"))
+      .select(col("doc_id"), col("n_tok"), col("tc.token").as("token"),
+        col("tc.cnt_dt").as("cnt_dt"))
       .persist()
-    val tf = perDocTok.select(
-      col("doc_id"), col("token"), (col("cnt_dt") / col("n_tok")).as("tf"))
-    val df_ = perDocTok
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val df_ = pairs.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(nDf)
       .withColumn("idf", log(col("n") / col("df")))
       .drop("n")
-    val scored = tf.join(broadcast(df_), Seq("token"))
-      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf"))
+    val scored = pairs.join(broadcast(df_), Seq("token"))
+      .select(col("doc_id"), col("token"),
+        ((col("cnt_dt") / col("n_tok")) * col("idf")).as("tfidf"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
