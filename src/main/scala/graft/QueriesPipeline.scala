@@ -118,21 +118,20 @@ object QueriesPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // The three simhash queries fold the SAME md5 token hashes — they
-    // derive from the session-staged (doc_id, th1, th2) frame
-    // (DedupChain.tokenHashes) so the corpus is hashed once, not 4x.
+    // The three simhash queries fold the SAME md5 token hashes and the
+    // same majority votes — they derive from the session-staged
+    // signature frames (DedupChain.simhashes32/64, built over the
+    // staged token-hash frame) so the corpus is hashed once and each
+    // vote fold runs once, not per query.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashesTh(DedupChain.tokenHashes(s, dir, docs(s, dir)))
-        .orderBy("doc_id")),
+      DedupChain.simhashes32(s, dir, docs(s, dir)).orderBy("doc_id")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairsFrom(
-        Dedup.simhashesTh(DedupChain.tokenHashes(s, dir, docs(s, dir))))
+      Dedup.simhashPairsFrom(DedupChain.simhashes32(s, dir, docs(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash64_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs64From(
-        Dedup.simhashes64Th(DedupChain.tokenHashes(s, dir, docs(s, dir))))
+      Dedup.simhashPairs64From(DedupChain.simhashes64(s, dir, docs(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     // LSH pairs -> jaccard-verified edges -> connected components ->

@@ -96,6 +96,18 @@ object DedupChain {
     */
   def tokenHashes(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     cached(s, dir, "tokhash")(Dedup.tokenHashes(docs))
+
+  /** Staged 32-bit signature frame (doc_id, simhash) — the majority
+    * vote over the staged hashes is itself the expensive map stage
+    * (32 bit-counts × n tokens per doc), and both the signature query
+    * and the banded-pairs query fold it. O(1 long per doc).
+    */
+  def simhashes32(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "sims32")(Dedup.simhashesTh(tokenHashes(s, dir, docs)))
+
+  /** Staged 64-bit signature frame (doc_id, simhash). */
+  def simhashes64(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "sims64")(Dedup.simhashes64Th(tokenHashes(s, dir, docs)))
 }
 
 /** The underlying checkpointed RDD of a `localCheckpoint`ed frame —
