@@ -225,6 +225,19 @@ object QueriesPipeline {
       Corpus.packOffsets(docs(s, dir), ctx = 512L)
         .orderBy("doc_id")),
 
+    // The inverted (window -> docs) index of the packing: which
+    // documents each fixed 512-token context window reads, summarized
+    // per window — see [[graft.pipeline.Corpus.packWindows]]. Inherits
+    // the distributed prefix plan; the explode is map-only.
+    "pack_windows" -> ((s, dir) =>
+      Corpus.packWindows(docs(s, dir), ctx = 512L)
+        .groupBy("window_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("window_id")),
+
     // Deterministic hash-based train/valid/test assignment — see
     // [[graft.pipeline.Corpus.splitAssign]] (map-only at any scale).
     "corpus_split" -> ((s, dir) =>
@@ -809,6 +822,25 @@ object QueriesPipeline {
          |  (cum - 1) // 512 AS last_window,
          |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pack_windows" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(range((cum - n_tokens) // 512, (cum - 1) // 512 + 1)) AS window_id
+         |  FROM c WHERE (cum - 1) // 512 >= (cum - n_tokens) // 512)
+         |SELECT window_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM w GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "corpus_split" ->
       s"""SELECT doc_id,

@@ -623,6 +623,29 @@ object Corpus {
         (col("first_window") =!= col("last_window")).as("spans_boundary"))
   }
 
+  /** The (window_id, doc_id) index of [[packOffsets]]: each document
+    * exploded onto every fixed `ctx`-token context window it overlaps
+    * — what a sequence-packing sampler actually reads ("give me the
+    * documents window w needs"). Derived by a map-only
+    * sequence-explode over the distributed pack offsets, so the whole
+    * path inherits packOffsets' no-single-partition plan; the explode
+    * factor per doc is ceil(n_tokens/ctx)+1 at most.
+    */
+  def packWindows(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numParts: Int = 32): DataFrame =
+    packOffsets(docs, ctx, idCol, textCol, numParts)
+      // a doc with cum ending exactly on a boundary has
+      // last_window < first_window when n_tokens = 0; such docs span
+      // no window (defensive: the whitespace tokenizer never yields 0)
+      .where(col("last_window") >= col("first_window"))
+      .select(
+        col(idCol),
+        explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
+
   /** Deterministic hash-based train/valid/test assignment — the
     * reproducible split a training pipeline needs (no RNG state, no
     * ordering dependence; any engine computing the same md5 agrees).

@@ -382,6 +382,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packWindows is the exact inverted index of packOffsets") {
+    val d = docs((1 to 30).map(i => wordsDoc(i.toLong, i * 5 % 17 + 1)): _*)
+    val off = pipeline.Corpus.packOffsets(d, ctx = 8L).orderBy("doc_id").collect()
+    val idx = pipeline.Corpus.packWindows(d, ctx = 8L)
+      .orderBy("doc_id", "window_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_id")))
+    val want = off.flatMap { r =>
+      (r.getAs[Long]("first_window") to r.getAs[Long]("last_window"))
+        .map(w => (r.getAs[Long]("doc_id"), w))
+    }
+    assert(idx.toSeq == want.toSeq)
+    // windows are contiguous from 0 to the last one — a sampler can
+    // address any window id below total_tokens/ctx
+    val windows = idx.map(_._2).distinct.sorted
+    assert(windows.head == 0L && windows.toSeq == (0L to windows.last).toSeq)
+  }
+
   test("packOffsets on an empty corpus returns an empty frame") {
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), docSchema)
