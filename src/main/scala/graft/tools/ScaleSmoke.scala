@@ -135,6 +135,19 @@ object ScaleSmoke {
       m
     }
 
+    // Two-pass distributed prefix plan (pack offsets): pass 1 collects
+    // numParts rows, pass 2 windows per partition — should track volume.
+    def pack(d: DataFrame): Long =
+      graft.pipeline.Corpus.packOffsets(d, ctx = 512L).count()
+
+    // Map-side-counting TF-IDF (round 6): the corpus pass is map-only,
+    // then one vocabulary shuffle + per-doc top-1 window.
+    def tfidf(d: DataFrame): Long = {
+      val m = graft.pipeline.Corpus.topTfidfTokens(d).count()
+      spark.catalog.clearCache() // release the pair-frame persist
+      m
+    }
+
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // Fixed query set (vec_id < 5 exists only in copy 0) against an
     // Nx corpus — the production ANN shape: corpus grows, probes don't.
@@ -152,7 +165,9 @@ object ScaleSmoke {
       "sessionize" -> (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN))),
       "decontaminate" -> (time("decontaminate 1x", decon(docs1)), time(s"decontaminate ${n}x", decon(docsN))),
       "lsh dedup chain" -> (time("lsh chain 1x", lshChain(docs1)), time(s"lsh chain ${n}x", lshChain(docsNDistinct))),
-      "ann lsh topk" -> (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN))))
+      "ann lsh topk" -> (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN))),
+      "pack offsets" -> (time("pack 1x", pack(docs1)), time(s"pack ${n}x", pack(docsN))),
+      "tfidf top tokens" -> (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
