@@ -413,6 +413,37 @@ class PipelineSpec extends SparkSpec {
       s"pack_sequences must run on the distributed prefix plan:\n$plan")
   }
 
+  test("splitAssign buckets are deterministic, in-range, and respect the pcts") {
+    val d = docs((1L to 40L).map(i => (i, s"doc $i")): _*)
+    val a = pipeline.Corpus.splitAssign(d).orderBy("doc_id").collect()
+    val b = pipeline.Corpus.splitAssign(d).orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // no RNG state
+    a.foreach { r =>
+      val pct = r.getAs[Long]("bucket_pct")
+      val split = r.getAs[String]("split")
+      assert(pct >= 0 && pct < 100)
+      assert(split == (if (pct < 80) "train" else if (pct < 90) "valid" else "test"))
+    }
+    intercept[IllegalArgumentException] {
+      pipeline.Corpus.splitAssign(d, trainPct = 70, validPct = 40)
+    }
+  }
+
+  test("bigramModel probabilities sum to 1 per conditioning word") {
+    val bg = docs((1L, "a b a c a b"), (2L, "a b c"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+    val m = pipeline.Corpus.bigramModel(bg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // P(w2|w1) sums to 1 over observed w2 for each w1 (micro log-probs)
+    m.keys.map(_.split(" ")(0)).toSeq.distinct.foreach { w1 =>
+      val total = m.collect { case (k, v) if k.startsWith(w1 + " ") =>
+        math.exp(v / 1e6) }.sum
+      assert(math.abs(total - 1.0) < 1e-3, s"w1=$w1 sums to $total")
+    }
+    // and the most frequent continuation scores highest
+    assert(m("a b") > m("a c"))
+  }
+
   // --- dot products: NULL element propagation ---------------------------
 
   test("dotF/dotFD propagate NULL array elements (not silently 0)") {
