@@ -139,6 +139,13 @@ object QueriesPipeline {
     "dedup_clusters" -> ((s, dir) =>
       DedupChain.clusterLabels(s, dir, docs(s, dir)).orderBy("doc_id")),
 
+    // The retention decision that ends the chain: one keeper per
+    // near-dup cluster, longest doc wins (ties -> lowest doc_id).
+    "dedup_representatives" -> ((s, dir) =>
+      Dedup.representatives(
+        DedupChain.clusterLabels(s, dir, docs(s, dir)), docs(s, dir))
+        .orderBy("cluster_id")),
+
     // The end-to-end curation decision a training-data pipeline makes
     // per document: exact-dup canonical AND near-dup-cluster canonical
     // AND quality gate AND language agreement. Every input is one of
@@ -670,6 +677,23 @@ object QueriesPipeline {
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "dedup_representatives" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |ld AS (
+         |  SELECT l.cluster_id, l.doc_id, d.n_chars
+         |  FROM labels l JOIN read_parquet('{SFDIR}/documents.parquet') d USING (doc_id)),
+         |rk AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cs
+         |  FROM ld)
+         |SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_chars,
+         |  CAST(cs AS BIGINT) AS cluster_size
+         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""SELECT doc_id, $SimhashSum AS simhash

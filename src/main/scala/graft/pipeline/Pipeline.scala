@@ -503,6 +503,35 @@ object Dedup {
       col("cluster_id"),
       (col("cluster_id") === col("doc_id")).as("is_canonical"))
   }
+
+  /** One keeper per near-dup cluster — the retention decision a dedup
+    * pipeline ends with. Ranks cluster members by content length (keep
+    * the longest; ties break to the lowest doc_id) rather than the CC
+    * min-label canonical, which is a label-propagation artifact, not a
+    * content judgment. Beyond-reference (training-data curation).
+    *
+    * Scale shape: `labels` is O(clustered docs) << corpus, so the join
+    * back to `docs` is broadcast-able at scale, and the keeper pick is
+    * ONE aggregation (max_by over a (len, -doc_id) struct ordering) —
+    * map-side combinable, single shuffle on cluster_id, no per-cluster
+    * window pass.
+    *
+    * @param lenCol length column in `docs` used as the keep criterion
+    */
+  def representatives(labels: DataFrame, docs: DataFrame,
+      lenCol: String = "n_chars"): DataFrame =
+    labels.select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), col(lenCol).as("_len")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("_len")),
+          struct(col("_len"), -col("doc_id"))).as("_keep"),
+        count(lit(1)).as("cluster_size"))
+      .select(
+        col("cluster_id"),
+        col("_keep.doc_id").as("keep_doc_id"),
+        col("_keep._len").as("keep_chars"),
+        col("cluster_size"))
 }
 
 object Corpus {

@@ -170,6 +170,18 @@ class TimeJoinsSpec extends SparkSpec {
       (7L, 7L, true), (8L, 7L, false)))
   }
 
+  test("representatives: longest member wins, ties break to lowest doc_id") {
+    // components: {1,2,3} (3 longest), {5,6} (equal length -> keep 5)
+    val edges = df(edgeSchema, Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val d = df(docSchema,
+      Row(1L, 10L), Row(2L, 20L), Row(3L, 30L), Row(5L, 7L), Row(6L, 7L))
+    val out = Dedup.representatives(Dedup.clusters(edges), d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 3L, 30L, 3L), (5L, 5L, 7L, 2L)))
+  }
+
   test("clusters: empty edge list yields empty result (no NPE on null sum)") {
     val edges = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), edgeSchema)
