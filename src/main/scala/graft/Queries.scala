@@ -259,6 +259,22 @@ object Queries {
           round(col("close_ema_9"), 6).as("close_ema_9"))
         .orderBy("symbol", "timestamp")),
 
+    // The third P12-family distributed witness (alongside vwap/ema):
+    // ADI's CLV·volume term is per-row (no lag), so the global cum_sum
+    // maps directly onto Scale.cumSumDistributed — obv/vpt/nvi differ
+    // only in needing a boundary-composed lag for their per-row term,
+    // not in the prefix plan itself.
+    "adi_distributed" -> ((s, dir) => {
+      val b = bars1(s, dir).withColumn(
+        "_mfv", (col("close") - col("low") - (col("high") - col("close"))) /
+          (col("high") - col("low")) * col("volume"))
+      graft.plans.Scale.cumSumDistributed(b, "_mfv", "timestamp", "_cum_mfv")
+        .select(
+          col("symbol"), col("timestamp"),
+          round(col("_cum_mfv"), 6).as("adi"))
+        .orderBy("symbol", "timestamp")
+    }),
+
     "vpt" -> ((s, dir) =>
       shape(Indicators(bars1(s, dir)).vpt().dataframe, "vpt" -> "vpt")),
 
@@ -687,6 +703,20 @@ object Queries {
       Bars1Cte),
 
     "adi" -> q(
+      s"""SELECT symbol, "timestamp", round(s, 6) AS adi FROM r $Tail""",
+      Bars1CteRec + """,
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
+        |        (close - low - (high - close)) / (high - low) * volume AS mfv,
+        |        row_number() OVER (ORDER BY "timestamp") AS rn FROM b1),
+        |r AS (
+        |  SELECT rn, symbol, "timestamp", mfv AS s FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.symbol, b."timestamp", r.s + b.mfv
+        |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    // Same oracle as "adi": the distributed prefix plan must agree
+    // with the sequential recursion after round(6).
+    "adi_distributed" -> q(
       s"""SELECT symbol, "timestamp", round(s, 6) AS adi FROM r $Tail""",
       Bars1CteRec + """,
         |b AS MATERIALIZED (SELECT symbol, "timestamp",

@@ -516,6 +516,10 @@ object Dedup {
     * map-side combinable, single shuffle on cluster_id, no per-cluster
     * window pass.
     *
+    * Assumes non-negative doc_ids (every id this pipeline mints is):
+    * the `-doc_id` tie-break negation would overflow on a doc_id of
+    * exactly Long.MinValue.
+    *
     * @param lenCol length column in `docs` used as the keep criterion
     */
   def representatives(labels: DataFrame, docs: DataFrame,
@@ -709,12 +713,16 @@ object Corpus {
     * broadcast when the model measures small.
     */
   def bigramModel(bg: DataFrame): DataFrame = {
+    // The w1 denominator DERIVES from the bigram counts: c(w1 ·) =
+    // Σ_w2 c(w1 w2), so it re-aggregates the vocabulary-sized c2
+    // frame instead of making a second corpus-scale pass over the
+    // exploded bigram frame (round-6 verdict item #3). The c2 subtree
+    // appears in both lineages, but its exchange is identical on both
+    // sides, so ReuseExchange runs the corpus aggregation once.
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bg
-      .select(element_at(split(col("bg"), " "), 1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    c2
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    c2
       .join(c1, Seq("w1"))
       .select(
         col("bg"),

@@ -149,8 +149,15 @@ object Scale {
     *         denominator is (1 - beta^t)/alpha)
     *   D_t = beta^t
     *   y_t = C_t + D_t * y_in
-    * The first global partition instead uses the plain adjust=false
-    * EWM (seed y_1 = x_1).
+    * The first global partition seeds with y_in = x_1: the plain
+    * adjust=false recursion (y_1 = x_1) is EXACTLY the linear map
+    * applied to an incoming state equal to the first value —
+    * alpha*x_1 + beta*x_1 = x_1 — so C_t + beta^t * x_1 telescopes to
+    * beta^(t-1) x_1 + alpha * sum_{i>=2} beta^(t-i) x_i, the plain
+    * EWM. No separate plain-EWM window pass exists (round-6 verdict
+    * item #4: the former second pass over every partition served only
+    * the first partition's rows); one EWM window aggregate runs per
+    * partition, and the seed rides the broadcast state table.
     */
   def ewmaDistributed(
       df: DataFrame,
@@ -160,52 +167,55 @@ object Scale {
       outName: String,
       numParts: Int = 32): DataFrame = {
     val beta = 1.0 - alpha
-    // Persisted for the same two-job consistency reason as
-    // cumSumDistributed: the range partitioning must not be re-sampled
-    // between the end-state collect and the final composition pass.
     val parted = df
       .repartitionByRange(numParts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_rn", row_number().over(Window.partitionBy("_pid").orderBy(orderCol)))
-      .persist()
     val adjTrue = graft.functions.ewmaOver(
       col(valueCol), alpha, adjust = true, Seq(col("_pid")), Seq(col(orderCol)))
-    val plain = graft.functions.ewmaOver(
-      col(valueCol), alpha, adjust = false, Seq(col("_pid")), Seq(col(orderCol)))
+    // Persisted AFTER the window columns, for two reasons: the range
+    // partitioning must not be re-sampled between the end-state
+    // collect and the final composition pass (the cumSumDistributed
+    // consistency contract), and caching the window OUTPUT makes the
+    // one EWM pass materialize once — the ends job and the caller's
+    // job both read _C/_D from cache instead of each re-running the
+    // window aggregate.
     val withCD = parted
       .withColumn("_D", pow(lit(beta), col("_rn")))
       .withColumn("_C", adjTrue * (lit(1.0) - pow(lit(beta), col("_rn"))))
-      .withColumn("_plain", plain)
-    // Pass 1: per-partition end states.
+      .persist()
+    // Pass 1: per-partition end states + first values (the first
+    // value seeds the first global partition, see the scaladoc).
     val ends = withCD.groupBy("_pid")
-      .agg(max(struct(col("_rn"), col("_C"), col("_D"), col("_plain"))).as("e"))
-      .select(col("_pid"), col("e._C"), col("e._D"), col("e._plain"))
+      .agg(
+        max(struct(col("_rn"), col("_C"), col("_D"))).as("e"),
+        min(struct(col("_rn"), col(valueCol).cast("double").as("_x"))).as("f"))
+      .select(col("_pid"), col("e._C"), col("e._D"), col("f._x"))
       .collect()
       .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    // Driver fold: state entering each partition (NaN = none yet).
+    // Driver fold: effective incoming state per partition — the first
+    // (lowest-pid) partition seeds with its own first value.
     val incoming = {
       var y = Double.NaN
       ends.keys.toSeq.sorted.map { pid =>
-        val in = pid -> y
-        val (c, d, pl) = ends(pid)
-        y = if (y.isNaN) pl else c + d * y
-        in
+        val (c, d, xf) = ends(pid)
+        val yIn = if (y.isNaN) xf else y
+        y = c + d * yIn
+        pid -> yIn
       }.toMap
     }
     // Broadcast-joined incoming states (same O(1)-depth rationale as
-    // cumSumDistributed's offsets table; NaN = no state yet).
+    // cumSumDistributed's offsets table).
     val spark = df.sparkSession
     import spark.implicits._
     val inStates = broadcast(incoming.toSeq.toDF("_pid", "_yin"))
-    // Pass 2: compose per row; the first partition keeps the plain EWM.
+    // Pass 2: one composition per row — uniform, no first-partition
+    // branch, and ONE window aggregate total instead of two.
     withCD
       .join(inStates, Seq("_pid"))
-      .withColumn(
-        outName,
-        when(isnan(col("_yin")), col("_plain"))
-          .otherwise(col("_C") + col("_D") * col("_yin")))
-      .drop("_pid", "_rn", "_C", "_D", "_plain", "_yin")
+      .withColumn(outName, col("_C") + col("_D") * col("_yin"))
+      .drop("_pid", "_rn", "_C", "_D", "_yin")
   }
 }
