@@ -146,6 +146,32 @@ object QueriesPipeline {
         DedupChain.clusterLabels(s, dir, docs(s, dir)), docs(s, dir))
         .orderBy("cluster_id")),
 
+    // FineWeb-style sub-document dedup: near-identical paragraphs
+    // reused ACROSS documents (boilerplate/templates) that
+    // whole-document signatures dilute away. The synthetic corpus has
+    // no paragraph boundaries (single-space text; Corpus.paragraphs
+    // covers real corpora), so units are non-overlapping 32-token
+    // blocks (chunk at stride = chunkSize) with unit id =
+    // doc_id * 1000 + block idx; the unit frame then rides the SAME
+    // MinHash/LSH + jaccard chain as the document-level queries.
+    // Within-document pairs are excluded — internal repetition is
+    // repetition_stats' signal, cross-document reuse is dedup's.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
+        .select(
+          (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      Dedup.paragraphPairs(units)
+        .where(expr("doc_a div 1000 <> doc_b div 1000"))
+        .select(
+          expr("doc_a div 1000").as("doc_a"),
+          (col("doc_a") % 1000).as("para_a"),
+          expr("doc_b div 1000").as("doc_b"),
+          (col("doc_b") % 1000).as("para_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "para_a", "doc_b", "para_b")
+    }),
+
     // The end-to-end curation decision a training-data pipeline makes
     // per document: exact-dup canonical AND near-dup-cluster canonical
     // AND quality gate AND language agreement. Every input is one of
@@ -500,12 +526,14 @@ object QueriesPipeline {
   /** Shared CTE chain: minhash signatures -> LSH bands -> candidate
     * pairs — the ONE spelling of the banding arithmetic every
     * LSH-chain oracle extends (lsh_pairs, editdist, jaccard, clusters,
-    * corpus_filter), so the engines cannot drift on the candidate set.
+    * corpus_filter, and via [[lshCandCtesFrom]] the paragraph-unit
+    * chain), so the engines cannot drift on the candidate set.
+    * `src` is any relation providing (doc_id, text).
     */
-  private val LshCandCtes: String =
+  private def lshCandCtesFrom(src: String): String =
     s"""sigs AS MATERIALIZED (
        |  SELECT doc_id, ${(0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(", ")}
-       |  FROM (SELECT doc_id, $Shingles AS sh FROM read_parquet('{SFDIR}/documents.parquet'))),
+       |  FROM (SELECT doc_id, $Shingles AS sh FROM $src)),
        |bands AS (
        |  SELECT doc_id, b.band, CASE b.band
        |    WHEN 0 THEN (m0 * 31 + m1) % 1000000007
@@ -516,6 +544,9 @@ object QueriesPipeline {
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id)""".stripMargin
+
+  private val LshCandCtes: String =
+    lshCandCtesFrom("read_parquet('{SFDIR}/documents.parquet')")
 
   /** [[LshCandCtes]] + the distinct shingle sets the jaccard verifier
     * reads (dedup_jaccard, dedup_clusters, corpus_filter).
@@ -694,6 +725,27 @@ object QueriesPipeline {
          |SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_chars,
          |  CAST(cs AS BIGINT) AS cluster_size
          |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "dedup_paragraphs" ->
+      s"""WITH punits AS MATERIALIZED (
+         |  SELECT doc_id * 1000 + chunk_id AS doc_id,
+         |    array_to_string(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS text
+         |  FROM (
+         |    SELECT doc_id, t,
+         |      unnest(range(0, greatest((len(t) - 32 + 31) // 32, 0) + 1)) AS chunk_id
+         |    FROM (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')))),
+         |${lshCandCtesFrom("punits")},
+         |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM punits)
+         |SELECT p.doc_a // 1000 AS doc_a, p.doc_a % 1000 AS para_a,
+         |  p.doc_b // 1000 AS doc_b, p.doc_b % 1000 AS para_b,
+         |  round(jac, 6) AS jaccard
+         |FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id) p
+         |WHERE jac >= 0.5 AND p.doc_a // 1000 <> p.doc_b // 1000
+         |ORDER BY doc_a, para_a, doc_b, para_b""".stripMargin,
 
     "dedup_simhash" ->
       s"""SELECT doc_id, $SimhashSum AS simhash

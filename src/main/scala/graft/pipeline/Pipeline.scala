@@ -504,6 +504,28 @@ object Dedup {
       (col("cluster_id") === col("doc_id")).as("is_canonical"))
   }
 
+  /** Paragraph-level near-dup pairs — the FineWeb-style sub-document
+    * dedup: near-identical paragraphs reused across documents
+    * (boilerplate, templates, licence blocks) that whole-document
+    * signatures dilute away. Takes a (doc_id, text) UNIT frame whose
+    * doc_id encodes (document, paragraph) — see the dedup_paragraphs
+    * query for the encoding — and runs the SAME MinHash/LSH banding +
+    * word-3-gram Jaccard verify as the document chain, so the scale
+    * shape is identical: banded equi-joins, O(candidates) verify,
+    * nothing all-pairs. Units too short to shingle (< 3 tokens) have
+    * NULL signatures and never band-match — they self-exclude in both
+    * engines.
+    *
+    * Not session-staged in [[DedupChain]]: exactly one declared query
+    * consumes the paragraph-unit chain, so checkpointing its stages
+    * would pay the write without a second reader.
+    */
+  def paragraphPairs(units: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingled(units)
+    jaccardPairsSh(lshCandidatePairsSh(sh), sh)
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** One keeper per near-dup cluster — the retention decision a dedup
     * pipeline ends with. Ranks cluster members by content length (keep
     * the longest; ties break to the lowest doc_id) rather than the CC
@@ -678,6 +700,26 @@ object Corpus {
       .select(
         col(idCol),
         explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
+
+  /** Sub-document paragraph units — the explode a FineWeb-style
+    * paragraph-level dedup runs on: split on `sepRegex` (default: one
+    * or more blank lines), keep positions, drop empty/whitespace-only
+    * paragraphs. Map-only at any scale. For corpora WITHOUT explicit
+    * boundaries (the synthetic documents table is single-space text),
+    * segment with [[chunk]] at stride = chunkSize instead — that is
+    * what the declared `dedup_paragraphs` query does.
+    *
+    * Output: (idCol, para_idx, para_text).
+    */
+  def paragraphs(
+      docs: DataFrame,
+      sepRegex: String = "\\n{2,}",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), sepRegex)))
+      .select(col(idCol), col("pos").as("para_idx"), col("col").as("para_text"))
+      .where(length(trim(col("para_text"))) > 0)
 
   /** Deterministic hash-based train/valid/test assignment — the
     * reproducible split a training pipeline needs (no RNG state, no

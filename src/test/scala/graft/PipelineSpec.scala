@@ -413,6 +413,34 @@ class PipelineSpec extends SparkSpec {
       s"pack_sequences must run on the distributed prefix plan:\n$plan")
   }
 
+  test("paragraphs split on blank lines, keep positions, drop empty units") {
+    val d = docs(
+      (1L, "first para here\n\nsecond para there\n\n\n\nthird"),
+      (2L, "single paragraph"),
+      (3L, "lead\n\n   \n\ntail"))
+    val p = pipeline.Corpus.paragraphs(d).orderBy("doc_id", "para_idx").collect()
+    assert(p.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq == Seq(
+      (1L, 0, "first para here"), (1L, 1, "second para there"), (1L, 2, "third"),
+      (2L, 0, "single paragraph"),
+      // the whitespace-only middle unit of doc 3 is dropped, positions kept
+      (3L, 0, "lead"), (3L, 2, "tail")))
+  }
+
+  test("paragraphPairs finds a shared paragraph across docs; short units self-exclude") {
+    // Unit ids encode (doc, para) as doc*1000+para, like dedup_paragraphs.
+    val boiler = "common footer boilerplate repeated verbatim across sites"
+    val units = docs(
+      (1000L, "completely original opening paragraph with its own words"),
+      (1001L, boiler),
+      (2000L, "another unrelated document body written differently here"),
+      (2001L, boiler),
+      (3000L, "xy zz")) // < 3 tokens: no shingles, must never pair
+    val pairs = pipeline.Dedup.paragraphPairs(units).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1001L && pairs.head.getLong(1) == 2001L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("splitAssign buckets are deterministic, in-range, and respect the pcts") {
     val d = docs((1L to 40L).map(i => (i, s"doc $i")): _*)
     val a = pipeline.Corpus.splitAssign(d).orderBy("doc_id").collect()
