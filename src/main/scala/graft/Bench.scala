@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
   /** Total stop-the-world GC milliseconds accumulated by this JVM. */
@@ -27,9 +28,27 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** One query measured once: wall seconds, success, and the gc /
+    * steal / executor-task-time deltas that attribute an outlier.
+    */
+  private final case class Meas(
+      wall: Double, ok: Boolean, gc: Long, steal: Long, task: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Round-6 lesson: on this infrastructure a SINGLE-shot bench can
+    // read 2x off the same commit's healthy speed (BASELINE.md's
+    // controlled starvation table: identical plans swinging 10-30x,
+    // executor task-time itself inflating, steal spiking). One noisy
+    // sample cannot drive perf decisions, so the bench runs every
+    // query in PASSES full passes (default 2, env-tunable) and
+    // reports the per-query MIN as the noise-adjusted number — the
+    // standard min-of-N practice — alongside the raw pass-1 walls.
+    // Between passes the session-staged dedup chain is released and
+    // the cache cleared, so every pass measures the SAME work
+    // (chain-build cost included), not a warm-state rerun.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val spark = graft.sources.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()
@@ -51,47 +70,82 @@ object Bench {
     // A failed query is reported as the NEGATED elapsed seconds (and on
     // stderr) — a silent catch would make failures look like fast passes.
     // The per-query side channels (gc_ms / steal_ms / task_ms) make
-    // outliers attributable (round-5 verdict item #1): wall-time
-    // inflation with flat gc and task sums but rising steal is machine
-    // contention; inflation with a matching task-sum rise on an
-    // unchanged plan is hypervisor starvation of the task threads;
-    // only inflation with neither is the engine's own regression.
-    val gcQ = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val stealQ = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val taskQ = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val gc0 = gcMillis(); val st0 = stealMillis(); val tt0 = taskTime.get()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      gcQ(name) = gcMillis() - gc0
-      stealQ(name) = stealMillis() - st0
-      taskQ(name) = taskTime.get() - tt0
-      // Query-scoped cache lifecycle: the LSH dedup queries persist
-      // their signature frames (load-bearing under broadcast joins,
-      // where ReuseExchange can't dedup the two sides); the harness
-      // owns the release so repeated runs don't accumulate blocks.
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -dt)
+    // outliers attributable: wall-time inflation with flat gc and task
+    // sums but rising steal is machine contention; inflation with a
+    // matching task-sum rise on an unchanged plan is hypervisor
+    // starvation of the task threads; only inflation with neither is
+    // the engine's own regression.
+    def runPass(): Seq[(String, Meas)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val gc0 = gcMillis(); val st0 = stealMillis(); val tt0 = taskTime.get()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Query-scoped cache lifecycle: the LSH dedup queries persist
+        // their signature frames (load-bearing under broadcast joins,
+        // where ReuseExchange can't dedup the two sides); the harness
+        // owns the release so repeated runs don't accumulate blocks.
+        spark.catalog.clearCache()
+        name -> Meas(dt, ok, gcMillis() - gc0, stealMillis() - st0,
+          taskTime.get() - tt0)
+      }
+    val allPasses = (1 to passes).map { p =>
+      // Reset session-staged state so every pass pays the chain build:
+      // min-of-N must compare equal work, not first-build vs marginal.
+      if (p > 1) {
+        graft.pipeline.DedupChain.release(spark)
+        spark.catalog.clearCache()
+      }
+      runPass()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
-    def jmap(m: scala.collection.Map[String, Long]) =
+    val names = allPasses.head.map(_._1)
+    val byName: Map[String, Seq[Meas]] =
+      names.map(n => n -> allPasses.map(_.toMap.apply(n))).toMap
+    // Noise-adjusted pick: min wall among the passes (a query failing
+    // in ANY pass reports as failed — flakiness must not look fast).
+    val chosen: Seq[(String, Meas)] = names.map { n =>
+      val ms = byName(n)
+      val ok = ms.forall(_.ok)
+      val best = ms.minBy(_.wall)
+      n -> best.copy(ok = ok)
+    }
+    // Auto-adjudication: a query whose pass walls disagree by >1.5x
+    // AND >0.5s absolute was noise-afflicted in the slower pass; the
+    // list makes the adjudication machine-readable instead of prose.
+    val noisy = names.filter { n =>
+      val ws = byName(n).map(_.wall)
+      ws.max / math.max(ws.min, 1e-9) > 1.5 && ws.max - ws.min > 0.5
+    }
+    def jnum(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val meta = s"""{"warmup_sec":$warmupSec,"load_avg_start":$loadStart,""" +
-      s""""load_avg_end":${loadAvg()},"gc_ms_total":${gcMillis()},""" +
-      s""""steal_ms_total":${stealMillis()},"gc_ms":${jmap(gcQ)},""" +
-      s""""steal_ms":${jmap(stealQ)},"task_ms":${jmap(taskQ)}}"""
+    def jlong(m: Seq[(String, Long)]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jnum(chosen.map { case (n, m) => n -> (if (m.ok) m.wall else -m.wall) })
+    val total = chosen.map(_._2.wall).sum
+    val rawTotal = allPasses.head.map(_._2.wall).sum
+    val passWalls = allPasses.zipWithIndex.map { case (p, i) =>
+      s"\"wall_p${i + 1}\":" + jnum(p.map { case (n, m) => n -> m.wall })
+    }.mkString(",")
+    val meta = s"""{"warmup_sec":$warmupSec,"passes":$passes,""" +
+      s""""raw_total":$rawTotal,"adjusted_total":$total,""" +
+      s""""noisy_queries":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":${loadAvg()},""" +
+      s""""gc_ms_total":${gcMillis()},"steal_ms_total":${stealMillis()},""" +
+      s""""gc_ms":${jlong(chosen.map { case (n, m) => n -> m.gc })},""" +
+      s""""steal_ms":${jlong(chosen.map { case (n, m) => n -> m.steal })},""" +
+      s""""task_ms":${jlong(chosen.map { case (n, m) => n -> m.task })},""" +
+      passWalls + "}"
+    // "value" is the noise-adjusted (min-of-passes) total — the raw
+    // pass-1 total stays in meta.raw_total so both are in the record.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
-    // Also write the line to a file: with 85 per-query entries the
+    // Also write the line to a file: with ~100 per-query entries the
     // stdout JSON can overflow a captured-tail limit (round 3's
     // BENCH_r03.json recorded "parsed": null), losing the
     // machine-readable total. The file is the durable copy.
