@@ -54,9 +54,11 @@ object DedupChain {
   // already fuses shingle construction into each consumer (the
   // signature path never materializes string arrays at all, it fuses
   // shingle->md5 in one pass), so staging O(corpus) data only trades
-  // compute for checkpoint I/O. Callers with a persisted shingle table
-  // (the per-corpus-snapshot production pattern) can use the
-  // Dedup.*Sh variants directly.
+  // compute for checkpoint I/O. Re-measured round 7 after token-hash
+  // staging landed (ChainProfile A/B, interleaved ×2): fused 1.86/1.77 s
+  // vs staged 1.91/1.79 s — still a wash-to-negative; decision stands.
+  // Callers with a persisted shingle table (the per-corpus-snapshot
+  // production pattern) can use the Dedup.*Sh variants directly.
 
   /** LSH banded candidate pairs (doc_a, doc_b) for `dir`'s documents.
     * A projection of the jaccard stage, not its own checkpoint: the

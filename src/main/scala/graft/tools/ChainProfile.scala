@@ -40,6 +40,26 @@ object ChainProfile {
     time("candidate pairs full")(Dedup.lshCandidatePairs(docs).count())
     time("jaccard full")(
       Dedup.jaccardPairs(Dedup.lshCandidatePairs(docs), docs).count())
+    // A/B (interleaved twice — host noise dodging): the fused
+    // shingle->md5 path the chain uses today vs a localCheckpoint-
+    // staged shingle frame shared by the signature and jaccard stages.
+    // Decides whether DedupChain's "shingles NOT staged" call still
+    // holds now that token hashes stage separately.
+    def fused(): Long = {
+      val n = Dedup.jaccardPairs(Dedup.lshCandidatePairs(docs), docs).count()
+      spark.catalog.clearCache(); n
+    }
+    def staged(): Long = {
+      val sh = Dedup.shingled(docs).localCheckpoint(true)
+      val n = Dedup.jaccardPairsSh(Dedup.lshCandidatePairsSh(sh), sh).count()
+      spark.catalog.clearCache()
+      graft.pipeline.CheckpointUtil.checkpointRdd(sh).foreach(_.unpersist(false))
+      n
+    }
+    time("A fused jaccard #1")(fused())
+    time("B staged-shingle jaccard #1")(staged())
+    time("A fused jaccard #2")(fused())
+    time("B staged-shingle jaccard #2")(staged())
     spark.stop()
   }
 }

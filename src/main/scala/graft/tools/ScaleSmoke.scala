@@ -148,6 +148,36 @@ object ScaleSmoke {
       m
     }
 
+    // Inverted packing index: inherits packOffsets' distributed prefix
+    // plan, then a map-only window explode + one groupBy shuffle.
+    def packWin(d: DataFrame): Long =
+      graft.pipeline.Corpus.packWindows(d, ctx = 512L)
+        .groupBy("window_id").count().count()
+
+    // Full retention chain: LSH chain -> CC labels -> keep-longest
+    // representatives (one max_by agg over labels joined to docs).
+    def reps(d: DataFrame): Long = {
+      val edges = graft.pipeline.Dedup
+        .jaccardPairs(graft.pipeline.Dedup.lshCandidatePairs(d), d)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      val m = graft.pipeline.Dedup
+        .representatives(graft.pipeline.Dedup.clusters(edges), d).count()
+      spark.catalog.clearCache()
+      m
+    }
+
+    // Paragraph-unit near-dedup (32-token blocks through the banded
+    // chain) — ~2.3x the unit count of the doc-level chain per doc.
+    def paraDedup(d: DataFrame): Long = {
+      val units = graft.pipeline.Corpus.chunk(d, chunkSize = 32, stride = 32)
+        .select(
+          (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val m = graft.pipeline.Dedup.paragraphPairs(units).count()
+      spark.catalog.clearCache()
+      m
+    }
+
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // Fixed query set (vec_id < 5 exists only in copy 0) against an
     // Nx corpus — the production ANN shape: corpus grows, probes don't.
@@ -167,6 +197,9 @@ object ScaleSmoke {
       "lsh dedup chain" -> (time("lsh chain 1x", lshChain(docs1)), time(s"lsh chain ${n}x", lshChain(docsNDistinct))),
       "ann lsh topk" -> (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN))),
       "pack offsets" -> (time("pack 1x", pack(docs1)), time(s"pack ${n}x", pack(docsN))),
+      "pack windows" -> (time("packwin 1x", packWin(docs1)), time(s"packwin ${n}x", packWin(docsN))),
+      "dedup representatives" -> (time("reps 1x", reps(docs1)), time(s"reps ${n}x", reps(docsNDistinct))),
+      "paragraph dedup" -> (time("paradedup 1x", paraDedup(docs1)), time(s"paradedup ${n}x", paraDedup(docsNDistinct))),
       "tfidf top tokens" -> (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
