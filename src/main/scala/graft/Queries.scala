@@ -275,6 +275,29 @@ object Queries {
         .orderBy("symbol", "timestamp")
     }),
 
+    // The LAG-dependent P12 witness: OBV's per-row term needs the
+    // previous close, supplied by Scale.lagDistributed's boundary-
+    // composed partition lag, then the running sum rides
+    // cumSumDistributed — the full obv on distributed plans end to
+    // end (vpt/nvi compose from the same two primitives). The sum
+    // stays integer-valued in double (volumes << 2^53), so the BIGINT
+    // cast is exact; the globally-first row's NULL direction
+    // propagates through the prefix sum exactly as in parity mode.
+    "obv_distributed" -> ((s, dir) => {
+      val lagged = graft.plans.Scale.lagDistributed(
+        bars1(s, dir), "close", "timestamp", "_prev_close")
+      val diff = col("close") - col("_prev_close")
+      val change = (when(diff > 0, 1).when(diff < 0, -1).when(diff === 0, 0)
+        * col("volume")).cast("double")
+      graft.plans.Scale.cumSumDistributed(
+          lagged.withColumn("_obv_change", change),
+          "_obv_change", "timestamp", "_obv")
+        .select(
+          col("symbol"), col("timestamp"),
+          col("_obv").cast("bigint").as("obv"))
+        .orderBy("symbol", "timestamp")
+    }),
+
     "vpt" -> ((s, dir) =>
       shape(Indicators(bars1(s, dir)).vpt().dataframe, "vpt" -> "vpt")),
 
@@ -713,6 +736,17 @@ object Queries {
         |  UNION ALL
         |  SELECT b.rn, b.symbol, b."timestamp", r.s + b.mfv
         |  FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    // Same oracle as "obv": lagDistributed + cumSumDistributed must
+    // reproduce the sequential window sum exactly (integer values).
+    "obv_distributed" -> q(
+      s"""SELECT symbol, "timestamp",
+         |CAST(sum(oc) OVER (ORDER BY "timestamp" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+         |FROM (SELECT symbol, "timestamp",
+         |        (CASE WHEN close - lag(close, 1) OVER w > 0 THEN 1
+         |              WHEN close - lag(close, 1) OVER w < 0 THEN -1 WHEN close - lag(close, 1) OVER w = 0 THEN 0 END) * volume AS oc
+         |      FROM b1 WINDOW w AS (ORDER BY "timestamp")) $Tail""".stripMargin,
+      Bars1Cte),
 
     // Same oracle as "adi": the distributed prefix plan must agree
     // with the sequential recursion after round(6).

@@ -69,8 +69,12 @@ object Scale {
       .withColumn("_pid", spark_partition_id())
       .persist()
     // Pass 1: per-partition totals (numParts rows to the driver).
+    // coalesce: SQL sum ignores NULL values, so a partition whose
+    // values are ALL null (e.g. the lone head row of a lag-derived
+    // column) contributes 0 to downstream offsets instead of NPE-ing
+    // the driver-side getDouble.
     val partials = parted.groupBy("_pid")
-      .agg(sum(col(valueCol).cast("double")).as("_s"))
+      .agg(coalesce(sum(col(valueCol).cast("double")), lit(0.0)).as("_s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val exclusive = {
       var acc = 0.0
@@ -119,7 +123,7 @@ object Scale {
       .withColumn("_pid", spark_partition_id())
       .persist()
     val partials = parted.groupBy("_pid")
-      .agg(sum(col(valueCol).cast("bigint")).as("_s"))
+      .agg(coalesce(sum(col(valueCol).cast("bigint")), lit(0L)).as("_s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val exclusive = {
       var acc = 0L
@@ -138,6 +142,65 @@ object Scale {
       .join(offsets, Seq("_pid"))
       .withColumn(outName, sum(col(valueCol).cast("bigint")).over(w) + col("_off"))
       .drop("_pid", "_off")
+  }
+
+  /** Globally-ordered lag(1) of `valueCol`, parallelized across range
+    * partitions: lag within each partition, with each partition's
+    * FIRST row reading the LAST value of the preceding non-empty
+    * partition from a driver-composed numParts-row broadcast table
+    * (the same two-job shape as [[cumSumDistributed]], same
+    * persist-for-consistency contract, same O(1)-depth broadcast
+    * join). The globally-first row lags to NULL, like a sequential
+    * lag.
+    *
+    * This is the boundary primitive that puts the reference's
+    * lag-DEPENDENT global cumulatives (obv's close diff, vpt's pct
+    * change, nvi's volume gate — P12 instances whose per-row term
+    * needs the previous row) onto fully distributed plans: compose
+    * lagDistributed for the per-row term, then [[cumSumDistributed]]
+    * for the running sum — see the obv_distributed declared query.
+    * Appends `outName` as DOUBLE; exact (values are moved, never
+    * combined). Non-null input, like [[ewmaDistributed]].
+    */
+  def lagDistributed(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      outName: String,
+      numParts: Int = 32): DataFrame = {
+    val parted = df
+      .repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // Pass 1: per-partition last values (numParts rows to the driver).
+    val lasts = parted.groupBy("_pid")
+      .agg(max(struct(col(orderCol), col(valueCol).cast("double").as("_v"))).as("e"))
+      .select(col("_pid"), col("e._v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
+    // Driver fold: value entering each partition = last value of the
+    // closest preceding non-empty partition (None for the first).
+    val incoming: Seq[(Int, Option[Double])] = {
+      var prev: Option[Double] = None
+      lasts.keys.toSeq.sorted.map { pid =>
+        val in = pid -> prev
+        prev = Some(lasts(pid))
+        in
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inVals = broadcast(incoming.toDF("_pid", "_prev"))
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+    // Pass 2: within-partition lag; the partition-first row (lag NULL)
+    // falls back to the broadcast boundary value.
+    parted
+      .join(inVals, Seq("_pid"))
+      .withColumn(outName,
+        coalesce(lag(col(valueCol).cast("double"), 1).over(w), col("_prev")))
+      .drop("_pid", "_prev")
   }
 
   /** Globally-ordered EWM (adjust=false, non-null input) of `valueCol`

@@ -87,6 +87,37 @@ class ScaleSpec extends SparkSpec {
     assert(nEwma == 1, s"expected exactly one ewma window aggregate, saw $nEwma:\n$plan")
   }
 
+  test("distributed lag equals the global-window lag (incl. the head NULL)") {
+    val seq = events.withColumn(
+      "lg", lag(col("value"), 1).over(Window.orderBy("event_id")))
+    val dist = Scale.lagDistributed(events, "value", "event_id", "lg", numParts = 7)
+    val a = seq.orderBy("event_id").select("lg").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val b = dist.orderBy("event_id").select("lg").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(a.length == b.length && a.length == 1000)
+    assert(a.head.isEmpty && b.head.isEmpty) // globally-first row lags to NULL
+    assert(a.toSeq == b.toSeq) // exact: values are moved, never combined
+  }
+
+  test("distributed lag holds when partitions outnumber rows") {
+    val tiny = events.orderBy("event_id").limit(5)
+    val seq = tiny.withColumn(
+      "lg", lag(col("value"), 1).over(Window.orderBy("event_id")))
+      .orderBy("event_id").select("event_id", "lg").collect()
+    val dist = Scale.lagDistributed(tiny, "value", "event_id", "lg", numParts = 32)
+      .orderBy("event_id").select("event_id", "lg").collect()
+    assert(seq.map(_.toString).toSeq == dist.map(_.toString).toSeq)
+  }
+
+  test("obv_distributed declared plan has no single-partition exchange") {
+    val df = SparkEntry.queries("obv_distributed")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"obv_distributed must run on the distributed lag + prefix plans:\n$plan")
+  }
+
   test("adi_distributed declared plan has no single-partition exchange") {
     val df = SparkEntry.queries("adi_distributed")(spark, "/root/testdata/sf0.001")
     df.count()
