@@ -199,6 +199,16 @@ object Streaming {
   def chunkStream(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame =
     graft.pipeline.Corpus.chunk(docs, chunkSize, stride)
 
+  /** Streaming paragraph explode — the stream twin of
+    * [[graft.pipeline.Corpus.paragraphs]]. Splitting on a separator
+    * regex is a pure per-document function: stateless map-only
+    * posexplode, append mode, no state store. (Paragraph-level
+    * near-DEDUP against history needs a signature store — feed these
+    * units to the batch chain over the accumulated corpus instead.)
+    */
+  def paragraphsStream(docs: DataFrame, sepRegex: String = "\\n{2,}"): DataFrame =
+    graft.pipeline.Corpus.paragraphs(docs, sepRegex)
+
   /** Streaming train/valid/test assignment — the stream twin of
     * [[graft.pipeline.Corpus.splitAssign]]. Pure md5 bucketing of the
     * doc id: stateless map, append mode, identical assignment to the

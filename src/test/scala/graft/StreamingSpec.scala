@@ -145,6 +145,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("streaming paragraph explode matches the batch Corpus.paragraphs") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "first para\n\nsecond para\n\n\n\nthird",
+      2L -> "single paragraph",
+      3L -> "lead\n\n   \n\ntail")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.paragraphsStream(input.toDF()).writeStream
+      .format("memory").queryName("sparas").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sparas").orderBy("doc_id", "para_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val want = graft.pipeline.Corpus.paragraphs(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id", "para_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == want.toSeq && got.length == 6)
+  }
+
   test("streaming split assignment equals the batch split for the same ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
