@@ -243,9 +243,13 @@ object Queries {
     "vwap_distributed" -> ((s, dir) => {
       val b = bars1(s, dir).withColumn(
         "_tpv", (col("high") + col("low") + col("close")) / 3 * col("volume"))
-      val c1 = graft.plans.Scale.cumSumDistributed(b, "_tpv", "timestamp", "_cum_pv")
-      val c2 = graft.plans.Scale.cumSumDistributed(c1, "volume", "timestamp", "_cum_vol")
-      c2.select(
+      // Both running sums share ONE staged range partitioning (the
+      // multi-column prefix plan) — one repartition shuffle, one
+      // offsets job, one window pass, instead of the full two-job
+      // plan per cumulative.
+      graft.plans.Scale.cumSumsDistributed(
+          b, Seq("_tpv" -> "_cum_pv", "volume" -> "_cum_vol"), "timestamp")
+        .select(
           col("symbol"), col("timestamp"),
           round(col("_cum_pv") / col("_cum_vol"), 6).as("vwap"))
         .orderBy("symbol", "timestamp")

@@ -58,7 +58,26 @@ object Scale {
       valueCol: String,
       orderCol: String,
       outName: String,
+      numParts: Int = 32): DataFrame =
+    cumSumsDistributed(df, Seq(valueCol -> outName), orderCol, numParts)
+
+  /** Multi-column [[cumSumDistributed]]: SEVERAL globally-ordered
+    * cumulative sums over ONE staged range partitioning — one
+    * repartition shuffle, one persist, one offsets job and one window
+    * pass for all of them, instead of the full two-job plan per
+    * column. The multi-cumulative queries need this (vwap = running
+    * price·volume AND running volume over the same order): at 100 TB
+    * the repartition is the dominant cost, and it amortizes across
+    * every column here.
+    *
+    * `cols` maps valueCol -> outName.
+    */
+  def cumSumsDistributed(
+      df: DataFrame,
+      cols: Seq[(String, String)],
+      orderCol: String,
       numParts: Int = 32): DataFrame = {
+    require(cols.nonEmpty, "need at least one (valueCol, outName)")
     // Persisted: repartitionByRange samples to pick boundaries, and the
     // sample is seeded per execution — without pinning the frame, the
     // pass-1 offsets job and the pass-2 window job could assign
@@ -68,19 +87,24 @@ object Scale {
       .sortWithinPartitions(orderCol)
       .withColumn("_pid", spark_partition_id())
       .persist()
-    // Pass 1: per-partition totals (numParts rows to the driver).
-    // coalesce: SQL sum ignores NULL values, so a partition whose
-    // values are ALL null (e.g. the lone head row of a lag-derived
-    // column) contributes 0 to downstream offsets instead of NPE-ing
-    // the driver-side getDouble.
+    // Pass 1: per-partition totals, ALL columns in one tiny job
+    // (numParts rows to the driver). coalesce: SQL sum ignores NULL
+    // values, so a partition whose values are ALL null (e.g. the lone
+    // head row of a lag-derived column) contributes 0 to downstream
+    // offsets instead of NPE-ing the driver-side getDouble.
+    val sumAggs = cols.zipWithIndex.map { case ((v, _), i) =>
+      coalesce(sum(col(v).cast("double")), lit(0.0)).as(s"_s$i")
+    }
     val partials = parted.groupBy("_pid")
-      .agg(coalesce(sum(col(valueCol).cast("double")), lit(0.0)).as("_s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> cols.indices.map(i => r.getDouble(i + 1)))
+      .toMap
     val exclusive = {
-      var acc = 0.0
+      val acc = Array.fill(cols.length)(0.0)
       partials.keys.toSeq.sorted.map { pid =>
-        val o = pid -> acc
-        acc += partials(pid)
+        val o = pid -> acc.toSeq
+        for (i <- cols.indices) acc(i) += partials(pid)(i)
         o
       }.toMap
     }
@@ -91,17 +115,21 @@ object Scale {
     // O(1) depth at any partition count.
     val spark = df.sparkSession
     import spark.implicits._
-    val offsets = broadcast(exclusive.toSeq.toDF("_pid", "_off"))
+    val offsets = broadcast(
+      exclusive.toSeq.map { case (pid, offs) => (pid, offs) }
+        .toDF("_pid", "_offs"))
     val w = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NOTE: parted stays persisted until the caller's action completes —
     // unpersisting here would let pass 2 recompute (and re-sample) the
     // partitioning the pass-1 offsets were derived from. Blocks are
     // MEMORY_AND_DISK and LRU-evictable.
-    parted
-      .join(offsets, Seq("_pid"))
-      .withColumn(outName, sum(col(valueCol).cast("double")).over(w) + col("_off"))
-      .drop("_pid", "_off")
+    cols.zipWithIndex.foldLeft(parted.join(offsets, Seq("_pid"))) {
+      case (acc, ((v, out), i)) =>
+        acc.withColumn(
+          out,
+          sum(col(v).cast("double")).over(w) + element_at(col("_offs"), i + 1))
+    }.drop("_pid", "_offs")
   }
 
   /** Integer-exact twin of [[cumSumDistributed]]: the running sum stays

@@ -87,6 +87,31 @@ class ScaleSpec extends SparkSpec {
     assert(nEwma == 1, s"expected exactly one ewma window aggregate, saw $nEwma:\n$plan")
   }
 
+  test("multi-column cum_sum equals per-column runs and the global window") {
+    val two = events.withColumn("v2", col("value") * 2 + 1)
+    val fused = Scale.cumSumsDistributed(
+      two, Seq("value" -> "cs", "v2" -> "cs2"), "event_id", numParts = 7)
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = two
+      .withColumn("cs", sum(col("value")).over(w))
+      .withColumn("cs2", sum(col("v2")).over(w))
+    val a = seq.orderBy("event_id").select("cs", "cs2").collect()
+    val b = fused.orderBy("event_id").select("cs", "cs2").collect()
+    assert(a.length == b.length && a.length == 1000)
+    a.zip(b).foreach { case (x, y) =>
+      Seq(0, 1).foreach { i =>
+        assert(math.abs(x.getDouble(i) - y.getDouble(i)) <=
+          1e-9 * math.max(1.0, math.abs(x.getDouble(i))))
+      }
+    }
+    // and the fused plan stages exactly ONE range repartition
+    fused.count()
+    val plan = fused.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nRange = "rangepartitioning".r.findAllIn(plan.toLowerCase).length
+    assert(nRange <= 1, s"expected one staged range partitioning:\n$plan")
+  }
+
   test("distributed lag equals the global-window lag (incl. the head NULL)") {
     val seq = events.withColumn(
       "lg", lag(col("value"), 1).over(Window.orderBy("event_id")))
