@@ -305,6 +305,39 @@ object Queries {
     "vpt" -> ((s, dir) =>
       shape(Indicators(bars1(s, dir)).vpt().dataframe, "vpt" -> "vpt")),
 
+    // vpt and nvi complete the P12 family on distributed plans: their
+    // per-row terms need the previous close (nvi also the previous
+    // volume — both lags share ONE staged partitioning via
+    // lagsDistributed), then the running sum rides cumSumDistributed.
+    // Every global cumulative in the reference (vwap vpt obv adi nvi)
+    // plus the global EWMs now has a declared distributed witness.
+    "vpt_distributed" -> ((s, dir) => {
+      val lagged = graft.plans.Scale.lagDistributed(
+        bars1(s, dir), "close", "timestamp", "_prev_close")
+      val vc = (col("close") - col("_prev_close")) / col("_prev_close") * col("volume")
+      graft.plans.Scale.cumSumDistributed(
+          lagged.withColumn("_vc", vc), "_vc", "timestamp", "_vpt")
+        .select(
+          col("symbol"), col("timestamp"),
+          round(col("_vpt"), 6).as("vpt"))
+        .orderBy("symbol", "timestamp")
+    }),
+
+    "nvi_distributed" -> ((s, dir) => {
+      val lagged = graft.plans.Scale.lagsDistributed(
+        bars1(s, dir),
+        Seq("close" -> "_prev_close", "volume" -> "_prev_vol"), "timestamp")
+      val r = col("close") / col("_prev_close") - 1
+      graft.plans.Scale.cumSumDistributed(
+          lagged.withColumn("_r", r), "_r", "timestamp", "_cum_r")
+        .select(
+          col("symbol"), col("timestamp"),
+          round(
+            when(col("volume") < col("_prev_vol"), col("_cum_r"))
+              .when(col("volume") >= col("_prev_vol"), lit(0)), 6).as("nvi"))
+        .orderBy("symbol", "timestamp")
+    }),
+
     "obv" -> ((s, dir) =>
       Indicators(bars1(s, dir)).obv().dataframe
         .select(col("symbol"), col("timestamp"), col("obv").cast("bigint").as("obv"))
@@ -728,6 +761,37 @@ object Queries {
          |              WHEN close - lag(close, 1) OVER w < 0 THEN -1 WHEN close - lag(close, 1) OVER w = 0 THEN 0 END) * volume AS oc
          |      FROM b1 WINDOW w AS (ORDER BY "timestamp")) $Tail""".stripMargin,
       Bars1Cte),
+
+    // Same oracle as "vpt": the lag+prefix distributed plan must agree
+    // with the sequential recursion after round(6).
+    "vpt_distributed" -> q(
+      s"""SELECT b.symbol, b."timestamp", round(r.s, 6) AS vpt
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + """,
+        |b AS MATERIALIZED (SELECT symbol, "timestamp",
+        |        (close - lag(close, 1) OVER w) / lag(close, 1) OVER w * volume AS vc,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT rn, vc AS s FROM b WHERE rn = 2
+        |  UNION ALL
+        |  SELECT b.rn, r.s + b.vc FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
+
+    // Same oracle as "negative_volume_index".
+    "nvi_distributed" -> q(
+      s"""SELECT b.symbol, b."timestamp",
+         |round(CASE WHEN b.volume < b.pv THEN r.s WHEN b.volume >= b.pv THEN 0 END, 6) AS nvi
+         |FROM b LEFT JOIN r ON b.rn = r.rn ORDER BY b.symbol, b."timestamp"""".stripMargin,
+      Bars1CteRec + """,
+        |b AS MATERIALIZED (SELECT symbol, "timestamp", volume,
+        |        lag(volume, 1) OVER w AS pv,
+        |        close / lag(close, 1) OVER w - 1 AS ret,
+        |        row_number() OVER w AS rn
+        |      FROM b1 WINDOW w AS (ORDER BY "timestamp")),
+        |r AS (
+        |  SELECT rn, CAST(0.0 AS DOUBLE) AS s FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, r.s + b.ret FROM b JOIN r ON b.rn = r.rn + 1)""".stripMargin),
 
     "adi" -> q(
       s"""SELECT symbol, "timestamp", round(s, 6) AS adi FROM r $Tail""",

@@ -195,40 +195,63 @@ object Scale {
       valueCol: String,
       orderCol: String,
       outName: String,
+      numParts: Int = 32): DataFrame =
+    lagsDistributed(df, Seq(valueCol -> outName), orderCol, numParts)
+
+  /** Multi-column [[lagDistributed]]: SEVERAL globally-ordered lag(1)
+    * columns over ONE staged range partitioning — one repartition
+    * shuffle, one boundary job collecting every column's per-partition
+    * last value, one window pass. nvi needs this (previous close AND
+    * previous volume over the same order); the repartition amortizes
+    * across columns exactly as in [[cumSumsDistributed]].
+    *
+    * `cols` maps valueCol -> outName.
+    */
+  def lagsDistributed(
+      df: DataFrame,
+      cols: Seq[(String, String)],
+      orderCol: String,
       numParts: Int = 32): DataFrame = {
+    require(cols.nonEmpty, "need at least one (valueCol, outName)")
     val parted = df
       .repartitionByRange(numParts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("_pid", spark_partition_id())
       .persist()
-    // Pass 1: per-partition last values (numParts rows to the driver).
+    // Pass 1: per-partition last values, all columns in one tiny job
+    // (numParts rows to the driver).
+    val lastAggs = cols.zipWithIndex.map { case ((v, _), i) =>
+      max(struct(col(orderCol), col(v).cast("double").as("_v"))).as(s"_e$i")
+    }
     val lasts = parted.groupBy("_pid")
-      .agg(max(struct(col(orderCol), col(valueCol).cast("double").as("_v"))).as("e"))
-      .select(col("_pid"), col("e._v"))
+      .agg(lastAggs.head, lastAggs.tail: _*)
+      .select(col("_pid") +: cols.indices.map(i => col(s"_e$i._v")): _*)
       .collect()
-      .map(r => r.getInt(0) -> r.getDouble(1))
+      .map(r => r.getInt(0) -> cols.indices.map(i => r.getDouble(i + 1)))
       .toMap
-    // Driver fold: value entering each partition = last value of the
-    // closest preceding non-empty partition (None for the first).
-    val incoming: Seq[(Int, Option[Double])] = {
-      var prev: Option[Double] = None
+    // Driver fold: values entering each partition = last values of the
+    // closest preceding non-empty partition (nulls for the first).
+    val incoming: Seq[(Int, Seq[Option[Double]])] = {
+      var prev: Seq[Option[Double]] = cols.map(_ => None)
       lasts.keys.toSeq.sorted.map { pid =>
         val in = pid -> prev
-        prev = Some(lasts(pid))
+        prev = lasts(pid).map(Some(_))
         in
       }
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val inVals = broadcast(incoming.toDF("_pid", "_prev"))
+    val inVals = broadcast(incoming.toDF("_pid", "_prevs"))
     val w = Window.partitionBy("_pid").orderBy(orderCol)
-    // Pass 2: within-partition lag; the partition-first row (lag NULL)
-    // falls back to the broadcast boundary value.
-    parted
-      .join(inVals, Seq("_pid"))
-      .withColumn(outName,
-        coalesce(lag(col(valueCol).cast("double"), 1).over(w), col("_prev")))
-      .drop("_pid", "_prev")
+    // Pass 2: within-partition lags; each partition-first row (lag
+    // NULL) falls back to its broadcast boundary value.
+    cols.zipWithIndex.foldLeft(parted.join(inVals, Seq("_pid"))) {
+      case (acc, ((v, out), i)) =>
+        acc.withColumn(
+          out,
+          coalesce(lag(col(v).cast("double"), 1).over(w),
+            element_at(col("_prevs"), i + 1)))
+    }.drop("_pid", "_prevs")
   }
 
   /** Globally-ordered EWM (adjust=false, non-null input) of `valueCol`

@@ -135,6 +135,33 @@ class ScaleSpec extends SparkSpec {
     assert(seq.map(_.toString).toSeq == dist.map(_.toString).toSeq)
   }
 
+  test("multi-column lags equal per-column global lags, one range stage") {
+    val two = events.withColumn("v2", col("value") * 3 - 1)
+    val fused = Scale.lagsDistributed(
+      two, Seq("value" -> "lg", "v2" -> "lg2"), "event_id", numParts = 7)
+    val gw = Window.orderBy("event_id")
+    val seq = two
+      .withColumn("lg", lag(col("value"), 1).over(gw))
+      .withColumn("lg2", lag(col("v2"), 1).over(gw))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").select("lg", "lg2").collect()
+        .map(r => (0 to 1).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    assert(dump(seq).toSeq == dump(fused).toSeq) // exact, incl. head NULLs
+    fused.count()
+    val plan = fused.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).length <= 1)
+  }
+
+  test("vpt_ and nvi_distributed declared plans have no single-partition exchange") {
+    Seq("vpt_distributed", "nvi_distributed").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name must run on the distributed lag + prefix plans:\n$plan")
+    }
+  }
+
   test("obv_distributed declared plan has no single-partition exchange") {
     val df = SparkEntry.queries("obv_distributed")(spark, "/root/testdata/sf0.001")
     df.count()
