@@ -66,6 +66,9 @@ object QueriesPipeline {
           round(col("top_token_frac"), 6).as("top_token_frac"))
         .orderBy("doc_id")),
 
+    "quality_filter" -> ((s, dir) =>
+      Corpus.gopherFilter(docs(s, dir)).orderBy("doc_id")),
+
     "ngram_counts" -> ((s, dir) =>
       Corpus.ngramCounts(docs(s, dir)).orderBy(col("cnt").desc, col("ngram").asc)),
 
@@ -617,6 +620,32 @@ object QueriesPipeline {
          |             ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END, 6) AS dup_trigram_frac,
          |  round(CAST(list_max(list_transform(list_distinct($Toks), w -> len(list_filter($Toks, x -> x = w)))) AS DOUBLE) / len($Toks), 6) AS top_token_frac
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    // Rule booleans compare the UNROUNDED doubles (matching the Spark
+    // side); only the reported signals round to 6dp.
+    "quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT doc_id, n_words,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(af, 6) AS alpha_word_frac,
+         |  ns AS n_stop_distinct,
+         |  round(df, 6) AS dup_trigram_frac,
+         |  (n_words >= 30 AND n_words <= 10000) AS r_words,
+         |  (mwl >= 4.0 AND mwl <= 10.0) AS r_word_len,
+         |  (af >= 0.8) AS r_alpha,
+         |  (ns >= 2) AS r_stop,
+         |  (df <= 0.1) AS r_rep,
+         |  ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |    AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "ngram_counts" ->
       s"""WITH g AS (

@@ -585,6 +585,72 @@ object Corpus {
         .cast("double") / size(t)).as("top_token_frac"))
   }
 
+  /** Gopher-style composite quality gate — the keep/drop decision a
+    * training-data curation pipeline makes per document (Rae et al.
+    * 2021 §A1.1 rule shapes; thresholds parameterized because every
+    * corpus tunes them). Five rules, each reported as its own boolean
+    * alongside the signal it gates, plus the conjunction `keep` — a
+    * pipeline needs the per-rule attribution to audit WHY a document
+    * was dropped, not just that it was:
+    *
+    *  - `r_words`: word count within [minWords, maxWords];
+    *  - `r_word_len`: mean word length within [minMeanWordLen,
+    *    maxMeanWordLen] (garbled text skews short, base64/URLs skew
+    *    long);
+    *  - `r_alpha`: fraction of words containing an alphabetic char
+    *    >= minAlphaFrac (symbol/number soup);
+    *  - `r_stop`: >= minDistinctStops distinct English stopwords
+    *    (the Gopher "has common words" English-ness proxy);
+    *  - `r_rep`: duplicate-trigram fraction <= maxDupTrigramFrac
+    *    (internal boilerplate repetition, [[repetitionStats]]'s
+    *    signal).
+    *
+    * Every signal is a pure array expression over the tokenized text —
+    * a map-only projection with no shuffle at any scale, so the gate
+    * runs where the data sits and the 100 TB cost is one read pass.
+    * Signals are rounded to 6dp for reporting; the rule booleans
+    * compare the UNROUNDED doubles, so a threshold equal to a rounded
+    * boundary cannot flip a decision.
+    */
+  def gopherFilter(docs: DataFrame,
+      minWords: Int = 30, maxWords: Int = 10000,
+      minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minDistinctStops: Int = 2,
+      maxDupTrigramFrac: Double = 0.10): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, s"bad word bounds [$minWords,$maxWords]")
+    require(maxMeanWordLen >= minMeanWordLen, s"bad word-len bounds")
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("bigint")
+    // sum of token lengths == n_chars - (n_tokens - 1) separators on
+    // single-space text — the same identity text_stats' avg_token_len
+    // uses, O(1) instead of a second array pass.
+    val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok
+    val alphaFrac = size(filter(t, w => w.rlike("[a-z]"))).cast("double") / nTok
+    val nStops = size(array_distinct(filter(t, w => w.isin(EnStop: _*)))).cast("bigint")
+    val sh = shingles(col("text"))
+    val dupFrac = when(size(sh) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+    val rWords = nTok >= minWords && nTok <= maxWords
+    val rWordLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStop = nStops >= minDistinctStops
+    val rRep = dupFrac <= maxDupTrigramFrac
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      nStops.as("n_stop_distinct"),
+      round(dupFrac, 6).as("dup_trigram_frac"),
+      rWords.as("r_words"),
+      rWordLen.as("r_word_len"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      rRep.as("r_rep"),
+      (rWords && rWordLen && rAlpha && rStop && rRep).as("keep"))
+  }
+
   /** Corpus-wide top-k word n-grams — the frequency table a BPE/LM
     * vocabulary build starts from. Explode -> hash-aggregate with
     * map-side combine (one shuffle of (ngram, partial count), not of

@@ -201,6 +201,43 @@ class PipelineSpec extends SparkSpec {
     assert(uniq.getAs[Double]("top_token_frac") == 0.2)
   }
 
+  test("gopherFilter: per-rule attribution and the keep conjunction") {
+    // Doc 1: 32 words, all stopword-bearing English-ish, no repeats ->
+    // passes everything. Doc 2: repeats one trigram heavily -> fails
+    // only r_rep. Doc 3: 5 words -> fails r_words (and r_stop: no
+    // stopwords). Doc 4: long enough but zero stopwords -> fails r_stop.
+    // 40 tokens, 3 distinct stopwords, all words distinct (no trigram
+    // repeats), mean word length (221 chars / 40) = 5.525.
+    val clean = "the of and " + (1 to 37).map(i => s"word$i").mkString(" ")
+    val repeaty = "the of and " + Seq.fill(20)("spam spam spam").mkString(" ")
+    val d = docs(
+      (1L, clean),
+      (2L, repeaty),
+      (3L, "p q r s t"),
+      (4L, (1 to 40).map(i => s"tok$i").mkString(" ")))
+    val out = graft.pipeline.Corpus.gopherFilter(d).orderBy("doc_id").collect()
+    def b(r: Row, c: String) = r.getAs[Boolean](c)
+    val r1 = out(0)
+    assert(b(r1, "r_words") && b(r1, "r_word_len") && b(r1, "r_alpha") &&
+      b(r1, "r_stop") && b(r1, "r_rep") && b(r1, "keep"))
+    assert(r1.getAs[Long]("n_words") == 40L)
+    assert(r1.getAs[Long]("n_stop_distinct") == 3L)
+    val r2 = out(1)
+    assert(!b(r2, "r_rep") && !b(r2, "keep"))
+    assert(b(r2, "r_words") && b(r2, "r_stop"),
+      "repeaty doc still passes the word-count and stopword rules")
+    assert(r2.getAs[Double]("dup_trigram_frac") > 0.9)
+    val r3 = out(2)
+    assert(!b(r3, "r_words") && !b(r3, "r_stop") && !b(r3, "keep"))
+    assert(r3.getAs[Double]("dup_trigram_frac") == 0.0)
+    val r4 = out(3)
+    assert(b(r4, "r_words") && !b(r4, "r_stop") && !b(r4, "keep"))
+    // Map-only projection: no exchange anywhere in the gate's plan.
+    val plan = graft.pipeline.Corpus.gopherFilter(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality gate must not shuffle:\n$plan")
+  }
+
   test("ngram counts rank bigrams by frequency with lexicographic ties") {
     val out = graft.pipeline.Corpus.ngramCounts(
       docs((1L, "x y x y z"), (2L, "x y q")), n = 2, k = 3).collect()
