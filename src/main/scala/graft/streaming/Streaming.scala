@@ -199,6 +199,18 @@ object Streaming {
   def chunkStream(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame =
     graft.pipeline.Corpus.chunk(docs, chunkSize, stride)
 
+  /** Streaming quality gate — the stream twin of
+    * [[graft.pipeline.Corpus.gopherFilter]]. Every rule is a pure
+    * per-document function of the text, so the gate is a stateless
+    * map-only projection: append mode, no state store, no watermark —
+    * the batch body runs unchanged on the stream. This is the shape a
+    * live ingest pipeline wants: drop/route documents at arrival time
+    * with the SAME thresholds the batch backfill applied, so the two
+    * paths cannot disagree on a keep decision.
+    */
+  def qualityFilterStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Corpus.gopherFilter(docs)
+
   /** Streaming paragraph explode — the stream twin of
     * [[graft.pipeline.Corpus.paragraphs]]. Splitting on a separator
     * regex is a pure per-document function: stateless map-only

@@ -145,6 +145,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("streaming quality gate matches the batch Corpus.gopherFilter") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> ("the of and " + (1 to 37).map(i => s"word$i").mkString(" ")), // keep
+      2L -> "too short",                                                   // drop
+      3L -> ("the of and " + Seq.fill(20)("spam spam spam").mkString(" ")))// repetitive
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.qualityFilterStream(input.toDF()).writeStream
+      .format("memory").queryName("squal").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("squal").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep")))
+    val want = graft.pipeline.Corpus.gopherFilter(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep")))
+    assert(got.toSeq == want.toSeq)
+    assert(got.toSeq == Seq((1L, true), (2L, false), (3L, false)))
+  }
+
   test("streaming paragraph explode matches the batch Corpus.paragraphs") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
