@@ -245,6 +245,17 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Recall@k of the two approximate indexes against the brute-force
+    // ground truth — the table that tunes nProbe / plane count. See
+    // [[graft.pipeline.Similarity.recallAtK]].
+    "ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+        Similarity.topK(e),
+        Seq("ivf" -> Similarity.topKIvf(e), "lsh" -> Similarity.topKBucketed(e)))
+        .orderBy("query_id")
+    }),
+
     // Fixed-size token chunking with overlap (size=32, stride=24,
     // 8-token overlap) — see [[graft.pipeline.Corpus.chunk]] for the
     // operator (map-only explode, no shuffle at any scale).
@@ -871,6 +882,58 @@ object QueriesPipeline {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Recall@k: the brute / IVF / LSH CTE bodies are verbatim the three
+    // ann_topk* oracles above, reduced to their (query, neighbor) sets,
+    // then left-joined against the ground truth and counted per query.
+    "ann_recall" -> {
+      def planeSql(p: Int, d: Int) =
+        s"((${h32(s"'plane_${p}_$d'")} % 1000) / 500.0 - 1.0)"
+      def dotPlaneSql(p: Int, tbl: String) =
+        (0 until 64).map(d => s"CAST($tbl.embedding[${d + 1}] AS DOUBLE) * ${planeSql(p, d)}")
+          .mkString(" + ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5),
+         |eb AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${(0 until 4).map(p => s"(CASE WHEN ${dotPlaneSql(p, "embeddings")} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")} AS bucket
+         |  FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM eb q JOIN eb n ON q.bucket = n.bucket AND q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5),
+         |cents AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 8),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS ccos
+         |        FROM e, cents c)),
+         |corpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid AS cell FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell FROM asg WHERE vec_id < 5 AND crank <= 2),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY ${cosSql("p.qe", "c.ne")} DESC, c.neighbor_id ASC) AS rank
+         |    FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS ivf_hits,
+         |  round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 6) AS ivf_recall,
+         |  CAST(count(l.neighbor_id) AS BIGINT) AS lsh_hits,
+         |  round(CAST(count(l.neighbor_id) AS DOUBLE) / count(*), 6) AS lsh_recall
+         |FROM brute b
+         |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     },
 
     "corpus_filter" ->

@@ -1124,6 +1124,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Recall@k of approximate ANN results against the exact top-k — the
+    * measurement that turns an approximate index from a guess into a
+    * tunable: a pipeline picks nProbe / plane count by reading this
+    * table, not by hoping. `exact` and each named approximate frame
+    * are (query_id, neighbor_id [, ...]) top-k outputs (e.g. [[topK]]
+    * vs [[topKIvf]] / [[topKBucketed]]); rows per (query, neighbor)
+    * must be unique, which every row_number-ranked top-k guarantees.
+    *
+    * Output: one row per query — n_exact, and per approximate variant
+    * `<name>_hits` (ground-truth neighbors the variant found) and
+    * `<name>_recall` = hits / n_exact.
+    *
+    * Scale shape: top-k frames are O(queries·k) — microscopic next to
+    * the corpus that produced them — so the left joins and the single
+    * groupBy are negligible at any scale; at 100 TB recall is measured
+    * on a query SAMPLE exactly like this, never on the full query log.
+    */
+  def recallAtK(exact: DataFrame, approx: Seq[(String, DataFrame)]): DataFrame = {
+    require(approx.nonEmpty, "need at least one approximate variant")
+    val joined = approx.foldLeft(exact.select("query_id", "neighbor_id")) {
+      case (acc, (name, df)) =>
+        acc.join(
+          df.select(col("query_id"), col("neighbor_id"), lit(1).as(s"_hit_$name")),
+          Seq("query_id", "neighbor_id"), "left")
+    }
+    val hitAggs = approx.map { case (name, _) =>
+      sum(coalesce(col(s"_hit_$name"), lit(0))).cast("bigint").as(s"${name}_hits")
+    }
+    val counted = joined.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), hitAggs: _*)
+    approx.foldLeft(counted) { case (acc, (name, _)) =>
+      acc.withColumn(
+        s"${name}_recall",
+        round(col(s"${name}_hits").cast("double") / col("n_exact"), 6))
+    }
+  }
+
   /** Bucketed ANN: exact cosine only within matching LSH buckets. */
   def topKBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
     val withBucket = embeddings.withColumn("bucket", lshBucket(col("embedding")))

@@ -172,6 +172,26 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == pairs(Similarity.nearDupPairsLsh(e, 0.4)))
   }
 
+  test("recallAtK counts ground-truth hits per variant, missing queries score 0") {
+    import spark.implicits._
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("query_id", "neighbor_id")
+    // ivf finds 2 of 3 for q0 and both for q1; lsh finds one wrong
+    // neighbor for q0 and nothing at all for q1.
+    val ivf = Seq((0L, 1L), (0L, 2L), (0L, 9L), (1L, 4L), (1L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val lsh = Seq((0L, 9L)).toDF("query_id", "neighbor_id")
+    val out = graft.pipeline.Similarity
+      .recallAtK(exact, Seq("ivf" -> ivf, "lsh" -> lsh))
+      .orderBy("query_id").collect()
+    def row(r: Row) = (r.getAs[Long]("query_id"), r.getAs[Long]("n_exact"),
+      r.getAs[Long]("ivf_hits"), r.getAs[Double]("ivf_recall"),
+      r.getAs[Long]("lsh_hits"), r.getAs[Double]("lsh_recall"))
+    assert(out.map(row).toSeq == Seq(
+      (0L, 3L, 2L, 0.666667, 0L, 0.0),
+      (1L, 2L, 2L, 1.0, 0L, 0.0)))
+  }
+
   test("polyHash is an order-sensitive fold matching the formula") {
     def h32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
