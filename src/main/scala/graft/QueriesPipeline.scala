@@ -245,6 +245,29 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // IVF training: 2 Lloyd iterations from the first-8 seed, emitted
+    // in long form (cid, pos, v) — see
+    // [[graft.pipeline.Similarity.kmeansCentroids]] for the
+    // determinism seam (6dp rounding between iterations).
+    "ivf_centroids" -> ((s, dir) =>
+      Similarity.kmeansCentroids(embs(s, dir))
+        .select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
+        .select(
+          col("cid"), col("pos").cast("bigint").as("pos"),
+          round(col("v"), 6).as("v"))
+        .orderBy("cid", "pos")),
+
+    // IVF search against the TRAINED centroids — same plan family as
+    // ann_topk_ivf, better cells.
+    "ann_topk_ivf_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.topKIvfTrained(e, Similarity.kmeansCentroids(e))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Recall@k of the two approximate indexes against the brute-force
     // ground truth — the table that tunes nProbe / plane count. See
     // [[graft.pipeline.Similarity.recallAtK]].
@@ -514,6 +537,43 @@ object QueriesPipeline {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Float-list × double-list dot, matching DotProductFD's fold. */
+  private def dotMixedSql(fa: String, dl: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($fa[i] AS DOUBLE) * $dl[i])), (acc, x) -> acc + x)"
+
+  /** Double-list norm, matching `sqrt(aggregate(ce, 0.0, a + x*x))`. */
+  private def normDblSql(dl: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($dl, x -> x * x)), (acc, x) -> acc + x))"
+
+  /** K-means training CTE chain mirroring
+    * [[graft.pipeline.Similarity.kmeansCentroids]] (k=8, 2 Lloyd
+    * iterations, 6dp rounding between iterations — the `+ 0` on each
+    * internal round maps DuckDB's −0.0 to Spark's +0.0 INSIDE the
+    * iteration, not just at output). Ends in centroid table `c2`.
+    */
+  private val KmeansCtes: String = {
+    def assign(cPrev: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS rk
+         |    FROM e, $cPrev c) WHERE rk = 1)""".stripMargin
+    def update(aName: String, cPrev: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(u.ce, p.ce) AS ce
+         |  FROM $cPrev p LEFT JOIN (
+         |    SELECT cid, list(cv ORDER BY i) AS ce FROM (
+         |      SELECT cid, i, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) + 0 AS cv
+         |      FROM $aName, range(64) t(i) GROUP BY cid, i)
+         |    GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+    Seq(
+      "e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))",
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM e WHERE vec_id < 8)",
+      assign("c0", "a1"), update("a1", "c0", "c1"),
+      assign("c1", "a2"), update("a2", "c1", "c2")).mkString(",\n")
+  }
 
   /** The 32-bit majority-vote simhash over a token-hash list `th`. */
   private val SimhashSum: String =
@@ -883,6 +943,29 @@ object QueriesPipeline {
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "ivf_centroids" ->
+      s"""WITH $KmeansCtes
+         |SELECT cid, i AS pos, round(ce[i + 1], 6) AS v
+         |FROM c2, range(64) t(i) ORDER BY cid, pos""".stripMargin,
+
+    "ann_topk_ivf_trained" ->
+      s"""WITH $KmeansCtes,
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c)),
+         |corpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid AS cell FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell FROM asg WHERE vec_id < 5 AND crank <= 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM (SELECT p.query_id, c.neighbor_id, ${cosSql("p.qe", "c.ne")} AS cosine
+         |        FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id))
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Recall@k: the brute / IVF / LSH CTE bodies are verbatim the three
     // ann_topk* oracles above, reduced to their (query, neighbor) sets,

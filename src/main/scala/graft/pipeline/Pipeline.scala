@@ -900,7 +900,7 @@ object Corpus {
 }
 
 object Similarity {
-  import graft.functions.dotF
+  import graft.functions.{dotF, dotFD}
 
   /** Cosine similarity between two float-array columns, accumulated in
     * double left-to-right (bit-reproducible; DuckDB list_reduce
@@ -1119,6 +1119,104 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         (graft.functions.dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Lloyd's k-means over the embedding corpus — the IVF TRAINING step
+    * ([[topKIvf]] seeds cells from raw corpus vectors; real IVF trains
+    * centroids first). Deterministic and cross-engine reproducible by
+    * construction: init = the first k vectors by vec_id (double-cast,
+    * exact); assignment = argmax cosine with ties to the lowest cid
+    * (row_number, same as cell assignment at query time); update =
+    * per-element mean ROUNDED TO 6dp — the rounding is the determinism
+    * seam that erases sub-ulp summation-order differences between
+    * engines before they can flip a next-iteration assignment; an
+    * empty cluster keeps its previous centroid.
+    *
+    * Scale shape: centroids broadcast (k rows); assignment is a
+    * map-only pass (k codegen'd dot products per vector); the update
+    * is one shuffle of (cid, pos, partial-avg) pairs — 64·n rows with
+    * map-side combine, grouped on k·64 keys. At 100 TB IVF trains on
+    * a corpus SAMPLE (classic billion-scale practice: centroids from
+    * ~1-10M vectors serve the full corpus) and only the final cell
+    * ASSIGNMENT touches every vector — which is [[topKIvfTrained]]'s
+    * map-only first stage, not training's.
+    *
+    * @return (cid: int, ce: array<double>) — k rows, 6dp elements
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0, s"bad kmeans params k=$k iters=$iters")
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("en"))
+    var cents = embeddings.where(col("vec_id") < k)
+      .select(
+        col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to iters) {
+      // centroid norm: sequential fold (bit-reproducible, k rows only)
+      val c = broadcast(cents.withColumn(
+        "cn", sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x))))
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = e.join(c)
+        .select(
+          col("vec_id"), col("embedding"), col("cid"),
+          (dotFD(col("embedding"), col("ce")) / (col("en") * col("cn"))).as("ccos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+      val upd = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("ceNew"))
+      cents = cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ceNew"), col("ce")).as("ce"))
+    }
+    cents
+  }
+
+  /** IVF top-k against TRAINED centroids (cid, ce: array<double>) from
+    * [[kmeansCentroids]] — the same plan as [[topKIvf]] (centroids
+    * broadcast, corpus assigned map-only, queries probe nProbe cells,
+    * exact scoring only within probed cells) with the double-typed
+    * centroid dot products.
+    */
+  def topKIvfTrained(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val c = broadcast(cents.select(
+      col("cid"), col("ce"),
+      sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)).as("cn")))
+    val cellRank = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.join(c)
+      .select(
+        col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dotFD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("crank", row_number().over(cellRank))
+    val corpus = assigned.where(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("cid").as("cell"))
+    val probes = broadcast(
+      assigned.where(col("vec_id") < numQueries && col("crank") <= nProbe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cid").as("cell")))
+    val scored = probes.join(corpus, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

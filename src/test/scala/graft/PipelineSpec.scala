@@ -145,6 +145,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: rounded-mean update, empty cluster keeps its seed") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // Seeds 0 and 1 are identical, so every vector ties between the
+    // two initial centroids and the tie-break sends ALL of them to
+    // cid 0 — cluster 1 goes empty and must keep its seed centroid.
+    val e = spark.createDataFrame(
+      Seq(
+        Row(0L, Seq(1.0f, 0.0f)),
+        Row(1L, Seq(1.0f, 0.0f)),
+        Row(2L, Seq(0.0f, 1.0f))).asJava, schema)
+    val out = graft.pipeline.Similarity.kmeansCentroids(e, k = 2, iters = 1)
+      .orderBy("cid").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1)))
+    assert(out.toSeq == Seq(
+      (0, Seq(0.666667, 0.333333)), // 6dp-rounded mean of all three
+      (1, Seq(1.0, 0.0))))          // empty cluster: seed retained
+    // iters = 0 is the raw double-cast seed set.
+    val seeds = graft.pipeline.Similarity.kmeansCentroids(e, k = 2, iters = 0)
+      .orderBy("cid").collect().map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1)))
+    assert(seeds.toSeq == Seq((0, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0))))
+  }
+
+  test("trained IVF returns full ranked top-k per query on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = 4, iters = 1)
+    val out = graft.pipeline.Similarity
+      .topKIvfTrained(e, cents, numQueries = 3, k = 4, nProbe = 2).collect()
+    assert(out.length == 12)
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("bucketed ANN neighbors share the query bucket and rank consistently") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.topKBucketed(e, numQueries = 3, k = 4).collect()
