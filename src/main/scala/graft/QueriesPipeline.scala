@@ -275,7 +275,10 @@ object QueriesPipeline {
       val e = embs(s, dir)
       Similarity.recallAtK(
         Similarity.topK(e),
-        Seq("ivf" -> Similarity.topKIvf(e), "lsh" -> Similarity.topKBucketed(e)))
+        Seq(
+          "ivf" -> Similarity.topKIvf(e),
+          "ivft" -> Similarity.topKIvfTrained(e, Similarity.kmeansCentroids(e)),
+          "lsh" -> Similarity.topKBucketed(e)))
         .orderBy("query_id")
     }),
 
@@ -976,12 +979,26 @@ object QueriesPipeline {
       def dotPlaneSql(p: Int, tbl: String) =
         (0 until 64).map(d => s"CAST($tbl.embedding[${d + 1}] AS DOUBLE) * ${planeSql(p, d)}")
           .mkString(" + ")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+      s"""WITH $KmeansCtes,
          |brute AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
          |    FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5),
+         |tasg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c)),
+         |tcorpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid AS cell FROM tasg WHERE crank = 1),
+         |tprobes AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell FROM tasg WHERE vec_id < 5 AND crank <= 2),
+         |ivft AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY ${cosSql("p.qe", "c.ne")} DESC, c.neighbor_id ASC) AS rank
+         |    FROM tprobes p JOIN tcorpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id)
          |  WHERE rank <= 5),
          |eb AS MATERIALIZED (
          |  SELECT vec_id, embedding,
@@ -1011,10 +1028,13 @@ object QueriesPipeline {
          |  CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(count(i.neighbor_id) AS BIGINT) AS ivf_hits,
          |  round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 6) AS ivf_recall,
+         |  CAST(count(t.neighbor_id) AS BIGINT) AS ivft_hits,
+         |  round(CAST(count(t.neighbor_id) AS DOUBLE) / count(*), 6) AS ivft_recall,
          |  CAST(count(l.neighbor_id) AS BIGINT) AS lsh_hits,
          |  round(CAST(count(l.neighbor_id) AS DOUBLE) / count(*), 6) AS lsh_recall
          |FROM brute b
          |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |LEFT JOIN ivft t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
          |LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     },
