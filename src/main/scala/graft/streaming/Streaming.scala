@@ -171,6 +171,74 @@ object Streaming {
         })
   }
 
+  case class BandIn(doc_id: Long, band: Int, v: Long)
+  case class PairOut(doc_a: Long, doc_b: Long)
+  case class BucketState(ids: List[Long])
+  case class PairSeen(seen: Boolean)
+
+  /** Streaming NEAR-dedup candidates — the stream twin of
+    * [[graft.pipeline.Dedup.lshCandidatePairs]]: each arriving
+    * document's MinHash band values are checked against every band
+    * value seen so far, so a near-duplicate of ANY historical document
+    * surfaces in the micro-batch where it arrives. The signature
+    * pipeline (shingle → md5 → 8 minhashes → 4 bands) is the batch
+    * body unchanged (stateless, codegen'd); the statefulness is two
+    * chained keyed stages, both append-mode:
+    *
+    *  1. keyed by (band, value): state = doc_ids seen in the bucket;
+    *     a new arrival emits a candidate pair against each of them
+    *     (within a batch, ids join in ascending order, matching the
+    *     batch `doc_a < doc_b` canonicalization);
+    *  2. keyed by (doc_a, doc_b): one boolean per emitted pair — the
+    *     streaming equivalent of the batch `.distinct()` across bands
+    *     and batches, so downstream sees each candidate exactly once.
+    *
+    * Docs too short to shingle have NULL signatures and are filtered
+    * before stage 1 — the same self-exclusion the batch equi-join
+    * performs. State is hash-partitioned on its key like any keyed
+    * state; a production deployment bounds both stores with TTL
+    * timeouts (an expired bucket forgets old docs — the standard
+    * sliding-history trade every streaming dedup makes). Feed the
+    * emitted candidates to the batch jaccard verifier over the
+    * accumulated corpus for the exactness pass.
+    */
+  def lshCandidateStream(docs: DataFrame): Dataset[PairOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = graft.pipeline.Dedup.lshBands(
+      graft.pipeline.Dedup.minhashSignaturesSh(graft.pipeline.Dedup.shingled(docs)))
+    val exploded = banded.select(
+        col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+      .where(col("v").isNotNull)
+    val candidates = exploded.as[BandIn]
+      .groupByKey(r => (r.band, r.v))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[BandIn], state: GroupState[BucketState]) => {
+          var acc = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = List.newBuilder[PairOut]
+          rows.map(_.doc_id).toSeq.distinct.sorted.foreach { id =>
+            if (!acc.contains(id)) {
+              acc.foreach(o => out += PairOut(math.min(o, id), math.max(o, id)))
+              acc = id :: acc
+            }
+          }
+          state.update(BucketState(acc))
+          out.result().iterator
+        })
+    candidates
+      .groupByKey(p => (p.doc_a, p.doc_b))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, Long), rows: Iterator[PairOut], state: GroupState[PairSeen]) => {
+          val first = !state.getOption.exists(_.seen)
+          state.update(PairSeen(true))
+          if (first && rows.hasNext) Iterator(PairOut(key._1, key._2))
+          else Iterator.empty
+        })
+  }
+
   /** Streaming decontamination — the stream twin of
     * [[graft.pipeline.Dedup.decontaminate]]. The benchmark gram set is
     * tiny and static (collect it once with

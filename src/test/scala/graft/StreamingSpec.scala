@@ -145,6 +145,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("streaming LSH candidates match batch pairs across micro-batches, no repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",   // near-dup of 1
+      3L -> "totally different words here now")
+    val b2 = Seq(
+      4L -> "alpha beta gamma delta epsilon", // exact dup of 1, arrives later
+      5L -> "unrelated second batch content doc")
+    val input = MemoryStream[Doc]
+    val q = Streaming.lshCandidateStream(input.toDF()).writeStream
+      .format("memory").queryName("slsh").outputMode("append").start()
+    input.addData(b1.map { case (id, t) => Doc(id, t) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (id, t) => Doc(id, t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.length == got.distinct.length, "no pair may be emitted twice")
+    val batch = graft.pipeline.Dedup.lshCandidatePairs(
+      (b1 ++ b2).toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.toSet == batch.toSet)
+    assert(got.toSet.contains((1L, 4L)), "cross-batch exact dup must surface")
+  }
+
   test("streaming quality gate matches the batch Corpus.gopherFilter") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
