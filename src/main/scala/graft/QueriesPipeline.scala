@@ -268,6 +268,14 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Vectors per trained IVF cell — the balance diagnostic read
+    // before trusting probe latency. See
+    // [[graft.pipeline.Similarity.cellSizes]].
+    "ivf_cell_stats" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.cellSizes(e, Similarity.kmeansCentroids(e)).orderBy("cid")
+    }),
+
     // Recall@k of the two approximate indexes against the brute-force
     // ground truth — the table that tunes nProbe / plane count. See
     // [[graft.pipeline.Similarity.recallAtK]].
@@ -969,6 +977,17 @@ object QueriesPipeline {
          |        FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id))
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ivf_cell_stats" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM asg WHERE crank = 1 GROUP BY cid ORDER BY cid""".stripMargin,
 
     // Recall@k: the brute / IVF / LSH CTE bodies are verbatim the three
     // ann_topk* oracles above, reduced to their (query, neighbor) sets,

@@ -1192,19 +1192,7 @@ object Similarity {
       numQueries: Int = 5,
       k: Int = 5,
       nProbe: Int = 2): DataFrame = {
-    val e = embeddings.select(
-      col("vec_id"), col("embedding"),
-      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
-    val c = broadcast(cents.select(
-      col("cid"), col("ce"),
-      sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)).as("cn")))
-    val cellRank = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = e.join(c)
-      .select(
-        col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        (dotFD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
-      .withColumn("crank", row_number().over(cellRank))
+    val assigned = trainedAssignments(embeddings, cents)
     val corpus = assigned.where(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
         col("nrm").as("nn"), col("cid").as("cell"))
@@ -1221,6 +1209,38 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Cell-ranked centroid assignments shared by [[topKIvfTrained]] and
+    * [[cellSizes]]: every vector scored against the broadcast trained
+    * centroids (map-only), crank 1 = its home cell.
+    */
+  private def trainedAssignments(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val c = broadcast(cents.select(
+      col("cid"), col("ce"),
+      sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)).as("cn")))
+    val cellRank = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    e.join(c)
+      .select(
+        col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dotFD(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("crank", row_number().over(cellRank))
+  }
+
+  /** Vectors per trained IVF cell — the balance diagnostic: a skewed
+    * cell is the IVF latency killer (every probe of it scans its whole
+    * population), and the fix — re-train with more centroids or split
+    * the hot cell — starts from this table. One map-only assignment
+    * pass + one count aggregation with map-side combine.
+    */
+  def cellSizes(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    trainedAssignments(embeddings, cents)
+      .where(col("crank") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"))
 
   /** Recall@k of approximate ANN results against the exact top-k — the
     * measurement that turns an approximate index from a guess into a
