@@ -100,6 +100,7 @@ object Bench {
       // min-of-N must compare equal work, not first-build vs marginal.
       if (p > 1) {
         graft.pipeline.DedupChain.release(spark)
+        graft.pipeline.IvfChain.release(spark)
         spark.catalog.clearCache()
       }
       runPass()

@@ -250,7 +250,7 @@ object QueriesPipeline {
     // [[graft.pipeline.Similarity.kmeansCentroids]] for the
     // determinism seam (6dp rounding between iterations).
     "ivf_centroids" -> ((s, dir) =>
-      Similarity.kmeansCentroids(embs(s, dir))
+      graft.pipeline.IvfChain.centroids(s, dir, embs(s, dir))
         .select(col("cid"), posexplode(col("ce")).as(Seq("pos", "v")))
         .select(
           col("cid"), col("pos").cast("bigint").as("pos"),
@@ -261,7 +261,7 @@ object QueriesPipeline {
     // ann_topk_ivf, better cells.
     "ann_topk_ivf_trained" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.topKIvfTrained(e, Similarity.kmeansCentroids(e))
+      Similarity.topKIvfTrained(e, graft.pipeline.IvfChain.centroids(s, dir, e))
         .select(
           col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -273,7 +273,7 @@ object QueriesPipeline {
     // [[graft.pipeline.Similarity.cellSizes]].
     "ivf_cell_stats" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.cellSizes(e, Similarity.kmeansCentroids(e)).orderBy("cid")
+      Similarity.cellSizes(e, graft.pipeline.IvfChain.centroids(s, dir, e)).orderBy("cid")
     }),
 
     // Recall@k of the two approximate indexes against the brute-force
@@ -285,7 +285,8 @@ object QueriesPipeline {
         Similarity.topK(e),
         Seq(
           "ivf" -> Similarity.topKIvf(e),
-          "ivft" -> Similarity.topKIvfTrained(e, Similarity.kmeansCentroids(e)),
+          "ivft" -> Similarity.topKIvfTrained(
+            e, graft.pipeline.IvfChain.centroids(s, dir, e)),
           "lsh" -> Similarity.topKBucketed(e)))
         .orderBy("query_id")
     }),
