@@ -489,6 +489,22 @@ object QueriesPipeline {
       Sessionize.sessions(events(s, dir))
         .orderBy("user_id", "session_idx")),
 
+    // Per-user event rollup via the two-phase SALTED aggregation
+    // (graft.plans.Scale.saltedAgg) — the skew-proof plan for
+    // power-law keys: phase 1 spreads each user over 8 (key, salt)
+    // reducers, phase 2 merges the algebraic partials. Results are
+    // identical to a plain groupBy (the oracle IS the plain groupBy),
+    // which is exactly the point: same answer, no hot reducer.
+    "events_user_stats_salted" -> ((s, dir) =>
+      graft.plans.Scale.saltedAgg(
+        events(s, dir), "user_id", col("event_id"), 8,
+        Seq(count(lit(1)).as("_n"), sum(col("value")).as("_sv")),
+        Seq(
+          sum(col("_n")).cast("bigint").as("n_events"),
+          round(sum(col("_sv")), 6).as("sum_value")))
+        .orderBy(col("n_events").desc, col("user_id").asc)
+        .limit(50)),
+
     // The batched per-partition decode seam (mapPartitions, the
     // mapInPandas shape) run end-to-end with the deterministic fake
     // decoder; its hash-derived dimensions are reproduced byte-exactly
@@ -1250,6 +1266,15 @@ object QueriesPipeline {
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The oracle is the UNSALTED groupBy — salting must be invisible
+    // in the result.
+    "events_user_stats_salted" ->
+      """SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
 
     "sessionize" ->
       """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -184,6 +184,15 @@ object ScaleSmoke {
     def ann(e: DataFrame): Long =
       graft.pipeline.Similarity.topKBucketed(e).count()
 
+    // Full IVF training (2 Lloyd iterations, NOT the session memo — the
+    // raw work) + the corpus-scale cell assignment it serves.
+    def ivf(e: DataFrame): Long = {
+      val cents = graft.pipeline.Similarity.kmeansCentroids(e)
+      graft.pipeline.Similarity.cellSizes(e, cents).count()
+    }
+    def qual(d: DataFrame): Long =
+      graft.pipeline.Corpus.gopherFilter(d).count()
+
     val evN = amplify(ev1, n)
     val docsN = amplifyDocs(docs1, n)
     val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -200,7 +209,9 @@ object ScaleSmoke {
       "pack windows" -> (time("packwin 1x", packWin(docs1)), time(s"packwin ${n}x", packWin(docsN))),
       "dedup representatives" -> (time("reps 1x", reps(docs1)), time(s"reps ${n}x", reps(docsNDistinct))),
       "paragraph dedup" -> (time("paradedup 1x", paraDedup(docs1)), time(s"paradedup ${n}x", paraDedup(docsNDistinct))),
-      "tfidf top tokens" -> (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN))))
+      "tfidf top tokens" -> (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN))),
+      "ivf train+assign" -> (time("ivf 1x", ivf(emb1)), time(s"ivf ${n}x", ivf(embN))),
+      "quality filter" -> (time("qual 1x", qual(docs1)), time(s"qual ${n}x", qual(docsN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
