@@ -167,6 +167,14 @@ class PipelineSpec extends SparkSpec {
     val seeds = graft.pipeline.Similarity.kmeansCentroids(e, k = 2, iters = 0)
       .orderBy("cid").collect().map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1)))
     assert(seeds.toSeq == Seq((0, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0))))
+    // Plan: the k-row centroid side broadcasts (BNLJ fan-out is the
+    // intended shape); nothing sort-merges or builds a cartesian.
+    val plan = graft.pipeline.Similarity.kmeansCentroids(e, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the scoring pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-side shuffle join in training:\n$plan")
   }
 
   test("trained IVF returns full ranked top-k per query on real embeddings") {

@@ -27,4 +27,20 @@ class SaltSpec extends SparkSpec {
       assert(d.getAs[Double]("mx") == s.getAs[Double]("mx"))
     }
   }
+
+  test("salted aggregation plan: two hash-partitioned phases, salt pruned from output") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val salted = Scale.saltedAgg(
+      events, "user_id", col("event_id"), salts = 8,
+      phase1 = Seq(count(lit(1)).as("pn")),
+      phase2 = Seq(sum("pn").as("n")))
+    val plan = salted.queryExecution.executedPlan.toString
+    // phase 1 shuffles on (key, salt), phase 2 on key alone — the
+    // skew spread exists only between the two aggregations
+    assert("hashpartitioning\\(user_id.*_salt".r.findFirstIn(plan).isDefined,
+      s"phase-1 exchange must partition on (key, salt):\n$plan")
+    assert("hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findFirstIn(plan).isDefined,
+      s"phase-2 exchange must partition on the key alone:\n$plan")
+    assert(!salted.columns.contains("_salt"), "salt must not leak into the result")
+  }
 }
