@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sources.Sessions
+
+/** Recall-vs-nProbe sweep for the trained IVF index — the measurement
+  * that justifies (or indicts) the default probe count: recall@5
+  * averaged over the query set for nProbe 1..4, against the
+  * brute-force ground truth, plus the candidate volume each probe
+  * level scans (the cost side of the trade).
+  *
+  * Usage: runMain graft.tools.RecallSweep [sfDir]
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.topK(e).localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(e).localCheckpoint(true)
+    val sizes = Similarity.cellSizes(e, cents)
+      .collect().map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n_vecs")).toMap
+    println(s"[sweep] cell sizes: ${sizes.toSeq.sortBy(_._1).mkString(", ")}")
+    (1 to 4).foreach { p =>
+      val t0 = System.nanoTime()
+      val rec = Similarity.recallAtK(
+        exact,
+        Seq("ivft" -> Similarity.topKIvfTrained(e, cents, nProbe = p)))
+        .agg(avg(col("ivft_recall"))).head.getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[sweep] nProbe=$p  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
+    }
+    spark.stop()
+  }
+}
