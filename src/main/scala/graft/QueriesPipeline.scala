@@ -207,6 +207,39 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // The END of the curation pipeline: every gate this library
+    // declares separately (exact-dup canonical, near-dup-cluster
+    // canonical, score+language agreement, the Gopher rule gate)
+    // conjoined, and the surviving corpus handed to the reproducible
+    // train/valid/test split with its token count — the table a
+    // training run actually reads. Composes the session-staged chain
+    // (cluster labels) with map-only gates, so the marginal cost over
+    // corpus_filter is one broadcast-sized join and projections.
+    "corpus_prepare" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupIds = DedupChain.clusterLabels(s, dir, d)
+        .where(!col("is_canonical"))
+        .select(col("doc_id").as("dup_id"))
+      val w = Window.partitionBy("cmd5")
+      val gate = Corpus.gopherFilter(d).select(col("doc_id"), col("keep"))
+      val kept = d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          TextOps.qualityScore(col("text")).as("q"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .join(gate, Seq("doc_id"))
+        .where(col("is_exact_canonical") && col("dup_id").isNull &&
+          col("q") >= 0.5 && col("lang_ok") && col("keep"))
+        .select(col("doc_id"), col("n_tokens"))
+      Corpus.splitAssign(kept)
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("split"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -1074,6 +1107,41 @@ object QueriesPipeline {
          |LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     },
+
+    "corpus_prepare" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |g AS (
+         |  SELECT doc_id, n_words AS n_tokens,
+         |    ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+         |  FROM g0),
+         |canon AS (
+         |  SELECT doc_id, q, lang_ok,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS is_exact
+         |  FROM (SELECT doc_id, lang, md5(text) AS cmd5,
+         |          $QualitySql AS q,
+         |          ($LangPredSql) = lang AS lang_ok
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |kept AS (
+         |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
+         |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM dups)
+         |    AND c.q >= 0.5 AND c.lang_ok AND g.keep)
+         |SELECT doc_id,
+         |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  n_tokens
+         |FROM kept ORDER BY doc_id""".stripMargin,
 
     "corpus_filter" ->
       s"""WITH RECURSIVE $CcCtes,
