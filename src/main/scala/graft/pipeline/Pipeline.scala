@@ -801,15 +801,26 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
       s"need 0 < trainPct and trainPct+validPct <= 100 (got $trainPct/$validPct)")
-    val bucket = pmod(
-      hash32(concat(lit("split_"), col(idCol).cast("string"))), lit(100L))
+    val bucket = splitBucket(col(idCol))
     docs.select(
       col(idCol),
       bucket.as("bucket_pct"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + validPct, "valid")
-        .otherwise("test")
-        .as("split"))
+      splitCol(col(idCol), trainPct, validPct).as("split"))
+  }
+
+  /** The md5 percent bucket behind [[splitAssign]]. */
+  def splitBucket(id: Column): Column =
+    pmod(hash32(concat(lit("split_"), id.cast("string"))), lit(100L))
+
+  /** The split label as a bare column — for callers that need the
+    * assignment inline next to other columns (e.g. the streaming
+    * prepare path) without [[splitAssign]]'s fixed projection.
+    */
+  def splitCol(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    val bucket = splitBucket(id)
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + validPct, "valid")
+      .otherwise("test")
   }
 
   /** Bigram language model (bg → logp_micro) from an exploded

@@ -239,6 +239,46 @@ object Streaming {
         })
   }
 
+  case class PrepDoc(doc_id: Long, text: String)
+
+  /** Streaming corpus preparation — the live-ingest twin of the batch
+    * `corpus_prepare` query: exact-dedup FIRST-arrival filtering
+    * (content-md5 keyed state, as [[dedupStream]]), then the stateless
+    * quality gate and the reproducible split assignment on the
+    * survivors — so the live path and the batch backfill apply the
+    * same thresholds and the same md5 split and cannot disagree on a
+    * kept document's placement. Near-dup canonicalization is
+    * deliberately NOT here: it needs the corpus-wide LSH chain — run
+    * [[lshCandidateStream]] for live candidate surfacing and the
+    * batch chain over the accumulated corpus for retention decisions.
+    *
+    * Output: one row per kept first-arrival document —
+    * (doc_id, split, n_tokens). Append mode; state is one boolean per
+    * distinct content hash (TTL-bound it in production).
+    */
+  def prepareStream(docs: Dataset[PrepDoc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val firsts = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("cmd5"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String, String)],
+            state: GroupState[SeenState]) => {
+          val seen = state.getOption.exists(_.seen)
+          state.update(SeenState(true))
+          if (seen) Iterator.empty
+          else rows.toSeq.sortBy(_._1).headOption
+            .map(r => PrepDoc(r._1, r._2)).iterator
+        })
+    graft.pipeline.Corpus.gopherFilter(firsts.toDF())
+      .where(col("keep"))
+      .select(
+        col("doc_id"),
+        graft.pipeline.Corpus.splitCol(col("doc_id")).as("split"),
+        col("n_words").as("n_tokens"))
+  }
+
   /** Streaming decontamination — the stream twin of
     * [[graft.pipeline.Dedup.decontaminate]]. The benchmark gram set is
     * tiny and static (collect it once with

@@ -172,6 +172,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet.contains((1L, 4L)), "cross-batch exact dup must surface")
   }
 
+  test("prepareStream: first-arrival dedup + quality gate + batch-identical split") {
+    implicit val sqlCtx = spark.sqlContext
+    val keepA = "the of and " + (1 to 37).map(i => s"word$i").mkString(" ")
+    val keepB = "the of and " + (1 to 37).map(i => s"wordb$i").mkString(" ")
+    val input = MemoryStream[Streaming.PrepDoc]
+    val q = Streaming.prepareStream(input.toDS()).writeStream
+      .format("memory").queryName("sprep").outputMode("append").start()
+    // batch 1: keeper, its exact dup (same batch, min id wins), a reject
+    input.addData(
+      Streaming.PrepDoc(1L, keepA),
+      Streaming.PrepDoc(2L, keepA),
+      Streaming.PrepDoc(3L, "too short"))
+    q.processAllAvailable()
+    // batch 2: cross-batch dup of the keeper (dropped), a new keeper
+    input.addData(
+      Streaming.PrepDoc(4L, keepA),
+      Streaming.PrepDoc(5L, keepB))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sprep").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+        r.getAs[Long]("n_tokens")))
+    // expected: docs 1 and 5 survive, with the BATCH split assignment
+    val want = graft.pipeline.Corpus
+      .splitAssign(Seq(1L, 5L).toDF("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"), 40L))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming quality gate matches the batch Corpus.gopherFilter") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
