@@ -568,7 +568,27 @@ object QueriesPipeline {
           md5(col("blob")).as("blob_md5"),
           col("source"),
           lit("text").as("modality"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-source vocabulary estimates from the bounded-state KMV
+    // sketch aggregate (expressions/KmvSketch) — the deterministic
+    // approx-distinct that CAN pass the hash-strict oracle, unlike
+    // HLL. n_types/rel_err are the exact-witness columns a 100 TB run
+    // drops (see Corpus.kmvTypes scaladoc).
+    "approx_distinct_kmv" -> ((s, dir) =>
+      Corpus.kmvTypes(docs(s, dir), 64).orderBy("source")),
+
+    // Length-weighted deterministic sample (Efraimidis–Spirakis keys
+    // from md5 draws): map-only key projection + TakeOrdered top-50,
+    // no corpus shuffle.
+    "corpus_sample_weighted" -> ((s, dir) =>
+      Corpus.weightedSample(docs(s, dir), 50)),
+
+    // sqrt-temperature source mixing shares for training-mix
+    // composition; one corpus aggregation + a broadcast 1-row
+    // denominator.
+    "source_mix_weights" -> ((s, dir) =>
+      Corpus.mixWeights(docs(s, dir)).orderBy("source"))
   )
 
   // ------------------------------------------------------------------
@@ -1379,6 +1399,54 @@ object QueriesPipeline {
         |  md5(text) AS blob_md5,
         |  source,
         |  'text' AS modality
-        |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin
+        |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    // KMV: k smallest distinct token hashes per source (exact window
+    // formulation — the oracle can afford the vocabulary shuffle the
+    // sketch avoids), same final-math expressions as the Spark side.
+    "approx_distinct_kmv" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($Toks) AS token
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |h AS (SELECT DISTINCT source, ${h32("token")} AS h FROM tok),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+         |      FROM h GROUP BY source),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+         |  FROM h),
+         |kmv AS (SELECT source, CAST(count(*) AS BIGINT) AS kmv_k,
+         |    max(h) AS kth_hash
+         |  FROM rk WHERE rk <= 64 GROUP BY source),
+         |est AS (SELECT k.source, k.kmv_k, k.kth_hash, n.n_types,
+         |    CASE WHEN k.kmv_k < 64 THEN CAST(k.kmv_k AS DOUBLE)
+         |         ELSE 63.0 * 4294967296.0 / CAST(k.kth_hash AS DOUBLE)
+         |    END AS est_raw
+         |  FROM kmv k JOIN n ON k.source = n.source)
+         |SELECT source, kmv_k, kth_hash, n_types,
+         |  round(est_raw, 6) AS est_types,
+         |  round(abs(est_raw - CAST(n_types AS DOUBLE))
+         |    / CAST(n_types AS DOUBLE), 6) AS rel_err
+         |FROM est ORDER BY source""".stripMargin,
+
+    "corpus_sample_weighted" ->
+      s"""SELECT doc_id, source,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |  round(
+         |    ln((${h32("concat('wsample_', CAST(doc_id AS VARCHAR))")} + 1)
+         |        / 4294967296.0)
+         |      / len($Toks), 6) AS sample_key
+         |FROM read_parquet('{SFDIR}/documents.parquet')
+         |ORDER BY sample_key DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "source_mix_weights" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE))
+         |    / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6)
+         |    AS mix_weight
+         |FROM s ORDER BY source""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, KmvSketch, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -40,6 +40,15 @@ package object functions {
         EwmaWindow(ColumnBridge.expression(c.cast(DoubleType)), alpha, adjust),
         spec))
   }
+
+  /** K-minimum-values distinct-count sketch aggregate: the ascending
+    * array of the `k` smallest distinct values of a LONG column, with
+    * bounded O(k) state and map-side partial merging — see
+    * [[org.apache.spark.sql.graft.expressions.KmvSketch]].
+    */
+  def kmvSketch(h: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(h), k).toAggregateExpression())
 
   /** Codegen'd float-array dot product in double (see
     * [[org.apache.spark.sql.graft.expressions.DotProductF]]).

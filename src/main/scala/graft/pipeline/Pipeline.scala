@@ -908,6 +908,115 @@ object Corpus {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
   }
+
+  /** Per-source approximate distinct-token (vocabulary) counts via the
+    * KMV sketch ([[org.apache.spark.sql.graft.expressions.KmvSketch]]):
+    * hash every token occurrence, keep the k smallest distinct hashes
+    * per source, estimate |vocab| = (k-1)·2^32 / kthSmallest. The
+    * aggregation state is O(k) per source and map-side partials fold
+    * locally, so the exchange carries one <=k-element array per source
+    * — at 100 TB the vocabulary itself (potentially 1e9 types) never
+    * shuffles, which is the whole point vs count(DISTINCT token). md5
+    * hashing makes the sketch value deterministic, so the DuckDB
+    * oracle reproduces it exactly (the property HLL lacks).
+    *
+    * `n_types`/`rel_err` are the accuracy WITNESS columns — an exact
+    * distinct count run alongside at test scale to show the estimate's
+    * error; a production run at 100 TB drops them with `witness =
+    * false` (countDistinct reintroduces the vocabulary shuffle the
+    * sketch exists to avoid — the witness-free plan is one
+    * ObjectHashAggregate pair with a single k-bounded exchange,
+    * asserted in PipelineSpec).
+    *
+    * Estimate math stays OUTSIDE the aggregate in plain column
+    * arithmetic over exact integers (63·2^32 is exact in double; one
+    * IEEE division) so both engines compute bit-identical doubles.
+    */
+  def kmvTypes(docs: DataFrame, k: Int = 64, witness: Boolean = true): DataFrame = {
+    import graft.functions.kmvSketch
+    val hashed = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .select(col("source"), hash32(col("token")).as("h"))
+    val aggs =
+      if (witness) Seq(kmvSketch(col("h"), k).as("kmv"), countDistinct(col("h")).as("n_types"))
+      else Seq(kmvSketch(col("h"), k).as("kmv"))
+    val est = hashed.groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("est_raw",
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble * 4294967296.0) /
+              element_at(col("kmv"), k).cast("double")))
+    val base = Seq(
+      col("source"),
+      size(col("kmv")).cast("long").as("kmv_k"),
+      element_at(col("kmv"), size(col("kmv"))).as("kth_hash"))
+    if (witness)
+      est.select(base ++ Seq(
+        col("n_types"),
+        round(col("est_raw"), 6).as("est_types"),
+        round(abs(col("est_raw") - col("n_types").cast("double")) /
+          col("n_types").cast("double"), 6).as("rel_err")): _*)
+    else
+      est.select(base :+ round(col("est_raw"), 6).as("est_types"): _*)
+  }
+
+  /** Length-weighted sample of n documents without replacement —
+    * Efraimidis–Spirakis (IPL 2006) A-ES keys: each doc draws
+    * u ∈ (0,1] from its md5 hash and competes with key ln(u)/w, w =
+    * token count; the n LARGEST keys are the weighted sample (a doc's
+    * win probability is proportional to its weight — the
+    * length-proportional draw an LLM mixing pipeline uses to sample
+    * tokens, not documents, uniformly). Deterministic: u = (h+1)/2^32
+    * is an exact double from an md5-derived int, so any engine agrees
+    * on every key; ties in the 6dp-rounded key break on doc_id.
+    *
+    * Scale shape: the key is a map-only projection (pushed to the
+    * scan) and the selection is orderBy+limit = TakeOrdered — partial
+    * per-partition top-n, n·numParts rows to the driver, no shuffle of
+    * the corpus. Weighted sampling at 100 TB is exactly this plan.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 50): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val u = (hash32(concat(lit("wsample_"), col("doc_id").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        nTok.cast("long").as("n_tokens"),
+        round(log(u) / nTok.cast("double"), 6).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
+  /** Per-source mixing weights for corpus composition: temperature-
+    * scaled sampling shares w_s = t_s^τ / Σ t^τ with τ = 1/2 — the
+    * standard down-weighting of dominant sources when assembling a
+    * training mix (τ=1 is proportional, τ=0 uniform; 1/2 is the
+    * common middle). τ = 1/2 is computed as `sqrt`, which IEEE-754
+    * requires correctly rounded — so per-source weights are
+    * bit-deterministic cross-engine (a general pow(x, τ) would not
+    * be); only the ~|sources|-term denominator sum carries the usual
+    * last-ulp association freedom, absorbed by 6dp rounding.
+    *
+    * One shuffle (per-source agg with map-side partials); the
+    * denominator is a broadcast 1-row aggregate over the
+    * sources-sized frame, not a second corpus pass.
+    */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+    val tot = broadcast(perSrc.agg(sum(col("w_raw")).as("_tot")))
+    perSrc.crossJoin(tot)
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("_tot"), 6).as("mix_weight"))
+  }
 }
 
 object Similarity {

@@ -604,4 +604,86 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
+
+  // --- KMV distinct sketch ----------------------------------------------
+
+  test("kmvSketch: k smallest distinct values across partitions, duplicates absorbed") {
+    import spark.implicits._
+    // values 0..199 each present twice, spread over 7 partitions
+    val d = ((0L until 200L) ++ (0L until 200L)).toDF("h").repartition(7)
+    val out = d.agg(graft.functions.kmvSketch(col("h"), 16).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    assert(out == (0L until 16L))
+  }
+
+  test("kmvSketch: under-full sketch is the exact distinct set") {
+    import spark.implicits._
+    val d = Seq(5L, 3L, 5L, 9L, 3L).toDF("h").repartition(3)
+    val out = d.agg(graft.functions.kmvSketch(col("h"), 16).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(3L, 5L, 9L))
+  }
+
+  test("kmvTypes: exact when a source has fewer than k types; estimate within 2k^-1/2") {
+    val small = docs((1L, "a b c a b"))
+    val row = pipeline.Corpus.kmvTypes(small, k = 64).collect().head
+    assert(row.getAs[Long]("kmv_k") == 3L)
+    assert(row.getAs[Long]("n_types") == 3L)
+    assert(row.getAs[Double]("est_types") == 3.0)
+    assert(row.getAs[Double]("rel_err") == 0.0)
+    // over-full: one source, 2000 distinct tokens, k=64 -> KMV's
+    // relative standard error is ~k^-1/2 (0.125); 4 sigma bound
+    val big = spark.createDataFrame(
+      Seq(Row(1L, (1 to 2000).map(i => s"tok$i").mkString(" "), "s")).asJava,
+      docSchema)
+    val b = pipeline.Corpus.kmvTypes(big, k = 64).collect().head
+    assert(b.getAs[Long]("kmv_k") == 64L)
+    assert(b.getAs[Double]("rel_err") < 0.5)
+  }
+
+  test("kmvTypes witness-free plan: ObjectHashAggregate pair, single k-bounded exchange") {
+    val d = docs((1L, "a b c"), (2L, "d e f"))
+    val plan = pipeline.Corpus.kmvTypes(d, k = 64, witness = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"witness-free KMV must shuffle only the k-bounded partials, got $exchanges exchanges:\n$plan")
+  }
+
+  // --- weighted sampling / mix weights ----------------------------------
+
+  test("weightedSample: A-ES key formula and descending deterministic order") {
+    val d = docs((1L, "a b c d"), (2L, "a b"), (3L, "a b c d e f g h"))
+    val out = pipeline.Corpus.weightedSample(d, 3).collect()
+    assert(out.length == 3)
+    // recompute each key: u = (hash32("wsample_<id>")+1)/2^32, key = ln(u)/w
+    val hs = d.sparkSession.range(1)
+    val expected = out.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Long]("n_tokens")
+      val h = hs.select(
+        TextOps.hash32(concat(lit("wsample_"), lit(id).cast("string"))).as("h"))
+        .collect().head.getLong(0)
+      val key = math.log((h + 1).toDouble / 4294967296.0) / w
+      BigDecimal(key).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.map(_.getAs[Double]("sample_key")).zip(expected).foreach {
+      case (got, want) => assert(math.abs(got - want) < 1e-9)
+    }
+    // ordering: keys descending
+    val keys = out.map(_.getAs[Double]("sample_key")).toSeq
+    assert(keys == keys.sorted.reverse)
+  }
+
+  test("mixWeights: sqrt-temperature shares over exact token counts") {
+    // sources with 9 and 16 tokens -> sqrt weights 3 and 4 -> 3/7, 4/7
+    val d = spark.createDataFrame(Seq(
+      Row(1L, (1 to 9).map(_ => "w").mkString(" "), "a"),
+      Row(2L, (1 to 16).map(_ => "w").mkString(" "), "b")).asJava, docSchema)
+    val out = pipeline.Corpus.mixWeights(d).orderBy("source").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(9L, 16L))
+    assert(math.abs(out(0).getAs[Double]("mix_weight") - 3.0 / 7) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("mix_weight") - 4.0 / 7) < 1e-6)
+  }
 }
