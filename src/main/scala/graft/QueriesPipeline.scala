@@ -85,7 +85,23 @@ object QueriesPipeline {
       Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
+      DedupChain.minhashSigs(s, dir, docs(s, dir)).orderBy("doc_id")),
+
+    // Signature-estimated Jaccard over the SAME candidate pairs — the
+    // verify step a 100 TB chain actually runs (joins the staged
+    // O(9-int) signature frame, never re-reads text). The exact
+    // dedup_jaccard twin quantifies the estimator's error on the same
+    // pair set.
+    "dedup_minhash_est" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashEstimate(
+          DedupChain.candidatePairs(s, dir, d),
+          DedupChain.minhashSigs(s, dir, d))
+        .select(
+          col("doc_a"), col("doc_b"), col("n_agree"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // The five LSH-chain queries (pairs / jaccard / editdist /
     // clusters / corpus_filter) consume stages of one pipeline; the
@@ -835,6 +851,20 @@ object QueriesPipeline {
       s"""WITH $LshCandCtes
          |SELECT doc_a, doc_b FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_est" -> {
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $LshCandCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  round(CAST($agree AS DOUBLE) / 8, 6) AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs a ON p.doc_a = a.doc_id
+         |JOIN sigs b ON p.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dedup_jaccard" ->
       s"""WITH $LshPairCtes

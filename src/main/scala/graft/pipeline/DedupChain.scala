@@ -70,13 +70,26 @@ object DedupChain {
   def candidatePairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     jaccardPairs(s, dir, docs).select(col("doc_a"), col("doc_b"))
 
+  /** The (doc_id, m0..m7) MinHash signature frame, staged once per
+    * (session, dir): the candidate-pair build folds it into the banded
+    * self-join, and the signature-estimated verifier
+    * ([[Dedup.minhashEstimate]], `dedup_minhash_est`) re-joins it onto
+    * the candidates — O(9 ints per doc), far smaller than the text it
+    * summarizes, so the checkpoint is cheaper than one re-derivation.
+    * The per-snapshot signature table of a production chain.
+    */
+  def minhashSigs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "sigs")(Dedup.minhashSignatures(docs))
+
   /** Candidate pairs with exact word-3-gram Jaccard similarity — the
-    * chain's first staged stage (one build: signatures → bands →
-    * candidate join → jaccard verify).
+    * chain's verify stage (staged signatures → bands → candidate join
+    * → jaccard verify).
     */
   def jaccardPairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame = {
     lazy val d = docs
-    cached(s, dir, "jaccard")(Dedup.jaccardPairs(Dedup.lshCandidatePairs(d), d))
+    cached(s, dir, "jaccard")(
+      Dedup.jaccardPairs(
+        Dedup.lshCandidatePairsFromSigs(minhashSigs(s, dir, d)), d))
   }
 
   /** Connected-component labels over the jaccard >= 0.5 edge list. */

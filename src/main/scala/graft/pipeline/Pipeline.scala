@@ -179,8 +179,16 @@ object Dedup {
     lshCandidatePairsSh(shingled(docs))
 
   /** [[lshCandidatePairs]] over a pre-shingled (doc_id, sh) frame. */
-  def lshCandidatePairsSh(sh: DataFrame): DataFrame = {
-    val banded = lshBands(minhashSignaturesSh(sh))
+  def lshCandidatePairsSh(sh: DataFrame): DataFrame =
+    lshCandidatePairsFromSigs(minhashSignaturesSh(sh))
+
+  /** [[lshCandidatePairs]] over a pre-computed (doc_id, m0..m7)
+    * signature frame — the entry point when signatures are staged
+    * (DedupChain) or read from a per-snapshot signature table, the
+    * production layout at corpus scale.
+    */
+  def lshCandidatePairsFromSigs(sigs: DataFrame): DataFrame = {
+    val banded = lshBands(sigs)
     // Persisted: the self-join would otherwise recompute the full
     // signature pipeline (8 minhashes x ~100 shingle md5s per doc) on
     // BOTH sides — ReuseExchange can't dedup them when one side is
@@ -201,6 +209,32 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Signature-estimated Jaccard for a candidate pair table: the
+    * fraction of the k=8 MinHash components that agree is an unbiased
+    * estimator of the true shingle-set Jaccard (each component agrees
+    * with probability J). At 100 TB this IS the verification step — it
+    * joins only the O(docs × 9 ints) signature frame, never re-reads
+    * text, so the verify pass costs O(candidate pairs) regardless of
+    * document length, where the exact [[jaccardPairs]] verifier ships
+    * full shingle sets through the join. Standard accuracy trade:
+    * stderr ≈ sqrt(J(1−J)/k), so k=8 ranks pairs coarsely (granularity
+    * 1/8) — production chains raise k (the signature stays tiny) or
+    * confirm borderline pairs with the exact verifier.
+    */
+  def minhashEstimate(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val agree = (0 until 8)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        agree.cast("bigint").as("n_agree"),
+        (agree.cast("double") / 8).as("est_jaccard"))
   }
 
   /** Word-3-gram Jaccard similarity for a pair table (doc_a, doc_b).

@@ -51,6 +51,26 @@ class PipelineSpec extends SparkSpec {
     assert(j.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("minhash estimate: 8/8 agreement for identical docs, monotone with overlap") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon different tail words here"),
+      (4L, "totally unrelated words that share nothing at all ok"))
+    val sigs = Dedup.minhashSignatures(d)
+    val est = Dedup.minhashEstimate(Dedup.lshCandidatePairs(d), sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard"))).toMap
+    assert(est((1L, 2L)) == (8L, 1.0))
+    // every estimate is n/8 for integer n in [0, 8]
+    est.values.foreach { case (n, e) =>
+      assert(n >= 0 && n <= 8 && e == n / 8.0)
+    }
+    // the partial-overlap pair (if banded together) agrees on fewer
+    // components than the identical pair
+    est.get((1L, 3L)).foreach { case (n, _) => assert(n < 8) }
+  }
+
   test("simhash identical for identical docs, int32 range") {
     val d = docs((1L, "one two three four"), (2L, "one two three four"), (3L, "five six seven"))
     val out = Dedup.simhashes(d).orderBy("doc_id").collect().map(_.getLong(1))
