@@ -239,6 +239,79 @@ object Streaming {
         })
   }
 
+  case class SigBandIn(doc_id: Long, band: Int, v: Long, sig: Seq[Long])
+  case class SigBucketState(entries: List[(Long, Seq[Long])])
+  case class VerifiedPairOut(
+      doc_a: Long, doc_b: Long, n_agree: Long, est_jaccard: Double)
+  case class BestPairState(seen: Boolean)
+
+  /** Streaming VERIFIED near-dedup — [[lshCandidateStream]] with the
+    * signature-estimated Jaccard attached (the stream twin of
+    * [[graft.pipeline.Dedup.minhashEstimate]] over the candidate
+    * pairs). The bucket state carries each historical doc's full
+    * 8-component signature alongside its id, so the estimate is
+    * computed AT EMISSION — no second lookup join against a signature
+    * store, which a streaming deployment would otherwise need for
+    * verification. That is the scale trade: state grows from 1 long to
+    * 9 longs per (bucket, doc), still O(signature) ≪ O(text), and the
+    * verify step costs 8 comparisons per emitted pair. The estimate
+    * for a given pair is identical whichever band surfaces it (it is a
+    * pure function of the two signatures), so the stage-2 pair dedup
+    * can keep any one emission. Pairs below `minEst` are dropped
+    * after estimation — the streaming analog of the batch
+    * `jaccard >= threshold` retention gate; pass 0.0 to keep all
+    * candidates.
+    */
+  def lshVerifiedStream(docs: DataFrame, minEst: Double = 0.0): Dataset[VerifiedPairOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = graft.pipeline.Dedup.lshBands(
+      graft.pipeline.Dedup.minhashSignaturesSh(graft.pipeline.Dedup.shingled(docs)))
+    val exploded = banded.select(
+        col("doc_id"),
+        array((0 until 8).map(i => col(s"m$i")): _*).as("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("v"))): _*)).as("bv"))
+      .select(
+        col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"),
+        col("sig"))
+      .where(col("v").isNotNull)
+    def estimate(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toLong
+    val candidates = exploded.as[SigBandIn]
+      .groupByKey(r => (r.band, r.v))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[SigBandIn],
+            state: GroupState[SigBucketState]) => {
+          var acc = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = List.newBuilder[VerifiedPairOut]
+          rows.toSeq.sortBy(_.doc_id).distinctBy(_.doc_id).foreach { r =>
+            if (!acc.exists(_._1 == r.doc_id)) {
+              acc.foreach { case (oid, osig) =>
+                val n = estimate(osig, r.sig)
+                out += VerifiedPairOut(
+                  math.min(oid, r.doc_id), math.max(oid, r.doc_id),
+                  n, n / 8.0)
+              }
+              acc = (r.doc_id, r.sig) :: acc
+            }
+          }
+          state.update(SigBucketState(acc))
+          out.result().iterator
+        })
+    candidates
+      .filter(_.est_jaccard >= minEst)
+      .groupByKey(p => (p.doc_a, p.doc_b))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, Long), rows: Iterator[VerifiedPairOut],
+            state: GroupState[BestPairState]) => {
+          val first = !state.getOption.exists(_.seen)
+          state.update(BestPairState(true))
+          if (first && rows.hasNext) Iterator(rows.next())
+          else Iterator.empty
+        })
+  }
+
   case class PrepDoc(doc_id: Long, text: String)
 
   /** Streaming corpus preparation — the live-ingest twin of the batch

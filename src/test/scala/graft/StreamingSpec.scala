@@ -172,6 +172,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet.contains((1L, 4L)), "cross-batch exact dup must surface")
   }
 
+  test("streaming verified pairs match batch minhashEstimate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",   // near-dup of 1
+      3L -> "totally different words here now")
+    val b2 = Seq(
+      4L -> "alpha beta gamma delta epsilon", // exact dup of 1, arrives later
+      5L -> "unrelated second batch content doc")
+    val input = MemoryStream[Doc]
+    val q = Streaming.lshVerifiedStream(input.toDF()).writeStream
+      .format("memory").queryName("slshv").outputMode("append").start()
+    input.addData(b1.map { case (id, t) => Doc(id, t) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (id, t) => Doc(id, t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slshv").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard"))).toMap
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val batch = graft.pipeline.Dedup.minhashEstimate(
+        graft.pipeline.Dedup.lshCandidatePairs(all),
+        graft.pipeline.Dedup.minhashSignatures(all))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard"))).toMap
+    assert(got == batch && got.nonEmpty)
+    assert(got((1L, 4L)) == (8L, 1.0), "cross-batch exact dup fully agrees")
+    // the retention gate drops sub-threshold pairs
+    val inputF = MemoryStream[Doc]
+    val qf = Streaming.lshVerifiedStream(inputF.toDF(), minEst = 1.0).writeStream
+      .format("memory").queryName("slshvf").outputMode("append").start()
+    (b1 ++ b2).foreach { case (id, t) => inputF.addData(Doc(id, t)) }
+    qf.processAllAvailable()
+    qf.stop()
+    val gotF = spark.table("slshvf").collect().map(r => r.getAs[Double]("est_jaccard"))
+    assert(gotF.forall(_ == 1.0))
+  }
+
   test("prepareStream: first-arrival dedup + quality gate + batch-identical split") {
     implicit val sqlCtx = spark.sqlContext
     val keepA = "the of and " + (1 to 37).map(i => s"word$i").mkString(" ")
