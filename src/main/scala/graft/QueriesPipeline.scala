@@ -604,7 +604,14 @@ object QueriesPipeline {
     // composition; one corpus aggregation + a broadcast 1-row
     // denominator.
     "source_mix_weights" -> ((s, dir) =>
-      Corpus.mixWeights(docs(s, dir)).orderBy("source"))
+      Corpus.mixWeights(docs(s, dir)).orderBy("source")),
+
+    // Materialize the mix: fill a 2000-token budget per mix_weight
+    // shares, keeping hash-ordered docs per source until each source's
+    // budget is spent. Broadcast weights + one window shuffle on
+    // source.
+    "corpus_budget_sample" -> ((s, dir) =>
+      Corpus.budgetSample(docs(s, dir), 2000L).orderBy("source", "cum_tokens"))
   )
 
   // ------------------------------------------------------------------
@@ -1477,6 +1484,30 @@ object QueriesPipeline {
          |  round(sqrt(CAST(n_tokens AS DOUBLE))
          |    / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6)
          |    AS mix_weight
-         |FROM s ORDER BY source""".stripMargin
+         |FROM s ORDER BY source""".stripMargin,
+
+    "corpus_budget_sample" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY source),
+         |wgt AS (
+         |  SELECT source,
+         |    CAST(floor(2000.0 * round(sqrt(CAST(n_tokens AS DOUBLE))
+         |      / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6))
+         |      AS BIGINT) AS budget_tokens
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    ${h32("concat('budget_', CAST(doc_id AS VARCHAR))")} AS ord
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM k)
+         |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, wgt.budget_tokens
+         |FROM c JOIN wgt USING (source)
+         |WHERE c.cum_tokens - c.n_tokens < wgt.budget_tokens
+         |ORDER BY source, cum_tokens""".stripMargin
   )
 }

@@ -1051,6 +1051,49 @@ object Corpus {
         col("source"), col("n_docs"), col("n_tokens"),
         round(col("w_raw") / col("_tot"), 6).as("mix_weight"))
   }
+
+  /** Token-budget sample: fill a total token budget across sources in
+    * proportion to [[mixWeights]] — the materialization step after the
+    * mix is decided (the mix says each source contributes
+    * floor(total · w_s) tokens; this picks WHICH documents). Within a
+    * source, documents are ranked by a deterministic md5-derived key
+    * (an unweighted shuffle order — length bias is already priced into
+    * the budget) and kept while the tokens BEFORE them fit the budget,
+    * so the document that crosses the boundary is kept and every
+    * source with a positive budget contributes at least one document.
+    * Deterministic end to end: same corpus + same total ⇒ same sample,
+    * any engine.
+    *
+    * Scale shape: the weights frame is sources-sized and broadcast;
+    * the ranking window shuffles once on source. The per-source
+    * running sum is the same P12 prefix-sum shape as the indicator
+    * cumulatives — a pathologically dominant source (one source ≈ the
+    * whole corpus) would make that window the straggler, and the
+    * distributed-prefix plan (`plans.Scale.cumSumDistributedLong`
+    * keyed by source) is the drop-in escape, exactly as
+    * `pack_sequences` escapes the global packing window.
+    */
+  def budgetSample(docs: DataFrame, totalTokens: Long): DataFrame = {
+    val budgets = broadcast(
+      mixWeights(docs).select(
+        col("source"),
+        floor(lit(totalTokens.toDouble) * col("mix_weight"))
+          .cast("long").as("budget_tokens")))
+    val keyed = docs.select(
+      col("doc_id"),
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      hash32(concat(lit("budget_"), col("doc_id").cast("string"))).as("_ord"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("_ord").asc, col("doc_id").asc)
+    keyed
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(budgets, Seq("source"))
+      .where(col("cum_tokens") - col("n_tokens") < col("budget_tokens"))
+      .select(
+        col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"))
+  }
 }
 
 object Similarity {

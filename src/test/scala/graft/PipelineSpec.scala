@@ -51,6 +51,35 @@ class PipelineSpec extends SparkSpec {
     assert(j.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("budget sample: exclusive prefix fits budget, crossing doc kept, deterministic") {
+    val rows = (1L to 20L).map { i =>
+      val src = if (i <= 15) "big" else "small"
+      Row(i, (1 to 10).map(j => s"w${i}_$j").mkString(" "), src)
+    }
+    val d = spark.createDataFrame(rows.asJava, docSchema)
+    val out = graft.pipeline.Corpus.budgetSample(d, 60L)
+      .orderBy("source", "cum_tokens").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, cum, budget) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("budget_tokens"))
+      assert(cum - n < budget, "tokens before a kept doc must fit the budget")
+    }
+    // per source: the kept set is a prefix — max cum >= budget means the
+    // crossing doc was kept (each source here has plenty of tokens)
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("cum_tokens")).max >=
+        rs.head.getAs[Long]("budget_tokens"))
+    }
+    // budgets split per sqrt-temperature weights over a 60-token total
+    assert(bySrc.keySet == Set("big", "small"))
+    // deterministic: second run identical
+    val again = graft.pipeline.Corpus.budgetSample(d, 60L)
+      .orderBy("source", "cum_tokens").collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("minhash estimate: 8/8 agreement for identical docs, monotone with overlap") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta"),
