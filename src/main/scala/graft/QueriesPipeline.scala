@@ -611,7 +611,15 @@ object QueriesPipeline {
     // budget is spent. Broadcast weights + one window shuffle on
     // source.
     "corpus_budget_sample" -> ((s, dir) =>
-      Corpus.budgetSample(docs(s, dir), 2000L).orderBy("source", "cum_tokens"))
+      Corpus.budgetSample(docs(s, dir), 2000L).orderBy("source", "cum_tokens")),
+
+    // Count-min sketch frequency estimates for the top-50 tokens, with
+    // exact-count witness columns (dropped at 100 TB like kmvTypes'
+    // n_types). The sketch exchange is <= d*w rows total; the finished
+    // sketch broadcasts.
+    "approx_counts_cms" -> ((s, dir) =>
+      Corpus.cmsCounts(docs(s, dir))
+        .orderBy(col("cnt").desc, col("token").asc))
   )
 
   // ------------------------------------------------------------------
@@ -1508,6 +1516,29 @@ object QueriesPipeline {
          |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, wgt.budget_tokens
          |FROM c JOIN wgt USING (source)
          |WHERE c.cum_tokens - c.n_tokens < wgt.budget_tokens
-         |ORDER BY source, cum_tokens""".stripMargin
+         |ORDER BY source, cum_tokens""".stripMargin,
+
+    "approx_counts_cms" ->
+      s"""WITH tc AS MATERIALIZED (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($Toks) AS token
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))
+         |  GROUP BY token),
+         |buck AS (
+         |  SELECT token, cnt, i.row AS row,
+         |    ${h32("concat('cms', CAST(i.row AS VARCHAR), '_', token)")} % 64 AS bucket
+         |  FROM tc, (SELECT unnest(range(0, 4)) AS row) i),
+         |sketch AS (
+         |  SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS bucket_sum
+         |  FROM buck GROUP BY row, bucket),
+         |top AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token ASC LIMIT 50),
+         |est AS (
+         |  SELECT t.token, t.cnt, CAST(min(s.bucket_sum) AS BIGINT) AS est_cnt
+         |  FROM top t
+         |  JOIN buck b ON t.token = b.token
+         |  JOIN sketch s ON b.row = s.row AND b.bucket = s.bucket
+         |  GROUP BY t.token, t.cnt)
+         |SELECT token, cnt, est_cnt, est_cnt - cnt AS overcount
+         |FROM est ORDER BY cnt DESC, token ASC""".stripMargin
   )
 }

@@ -995,6 +995,63 @@ object Corpus {
       est.select(base :+ round(col("est_raw"), 6).as("est_types"): _*)
   }
 
+  /** Count-min sketch estimates for the corpus's top-k tokens — the
+    * other bounded-state frequency sketch beside [[kmvTypes]]'s
+    * distinct sketch. The sketch is d independent hash rows of w
+    * counters; a token occurrence increments one counter per row, and
+    * est(t) = min over rows of its counter — always ≥ the true count
+    * (counters only ever ADD collisions), with the overcount bounded
+    * by colliding mass ≈ N/w per row. Counters are sums, so the build
+    * is one groupBy (row, bucket) with map-side partial aggregation:
+    * the exchange carries at most d·w rows TOTAL regardless of corpus
+    * size — at 100 TB the token vocabulary never shuffles, and the
+    * finished d×w-integer sketch broadcasts anywhere a frequency
+    * lookup is needed (the same reason production pipelines sketch
+    * instead of materializing count tables). Deterministic: md5-derived
+    * bucket hashes, integer counters.
+    *
+    * The exact per-token counts serve double duty: the top-k query set
+    * (smallest-k-by-frequency would estimate garbage) and the accuracy
+    * WITNESS columns (`cnt`, `overcount`) — a 100 TB run keeps the
+    * sketch and drops the exact side, exactly as [[kmvTypes]] drops
+    * its `n_types` witness. Here the build folds the exact (token,
+    * cnt) frame rather than re-exploding occurrences — counters are
+    * sums either way, and the count frame is the smaller input.
+    */
+  def cmsCounts(docs: DataFrame, d: Int = 4, w: Int = 64, k: Int = 50): DataFrame = {
+    val tokCounts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    def bucket(row: Int, t: Column): Column =
+      pmod(hash32(concat(lit(s"cms${row}_"), t)), lit(w))
+    val sketch = broadcast(
+      tokCounts
+        .select(
+          col("cnt"),
+          explode(array((0 until d).map(i =>
+            struct(lit(i).as("row"), bucket(i, col("token")).as("bucket"))): _*))
+            .as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(sum(col("cnt")).as("bucket_sum")))
+    val top = tokCounts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+    top
+      .select(col("token"), col("cnt"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("row"), bucket(i, col("token")).as("bucket"))): _*))
+          .as("rb"))
+      .join(sketch,
+        col("rb.row") === sketch("row") && col("rb.bucket") === sketch("bucket"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("bucket_sum")).as("est_cnt"))
+      .select(
+        col("token"), col("cnt"), col("est_cnt"),
+        (col("est_cnt") - col("cnt")).as("overcount"))
+  }
+
   /** Length-weighted sample of n documents without replacement —
     * Efraimidis–Spirakis (IPL 2006) A-ES keys: each doc draws
     * u ∈ (0,1] from its md5 hash and competes with key ln(u)/w, w =

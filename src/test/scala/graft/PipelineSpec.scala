@@ -51,6 +51,30 @@ class PipelineSpec extends SparkSpec {
     assert(j.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("count-min sketch: est >= exact always; exact when w has no collisions") {
+    val d = docs(
+      (1L, "a a a a b b c"),
+      (2L, "a b c d e f g"))
+    val out = graft.pipeline.Corpus.cmsCounts(d, d = 4, w = 64, k = 10)
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("est_cnt"), r.getAs[Long]("overcount")))
+      .toMap
+    assert(out("a")._1 == 5L)
+    out.values.foreach { case (cnt, est, over) =>
+      assert(est >= cnt && over == est - cnt && over >= 0)
+    }
+    // 7 distinct tokens in 4x64 buckets: with 4 independent rows a
+    // token keeps at least one collision-free row w.h.p. — est exact
+    assert(out.values.forall { case (cnt, est, _) => est == cnt })
+    // tiny w forces collisions: total mass conservation still holds
+    val crowded = graft.pipeline.Corpus.cmsCounts(d, d = 2, w = 2, k = 10)
+      .collect()
+    crowded.foreach(r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("cnt")))
+    assert(crowded.exists(r => r.getAs[Long]("overcount") > 0),
+      "2 buckets for 7 tokens must collide somewhere")
+  }
+
   test("budget sample: exclusive prefix fits budget, crossing doc kept, deterministic") {
     val rows = (1L to 20L).map { i =>
       val src = if (i <= 15) "big" else "small"
