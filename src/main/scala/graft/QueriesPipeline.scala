@@ -273,6 +273,18 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: cosine verification only within trained IVF cells
+    // (nCells=2 recall knob), on the session-staged centroid table.
+    // The semantic-dedup plan that survives 100 TB — quadratic work
+    // drops to per-cell tiles.
+    "embedding_neardup_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticDupPairs(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e), 0.4, nCells = 2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir))
         .select(
@@ -1092,6 +1104,23 @@ object QueriesPipeline {
          |        FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id))
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "embedding_neardup_ivf" ->
+      s"""WITH $KmeansCtes,
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |    FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |            ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |          FROM e, c2 c))
+         |  WHERE crank <= 2)
+         |SELECT id_a, id_b, round(cosv, 6) AS cosine FROM (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosv
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ivf_cell_stats" ->
       s"""WITH $KmeansCtes,

@@ -1490,6 +1490,51 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
   }
 
+  /** Semantic near-duplicate pairs via trained IVF cells — the
+    * SemDeDup plan: assign every vector to its `nCells` closest
+    * trained centroids (broadcast centroid table, map-only scoring),
+    * then verify cosine ONLY within cells. The quadratic work drops
+    * from |corpus|² to Σ|cell|² — with balanced cells a k× reduction —
+    * which is what makes embedding dedup runnable at 100 TB where the
+    * exact block-grid ([[nearDupPairs]]) must still score every pair.
+    * The miss mode is a near-dup pair straddling a centroid boundary;
+    * `nCells` > 1 is the recall knob (a pair surfaces if ANY cell
+    * contains both), the same trade `ann_recall` quantifies for probe
+    * counts — and unlike the hyperplane LSH variant
+    * ([[nearDupPairsLsh]]), the buckets are TRAINED on the data, so
+    * the partition tracks the actual density rather than random
+    * directions (the LSH-regime gap measured in the nearDupPairs
+    * scaladoc).
+    *
+    * The assignment frame is persisted: the self-join reads it twice,
+    * and re-deriving it would re-score every vector against every
+    * centroid on both sides. Cache lifecycle is caller-owned, as in
+    * [[Dedup.lshCandidatePairsSh]].
+    */
+  def semanticDupPairs(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      threshold: Double = 0.4,
+      nCells: Int = 1): DataFrame = {
+    require(nCells >= 1, s"bad nCells=$nCells")
+    val asg = trainedAssignments(embeddings, cents)
+      .where(col("crank") <= nCells)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .persist()
+    val pairs = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dotF(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+    // a pair sharing several of the nCells cells surfaces once per
+    // shared cell; the duplicates are bit-identical rows (cosine is a
+    // pure function of the pair), so distinct is exact
+    if (nCells > 1) pairs.distinct() else pairs
+  }
+
   /** Vectors per trained IVF cell — the balance diagnostic: a skewed
     * cell is the IVF latency killer (every probe of it scans its whole
     * population), and the fix — re-train with more centroids or split

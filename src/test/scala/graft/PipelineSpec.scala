@@ -289,6 +289,28 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == pairs(Similarity.nearDupPairsLsh(e, 0.4)))
   }
 
+  test("semanticDupPairs: subset of exact; equal to exact when nCells = k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = 4, iters = 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(e, 0.4, numBlocks = 8))
+    val sem1 = pairs(Similarity.semanticDupPairs(e, cents, 0.4, nCells = 1))
+    val sem2 = pairs(Similarity.semanticDupPairs(e, cents, 0.4, nCells = 2))
+    assert(sem1.subsetOf(exact) && sem2.subsetOf(exact))
+    assert(sem1.subsetOf(sem2), "more probed cells can only add pairs")
+    // with every vector assigned to ALL cells, every pair shares a
+    // cell — the verification is exhaustive and must equal exact
+    val semAll = pairs(Similarity.semanticDupPairs(e, cents, 0.4, nCells = 4))
+    assert(semAll == exact)
+    // centroid table broadcasts into the assignment; the verify join
+    // is a shuffle equi-join on cell, never a cartesian
+    val plan = Similarity.semanticDupPairs(e, cents, 0.4, nCells = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cell verify must not be a cartesian:\n$plan")
+  }
+
   test("recallAtK counts ground-truth hits per variant, missing queries score 0") {
     import spark.implicits._
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
