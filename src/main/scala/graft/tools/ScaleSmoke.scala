@@ -76,6 +76,26 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  /** Embeddings amplifier for the PAIRWISE paths (semantic dedup):
+    * each copy is multiplied by its own deterministic ±1 diagonal
+    * (Rademacher signs), so cross-copy cosines collapse toward 0 —
+    * copies reproduce the corpus's own near-dup structure instead of
+    * being exact duplicates of each other (the plain [[amplifyEmb]]
+    * would make every cross-copy pair cosine 1.0 and measure the
+    * fixture's N² duplication, exactly like the lsh-chain amplifier
+    * note above).
+    */
+  private def amplifyEmbDecor(e: DataFrame, n: Int): DataFrame = {
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until n).map { i =>
+      val rnd = new scala.util.Random(i)
+      val signs = array(Seq.fill(64)(lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
+      e.select(
+        (col("vec_id") + i * maxId).as("vec_id"),
+        zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+    }.reduce(_ union _)
+  }
+
   private def time(what: String, f: => Long): Double = {
     val t0 = System.nanoTime()
     val rows = f
@@ -193,6 +213,31 @@ object ScaleSmoke {
     def qual(d: DataFrame): Long =
       graft.pipeline.Corpus.gopherFilter(d).count()
 
+    // CMS build + top-k estimate: the sketch exchange is d*w rows no
+    // matter the corpus; the corpus-side work is the token explode.
+    def cms(d: DataFrame): Long = {
+      val m = graft.pipeline.Corpus.cmsCounts(d).count()
+      spark.catalog.clearCache() // release the token-count persist
+      m
+    }
+
+    // Budget fill: weights agg + one per-source prefix window.
+    def budget(d: DataFrame, tot: Long): Long =
+      graft.pipeline.Corpus.budgetSample(d, tot).count()
+
+    // SemDeDup at scale contract: cell COUNT grows with the corpus so
+    // per-cell population (and so each quadratic tile) stays bounded —
+    // k is scaled with N here, which is what a production run does
+    // (cells ~ corpus / target_cell_size). Decorrelated copies, see
+    // amplifyEmbDecor.
+    def semdedup(e: DataFrame, k: Int): Long = {
+      val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = k)
+      val m = graft.pipeline.Similarity
+        .semanticDupPairs(e, cents, 0.4, nCells = 1).count()
+      spark.catalog.clearCache() // release the assignment persist
+      m
+    }
+
     val evN = amplify(ev1, n)
     val docsN = amplifyDocs(docs1, n)
     val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -211,7 +256,10 @@ object ScaleSmoke {
       "paragraph dedup" -> (time("paradedup 1x", paraDedup(docs1)), time(s"paradedup ${n}x", paraDedup(docsNDistinct))),
       "tfidf top tokens" -> (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN))),
       "ivf train+assign" -> (time("ivf 1x", ivf(emb1)), time(s"ivf ${n}x", ivf(embN))),
-      "quality filter" -> (time("qual 1x", qual(docs1)), time(s"qual ${n}x", qual(docsN))))
+      "quality filter" -> (time("qual 1x", qual(docs1)), time(s"qual ${n}x", qual(docsN))),
+      "cms sketch" -> (time("cms 1x", cms(docs1)), time(s"cms ${n}x", cms(docsNDistinct))),
+      "budget sample" -> (time("budget 1x", budget(docs1, 2000L)), time(s"budget ${n}x", budget(docsN, 2000L * n))),
+      "semantic dedup" -> (time("semdedup 1x", semdedup(emb1, 8)), time(s"semdedup ${n}x", semdedup(amplifyEmbDecor(emb1, n), 8 * n))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
