@@ -58,6 +58,11 @@ object QueriesPipeline {
         TextOps.polyHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
 
+    // Pre-dedup canonical normalization (case/control/whitespace) with
+    // the post-normalization content hash; map-only.
+    "normalize_text" -> ((s, dir) =>
+      Corpus.normalize(docs(s, dir)).orderBy("doc_id")),
+
     "repetition_stats" -> ((s, dir) =>
       Corpus.repetitionStats(docs(s, dir))
         .select(
@@ -142,6 +147,18 @@ object QueriesPipeline {
     // signature frames (DedupChain.simhashes32/64, built over the
     // staged token-hash frame) so the corpus is hashed once and each
     // vote fold runs once, not per query.
+    // Delta-ingest candidates: docs with doc_id % 10 == 0 play the
+    // newly-arrived delta, the rest the snapshot. Old×old pairs are
+    // never generated (the daily-run cost model); the oracle asserts
+    // equality with the full pair set filtered to delta-touching
+    // pairs. Both sides split off the session-staged signature frame.
+    "dedup_incremental" -> ((s, dir) => {
+      val sigs = DedupChain.minhashSigs(s, dir, docs(s, dir))
+      val isNew = col("doc_id") % 10 === 0
+      Dedup.incrementalCandidatePairs(sigs.where(!isNew), sigs.where(isNew))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       DedupChain.simhashes32(s, dir, docs(s, dir)).orderBy("doc_id")),
 
@@ -864,6 +881,18 @@ object QueriesPipeline {
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+        |  FROM read_parquet('{SFDIR}/documents.parquet'))
+        |SELECT doc_id, text_norm, md5(text_norm) AS norm_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+        |  text_norm <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -877,6 +906,15 @@ object QueriesPipeline {
     "dedup_lsh_pairs" ->
       s"""WITH $LshCandCtes
          |SELECT doc_a, doc_b FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $LshCandCtes
+         |SELECT doc_a, doc_b,
+         |  CAST((CASE WHEN doc_a % 10 = 0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN doc_b % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM pairs
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_est" -> {

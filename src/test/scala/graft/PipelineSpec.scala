@@ -51,6 +51,57 @@ class PipelineSpec extends SparkSpec {
     assert(j.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("incremental candidates = full pairs filtered to delta; no old×old") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // old dup of 1
+      (10L, "alpha beta gamma delta epsilon zeta"),  // NEW dup of 1 & 2
+      (20L, "alpha beta gamma delta epsilon other"), // NEW near-dup
+      (3L, "totally unrelated words that share nothing at all ok"))
+    val sigs = Dedup.minhashSignatures(d)
+    val isNew = col("doc_id") >= 10
+    val inc = Dedup.incrementalCandidatePairs(
+        sigs.where(!isNew), sigs.where(isNew))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_new")))
+    // equality with the filtered full pair set
+    val full = Dedup.lshCandidatePairsFromSigs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 10 || b >= 10 }
+      .map { case (a, b) =>
+        (a, b, (if (a >= 10) 1L else 0L) + (if (b >= 10) 1L else 0L)) }
+    assert(inc.toSet == full.toSet && inc.nonEmpty)
+    assert(inc.length == inc.map(p => (p._1, p._2)).distinct.length)
+    // the old×old dup pair (1,2) must NOT appear
+    assert(!inc.exists(p => p._1 == 1L && p._2 == 2L))
+    // the cross pairs carry n_new=1, the new×new pair n_new=2
+    assert(inc.filter(p => p._1 < 10 && p._2 >= 10).forall(_._3 == 1L))
+    assert(inc.filter(p => p._1 >= 10 && p._2 >= 10).forall(_._3 == 2L))
+  }
+
+  test("normalize: case/control/whitespace canonicalized, md5 keys dedup") {
+    val d = docs(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello\tworld"),
+      (4L, "already clean"))
+    val out = graft.pipeline.Corpus.normalize(d).orderBy("doc_id").collect()
+    val norm = out.map(_.getAs[String]("text_norm"))
+    assert(norm.take(3).forall(_ == "hello world"))
+    val md5s = out.map(_.getAs[String]("norm_md5"))
+    assert(md5s(0) == md5s(1) && md5s(1) == md5s(2))
+    assert(out.map(_.getAs[Boolean]("changed")).toSeq ==
+      Seq(true, false, true, false))
+    assert(out.forall(r =>
+      r.getAs[Long]("n_chars_norm") <= r.getAs[Long]("n_chars_raw")))
+    // composes with exact dedup: the three normalized dups group
+    val g = Dedup.exactGroups(
+      graft.pipeline.Corpus.normalize(d)
+        .select(col("doc_id"), col("text_norm").as("text")))
+      .orderBy(col("n_docs").desc).collect()
+    assert(g.head.getAs[Long]("n_docs") == 3L)
+  }
+
   test("count-min sketch: est >= exact always; exact when w has no collisions") {
     val d = docs(
       (1L, "a a a a b b c"),
