@@ -302,6 +302,28 @@ object QueriesPipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // PQ corpus codes: 64 floats -> 8 byte-range codes against the
+    // session-staged per-subspace codebooks (long form; a sink packs
+    // them). Map-only against the broadcast m*ksub book.
+    "pq_codes" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqEncode(e, graft.pipeline.IvfChain.pqBooks(s, dir, e))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ADC top-k: full-precision queries against the PQ-coded corpus —
+    // the scan is m table lookups per candidate, never a float vector.
+    // The 32x memory drop is what makes billion-vector search fit
+    // executor memory at 100 TB.
+    "ann_topk_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.topKPq(e, graft.pipeline.IvfChain.pqBooks(s, dir, e))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir))
         .select(
@@ -714,6 +736,76 @@ object QueriesPipeline {
       "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM e WHERE vec_id < 8)",
       assign("c0", "a1"), update("a1", "c0", "c1"),
       assign("c1", "a2"), update("a2", "c1", "c2")).mkString(",\n")
+  }
+
+  /** PQ CTE chain mirroring [[graft.pipeline.Similarity.pqCodebooks]]
+    * (m=8 subspaces × ksub=16 centroids, 2 L2 Lloyd iterations with
+    * 6dp rounding + the `+ 0` −0.0 seam, as KmeansCtes) and
+    * [[graft.pipeline.Similarity.pqEncode]]. Distances are the
+    * expanded ‖x−c‖² = x·x − 2·x·c + c·c with every term a sequential
+    * list_reduce fold — the bit-exact mirror of the codegen'd
+    * dotF/dotFD kernels. Ends with tables `books` (sub, cid, ce),
+    * `subv` (vec_id, sub, sv) and `codes` (vec_id, sub, code).
+    */
+  private val PqCtes: String = {
+    def xx8(a: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    def xc8(a: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * $c[i])), (acc, x) -> acc + x)"
+    def cc8(c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($c, x -> x * x)), (acc, x) -> acc + x)"
+    def d2(a: String, c: String) =
+      s"((${xx8(a)} - 2.0 * ${xc8(a, c)}) + ${cc8(c)})"
+    def perSub(j: Int): String = {
+      def assign(cPrev: String, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT cid, sv FROM (
+           |    SELECT e.vec_id, e.sv, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.sv", "c.ce")} ASC, c.cid ASC) AS rk
+           |    FROM e$j e, $cPrev c) WHERE rk = 1)""".stripMargin
+      def update(aName: String, cPrev: String, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT p.cid, coalesce(u.ce, p.ce) AS ce
+           |  FROM $cPrev p LEFT JOIN (
+           |    SELECT cid, list(cv ORDER BY i) AS ce FROM (
+           |      SELECT cid, i, round(avg(CAST(sv[i + 1] AS DOUBLE)), 6) + 0 AS cv
+           |      FROM $aName, range(8) t(i) GROUP BY cid, i)
+           |    GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+      Seq(
+        s"e$j AS MATERIALIZED (SELECT vec_id, list_slice(embedding, ${j * 8 + 1}, ${j * 8 + 8}) AS sv FROM emb)",
+        s"c${j}_0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, list_transform(sv, x -> CAST(x AS DOUBLE)) AS ce FROM e$j WHERE vec_id < 16)",
+        assign(s"c${j}_0", s"a${j}_1"), update(s"a${j}_1", s"c${j}_0", s"c${j}_1"),
+        assign(s"c${j}_1", s"a${j}_2"), update(s"a${j}_2", s"c${j}_1", s"c${j}_2")
+      ).mkString(",\n")
+    }
+    val books = (0 until 8)
+      .map(j => s"SELECT $j AS sub, cid, ce FROM c${j}_2")
+      .mkString(" UNION ALL ")
+    (Seq("emb AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))") ++
+      (0 until 8).map(perSub) ++
+      Seq(
+        s"books AS MATERIALIZED ($books)",
+        """subv AS MATERIALIZED (
+          |  SELECT vec_id, j.sub AS sub,
+          |    list_slice(embedding, j.sub * 8 + 1, j.sub * 8 + 8) AS sv
+          |  FROM emb, (SELECT unnest(range(0, 8)) AS sub) j)""".stripMargin,
+        s"""codes AS MATERIALIZED (
+           |  SELECT vec_id, sub, cid AS code FROM (
+           |    SELECT s.vec_id, s.sub, b.cid,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY ${d2("s.sv", "b.ce")} ASC, b.cid ASC) AS rk
+           |    FROM subv s JOIN books b ON s.sub = b.sub) WHERE rk = 1)""".stripMargin))
+      .mkString(",\n")
+  }
+
+  /** PQ query-distance-table + ADC tail shared only by ann_topk_pq. */
+  private def pqD2Sql(a: String, c: String): String = {
+    def xx8 =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    def xc8 =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * $c[i])), (acc, x) -> acc + x)"
+    def cc8 =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($c, x -> x * x)), (acc, x) -> acc + x)"
+    s"(($xx8 - 2.0 * $xc8) + $cc8)"
   }
 
   /** The 32-bit majority-vote simhash over a token-hash list `th`. */
@@ -1141,6 +1233,31 @@ object QueriesPipeline {
          |  FROM (SELECT p.query_id, c.neighbor_id, ${cosSql("p.qe", "c.ne")} AS cosine
          |        FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id))
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "pq_codes" ->
+      s"""WITH $PqCtes
+         |SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code
+         |FROM codes ORDER BY vec_id, sub""".stripMargin,
+
+    "ann_topk_pq" ->
+      s"""WITH $PqCtes,
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id, q.sub, q.d2
+         |        FROM codes c JOIN qd q ON c.sub = q.sub AND c.code = q.cid
+         |        WHERE q.query_id <> c.vec_id)
+         |  GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup_ivf" ->

@@ -1554,6 +1554,149 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
   }
 
+  /** Product-quantization codebooks: split the 64-dim embedding into
+    * `m` contiguous subspaces and train an independent `ksub`-centroid
+    * L2 k-means per subspace ([[kmeansCentroids]]'s deterministic
+    * recipe: first-ksub seeds, Lloyd iterations with 6dp rounding
+    * between them as the cross-engine determinism seam, empty clusters
+    * keep their seed, ties to the lowest cid). PQ is THE memory lever
+    * for vector search at 100 TB: a 256-byte float embedding
+    * compresses to `m` single-byte codes (32× here), so a billion
+    * vectors fit in executor memory where raw floats cannot — recall
+    * is traded via `m`/`ksub`, measured the same way `ann_recall`
+    * measures IVF. Distances use the expanded form
+    * ‖x−c‖² = x·x − 2·x·c + c·c over the codegen'd dot kernels — each
+    * term a sequential fold with an exact DuckDB mirror.
+    *
+    * Output: (sub, cid, ce) — m·ksub rows of sub-dim double arrays;
+    * microscopic at any scale, broadcast by every consumer.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    require(m >= 1 && 64 % m == 0, s"m=$m must divide 64")
+    val sub = 64 / m
+    (0 until m).map { j =>
+      val sv = embeddings.select(
+        col("vec_id"), slice(col("embedding"), j * sub + 1, sub).as("sv"))
+      kmeansL2(sv, ksub, iters).select(lit(j).as("sub"), col("cid"), col("ce"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** L2 Lloyd iterations over a (vec_id, sv: array<float>) frame —
+    * [[kmeansCentroids]]'s structure with squared-L2 assignment (the
+    * PQ metric) instead of cosine.
+    */
+  private def kmeansL2(sv: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = sv.select(col("vec_id"), col("sv"), dotF(col("sv"), col("sv")).as("xx"))
+    var cents = sv.where(col("vec_id") < k)
+      .select(
+        col("vec_id").cast("int").as("cid"),
+        transform(col("sv"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to iters) {
+      val c = broadcast(cents.withColumn(
+        "cc", aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)))
+      val assigned = e.join(c)
+        .select(
+          col("vec_id"), col("sv"), col("cid"),
+          (col("xx") - lit(2.0) * dotFD(col("sv"), col("ce")) + col("cc")).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(
+          struct(col("cid"), col("sv")),
+          struct(col("d2"), col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.sv").as("sv"))
+      val upd = assigned
+        .select(col("cid"), posexplode(col("sv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("ceNew"))
+      cents = cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ceNew"), col("ce")).as("ce"))
+    }
+    cents
+  }
+
+  /** The (vec_id, sub, sv) long-form subvector frame every PQ stage
+    * reads — a map-only explode of the contiguous slices.
+    */
+  private def subvectors(embeddings: DataFrame, m: Int): DataFrame = {
+    val sub = 64 / m
+    embeddings.select(
+      col("vec_id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"), slice(col("embedding"), j * sub + 1, sub).as("sv"))): _*))
+        .as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
+  /** Squared-L2 against a broadcast codebook row: x·x − 2·x·c + c·c. */
+  private def pqD2(xx: Column, sv: Column, ce: Column, cc: Column): Column =
+    xx - lit(2.0) * dotFD(sv, ce) + cc
+
+  /** PQ-encode the corpus: each vector's m subvectors are assigned to
+    * their nearest codebook centroid — map-only against the broadcast
+    * m·ksub codebook, then one m-row-per-vector argmin aggregation.
+    * Output (vec_id, sub, code): the 1-byte-per-subspace compressed
+    * representation (long-form; a production sink packs it to a
+    * byte array column on write).
+    */
+  def pqEncode(embeddings: DataFrame, books: DataFrame, m: Int = 8): DataFrame = {
+    val sv = subvectors(embeddings, m)
+      .withColumn("xx", dotF(col("sv"), col("sv")))
+    val c = broadcast(books.withColumn(
+      "cc", aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)))
+    sv.join(c, Seq("sub"))
+      .select(
+        col("vec_id"), col("sub"), col("cid"),
+        pqD2(col("xx"), col("sv"), col("ce"), col("cc")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: queries stay full
+    * precision, the corpus is its PQ codes. Per query, the m·ksub
+    * subspace-distance table is precomputed ONCE (broadcast — it is
+    * queries × m × ksub rows) and each corpus vector's approximate
+    * distance is the sum of m table lookups keyed by its codes: the
+    * scan never touches a float embedding, which is the entire point —
+    * at 100 TB the code table is 32× smaller than the vectors and the
+    * per-candidate cost is m additions. The per-pair sum folds in
+    * ascending-sub order (deterministic, DuckDB-mirrored); ranking
+    * ties break on neighbor_id.
+    */
+  def topKPq(
+      embeddings: DataFrame,
+      books: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      m: Int = 8): DataFrame = {
+    val codes = pqEncode(embeddings, books, m)
+    val qsv = subvectors(embeddings.where(col("vec_id") < numQueries), m)
+      .withColumn("xx", dotF(col("sv"), col("sv")))
+    val c = books.withColumn(
+      "cc", aggregate(col("ce"), lit(0.0), (a, x) => a + x * x))
+    val dt = broadcast(
+      qsv.join(c, Seq("sub"))
+        .select(
+          col("vec_id").as("query_id"), col("sub"), col("cid"),
+          pqD2(col("xx"), col("sv"), col("ce"), col("cc")).as("d2")))
+    val adc = codes
+      .join(dt, codes("sub") === dt("sub") && codes("code") === dt("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), codes("sub").as("sub"), col("d2"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("d2")))),
+          s => s.getField("d2")),
+        lit(0.0), (a, x) => a + x).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Semantic near-duplicate pairs via trained IVF cells — the
     * SemDeDup plan: assign every vector to its `nCells` closest
     * trained centroids (broadcast centroid table, map-only scoring),
@@ -1679,11 +1822,19 @@ object IvfChain {
   import scala.collection.concurrent.TrieMap
   import org.apache.spark.sql.SparkSession
 
-  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memo = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def centroids(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
     memo.getOrElseUpdate(
-      (s, dir), Similarity.kmeansCentroids(embs).localCheckpoint(true))
+      (s, dir, "ivf"), Similarity.kmeansCentroids(embs).localCheckpoint(true))
+
+  /** The trained PQ codebook table (sub, cid, ce) — m·ksub tiny rows,
+    * shared by `pq_codes` and `ann_topk_pq` exactly as the IVF
+    * centroids are shared by their three consumers.
+    */
+  def pqBooks(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(
+      (s, dir, "pq"), Similarity.pqCodebooks(embs).localCheckpoint(true))
 
   def release(s: SparkSession): Unit =
     memo.keys.filter(_._1 eq s).foreach { k =>

@@ -362,6 +362,31 @@ class PipelineSpec extends SparkSpec {
       s"cell verify must not be a cartesian:\n$plan")
   }
 
+  test("PQ: codebook shape, complete codes in range, ADC top-k ranked and deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqCodebooks(e)
+    val b = books.collect()
+    assert(b.length == 8 * 16, "8 subspaces x 16 centroids")
+    assert(b.forall(_.getSeq[Double](2).length == 8), "sub-dim centroids")
+    val nVec = e.count()
+    val codes = Similarity.pqEncode(e, books).collect()
+    assert(codes.length == nVec * 8, "one code per (vector, subspace)")
+    assert(codes.forall { r =>
+      val c = r.getAs[Int]("code"); c >= 0 && c < 16
+    })
+    val out = Similarity.topKPq(e, books, numQueries = 3, k = 4).collect()
+    assert(out.length == 12)
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val d = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc_dist"))
+      assert(d.zip(d.tail).forall { case (x, y) => x <= y }, "ADC ascending")
+      assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    // deterministic end to end (training included)
+    val again = Similarity.topKPq(e, Similarity.pqCodebooks(e), numQueries = 3, k = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet)
+  }
+
   test("recallAtK counts ground-truth hits per variant, missing queries score 0") {
     import spark.implicits._
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
