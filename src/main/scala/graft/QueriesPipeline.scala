@@ -302,6 +302,25 @@ object QueriesPipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // Recall@5 of the ADC/PQ index against the brute-force ground
+    // truth — the compression-vs-recall table read before trusting
+    // the 32x memory saving (separate from ann_recall so the PQ CTE
+    // chain stays self-contained in the oracle). Measured: 0-0.6 on
+    // this corpus — the honest isotropic-embedding result (uniform
+    // random directions give the quantizer no cluster structure, so
+    // 8-byte codes lose the tiny cosine gaps between near-uniform
+    // distances; same regime analysis as the hyperplane-LSH note on
+    // Similarity.nearDupPairs). On real embedding distributions —
+    // which cluster heavily — PQ recall rises sharply; THIS table is
+    // the instrument that shows where a deployment stands.
+    "ann_recall_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+          Similarity.topK(e),
+          Seq("pq" -> Similarity.topKPq(e, graft.pipeline.IvfChain.pqBooks(s, dir, e))))
+        .orderBy("query_id")
+    }),
+
     // PQ corpus codes: 64 floats -> 8 byte-range codes against the
     // session-staged per-subspace codebooks (long form; a sink packs
     // them). Map-only against the broadcast m*ksub book.
@@ -1259,6 +1278,38 @@ object QueriesPipeline {
          |  FROM adc)
          |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall_pq" ->
+      s"""WITH $PqCtes,
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id, q.sub, q.d2
+         |        FROM codes c JOIN qd q ON c.sub = q.sub AND c.code = q.cid
+         |        WHERE q.query_id <> c.vec_id)
+         |  GROUP BY query_id, neighbor_id),
+         |pq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+         |    FROM adc) WHERE rank <= 5),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM emb q JOIN emb n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(p.neighbor_id) AS BIGINT) AS pq_hits,
+         |  round(CAST(count(p.neighbor_id) AS DOUBLE) / count(*), 6) AS pq_recall
+         |FROM brute b
+         |LEFT JOIN pq p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "embedding_neardup_ivf" ->
       s"""WITH $KmeansCtes,
