@@ -312,6 +312,42 @@ object Streaming {
         })
   }
 
+  /** Streaming PQ encode — the live-ingest twin of
+    * [[graft.pipeline.Similarity.pqEncode]], in the online-serving
+    * shape: the trained codebook (m·ksub tiny rows) is collected ONCE
+    * at plan-build time and baked into the plan as literal arrays, so
+    * encoding is a STATELESS per-row map — no stream-static join, no
+    * state store, nothing to checkpoint. This is how an index server
+    * actually runs (codebook in memory, assignment pure compute); the
+    * same literal-bake works for any broadcast-sized model artifact.
+    * The argmin is an `array_min` over (d2, cid) structs — identical
+    * ordering (ties to lowest cid) and identical distance arithmetic
+    * (dotF/dotFD kernels; the driver-side fold for c·c replays the
+    * same IEEE sequence as the batch `aggregate`) — so stream and
+    * batch codes are pinned equal in StreamingSpec.
+    */
+  def pqEncodeStream(vecs: DataFrame, books: DataFrame, m: Int = 8): DataFrame = {
+    import graft.functions.{dotF, dotFD}
+    val sub = 64 / m
+    val bk = books.collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("ce"))))
+      .groupBy(_._1)
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col("embedding"), j * sub + 1, sub)
+      val xx = dotF(sv, sv)
+      val cands = array(bk(j).sortBy(_._2).map { case (_, cid, ce) =>
+        val ceLit = array(ce.map(lit): _*)
+        val cc = lit(ce.foldLeft(0.0)((a, x) => a + x * x))
+        struct(
+          (xx - lit(2.0) * dotFD(sv, ceLit) + cc).as("d2"),
+          lit(cid).as("cid"))
+      }.toSeq: _*)
+      struct(lit(j).as("sub"), array_min(cands).getField("cid").as("code"))
+    }
+    vecs.select(col("vec_id"), explode(array(codeCols: _*)).as("c"))
+      .select(col("vec_id"), col("c.sub").as("sub"), col("c.code").as("code"))
+  }
+
   case class PrepDoc(doc_id: Long, text: String)
 
   /** Streaming corpus preparation — the live-ingest twin of the batch

@@ -225,6 +225,15 @@ object ScaleSmoke {
     def budget(d: DataFrame, tot: Long): Long =
       graft.pipeline.Corpus.budgetSample(d, tot).count()
 
+    // PQ: per-subspace training (8 independent small k-means) + the
+    // corpus-scale encode against the broadcast codebook.
+    def pq(e: DataFrame): Long = {
+      val books = graft.pipeline.Similarity.pqCodebooks(e)
+      val m = graft.pipeline.Similarity.pqEncode(e, books).count()
+      spark.catalog.clearCache()
+      m
+    }
+
     // SemDeDup at scale contract: cell COUNT grows with the corpus so
     // per-cell population (and so each quadratic tile) stays bounded —
     // k is scaled with N here, which is what a production run does
@@ -259,7 +268,8 @@ object ScaleSmoke {
       "quality filter" -> (time("qual 1x", qual(docs1)), time(s"qual ${n}x", qual(docsN))),
       "cms sketch" -> (time("cms 1x", cms(docs1)), time(s"cms ${n}x", cms(docsNDistinct))),
       "budget sample" -> (time("budget 1x", budget(docs1, 2000L)), time(s"budget ${n}x", budget(docsN, 2000L * n))),
-      "semantic dedup" -> (time("semdedup 1x", semdedup(emb1, 8)), time(s"semdedup ${n}x", semdedup(amplifyEmbDecor(emb1, n), 8 * n))))
+      "semantic dedup" -> (time("semdedup 1x", semdedup(emb1, 8)), time(s"semdedup ${n}x", semdedup(amplifyEmbDecor(emb1, n), 8 * n))),
+      "pq train+encode" -> (time("pq 1x", pq(emb1)), time(s"pq ${n}x", pq(embN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }

@@ -212,6 +212,29 @@ class StreamingSpec extends SparkSpec {
     assert(gotF.forall(_ == 1.0))
   }
 
+  test("streaming PQ encode pinned to batch codes (literal codebook, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = graft.pipeline.Similarity.pqCodebooks(e)
+    val sample = e.where(col("vec_id") < 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding"))))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.pqEncodeStream(
+        input.toDF().toDF("vec_id", "embedding"), books).writeStream
+      .format("memory").queryName("spq").outputMode("append").start()
+    input.addData(sample.take(5): _*)
+    q.processAllAvailable()
+    input.addData(sample.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spq").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("sub"), r.getAs[Int]("code"))).toSet
+    val want = graft.pipeline.Similarity
+      .pqEncode(e.where(col("vec_id") < 10), books).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("sub"), r.getAs[Int]("code"))).toSet
+    assert(got == want && got.size == 80, "10 vecs x 8 subspaces, batch-identical")
+  }
+
   test("prepareStream: first-arrival dedup + quality gate + batch-identical split") {
     implicit val sqlCtx = spark.sqlContext
     val keepA = "the of and " + (1 to 37).map(i => s"word$i").mkString(" ")
