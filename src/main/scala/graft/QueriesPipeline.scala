@@ -343,6 +343,22 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // FAISS-style IVF-PQ: IVF cells prune WHICH vectors to score
+    // (nProbe=2 of 8 trained cells), ADC over PQ codes decides HOW
+    // (m lookups, no float vectors). Both index artifacts are the
+    // session-staged ones.
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.topKIvfPq(
+          e,
+          graft.pipeline.IvfChain.centroids(s, dir, e),
+          graft.pipeline.IvfChain.pqBooks(s, dir, e))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir))
         .select(
@@ -1310,6 +1326,37 @@ object QueriesPipeline {
          |FROM brute b
          |LEFT JOIN pq p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    "ann_topk_ivfpq" ->
+      s"""WITH $KmeansCtes,
+         |$PqCtes,
+         |iasg AS MATERIALIZED (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c)),
+         |ccells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM iasg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM iasg WHERE vec_id < 5 AND crank <= 2),
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT p.query_id, cc.neighbor_id, q.sub, q.d2
+         |        FROM probes p
+         |        JOIN ccells cc ON p.cell = cc.cell AND p.query_id <> cc.neighbor_id
+         |        JOIN codes c ON c.vec_id = cc.neighbor_id
+         |        JOIN qd q ON q.query_id = p.query_id AND q.sub = c.sub AND q.cid = c.code)
+         |  GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup_ivf" ->
       s"""WITH $KmeansCtes,

@@ -1697,6 +1697,68 @@ object Similarity {
     adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-PQ search (the FAISS IVFPQ composition): IVF cell pruning
+    * picks WHICH corpus vectors to score — each query probes its
+    * nProbe closest trained cells and only their populations become
+    * candidates — and ADC over PQ codes decides HOW each candidate is
+    * scored (m table lookups, no float vectors). The two savings
+    * multiply: the scan visits ~nProbe/k of the corpus, and each
+    * visit costs m additions over a 32×-compressed code table — this
+    * is the memory-AND-compute shape billion-vector search actually
+    * deploys. Both index artifacts are the session-staged ones
+    * ([[kmeansCentroids]] cells, [[pqCodebooks]] books); candidates
+    * inherit IVF's recall misses and scores inherit PQ's quantization
+    * error, which is why `ann_recall`/`ann_recall_pq` are read
+    * together before trusting it.
+    */
+  def topKIvfPq(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      books: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nProbe: Int = 2,
+      m: Int = 8): DataFrame = {
+    val codes = pqEncode(embeddings, books, m)
+    val asg = trainedAssignments(embeddings, cents)
+    val corpusCells = asg.where(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("cell"))
+    val probes = broadcast(
+      asg.where(col("vec_id") < numQueries && col("crank") <= nProbe)
+        .select(col("vec_id").as("query_id"), col("cid").as("cell")))
+    val qsv = subvectors(embeddings.where(col("vec_id") < numQueries), m)
+      .withColumn("xx", dotF(col("sv"), col("sv")))
+    val cB = books.withColumn(
+      "cc", aggregate(col("ce"), lit(0.0), (a, x) => a + x * x))
+    val dt = broadcast(
+      qsv.join(cB, Seq("sub"))
+        .select(
+          col("vec_id").as("query_id"), col("sub"), col("cid"),
+          pqD2(col("xx"), col("sv"), col("ce"), col("cc")).as("d2")))
+    // home cells are unique per vector, so (query, neighbor) is unique
+    // here without a distinct
+    val cand = probes
+      .join(corpusCells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = cand
+      .join(codes, codes("vec_id") === cand("neighbor_id"))
+      .join(dt,
+        dt("query_id") === cand("query_id") &&
+          dt("sub") === codes("sub") && dt("cid") === codes("code"))
+      .select(
+        cand("query_id"), col("neighbor_id"), codes("sub").as("sub"), col("d2"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("d2")))),
+          s => s.getField("d2")),
+        lit(0.0), (a, x) => a + x).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Semantic near-duplicate pairs via trained IVF cells — the
     * SemDeDup plan: assign every vector to its `nCells` closest
     * trained centroids (broadcast centroid table, map-only scoring),

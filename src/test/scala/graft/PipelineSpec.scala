@@ -387,6 +387,35 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet)
   }
 
+  test("IVF-PQ: pruned candidates from probed cells, ADC identical to plain PQ") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.pipeline.Similarity.kmeansCentroids(e)
+    val books = Similarity.pqCodebooks(e)
+    val ivfpq = Similarity.topKIvfPq(e, cents, books, numQueries = 3, k = 4)
+      .collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.length <= 4)
+      val d = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc_dist"))
+      assert(d.zip(d.tail).forall { case (x, y) => x <= y })
+    }
+    // the ADC score of a pair is index-independent: wherever IVF-PQ and
+    // plain PQ rank the same neighbor, the distances are bit-identical
+    val pq = Similarity.topKPq(e, books, numQueries = 3, k = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adc_dist")).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      pq.get(key).foreach(d => assert(d == r.getAs[Double]("adc_dist")))
+    }
+    // plan shape: codebook + distance table broadcast; no cartesian
+    val plan = Similarity.topKIvfPq(e, cents, books, numQueries = 3, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"index artifacts must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in IVF-PQ:\n$plan")
+  }
+
   test("recallAtK counts ground-truth hits per variant, missing queries score 0") {
     import spark.implicits._
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
