@@ -34,6 +34,19 @@ object RecallSweep {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] nProbe=$p  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }
+    // PQ side of the trade: recall@5 vs (m, ksub) — compression is
+    // 4·64/m bytes -> m codes; larger m (finer subspaces) and larger
+    // ksub (finer cells) both raise recall and shrink the saving.
+    Seq((4, 16), (8, 16), (8, 64), (16, 64)).foreach { case (m, ksub) =>
+      val t0 = System.nanoTime()
+      val books = Similarity.pqCodebooks(e, m = m, ksub = ksub)
+      val rec = Similarity.recallAtK(
+        exact,
+        Seq("pq" -> Similarity.topKPq(e, books, m = m)))
+        .agg(avg(col("pq_recall"))).head.getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[sweep] pq m=$m%2d ksub=$ksub%3d (${256 / m}%3dx compression)  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
+    }
     spark.stop()
   }
 }
