@@ -248,28 +248,35 @@ object QueriesPipeline {
     // training run actually reads. Composes the session-staged chain
     // (cluster labels) with map-only gates, so the marginal cost over
     // corpus_filter is one broadcast-sized join and projections.
+    // ONE corpus scan computes every text-derived gate inline
+    // (content md5, quality, language agreement, Gopher keep via the
+    // shared Corpus.gopherKeep column, token count) — the exact-dup
+    // window and the tiny near-dup-id anti-join are the only
+    // shuffles, and the split label is a pure column function. The
+    // previous shape joined gopherFilter's frame back to the corpus
+    // AND evaluated the kept subtree twice through a split join —
+    // ~2x the corpus work for identical output.
     "corpus_prepare" -> ((s, dir) => {
       val d = docs(s, dir)
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
       val w = Window.partitionBy("cmd5")
-      val gate = Corpus.gopherFilter(d).select(col("doc_id"), col("keep"))
-      val kept = d.select(
+      d.select(
           col("doc_id"),
           md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
-          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          Corpus.gopherKeep().as("keep"))
         .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
-        .join(gate, Seq("doc_id"))
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep"))
-        .select(col("doc_id"), col("n_tokens"))
-      Corpus.splitAssign(kept)
-        .join(kept, Seq("doc_id"))
-        .select(col("doc_id"), col("split"), col("n_tokens"))
+        .select(
+          col("doc_id"),
+          Corpus.splitCol(col("doc_id")).as("split"),
+          col("n_tokens"))
         .orderBy("doc_id")
     }),
 

@@ -710,12 +710,16 @@ object Corpus {
     * compare the UNROUNDED doubles, so a threshold equal to a rounded
     * boundary cannot flip a decision.
     */
-  def gopherFilter(docs: DataFrame,
-      minWords: Int = 30, maxWords: Int = 10000,
-      minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8,
-      minDistinctStops: Int = 2,
-      maxDupTrigramFrac: Double = 0.10): DataFrame = {
+  /** The Gopher signal and rule expressions over the `text` column —
+    * the ONE spelling shared by [[gopherFilter]] (full attribution
+    * frame) and [[gopherKeep]] (the bare decision column), so the
+    * reported rules and any fused keep column cannot drift.
+    */
+  private def gopherParts(
+      minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      minAlphaFrac: Double, minDistinctStops: Int,
+      maxDupTrigramFrac: Double): (Column, Column, Column, Column, Column, Seq[Column]) = {
     require(minWords >= 1 && maxWords >= minWords, s"bad word bounds [$minWords,$maxWords]")
     require(maxMeanWordLen >= minMeanWordLen, s"bad word-len bounds")
     val t = tokens(col("text"))
@@ -729,11 +733,42 @@ object Corpus {
     val sh = shingles(col("text"))
     val dupFrac = when(size(sh) === 0, 0.0)
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-    val rWords = nTok >= minWords && nTok <= maxWords
-    val rWordLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
-    val rAlpha = alphaFrac >= minAlphaFrac
-    val rStop = nStops >= minDistinctStops
-    val rRep = dupFrac <= maxDupTrigramFrac
+    val rules = Seq(
+      nTok >= minWords && nTok <= maxWords,
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen,
+      alphaFrac >= minAlphaFrac,
+      nStops >= minDistinctStops,
+      dupFrac <= maxDupTrigramFrac)
+    (nTok, meanLen, alphaFrac, nStops, dupFrac, rules)
+  }
+
+  /** The composite keep decision alone, as a pure column over `text` —
+    * for fused single-scan pipelines (corpus_prepare) that want the
+    * gate inline instead of joining [[gopherFilter]]'s attribution
+    * frame back to the corpus.
+    */
+  def gopherKeep(
+      minWords: Int = 30, maxWords: Int = 10000,
+      minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minDistinctStops: Int = 2,
+      maxDupTrigramFrac: Double = 0.10): Column = {
+    val (_, _, _, _, _, rules) = gopherParts(
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      minAlphaFrac, minDistinctStops, maxDupTrigramFrac)
+    rules.reduce(_ && _)
+  }
+
+  def gopherFilter(docs: DataFrame,
+      minWords: Int = 30, maxWords: Int = 10000,
+      minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minDistinctStops: Int = 2,
+      maxDupTrigramFrac: Double = 0.10): DataFrame = {
+    val (nTok, meanLen, alphaFrac, nStops, dupFrac, rules) = gopherParts(
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      minAlphaFrac, minDistinctStops, maxDupTrigramFrac)
+    val Seq(rWords, rWordLen, rAlpha, rStop, rRep) = rules
     docs.select(
       col("doc_id"),
       nTok.as("n_words"),
