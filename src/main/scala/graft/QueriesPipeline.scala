@@ -524,17 +524,27 @@ object QueriesPipeline {
     // never seen in train — the standard held-out-contamination /
     // distribution-shift screen run before trusting an eval split. One
     // anti-join on the bigram key; both sides shuffle once.
+    // ONE corpus explode + ONE shuffle on the bigram: per-bigram
+    // split-membership flags replace the previous two distinct
+    // subtrees + anti-join (which exploded the corpus per branch).
+    // n_valid = distinct valid bigrams, n_unseen = those with no
+    // train occurrence — identical numbers, one pass.
     "split_novelty" -> ((s, dir) => {
       val bucket = pmod(
         TextOps.hash32(concat(lit("split_"), col("doc_id").cast("string"))), lit(100L))
-      val bg = docs(s, dir)
+      val flags = docs(s, dir)
         .withColumn("bucket", bucket)
         .select(col("bucket"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
-      val train = bg.where(col("bucket") < 80).select("bg").distinct()
-      val valid = bg.where(col("bucket") >= 80 && col("bucket") < 90).select("bg").distinct()
-      val unseen = valid.join(train, Seq("bg"), "left_anti")
-      valid.agg(count(lit(1)).as("n_valid_bigrams"))
-        .crossJoin(unseen.agg(count(lit(1)).as("n_unseen")))
+        .groupBy("bg")
+        .agg(
+          max(when(col("bucket") < 80, 1).otherwise(0)).as("in_train"),
+          max(when(col("bucket") >= 80 && col("bucket") < 90, 1).otherwise(0))
+            .as("in_valid"))
+      flags
+        .agg(
+          coalesce(sum(col("in_valid")), lit(0)).cast("bigint").as("n_valid_bigrams"),
+          coalesce(sum(col("in_valid") * (lit(1) - col("in_train"))), lit(0))
+            .cast("bigint").as("n_unseen"))
         .select(
           col("n_valid_bigrams"),
           col("n_unseen"),
