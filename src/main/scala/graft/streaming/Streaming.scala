@@ -348,6 +348,45 @@ object Streaming {
       .select(col("vec_id"), col("c.sub").as("sub"), col("c.code").as("code"))
   }
 
+  case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long, ord: Long)
+  case class BudgetOut(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
+  case class BudgetState(cum: Long)
+
+  /** Streaming token-budget fill — the live-ingest twin of
+    * [[graft.pipeline.Corpus.budgetSample]]: per-source keyed state
+    * holds the running admitted-token total, and an arriving document
+    * is admitted while the tokens BEFORE it fit the source's budget
+    * (the same exclusive-prefix rule as the batch operator, so the
+    * boundary-crossing document is admitted). Budgets arrive as a
+    * PARAMETER — in production they come from the mix-weight
+    * computation over a corpus snapshot, because live ingest cannot
+    * know the final mix denominators. Admission is arrival-ordered
+    * across micro-batches (the live semantic: early documents win);
+    * within a batch, rows order by the caller-supplied ranking key
+    * `ord` then doc_id, so a feed presented in the batch operator's
+    * hash order reproduces the batch sample exactly (pinned in
+    * StreamingSpec). State is one long per source.
+    */
+  def budgetFillStream(
+      docs: Dataset[BudgetDoc], budgets: Map[String, Long]): Dataset[BudgetOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[BudgetDoc], state: GroupState[BudgetState]) => {
+          val budget = budgets.getOrElse(src, 0L)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.ord, r.doc_id)).flatMap { r =>
+            if (cum < budget) {
+              cum += r.n_tokens
+              Some(BudgetOut(r.doc_id, src, r.n_tokens, cum))
+            } else None
+          }
+          state.update(BudgetState(cum))
+          out.iterator
+        })
+  }
+
   case class PrepDoc(doc_id: Long, text: String)
 
   /** Streaming corpus preparation — the live-ingest twin of the batch

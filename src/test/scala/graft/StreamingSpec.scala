@@ -212,6 +212,49 @@ class StreamingSpec extends SparkSpec {
     assert(gotF.forall(_ == 1.0))
   }
 
+  test("streaming budget fill pinned to batch sample on hash-ordered feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("source", StringType)))
+    val rows = (1L to 20L).map { i =>
+      val src = if (i <= 15) "big" else "small"
+      Row(i, (1 to 10).map(j => s"w${i}_$j").mkString(" "), src)
+    }
+    import scala.jdk.CollectionConverters._
+    val d = spark.createDataFrame(rows.asJava, docSchema)
+    val batch = graft.pipeline.Corpus.budgetSample(d, 60L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    // budgets from the same mix weights the batch operator uses
+    val budgets = graft.pipeline.Corpus.mixWeights(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        math.floor(60.0 * r.getAs[Double]("mix_weight")).toLong).toMap
+    // feed in the batch operator's hash order, split across 2 batches
+    val feed = d.select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.pipeline.TextOps.hash32(
+          concat(lit("budget_"), col("doc_id").cast("string"))).as("ord"))
+      .collect()
+      .map(r => Streaming.BudgetDoc(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r.source, r.ord, r.doc_id))
+    val input = MemoryStream[Streaming.BudgetDoc]
+    val q = Streaming.budgetFillStream(input.toDS(), budgets).writeStream
+      .format("memory").queryName("sbudget").outputMode("append").start()
+    val (b1, b2) = feed.splitAt(7)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbudget").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("streaming PQ encode pinned to batch codes (literal codebook, stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
