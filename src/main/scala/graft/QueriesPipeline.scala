@@ -86,6 +86,22 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Fuzzy decontamination over the SAME benchmark staging: LSH band
+    // collision against any benchmark signature flags the document,
+    // with the signature-estimated Jaccard of the closest benchmark
+    // match as evidence. Both sides read the session-staged signature
+    // frame — text is never re-read (see Dedup.fuzzyContamination).
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = DedupChain.minhashSigs(s, dir, d)
+      Dedup.fuzzyContamination(d, sigs, sigs.where(col("doc_id") % 50 === 0))
+        .select(
+          col("doc_id"), col("n_bench_candidates"),
+          round(col("max_est_jaccard"), 6).as("max_est_jaccard"),
+          col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")),
 
@@ -430,6 +446,22 @@ object QueriesPipeline {
           "ivft" -> Similarity.topKIvfTrained(
             e, graft.pipeline.IvfChain.centroids(s, dir, e)),
           "lsh" -> Similarity.topKBucketed(e)))
+        .orderBy("query_id")
+    }),
+
+    // Recall@5 of the COMPOSED IVF-PQ index — the number actually read
+    // before deploying ann_topk_ivfpq, since its misses are the union
+    // of IVF's pruning misses and PQ's quantization misses; comparing
+    // this row against ann_recall (IVF alone) and ann_recall_pq (PQ
+    // alone) attributes which stage loses the neighbors.
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+        Similarity.topK(e),
+        Seq("ivfpq" -> Similarity.topKIvfPq(
+          e,
+          graft.pipeline.IvfChain.centroids(s, dir, e),
+          graft.pipeline.IvfChain.pqBooks(s, dir, e))))
         .orderBy("query_id")
     }),
 
@@ -1025,6 +1057,29 @@ object QueriesPipeline {
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // Same sigs/bands spelling as every LSH oracle (LshCandCtes); the
+    // benchmark side is the doc_id % 50 staging, self-pairs excluded.
+    "decontaminate_fuzzy" ->
+      s"""WITH $LshCandCtes,
+         |fcand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS bench_id
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.v = r.v
+         |    AND r.doc_id % 50 = 0 AND l.doc_id <> r.doc_id),
+         |fest AS (
+         |  SELECT c.doc_id,
+         |    CAST(${(0 until 8).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 8 AS est_jaccard
+         |  FROM fcand c JOIN sigs a ON c.doc_id = a.doc_id JOIN sigs b ON c.bench_id = b.doc_id),
+         |fagg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_candidates,
+         |    max(est_jaccard) AS max_est_jaccard
+         |  FROM fest GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(f.n_bench_candidates, 0) AS n_bench_candidates,
+         |  round(coalesce(f.max_est_jaccard, 0.0), 6) AS max_est_jaccard,
+         |  coalesce(f.n_bench_candidates, 0) > 0 AS contaminated
+         |FROM read_parquet('{SFDIR}/documents.parquet') d
+         |LEFT JOIN fagg f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id, text,
@@ -1374,6 +1429,52 @@ object QueriesPipeline {
          |  FROM adc)
          |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The ann_topk_ivfpq chain verbatim, reduced to its top-5 set and
+    // joined against the brute-force ground truth (the ann_recall_pq
+    // tail shape).
+    "ann_recall_ivfpq" ->
+      s"""WITH $KmeansCtes,
+         |$PqCtes,
+         |iasg AS MATERIALIZED (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c)),
+         |ccells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM iasg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM iasg WHERE vec_id < 5 AND crank <= 2),
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT p.query_id, cc.neighbor_id, q.sub, q.d2
+         |        FROM probes p
+         |        JOIN ccells cc ON p.cell = cc.cell AND p.query_id <> cc.neighbor_id
+         |        JOIN codes c ON c.vec_id = cc.neighbor_id
+         |        JOIN qd q ON q.query_id = p.query_id AND q.sub = c.sub AND q.cid = c.code)
+         |  GROUP BY query_id, neighbor_id),
+         |ivfpq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+         |    FROM adc) WHERE rank <= 5),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM emb q JOIN emb n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(p.neighbor_id) AS BIGINT) AS ivfpq_hits,
+         |  round(CAST(count(p.neighbor_id) AS DOUBLE) / count(*), 6) AS ivfpq_recall
+         |FROM brute b
+         |LEFT JOIN ivfpq p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "embedding_neardup_ivf" ->
       s"""WITH $KmeansCtes,

@@ -495,6 +495,57 @@ object Dedup {
       .map(_.getLong(0))
       .toSeq
 
+  /** Fuzzy benchmark decontamination — the near-duplicate analogue of
+    * [[decontaminate]]: flag every training document whose MinHash
+    * signature shares an LSH band with ANY benchmark document, with
+    * the signature-estimated Jaccard of the closest benchmark match
+    * as evidence. Exact n-gram overlap misses paraphrased or
+    * lightly-edited eval leakage; production hygiene runs both passes
+    * (exact grams first, this as the recall net).
+    *
+    * Scale shape: both inputs are SIGNATURE frames — the per-snapshot
+    * table a 100 TB chain stages (see graft.pipeline.DedupChain) —
+    * so text is never re-read. The benchmark side is eval-suite-sized
+    * (MBs against TBs), so its banded form and its signature table
+    * broadcast; the corpus side is a map-only band probe plus one
+    * per-doc aggregation — no corpus-scale shuffle except the final
+    * doc_id groupBy, which AQE coalesces to the candidate count.
+    *
+    * Id spaces: benchmark ids must be disjoint from corpus ids, OR
+    * the benchmark is drawn from the corpus itself (the staging here)
+    * — equal ids are treated as self-pairs and excluded.
+    *
+    * Output: (doc_id, n_bench_candidates, max_est_jaccard,
+    * contaminated) for every document in `docs`.
+    */
+  def fuzzyContamination(
+      docs: DataFrame, corpusSigs: DataFrame, benchSigs: DataFrame): DataFrame = {
+    val cand = bandExplode(corpusSigs).as("l")
+      .join(broadcast(bandExplode(benchSigs)).as("r"),
+        col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("bench_id"))
+      .distinct()
+    val agree = (0 until 8)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(corpusSigs.as("a"), cand("doc_id") === col("a.doc_id"))
+      .join(broadcast(benchSigs).as("b"), cand("bench_id") === col("b.doc_id"))
+      .select(cand("doc_id").as("doc_id"), (agree.cast("double") / 8).as("est_jaccard"))
+    val agg = est.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bench_candidates"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bench_candidates"), lit(0L)).as("n_bench_candidates"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        (coalesce(col("n_bench_candidates"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected near-dup edge list —
     * the step that turns pairwise LSH matches into dedup clusters
     * (cluster id = min doc id in the component; `is_canonical` marks

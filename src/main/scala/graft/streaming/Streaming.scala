@@ -348,6 +348,86 @@ object Streaming {
       .select(col("vec_id"), col("c.sub").as("sub"), col("c.code").as("code"))
   }
 
+  case class AdcQuery(query_id: Long, embedding: Array[Float])
+  case class AdcScored(query_id: Long, neighbor_id: Long, adc_dist: Double)
+  case class AdcHit(query_id: Long, rank: Int, neighbor_id: Long, adc_dist: Double)
+
+  /** Streaming ADC search — the index-SERVER query path: a live stream
+    * of full-precision query vectors against a STATIC PQ-coded corpus
+    * (the artifact [[pqEncodeStream]] / batch pqEncode maintains).
+    * Complements pqEncodeStream, which is the ingest side of the same
+    * server.
+    *
+    * Shape: the codebook is baked into the plan as literals (as in
+    * pqEncodeStream), so each arriving query computes its m·ksub
+    * distance table statelessly; the scan is a stream-static join
+    * against the packed code table — per micro-batch, each query reads
+    * every code row exactly as a production ADC server scans its
+    * in-RAM shard, with the distance a fixed ascending-subspace fold
+    * of m table lookups, never a float vector. The final top-k is a
+    * bounded k-element heap per query (no state retained: a query is
+    * answered entirely within its arrival batch), so worker memory is
+    * O(k) per in-flight query regardless of corpus size. At scale the
+    * code table is range-sharded across executors and the same join
+    * becomes the scatter phase, the heap merge the gather.
+    *
+    * Distance arithmetic replays the batch [[graft.pipeline.Similarity.topKPq]]
+    * IEEE sequence exactly (same dotF/dotFD kernels, same
+    * ascending-sub fold from 0.0, ties to the lower neighbor_id), so
+    * stream hits are pinned equal to batch hits in StreamingSpec.
+    */
+  def adcSearchStream(
+      queries: Dataset[AdcQuery], codes: DataFrame, books: DataFrame,
+      k: Int = 5, m: Int = 8): Dataset[AdcHit] = {
+    import queries.sparkSession.implicits._
+    import graft.functions.{dotF, dotFD}
+    val sub = 64 / m
+    val bk = books.collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("ce"))))
+      .groupBy(_._1)
+    // (vec_id, codes[m]) — the packed in-RAM layout an ADC server
+    // actually holds (1 byte per subspace in production; ints here).
+    val packed = codes.groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    // Σ_j dtable_j[code_j]: each subspace term is a lookup into the
+    // query's literal-codebook distance array, folded in ascending-sub
+    // order from 0.0 — the batch aggregate's exact IEEE sequence.
+    val adc = (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+      val sv = slice(col("embedding"), j * sub + 1, sub)
+      val xx = dotF(sv, sv)
+      val d2s = array(bk(j).sortBy(_._2).map { case (_, _, ce) =>
+        val ceLit = array(ce.map(lit): _*)
+        val cc = lit(ce.foldLeft(0.0)((a, x) => a + x * x))
+        xx - lit(2.0) * dotFD(sv, ceLit) + cc
+      }.toSeq: _*)
+      acc + element_at(d2s, element_at(col("codes"), j + 1).cast("int") + 1)
+    }
+    queries.toDF
+      .join(packed, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
+      .as[AdcScored]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[AdcScored], state: GroupState[BestPairState]) => {
+          // bounded top-k: max-heap of size k keyed (adc, neighbor_id),
+          // worst candidate on top; never holds more than k entries.
+          val ord = Ordering.Tuple2[Double, Long]
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+          rows.foreach { r =>
+            val t = (r.adc_dist, r.neighbor_id)
+            if (heap.size < k) heap.enqueue(t)
+            else if (ord.lt(t, heap.head)) { heap.dequeue(); heap.enqueue(t) }
+          }
+          // no state.update: a query is one-shot, nothing to retain
+          val best: Seq[(Double, Long)] = heap.dequeueAll.reverse
+          best.zipWithIndex.map { case ((d, id), i) =>
+            AdcHit(qid, i + 1, id, d)
+          }.iterator
+        })
+  }
+
   case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long, ord: Long)
   case class BudgetOut(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
   case class BudgetState(cum: Long)

@@ -175,6 +175,27 @@ class PipelineSpec extends SparkSpec {
     est.get((1L, 3L)).foreach { case (n, _) => assert(n < 8) }
   }
 
+  test("fuzzyContamination flags near-dups of bench docs, excludes self, covers all docs") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // bench doc (1 % 1 scheme below)
+      (2L, "alpha beta gamma delta epsilon zeta"),   // identical to bench -> flagged, est 1.0
+      (3L, "totally unrelated words that share nothing at all ok"),
+      (4L, "more disjoint content with zero shingle overlap anywhere"))
+    val sigs = Dedup.minhashSignatures(d)
+    val out = Dedup.fuzzyContamination(d, sigs, sigs.where(col("doc_id") === 1))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_bench_candidates"),
+        r.getAs[Double]("max_est_jaccard"), r.getAs[Boolean]("contaminated")))
+    // every input doc appears exactly once, including the bench doc itself
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // the bench doc does NOT flag on its self-pair
+    assert(out(0) == (1L, 0L, 0.0, false))
+    // the verbatim copy is flagged with a perfect signature estimate
+    assert(out(1) == (2L, 1L, 1.0, true))
+    // disjoint docs are clean
+    assert(out(2)._4 == false && out(3)._4 == false)
+  }
+
   test("simhash identical for identical docs, int32 range") {
     val d = docs((1L, "one two three four"), (2L, "one two three four"), (3L, "five six seven"))
     val out = Dedup.simhashes(d).orderBy("doc_id").collect().map(_.getLong(1))

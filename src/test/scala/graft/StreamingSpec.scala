@@ -278,6 +278,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.size == 80, "10 vecs x 8 subspaces, batch-identical")
   }
 
+  test("streaming ADC search pinned to batch topKPq (query stream vs static codes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = graft.pipeline.Similarity.pqCodebooks(e)
+    val codes = graft.pipeline.Similarity.pqEncode(e, books).localCheckpoint(true)
+    val qs = e.where(col("vec_id") < 5).collect()
+      .map(r => Streaming.AdcQuery(
+        r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val input = MemoryStream[Streaming.AdcQuery]
+    val q = Streaming.adcSearchStream(input.toDS(), codes, books).writeStream
+      .format("memory").queryName("sadc").outputMode("append").start()
+    // queries split across micro-batches: each is answered in its own batch
+    input.addData(qs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(qs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sadc").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    val want = graft.pipeline.Similarity.topKPq(e, books).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    // bit-identical distances: same kernels, same fold order
+    assert(got == want && got.size == 25, "5 queries x top-5, batch-identical")
+  }
+
   test("prepareStream: first-arrival dedup + quality gate + batch-identical split") {
     implicit val sqlCtx = spark.sqlContext
     val keepA = "the of and " + (1 to 37).map(i => s"word$i").mkString(" ")
