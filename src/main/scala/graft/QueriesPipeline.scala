@@ -208,6 +208,18 @@ object QueriesPipeline {
     // MinHash/LSH + jaccard chain as the document-level queries.
     // Within-document pairs are excluded — internal repetition is
     // repetition_stats' signal, cross-document reuse is dedup's.
+    // Exact paragraph dedup with document REBUILD, over the same
+    // 32-token units as dedup_paragraphs: a unit repeated anywhere in
+    // the corpus keeps only its first (doc_id, para_idx) occurrence
+    // and later copies are edited out of their documents' text.
+    "paragraph_dedup_filter" -> ((s, dir) => {
+      val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
+        .select(
+          col("doc_id"), col("chunk_id").as("para_idx"),
+          col("chunk_text").as("para_text"))
+      Corpus.paragraphDedupFilter(units).orderBy("doc_id")
+    }),
+
     "dedup_paragraphs" -> ((s, dir) => {
       val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
         .select(
@@ -1200,6 +1212,26 @@ object QueriesPipeline {
          |SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_chars,
          |  CAST(cs AS BIGINT) AS cluster_size
          |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "paragraph_dedup_filter" ->
+      s"""WITH punits AS (
+         |  SELECT doc_id, chunk_id AS para_idx,
+         |    array_to_string(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS ptext
+         |  FROM (
+         |    SELECT doc_id, t,
+         |      unnest(range(0, greatest((len(t) - 32 + 31) // 32, 0) + 1)) AS chunk_id
+         |    FROM (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')))),
+         |k AS (
+         |  SELECT doc_id, para_idx, ptext,
+         |    row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, para_idx) = 1 AS keep
+         |  FROM punits)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+         |  round(CAST(count(*) FILTER (WHERE NOT keep) AS DOUBLE) / count(*), 6) AS drop_frac,
+         |  coalesce(array_to_string(list(ptext ORDER BY para_idx) FILTER (WHERE keep), ' '), '') AS text_clean,
+         |  count(*) FILTER (WHERE NOT keep) > 0 AS changed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_paragraphs" ->
       s"""WITH punits AS MATERIALIZED (

@@ -951,6 +951,56 @@ object Corpus {
         col(idCol),
         explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
 
+  /** FineWeb-style EXACT paragraph dedup with document rebuild: across
+    * the whole corpus, every repeated paragraph unit keeps only its
+    * FIRST occurrence (lowest (doc_id, para_idx)) and later copies are
+    * dropped from their documents; the output is per-document — unit
+    * and drop counts plus the cleaned text with surviving units
+    * re-joined in position order. This is the boilerplate-removal pass
+    * run before near-dedup: a footer repeated across a site vanishes
+    * from every document but the first WITHOUT dropping the documents
+    * themselves. Complements the near-dup unit chain
+    * (`dedup_paragraphs`), which ranks similar units; this one EDITS
+    * the corpus.
+    *
+    * Scale shape: exactly two shuffles — one on the unit content hash
+    * (the first-occurrence window; per-group work is O(copies of that
+    * unit), the same key layout as exact dedup) and one on doc_id for
+    * the rebuild aggregation. No corpus-scale sort, no driver state.
+    *
+    * Input: (idCol, idxCol, textCol) units — [[chunk]] output renamed,
+    * or [[paragraphs]]. Output: (idCol, n_paras, n_dropped, drop_frac,
+    * text_clean, changed).
+    */
+  def paragraphDedupFilter(
+      units: DataFrame,
+      idCol: String = "doc_id",
+      idxCol: String = "para_idx",
+      textCol: String = "para_text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol), col(idxCol))
+    units
+      .withColumn("_first", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("_first"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the nulls the no-otherwise `when` leaves
+        // on dropped units, so only survivors are re-joined
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_first"),
+              struct(col(idxCol), col(textCol))))),
+            s => s.getField(textCol)),
+          " ").as("text_clean"))
+      .select(
+        col(idCol),
+        col("n_paras"),
+        col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_paras"), 6).as("drop_frac"),
+        col("text_clean"),
+        (col("n_dropped") > 0).as("changed"))
+  }
+
   /** Sub-document paragraph units — the explode a FineWeb-style
     * paragraph-level dedup runs on: split on `sepRegex` (default: one
     * or more blank lines), keep positions, drop empty/whitespace-only

@@ -748,6 +748,27 @@ class PipelineSpec extends SparkSpec {
       (3L, 0, "lead"), (3L, 2, "tail")))
   }
 
+  test("paragraphDedupFilter keeps first occurrence, rebuilds docs, attributes drops") {
+    import org.apache.spark.sql.types._
+    val unitSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("para_idx", LongType),
+      StructField("para_text", StringType)))
+    val units = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 0L, "unique opening"), Row(1L, 1L, "shared footer"),
+      Row(2L, 0L, "other body"), Row(2L, 1L, "shared footer"),
+      Row(3L, 0L, "shared footer"), Row(3L, 1L, "shared footer")), unitSchema)
+    val out = pipeline.Corpus.paragraphDedupFilter(units).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_paras"), r.getAs[Long]("n_dropped"),
+        r.getAs[String]("text_clean"), r.getAs[Boolean]("changed")))
+    // doc 1 holds the first occurrence of the footer: untouched
+    assert(out(0) == (1L, 2L, 0L, "unique opening shared footer", false))
+    // doc 2's copy is dropped, its own body survives
+    assert(out(1) == (2L, 2L, 1L, "other body", true))
+    // doc 3 is footer-only twice over: fully emptied
+    assert(out(2) == (3L, 2L, 2L, "", true))
+  }
+
   test("paragraphPairs finds a shared paragraph across docs; short units self-exclude") {
     // Unit ids encode (doc, para) as doc*1000+para, like dedup_paragraphs.
     val boiler = "common footer boilerplate repeated verbatim across sites"
