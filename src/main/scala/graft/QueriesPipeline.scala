@@ -74,6 +74,27 @@ object QueriesPipeline {
     "quality_filter" -> ((s, dir) =>
       Corpus.gopherFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Exact global quality ranking on the distributed two-pass plan
+    // (Scale.rowNumberDistributed — range partition + local
+    // row_number + count offsets; NO single-partition window): the
+    // FineWeb-Edu selection shape "sort the corpus by classifier
+    // score, keep the top X%", emitted as rank / decile / top-20%
+    // columns. Ranks are computed on the 6dp-rounded score (ties to
+    // the lower doc_id) so both engines order identically.
+    "quality_deciles" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality_score"))
+      val n = d.count()
+      graft.plans.Scale.rowNumberDistributed(
+          d, Seq(col("quality_score").desc, col("doc_id").asc), "rank")
+        .select(
+          col("doc_id"), col("quality_score"), col("rank"),
+          expr(s"((rank - 1) * 10) div $n").as("decile"),
+          (col("rank") <= (n + 4) / 5).as("top_20pct"))
+        .orderBy("doc_id")
+    }),
+
     "ngram_counts" -> ((s, dir) =>
       Corpus.ngramCounts(docs(s, dir)).orderBy(col("cnt").desc, col("ngram").asc)),
 
@@ -1046,6 +1067,20 @@ object QueriesPipeline {
          |  ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
          |    AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "quality_deciles" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, round($QualitySql, 6) AS quality_score
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |r AS (
+         |  SELECT doc_id, quality_score,
+         |    row_number() OVER (ORDER BY quality_score DESC, doc_id ASC) AS rank,
+         |    count(*) OVER () AS n
+         |  FROM q)
+         |SELECT doc_id, quality_score, rank,
+         |  ((rank - 1) * 10) // n AS decile,
+         |  rank <= (n + 4) // 5 AS top_20pct
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "ngram_counts" ->
       s"""WITH g AS (

@@ -50,6 +50,51 @@ object Scale {
       .groupBy(col(keyCol))
       .agg(phase2.head, phase2.tail: _*)
 
+  /** Globally-ordered 1-based row_number WITHOUT a single-partition
+    * window — the primitive behind "sort the corpus by score and keep
+    * the top X%" selection (FineWeb-Edu-style classifier-score
+    * curation) and any exact global rank/decile at 100 TB. Same
+    * two-pass shape as [[cumSumDistributed]]: range-partition on the
+    * order key, per-partition local row_number, then add the exclusive
+    * prefix of per-partition COUNTS (a numParts-row driver job,
+    * broadcast back as an equi-join). A plain `row_number() OVER
+    * (ORDER BY ...)` moves every row to one partition; this plan's
+    * widest exchange is the range repartition itself.
+    *
+    * `orderCols` must be a TOTAL order (include a unique id as the
+    * final tie-break) or ranks within a tie group are
+    * partition-placement-dependent. Appends `outName` as BIGINT.
+    */
+  def rowNumberDistributed(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      outName: String,
+      numParts: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    // Persisted for the same boundary-consistency reason as
+    // cumSumsDistributed: repartitionByRange samples per execution.
+    val parted = df
+      .repartitionByRange(numParts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val partials = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exclusive = {
+      var acc = 0L
+      partials.keys.toSeq.sorted.map { pid =>
+        val o = pid -> acc; acc += partials(pid); o
+      }.toMap
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(exclusive.toSeq.toDF("_pid", "_off"))
+    val w = Window.partitionBy("_pid").orderBy(orderCols: _*)
+    parted.join(offsets, Seq("_pid"))
+      .withColumn(outName, row_number().over(w).cast("long") + col("_off"))
+      .drop("_pid", "_off")
+  }
+
   /** Globally-ordered cumulative sum of `valueCol`, parallelized
     * across `numParts` range partitions. Appends `outName`.
     */

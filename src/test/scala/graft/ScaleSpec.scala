@@ -178,6 +178,27 @@ class ScaleSpec extends SparkSpec {
       s"adi_distributed must run on the distributed prefix plan:\n$plan")
   }
 
+  test("distributed row_number equals the global-window row_number, desc + tie-break") {
+    val d = events.limit(5000)
+    val got = Scale.rowNumberDistributed(
+        d, Seq(col("value").desc, col("event_id").asc), "rank", numParts = 13)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("rank")))
+    val want = d.withColumn("rank",
+        row_number().over(Window.orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("rank")))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("quality_deciles declared plan has no single-partition exchange") {
+    val df = SparkEntry.queries("quality_deciles")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"quality_deciles must rank on the two-pass range-partition plan:\n$plan")
+  }
+
   test("distributed cum_sum and ewma hold at numParts=256 (broadcast offset join)") {
     val big = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
       .select(col("event_id"), col("value"))
