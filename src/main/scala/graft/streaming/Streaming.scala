@@ -525,6 +525,67 @@ object Streaming {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  case class FuzzyRow(
+      doc_id: Long, bench_id: Option[Long], n_agree: Option[Long])
+  case class FuzzyFlag(
+      doc_id: Long, n_bench_candidates: Long, max_est_jaccard: Double,
+      contaminated: Boolean)
+
+  /** Streaming FUZZY decontamination — the stream twin of
+    * [[graft.pipeline.Dedup.fuzzyContamination]]: each arriving
+    * document computes its MinHash signature and LSH bands statelessly
+    * (pure column expressions, the batch spelling), probes the STATIC
+    * benchmark band table (eval-suite-sized, broadcast by the
+    * stream-static join), and is emitted with the count of distinct
+    * benchmark near-matches and the best signature-estimated Jaccard.
+    * LEFT join keeps clean documents flowing (n=0, not dropped); the
+    * per-doc fold is a flatMapGroupsWithState that retains no state —
+    * a document is adjudicated entirely within its arrival batch.
+    * Same semantics as the batch operator including self-pair
+    * exclusion, pinned in StreamingSpec.
+    */
+  def fuzzyDecontaminateStream(
+      docs: DataFrame, benchSigs: DataFrame): Dataset[FuzzyFlag] = {
+    import docs.sparkSession.implicits._
+    import graft.pipeline.Dedup
+    val banded = Dedup.lshBands(Dedup.minhashSignatures(docs))
+    val streamSide = banded.select(
+      col("doc_id") +: (0 until 8).map(i => col(s"m$i")) :+
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("v"))): _*)).as("bv"): _*)
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"m$i")) :+
+        col("bv.band").as("band") :+ col("bv.v").as("v"): _*)
+    val benchSide = Dedup.lshBands(benchSigs).select(
+      col("doc_id").as("bench_id") +:
+        (0 until 8).map(i => col(s"m$i").as(s"bm$i")) :+
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("v"))): _*)).as("bv"): _*)
+      .select(col("bench_id") +: (0 until 8).map(i => col(s"bm$i")) :+
+        col("bv.band").as("bband") :+ col("bv.v").as("bv"): _*)
+    val agree = (0 until 8)
+      .map(i => when(col(s"m$i") === col(s"bm$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    streamSide
+      .join(benchSide,
+        col("band") === col("bband") && col("v") === col("bv") &&
+          col("doc_id") =!= col("bench_id"),
+        "left")
+      .select(
+        col("doc_id"), col("bench_id"),
+        when(col("bench_id").isNotNull, agree.cast("long")).as("n_agree"))
+      .as[FuzzyRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[FuzzyRow], state: GroupState[BestPairState]) => {
+          // distinct bench matches (multi-band hits collapse; n_agree
+          // is a pure function of the pair, so any copy works)
+          val hits = scala.collection.mutable.Map.empty[Long, Long]
+          rows.foreach(r => r.bench_id.foreach(b => hits(b) = r.n_agree.get))
+          val maxEst = if (hits.isEmpty) 0.0 else hits.values.max / 8.0
+          Iterator(FuzzyFlag(id, hits.size.toLong, maxEst, hits.nonEmpty))
+        })
+  }
+
   /** Streaming chunking — the stream twin of
     * [[graft.pipeline.Corpus.chunk]]. Chunk boundaries are
     * deterministic per-document functions of the token count, so the

@@ -278,6 +278,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.size == 80, "10 vecs x 8 subspaces, batch-identical")
   }
 
+  test("streaming fuzzy decontamination pinned to batch fuzzyContamination") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",   // bench
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",   // verbatim copy
+      3L -> "alpha beta gamma delta epsilon zeta eta changed", // near copy
+      4L -> "totally unrelated words that share nothing at all ok",
+      5L -> "more disjoint content with zero shingle overlap anywhere")
+    val d = spark.createDataFrame(
+      texts.map { case (id, t) => Row(id, t) }.asJava, schema)
+    val sigs = graft.pipeline.Dedup.minhashSignatures(d)
+    val benchSigs = sigs.where(col("doc_id") === 1).localCheckpoint(true)
+    val batch = graft.pipeline.Dedup.fuzzyContamination(d, sigs, benchSigs)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_bench_candidates"),
+        r.getAs[Double]("max_est_jaccard"), r.getAs[Boolean]("contaminated"))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.fuzzyDecontaminateStream(
+        input.toDF().toDF("doc_id", "text"), benchSigs).writeStream
+      .format("memory").queryName("sfuzzy").outputMode("append").start()
+    input.addData(texts.take(3): _*)
+    q.processAllAvailable()
+    input.addData(texts.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sfuzzy").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_bench_candidates"),
+        r.getAs[Double]("max_est_jaccard"), r.getAs[Boolean]("contaminated"))).toSet
+    assert(got == batch && got.size == 5)
+    // the verbatim copy is flagged perfect; the bench doc's self-pair is not
+    assert(got.contains((2L, 1L, 1.0, true)) && got.contains((1L, 0L, 0.0, false)))
+  }
+
   test("streaming ADC search pinned to batch topKPq (query stream vs static codes)") {
     implicit val sqlCtx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
