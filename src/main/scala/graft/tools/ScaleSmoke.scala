@@ -225,6 +225,42 @@ object ScaleSmoke {
     def budget(d: DataFrame, tot: Long): Long =
       graft.pipeline.Corpus.budgetSample(d, tot).count()
 
+    // Fuzzy decontamination: fixed bench signature table (eval suites
+    // don't grow), Nx corpus side — map-only sigs+bands + broadcast
+    // band probe + one doc_id agg. PLAIN copies (shared shingles) are
+    // correct here: the probe is corpus×bench with the bench fixed, so
+    // collisions grow ~N (every copy of a contaminated doc still
+    // collides) — linear by construction, unlike the pairwise chains.
+    val benchSigs1 = graft.pipeline.Dedup.minhashSignatures(bench1)
+    def fuzzyDecon(d: DataFrame): Long = {
+      val sigs = graft.pipeline.Dedup.minhashSignatures(d)
+      graft.pipeline.Dedup.fuzzyContamination(d, sigs, benchSigs1)
+        .where(col("contaminated")).count()
+    }
+
+    // Exact paragraph dedup filter: plain-amplified copies share every
+    // non-tail chunk, so dup groups grow N deep — the window's
+    // per-group O(copies) work is exactly the linearity under test.
+    def paraFilter(d: DataFrame): Long = {
+      val units = graft.pipeline.Corpus.chunk(d, chunkSize = 32, stride = 32)
+        .select(
+          col("doc_id"), col("chunk_id").as("para_idx"),
+          col("chunk_text").as("para_text"))
+      graft.pipeline.Corpus.paragraphDedupFilter(units).count()
+    }
+
+    // Global rank on the two-pass range-partition plan: repartition +
+    // per-partition window; the offsets job is numParts rows at any N.
+    def grank(d: DataFrame): Long = {
+      val m = graft.plans.Scale.rowNumberDistributed(
+        d.select(
+          col("doc_id"),
+          graft.pipeline.TextOps.qualityScore(col("text")).as("q")),
+        Seq(col("q").desc, col("doc_id").asc), "rank").count()
+      spark.catalog.clearCache() // release the range-partition persist
+      m
+    }
+
     // PQ: per-subspace training (8 independent small k-means) + the
     // corpus-scale encode against the broadcast codebook.
     def pq(e: DataFrame): Long = {
@@ -269,7 +305,10 @@ object ScaleSmoke {
       "cms sketch" -> (time("cms 1x", cms(docs1)), time(s"cms ${n}x", cms(docsNDistinct))),
       "budget sample" -> (time("budget 1x", budget(docs1, 2000L)), time(s"budget ${n}x", budget(docsN, 2000L * n))),
       "semantic dedup" -> (time("semdedup 1x", semdedup(emb1, 8)), time(s"semdedup ${n}x", semdedup(amplifyEmbDecor(emb1, n), 8 * n))),
-      "pq train+encode" -> (time("pq 1x", pq(emb1)), time(s"pq ${n}x", pq(embN))))
+      "pq train+encode" -> (time("pq 1x", pq(emb1)), time(s"pq ${n}x", pq(embN))),
+      "fuzzy decontaminate" -> (time("fuzzydecon 1x", fuzzyDecon(docs1)), time(s"fuzzydecon ${n}x", fuzzyDecon(docsN))),
+      "paragraph dedup filter" -> (time("parafilter 1x", paraFilter(docs1)), time(s"parafilter ${n}x", paraFilter(docsN))),
+      "global rank" -> (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN))))
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
