@@ -85,9 +85,11 @@ object QueriesPipeline {
       val d = docs(s, dir).select(
         col("doc_id"),
         round(TextOps.qualityScore(col("text")), 6).as("quality_score"))
-      val n = d.count()
-      graft.plans.Scale.rowNumberDistributed(
+      // total comes from the rank plan's own partition-count offsets
+      // job — ONE scan of the corpus projection, no separate count()
+      val (ranked, n) = graft.plans.Scale.rowNumberDistributedWithTotal(
           d, Seq(col("quality_score").desc, col("doc_id").asc), "rank")
+      ranked
         .select(
           col("doc_id"), col("quality_score"), col("rank"),
           expr(s"((rank - 1) * 10) div $n").as("decile"),
@@ -239,6 +241,20 @@ object QueriesPipeline {
           col("doc_id"), col("chunk_id").as("para_idx"),
           col("chunk_text").as("para_text"))
       Corpus.paragraphDedupFilter(units).orderBy("doc_id")
+    }),
+
+    // The FULL FineWeb boilerplate pass: exact + near-dup paragraph
+    // removal with document rebuild. Exact copies and >=0.5-Jaccard
+    // near-dups of the same unit collapse into one cluster (exact star
+    // edges UNION LSH-verified fuzzy edges -> connected components);
+    // only the cluster's first (doc_id, para_idx) occurrence survives
+    // the rebuild. Same 32-token units as dedup_paragraphs.
+    "paragraph_neardedup_filter" -> ((s, dir) => {
+      val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
+        .select(
+          col("doc_id"), col("chunk_id").as("para_idx"),
+          col("chunk_text").as("para_text"))
+      Corpus.paragraphNearDedupFilter(units).orderBy("doc_id")
     }),
 
     "dedup_paragraphs" -> ((s, dir) => {
@@ -740,6 +756,28 @@ object QueriesPipeline {
           col("n_frames").cast("bigint").as("n_frames"))
         .orderBy("doc_id")),
 
+    // REAL decode, not the stub: deterministic grayscale PNGs (dims
+    // and pixels are pure functions of doc_id) are ENCODED with
+    // javax.imageio on executors, then DECODED back through the same
+    // batched seam by Multimodal.ImageIODecoder; the emitted 16-bin
+    // pixel histogram counts only match if actual PNG bytes
+    // round-tripped through the real codec — the oracle reproduces
+    // them arithmetically from the pixel formula.
+    "multimodal_decode_image" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticImages(s, docs(s, dir)),
+        Multimodal.ImageIODecoder).toDF()
+      val n = col("width").cast("long") * col("height").cast("long")
+      val bins = (0 until 16).map(b =>
+        round(element_at(col("features"), b + 1) * n).cast("bigint").as(s"h$b"))
+      feats.select(Seq(
+          col("id").as("doc_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames")) ++ bins: _*)
+        .orderBy("doc_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -779,7 +817,8 @@ object QueriesPipeline {
     // budget is spent. Broadcast weights + one window shuffle on
     // source.
     "corpus_budget_sample" -> ((s, dir) =>
-      Corpus.budgetSample(docs(s, dir), 2000L).orderBy("source", "cum_tokens")),
+      Corpus.budgetSample(docs(s, dir), 2000L)
+        .orderBy("source", "cum_tokens", "doc_id")),
 
     // Count-min sketch frequency estimates for the top-50 tokens, with
     // exact-count witness columns (dropped at 100 TB like kmvTypes'
@@ -1260,6 +1299,50 @@ object QueriesPipeline {
          |  SELECT doc_id, para_idx, ptext,
          |    row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, para_idx) = 1 AS keep
          |  FROM punits)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+         |  round(CAST(count(*) FILTER (WHERE NOT keep) AS DOUBLE) / count(*), 6) AS drop_frac,
+         |  coalesce(array_to_string(list(ptext ORDER BY para_idx) FILTER (WHERE keep), ' '), '') AS text_clean,
+         |  count(*) FILTER (WHERE NOT keep) > 0 AS changed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact star edges (min-uid per md5 group) UNION LSH-verified
+    // fuzzy edges over the same 32-token units -> recursive-CTE
+    // connected components -> keep = singleton or component min-uid ->
+    // the same per-document rebuild as paragraph_dedup_filter.
+    "paragraph_neardedup_filter" ->
+      s"""WITH RECURSIVE punits AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id AS para_idx,
+         |    doc_id * 1000 + chunk_id AS uid,
+         |    array_to_string(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS ptext
+         |  FROM (
+         |    SELECT doc_id, t,
+         |      unnest(range(0, greatest((len(t) - 32 + 31) // 32, 0) + 1)) AS chunk_id
+         |    FROM (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')))),
+         |pu2 AS MATERIALIZED (SELECT uid AS doc_id, ptext AS text FROM punits),
+         |${lshCandCtesFrom("pu2")},
+         |sets AS MATERIALIZED (SELECT doc_id, list_distinct($Shingles) AS sh FROM pu2),
+         |fz AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |ex AS (
+         |  SELECT root AS doc_a, uid AS doc_b FROM (
+         |    SELECT uid, min(uid) OVER (PARTITION BY md5(ptext)) AS root FROM punits)
+         |  WHERE uid <> root),
+         |ej2 AS (SELECT doc_a, doc_b FROM fz UNION SELECT doc_a, doc_b FROM ex),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej2 UNION SELECT doc_b, doc_a FROM ej2),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src),
+         |labels AS (SELECT src AS uid, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT p.doc_id, p.para_idx, p.ptext,
+         |    l.cluster_id IS NULL OR l.cluster_id = p.uid AS keep
+         |  FROM punits p LEFT JOIN labels l ON p.uid = l.uid)
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_paras,
          |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
@@ -1905,6 +1988,27 @@ object QueriesPipeline {
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Predicts the REAL javax.imageio round-trip arithmetically: dims
+    // and the 16-bin luminance histogram follow from the pixel formula
+    // (id*31+i)%256 over a w*h grid, no codec needed oracle-side.
+    "multimodal_decode_image" -> {
+      val bins = (0 until 16)
+        .map(b => s"CAST(count(*) FILTER (WHERE bin = $b) AS BIGINT) AS h$b")
+        .mkString(",\n        |  ")
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h
+        |  FROM read_parquet('{SFDIR}/documents.parquet')),
+        |px AS (
+        |  SELECT doc_id, w, h, ((doc_id * 31 + t.i) % 256) // 16 AS bin
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) t)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  $bins
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+    },
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
@@ -1983,7 +2087,7 @@ object QueriesPipeline {
          |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, wgt.budget_tokens
          |FROM c JOIN wgt USING (source)
          |WHERE c.cum_tokens - c.n_tokens < wgt.budget_tokens
-         |ORDER BY source, cum_tokens""".stripMargin,
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
 
     "approx_counts_cms" ->
       s"""WITH tc AS MATERIALIZED (

@@ -64,6 +64,79 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over the in-JDK codec (`javax.imageio`, public
+    * `java.desktop` API — zero external deps, works headless): PNG or
+    * JPEG bytes → BufferedImage → (width, height, per-pixel luminance
+    * bytes). Luminance = integer mean of the raster bands (exact for
+    * the grayscale fixtures; an RGBA source would fold alpha in — bind
+    * a weighted-RGB variant for photographic corpora). Runs inside the
+    * same batched [[extractFeatures]] seam as any production codec.
+    */
+  object ImageIODecoder extends MediaDecoder {
+    override def decode(modality: String, blob: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(img != null, s"undecodable $modality blob (${blob.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0
+          var b = 0
+          while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+          out(y * w + x) = (s / bands).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, 1, out)
+    }
+  }
+
+  /** Grayscale PNG encode of a generated pixel pattern (row-major
+    * index -> 0..255 value) via `javax.imageio`. Executor-side work:
+    * the synthetic-image corpus is built distributed, never on the
+    * driver.
+    */
+  def encodePng(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, pixel(y * width + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image corpus keyed off the documents
+    * table: per doc a real PNG blob (dims and pixels are pure
+    * functions of doc_id — width 16+id%16, height 16+(id/16)%16,
+    * pixel(i) = (id*31+i)%256), so an arithmetic oracle can predict
+    * everything a REAL decode recovers. Map-only; blobs are encoded on
+    * executors.
+    */
+  def syntheticImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val w = (16 + id % 16).toInt
+        val h = (16 + (id / 16) % 16).toInt
+        MediaRecord(id, "image", encodePng(w, h, i => ((id * 31 + i) % 256).toInt), src)
+      }
+  }
+
   /** Deterministic nearest-neighbor "resize" of a decoded payload to
     * target dimensions — the byte-level stand-in for the image resize
     * a codec-backed deployment slots between decode and featurize.

@@ -963,10 +963,16 @@ object Corpus {
     * (`dedup_paragraphs`), which ranks similar units; this one EDITS
     * the corpus.
     *
-    * Scale shape: exactly two shuffles — one on the unit content hash
-    * (the first-occurrence window; per-group work is O(copies of that
-    * unit), the same key layout as exact dedup) and one on doc_id for
-    * the rebuild aggregation. No corpus-scale sort, no driver state.
+    * Scale shape: first-occurrence is `groupBy(hash).agg(min(struct(
+    * doc_id, idx)))` + join-back, NOT a `row_number` window over the
+    * hash. Same answer, but skew-proof: the aggregate partial-combines
+    * map-side (a boilerplate unit with 1e9 copies reduces to ONE row
+    * per map partition before the shuffle — the [[Dedup.exactGroups]]
+    * shape), and the join-back's probe side, while still keyed on the
+    * hot hash, is AQE-skew-splittable because each probe row is an
+    * independent O(1) lookup — which a window's ordered per-group scan
+    * never is. Then one shuffle on doc_id for the rebuild aggregation.
+    * No corpus-scale sort, no driver state.
     *
     * Input: (idCol, idxCol, textCol) units — [[chunk]] output renamed,
     * or [[paragraphs]]. Output: (idCol, n_paras, n_dropped, drop_frac,
@@ -977,9 +983,28 @@ object Corpus {
       idCol: String = "doc_id",
       idxCol: String = "para_idx",
       textCol: String = "para_text"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol), col(idxCol))
-    units
-      .withColumn("_first", row_number().over(w) === 1)
+    val keyed = units.withColumn("_h", md5(col(textCol)))
+    val firsts = keyed
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col(idxCol))).as("_f"))
+    val flagged = keyed
+      .join(firsts, "_h")
+      .withColumn("_first",
+        col(idCol) === col("_f")(idCol) && col(idxCol) === col("_f")(idxCol))
+    rebuildFiltered(flagged, idCol, idxCol, textCol)
+  }
+
+  /** Document rebuild from a unit frame carrying a `_first` keep flag:
+    * per document, unit/drop counts and the cleaned text with the
+    * surviving units re-joined in position order. One shuffle on
+    * idCol; map-side combinable aggregation.
+    */
+  private def rebuildFiltered(
+      flagged: DataFrame,
+      idCol: String,
+      idxCol: String,
+      textCol: String): DataFrame =
+    flagged
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_paras"),
@@ -999,6 +1024,52 @@ object Corpus {
         round(col("n_dropped").cast("double") / col("n_paras"), 6).as("drop_frac"),
         col("text_clean"),
         (col("n_dropped") > 0).as("changed"))
+
+  /** NEAR-dup paragraph dedup with document rebuild — the full
+    * FineWeb-style boilerplate pass, exact AND fuzzy in one edit:
+    * units that are exact copies OR near-duplicates (word-3-gram
+    * Jaccard >= minJaccard via the MinHash/LSH chain) of an earlier
+    * unit are removed from their documents; each duplicate CLUSTER
+    * keeps only its first occurrence (lowest (doc_id, para_idx)).
+    * Composes [[paragraphDedupFilter]]'s exact layer with
+    * [[Dedup.paragraphPairs]]' fuzzy layer through one
+    * [[Dedup.clusters]] connected-components pass, so a paraphrased
+    * footer and its verbatim copies collapse into ONE surviving unit.
+    *
+    * Scale shape: exact edges are the skew-proof star
+    * (`groupBy(hash).agg(min(uid))` + join-back — the hot boilerplate
+    * hash partial-aggregates map-side); fuzzy edges are the banded
+    * equi-join chain (never all-pairs); CC is pointer-jumping over
+    * O(duplicate units) rows, log-depth rounds; the rebuild is one
+    * doc_id shuffle. Unit ids are doc_id * idxCap + para_idx so the
+    * component min IS the first occurrence — callers with more than
+    * `idxCap` units per document must raise it (the default matches
+    * the `dedup_paragraphs` encoding).
+    */
+  def paragraphNearDedupFilter(
+      units: DataFrame,
+      idCol: String = "doc_id",
+      idxCol: String = "para_idx",
+      textCol: String = "para_text",
+      minJaccard: Double = 0.5,
+      idxCap: Long = 1000L): DataFrame = {
+    val keyed = units.withColumn("_uid", col(idCol) * idxCap + col(idxCol))
+    val hashed = keyed.withColumn("_h", md5(col(textCol)))
+    val roots = hashed.groupBy(col("_h")).agg(min(col("_uid")).as("_root"))
+    val exactEdges = hashed.join(roots, "_h")
+      .where(col("_uid") =!= col("_root"))
+      .select(col("_root").as("doc_a"), col("_uid").as("doc_b"))
+    val fuzzyEdges = Dedup.paragraphPairs(
+        keyed.select(col("_uid").as("doc_id"), col(textCol).as("text")),
+        minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.clusters(exactEdges.union(fuzzyEdges))
+      .select(col("doc_id").as("_uid"), col("cluster_id"))
+    val flagged = keyed
+      .join(labels, Seq("_uid"), "left")
+      .withColumn("_first",
+        col("cluster_id").isNull || col("cluster_id") === col("_uid"))
+    rebuildFiltered(flagged, idCol, idxCol, textCol)
   }
 
   /** Sub-document paragraph units — the explode a FineWeb-style

@@ -69,7 +69,19 @@ object Scale {
       df: DataFrame,
       orderCols: Seq[org.apache.spark.sql.Column],
       outName: String,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32): DataFrame =
+    rowNumberDistributedWithTotal(df, orderCols, outName, numParts)._1
+
+  /** [[rowNumberDistributed]] plus the TOTAL row count, read off the
+    * per-partition counts the offsets job already collected — rank
+    * consumers that need n (decile math, top-X% cutoffs) get it
+    * WITHOUT a second scan of the input.
+    */
+  def rowNumberDistributedWithTotal(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      outName: String,
+      numParts: Int = 32): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "need at least one order column")
     // Persisted for the same boundary-consistency reason as
     // cumSumsDistributed: repartitionByRange samples per execution.
@@ -90,9 +102,10 @@ object Scale {
     import spark.implicits._
     val offsets = broadcast(exclusive.toSeq.toDF("_pid", "_off"))
     val w = Window.partitionBy("_pid").orderBy(orderCols: _*)
-    parted.join(offsets, Seq("_pid"))
+    val ranked = parted.join(offsets, Seq("_pid"))
       .withColumn(outName, row_number().over(w).cast("long") + col("_off"))
       .drop("_pid", "_off")
+    (ranked, partials.values.sum)
   }
 
   /** Globally-ordered cumulative sum of `valueCol`, parallelized

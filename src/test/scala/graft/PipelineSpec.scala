@@ -769,6 +769,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == (3L, 2L, 2L, "", true))
   }
 
+  test("paragraphNearDedupFilter collapses exact AND near-dup copies into one survivor") {
+    import org.apache.spark.sql.types._
+    val unitSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("para_idx", LongType),
+      StructField("para_text", StringType)))
+    val boiler = "all rights reserved by the original publisher of this very site"
+    val near = "all rights reserved by the original publisher of this very page"
+    val units = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 0L, "completely original opening paragraph with its own words"),
+      Row(1L, 1L, boiler),
+      Row(2L, 0L, "another unrelated document body written differently here"),
+      Row(2L, 1L, boiler), // exact copy -> exact star edge
+      Row(3L, 0L, near), // paraphrased copy -> fuzzy edge into the same cluster
+      Row(4L, 0L, "xy zz"),
+      Row(4L, 1L, "xy zz")), // < 3 tokens: invisible to the fuzzy layer
+      unitSchema)
+    val out = pipeline.Corpus.paragraphNearDedupFilter(units).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_paras"), r.getAs[Long]("n_dropped"),
+        r.getAs[String]("text_clean"), r.getAs[Boolean]("changed")))
+    assert(out(0) == (1L, 2L, 0L,
+      "completely original opening paragraph with its own words " + boiler, false))
+    assert(out(1) == (2L, 2L, 1L,
+      "another unrelated document body written differently here", true))
+    // the paraphrase is dropped too — exact-only dedup would have kept it
+    assert(out(2) == (3L, 1L, 1L, "", true))
+    // and the short exact dup is caught by the exact layer
+    assert(out(3) == (4L, 2L, 1L, "xy zz", true))
+  }
+
   test("paragraphPairs finds a shared paragraph across docs; short units self-exclude") {
     // Unit ids encode (doc, para) as doc*1000+para, like dedup_paragraphs.
     val boiler = "common footer boilerplate repeated verbatim across sites"
