@@ -283,32 +283,60 @@ object ScaleSmoke {
       m
     }
 
-    val evN = amplify(ev1, n)
-    val docsN = amplifyDocs(docs1, n)
-    val docsNDistinct = amplifyDocsDistinct(docs1, n)
-    val embN = amplifyEmb(emb1, n)
+    // Single-key skew witness for the exact paragraph filter: the same
+    // total row count either all-distinct or with ONE unit text 1e6
+    // copies deep (the 100 TB boilerplate shape — "All rights
+    // reserved." everywhere). The groupBy+min(struct) first-occurrence
+    // partial-aggregates the hot key map-side, so the skewed run must
+    // cost about the same as the distinct run; the row_number-window
+    // shape this replaced would feed every copy of the hot key to ONE
+    // reducer task and the ratio would track the duplication depth.
+    def paraFilterSynth(nRows: Long, hotKey: Boolean): Long = {
+      val base = spark.range(nRows)
+      val text =
+        if (hotKey)
+          when(col("id") % 2 === 0,
+              lit("all rights reserved by the original publisher of this site"))
+            .otherwise(concat(lit("distinct filler unit number "), col("id")))
+        else concat(lit("distinct filler unit number "), col("id"))
+      val units = base.select(
+        col("id").as("doc_id"), lit(0L).as("para_idx"), text.as("para_text"))
+      graft.pipeline.Corpus.paragraphDedupFilter(units).count()
+    }
+
+    lazy val evN = amplify(ev1, n)
+    lazy val docsN = amplifyDocs(docs1, n)
+    lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
+    lazy val embN = amplifyEmb(emb1, n)
     println(s"== 1x (${ev1.count()} events) vs ${n}x ==")
-    val results = Seq(
-      "indicator chain" -> (time("chain 1x", chain(ev1)), time(s"chain ${n}x", chain(evN))),
-      "asof join" -> (time("asof 1x", asof(ev1)), time(s"asof ${n}x", asof(evN))),
-      "sessionize" -> (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN))),
-      "decontaminate" -> (time("decontaminate 1x", decon(docs1)), time(s"decontaminate ${n}x", decon(docsN))),
-      "lsh dedup chain" -> (time("lsh chain 1x", lshChain(docs1)), time(s"lsh chain ${n}x", lshChain(docsNDistinct))),
-      "ann lsh topk" -> (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN))),
-      "pack offsets" -> (time("pack 1x", pack(docs1)), time(s"pack ${n}x", pack(docsN))),
-      "pack windows" -> (time("packwin 1x", packWin(docs1)), time(s"packwin ${n}x", packWin(docsN))),
-      "dedup representatives" -> (time("reps 1x", reps(docs1)), time(s"reps ${n}x", reps(docsNDistinct))),
-      "paragraph dedup" -> (time("paradedup 1x", paraDedup(docs1)), time(s"paradedup ${n}x", paraDedup(docsNDistinct))),
-      "tfidf top tokens" -> (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN))),
-      "ivf train+assign" -> (time("ivf 1x", ivf(emb1)), time(s"ivf ${n}x", ivf(embN))),
-      "quality filter" -> (time("qual 1x", qual(docs1)), time(s"qual ${n}x", qual(docsN))),
-      "cms sketch" -> (time("cms 1x", cms(docs1)), time(s"cms ${n}x", cms(docsNDistinct))),
-      "budget sample" -> (time("budget 1x", budget(docs1, 2000L)), time(s"budget ${n}x", budget(docsN, 2000L * n))),
-      "semantic dedup" -> (time("semdedup 1x", semdedup(emb1, 8)), time(s"semdedup ${n}x", semdedup(amplifyEmbDecor(emb1, n), 8 * n))),
-      "pq train+encode" -> (time("pq 1x", pq(emb1)), time(s"pq ${n}x", pq(embN))),
-      "fuzzy decontaminate" -> (time("fuzzydecon 1x", fuzzyDecon(docs1)), time(s"fuzzydecon ${n}x", fuzzyDecon(docsN))),
-      "paragraph dedup filter" -> (time("parafilter 1x", paraFilter(docs1)), time(s"parafilter ${n}x", paraFilter(docsN))),
-      "global rank" -> (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN))))
+    val rows: Seq[(String, () => (Double, Double))] = Seq(
+      "indicator chain" -> (() => (time("chain 1x", chain(ev1)), time(s"chain ${n}x", chain(evN)))),
+      "asof join" -> (() => (time("asof 1x", asof(ev1)), time(s"asof ${n}x", asof(evN)))),
+      "sessionize" -> (() => (time("sessionize 1x", sess(ev1)), time(s"sessionize ${n}x", sess(evN)))),
+      "decontaminate" -> (() => (time("decontaminate 1x", decon(docs1)), time(s"decontaminate ${n}x", decon(docsN)))),
+      "lsh dedup chain" -> (() => (time("lsh chain 1x", lshChain(docs1)), time(s"lsh chain ${n}x", lshChain(docsNDistinct)))),
+      "ann lsh topk" -> (() => (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN)))),
+      "pack offsets" -> (() => (time("pack 1x", pack(docs1)), time(s"pack ${n}x", pack(docsN)))),
+      "pack windows" -> (() => (time("packwin 1x", packWin(docs1)), time(s"packwin ${n}x", packWin(docsN)))),
+      "dedup representatives" -> (() => (time("reps 1x", reps(docs1)), time(s"reps ${n}x", reps(docsNDistinct)))),
+      "paragraph dedup" -> (() => (time("paradedup 1x", paraDedup(docs1)), time(s"paradedup ${n}x", paraDedup(docsNDistinct)))),
+      "tfidf top tokens" -> (() => (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN)))),
+      "ivf train+assign" -> (() => (time("ivf 1x", ivf(emb1)), time(s"ivf ${n}x", ivf(embN)))),
+      "quality filter" -> (() => (time("qual 1x", qual(docs1)), time(s"qual ${n}x", qual(docsN)))),
+      "cms sketch" -> (() => (time("cms 1x", cms(docs1)), time(s"cms ${n}x", cms(docsNDistinct)))),
+      "budget sample" -> (() => (time("budget 1x", budget(docs1, 2000L)), time(s"budget ${n}x", budget(docsN, 2000L * n)))),
+      "semantic dedup" -> (() => (time("semdedup 1x", semdedup(emb1, 8)), time(s"semdedup ${n}x", semdedup(amplifyEmbDecor(emb1, n), 8 * n)))),
+      "pq train+encode" -> (() => (time("pq 1x", pq(emb1)), time(s"pq ${n}x", pq(embN)))),
+      "fuzzy decontaminate" -> (() => (time("fuzzydecon 1x", fuzzyDecon(docs1)), time(s"fuzzydecon ${n}x", fuzzyDecon(docsN)))),
+      "paragraph dedup filter" -> (() => (time("parafilter 1x", paraFilter(docs1)), time(s"parafilter ${n}x", paraFilter(docsN)))),
+      "parafilter hot-key skew" -> (() => (time("parafilter distinct 2e6", paraFilterSynth(2000000L, hotKey = false)), time("parafilter 1e6-deep key", paraFilterSynth(2000000L, hotKey = true)))),
+      "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))))
+    // Optional 3rd arg: substring filter on row names (targeted re-runs
+    // of just-touched paths without paying the whole matrix).
+    val only = args.lift(2)
+    val results = rows
+      .filter { case (nm, _) => only.forall(nm.contains) }
+      .map { case (nm, f) => nm -> f() }
     results.foreach { case (name, (t1, tn)) =>
       println(f"$name%-18s ${n}x data -> ${tn / t1}%.1fx time")
     }
