@@ -145,19 +145,30 @@ object Bench {
     // "value" is the noise-adjusted (min-of-passes) total — the raw
     // pass-1 total stays in meta.raw_total so both are in the record.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
-    println(line)
-    // Also write the line to a file: with ~100 per-query entries the
-    // stdout JSON can overflow a captured-tail limit (round 3's
-    // BENCH_r03.json recorded "parsed": null), losing the
-    // machine-readable total. The file is the durable copy.
-    // Best-effort: an unwritable path must not fail the run whose
-    // results are already on stdout.
+    // The full line (~20KB with per-query gc/steal/task side channels)
+    // goes to the durable file; stdout gets a COMPACT line that fits
+    // the driver's captured-tail window. BENCH_r08 proved the window
+    // is 2000 chars: the full line reached stdout raw (the round-8
+    // StdoutOutput fix worked) but its head — including the
+    // `{"metric"` opener — fell outside the tail, so "parsed" stayed
+    // null. 129 queries at full precision can never fit; the compact
+    // line carries the total, the slowest 30 queries at 3dp, and a
+    // pointer to the full artifact.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch {
       case e: Exception =>
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slow = chosen.sortBy { case (_, m) => -m.wall }.take(30)
+    val qsCompact = jnum(slow.map { case (n, m) => n -> r3(if (m.ok) m.wall else -m.wall) })
+    val nFailed = chosen.count(!_._2.ok)
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qsCompact,"sf":"$sfDir","n_queries":${chosen.size},""" +
+      s""""n_failed":$nFailed,"raw_total":${r3(rawTotal)},""" +
+      s""""steal_ms_total":${stealMillis()},"full":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -2081,8 +2081,8 @@ object QueriesPipeline {
          |  FROM read_parquet('{SFDIR}/documents.parquet')),
          |c AS (
          |  SELECT doc_id, source, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM k)
          |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, wgt.budget_tokens
          |FROM c JOIN wgt USING (source)
