@@ -415,6 +415,43 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // ADC top-k in the parametric-OPQ basis (Ge et al. 2013): the
+    // session-staged trained rotation re-expresses every vector before
+    // the PQ split, so subspace quantizers see axis-aligned, variance-
+    // balanced coordinates; distances are preserved exactly (R is
+    // orthogonal), only quantization error changes. No SQL oracle: the
+    // rotation derivation is a driver-side eigensolve the DuckDB
+    // mirror cannot replay — the driver records the weaker rows-only
+    // check, and OpqSpec pins the math (orthogonality, distance
+    // preservation, recall >= plain PQ on an anisotropic fixture).
+    "ann_topk_opq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.topKPq(
+          graft.pipeline.IvfChain.opqRotated(s, dir, e),
+          graft.pipeline.IvfChain.opqBooks(s, dir, e))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Recall@5 of the OPQ index against the UN-rotated brute-force
+    // ground truth (valid because the rotation preserves cosine order
+    // exactly) — read next to ann_recall_pq at equal m/ksub: the
+    // delta IS the rotation's contribution. On this corpus the
+    // embeddings are isotropic, so the expected delta is ~0 — the
+    // honest result, documented in PLANS.md's recall table; the
+    // anisotropic OpqSpec fixture is where the gain shows.
+    "ann_recall_opq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+          Similarity.topK(e),
+          Seq("opq" -> Similarity.topKPq(
+            graft.pipeline.IvfChain.opqRotated(s, dir, e),
+            graft.pipeline.IvfChain.opqBooks(s, dir, e))))
+        .orderBy("query_id")
+    }),
+
     // FAISS-style IVF-PQ: IVF cells prune WHICH vectors to score
     // (nProbe=2 of 8 trained cells), ADC over PQ codes decides HOW
     // (m lookups, no float vectors). Both index artifacts are the

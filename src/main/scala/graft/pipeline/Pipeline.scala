@@ -2102,11 +2102,39 @@ object IvfChain {
     memo.getOrElseUpdate(
       (s, dir, "pq"), Similarity.pqCodebooks(embs).localCheckpoint(true))
 
-  def release(s: SparkSession): Unit =
+  private val rotMemo = TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
+
+  /** The trained parametric-OPQ rotation (64 rows of 64 doubles) —
+    * driver-side tiny, memoized because training reads the corpus
+    * (one moment pass); shared by the rotated-books build and every
+    * OPQ query.
+    */
+  def opqRotation(s: SparkSession, dir: String, embs: => DataFrame): Array[Array[Double]] =
+    rotMemo.getOrElseUpdate((s, dir), Opq.trainRotation(embs))
+
+  /** OPQ-rotated corpus: NOT checkpointed — the rotation apply is a
+    * map-only pass (64 codegen'd dot kernels per row), cheaper to
+    * recompute than a corpus-scale checkpoint is to hold; only the
+    * trained artifacts (rotation, books) are pinned.
+    */
+  def opqRotated(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    Opq.rotate(embs, opqRotation(s, dir, embs))
+
+  /** PQ codebooks trained in the OPQ-rotated space — same m·ksub
+    * deterministic Lloyd recipe as [[pqBooks]], different basis.
+    */
+  def opqBooks(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(
+      (s, dir, "opq"),
+      Similarity.pqCodebooks(opqRotated(s, dir, embs)).localCheckpoint(true))
+
+  def release(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach { k =>
       memo.remove(k).foreach(df =>
         CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
     }
+    rotMemo.keys.filter(_._1 eq s).foreach(rotMemo.remove)
+  }
 }
 
 object Sessionize {

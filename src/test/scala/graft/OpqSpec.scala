@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Opq, Similarity}
+
+/** Parametric OPQ (Ge et al. 2013): the driver-side eigensolve +
+  * allocation math, the distributed moment/rotation plumbing, and the
+  * end-to-end claim — on an ANISOTROPIC corpus whose energy directions
+  * deliberately straddle the contiguous PQ subspaces, the OPQ-rotated
+  * index recalls at least as much as (in this fixture strictly more
+  * than) plain PQ at equal m/ksub. The declared queries carry no SQL
+  * oracle (the eigensolve has no DuckDB replay), so this spec is their
+  * correctness record.
+  */
+class OpqSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  // ---- deterministic pseudo-randoms (splitmix64 -> uniform in [0,1)) ----
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def unif(seed: Long): Double =
+    (mix(seed) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Deterministic standard normal via Box-Muller. */
+  private def gauss(seed: Long): Double = {
+    val u1 = math.max(unif(seed * 2 + 1), 1e-12)
+    val u2 = unif(seed * 2 + 2)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** A fixed non-axis-aligned orthogonal mixer: the 64×64 Walsh-
+    * Hadamard matrix scaled by 1/8 — every output coordinate blends
+    * all latent coordinates, so the energy of the few high-variance
+    * latents is smeared across EVERY contiguous PQ subspace (the
+    * worst case for an unrotated split, Ge et al. §1's motivating
+    * figure).
+    */
+  private def hadamard(i: Int, j: Int): Double = {
+    val par = java.lang.Integer.bitCount(i & j) & 1
+    (if (par == 0) 1.0 else -1.0) / 8.0
+  }
+
+  /** n anisotropic vectors: latent z has 4 dominant dims (std 8) and
+    * 60 nuisance dims (std 0.15), observed x = H·z.
+    */
+  private def anisoVectors(n: Int): Seq[Array[Float]] =
+    (0 until n).map { v =>
+      val z = Array.tabulate(64) { k =>
+        val std = if (k < 4) 8.0 else 0.15
+        std * gauss(v.toLong * 131 + k)
+      }
+      Array.tabulate(64) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < 64) { acc += hadamard(i, j) * z(j); j += 1 }
+        acc.toFloat
+      }
+    }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def embDf(vs: Seq[Array[Float]]): DataFrame =
+    spark.createDataFrame(
+      vs.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, v.toIndexedSeq)
+      }.asJava,
+      embSchema)
+
+  test("jacobiEig reconstructs a symmetric matrix and returns orthonormal V") {
+    val n = 8
+    // symmetric matrix with a known spread of scales
+    val a = Array.tabulate(n, n)((i, j) =>
+      math.cos(i * 1.7 + j * 0.9) + math.cos(j * 1.7 + i * 0.9) + (if (i == j) 3.0 * i else 0.0))
+    val (eig, v) = Opq.jacobiEig(a)
+    // V orthonormal: VᵀV = I
+    for (c1 <- 0 until n; c2 <- 0 until n) {
+      val dot = (0 until n).map(k => v(k)(c1) * v(k)(c2)).sum
+      assert(math.abs(dot - (if (c1 == c2) 1.0 else 0.0)) < 1e-10,
+        s"VtV[$c1][$c2]=$dot")
+    }
+    // A = V diag(eig) Vᵀ
+    for (i <- 0 until n; j <- 0 until n) {
+      val rec = (0 until n).map(k => v(i)(k) * eig(k) * v(j)(k)).sum
+      assert(math.abs(rec - a(i)(j)) < 1e-9, s"A[$i][$j]: $rec vs ${a(i)(j)}")
+    }
+  }
+
+  test("eigenvalue allocation balances log-products with capacity d/m") {
+    // eigenvalues 8,4,2,1 into m=2 buckets of 2: greedy puts 8 alone
+    // first, 4 then 2 into the lighter bucket, 1 backfills -> products
+    // {8,1} and {4,2}, both 8.
+    val perm = Opq.allocate(Array(8.0, 4.0, 2.0, 1.0), 2)
+    assert(perm.length == 4 && perm.toSet == Set(0, 1, 2, 3))
+    val b0 = perm.slice(0, 2).map(Array(8.0, 4.0, 2.0, 1.0)(_)).product
+    val b1 = perm.slice(2, 4).map(Array(8.0, 4.0, 2.0, 1.0)(_)).product
+    assert(b0 == 8.0 && b1 == 8.0, s"bucket products $b0 / $b1")
+  }
+
+  test("trained rotation is orthonormal and preserves pairwise dot products") {
+    val vs = anisoVectors(80)
+    val df = embDf(vs)
+    val rows = Opq.trainRotation(df, m = 8)
+    // R orthonormal (rows)
+    for (r1 <- 0 until 64; r2 <- r1 until 64) {
+      val dot = (0 until 64).map(k => rows(r1)(k) * rows(r2)(k)).sum
+      assert(math.abs(dot - (if (r1 == r2) 1.0 else 0.0)) < 1e-8)
+    }
+    // distributed rotate preserves dots within float-cast tolerance
+    val rot = Opq.rotate(df, rows)
+    val orig = df.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val rotC = rot.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    for (a <- 0 until 5; b <- 0 until 5) {
+      val d0 = (0 until 64).map(k => orig(a)(k).toDouble * orig(b)(k)).sum
+      val d1 = (0 until 64).map(k => rotC(a)(k).toDouble * rotC(b)(k)).sum
+      assert(math.abs(d0 - d1) < 1e-2 * math.max(1.0, math.abs(d0)),
+        s"dot($a,$b): $d0 vs $d1")
+    }
+  }
+
+  test("OPQ beats plain PQ recall on the anisotropic mixed fixture") {
+    val df = embDf(anisoVectors(300)).localCheckpoint(true)
+    val exact = Similarity.topK(df, numQueries = 8, k = 5)
+    val plainBooks = Similarity.pqCodebooks(df, m = 8, ksub = 16)
+    val plain = Similarity.topKPq(df, plainBooks, numQueries = 8, k = 5, m = 8)
+    val rot = Opq.rotate(df, Opq.trainRotation(df, m = 8)).localCheckpoint(true)
+    val opqBooks = Similarity.pqCodebooks(rot, m = 8, ksub = 16)
+    val opq = Similarity.topKPq(rot, opqBooks, numQueries = 8, k = 5, m = 8)
+    val recalls = Similarity.recallAtK(exact, Seq("pq" -> plain, "opq" -> opq))
+      .agg(avg("pq_recall").as("pq"), avg("opq_recall").as("opq"))
+      .collect().head
+    val (pqR, opqR) = (recalls.getDouble(0), recalls.getDouble(1))
+    info(s"mean recall@5: plain PQ $pqR, OPQ $opqR")
+    // The 4 dominant latent directions are smeared across every
+    // contiguous subspace by the Hadamard mixer; the eigensolve
+    // recovers them and the allocation isolates one per subspace, so
+    // the gap should be decisive, not marginal.
+    assert(opqR > pqR + 0.1, s"expected OPQ ($opqR) > PQ ($pqR) + 0.1")
+  }
+}
