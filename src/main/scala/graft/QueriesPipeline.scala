@@ -109,6 +109,39 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination over the same benchmark staging:
+    // the bitmap is built once from the bench grams (8 KB at 2^16
+    // bits, FIXED regardless of eval-suite size) and rides along as a
+    // literal — the probe is a map-only pass with no join, the shape
+    // that ships a contamination check to every executor at 100 TB.
+    // False positives are part of the contract (compare n_hit_grams
+    // with decontaminate's exact n_hits); the oracle reproduces the
+    // exact bit set, false positives included.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomDecontaminate(
+          d, Dedup.bloomBitmap(d.where(col("doc_id") % 50 === 0)))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: emails -> IPv4 -> phone numbers, fixed order, each
+    // count taken on the previous stage's output. The corpus is
+    // synthetic word soup with no organic PII, so the query plants a
+    // deterministic doc_id-derived footer (one email, one IP, one
+    // phone per doc) — the oracle must then reproduce the exact
+    // redaction byte-for-byte (redacted_md5) and the exact counts.
+    "redact_pii" -> ((s, dir) =>
+      Corpus.redactPii(docs(s, dir).withColumn(
+          "text",
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1 555-01"),
+            (col("doc_id") % 100).cast("string"),
+            lit(" node 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"))))
+        .orderBy("doc_id")),
+
     // Fuzzy decontamination over the SAME benchmark staging: LSH band
     // collision against any benchmark signature flags the document,
     // with the signature-estimated Jaccard of the closest benchmark
@@ -1179,6 +1212,53 @@ object QueriesPipeline {
          |  coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The bit set is reproduced exactly: a position is "set" iff some
+    // bench gram hashes to it, so membership in the distinct-position
+    // CTE IS the bitmap lookup — false positives (a non-bench gram
+    // whose 3 salted hashes all collide with set bits) match the
+    // engine's by construction.
+    "decontaminate_bloom" ->
+      s"""WITH hset AS (SELECT unnest([0, 1, 2]) AS h),
+         |bp AS (
+         |  SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % 65536 AS p
+         |  FROM (SELECT unnest(${shinglesSql(4)}) AS s
+         |        FROM read_parquet('{SFDIR}/documents.parquet')
+         |        WHERE doc_id % 50 = 0), hset),
+         |gp AS (
+         |  SELECT doc_id, s,
+         |    bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % 65536
+         |      IN (SELECT p FROM bp)) AS hit
+         |  FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(4)})) AS s
+         |        FROM read_parquet('{SFDIR}/documents.parquet')), hset
+         |  GROUP BY doc_id, s),
+         |hits AS (
+         |  SELECT doc_id, CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hit_grams
+         |  FROM gp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+         |FROM read_parquet('{SFDIR}/documents.parquet') d
+         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "redact_pii" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         |      '@mail.example.com or +1 555-01', CAST(doc_id % 100 AS VARCHAR),
+         |      ' node 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+         |      CAST(doc_id % 100 AS VARCHAR)) AS text
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |s1 AS (SELECT doc_id, text,
+         |         regexp_replace(text, '${Corpus.EmailRe}', '<EMAIL>', 'g') AS e1
+         |       FROM t),
+         |s2 AS (SELECT *, regexp_replace(e1, '${Corpus.IpRe}', '<IP>', 'g') AS e2 FROM s1),
+         |s3 AS (SELECT *, regexp_replace(e2, '${Corpus.PhoneRe}', '<PHONE>', 'g') AS e3 FROM s2)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(e1, '${Corpus.IpRe}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(e2, '${Corpus.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(e3) AS redacted_md5
+         |FROM s3 ORDER BY doc_id""".stripMargin,
 
     // Same sigs/bands spelling as every LSH oracle (LshCandCtes); the
     // benchmark side is the doc_id % 50 staging, self-pairs excluded.

@@ -495,6 +495,74 @@ object Dedup {
       .map(_.getLong(0))
       .toSeq
 
+  /** Bloom-filter bitmap of the benchmark's n-grams — the FIXED-SIZE
+    * decontamination artifact. [[decontaminate]] broadcasts the
+    * benchmark's distinct gram set, which grows with the eval suite
+    * (a large suite's grams can reach GBs); the Bloom bitmap is
+    * mBits/8 bytes REGARDLESS (8 KB at the default 2¹⁶ bits), at the
+    * price of a tunable false-positive rate ≈ (1−e^(−k·n/m))^k — the
+    * standard memory/precision trade for shipping a contamination
+    * check to every executor or stream worker at 100 TB. Positions
+    * are kHash independent md5-derived hashes of the gram STRING
+    * (prefix-salted), so a DuckDB oracle reproduces the exact bit
+    * set, false positives included. Bits live in 32-bit lanes
+    * (values 0..2³²−1 in longs): shifts stay in 0..31 where
+    * arithmetic-vs-logical shift semantics cannot diverge between
+    * engines.
+    *
+    * Driver-side collect by design, like [[benchmarkGrams]]: the
+    * position set is ≤ kHash·|bench grams| ints from the eval-suite
+    * side only; the corpus is never touched.
+    */
+  def bloomBitmap(
+      benchmark: DataFrame, n: Int = 4, mBits: Int = 65536, kHash: Int = 3): Array[Long] = {
+    require(mBits % 32 == 0 && kHash >= 1, s"bad bloom params m=$mBits k=$kHash")
+    val positions = benchmark
+      .select(explode(flatten(transform(shingles(col("text"), n), g =>
+        array((0 until kHash).map(h =>
+          hash32(concat(lit(s"bloom${h}_"), g)) % mBits): _*)))).as("p"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    val bm = new Array[Long](mBits / 32)
+    positions.foreach(p => bm((p / 32).toInt) |= (1L << (p % 32).toInt))
+    bm
+  }
+
+  /** Probe the corpus against a [[bloomBitmap]]: a gram is flagged iff
+    * ALL kHash of its bit positions are set; a document iff ANY of its
+    * distinct grams is flagged. Map-only — the bitmap rides along as a
+    * literal array column, so the pass has NO shuffle and no join at
+    * any scale; compare `n_hit_grams` against [[decontaminate]]'s
+    * exact `n_hits` to see the false-positive overcount for the
+    * chosen m/k.
+    */
+  def bloomDecontaminate(
+      docs: DataFrame,
+      bitmap: Array[Long],
+      n: Int = 4,
+      mBits: Int = 65536,
+      kHash: Int = 3): DataFrame = {
+    val bmLit = lit(bitmap)
+    def bitSet(p: Column): Column =
+      call_function(
+        "shiftright",
+        element_at(bmLit, floor(p / 32).cast("int") + 1),
+        (p % 32).cast("int")) % 2 === 1
+    val gramHit: Column => Column = g =>
+      (0 until kHash)
+        .map(h => bitSet(hash32(concat(lit(s"bloom${h}_"), g)) % mBits))
+        .reduce(_ && _)
+    docs
+      .select(
+        col("doc_id"),
+        size(filter(array_distinct(shingles(col("text"), n)), gramHit))
+          .cast("long").as("n_hit_grams"))
+      .select(
+        col("doc_id"), col("n_hit_grams"),
+        (col("n_hit_grams") > 0).as("contaminated"))
+  }
+
   /** Fuzzy benchmark decontamination — the near-duplicate analogue of
     * [[decontaminate]]: flag every training document whose MinHash
     * signature shares an LSH band with ANY benchmark document, with
@@ -710,6 +778,40 @@ object Corpus {
       length(col("text")).cast("long").as("n_chars_raw"),
       length(norm).cast("long").as("n_chars_norm"),
       (norm =!= col("text")).as("changed"))
+  }
+
+  /** Email / IPv4 / phone patterns for [[redactPii]] — deliberately a
+    * deterministic common subset of Java-regex and RE2 syntax (char
+    * classes, `\b`, bounded repeats; no backreferences, no lookaround)
+    * so Spark and a DuckDB oracle match and replace the same spans.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d\\- ]{6,}\\d"
+
+  /** PII redaction — the scrub pass a training-data pipeline runs
+    * before anything else persists text (emails, then IPv4 literals,
+    * then international-format phone numbers, replaced with typed
+    * placeholders). Strictly map-only: regex count + replace are
+    * per-row projections inside whole-stage codegen, so the pass adds
+    * NO shuffle at any scale — at 100 TB it rides the same corpus
+    * scan as normalization. The three stages apply in a fixed order
+    * and each count is taken on the PREVIOUS stage's output (an email
+    * is counted once as an email, never re-counted as a phone), which
+    * is also what makes the oracle deterministic. `redacted_md5`
+    * fingerprints the scrubbed text so the full redacted corpus never
+    * needs to leave the executors for verification.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val e1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val e2 = regexp_replace(e1, IpRe, "<IP>")
+    val e3 = regexp_replace(e2, PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(e1, lit(IpRe)).cast("long").as("n_ips"),
+      regexp_count(e2, lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(e3).as("redacted_md5"))
   }
 
   /** Per-document repetition signals (the Gopher/FineWeb-style quality

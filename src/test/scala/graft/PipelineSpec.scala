@@ -32,6 +32,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
+  test("bloom decontamination flags bench overlap, map-only probe") {
+    val bench = docs((0L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = docs(
+      (0L, "alpha beta gamma delta epsilon zeta"), // the bench doc itself
+      (1L, "alpha beta gamma delta unrelated tail here"), // shares 4-grams
+      (2L, "totally different words with no overlap at all"))
+    val bm = Dedup.bloomBitmap(bench)
+    // every bench position is set in the bitmap
+    assert(bm.exists(_ != 0L))
+    val out = Dedup.bloomDecontaminate(corpus, bm).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Boolean]("contaminated")) // shared 4-gram "alpha beta gamma delta"
+    assert(!out(2).getAs[Boolean]("contaminated"))
+    // doc 0 has all its grams hit; doc 1 exactly one
+    assert(out(0).getAs[Long]("n_hit_grams") == 3L)
+    assert(out(1).getAs[Long]("n_hit_grams") == 1L)
+  }
+
+  test("redactPii replaces email, ip, phone in order with exact counts") {
+    val d = docs((1L, "mail me at a.b@x.co or 10.1.2.3 tel +44 20-7946 0958 end"))
+    val out = graft.pipeline.Corpus.redactPii(d).collect().head
+    assert(out.getAs[Long]("n_emails") == 1L)
+    assert(out.getAs[Long]("n_ips") == 1L)
+    assert(out.getAs[Long]("n_phones") == 1L)
+    val expected = "mail me at <EMAIL> or <IP> tel <PHONE> end"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getAs[String]("redacted_md5") == md)
+  }
+
   test("exact dedup groups identical texts") {
     val d = docs((1L, "same text here"), (2L, "same text here"), (3L, "different"))
     val g = Dedup.exactGroups(d).orderBy("canonical_doc_id").collect()
