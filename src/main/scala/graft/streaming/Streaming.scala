@@ -525,6 +525,24 @@ object Streaming {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Streaming Bloom decontamination — the stream twin of
+    * [[graft.pipeline.Dedup.bloomDecontaminate]], and the reason that
+    * operator exists in this shape: the fixed-size bitmap is a literal
+    * array column (8 KB at 2¹⁶ bits regardless of eval-suite size), so
+    * the probe is a completely STATELESS projection — no stream-static
+    * join, no keyed state, nothing retained between batches — which is
+    * what a contamination gate on a live ingest feed has to be. The
+    * batch operator is itself a pure map, so the twin delegates
+    * verbatim; bit-identical output is pinned in StreamingSpec.
+    */
+  def bloomDecontaminateStream(
+      docs: DataFrame,
+      bitmap: Array[Long],
+      n: Int = 4,
+      mBits: Int = 65536,
+      kHash: Int = 3): DataFrame =
+    graft.pipeline.Dedup.bloomDecontaminate(docs, bitmap, n, mBits, kHash)
+
   case class FuzzyRow(
       doc_id: Long, bench_id: Option[Long], n_agree: Option[Long])
   case class FuzzyFlag(

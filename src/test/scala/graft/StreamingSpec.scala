@@ -125,6 +125,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false)))
   }
 
+  test("streaming bloom decontamination matches the batch probe bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val bench = spark.createDataFrame(
+      java.util.Arrays.asList(R(100L, "prefix alpha beta gamma delta suffix")), docSchema)
+    val bm = graft.pipeline.Dedup.bloomBitmap(bench)
+    val texts = Seq(
+      1L -> "alpha beta gamma delta rest of text",
+      2L -> "totally unrelated words in this doc")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
+    val q = Streaming.bloomDecontaminateStream(input.toDF(), bm).writeStream
+      .format("memory").queryName("sbloom").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbloom").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val want = graft.pipeline.Dedup.bloomDecontaminate(
+        spark.createDataFrame(
+          texts.map { case (id, t) => R(id, t) }.asJava, docSchema), bm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == want.toSeq && got(0)._3 && !got(1)._3)
+  }
+
   test("streaming chunking matches the batch Corpus.chunk") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
