@@ -143,6 +143,23 @@ object ScaleSmoke {
       graft.pipeline.Dedup.decontaminate(d, bench1)
         .where(col("contaminated")).count()
 
+    // Bloom probe: bitmap built ONCE from the fixed bench (the build
+    // is eval-suite work, not corpus work), probe is the map-only
+    // literal-bitmap pass — the ratio must track the corpus volume.
+    lazy val bloomBm = graft.pipeline.Dedup.bloomBitmap(bench1)
+    def bloomDecon(d: DataFrame): Long =
+      graft.pipeline.Dedup.bloomDecontaminate(d, bloomBm)
+        .where(col("contaminated")).count()
+
+    // OPQ training: the distributed second-moment pass dominates (the
+    // eigensolve is driver-side microseconds); rotate+count adds the
+    // map-only apply. Linear by construction — this row is the
+    // witness.
+    def opqTrain(e: DataFrame): Long = {
+      val rot = graft.pipeline.Opq.trainRotation(e)
+      graft.pipeline.Opq.rotate(e, rot).count()
+    }
+
     // The banded dedup chain end-to-end: signatures -> LSH candidates
     // -> jaccard verify. Built on raw Dedup (not the DedupChain memo)
     // so both scales do full work; clearCache between timings releases
@@ -330,7 +347,9 @@ object ScaleSmoke {
       "fuzzy decontaminate" -> (() => (time("fuzzydecon 1x", fuzzyDecon(docs1)), time(s"fuzzydecon ${n}x", fuzzyDecon(docsN)))),
       "paragraph dedup filter" -> (() => (time("parafilter 1x", paraFilter(docs1)), time(s"parafilter ${n}x", paraFilter(docsN)))),
       "parafilter hot-key skew" -> (() => (time("parafilter distinct 2e6", paraFilterSynth(2000000L, hotKey = false)), time("parafilter 1e6-deep key", paraFilterSynth(2000000L, hotKey = true)))),
-      "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))))
+      "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
+      "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
+      "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

@@ -7,10 +7,29 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleInvariantSpec extends AnyFunSuite {
 
-  test("every declared query has an oracle and vice versa") {
+  /** Queries DELIBERATELY without a SQL oracle — each must have a
+    * reason a DuckDB mirror cannot exist and a spec that carries its
+    * correctness instead. Additions to this set are a design decision,
+    * not a convenience: the default contract is oracle-per-query.
+    */
+  private val oracleless: Map[String, String] = Map(
+    // The OPQ rotation derives from a driver-side Jacobi eigensolve of
+    // the corpus second-moment matrix; DuckDB cannot replay an
+    // eigendecomposition, so the driver records the weaker rows-only
+    // check and OpqSpec pins the math (orthogonality, reconstruction,
+    // allocation, distance preservation, recall >= plain PQ).
+    "ann_topk_opq" -> "OpqSpec",
+    "ann_recall_opq" -> "OpqSpec")
+
+  test("every declared query has an oracle (or a documented spec) and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q == o, s"queries without oracle: ${q -- o}; oracles without query: ${o -- q}")
+    assert(oracleless.keySet.subsetOf(q),
+      s"oracleless allowlist names unknown queries: ${oracleless.keySet -- q}")
+    assert(o.intersect(oracleless.keySet).isEmpty,
+      s"allowlisted as oracle-less but an oracle exists: ${o.intersect(oracleless.keySet)}")
+    assert(q -- oracleless.keySet == o,
+      s"queries without oracle: ${q -- o -- oracleless.keySet}; oracles without query: ${o -- q}")
   }
 
   test("every ', 6) AS ' in the raw oracle SQL closes a round() call") {
