@@ -47,6 +47,24 @@ object RecallSweep {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] pq m=$m%2d ksub=$ksub%3d (${256 / m}%3dx compression)  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }
+    // OPQ at the same (m, ksub) grid: the rotation is trained once per
+    // m (the allocation depends on the subspace count), then the
+    // unmodified PQ chain runs in the rotated basis. On isotropic
+    // embeddings the delta vs plain PQ should read ~0 — which is the
+    // honest calibration this sweep exists to document; a positive
+    // delta appears exactly when the data has correlated/anisotropic
+    // structure (OpqSpec's fixture shows +0.3).
+    Seq((4, 16), (8, 16), (8, 64), (16, 64)).foreach { case (m, ksub) =>
+      val t0 = System.nanoTime()
+      val rot = graft.pipeline.Opq.rotate(e, graft.pipeline.Opq.trainRotation(e, m = m))
+      val books = Similarity.pqCodebooks(rot, m = m, ksub = ksub)
+      val rec = Similarity.recallAtK(
+        exact,
+        Seq("opq" -> Similarity.topKPq(rot, books, m = m)))
+        .agg(avg(col("opq_recall"))).head.getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[sweep] opq m=$m%2d ksub=$ksub%3d (${256 / m}%3dx compression)  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
+    }
     spark.stop()
   }
 }
