@@ -50,6 +50,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_hit_grams") == 1L)
   }
 
+  test("bloom probe and redactPii plans are map-only: no Exchange of any kind") {
+    val d = docs((1L, "alpha beta gamma delta epsilon"), (2L, "other words entirely"))
+    val bm = Dedup.bloomBitmap(docs((9L, "alpha beta gamma delta epsilon")))
+    Seq(
+      "bloom" -> Dedup.bloomDecontaminate(d, bm),
+      "redact" -> graft.pipeline.Corpus.redactPii(d)).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name claims a shuffle-free map pass but the plan has an Exchange:\n$plan")
+    }
+  }
+
   test("redactPii replaces email, ip, phone in order with exact counts") {
     val d = docs((1L, "mail me at a.b@x.co or 10.1.2.3 tel +44 20-7946 0958 end"))
     val out = graft.pipeline.Corpus.redactPii(d).collect().head
