@@ -543,6 +543,9 @@ object Dedup {
       n: Int = 4,
       mBits: Int = 65536,
       kHash: Int = 3): DataFrame = {
+    require(bitmap.length * 32 == mBits,
+      s"bitmap has ${bitmap.length} 32-bit lanes but mBits=$mBits — a mismatched " +
+        "pair would probe the wrong lanes (or index past the array) silently")
     val bmLit = lit(bitmap)
     def bitSet(p: Column): Column =
       call_function(

@@ -54,9 +54,11 @@ object RecallSweep {
     // honest calibration this sweep exists to document; a positive
     // delta appears exactly when the data has correlated/anisotropic
     // structure (OpqSpec's fixture shows +0.3).
+    val rotByM = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
     Seq((4, 16), (8, 16), (8, 64), (16, 64)).foreach { case (m, ksub) =>
       val t0 = System.nanoTime()
-      val rot = graft.pipeline.Opq.rotate(e, graft.pipeline.Opq.trainRotation(e, m = m))
+      val rot = rotByM.getOrElseUpdate(
+        m, graft.pipeline.Opq.rotate(e, graft.pipeline.Opq.trainRotation(e, m = m)))
       val books = Similarity.pqCodebooks(rot, m = m, ksub = ksub)
       val rec = Similarity.recallAtK(
         exact,
