@@ -42,34 +42,37 @@ object Opq {
     * vectors and change cosines; an orthogonal rotation of the
     * UN-centered cloud preserves both cosine and L2, which is what the
     * ANN queries score). Distributed: two chained generators produce
-    * (i, j, xᵢ·xⱼ) map-side, the aggregation partial-combines each
-    * partition down to ≤ d² rows before the single 4096-row exchange.
-    * Entries are 6dp-rounded (the repo's cross-run determinism seam:
-    * float summation order varies with partitioning; the rotation must
-    * not) and symmetrized, so the eigensolve input is bit-stable.
+    * the upper triangle (i, j≥i, xᵢ·xⱼ) map-side, the aggregation
+    * partial-combines each partition down to ≤ d(d+1)/2 rows before
+    * the single 2,080-row exchange, and the driver mirrors the
+    * triangle. Entries are 6dp-rounded (the repo's cross-run
+    * determinism seam: float summation order varies with partitioning;
+    * the rotation must not), so the eigensolve input is bit-stable.
     */
   def secondMoment(embeddings: DataFrame): Array[Array[Double]] = {
     val pairs = embeddings
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(
         col("i"),
+        // Symmetry halves the generate + aggregate volume: only the
+        // upper triangle j >= i is produced (slice from position i+1
+        // onward; j = i + offset) and the mirror fills on the driver,
+        // so the matrix is symmetric by construction — no averaging
+        // seam needed.
         posexplode(
-          transform(col("embedding"), xj => xj.cast("double") * col("xi").cast("double")))
-          .as(Seq("j", "p")))
-      .groupBy("i", "j")
+          transform(
+            slice(col("embedding"), col("i") + 1, lit(Dim)),
+            xj => xj.cast("double") * col("xi").cast("double")))
+          .as(Seq("dj", "p")))
+      .groupBy("i", "dj")
       .agg(round(avg(col("p")), 6).as("m"))
     val m = Array.ofDim[Double](Dim, Dim)
-    // d² rows — the trained artifact itself, not data.
-    pairs.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    var i = 0
-    while (i < Dim) {
-      var j = 0
-      while (j < i) {
-        val v = (m(i)(j) + m(j)(i)) / 2.0
-        m(i)(j) = v; m(j)(i) = v
-        j += 1
-      }
-      i += 1
+    // d(d+1)/2 rows — the trained artifact itself, not data.
+    pairs.collect().foreach { r =>
+      val i = r.getInt(0)
+      val j = i + r.getInt(1)
+      m(i)(j) = r.getDouble(2)
+      m(j)(i) = r.getDouble(2)
     }
     m
   }

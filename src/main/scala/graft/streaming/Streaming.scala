@@ -543,6 +543,15 @@ object Streaming {
       kHash: Int = 3): DataFrame =
     graft.pipeline.Dedup.bloomDecontaminate(docs, bitmap, n, mBits, kHash)
 
+  /** Streaming PII redaction — like the Bloom probe, the batch scrub
+    * is a pure stateless projection (regex count + replace in a fixed
+    * stage order), so the stream twin is the batch operator verbatim:
+    * scrub-before-persist works on a live ingest feed with nothing
+    * retained between batches.
+    */
+  def redactPiiStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Corpus.redactPii(docs)
+
   case class FuzzyRow(
       doc_id: Long, bench_id: Option[Long], n_agree: Option[Long])
   case class FuzzyFlag(

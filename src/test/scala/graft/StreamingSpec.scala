@@ -154,6 +154,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got(0)._3 && !got(1)._3)
   }
 
+  test("streaming PII redaction matches the batch scrub bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "mail a.b@x.co or 10.1.2.3 tel +44 20-7946 0958 end",
+      2L -> "no pii in this document at all")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
+    val q = Streaming.redactPiiStream(input.toDF()).writeStream
+      .format("memory").queryName("spii").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spii").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val want = graft.pipeline.Corpus.redactPii(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == want.toSeq && got(0)._2 == 1L && got(1)._2 == 0L)
+  }
+
   test("streaming chunking matches the batch Corpus.chunk") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
