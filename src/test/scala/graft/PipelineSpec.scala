@@ -50,6 +50,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_hit_grams") == 1L)
   }
 
+  test("bloom false positives appear under load and are never false negatives") {
+    // An undersized bitmap (32 bits, 1 hash) forces position
+    // collisions: a corpus with NO bench overlap must show at least
+    // one false-positive gram (deterministic — fixed strings, fixed
+    // hashes), while every true bench gram still hits (Bloom filters
+    // have no false negatives by construction).
+    val bench = docs((0L, "alpha beta gamma delta epsilon zeta"))
+    val disjoint = docs((1L,
+      (1 to 40).map(i => s"tok$i").mkString(" "))) // 37 distinct 4-grams, zero overlap
+    val bm = Dedup.bloomBitmap(bench, mBits = 32, kHash = 1)
+    val fp = Dedup.bloomDecontaminate(disjoint, bm, mBits = 32, kHash = 1)
+      .collect().head
+    assert(fp.getAs[Long]("n_hit_grams") > 0L,
+      "expected at least one false-positive gram on a 32-bit bitmap")
+    val tp = Dedup.bloomDecontaminate(bench, bm, mBits = 32, kHash = 1)
+      .collect().head
+    assert(tp.getAs[Long]("n_hit_grams") == 3L, "no false negatives: all 3 bench grams hit")
+  }
+
   test("bloom probe and redactPii plans are map-only: no Exchange of any kind") {
     val d = docs((1L, "alpha beta gamma delta epsilon"), (2L, "other words entirely"))
     val bm = Dedup.bloomBitmap(docs((9L, "alpha beta gamma delta epsilon")))
