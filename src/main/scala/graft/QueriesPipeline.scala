@@ -468,6 +468,26 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // The full FAISS production recipe "OPQ,IVF,PQ": rotation first
+    // (axis-aligned, variance-balanced basis), then IVF cells prune
+    // WHICH rotated vectors to score and ADC over rotated-space PQ
+    // codes decides HOW. All three artifacts are session-staged; both
+    // trained stages live in the SAME rotated basis (cells assign
+    // rotated vectors, codes quantize rotated subvectors). Oracle-less
+    // like the other OPQ queries (driver rows-only; OpqSpec covers the
+    // rotation math, PipelineSpec the IVF-PQ composition it reuses).
+    "ann_topk_opq_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.topKIvfPq(
+          graft.pipeline.IvfChain.opqRotated(s, dir, e),
+          graft.pipeline.IvfChain.opqCentroids(s, dir, e),
+          graft.pipeline.IvfChain.opqBooks(s, dir, e))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Recall@5 of the OPQ index against the UN-rotated brute-force
     // ground truth (valid because the rotation preserves cosine order
     // exactly) — read next to ann_recall_pq at equal m/ksub: the

@@ -2233,6 +2233,16 @@ object IvfChain {
       (s, dir, "opq"),
       Similarity.pqCodebooks(opqRotated(s, dir, embs)).localCheckpoint(true))
 
+  /** IVF centroids trained in the OPQ-rotated space — the coarse
+    * quantizer of the composed OPQ+IVF+PQ index (both stages must live
+    * in the SAME basis: cells assign rotated vectors, codes quantize
+    * rotated residual-free subvectors).
+    */
+  def opqCentroids(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(
+      (s, dir, "opqcents"),
+      Similarity.kmeansCentroids(opqRotated(s, dir, embs)).localCheckpoint(true))
+
   def release(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach { k =>
       memo.remove(k).foreach(df =>

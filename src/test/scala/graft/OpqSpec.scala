@@ -129,6 +129,24 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("composed OPQ+IVF+PQ: ranked per-query top-k, ADC ascending, candidates from probed cells") {
+    val df = embDf(anisoVectors(200)).localCheckpoint(true)
+    val rot = Opq.rotate(df, Opq.trainRotation(df, m = 8)).localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(rot)
+    val books = Similarity.pqCodebooks(rot, m = 8, ksub = 16)
+    val out = Similarity.topKIvfPq(rot, cents, books, numQueries = 4, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val dists = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc_dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"ADC distances must ascend with rank: ${dists.mkString(",")}")
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+    }
+  }
+
   test("OPQ beats plain PQ recall on the anisotropic mixed fixture") {
     val df = embDf(anisoVectors(300)).localCheckpoint(true)
     val exact = Similarity.topK(df, numQueries = 8, k = 5)

@@ -19,7 +19,8 @@ class OracleInvariantSpec extends AnyFunSuite {
     // check and OpqSpec pins the math (orthogonality, reconstruction,
     // allocation, distance preservation, recall >= plain PQ).
     "ann_topk_opq" -> "OpqSpec",
-    "ann_recall_opq" -> "OpqSpec")
+    "ann_recall_opq" -> "OpqSpec",
+    "ann_topk_opq_ivfpq" -> "OpqSpec")
 
   test("every declared query has an oracle (or a documented spec) and vice versa") {
     val q = SparkEntry.queries.keySet
