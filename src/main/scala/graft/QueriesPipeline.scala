@@ -452,11 +452,13 @@ object QueriesPipeline {
     // session-staged trained rotation re-expresses every vector before
     // the PQ split, so subspace quantizers see axis-aligned, variance-
     // balanced coordinates; distances are preserved exactly (R is
-    // orthogonal), only quantization error changes. No SQL oracle: the
-    // rotation derivation is a driver-side eigensolve the DuckDB
-    // mirror cannot replay — the driver records the weaker rows-only
-    // check, and OpqSpec pins the math (orthogonality, distance
-    // preservation, recall >= plain PQ on an anisotropic fixture).
+    // orthogonal), only quantization error changes. Oracle: the
+    // trained rotation is dumped by Verify as a parquet fixture (the
+    // eigensolve has no SQL spelling) and DuckDB applies it as a
+    // matmul, then replays PQ training/encode/ADC from scratch in the
+    // rotated basis; OpqSpec independently pins the rotation math
+    // (orthogonality, distance preservation, recall >= plain PQ on an
+    // anisotropic fixture).
     "ann_topk_opq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.topKPq(
@@ -473,9 +475,10 @@ object QueriesPipeline {
     // WHICH rotated vectors to score and ADC over rotated-space PQ
     // codes decides HOW. All three artifacts are session-staged; both
     // trained stages live in the SAME rotated basis (cells assign
-    // rotated vectors, codes quantize rotated subvectors). Oracle-less
-    // like the other OPQ queries (driver rows-only; OpqSpec covers the
-    // rotation math, PipelineSpec the IVF-PQ composition it reuses).
+    // rotated vectors, codes quantize rotated subvectors). Oracle:
+    // ann_topk_ivfpq's full SQL replay, rebased onto the
+    // Verify-dumped rotation fixture (both trained stages re-derived
+    // on rotated vectors in DuckDB).
     "ann_topk_opq_ivfpq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.topKIvfPq(
@@ -961,7 +964,7 @@ object QueriesPipeline {
     * internal round maps DuckDB's −0.0 to Spark's +0.0 INSIDE the
     * iteration, not just at output). Ends in centroid table `c2`.
     */
-  private val KmeansCtes: String = {
+  private def kmeansCtesFrom(eCte: String): String = {
     def assign(cPrev: String, name: String) =
       s"""$name AS MATERIALIZED (
          |  SELECT vec_id, embedding, cid FROM (
@@ -978,11 +981,14 @@ object QueriesPipeline {
          |      FROM $aName, range(64) t(i) GROUP BY cid, i)
          |    GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
     Seq(
-      "e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))",
+      eCte,
       "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM e WHERE vec_id < 8)",
       assign("c0", "a1"), update("a1", "c0", "c1"),
       assign("c1", "a2"), update("a2", "c1", "c2")).mkString(",\n")
   }
+
+  private val KmeansCtes: String = kmeansCtesFrom(
+    "e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))")
 
   /** PQ CTE chain mirroring [[graft.pipeline.Similarity.pqCodebooks]]
     * (m=8 subspaces × ksub=16 centroids, 2 L2 Lloyd iterations with
@@ -993,7 +999,7 @@ object QueriesPipeline {
     * dotF/dotFD kernels. Ends with tables `books` (sub, cid, ce),
     * `subv` (vec_id, sub, sv) and `codes` (vec_id, sub, code).
     */
-  private val PqCtes: String = {
+  private def pqCtesFrom(embCte: String): String = {
     def xx8(a: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (acc, x) -> acc + x)"
     def xc8(a: String, c: String) =
@@ -1027,7 +1033,7 @@ object QueriesPipeline {
     val books = (0 until 8)
       .map(j => s"SELECT $j AS sub, cid, ce FROM c${j}_2")
       .mkString(" UNION ALL ")
-    (Seq("emb AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))") ++
+    (Seq(embCte) ++
       (0 until 8).map(perSub) ++
       Seq(
         s"books AS MATERIALIZED ($books)",
@@ -1042,6 +1048,33 @@ object QueriesPipeline {
            |    FROM subv s JOIN books b ON s.sub = b.sub) WHERE rk = 1)""".stripMargin))
       .mkString(",\n")
   }
+
+  private val PqCtes: String = pqCtesFrom(
+    "emb AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))")
+
+  /** OPQ-rotated embedding CTE chain: reads the trained 64×64 rotation
+    * dumped by Verify as a parquet fixture ({OPQROT} — the
+    * deterministic output of [[graft.pipeline.Opq.trainRotation]],
+    * exact doubles) and re-expresses every vector in the rotated basis
+    * exactly as [[graft.pipeline.Opq.rotate]] does: element r =
+    * CAST(dotFD(embedding, row_r) AS REAL), sequential double fold per
+    * row. Ends in `remb` (vec_id, embedding REAL[]) plus `eraw` (the
+    * UN-rotated table the recall ground truth reads — rotation
+    * preserves cosine order in exact arithmetic, but the engine scores
+    * ground truth on raw vectors, so the oracle must too). The
+    * eigensolve itself is NOT replayed (a 64×64 Jacobi sweep has no
+    * SQL spelling); the rotation is a trained artifact like the
+    * KmeansCtes seed, and OpqSpec pins its orthogonality / distance
+    * preservation independently. Everything DOWNSTREAM of the fixture
+    * — rotated PQ training, encode, ADC, ranking — is replayed from
+    * scratch in SQL.
+    */
+  private val OpqRembCtes: String =
+    s"""eraw AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+       |rot AS MATERIALIZED (SELECT r, rrow FROM read_parquet('{OPQROT}/*.parquet')),
+       |remb AS MATERIALIZED (
+       |  SELECT e.vec_id, list(CAST(${dotMixedSql("e.embedding", "rot.rrow")} AS REAL) ORDER BY rot.r) AS embedding
+       |  FROM eraw e, rot GROUP BY e.vec_id)""".stripMargin
 
   /** PQ query-distance-table + ADC tail shared only by ann_topk_pq. */
   private def pqD2Sql(a: String, c: String): String = {
@@ -1239,17 +1272,17 @@ object QueriesPipeline {
     // whose 3 salted hashes all collide with set bits) match the
     // engine's by construction.
     "decontaminate_bloom" ->
-      s"""WITH hset AS (SELECT unnest([0, 1, 2]) AS h),
+      s"""WITH hset AS (SELECT unnest(range(0, ${Dedup.BloomKHash})) AS h),
          |bp AS (
-         |  SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % 65536 AS p
-         |  FROM (SELECT unnest(${shinglesSql(4)}) AS s
+         |  SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits} AS p
+         |  FROM (SELECT unnest(${shinglesSql(Dedup.BloomN)}) AS s
          |        FROM read_parquet('{SFDIR}/documents.parquet')
          |        WHERE doc_id % 50 = 0), hset),
          |gp AS (
          |  SELECT doc_id, s,
-         |    bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % 65536
+         |    bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits}
          |      IN (SELECT p FROM bp)) AS hit
-         |  FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(4)})) AS s
+         |  FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(Dedup.BloomN)})) AS s
          |        FROM read_parquet('{SFDIR}/documents.parquet')), hset
          |  GROUP BY doc_id, s),
          |hits AS (
@@ -1762,6 +1795,103 @@ object QueriesPipeline {
          |FROM brute b
          |LEFT JOIN ivfpq p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    // The ann_topk_pq chain verbatim, trained and searched in the
+    // OPQ-rotated basis ([[OpqRembCtes]] — the trained rotation comes
+    // from the Verify-dumped fixture; PQ training/encode/ADC are
+    // replayed from scratch on rotated vectors).
+    "ann_topk_opq" ->
+      s"""WITH $OpqRembCtes,
+         |${pqCtesFrom("emb AS MATERIALIZED (SELECT vec_id, embedding FROM remb)")},
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id, q.sub, q.d2
+         |        FROM codes c JOIN qd q ON c.sub = q.sub AND c.code = q.cid
+         |        WHERE q.query_id <> c.vec_id)
+         |  GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // ann_recall_pq's shape with the PQ chain in the rotated basis;
+    // ground truth stays on the UN-rotated vectors (eraw) exactly as
+    // the engine's Similarity.topK(e) does.
+    "ann_recall_opq" ->
+      s"""WITH $OpqRembCtes,
+         |${pqCtesFrom("emb AS MATERIALIZED (SELECT vec_id, embedding FROM remb)")},
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id, q.sub, q.d2
+         |        FROM codes c JOIN qd q ON c.sub = q.sub AND c.code = q.cid
+         |        WHERE q.query_id <> c.vec_id)
+         |  GROUP BY query_id, neighbor_id),
+         |opq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+         |    FROM adc) WHERE rank <= 5),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM eraw q JOIN eraw n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(p.neighbor_id) AS BIGINT) AS opq_hits,
+         |  round(CAST(count(p.neighbor_id) AS DOUBLE) / count(*), 6) AS opq_recall
+         |FROM brute b
+         |LEFT JOIN opq p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    // The composed "OPQ,IVF,PQ" index: ann_topk_ivfpq's chain with
+    // BOTH trained stages (IVF cells and PQ books) living in the
+    // rotated basis, as in the engine (IvfChain.opqCentroids /
+    // opqBooks both train on opqRotated).
+    "ann_topk_opq_ivfpq" ->
+      s"""WITH $OpqRembCtes,
+         |${kmeansCtesFrom("e AS MATERIALIZED (SELECT vec_id, embedding FROM remb)")},
+         |${pqCtesFrom("emb AS MATERIALIZED (SELECT vec_id, embedding FROM remb)")},
+         |iasg AS MATERIALIZED (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c)),
+         |ccells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM iasg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM iasg WHERE vec_id < 5 AND crank <= 2),
+         |qd AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, s.sub, b.cid, ${pqD2Sql("s.sv", "b.ce")} AS d2
+         |  FROM subv s JOIN books b ON s.sub = b.sub
+         |  WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY sub)), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT p.query_id, cc.neighbor_id, q.sub, q.d2
+         |        FROM probes p
+         |        JOIN ccells cc ON p.cell = cc.cell AND p.query_id <> cc.neighbor_id
+         |        JOIN codes c ON c.vec_id = cc.neighbor_id
+         |        JOIN qd q ON q.query_id = p.query_id AND q.sub = c.sub AND q.cid = c.code)
+         |  GROUP BY query_id, neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup_ivf" ->
       s"""WITH $KmeansCtes,

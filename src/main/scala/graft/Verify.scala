@@ -39,12 +39,32 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Trained-rotation fixture for the OPQ oracles: the deterministic
+    // 64×64 Opq.trainRotation output (exact doubles, long rows of
+    // array<double>) dumped where DuckDB can read it — the eigensolve
+    // has no SQL spelling, so the oracle applies the rotation as a
+    // matmul and replays everything downstream (PQ training, encode,
+    // ADC) from scratch. IvfChain memoizes, so this is the SAME matrix
+    // the OPQ queries above just used.
+    val opqRotDir = s"$outDir/_opq_rotation"
+    try {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val rot = graft.pipeline.IvfChain.opqRotation(spark, sfDir, e)
+      import spark.implicits._
+      rot.toSeq.zipWithIndex
+        .map { case (row, r) => (r, row.toSeq) }
+        .toDF("r", "rrow")
+        .coalesce(1).write.mode("overwrite").parquet(opqRotDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] opq rotation fixture failed: ${e.getMessage}")
+    }
     // {SFDIR} -> the actual scale dir: oracles over tables the driver
     // may not register as views (documents/embeddings) read the parquet
-    // directly.
+    // directly. {OPQROT} -> the rotation fixture dumped above.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir).replace("{OPQROT}", opqRotDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -183,6 +183,8 @@ object Opq {
     */
   def rotate(embeddings: DataFrame, rows: Array[Array[Double]]): DataFrame = {
     require(rows.length == Dim, s"rotation must be ${Dim}x$Dim")
+    require(rows.forall(_.length == Dim),
+      s"rotation rows must all be width $Dim — a ragged matrix would silently mis-rotate")
     embeddings.withColumn(
       "embedding",
       array(rows.map(r => dotFD(col("embedding"), lit(r)).cast("float")).toIndexedSeq: _*))

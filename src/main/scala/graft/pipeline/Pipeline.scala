@@ -122,6 +122,15 @@ object TextOps {
 object Dedup {
   import TextOps._
 
+  /** Bloom-decontamination contract constants, shared by
+    * [[bloomBitmap]] / [[bloomDecontaminate]] AND interpolated into the
+    * DuckDB oracle (QueriesPipeline) so the engine and its mirror
+    * cannot silently drift on gram size / bitmap width / hash count.
+    */
+  val BloomN = 4
+  val BloomMBits = 65536
+  val BloomKHash = 3
+
   /** Exact duplicate groups by content hash. One shuffle on md5(text)
     * with map-side combine; linear at any scale.
     */
@@ -515,7 +524,8 @@ object Dedup {
     * side only; the corpus is never touched.
     */
   def bloomBitmap(
-      benchmark: DataFrame, n: Int = 4, mBits: Int = 65536, kHash: Int = 3): Array[Long] = {
+      benchmark: DataFrame, n: Int = BloomN, mBits: Int = BloomMBits,
+      kHash: Int = BloomKHash): Array[Long] = {
     require(mBits % 32 == 0 && kHash >= 1, s"bad bloom params m=$mBits k=$kHash")
     val positions = benchmark
       .select(explode(flatten(transform(shingles(col("text"), n), g =>
@@ -540,9 +550,9 @@ object Dedup {
   def bloomDecontaminate(
       docs: DataFrame,
       bitmap: Array[Long],
-      n: Int = 4,
-      mBits: Int = 65536,
-      kHash: Int = 3): DataFrame = {
+      n: Int = BloomN,
+      mBits: Int = BloomMBits,
+      kHash: Int = BloomKHash): DataFrame = {
     require(bitmap.length * 32 == mBits,
       s"bitmap has ${bitmap.length} 32-bit lanes but mBits=$mBits — a mismatched " +
         "pair would probe the wrong lanes (or index past the array) silently")

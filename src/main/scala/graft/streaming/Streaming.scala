@@ -538,9 +538,9 @@ object Streaming {
   def bloomDecontaminateStream(
       docs: DataFrame,
       bitmap: Array[Long],
-      n: Int = 4,
-      mBits: Int = 65536,
-      kHash: Int = 3): DataFrame =
+      n: Int = graft.pipeline.Dedup.BloomN,
+      mBits: Int = graft.pipeline.Dedup.BloomMBits,
+      kHash: Int = graft.pipeline.Dedup.BloomKHash): DataFrame =
     graft.pipeline.Dedup.bloomDecontaminate(docs, bitmap, n, mBits, kHash)
 
   /** Streaming PII redaction — like the Bloom probe, the batch scrub
