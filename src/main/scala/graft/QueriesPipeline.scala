@@ -290,6 +290,16 @@ object QueriesPipeline {
       Corpus.paragraphNearDedupFilter(units).orderBy("doc_id")
     }),
 
+    // Lee et al. 2022 exact SUBSTRING dedup with rebuild: repeated
+    // >=8-token windows keep only their globally first (doc_id, pos)
+    // occurrence; every later occurrence's token span is removed and
+    // the doc re-joined (removal set = distinct position union, so
+    // overlapping repeats need no interval merge). The granularity
+    // complement to the paragraph passes above — catches repeats that
+    // CROSS the 32-token unit boundaries they can't see.
+    "dedup_substrings" -> ((s, dir) =>
+      Corpus.substringDedupFilter(docs(s, dir)).orderBy("doc_id")),
+
     "dedup_paragraphs" -> ((s, dir) => {
       val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
         .select(
@@ -1476,6 +1486,34 @@ object QueriesPipeline {
          |  coalesce(array_to_string(list(ptext ORDER BY para_idx) FILTER (WHERE keep), ' '), '') AS text_clean,
          |  count(*) FILTER (WHERE NOT keep) > 0 AS changed
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Window-key ranking mirrors the engine's min-struct first
+    // occurrence; the removal set is the DISTINCT union of duplicated
+    // window spans (overlaps collapse by construction); the rebuild
+    // filters 0-based token positions against that set.
+    "dedup_substrings" -> {
+      val n = Corpus.SubstringN
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |wins AS (
+         |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
+         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM toks)),
+         |rk AS (
+         |  SELECT doc_id, p, row_number() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn FROM wins),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, p + ds.d AS pos
+         |  FROM rk, (SELECT unnest(range(0, $n)) AS d) ds WHERE rn > 1),
+         |ragg AS (SELECT doc_id, list(pos) AS rem FROM rem GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+         |  round(CAST(coalesce(len(r.rem), 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS removed_frac,
+         |  md5(coalesce(array_to_string(
+         |    list_transform(
+         |      list_filter(range(0, len(t.t)), i -> NOT coalesce(list_contains(r.rem, i), false)),
+         |      i -> t.t[i + 1]), ' '), '')) AS text_sub_md5,
+         |  coalesce(len(r.rem), 0) > 0 AS changed
+         |FROM toks t LEFT JOIN ragg r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
 
     // Exact star edges (min-uid per md5 group) UNION LSH-verified
     // fuzzy edges over the same 32-token units -> recursive-CTE

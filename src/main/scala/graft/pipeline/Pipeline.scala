@@ -1066,6 +1066,88 @@ object Corpus {
         col(idCol),
         explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
 
+  /** EXACT SUBSTRING dedup with document rebuild — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * complement to the paragraph passes: remove repeated >= n-token
+    * substrings that cross unit boundaries, keeping only the globally
+    * FIRST occurrence (lowest (doc_id, position)) of each repeated
+    * window. Where the paper builds a suffix array to find maximal
+    * repeats, the distributed shape here works at fixed n-token
+    * granularity: any duplicated substring of length >= n is covered
+    * by duplicated n-windows, so removing every non-first duplicated
+    * window's token span removes the repeat (and a few boundary tokens
+    * of partial windows — the deliberate granularity trade that makes
+    * the pass expressible as equi-joins instead of a global sort).
+    *
+    * Semantics (oracle-mirrored exactly): tokens = split(text, ' ');
+    * windows at every position p with key md5(n tokens joined by ' ');
+    * first occurrence of each distinct key = min (doc_id, p); every
+    * other occurrence marks token span [p, p+n); removal set = UNION
+    * of spans (overlaps collapse via distinct, so no interval-merge
+    * pass is needed); output is the doc with removed positions
+    * filtered out and survivors re-joined with single spaces (md5'd —
+    * the compare reads the hash, not the text).
+    *
+    * Scale shape: one explode to O(tokens) window rows (32-char key,
+    * not text), one map-side-combinable groupBy on the window key, an
+    * equi-join back (hot boilerplate keys are AQE-skew-splittable:
+    * each probe row is an independent lookup), one explode×n +
+    * distinct for the removal set, one doc_id shuffle for the
+    * rebuild. No all-pairs, no global sort, no driver state — the
+    * same family as [[paragraphDedupFilter]], one granularity finer.
+    *
+    * No streaming twin BY DECISION: first-occurrence-wins requires the
+    * complete historical window-key set as state (unbounded, corpus-
+    * sized); the honest streaming analogue is the incremental batch
+    * shape ([[Dedup.incrementalCandidatePairs]]' delta-vs-snapshot),
+    * not a keyed-state operator that silently holds the corpus.
+    */
+  /** [[substringDedupFilter]] window length, shared with the DuckDB
+    * oracle interpolation so engine and mirror cannot drift.
+    */
+  val SubstringN = 8
+
+  def substringDedupFilter(docs: DataFrame, n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("_t"))
+    val wins = base
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("_t")) < n, array().cast("array<struct<p:int,wkey:string>>"))
+            .otherwise(transform(
+              sequence(lit(0), size(col("_t")) - n),
+              p => struct(
+                p.cast("int").as("p"),
+                md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))).as("wkey")))))
+          .as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.wkey").as("wkey"))
+    val firsts = wins
+      .groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
+    val removed = wins.join(firsts, "wkey")
+      .where(!(col("doc_id") === col("_f.doc_id") && col("p") === col("_f.p")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val remAgg = removed.groupBy("doc_id").agg(collect_list(col("pos")).as("_rem"))
+    base.join(remAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("_t"),
+        coalesce(col("_rem"), array().cast("array<int>")).as("_rem"))
+      .select(
+        col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        size(col("_rem")).cast("long").as("n_removed"),
+        round(
+          size(col("_rem")).cast("double") / greatest(size(col("_t")), lit(1)),
+          6).as("removed_frac"),
+        md5(array_join(
+          filter(col("_t"), (t, i) => !array_contains(col("_rem"), i)),
+          " ")).as("text_sub_md5"),
+        (size(col("_rem")) > 0).as("changed"))
+  }
+
   /** FineWeb-style EXACT paragraph dedup with document rebuild: across
     * the whole corpus, every repeated paragraph unit keeps only its
     * FIRST occurrence (lowest (doc_id, para_idx)) and later copies are

@@ -266,6 +266,15 @@ object ScaleSmoke {
       graft.pipeline.Corpus.paragraphDedupFilter(units).count()
     }
 
+    // Exact substring dedup: plain copies duplicate every window of
+    // copy 0, so duplicated occurrences (and the removal-span explode)
+    // grow ~N deep on hot window keys — the groupBy-min
+    // first-occurrence partial-aggregates those map-side, the same
+    // skew contract as parafilter; the ratio must track volume, not
+    // duplication depth.
+    def subFilter(d: DataFrame): Long =
+      graft.pipeline.Corpus.substringDedupFilter(d).count()
+
     // Global rank on the two-pass range-partition plan: repartition +
     // per-partition window; the offsets job is numParts rows at any N.
     def grank(d: DataFrame): Long = {
@@ -346,6 +355,7 @@ object ScaleSmoke {
       "pq train+encode" -> (() => (time("pq 1x", pq(emb1)), time(s"pq ${n}x", pq(embN)))),
       "fuzzy decontaminate" -> (() => (time("fuzzydecon 1x", fuzzyDecon(docs1)), time(s"fuzzydecon ${n}x", fuzzyDecon(docsN)))),
       "paragraph dedup filter" -> (() => (time("parafilter 1x", paraFilter(docs1)), time(s"parafilter ${n}x", paraFilter(docsN)))),
+      "substring dedup filter" -> (() => (time("subfilter 1x", subFilter(docs1)), time(s"subfilter ${n}x", subFilter(docsN)))),
       "parafilter hot-key skew" -> (() => (time("parafilter distinct 2e6", paraFilterSynth(2000000L, hotKey = false)), time("parafilter 1e6-deep key", paraFilterSynth(2000000L, hotKey = true)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),

@@ -1020,4 +1020,37 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("mix_weight") - 3.0 / 7) < 1e-6)
     assert(math.abs(out(1).getAs[Double]("mix_weight") - 4.0 / 7) < 1e-6)
   }
+
+  test("substringDedupFilter: first occurrence survives, later spans removed, short docs untouched") {
+    // n=4 windows. doc 1 carries the canonical run "a b c d e f";
+    // doc 2 repeats it mid-text (all 3 duplicated windows' spans
+    // union to positions 2..7); doc 3 is shorter than n (no windows);
+    // doc 1 also self-repeats its own first window later -> only the
+    // SECOND copy inside doc 1 is removed.
+    val d = docs(
+      (1L, "a b c d e f x y a b c d"),
+      (2L, "p q a b c d e f z"),
+      (3L, "a b c"))
+    val out = pipeline.Corpus.substringDedupFilter(d, n = 4)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 12 tokens; its tail "a b c d" (positions 8..11) is a
+    // repeat of window 0 -> removed; survivors "a b c d e f x y"
+    assert(byId(1L).getAs[Long]("n_tokens") == 12L)
+    assert(byId(1L).getAs[Long]("n_removed") == 4L)
+    assert(byId(1L).getAs[Boolean]("changed"))
+    // doc 2: windows at p=2,3,4 duplicate doc 1's run -> span union =
+    // positions 2..7 (6 tokens); survivors "p q z"
+    assert(byId(2L).getAs[Long]("n_tokens") == 9L)
+    assert(byId(2L).getAs[Long]("n_removed") == 6L)
+    // doc 3: below window length -> untouched
+    assert(byId(3L).getAs[Long]("n_removed") == 0L)
+    assert(!byId(3L).getAs[Boolean]("changed"))
+    // rebuilt-text hashes: md5 of the exact survivor strings
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(1L).getAs[String]("text_sub_md5") == m("a b c d e f x y"))
+    assert(byId(2L).getAs[String]("text_sub_md5") == m("p q z"))
+    assert(byId(3L).getAs[String]("text_sub_md5") == m("a b c"))
+  }
 }
