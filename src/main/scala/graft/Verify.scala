@@ -49,12 +49,8 @@ object Verify {
     val opqRotDir = s"$outDir/_opq_rotation"
     try {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val rot = graft.pipeline.IvfChain.opqRotation(spark, sfDir, e)
-      import spark.implicits._
-      rot.toSeq.zipWithIndex
-        .map { case (row, r) => (r, row.toSeq) }
-        .toDF("r", "rrow")
-        .coalesce(1).write.mode("overwrite").parquet(opqRotDir)
+      graft.pipeline.IndexStore.saveRotation(
+        spark, graft.pipeline.IvfChain.opqRotation(spark, sfDir, e), opqRotDir)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] opq rotation fixture failed: ${e.getMessage}")
     }

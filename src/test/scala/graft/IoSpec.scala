@@ -53,4 +53,42 @@ class IoSpec extends SparkSpec {
     assert(out.length == 1 && out.head.width == 8 && out.head.height == 8)
     assert(math.abs(out.head.features.sum - 1.0f) < 1e-6)
   }
+
+  test("IndexStore round-trip: search from loaded artifacts is bit-identical") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import graft.pipeline.{IndexStore, Opq, Similarity, TrainedIndex}
+    // deterministic pseudo-random 64-dim float vectors
+    def gauss(seed: Long): Double = {
+      val h = seed * 0x9E3779B97F4A7C15L
+      ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val e = spark.createDataFrame(
+      (0 until 64).map { v =>
+        Row(v.toLong,
+          IndexedSeq.tabulate(64)(k => gauss(v.toLong * 997 + k).toFloat))
+      }.asJava, embSchema)
+    val trained = TrainedIndex(
+      Some(Opq.trainRotation(e)),
+      Similarity.kmeansCentroids(Opq.rotate(e, Opq.trainRotation(e))),
+      Similarity.pqCodebooks(Opq.rotate(e, Opq.trainRotation(e))))
+    val p = tmp("idx")
+    IndexStore.save(p, trained)
+    val loaded = IndexStore.load(spark, p)
+    // the rotation round-trips to the exact doubles
+    assert(loaded.rotation.get.map(_.toSeq).toSeq ==
+      trained.rotation.get.map(_.toSeq).toSeq)
+    // search from the loaded artifacts is bit-identical to search from
+    // the freshly trained ones (parquet preserves doubles exactly)
+    def search(idx: TrainedIndex) =
+      Similarity.topKIvfPq(
+          Opq.rotate(e, idx.rotation.get), idx.centroids, idx.books)
+        .orderBy("query_id", "rank")
+        .collect().toSeq
+    assert(search(loaded) == search(trained))
+  }
 }
