@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps}
+import graft.pipeline.{Bpe, Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -654,6 +654,15 @@ object QueriesPipeline {
       Corpus.packOffsets(docs(s, dir), ctx = 512L)
         .orderBy("doc_id")),
 
+    // pack_sequences with tokenizer-faithful accounting: the same
+    // distributed-prefix packing plan denominated in [[Bpe]] subword
+    // tokens (committed fixture merge table) instead of the whitespace
+    // proxy — what a real budget fill is actually measured in. The
+    // whitespace variant stays declared for oracle continuity.
+    "pack_sequences_bpe" -> ((s, dir) =>
+      Corpus.packOffsets(docs(s, dir), ctx = 512L, tokenCount = Bpe.tokenCount)
+        .orderBy("doc_id")),
+
     // The inverted (window -> docs) index of the packing: which
     // documents each fixed 512-token context window reads, summarized
     // per window — see [[graft.pipeline.Corpus.packWindows]]. Inherits
@@ -942,6 +951,14 @@ object QueriesPipeline {
     // source.
     "corpus_budget_sample" -> ((s, dir) =>
       Corpus.budgetSample(docs(s, dir), 2000L)
+        .orderBy("source", "cum_tokens", "doc_id")),
+
+    // Budget fill denominated in BPE tokens (mix weights AND per-doc
+    // counts both re-expressed through [[Bpe.tokenCount]] — a budget
+    // mixes correctly only if numerator and denominator use the same
+    // tokenizer). Same broadcast-weights + one-window plan.
+    "corpus_budget_sample_bpe" -> ((s, dir) =>
+      Corpus.budgetSample(docs(s, dir), 2000L, Bpe.tokenCount)
         .orderBy("source", "cum_tokens", "doc_id")),
 
     // Count-min sketch frequency estimates for the top-50 tokens, with
@@ -2148,6 +2165,25 @@ object QueriesPipeline {
          |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // pack_sequences with the [[Bpe]] replace-chain token count — the
+    // 47-merge fixture is interpolated as the identical chain of
+    // left-to-right replaces both engines implement the same way.
+    "pack_sequences_bpe" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(${Bpe.sqlTokenCount("text")} AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_window,
+         |  (cum - 1) // 512 AS last_window,
+         |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "pack_windows" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
@@ -2412,6 +2448,34 @@ object QueriesPipeline {
          |  FROM s),
          |k AS (
          |  SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    ${h32("concat('budget_', CAST(doc_id AS VARCHAR))")} AS ord
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM k)
+         |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, wgt.budget_tokens
+         |FROM c JOIN wgt USING (source)
+         |WHERE c.cum_tokens - c.n_tokens < wgt.budget_tokens
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+
+    // corpus_budget_sample re-denominated in BPE tokens: the SAME
+    // chain replaces both the per-source totals (mix weights) and the
+    // per-doc counts, as in the engine. Window sum keeps the BIGINT
+    // cast (the round-7/8 HUGEINT dtype lesson).
+    "corpus_budget_sample_bpe" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(sum(${Bpe.sqlTokenCount("text")}) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY source),
+         |wgt AS (
+         |  SELECT source,
+         |    CAST(floor(2000.0 * round(sqrt(CAST(n_tokens AS DOUBLE))
+         |      / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6))
+         |      AS BIGINT) AS budget_tokens
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, source, CAST(${Bpe.sqlTokenCount("text")} AS BIGINT) AS n_tokens,
          |    ${h32("concat('budget_', CAST(doc_id AS VARCHAR))")} AS ord
          |  FROM read_parquet('{SFDIR}/documents.parquet')),
          |c AS (

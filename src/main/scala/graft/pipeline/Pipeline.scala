@@ -1026,10 +1026,14 @@ object Corpus {
       ctx: Long = 512L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32,
+      // token accounting is pluggable: whitespace proxy by default,
+      // [[Bpe.tokenCount]] for tokenizer-faithful packing — both are
+      // map-only projections, so the plan shape is identical.
+      tokenCount: Column => Column = t => size(tokens(t)).cast("bigint")): DataFrame = {
     require(ctx > 0, s"context size must be positive (got $ctx)")
     val counted = docs.select(
-      col(idCol), size(tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      col(idCol), tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
     graft.plans.Scale.cumSumDistributedLong(counted, "n_tokens", idCol, "_cum", numParts)
       .withColumn("start_offset", col("_cum") - col("n_tokens"))
       .withColumn("first_window", expr(s"start_offset div $ctx"))
@@ -1563,12 +1567,14 @@ object Corpus {
     * denominator is a broadcast 1-row aggregate over the
     * sources-sized frame, not a second corpus pass.
     */
-  def mixWeights(docs: DataFrame): DataFrame = {
+  def mixWeights(
+      docs: DataFrame,
+      tokenCount: Column => Column = t => size(tokens(t)).cast("long")): DataFrame = {
     val perSrc = docs
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
       .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
     val tot = broadcast(perSrc.agg(sum(col("w_raw")).as("_tot")))
     perSrc.crossJoin(tot)
@@ -1598,16 +1604,19 @@ object Corpus {
     * keyed by source) is the drop-in escape, exactly as
     * `pack_sequences` escapes the global packing window.
     */
-  def budgetSample(docs: DataFrame, totalTokens: Long): DataFrame = {
+  def budgetSample(
+      docs: DataFrame,
+      totalTokens: Long,
+      tokenCount: Column => Column = t => size(tokens(t)).cast("long")): DataFrame = {
     val budgets = broadcast(
-      mixWeights(docs).select(
+      mixWeights(docs, tokenCount).select(
         col("source"),
         floor(lit(totalTokens.toDouble) * col("mix_weight"))
           .cast("long").as("budget_tokens")))
     val keyed = docs.select(
       col("doc_id"),
       col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
       hash32(concat(lit("budget_"), col("doc_id").cast("string"))).as("_ord"))
     val w = Window.partitionBy("source")
       .orderBy(col("_ord").asc, col("doc_id").asc)

@@ -1021,6 +1021,29 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("mix_weight") - 4.0 / 7) < 1e-6)
   }
 
+  test("Bpe: Spark replace chain matches a JVM-side String.replace fold") {
+    // The cross-engine contract is "chained left-to-right
+    // non-overlapping replace"; this pins Spark's StringReplace to
+    // java.lang.String.replace on the real committed merge table
+    // (DuckDB's replace is pinned by the oracle compare).
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "flower power shower tower",      // heavy 'ow'-family merges
+      "aaa sss eee rrr",                // self-overlapping runs
+      "short",
+      "x")
+    val want = samples.map(s =>
+      pipeline.Bpe.Merges.foldLeft(s) { case (acc, (p, r)) => acc.replace(p, r) })
+    import spark.implicits._
+    val got = samples.toDF("text")
+      .select(pipeline.Bpe.encode(col("text")).as("e"), pipeline.Bpe.tokenCount(col("text")).as("n"))
+      .collect()
+    got.map(_.getString(0)).toSeq.zip(want).foreach { case (g, w) => assert(g == w) }
+    got.map(_.getLong(1)).toSeq.zip(want).foreach { case (g, w) => assert(g == w.length.toLong) }
+    // merges genuinely compress: the first sample must shrink
+    assert(want.head.length < samples.head.length)
+  }
+
   test("substringDedupFilter: first occurrence survives, later spans removed, short docs untouched") {
     // n=4 windows. doc 1 carries the canonical run "a b c d e f";
     // doc 2 repeats it mid-text (all 3 duplicated windows' spans
