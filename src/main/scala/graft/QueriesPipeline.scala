@@ -388,6 +388,43 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Per-registered-domain curation stats over the synthetic url
+    // fixture (host extraction -> last-two-label domain -> one
+    // map-side-combinable shuffle). See [[graft.pipeline.Corpus
+    // .domainStats]]; every column is integer-exact or a ratio of
+    // exact integers.
+    "domain_stats" -> ((s, dir) =>
+      Corpus.domainStats(docs(s, dir)).orderBy("domain")),
+
+    // corpus_prepare with the RefinedWeb-style domain blocklist gate
+    // composed in: one more map-only predicate (registered domain not
+    // in the literal blocklist) inside the SAME single corpus scan —
+    // the gate costs no extra pass and no shuffle.
+    "corpus_prepare_gated" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupIds = DedupChain.clusterLabels(s, dir, d)
+        .where(!col("is_canonical"))
+        .select(col("doc_id").as("dup_id"))
+      val w = Window.partitionBy("cmd5")
+      d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          TextOps.qualityScore(col("text")).as("q"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          Corpus.gopherKeep().as("keep"),
+          Corpus.domainGate().as("domain_ok"))
+        .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .where(col("is_exact_canonical") && col("dup_id").isNull &&
+          col("q") >= 0.5 && col("lang_ok") && col("keep") && col("domain_ok"))
+        .select(
+          col("doc_id"),
+          Corpus.splitCol(col("doc_id")).as("split"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -1240,6 +1277,24 @@ object QueriesPipeline {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src)""".stripMargin
+
+  /** Synthetic-url / host / registered-domain SQL — single source of
+    * truth mirroring Corpus.synthUrl / urlHost / registeredDomain.
+    */
+  private val UrlSql: String =
+    s"""concat('https://',
+       |      CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END,
+       |      source,
+       |      CASE WHEN doc_id % 4 = 0 THEN '.org' ELSE '.com' END,
+       |      CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END,
+       |      '/doc/', CAST(doc_id AS VARCHAR),
+       |      CASE WHEN doc_id % 2 = 0 THEN '?ref=feed' ELSE '' END)""".stripMargin
+  private val HostSql: String =
+    s"lower(regexp_extract($UrlSql, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1))"
+  private def domainSql(h: String): String =
+    s"CASE WHEN len(string_split($h, '.')) >= 2 THEN concat(string_split($h, '.')[-2], '.', string_split($h, '.')[-1]) ELSE $h END"
+  private val BlocklistSql: String =
+    Corpus.DomainBlocklist.mkString("('", "', '", "')")
 
   /** Quality score / language prediction SQL — single source of truth
     * mirroring TextOps.qualityScore / TextOps.langPred.
@@ -2103,6 +2158,58 @@ object QueriesPipeline {
          |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
          |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM dups)
          |    AND c.q >= 0.5 AND c.lang_ok AND g.keep)
+         |SELECT doc_id,
+         |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  n_tokens
+         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text, $HostSql AS host
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |d AS (SELECT doc_id, text, host, ${domainSql("host")} AS domain FROM u)
+         |SELECT domain,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($Toks)) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(len($Toks)) AS DOUBLE) / count(*), 6) AS tokens_per_doc
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // corpus_prepare's replay + the domain blocklist predicate in the
+    // kept gate (host/domain recomputed in the canon CTE from the same
+    // synthetic-url spelling).
+    "corpus_prepare_gated" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |g AS (
+         |  SELECT doc_id, n_words AS n_tokens,
+         |    ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+         |  FROM g0),
+         |canon AS (
+         |  SELECT doc_id, q, lang_ok, dom,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS is_exact
+         |  FROM (SELECT doc_id, lang, md5(text) AS cmd5,
+         |          $QualitySql AS q,
+         |          ($LangPredSql) = lang AS lang_ok,
+         |          ${domainSql(HostSql)} AS dom
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |kept AS (
+         |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
+         |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM dups)
+         |    AND c.q >= 0.5 AND c.lang_ok AND g.keep
+         |    AND c.dom NOT IN $BlocklistSql)
          |SELECT doc_id,
          |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
          |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'

@@ -1111,6 +1111,82 @@ object Corpus {
     */
   val SubstringN = 8
 
+  // ---- URL / domain tier (RefinedWeb-style curation) ----
+
+  /** Deterministic synthetic URL for a document. The corpus carries no
+    * URL column, so — exactly as `redact_pii` derives its synthetic
+    * PII from doc metadata — the url fixture is constructed from
+    * (doc_id, source) identically on both engines: subdomain tiers
+    * (www/cdn/apex), two TLDs, an occasional explicit port, a path and
+    * a query string, so the host extraction has real variety to chew
+    * on.
+    */
+  def synthUrl(id: Column, source: Column): Column = concat(
+    lit("https://"),
+    when(id % 3 === 0, lit("www.")).when(id % 3 === 1, lit("cdn.")).otherwise(lit("")),
+    source,
+    when(id % 4 === 0, lit(".org")).otherwise(lit(".com")),
+    when(id % 7 === 0, lit(":8443")).otherwise(lit("")),
+    lit("/doc/"), id.cast("string"),
+    when(id % 2 === 0, lit("?ref=feed")).otherwise(lit("")))
+
+  /** Host of a URL: the authority between `scheme://` and the first
+    * port colon / path / query / fragment delimiter, lowercased.
+    * Anchored-char-class regex only — the cross-engine-deterministic
+    * subset (same stance as the PII regexes); no userinfo handling by
+    * contract (synthetic urls carry none).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+
+  /** Registered domain = the host's last two dot-labels — the
+    * public-suffix-list-free approximation (right for .com/.org
+    * tiers; a real deployment swaps in a PSL table broadcast the same
+    * way the blocklist is).
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+  }
+
+  /** Blocklisted registered domains for the gated prepare — a literal
+    * broadcast-to-every-executor list (at 100 TB a real blocklist is
+    * still only ~1e6 strings: a broadcast join or bloom bitmap, never
+    * a shuffle), shared with the oracle interpolation.
+    */
+  val DomainBlocklist: Seq[String] = Seq("src0.com", "src0.org", "src7.com", "src7.org")
+
+  /** keep-predicate: the document's registered domain is NOT on the
+    * blocklist. Map-only; composes into [[gopherKeep]]-style gates.
+    */
+  def domainGate(blocked: Seq[String] = DomainBlocklist): Column =
+    !registeredDomain(urlHost(synthUrl(col("doc_id"), col("source"))))
+      .isin(blocked: _*)
+
+  /** Per-registered-domain corpus stats — the table a domain-tier
+    * curation pass ranks and thresholds (RefinedWeb's per-domain
+    * quality economics). One map-side-combinable shuffle on domain;
+    * every output is an exact integer or a ratio of exact integers,
+    * so no float-sum ordering seam exists.
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"), col("text"),
+        urlHost(synthUrl(col("doc_id"), col("source"))).as("host"))
+      .withColumn("domain", registeredDomain(col("host")))
+      .groupBy("domain")
+      .agg(
+        countDistinct(col("host")).as("n_hosts"),
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .select(
+        col("domain"), col("n_hosts"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("tokens_per_doc"))
+
   def substringDedupFilter(docs: DataFrame, n: Int = SubstringN): DataFrame = {
     require(n >= 2, s"bad substring window n=$n")
     val toks = TextOps.tokens(col("text"))
