@@ -12,15 +12,14 @@ class OracleInvariantSpec extends AnyFunSuite {
     * correctness instead. Additions to this set are a design decision,
     * not a convenience: the default contract is oracle-per-query.
     */
-  private val oracleless: Map[String, String] = Map(
-    // The OPQ rotation derives from a driver-side Jacobi eigensolve of
-    // the corpus second-moment matrix; DuckDB cannot replay an
-    // eigendecomposition, so the driver records the weaker rows-only
-    // check and OpqSpec pins the math (orthogonality, reconstruction,
-    // allocation, distance preservation, recall >= plain PQ).
-    "ann_topk_opq" -> "OpqSpec",
-    "ann_recall_opq" -> "OpqSpec",
-    "ann_topk_opq_ivfpq" -> "OpqSpec")
+  private val oracleless: Map[String, String] = Map.empty
+  // Round 10 emptied the set: the OPQ family (the only members) became
+  // hash-checkable once Verify started dumping the trained rotation as
+  // a parquet fixture ({OPQROT}) that the oracle applies as a matmul —
+  // the eigensolve still has no SQL spelling, but everything downstream
+  // of its OUTPUT is replayed from scratch in DuckDB, and OpqSpec keeps
+  // pinning the rotation math itself (orthogonality, reconstruction,
+  // allocation, distance preservation, recall >= plain PQ).
 
   test("every declared query has an oracle (or a documented spec) and vice versa") {
     val q = SparkEntry.queries.keySet
