@@ -543,6 +543,29 @@ object Streaming {
       kHash: Int = graft.pipeline.Dedup.BloomKHash): DataFrame =
     graft.pipeline.Dedup.bloomDecontaminate(docs, bitmap, n, mBits, kHash)
 
+  /** Streaming BPE token accounting: [[graft.pipeline.Bpe.tokenCount]]
+    * is a chain of literal-merge-table replaces — a pure stateless
+    * codegen projection, so the stream twin is the batch expression
+    * verbatim. The merge table rides in the plan as literals, nothing
+    * is retained between batches; this is the online half of the
+    * pack/budget tier's subword accounting (a live ingest can report
+    * tokenizer-faithful token counts before anything is persisted).
+    */
+  def bpeTokenCountStream(docs: DataFrame): DataFrame =
+    docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.pipeline.Bpe.tokenCount(
+        org.apache.spark.sql.functions.col("text")).as("n_tokens_bpe"))
+
+  /** Streaming domain blocklist gate: the registered-domain predicate
+    * ([[graft.pipeline.Corpus.domainGate]]) is a stateless map over
+    * (doc_id, source), so the stream twin delegates verbatim — the
+    * ingest-side drop filter that keeps blocklisted domains from ever
+    * reaching storage.
+    */
+  def domainGateStream(docs: DataFrame): DataFrame =
+    docs.where(graft.pipeline.Corpus.domainGate())
+
   /** Streaming PII redaction — like the Bloom probe, the batch scrub
     * is a pure stateless projection (regex count + replace in a fixed
     * stage order), so the stream twin is the batch operator verbatim:

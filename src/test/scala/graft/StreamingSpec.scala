@@ -59,8 +59,59 @@ class StreamingSpec extends SparkSpec {
   }
 
   case class Doc(doc_id: Long, text: String)
+  case class DocSrc(doc_id: Long, text: String, source: String)
   case class EvNanos(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
+
+  test("streaming BPE token count matches the batch expression bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "flower power shower tower")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
+    val q = Streaming.bpeTokenCountStream(input.toDF()).writeStream
+      .format("memory").queryName("sbpe").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbpe").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // JVM-side fold is the independent expected value (the same pin
+    // PipelineSpec uses for the batch expression)
+    val want = texts.map { case (id, t) =>
+      id -> graft.pipeline.Bpe.Merges
+        .foldLeft(t) { case (acc, (p, r)) => acc.replace(p, r) }.length.toLong
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("streaming domain gate drops blocklisted domains like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // src0 lands on the blocklist (src0.com/.org both blocked); src1
+    // survives regardless of subdomain/tld variety.
+    val docs = Seq(
+      DocSrc(0L, "a", "src0"), DocSrc(1L, "b", "src0"),
+      DocSrc(2L, "c", "src1"), DocSrc(3L, "d", "src1"))
+    val input = MemoryStream[DocSrc]
+    input.addData(docs: _*)
+    val q = Streaming.domainGateStream(input.toDF()).writeStream
+      .format("memory").queryName("sgate").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sgate").orderBy("doc_id").collect().map(_.getLong(0))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val batch = graft.pipeline.Corpus
+      .domainGate()
+    val bdf = spark.createDataFrame(
+      docs.map(d => R(d.doc_id, d.text, d.source)).asJava,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType))))
+    val want = bdf.where(batch).orderBy("doc_id").collect().map(_.getLong(0))
+    assert(got.toSeq == want.toSeq && got.toSeq == Seq(2L, 3L))
+  }
 
   test("streaming bars handle the canonical long-nanos ts like batch Bars") {
     implicit val sqlCtx = spark.sqlContext
