@@ -46,7 +46,11 @@ object Verify {
     // matmul and replays everything downstream (PQ training, encode,
     // ADC) from scratch. IvfChain memoizes, so this is the SAME matrix
     // the OPQ queries above just used.
-    val opqRotDir = s"$outDir/_opq_rotation"
+    // Absolute: the oracle SQL is executed by the driver's DuckDB,
+    // whose working directory need not be Verify's — a relative
+    // fixture path would silently resolve against the wrong root.
+    val opqRotDir =
+      new java.io.File(s"$outDir/_opq_rotation").getAbsolutePath
     try {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       graft.pipeline.IndexStore.saveRotation(
