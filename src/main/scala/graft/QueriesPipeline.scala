@@ -300,6 +300,14 @@ object QueriesPipeline {
     "dedup_substrings" -> ((s, dir) =>
       Corpus.substringDedupFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // The instrument read BEFORE dedup_substrings: per-doc window /
+    // duplicated-window counts and the longest duplicated run in
+    // tokens (consecutive dup positions = gaps-and-islands on p) —
+    // says whether repeats are short phrases or whole passages, i.e.
+    // whether the fixed-n granularity trade is safe for this corpus.
+    "substring_stats" -> ((s, dir) =>
+      Corpus.substringStats(docs(s, dir)).orderBy("doc_id")),
+
     "dedup_paragraphs" -> ((s, dir) => {
       val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
         .select(
@@ -1641,6 +1649,29 @@ object QueriesPipeline {
          |      i -> t.t[i + 1]), ' '), '')) AS text_sub_md5,
          |  coalesce(len(r.rem), 0) > 0 AS changed
          |FROM toks t LEFT JOIN ragg r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
+
+    "substring_stats" -> {
+      val n = Corpus.SubstringN
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |wins AS (
+         |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
+         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM toks)),
+         |rk AS (
+         |  SELECT doc_id, p, row_number() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn FROM wins),
+         |isl AS (
+         |  SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |  FROM rk WHERE rn > 1),
+         |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM isl GROUP BY doc_id, g),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_windows,
+         |    CAST(max(len) + ${n - 1} AS BIGINT) AS longest_dup_run
+         |  FROM runs GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(greatest(len(t.t) - ${n - 1}, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(a.longest_dup_run, 0) AS BIGINT) AS longest_dup_run
+         |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
     },
 
     // Exact star edges (min-uid per md5 group) UNION LSH-verified

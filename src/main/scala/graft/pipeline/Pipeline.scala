@@ -1111,6 +1111,60 @@ object Corpus {
     */
   val SubstringN = 8
 
+  /** Per-document substring-duplication profile — the instrument read
+    * BEFORE running [[substringDedupFilter]]: how many n-token windows
+    * a doc has, how many are non-first duplicates (globally), and the
+    * longest duplicated RUN in tokens (consecutive duplicated window
+    * positions p, p+1, …, p+k cover k+n tokens) — the number that says
+    * whether the corpus's repeats are short phrases or whole passages,
+    * i.e. whether the fixed-n granularity trade is safe. Same window
+    * frame as the filter (shared first-occurrence semantics), one
+    * extra islands pass: consecutive p values share (p − row_number)
+    * — the classic gaps-and-islands key, integer-exact on both
+    * engines.
+    */
+  def substringStats(docs: DataFrame, n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("_t"))
+    val wins = base
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("_t")) < n, array().cast("array<struct<p:int,wkey:string>>"))
+            .otherwise(transform(
+              sequence(lit(0), size(col("_t")) - n),
+              p => struct(
+                p.cast("int").as("p"),
+                md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))).as("wkey")))))
+          .as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.wkey").as("wkey"))
+    val firsts = wins
+      .groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
+    val dups = wins.join(firsts, "wkey")
+      .where(!(col("doc_id") === col("_f.doc_id") && col("p") === col("_f.p")))
+      .select(col("doc_id"), col("p"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("p")
+    val runs = dups
+      .withColumn("_isl", col("p") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("_len")).as("n_dup_windows"),
+        (max(col("_len")) + (n - 1)).as("longest_dup_run"))
+    base
+      .select(
+        col("doc_id"),
+        greatest(size(col("_t")) - (n - 1), lit(0)).cast("long").as("n_windows"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("longest_dup_run"), lit(0L)).cast("long").as("longest_dup_run"))
+  }
+
   // ---- URL / domain tier (RefinedWeb-style curation) ----
 
   /** Deterministic synthetic URL for a document. The corpus carries no

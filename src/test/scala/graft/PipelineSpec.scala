@@ -1076,4 +1076,25 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L).getAs[String]("text_sub_md5") == m("p q z"))
     assert(byId(3L).getAs[String]("text_sub_md5") == m("a b c"))
   }
+
+  test("substringStats: dup-window counts and longest run via islands") {
+    // Same fixture as the filter test (n=4): doc 1 has ONE dup window
+    // (p=8) -> run = 1 window = 4 tokens; doc 2 has dups at p=2,3,4 ->
+    // one island of 3 -> run = 3+3 = 6 tokens; doc 3 has no windows.
+    val d = docs(
+      (1L, "a b c d e f x y a b c d"),
+      (2L, "p q a b c d e f z"),
+      (3L, "a b c"))
+    val out = pipeline.Corpus.substringStats(d, n = 4).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_windows") == 9L)
+    assert(byId(1L).getAs[Long]("n_dup_windows") == 1L)
+    assert(byId(1L).getAs[Long]("longest_dup_run") == 4L)
+    assert(byId(2L).getAs[Long]("n_windows") == 6L)
+    assert(byId(2L).getAs[Long]("n_dup_windows") == 3L)
+    assert(byId(2L).getAs[Long]("longest_dup_run") == 6L)
+    assert(byId(3L).getAs[Long]("n_windows") == 0L)
+    assert(byId(3L).getAs[Long]("n_dup_windows") == 0L)
+    assert(byId(3L).getAs[Long]("longest_dup_run") == 0L)
+  }
 }
