@@ -404,6 +404,13 @@ object QueriesPipeline {
     "domain_stats" -> ((s, dir) =>
       Corpus.domainStats(docs(s, dir)).orderBy("domain")),
 
+    // CCNet/RefinedWeb head/middle/tail bucketing by cumulative token
+    // share, on the distributed prefix plan (no single-partition
+    // window); tier cuts are exact integer comparisons. See
+    // [[graft.pipeline.Corpus.domainTiers]].
+    "domain_tiers" -> ((s, dir) =>
+      Corpus.domainTiers(docs(s, dir)).orderBy("domain")),
+
     // corpus_prepare with the RefinedWeb-style domain blocklist gate
     // composed in: one more map-only predicate (registered domain not
     // in the literal blocklist) inside the SAME single corpus scan —
@@ -2207,6 +2214,24 @@ object QueriesPipeline {
          |  CAST(sum(len($Toks)) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(len($Toks)) AS DOUBLE) / count(*), 6) AS tokens_per_doc
          |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "domain_tiers" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text, $HostSql AS host
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |d AS (SELECT doc_id, text, ${domainSql("host")} AS domain FROM u),
+         |s AS (SELECT domain, CAST(sum(len($Toks)) AS BIGINT) AS n_tokens FROM d GROUP BY domain),
+         |c AS (
+         |  SELECT domain, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, domain
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM s),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s)
+         |SELECT c.domain, c.n_tokens, c.cum_tokens,
+         |  CASE WHEN (c.cum_tokens - c.n_tokens) * 10 < t.tot * 5 THEN 'head'
+         |       WHEN (c.cum_tokens - c.n_tokens) * 10 < t.tot * 9 THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |FROM c, t ORDER BY c.domain""".stripMargin,
 
     // corpus_prepare's replay + the domain blocklist predicate in the
     // kept gate (host/domain recomputed in the canon CTE from the same

@@ -1219,6 +1219,35 @@ object Corpus {
     !registeredDomain(urlHost(synthUrl(col("doc_id"), col("source"))))
       .isin(blocked: _*)
 
+  /** Head/middle/tail domain tiers by cumulative token share — the
+    * CCNet/RefinedWeb bucketing that decides which domains get the
+    * expensive downstream treatment: domains in descending token
+    * order, a domain is "head" while the share BEFORE it is < 50% of
+    * the corpus, "middle" while < 90%, else "tail" (exclusive-prefix
+    * boundaries, so the domain crossing a cut stays in the richer
+    * tier — the budgetSample convention). The prefix sum runs on
+    * [[graft.plans.Scale.cumSumDistributedLong]] over a
+    * (-n_tokens, domain) struct key, so the plan has NO
+    * single-partition window even with millions of domains; tier
+    * boundaries are EXACT integer comparisons (10·prefix < 5·total),
+    * no float shares to drift cross-engine.
+    */
+  def domainTiers(docs: DataFrame): DataFrame = {
+    val stats = domainStats(docs)
+      .select(col("domain"), col("n_tokens"))
+      .withColumn("_ord",
+        struct((-col("n_tokens")).as("nt"), col("domain").as("d")))
+    val cum = graft.plans.Scale
+      .cumSumDistributedLong(stats, "n_tokens", "_ord", "cum_tokens")
+    val tot = broadcast(cum.agg(sum(col("n_tokens")).cast("long").as("_tot")))
+    cum.crossJoin(tot)
+      .select(
+        col("domain"), col("n_tokens"), col("cum_tokens"),
+        when((col("cum_tokens") - col("n_tokens")) * 10 < col("_tot") * 5, "head")
+          .when((col("cum_tokens") - col("n_tokens")) * 10 < col("_tot") * 9, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** Per-registered-domain corpus stats — the table a domain-tier
     * curation pass ranks and thresholds (RefinedWeb's per-domain
     * quality economics). One map-side-combinable shuffle on domain;

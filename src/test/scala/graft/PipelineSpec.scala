@@ -1077,6 +1077,35 @@ class PipelineSpec extends SparkSpec {
     assert(byId(3L).getAs[String]("text_sub_md5") == m("a b c"))
   }
 
+  test("domainTiers: exclusive-prefix cuts partition domains head/middle/tail") {
+    // 40 docs over 4 sources with very different token masses; the
+    // invariants (not the exact tiering, which the oracle hash pins):
+    // head domains carry the largest counts, prefix-before-cut rule
+    // holds exactly, cum of the last domain equals the total.
+    val rows = (0L until 40L).map { i =>
+      val src = s"s${i % 4}"
+      val len = (i % 4) match { case 0 => 200; case 1 => 50; case 2 => 10; case _ => 2 }
+      (i, (1 to len).map(_ => "w").mkString(" "), src)
+    }
+    import scala.jdk.CollectionConverters._
+    val d = spark.createDataFrame(
+      rows.map { case (id, t, s) => Row(id, t, s) }.asJava, docSchema)
+    val out = pipeline.Corpus.domainTiers(d).collect()
+    val tot = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(out.map(_.getAs[Long]("cum_tokens")).max == tot)
+    out.foreach { r =>
+      val before = r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens")
+      val want =
+        if (before * 10 < tot * 5) "head"
+        else if (before * 10 < tot * 9) "middle"
+        else "tail"
+      assert(r.getAs[String]("tier") == want)
+    }
+    // the token-heaviest domain must be head
+    val top = out.maxBy(_.getAs[Long]("n_tokens"))
+    assert(top.getAs[String]("tier") == "head")
+  }
+
   test("substringStats: dup-window counts and longest run via islands") {
     // Same fixture as the filter test (n=4): doc 1 has ONE dup window
     // (p=8) -> run = 1 window = 4 tokens; doc 2 has dups at p=2,3,4 ->
