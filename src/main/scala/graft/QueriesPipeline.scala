@@ -328,22 +328,21 @@ object QueriesPipeline {
     // per document: exact-dup canonical AND near-dup-cluster canonical
     // AND quality gate AND language agreement. Every input is one of
     // the already-declared operators; composing them keeps the whole
-    // chain map/shuffle-parallel (md5 window for exact canonicals, the
-    // CC labels joined back for near-dup canonicals, pure projections
-    // for the two content gates).
+    // chain map/shuffle-parallel (skew-safe groupBy+min join-back for
+    // exact canonicals — Corpus.withExactCanonical, the
+    // paragraphDedupFilter spelling — the CC labels joined back for
+    // near-dup canonicals, pure projections for the two content gates).
     "corpus_filter" -> ((s, dir) => {
       val d = docs(s, dir)
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      val w = Window.partitionBy("cmd5")
       val base = d.select(
         col("doc_id"),
         md5(col("text")).as("cmd5"),
         TextOps.qualityScore(col("text")).as("q"),
         (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"))
-      base
-        .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
+      Corpus.withExactCanonical(base)
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .select(
           col("doc_id"),
@@ -367,8 +366,8 @@ object QueriesPipeline {
     // ONE corpus scan computes every text-derived gate inline
     // (content md5, quality, language agreement, Gopher keep via the
     // shared Corpus.gopherKeep column, token count) — the exact-dup
-    // window and the tiny near-dup-id anti-join are the only
-    // shuffles, and the split label is a pure column function. The
+    // canonical agg+join-back and the tiny near-dup-id anti-join are
+    // the only shuffles, and the split label is a pure column function. The
     // previous shape joined gopherFilter's frame back to the corpus
     // AND evaluated the kept subtree twice through a split join —
     // ~2x the corpus work for identical output.
@@ -377,15 +376,13 @@ object QueriesPipeline {
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      val w = Window.partitionBy("cmd5")
-      d.select(
+      Corpus.withExactCanonical(d.select(
           col("doc_id"),
           md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
-          Corpus.gopherKeep().as("keep"))
-        .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
+          Corpus.gopherKeep().as("keep")))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep"))
@@ -420,16 +417,14 @@ object QueriesPipeline {
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      val w = Window.partitionBy("cmd5")
-      d.select(
+      Corpus.withExactCanonical(d.select(
           col("doc_id"),
           md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
           Corpus.gopherKeep().as("keep"),
-          Corpus.domainGate().as("domain_ok"))
-        .withColumn("is_exact_canonical", min(col("doc_id")).over(w) === col("doc_id"))
+          Corpus.domainGate().as("domain_ok")))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep") && col("domain_ok"))

@@ -1165,6 +1165,32 @@ object Corpus {
         coalesce(col("longest_dup_run"), lit(0L)).cast("long").as("longest_dup_run"))
   }
 
+  /** Exact-duplicate canonical flag, skew-safe: appends
+    * `is_exact_canonical` (doc carries the lowest id of its content-
+    * hash group) via `groupBy(hash).agg(min(id))` + equi-join back —
+    * the [[paragraphDedupFilter]] spelling — NOT a whole-partition
+    * window over the hash. Same answer; but the aggregate
+    * partial-combines map-side (a boilerplate doc with 1e8 copies
+    * reduces to one row per map partition before the shuffle) and the
+    * join-back probe is AQE-skew-splittable, where a window partition
+    * never is: `Window.partitionBy(cmd5)` buffers every copy of a hot
+    * document in ONE task's row array — the remaining
+    * single-task-buffers-a-hot-key shape at 100 TB. Catalyst prunes
+    * the aggregate side to (id, hash), so the probe side's expensive
+    * text-derived columns are computed once.
+    */
+  def withExactCanonical(
+      df: DataFrame,
+      hashCol: String = "cmd5",
+      idCol: String = "doc_id"): DataFrame = {
+    val canon = df
+      .groupBy(col(hashCol))
+      .agg(min(col(idCol)).as("_canon_id"))
+    df.join(canon, hashCol)
+      .withColumn("is_exact_canonical", col(idCol) === col("_canon_id"))
+      .drop("_canon_id")
+  }
+
   // ---- URL / domain tier (RefinedWeb-style curation) ----
 
   /** Deterministic synthetic URL for a document. The corpus carries no

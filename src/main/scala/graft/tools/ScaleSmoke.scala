@@ -330,6 +330,26 @@ object ScaleSmoke {
       graft.pipeline.Corpus.paragraphDedupFilter(units).count()
     }
 
+    // Single-key skew witness for the exact-dup canonical used by the
+    // corpus_filter/prepare family: the same total row count either
+    // all-distinct or with ONE content hash 1e6 copies deep.
+    // Corpus.withExactCanonical partial-aggregates the hot hash
+    // map-side and the join-back probe rows are independent lookups,
+    // so the skewed run must cost about the same as the distinct one;
+    // the Window.partitionBy(cmd5) shape this replaced (round 11)
+    // would buffer every copy in one reducer task.
+    def exactCanonSynth(nRows: Long, hotKey: Boolean): Long = {
+      val base = spark.range(nRows)
+      val text =
+        if (hotKey)
+          when(col("id") % 2 === 0, lit("the same boilerplate document body"))
+            .otherwise(concat(lit("distinct document body "), col("id")))
+        else concat(lit("distinct document body "), col("id"))
+      val d = base.select(col("id").as("doc_id"), md5(text).as("cmd5"))
+      graft.pipeline.Corpus.withExactCanonical(d)
+        .where(col("is_exact_canonical")).count()
+    }
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -357,6 +377,7 @@ object ScaleSmoke {
       "paragraph dedup filter" -> (() => (time("parafilter 1x", paraFilter(docs1)), time(s"parafilter ${n}x", paraFilter(docsN)))),
       "substring dedup filter" -> (() => (time("subfilter 1x", subFilter(docs1)), time(s"subfilter ${n}x", subFilter(docsN)))),
       "parafilter hot-key skew" -> (() => (time("parafilter distinct 2e6", paraFilterSynth(2000000L, hotKey = false)), time("parafilter 1e6-deep key", paraFilterSynth(2000000L, hotKey = true)))),
+      "exactcanon hot-key skew" -> (() => (time("exactcanon distinct 2e6", exactCanonSynth(2000000L, hotKey = false)), time("exactcanon 1e6-deep key", exactCanonSynth(2000000L, hotKey = true)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
       "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))))

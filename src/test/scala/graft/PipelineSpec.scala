@@ -1126,4 +1126,40 @@ class PipelineSpec extends SparkSpec {
     assert(byId(3L).getAs[Long]("n_dup_windows") == 0L)
     assert(byId(3L).getAs[Long]("longest_dup_run") == 0L)
   }
+
+  test("withExactCanonical matches the window spelling, no Window on the hash") {
+    // Mixed dup groups: ids 1/3/5 share a hash, 2/4 share another, 6 alone.
+    val d = docs(
+      (1L, "dup a"), (2L, "dup b"), (3L, "dup a"),
+      (4L, "dup b"), (5L, "dup a"), (6L, "solo"))
+      .select(col("doc_id"), md5(col("text")).as("cmd5"))
+    val out = pipeline.Corpus.withExactCanonical(d)
+    val got = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_exact_canonical"))
+      .toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false, 6L -> true))
+    // The skew contract: the canonical must come from a map-side-
+    // combinable aggregate + join-back, never a whole-partition window
+    // over the content hash (one task would buffer every copy of a hot
+    // document).
+    val plan = out.queryExecution.optimizedPlan.toString
+    plan.linesIterator.filter(_.contains("Window")).foreach { l =>
+      assert(!l.contains("cmd5"), s"Window keyed on content hash: $l")
+    }
+  }
+
+  test("corpus filter/prepare family plans carry no Window keyed on cmd5") {
+    // The full declared queries (DedupChain staging included): the r10
+    // verdict's remaining hot-key shape must never reappear. Logical
+    // optimized plans only — nothing is executed beyond the chain's
+    // own session staging.
+    for (q <- Seq("corpus_filter", "corpus_prepare", "corpus_prepare_gated")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.optimizedPlan.toString
+      plan.linesIterator.filter(_.contains("Window")).foreach { l =>
+        assert(!l.contains("cmd5"), s"$q: Window keyed on content hash: $l")
+      }
+    }
+  }
 }
