@@ -49,8 +49,12 @@ object Verify {
     // Absolute: the oracle SQL is executed by the driver's DuckDB,
     // whose working directory need not be Verify's — a relative
     // fixture path would silently resolve against the wrong root.
+    // SIBLING of outDir, not inside it: the correctness driver scans
+    // every outDir subdirectory as a query result, so a fixture
+    // placed there produces a spurious non-query row in the record
+    // (round-10 verdict's `_opq_rotation` err entry).
     val opqRotDir =
-      new java.io.File(s"$outDir/_opq_rotation").getAbsolutePath
+      new java.io.File(s"${outDir}_fixtures/opq_rotation").getAbsolutePath
     try {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       graft.pipeline.IndexStore.saveRotation(
