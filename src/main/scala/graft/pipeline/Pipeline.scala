@@ -1087,17 +1087,22 @@ object Corpus {
     * windows at every position p with key md5(n tokens joined by ' ');
     * first occurrence of each distinct key = min (doc_id, p); every
     * other occurrence marks token span [p, p+n); removal set = UNION
-    * of spans (overlaps collapse via distinct, so no interval-merge
-    * pass is needed); output is the doc with removed positions
-    * filtered out and survivors re-joined with single spaces (md5'd —
-    * the compare reads the hash, not the text).
+    * of spans, held as MERGED disjoint runs (gaps-and-islands over the
+    * duplicated window positions — equal-length spans overlap or touch
+    * exactly when consecutive p's are ≤ n apart); output is the doc
+    * with removed positions subtracted and survivors re-joined with
+    * single spaces (md5'd — the compare reads the hash, not the text).
     *
     * Scale shape: one explode to O(tokens) window rows (32-char key,
     * not text), one map-side-combinable groupBy on the window key, an
     * equi-join back (hot boilerplate keys are AQE-skew-splittable:
-    * each probe row is an independent lookup), one explode×n +
-    * distinct for the removal set, one doc_id shuffle for the
-    * rebuild. No all-pairs, no global sort, no driver state — the
+    * each probe row is an independent lookup), one per-doc islands
+    * window merging dup spans into O(runs) intervals, one doc_id
+    * shuffle for the rebuild — which subtracts the sorted runs in a
+    * single linear slice-concat pass, O(tokens + runs) per document
+    * (round 11; the array_contains spelling it replaced was
+    * O(tokens × removed) — quadratic on a long fully-duplicated doc).
+    * No all-pairs, no global sort, no driver state — the
     * same family as [[paragraphDedupFilter]], one granularity finer.
     *
     * No streaming twin BY DECISION: first-occurrence-wins requires the
@@ -1315,26 +1320,63 @@ object Corpus {
     val firsts = wins
       .groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
-    val removed = wins.join(firsts, "wkey")
+    val dups = wins.join(firsts, "wkey")
       .where(!(col("doc_id") === col("_f.doc_id") && col("p") === col("_f.p")))
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
-      .distinct()
-    val remAgg = removed.groupBy("doc_id").agg(collect_list(col("pos")).as("_rem"))
-    base.join(remAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("p"))
+    // Merge each duplicated window's token span [p, p+n) into DISJOINT
+    // runs per document (gaps-and-islands: a window opens a new run
+    // iff its p lies more than n past the previous one — otherwise the
+    // spans overlap or touch and their union is contiguous). (doc_id,
+    // p) is unique by construction, so no distinct is needed, and the
+    // per-doc interval list is O(runs) — never O(removed tokens) like
+    // the exploded position set this replaced.
+    val wOrd = Window.partitionBy("doc_id").orderBy("p")
+    val ivAgg = dups
+      .withColumn("_new",
+        when(col("p") - lag(col("p"), 1).over(wOrd) > n, 1).otherwise(0))
+      .withColumn("_run",
+        sum(col("_new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_run"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"),
+        sum(col("e") - col("s") + 1).cast("long").as("_nrem"))
+    // Rebuild by SUBTRACTING the sorted runs: one pass over the
+    // intervals concatenates the kept slices between consecutive
+    // removed runs — O(tokens + runs) per document. (The previous
+    // spelling filtered every token through array_contains(removed
+    // positions): O(tokens × removed) per row, quadratic on a long
+    // fully-duplicated document — the exact hot case this pass
+    // targets.)
+    val kept = aggregate(
+      col("_ivs"),
+      struct(lit(0).as("cur"), array().cast("array<string>").as("acc")),
+      (st, iv) => struct(
+        (iv.getField("e") + 1).as("cur"),
+        concat(
+          st.getField("acc"),
+          slice(col("_t"), st.getField("cur") + 1,
+            iv.getField("s") - st.getField("cur"))).as("acc")),
+      st => concat(
+        st.getField("acc"),
+        slice(col("_t"), st.getField("cur") + 1,
+          size(col("_t")) - st.getField("cur"))))
+    base.join(ivAgg, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("_t"),
-        coalesce(col("_rem"), array().cast("array<int>")).as("_rem"))
+        coalesce(col("_ivs"), array().cast("array<struct<s:int,e:int>>")).as("_ivs"),
+        coalesce(col("_nrem"), lit(0L)).as("_nrem"))
       .select(
         col("doc_id"),
         size(col("_t")).cast("long").as("n_tokens"),
-        size(col("_rem")).cast("long").as("n_removed"),
+        col("_nrem").as("n_removed"),
         round(
-          size(col("_rem")).cast("double") / greatest(size(col("_t")), lit(1)),
+          col("_nrem").cast("double") / greatest(size(col("_t")), lit(1)),
           6).as("removed_frac"),
-        md5(array_join(
-          filter(col("_t"), (t, i) => !array_contains(col("_rem"), i)),
-          " ")).as("text_sub_md5"),
-        (size(col("_rem")) > 0).as("changed"))
+        md5(array_join(kept, " ")).as("text_sub_md5"),
+        (col("_nrem") > 0).as("changed"))
   }
 
   /** FineWeb-style EXACT paragraph dedup with document rebuild: across

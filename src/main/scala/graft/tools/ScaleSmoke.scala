@@ -330,6 +330,20 @@ object ScaleSmoke {
       graft.pipeline.Corpus.paragraphDedupFilter(units).count()
     }
 
+    // Per-doc linearity witness for the substring-dedup REBUILD: two
+    // documents, the second an exact copy of the first, so every
+    // window of doc 1 is a duplicate and the removal set covers the
+    // whole document (R ≈ L — the worst case). The run-subtraction
+    // rebuild is O(L + runs) per doc, so 4x the tokens must cost ~4x;
+    // the array_contains spelling this replaced (round 11) was
+    // O(L·R) = O(L²) and would go ~16x.
+    def subFilterSynthLongDup(nTok: Int): Long = {
+      val words = transform(sequence(lit(0), lit(nTok - 1)), i => concat(lit("w"), i))
+      val d = spark.range(2).select(
+        col("id").as("doc_id"), array_join(words, " ").as("text"))
+      graft.pipeline.Corpus.substringDedupFilter(d).count()
+    }
+
     // Single-key skew witness for the exact-dup canonical used by the
     // corpus_filter/prepare family: the same total row count either
     // all-distinct or with ONE content hash 1e6 copies deep.
@@ -378,6 +392,7 @@ object ScaleSmoke {
       "substring dedup filter" -> (() => (time("subfilter 1x", subFilter(docs1)), time(s"subfilter ${n}x", subFilter(docsN)))),
       "parafilter hot-key skew" -> (() => (time("parafilter distinct 2e6", paraFilterSynth(2000000L, hotKey = false)), time("parafilter 1e6-deep key", paraFilterSynth(2000000L, hotKey = true)))),
       "exactcanon hot-key skew" -> (() => (time("exactcanon distinct 2e6", exactCanonSynth(2000000L, hotKey = false)), time("exactcanon 1e6-deep key", exactCanonSynth(2000000L, hotKey = true)))),
+      "subfilter long-dup doc" -> (() => (time("subfilter dup-doc 50k tok", subFilterSynthLongDup(50000)), time("subfilter dup-doc 200k tok", subFilterSynthLongDup(200000)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
       "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))))
