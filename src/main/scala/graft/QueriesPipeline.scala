@@ -1301,8 +1301,21 @@ object QueriesPipeline {
        |      CASE WHEN doc_id % 2 = 0 THEN '?ref=feed' ELSE '' END)""".stripMargin
   private val HostSql: String =
     s"lower(regexp_extract($UrlSql, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1))"
+  // The committed public-suffix fixture, shared verbatim with
+  // Corpus.PublicSuffixes so engine and oracle cannot drift; the PSL
+  // longest-match replays as list lambdas (filter matching suffixes,
+  // max label count), the fallback and suffix-is-host cases mirror
+  // Corpus.registeredDomain exactly.
+  private val PslListSql: String =
+    Corpus.PublicSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+  private def pslBestSql(h: String): String =
+    s"coalesce(list_max(list_transform(list_filter($PslListSql, s -> $h = s OR ends_with($h, '.' || s)), s -> len(string_split(s, '.')))), 0)"
   private def domainSql(h: String): String =
-    s"CASE WHEN len(string_split($h, '.')) >= 2 THEN concat(string_split($h, '.')[-2], '.', string_split($h, '.')[-1]) ELSE $h END"
+    s"""CASE WHEN ${pslBestSql(h)} = 0 THEN
+       |       (CASE WHEN len(string_split($h, '.')) >= 2 THEN concat(string_split($h, '.')[-2], '.', string_split($h, '.')[-1]) ELSE $h END)
+       |     WHEN len(string_split($h, '.')) <= ${pslBestSql(h)} THEN $h
+       |     ELSE array_to_string(list_slice(string_split($h, '.'), -(${pslBestSql(h)} + 1), -1), '.')
+       |END""".stripMargin
   private val BlocklistSql: String =
     Corpus.DomainBlocklist.mkString("('", "', '", "')")
 
@@ -2254,8 +2267,9 @@ object QueriesPipeline {
          |  FROM (SELECT doc_id, lang, md5(text) AS cmd5,
          |          $QualitySql AS q,
          |          ($LangPredSql) = lang AS lang_ok,
-         |          ${domainSql(HostSql)} AS dom
-         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |          ${domainSql("host")} AS dom
+         |        FROM (SELECT *, $HostSql AS host
+         |              FROM read_parquet('{SFDIR}/documents.parquet')))),
          |kept AS (
          |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
          |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM dups)

@@ -1224,16 +1224,86 @@ object Corpus {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
 
-  /** Registered domain = the host's last two dot-labels — the
-    * public-suffix-list-free approximation (right for .com/.org
-    * tiers; a real deployment swaps in a PSL table broadcast the same
-    * way the blocklist is).
+  /** Committed public-suffix subset (publicsuffix.org — public
+    * knowledge), the fixture the PSL-backed [[registeredDomain]]
+    * matches against: the generic TLD space the synthetic corpus
+    * uses, the common country-code TLDs, their second-level
+    * registries (the `co.uk`-class multi-label suffixes the
+    * last-two-labels approximation tiers wrong), and a few
+    * private-section platform suffixes. A real deployment swaps in
+    * the full ~9k-rule list by the same literal/broadcast stance as
+    * [[DomainBlocklist]]; the matching algorithm below is
+    * list-size-independent.
+    */
+  val PublicSuffixes: Seq[String] = Seq(
+    // generic TLDs (incl. the synthetic corpus's com/org)
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "ai", "co", "dev", "app", "me", "tv", "cc", "xyz",
+    // country-code TLDs
+    "us", "uk", "de", "fr", "jp", "au", "br", "cn", "in", "nz", "za",
+    "mx", "ar", "sg", "tr", "tw", "kr", "hk", "my", "ph", "vn", "sa",
+    "il", "th", "es", "it", "nl", "se", "no", "fi", "dk", "pl", "ru",
+    "ch", "at", "be", "pt", "gr", "cz", "ie", "ca",
+    // second-level registries (the multi-label suffixes)
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "sch.uk", "ac.uk", "gov.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ed.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
+    "co.za", "net.za", "org.za", "ac.za", "gov.za",
+    "com.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.tw", "org.tw", "edu.tw", "gov.tw",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "com.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph",
+    "com.vn", "net.vn", "org.vn",
+    "com.sa", "org.sa", "edu.sa", "gov.sa",
+    "co.il", "org.il", "ac.il", "gov.il",
+    "co.th", "in.th", "or.th", "ac.th", "go.th",
+    // private-section platform suffixes
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "pages.dev",
+    "workers.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudfront.net")
+
+  /** Registered domain under the committed [[PublicSuffixes]] fixture
+    * — the PSL algorithm: find the LONGEST public suffix that
+    * label-aligned-matches the host (equal, or host ends with
+    * "." + suffix), then registered domain = that suffix plus one
+    * more label. A host that IS a public suffix has no registrable
+    * part and passes through unchanged; a host matching no rule
+    * falls back to the PSL's implicit `*` rule (last label is the
+    * suffix → last two labels), which is also the pre-PSL behavior,
+    * so `.com`/`.org` hosts are unaffected. Pure map-only Column
+    * expression: the fixture is a literal array scanned per row
+    * (O(|PSL|) codegen'd comparisons — the blocklist stance; at the
+    * full 9k-rule list a broadcast join on the exploded candidate
+    * suffixes is the same plan shape).
     */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
-    when(size(labels) >= 2,
-      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
-      .otherwise(host)
+    val cands = array(PublicSuffixes.map { s =>
+      struct(lit(s).as("s"), lit(s.count(_ == '.') + 1).as("k"))
+    }: _*)
+    // label count of the longest matching public suffix (0 = no rule)
+    val best = aggregate(
+      filter(cands, c => host === c.getField("s") ||
+        host.endsWith(concat(lit("."), c.getField("s")))),
+      lit(0),
+      (acc, c) => greatest(acc, c.getField("k")))
+    when(best === 0,
+        when(size(labels) >= 2,
+          concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+          .otherwise(host))
+      .when(size(labels) <= best, host)
+      .otherwise(concat_ws(".", slice(labels, (best + 1) * -1, best + 1)))
   }
 
   /** Blocklisted registered domains for the gated prepare — a literal

@@ -1127,6 +1127,30 @@ class PipelineSpec extends SparkSpec {
     assert(byId(3L).getAs[Long]("longest_dup_run") == 0L)
   }
 
+  test("registeredDomain: PSL longest-match incl. multi-label suffixes") {
+    import spark.implicits._
+    val cases = Seq(
+      // second-level registry: last-two-labels would say "co.uk"
+      "www.example.co.uk" -> "example.co.uk",
+      "a.b.example.ac.uk" -> "example.ac.uk",
+      // plain gTLD unchanged vs the pre-PSL behavior
+      "www.example.com" -> "example.com",
+      "cdn.src3.org" -> "src3.org",
+      // private-section platform suffix
+      "project.user.github.io" -> "user.github.io",
+      // a host that IS a public suffix has no registrable part
+      "co.uk" -> "co.uk",
+      // no rule matches -> the PSL implicit `*` rule (last two labels)
+      "example.unknowntld" -> "example.unknowntld",
+      "localhost" -> "localhost")
+    val out = cases.map(_._1).toDF("host")
+      .select(col("host"), pipeline.Corpus.registeredDomain(col("host")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(out(h) == want, s"host $h: got ${out(h)}, want $want")
+    }
+  }
+
   test("withExactCanonical matches the window spelling, no Window on the hash") {
     // Mixed dup groups: ids 1/3/5 share a hash, 2/4 share another, 6 alone.
     val d = docs(
