@@ -2338,12 +2338,15 @@ object QueriesPipeline {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // pack_sequences with the [[Bpe]] replace-chain token count — the
-    // 47-merge fixture is interpolated as the identical chain of
-    // left-to-right replaces both engines implement the same way.
+    // 256-merge byte-level fixture is interpolated as the identical
+    // chain of left-to-right replaces both engines implement the same
+    // way, staged through 64-merge CTE layers on the DuckDB side
+    // (binder recursion cap).
     "pack_sequences_bpe" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, CAST(${Bpe.sqlTokenCount("text")} AS BIGINT) AS n_tokens
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |d AS (
+         |  SELECT doc_id, CAST(length(bpe) AS BIGINT) AS n_tokens
+         |  FROM enc),
          |c AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
@@ -2637,9 +2640,10 @@ object QueriesPipeline {
     // per-doc counts, as in the engine. Window sum keeps the BIGINT
     // cast (the round-7/8 HUGEINT dtype lesson).
     "corpus_budget_sample_bpe" ->
-      s"""WITH s AS (
-         |  SELECT source, CAST(sum(${Bpe.sqlTokenCount("text")}) AS BIGINT) AS n_tokens
-         |  FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY source),
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |s AS (
+         |  SELECT source, CAST(sum(length(bpe)) AS BIGINT) AS n_tokens
+         |  FROM enc GROUP BY source),
          |wgt AS (
          |  SELECT source,
          |    CAST(floor(2000.0 * round(sqrt(CAST(n_tokens AS DOUBLE))
@@ -2647,9 +2651,9 @@ object QueriesPipeline {
          |      AS BIGINT) AS budget_tokens
          |  FROM s),
          |k AS (
-         |  SELECT doc_id, source, CAST(${Bpe.sqlTokenCount("text")} AS BIGINT) AS n_tokens,
+         |  SELECT doc_id, source, CAST(length(bpe) AS BIGINT) AS n_tokens,
          |    ${h32("concat('budget_', CAST(doc_id AS VARCHAR))")} AS ord
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |  FROM enc),
          |c AS (
          |  SELECT doc_id, source, n_tokens,
          |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id

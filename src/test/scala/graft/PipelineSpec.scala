@@ -1044,6 +1044,28 @@ class PipelineSpec extends SparkSpec {
     assert(want.head.length < samples.head.length)
   }
 
+  test("Bpe: char-47 table is the prefix of the byte table; symbols well-formed") {
+    assert(pipeline.Bpe.Merges.size == 256)
+    assert(pipeline.Bpe.MergesChar == pipeline.Bpe.Merges.take(47))
+    pipeline.Bpe.Merges.zipWithIndex.foreach { case ((p, r), i) =>
+      assert(r == (0xE000 + i).toChar.toString, s"rank $i: bad symbol")
+      assert(p.length == 2, s"rank $i: pair must be two symbols")
+      p.foreach(c => assert(c < 128 || (c >= 0xE000 && c < 0xE000 + i),
+        s"rank $i: pair symbol must be ASCII or an EARLIER merge output"))
+    }
+  }
+
+  test("Bpe contract guard: testdata corpora are ASCII (no private-use chars)") {
+    // The byte-level contract: every char is one byte and none sits in
+    // the U+E000..U+F8FF merge-output range. One regex covers both --
+    // a violation here means Bpe token counts are silently wrong.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val n = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(col("text").rlike("[^\\u0000-\\u007F]")).count()
+      assert(n == 0, s"$sf: $n docs violate the ASCII byte-level BPE contract")
+    }
+  }
+
   test("substringDedupFilter: first occurrence survives, later spans removed, short docs untouched") {
     // n=4 windows. doc 1 carries the canonical run "a b c d e f";
     // doc 2 repeats it mid-text (all 3 duplicated windows' spans
