@@ -300,6 +300,19 @@ object QueriesPipeline {
     "dedup_substrings" -> ((s, dir) =>
       Corpus.substringDedupFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Delta-ingest exact-substring dedup: docs with doc_id % 10 == 0
+    // play the newly-arrived delta (the dedup_incremental convention),
+    // the rest the snapshot — which enters ONLY as its first-occurrence
+    // window-key state table, never re-hashed. The oracle asserts
+    // equality with the full-corpus recompute filtered to delta docs.
+    "dedup_substrings_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = col("doc_id") % 10 === 0
+      Corpus.substringDedupFilterIncremental(
+          Corpus.substringFirstOccurrences(d.where(!isNew)), d.where(isNew))
+        .orderBy("doc_id")
+    }),
+
     // The instrument read BEFORE dedup_substrings: per-doc window /
     // duplicated-window counts and the longest duplicated run in
     // tokens (consecutive dup positions = gaps-and-islands on p) —
@@ -1330,6 +1343,35 @@ object QueriesPipeline {
        |          WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
        |          ELSE 'und' END""".stripMargin
 
+  /** Full-corpus exact-substring dedup replay, optionally restricted
+    * by `where` over the final per-doc frame (alias `t`) — shared by
+    * the batch oracle and the incremental oracle (whose operator
+    * contract is exactly "the full recompute filtered to the delta").
+    */
+  private def substringDedupSql(where: String): String = {
+    val n = Corpus.SubstringN
+    s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+       |wins AS (
+       |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
+       |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM toks)),
+       |rk AS (
+       |  SELECT doc_id, p, row_number() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn FROM wins),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, p + ds.d AS pos
+       |  FROM rk, (SELECT unnest(range(0, $n)) AS d) ds WHERE rn > 1),
+       |ragg AS (SELECT doc_id, list(pos) AS rem FROM rem GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+       |  round(CAST(coalesce(len(r.rem), 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS removed_frac,
+       |  md5(coalesce(array_to_string(
+       |    list_transform(
+       |      list_filter(range(0, len(t.t)), i -> NOT coalesce(list_contains(r.rem, i), false)),
+       |      i -> t.t[i + 1]), ' '), '')) AS text_sub_md5,
+       |  coalesce(len(r.rem), 0) > 0 AS changed
+       |FROM toks t LEFT JOIN ragg r USING (doc_id) $where ORDER BY t.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -1642,29 +1684,12 @@ object QueriesPipeline {
     // occurrence; the removal set is the DISTINCT union of duplicated
     // window spans (overlaps collapse by construction); the rebuild
     // filters 0-based token positions against that set.
-    "dedup_substrings" -> {
-      val n = Corpus.SubstringN
-      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
-         |wins AS (
-         |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
-         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM toks)),
-         |rk AS (
-         |  SELECT doc_id, p, row_number() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn FROM wins),
-         |rem AS (
-         |  SELECT DISTINCT doc_id, p + ds.d AS pos
-         |  FROM rk, (SELECT unnest(range(0, $n)) AS d) ds WHERE rn > 1),
-         |ragg AS (SELECT doc_id, list(pos) AS rem FROM rem GROUP BY doc_id)
-         |SELECT t.doc_id,
-         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
-         |  round(CAST(coalesce(len(r.rem), 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS removed_frac,
-         |  md5(coalesce(array_to_string(
-         |    list_transform(
-         |      list_filter(range(0, len(t.t)), i -> NOT coalesce(list_contains(r.rem, i), false)),
-         |      i -> t.t[i + 1]), ' '), '')) AS text_sub_md5,
-         |  coalesce(len(r.rem), 0) > 0 AS changed
-         |FROM toks t LEFT JOIN ragg r USING (doc_id) ORDER BY t.doc_id""".stripMargin
-    },
+    "dedup_substrings" -> substringDedupSql(""),
+
+    // The incremental operator's contract IS this filter: the full
+    // recompute over snapshot ∪ delta, restricted to the delta docs.
+    "dedup_substrings_incremental" ->
+      substringDedupSql("WHERE t.doc_id % 10 = 0"),
 
     "substring_stats" -> {
       val n = Corpus.SubstringN

@@ -1128,11 +1128,14 @@ object Corpus {
     * — the classic gaps-and-islands key, integer-exact on both
     * engines.
     */
-  def substringStats(docs: DataFrame, n: Int = SubstringN): DataFrame = {
-    require(n >= 2, s"bad substring window n=$n")
-    val toks = TextOps.tokens(col("text"))
-    val base = docs.select(col("doc_id"), toks.as("_t"))
-    val wins = base
+  /** The (doc_id, p, wkey) n-token window frame over a (doc_id, _t
+    * tokens) base — the shared first stage of [[substringStats]],
+    * [[substringDedupFilter]] and the incremental variant. One
+    * map-only explode to O(tokens) rows carrying a 32-char key, never
+    * the text.
+    */
+  private def substringWindows(base: DataFrame, n: Int): DataFrame =
+    base
       .select(
         col("doc_id"),
         explode(
@@ -1144,6 +1147,12 @@ object Corpus {
                 md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))).as("wkey")))))
           .as("w"))
       .select(col("doc_id"), col("w.p").as("p"), col("w.wkey").as("wkey"))
+
+  def substringStats(docs: DataFrame, n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("_t"))
+    val wins = substringWindows(base, n)
     val firsts = wins
       .groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
@@ -1375,24 +1384,72 @@ object Corpus {
     require(n >= 2, s"bad substring window n=$n")
     val toks = TextOps.tokens(col("text"))
     val base = docs.select(col("doc_id"), toks.as("_t"))
-    val wins = base
-      .select(
-        col("doc_id"),
-        explode(
-          when(size(col("_t")) < n, array().cast("array<struct<p:int,wkey:string>>"))
-            .otherwise(transform(
-              sequence(lit(0), size(col("_t")) - n),
-              p => struct(
-                p.cast("int").as("p"),
-                md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))).as("wkey")))))
-          .as("w"))
-      .select(col("doc_id"), col("w.p").as("p"), col("w.wkey").as("wkey"))
+    val wins = substringWindows(base, n)
     val firsts = wins
       .groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
     val dups = wins.join(firsts, "wkey")
       .where(!(col("doc_id") === col("_f.doc_id") && col("p") === col("_f.p")))
       .select(col("doc_id"), col("p"))
+    rebuildFromDupWindows(base, dups, n)
+  }
+
+  /** The per-window-key FIRST-OCCURRENCE table (wkey → min (doc_id,
+    * p)) — the STATE of exact-substring dedup. A production snapshot
+    * persists this frame (32-char key + two ints per distinct window)
+    * and the incremental pass READS it instead of re-hashing the
+    * snapshot corpus; it is also exactly the `firsts` stage of the
+    * batch [[substringDedupFilter]].
+    */
+  def substringFirstOccurrences(docs: DataFrame, n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val toks = TextOps.tokens(col("text"))
+    substringWindows(docs.select(col("doc_id"), toks.as("_t")), n)
+      .groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
+  }
+
+  /** Incremental (delta-ingest) exact-substring dedup — the honest
+    * streaming answer the batch operator's scaladoc names: the
+    * snapshot side enters ONLY as its first-occurrence window-key
+    * state ([[substringFirstOccurrences]], read-not-recomputed at
+    * 100 TB), the delta's windows probe it with one equi-join, and a
+    * delta window survives iff it is the GLOBAL first occurrence of
+    * its key (the least of the snapshot's and the delta's own min —
+    * struct `least` ignores the null the left join leaves on
+    * snapshot-unseen keys). Output = [[substringDedupFilter]] over
+    * snapshot ∪ delta, restricted to the delta docs (the oracle
+    * asserts exactly that), but the plan's cost is O(delta windows),
+    * independent of snapshot×snapshot work — the same contract as
+    * [[Dedup.incrementalCandidatePairs]].
+    */
+  def substringDedupFilterIncremental(
+      snapshotFirsts: DataFrame,
+      delta: DataFrame,
+      n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val toks = TextOps.tokens(col("text"))
+    val base = delta.select(col("doc_id"), toks.as("_t"))
+    val wins = substringWindows(base, n)
+    val deltaFirsts = wins
+      .groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("p"))).as("_fd"))
+    val firsts = deltaFirsts
+      .join(snapshotFirsts.withColumnRenamed("_f", "_fs"), Seq("wkey"), "left")
+      .select(col("wkey"), least(col("_fd"), col("_fs")).as("_f"))
+    val dups = wins.join(firsts, "wkey")
+      .where(!(col("doc_id") === col("_f.doc_id") && col("p") === col("_f.p")))
+      .select(col("doc_id"), col("p"))
+    rebuildFromDupWindows(base, dups, n)
+  }
+
+  /** Shared rebuild tail of the substring-dedup passes: merge the dup
+    * windows' spans into runs, subtract them, re-join survivors.
+    */
+  private def rebuildFromDupWindows(
+      base: DataFrame,
+      dups: DataFrame,
+      n: Int): DataFrame = {
     // Merge each duplicated window's token span [p, p+n) into DISJOINT
     // runs per document (gaps-and-islands: a window opens a new run
     // iff its p lies more than n past the previous one — otherwise the

@@ -1149,6 +1149,32 @@ class PipelineSpec extends SparkSpec {
     assert(byId(3L).getAs[Long]("longest_dup_run") == 0L)
   }
 
+  test("substringDedupFilterIncremental equals the filtered full recompute") {
+    // delta = doc_id % 10 == 0. Ids interleave on purpose: doc 20's
+    // run also appears in snapshot doc 21 (20 < 21, so the DELTA
+    // occurrence is the global first and survives), while doc 10
+    // repeats snapshot doc 1's run (1 < 10, removed) and doc 30
+    // repeats delta doc 20's run (removed as new x new).
+    val all = docs(
+      (1L, "a b c d e f x y"),
+      (10L, "p p a b c d e f"),
+      (20L, "u v w x y z a o"),
+      (21L, "u v w x y z b o"),
+      (30L, "u v w x y z c o"))
+    val isNew = col("doc_id") % 10 === 0
+    val full = pipeline.Corpus.substringDedupFilter(all, n = 4)
+      .where(isNew).orderBy("doc_id").collect()
+    val inc = pipeline.Corpus.substringDedupFilterIncremental(
+        pipeline.Corpus.substringFirstOccurrences(all.where(!isNew), n = 4),
+        all.where(isNew), n = 4)
+      .orderBy("doc_id").collect()
+    assert(inc.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    val byId = inc.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("changed"))   // snapshot-first dup
+    assert(!byId(20L).getAs[Boolean]("changed"))  // delta is global first
+    assert(byId(30L).getAs[Boolean]("changed"))   // new x new dup
+  }
+
   test("registeredDomain: PSL longest-match incl. multi-label suffixes") {
     import spark.implicits._
     val cases = Seq(
