@@ -1291,22 +1291,27 @@ object Corpus {
     * falls back to the PSL's implicit `*` rule (last label is the
     * suffix → last two labels), which is also the pre-PSL behavior,
     * so `.com`/`.org` hosts are unaffected. Pure map-only Column
-    * expression: the fixture is a literal array scanned per row
-    * (O(|PSL|) codegen'd comparisons — the blocklist stance; at the
-    * full 9k-rule list a broadcast join on the exploded candidate
-    * suffixes is the same plan shape).
+    * expression, fully codegen'd: the fixture is grouped by label
+    * count and each group probes ONE `isin` hash set against the
+    * host's label-aligned tail (longest length first) — higher-order
+    * array lambdas would fall out of whole-stage codegen and cost
+    * ~7 µs/row. The blocklist stance; at the full 9k-rule list a
+    * broadcast join on the exploded candidate tails is the same plan
+    * shape.
     */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
-    val cands = array(PublicSuffixes.map { s =>
-      struct(lit(s).as("s"), lit(s.count(_ == '.') + 1).as("k"))
-    }: _*)
-    // label count of the longest matching public suffix (0 = no rule)
-    val best = aggregate(
-      filter(cands, c => host === c.getField("s") ||
-        host.endsWith(concat(lit("."), c.getField("s")))),
-      lit(0),
-      (acc, c) => greatest(acc, c.getField("k")))
+    // label count of the longest matching public suffix (0 = no rule):
+    // nested whens built shortest-first so the LONGEST length is the
+    // outermost (first-checked) branch
+    val best = PublicSuffixes
+      .groupBy(_.count(_ == '.') + 1).toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (k, ss)) =>
+        when(
+          size(labels) >= k &&
+            concat_ws(".", slice(labels, -k, k)).isin(ss: _*),
+          lit(k)).otherwise(acc)
+      }
     when(best === 0,
         when(size(labels) >= 2,
           concat_ws(".", element_at(labels, -2), element_at(labels, -1)))

@@ -330,6 +330,25 @@ object ScaleSmoke {
       graft.pipeline.Corpus.paragraphDedupFilter(units).count()
     }
 
+    // Zipf-head skew witness for domain_stats: the same row count with
+    // every doc on ONE registered domain (the real-web head shape —
+    // a single platform domain holding 1e6+ docs) vs spread over ~1e5
+    // domains. groupBy(domain).agg(countDistinct(host), counts, sums)
+    // partial-aggregates map-side — Spark plans count(DISTINCT) as a
+    // first (domain, host) aggregate, and the synthetic url keeps
+    // hosts-per-domain bounded (www/cdn/apex) — so the hot-domain run
+    // must cost about the same as the uniform one.
+    def domainStatsSynth(nRows: Long, hotDomain: Boolean): Long = {
+      val src =
+        if (hotDomain) lit("hothead")
+        else concat(lit("s"), (col("id") % 100000).cast("string"))
+      val d = spark.range(nRows).select(
+        col("id").as("doc_id"),
+        lit("some short document body text").as("text"),
+        src.as("source"))
+      graft.pipeline.Corpus.domainStats(d).count()
+    }
+
     // Per-doc linearity witness for the substring-dedup REBUILD: two
     // documents, the second an exact copy of the first, so every
     // window of doc 1 is a duplicate and the removal set covers the
@@ -393,6 +412,7 @@ object ScaleSmoke {
       "parafilter hot-key skew" -> (() => (time("parafilter distinct 2e6", paraFilterSynth(2000000L, hotKey = false)), time("parafilter 1e6-deep key", paraFilterSynth(2000000L, hotKey = true)))),
       "exactcanon hot-key skew" -> (() => (time("exactcanon distinct 2e6", exactCanonSynth(2000000L, hotKey = false)), time("exactcanon 1e6-deep key", exactCanonSynth(2000000L, hotKey = true)))),
       "subfilter long-dup doc" -> (() => (time("subfilter dup-doc 50k tok", subFilterSynthLongDup(50000)), time("subfilter dup-doc 200k tok", subFilterSynthLongDup(200000)))),
+      "domainstats hot-domain skew" -> (() => (time("domainstats uniform 2e6", domainStatsSynth(2000000L, hotDomain = false)), time("domainstats 1-domain 2e6", domainStatsSynth(2000000L, hotDomain = true)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
       "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))))
