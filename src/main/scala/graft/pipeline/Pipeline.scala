@@ -2725,7 +2725,12 @@ object IvfChain {
     */
   def opqServed(s: SparkSession, dir: String, embs: => DataFrame): TrainedIndex =
     synchronized {
-      val p = s"$storeRoot/${java.lang.Integer.toHexString(dir.hashCode)}"
+      // collision-resistant store key: two distinct sfDir strings must
+      // never share a slot (a 32-bit hashCode collision would silently
+      // serve one dir's trained index against the other's oracle)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = s"$storeRoot/$key"
       val marker = new java.io.File(p, "_SAVED")
       if (!marker.exists()) {
         IndexStore.save(p, TrainedIndex(
