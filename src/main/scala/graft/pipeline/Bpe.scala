@@ -313,8 +313,18 @@ object Bpe {
       call_function("replace", c, lit(p), lit(r))
     }
 
-  /** The fully-merged symbol string (each char = one BPE token). */
-  def encode(text: Column): Column = encodeWith(Merges, text)
+  /** The fully-merged symbol string (each char = one BPE token).
+    * Spelled as the fused one-buffer kernel
+    * ([[org.apache.spark.sql.graft.expressions.BpeEncodeF]]) rather
+    * than 256 chained `StringReplace`s: bit-identical by contract
+    * (PipelineSpec pins kernel == fold == Spark chain), ~an order of
+    * magnitude cheaper per row (no 256 intermediate UTF8Strings;
+    * passes whose pair symbols are absent are skipped).
+    */
+  def encode(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.BpeEncodeF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** BPE token count: length of the merged symbol string. */
   def tokenCount(text: Column): Column = length(encode(text)).cast("long")

@@ -1044,6 +1044,27 @@ class PipelineSpec extends SparkSpec {
     assert(want.head.length < samples.head.length)
   }
 
+  test("BpeEncodeF kernel equals the replace-chain fold on random ASCII") {
+    // The fused one-buffer kernel must match the committed semantics
+    // (chained left-to-right non-overlapping String.replace) on
+    // arbitrary input, including self-overlapping runs and strings
+    // where no merge fires.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghij lmnopqrstuvw   " // space-heavy, like text
+    val samples = Seq("", "a", "aaa sss eee", "zzz qqq") ++
+      (0 until 300).map { _ =>
+        val len = rnd.nextInt(150)
+        (0 until len).map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      }
+    samples.foreach { s =>
+      val want = pipeline.Bpe.Merges.foldLeft(s) {
+        case (acc, (p, r)) => acc.replace(p, r)
+      }
+      val got = org.apache.spark.sql.graft.expressions.BpeEncodeF.encode(s)
+      assert(got == want, s"kernel diverges on ${s.take(40)}...")
+    }
+  }
+
   test("Bpe: char-47 table is the prefix of the byte table; symbols well-formed") {
     assert(pipeline.Bpe.Merges.size == 256)
     assert(pipeline.Bpe.MergesChar == pipeline.Bpe.Merges.take(47))
