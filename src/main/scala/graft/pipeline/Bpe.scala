@@ -329,6 +329,27 @@ object Bpe {
   /** BPE token count: length of the merged symbol string. */
   def tokenCount(text: Column): Column = length(encode(text)).cast("long")
 
+  /** Inverse of [[encode]]: expand merge symbols back to their pairs
+    * in REVERSE rank order (each replace re-inflates one symbol; a
+    * later-rank symbol's expansion may contain earlier-rank symbols,
+    * which the remaining passes then expand). BPE merge chains are
+    * lossless by construction — every symbol maps to exactly one pair
+    * and output symbols never occur in input text (the U+E000
+    * contract) — so `decode(encode(s)) == s`, pinned over the real
+    * corpus in PipelineSpec. This is what makes the merged symbol
+    * string a legitimate STORED representation: a pipeline can carry
+    * the ~6x-smaller symbol column through packing/budget stages and
+    * still recover byte-exact text.
+    */
+  def decode(sym: Column): Column =
+    Merges.reverse.foldLeft(sym) { case (c, (p, r)) =>
+      call_function("replace", c, lit(r), lit(p))
+    }
+
+  /** JVM mirror of [[decode]], for state-free use in kernels/tests. */
+  def decodeString(s: String): String =
+    Merges.reverse.foldLeft(s) { case (acc, (p, r)) => acc.replace(r, p) }
+
   /** Char-47 legacy encode/count (the round-10 denomination). */
   def encodeChar(text: Column): Column = encodeWith(MergesChar, text)
   def tokenCountChar(text: Column): Column =

@@ -1076,6 +1076,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Bpe decode inverts encode byte-exactly over the real corpus") {
+    // Losslessness is what licenses storing the merged symbol string:
+    // decode must recover the original text for every sf0.001 doc
+    // (Spark path) and for random ASCII (JVM kernel path).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = docs
+      .select(pipeline.Bpe.decode(pipeline.Bpe.encode(col("text"))).as("rt"),
+        col("text"))
+      .where(col("rt") =!= col("text")).count()
+    assert(bad == 0L)
+    val rnd = new scala.util.Random(7)
+    (0 until 100).foreach { _ =>
+      val s = (0 until rnd.nextInt(200))
+        .map(_ => "abcdefghij lmnopqrstuvw ".charAt(rnd.nextInt(24))).mkString
+      assert(pipeline.Bpe.decodeString(
+        org.apache.spark.sql.graft.expressions.BpeEncodeF.encode(s)) == s)
+    }
+  }
+
   test("Bpe contract guard: testdata corpora are ASCII (no private-use chars)") {
     // The byte-level contract: every char is one byte and none sits in
     // the U+E000..U+F8FF merge-output range. One regex covers both --
