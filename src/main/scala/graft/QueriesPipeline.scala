@@ -971,6 +971,49 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // The decode -> RESIZE -> featurize chain (the slot a production
+    // pipeline uses to normalize model input dims): real PNGs decoded
+    // by javax.imageio, nearest-neighbor resized to 8x8 inside the
+    // same batched seam, then histogrammed. Every resampled pixel is
+    // an exact integer function of doc_id (src index (i*srcLen)//64
+    // into the (id*31+j)%256 grid), so the oracle predicts the full
+    // 16-bin histogram of the RESIZED payload arithmetically.
+    "multimodal_resize" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticImages(s, docs(s, dir)),
+        Multimodal.ImageIODecoder,
+        resizeTo = Some((8, 8))).toDF()
+      val bins = (0 until 16).map(b =>
+        round(element_at(col("features"), b + 1) * 64).cast("bigint").as(s"h$b"))
+      feats.select(Seq(
+          col("id").as("doc_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height")) ++ bins: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling for video-modality records (keep every 3rd frame
+    // index): the documents table plays a video corpus through the
+    // deterministic fake decoder, whose hash-derived frame count the
+    // oracle reproduces with the same wrapped-32-bit Arrays.hashCode
+    // arithmetic as multimodal_decode; the sampled-index set is then
+    // exact integer math (ceil(n/3) indexes, last = 3*(count-1)).
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val vids = docs(s, dir).select(
+          col("doc_id").as("id"), lit("video").as("modality"),
+          col("text").cast("binary").as("blob"), col("source"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.sampleFrameIndexes(
+          Multimodal.extractFeatures(vids).toDF(), everyK = 3)
+        .select(
+          col("id").as("doc_id"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          size(col("sampled_frames")).cast("bigint").as("n_sampled"),
+          element_at(col("sampled_frames"), -1).cast("bigint").as("last_sampled"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -2558,6 +2601,50 @@ object QueriesPipeline {
         |  CAST(16 + ((CAST(floor(jh / 256.0) AS BIGINT) % 16) + 16) % 16 AS BIGINT) AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // decode -> nearest-neighbor 8x8 resize -> histogram, predicted
+    // arithmetically: resampled pixel i reads source index
+    // (i * w*h) // 64 of the (id*31+j)%256 grid (the grayscale payload
+    // IS the pixel grid, so byte-index == pixel-index resampling).
+    "multimodal_resize" -> {
+      val bins = (0 until 16)
+        .map(b => s"CAST(count(*) FILTER (WHERE bin = $b) AS BIGINT) AS h$b")
+        .mkString(",\n        |  ")
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h
+        |  FROM read_parquet('{SFDIR}/documents.parquet')),
+        |px AS (
+        |  SELECT doc_id, ((doc_id * 31 + ((t.i * (w * h)) // 64)) % 256) // 16 AS bin
+        |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  $bins
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Frame sampling: the fake decoder's video frame count is
+    // 1 + floorMod(jh >> 16, 8) with jh = Java Arrays.hashCode of the
+    // blob bytes (the multimodal_decode emulation; >> 16 on a negative
+    // int is floor division by 65536); every-3rd sampling is then pure
+    // integer math.
+    "multimodal_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(range(0, octet_length(encode(text))),
+        |          i -> CAST((CAST(concat('0x', substr(hex(encode(text)), 2 * i + 1, 2)) AS INTEGER) + 128) % 256 - 128 AS BIGINT))),
+        |      (acc, b) -> (((31 * acc + b + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648) AS jh
+        |  FROM read_parquet('{SFDIR}/documents.parquet')),
+        |f AS (
+        |  SELECT doc_id,
+        |    1 + ((CAST(floor(jh / 65536.0) AS BIGINT) % 8) + 8) % 8 AS n_frames
+        |  FROM h)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST((n_frames + 2) // 3 AS BIGINT) AS n_sampled,
+        |  CAST(3 * ((n_frames + 2) // 3 - 1) AS BIGINT) AS last_sampled
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Predicts the REAL javax.imageio round-trip arithmetically: dims
     // and the 16-bin luminance histogram follow from the pixel formula
