@@ -658,6 +658,24 @@ object Streaming {
   def qualityFilterStream(docs: DataFrame): DataFrame =
     graft.pipeline.Corpus.gopherFilter(docs)
 
+  /** Streaming media decode/resize/featurize — the stream twin of
+    * [[graft.pipeline.Multimodal.extractFeatures]]. The batched
+    * mapPartitions seam is a stateless per-record transform (decode
+    * cost amortized over the partition's batches exactly as in
+    * batch), so the SAME body runs on a live media stream: append
+    * mode, no state store, no watermark — the shape an ingest
+    * pipeline uses to featurize images/frames at arrival time with
+    * the batch path's exact decoder and feature contract.
+    */
+  def mediaFeaturesStream(
+      records: Dataset[graft.pipeline.Multimodal.MediaRecord],
+      decoder: graft.pipeline.Multimodal.MediaDecoder =
+        graft.pipeline.Multimodal.DeterministicFakeDecoder,
+      resizeTo: Option[(Int, Int)] = None)
+      : Dataset[graft.pipeline.Multimodal.MediaFeatures] =
+    graft.pipeline.Multimodal.extractFeatures(
+      records, decoder, resizeTo = resizeTo)
+
   /** Streaming paragraph explode — the stream twin of
     * [[graft.pipeline.Corpus.paragraphs]]. Splitting on a separator
     * regex is a pure per-document function: stateless map-only

@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.toSeq == Seq(2L, 3L))
   }
 
+  test("streaming media featurize matches batch bit-for-bit (real codec + resize)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    // real PNGs through the real codec, resized — the full seam
+    val recs = (0L until 6L).map { id =>
+      val w = (8 + id % 4).toInt; val h = (8 + (id / 4) % 4).toInt
+      Multimodal.MediaRecord(
+        id, "image", Multimodal.encodePng(w, h, i => ((id * 7 + i) % 256).toInt), "s")
+    }
+    val input = MemoryStream[Multimodal.MediaRecord]
+    input.addData(recs: _*)
+    val q = Streaming.mediaFeaturesStream(
+        input.toDS(), Multimodal.ImageIODecoder, resizeTo = Some((4, 4)))
+      .writeStream.format("memory").queryName("smedia").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("smedia").orderBy("id").collect().map(_.toSeq.map {
+      case a: Seq[_] => a.toList; case x => x
+    })
+    val want = Multimodal.extractFeatures(
+        spark.createDataset(recs)(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]),
+        Multimodal.ImageIODecoder, resizeTo = Some((4, 4)))
+      .toDF().orderBy("id").collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList; case x => x
+      })
+    assert(got.toSeq == want.toSeq && got.length == 6)
+  }
+
   test("streaming bars handle the canonical long-nanos ts like batch Bars") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EvNanos]
