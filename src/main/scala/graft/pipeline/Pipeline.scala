@@ -98,14 +98,30 @@ object TextOps {
   def stopCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops: _*)))
 
+  /** Fused one-pass integer token profile
+    * ([[org.apache.spark.sql.graft.expressions.TextCountsF]]):
+    * n_tokens / stop_en / stop_es / n_alpha / stop_en_dist / sh_n /
+    * sh_distinct as one codegen'd struct. The quality, language and
+    * Gopher consumers below derive their floats from these counts in
+    * Column arithmetic, so fusing cannot drift against the oracles —
+    * and Spark's subexpression elimination shares ONE kernel pass when
+    * several derived columns in a projection read it (vs ~6 interpreted
+    * higher-order array re-walks in the lambda spelling).
+    */
+  def textCounts(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.TextCountsF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Quality score in [0,1]: length term + English-stopword-density
     * term. SINGLE source of truth — text_stats and corpus_filter must
     * agree or the curation decision silently desynchronizes from the
     * reported score.
     */
   def qualityScore(text: Column): Column = {
-    val nTok = size(tokens(text)).cast("bigint")
-    val stopRatio = stopCount(text, EnStop).cast("double") / nTok
+    val tc = textCounts(text)
+    val nTok = tc.getField("n_tokens").cast("bigint")
+    val stopRatio = tc.getField("stop_en").cast("double") / nTok
     least(nTok / 100.0, lit(1.0)) * 0.5 + least(stopRatio * 10, lit(1.0)) * 0.5
   }
 
@@ -113,8 +129,9 @@ object TextOps {
     * lang_id and corpus_filter.
     */
   def langPred(text: Column): Column = {
-    val en = stopCount(text, EnStop).cast("bigint")
-    val es = stopCount(text, EsStop).cast("bigint")
+    val tc = textCounts(text)
+    val en = tc.getField("stop_en").cast("bigint")
+    val es = tc.getField("stop_es").cast("bigint")
     when(en > es, "en").when(es > en, "es").otherwise("und")
   }
 }
@@ -888,17 +905,17 @@ object Corpus {
       maxDupTrigramFrac: Double): (Column, Column, Column, Column, Column, Seq[Column]) = {
     require(minWords >= 1 && maxWords >= minWords, s"bad word bounds [$minWords,$maxWords]")
     require(maxMeanWordLen >= minMeanWordLen, s"bad word-len bounds")
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("bigint")
+    val tc = TextOps.textCounts(col("text"))
+    val nTok = tc.getField("n_tokens").cast("bigint")
     // sum of token lengths == n_chars - (n_tokens - 1) separators on
     // single-space text — the same identity text_stats' avg_token_len
     // uses, O(1) instead of a second array pass.
     val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok
-    val alphaFrac = size(filter(t, w => w.rlike("[a-z]"))).cast("double") / nTok
-    val nStops = size(array_distinct(filter(t, w => w.isin(EnStop: _*)))).cast("bigint")
-    val sh = shingles(col("text"))
-    val dupFrac = when(size(sh) === 0, 0.0)
-      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+    val alphaFrac = tc.getField("n_alpha").cast("double") / nTok
+    val nStops = tc.getField("stop_en_dist").cast("bigint")
+    val dupFrac = when(tc.getField("sh_n") === 0, 0.0)
+      .otherwise(lit(1.0) -
+        tc.getField("sh_distinct").cast("double") / tc.getField("sh_n"))
     val rules = Seq(
       nTok >= minWords && nTok <= maxWords,
       meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen,

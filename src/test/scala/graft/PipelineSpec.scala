@@ -1076,6 +1076,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("TextCountsF matches the higher-order Column spelling incl. edge cases") {
+    import spark.implicits._
+    // hand-picked edges (empty string -> one empty token; double
+    // spaces -> empty tokens inside shingles; uppercase-only tokens
+    // fail the [a-z] test) plus random stopword-heavy strings
+    val samples = Seq(
+      "", " ", "a", "a ", " a", "a  b", "the a of to and the",
+      "el la de y que", "the quick brown fox the quick brown fox",
+      "x y z x y z x y z", "A B C", "the  the  the")
+    val rnd = new scala.util.Random(3)
+    val vocab = Seq("the", "a", "of", "el", "y", "que", "fox", "dog", "X", "")
+    val all = samples ++ (0 until 150).map { _ =>
+      (0 until rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val df = all.toDF("text")
+    val t = TextOps.tokens(col("text"))
+    val sh = TextOps.shingles(col("text"))
+    val want = df.select(
+      size(t), size(filter(t, x => x.isin(TextOps.EnStop: _*))),
+      size(filter(t, x => x.isin(TextOps.EsStop: _*))),
+      size(filter(t, x => x.rlike("[a-z]"))),
+      size(array_distinct(filter(t, x => x.isin(TextOps.EnStop: _*)))),
+      size(sh), size(array_distinct(sh))).collect().map(_.toSeq)
+    val got = df.select(TextOps.textCounts(col("text")).as("tc"))
+      .select("tc.*").collect().map(_.toSeq)
+    want.zip(got).zip(all).foreach { case ((w, g), s) =>
+      assert(w == g, s"TextCountsF diverges on '${s.take(40)}'")
+    }
+  }
+
   test("Bpe decode inverts encode byte-exactly over the real corpus") {
     // Losslessness is what licenses storing the merged symbol string:
     // decode must recover the original text for every sf0.001 doc
