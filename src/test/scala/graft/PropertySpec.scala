@@ -78,4 +78,79 @@ class PropertySpec extends SparkSpec {
       .sma(Seq("close"), 3).rsi(Seq("close")).toDF.collect()
     assert(empty.isEmpty)
   }
+
+  test("withExactCanonical: exactly one canonical per hash group, at the min id") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    (0 until 3).foreach { _ =>
+      import spark.implicits._
+      // random many-to-few id->hash assignment, including singletons
+      val rows = (0L until (50 + rnd.nextInt(100)).toLong)
+        .map(id => (id, s"h${rnd.nextInt(12)}"))
+      val out = pipeline.Corpus
+        .withExactCanonical(rows.toDF("doc_id", "cmd5"))
+        .collect()
+        .map(r => (r.getAs[String]("cmd5"), r.getAs[Long]("doc_id"),
+          r.getAs[Boolean]("is_exact_canonical")))
+      out.groupBy(_._1).foreach { case (h, grp) =>
+        val canon = grp.filter(_._3)
+        assert(canon.length == 1, s"hash $h: ${canon.length} canonicals")
+        assert(canon.head._2 == grp.map(_._2).min, s"hash $h: wrong canonical")
+      }
+      assert(out.length == rows.length)
+    }
+  }
+
+  test("substringDedupFilter invariants: bounds, unchanged docs, dup removal") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (0L until 40L).map { id =>
+      (id, (0 until 5 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val out = pipeline.Corpus
+      .substringDedupFilter(docs.toDF("doc_id", "text"), n = 4)
+      .collect()
+    assert(out.length == docs.length)
+    val origMd5 = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_tokens"); val rem = r.getAs[Long]("n_removed")
+      assert(rem >= 0 && rem <= n, s"doc $id: removed $rem of $n")
+      val frac = r.getAs[Double]("removed_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      // changed=false must mean the rebuilt text IS the original
+      if (!r.getAs[Boolean]("changed"))
+        assert(r.getAs[String]("text_sub_md5") == origMd5(id), s"doc $id mutated")
+    }
+    // an exact duplicate of doc 0 appended with a HIGHER id loses all
+    // its windows (full-span removal)
+    val dup = docs :+ (999L, docs.head._2)
+    val dupOut = pipeline.Corpus
+      .substringDedupFilter(dup.toDF("doc_id", "text"), n = 4)
+      .where(col("doc_id") === 999L).collect().head
+    if (dupOut.getAs[Long]("n_tokens") >= 4)
+      assert(dupOut.getAs[Long]("n_removed") == dupOut.getAs[Long]("n_tokens"))
+  }
+
+  test("registeredDomain is always a dot-suffix of the host") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val labels = Vector("www", "cdn", "a", "example", "co", "uk", "com",
+      "github", "io", "x1", "unknowntld")
+    val hosts = (0 until 200).map { _ =>
+      (0 until 1 + rnd.nextInt(4)).map(_ => labels(rnd.nextInt(labels.length))).mkString(".")
+    }
+    hosts.toDF("host")
+      .select(col("host"), pipeline.Corpus.registeredDomain(col("host")).as("rd"))
+      .collect().foreach { r =>
+        val (h, rd) = (r.getString(0), r.getString(1))
+        assert(h == rd || h.endsWith("." + rd), s"$rd is not a suffix of $h")
+        assert(rd.nonEmpty)
+      }
+  }
 }
