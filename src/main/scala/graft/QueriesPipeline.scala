@@ -736,6 +736,15 @@ object QueriesPipeline {
           max(col("doc_id")).as("last_doc"))
         .orderBy("window_id")),
 
+    // The packed windows MATERIALIZED — the training-batch content
+    // itself (per 512-token window: contributing docs, token count,
+    // md5 of the space-joined token slice). One join back to the
+    // corpus + one window_id shuffle of the sliced pieces — see
+    // [[graft.pipeline.Corpus.packMaterialize]].
+    "pack_materialize" -> ((s, dir) =>
+      Corpus.packMaterialize(docs(s, dir), ctx = 512L)
+        .orderBy("window_id")),
+
     // Deterministic hash-based train/valid/test assignment — see
     // [[graft.pipeline.Corpus.splitAssign]] (map-only at any scale).
     "corpus_split" -> ((s, dir) =>
@@ -2445,6 +2454,35 @@ object QueriesPipeline {
          |  min(doc_id) AS first_doc,
          |  max(doc_id) AS last_doc
          |FROM w GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    // The materialized windows: slice each doc's token list at the
+    // window boundaries its offsets imply, reassemble per window in
+    // doc_id order, md5 the joined slice. list_slice is 1-based with
+    // INCLUSIVE end, matching Spark's slice(start, len) spelling.
+    "pack_materialize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $Toks AS t, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, t, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d),
+         |o AS (
+         |  SELECT doc_id, t, n_tokens, cum - n_tokens AS start_offset,
+         |    (cum - n_tokens) // 512 AS fw, (cum - 1) // 512 AS lw
+         |  FROM c WHERE (cum - 1) // 512 >= (cum - n_tokens) // 512),
+         |p AS (
+         |  SELECT doc_id, w.window_id,
+         |    list_slice(t,
+         |      greatest(w.window_id * 512, start_offset) - start_offset + 1,
+         |      least((w.window_id + 1) * 512, start_offset + n_tokens) - start_offset) AS piece
+         |  FROM o, LATERAL (SELECT unnest(range(fw, lw + 1)) AS window_id) w)
+         |SELECT window_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')) AS window_md5
+         |FROM p GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "corpus_split" ->
       s"""SELECT doc_id,

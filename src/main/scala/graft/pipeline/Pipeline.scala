@@ -1087,6 +1087,59 @@ object Corpus {
         col(idCol),
         explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
 
+  /** MATERIALIZED packed training windows — the step after
+    * [[packOffsets]]/[[packWindows]] that a training run actually
+    * consumes: the corpus's global token stream (documents
+    * concatenated in doc_id order) cut into fixed `ctx`-token
+    * windows, each window's content assembled from the documents
+    * overlapping it. Output per window: contributing-doc count, token
+    * count (== ctx for every window but the stream tail) and the md5
+    * of the space-joined token slice (the compare-friendly stand-in
+    * for shipping the tokens themselves).
+    *
+    * Scale shape: inherits packOffsets' distributed prefix plan (no
+    * single-partition window), one equi-join back to the corpus for
+    * the token arrays, a map-only explode of ≤ ceil(n/ctx)+1 window
+    * ids per doc each carrying ONLY its slice (every token lands in
+    * exactly one piece), and ONE groupBy(window_id) shuffle whose
+    * payload is the pieces — total shuffled volume = corpus tokens,
+    * the floor for a global re-segmentation. Window population is
+    * bounded (≤ ctx docs contribute to a window), so the per-window
+    * sort-and-flatten aggregation state is O(ctx).
+    */
+  def packMaterialize(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numParts: Int = 32): DataFrame = {
+    val offs = packOffsets(docs, ctx, idCol, textCol, numParts)
+      .where(col("last_window") >= col("first_window"))
+    val g = greatest(col("window_id") * ctx, col("start_offset"))
+    val l = least((col("window_id") + 1) * ctx, col("start_offset") + col("n_tokens"))
+    val pieces = offs
+      .join(docs.select(col(idCol), tokens(col(textCol)).as("_t")), idCol)
+      .select(
+        col(idCol), col("start_offset"), col("n_tokens"), col("_t"),
+        explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
+      .select(
+        col("window_id"), col(idCol),
+        slice(
+          col("_t"),
+          (g - col("start_offset") + 1).cast("int"),
+          (l - g).cast("int")).as("_piece"))
+    pieces
+      .groupBy("window_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("_piece"))).cast("long").as("n_tokens"),
+        md5(array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col(idCol), col("_piece")))),
+            s => s.getField("_piece"))),
+          " ")).as("window_md5"))
+  }
+
   /** EXACT SUBSTRING dedup with document rebuild — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * complement to the paragraph passes: remove repeated >= n-token

@@ -1076,6 +1076,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packMaterialize windows reassemble the global token stream exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 12L).map { id =>
+      (id, (0 until 1 + rnd.nextInt(12)).map(i => s"t${id}_$i").mkString(" "))
+    }
+    val ctx = 7
+    val out = pipeline.Corpus.packMaterialize(d.toDF("doc_id", "text"), ctx = ctx)
+      .orderBy("window_id").collect()
+    // expected: concatenate all docs in id order, slice into ctx-token
+    // windows, md5 each joined slice
+    val stream = d.flatMap(_._2.split(" ", -1))
+    val wins = stream.grouped(ctx).toSeq
+    assert(out.length == wins.length)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.zip(wins).zipWithIndex.foreach { case ((r, w), i) =>
+      assert(r.getAs[Long]("window_id") == i.toLong)
+      assert(r.getAs[Long]("n_tokens") == w.length.toLong,
+        s"window $i token count")
+      assert(r.getAs[String]("window_md5") == m(w.mkString(" ")),
+        s"window $i content")
+    }
+    // all but the tail are exactly full
+    out.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == ctx.toLong))
+  }
+
   test("TextCountsF matches the higher-order Column spelling incl. edge cases") {
     import spark.implicits._
     // hand-picked edges (empty string -> one empty token; double
