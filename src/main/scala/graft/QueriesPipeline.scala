@@ -745,6 +745,15 @@ object QueriesPipeline {
       Corpus.packMaterialize(docs(s, dir), ctx = 512L)
         .orderBy("window_id")),
 
+    // The BPE-denominated materialization: window content is a
+    // substring slice of the doc-order concatenation of encoded
+    // symbol strings (every symbol = one token; Bpe.decode of a
+    // window's symbols is its byte-exact text) — the batch a trainer
+    // actually reads. See [[graft.pipeline.Corpus.packMaterializeBpe]].
+    "pack_materialize_bpe" -> ((s, dir) =>
+      Corpus.packMaterializeBpe(docs(s, dir), ctx = 512L)
+        .orderBy("window_id")),
+
     // Deterministic hash-based train/valid/test assignment — see
     // [[graft.pipeline.Corpus.splitAssign]] (map-only at any scale).
     "corpus_split" -> ((s, dir) =>
@@ -2482,6 +2491,35 @@ object QueriesPipeline {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')) AS window_md5
+         |FROM p GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    // BPE windows: substr over the staged-encode column; string_agg
+    // with ORDER BY doc_id concatenates pieces separator-free (symbols
+    // ARE the tokens).
+    "pack_materialize_bpe" ->
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |d AS (
+         |  SELECT doc_id, bpe, CAST(length(bpe) AS BIGINT) AS n_tokens FROM enc),
+         |c AS (
+         |  SELECT doc_id, bpe, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d),
+         |o AS (
+         |  SELECT doc_id, bpe, n_tokens, cum - n_tokens AS start_offset,
+         |    (cum - n_tokens) // 512 AS fw, (cum - 1) // 512 AS lw
+         |  FROM c WHERE (cum - 1) // 512 >= (cum - n_tokens) // 512),
+         |p AS (
+         |  SELECT doc_id, w.window_id,
+         |    substr(bpe,
+         |      CAST(greatest(w.window_id * 512, start_offset) - start_offset + 1 AS BIGINT),
+         |      CAST(least((w.window_id + 1) * 512, start_offset + n_tokens)
+         |        - greatest(w.window_id * 512, start_offset) AS BIGINT)) AS piece
+         |  FROM o, LATERAL (SELECT unnest(range(fw, lw + 1)) AS window_id) w)
+         |SELECT window_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(piece)) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(piece, '' ORDER BY doc_id)) AS window_md5
          |FROM p GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "corpus_split" ->

@@ -1140,6 +1140,51 @@ object Corpus {
           " ")).as("window_md5"))
   }
 
+  /** [[packMaterialize]] denominated in BPE subword tokens — the real
+    * training-batch materialization: every symbol of the merged
+    * [[Bpe.encode]] string is one token, so the global stream is the
+    * doc-order CONCATENATION of encoded strings (no separators) and a
+    * window's content is a plain substring slice of it. Offsets come
+    * from the same distributed prefix plan with
+    * `tokenCount = Bpe.tokenCount`; pieces are `substr` on the
+    * encoded column (each symbol lands in exactly one piece); the md5
+    * is over the window's symbol string — [[Bpe.decode]] of that
+    * string is the window's byte-exact text, so this IS the batch a
+    * trainer reads. Same shape as the whitespace variant: one corpus
+    * join, one window_id shuffle of total volume = encoded corpus.
+    */
+  def packMaterializeBpe(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numParts: Int = 32): DataFrame = {
+    val offs = packOffsets(docs, ctx, idCol, textCol, numParts, Bpe.tokenCount)
+      .where(col("last_window") >= col("first_window"))
+    val g = greatest(col("window_id") * ctx, col("start_offset"))
+    val l = least((col("window_id") + 1) * ctx, col("start_offset") + col("n_tokens"))
+    val pieces = offs
+      .join(docs.select(col(idCol), Bpe.encode(col(textCol)).as("_e")), idCol)
+      .select(
+        col(idCol), col("start_offset"), col("n_tokens"), col("_e"),
+        explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
+      .select(
+        col("window_id"), col(idCol),
+        col("_e").substr(
+          (g - col("start_offset") + 1).cast("int"),
+          (l - g).cast("int")).as("_piece"))
+    pieces
+      .groupBy("window_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("_piece"))).cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col("_piece")))),
+            s => s.getField("_piece")),
+          "")).as("window_md5"))
+  }
+
   /** EXACT SUBSTRING dedup with document rebuild — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * complement to the paragraph passes: remove repeated >= n-token

@@ -1103,6 +1103,34 @@ class PipelineSpec extends SparkSpec {
     out.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == ctx.toLong))
   }
 
+  test("packMaterializeBpe windows slice the encoded stream; decode recovers text") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.expressions.BpeEncodeF
+    val rnd = new scala.util.Random(13)
+    val words = Vector("the", "slower", "power", "quick", "juice", "a", "of")
+    val d = (0L until 10L).map { id =>
+      (id, (0 until 2 + rnd.nextInt(10)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val ctx = 9
+    val out = pipeline.Corpus.packMaterializeBpe(d.toDF("doc_id", "text"), ctx = ctx)
+      .orderBy("window_id").collect()
+    // expected: concatenate the JVM-encoded symbol strings in doc
+    // order (symbols ARE tokens, no separator), slice into ctx chunks
+    val stream = d.map(x => BpeEncodeF.encode(x._2)).mkString("")
+    val wins = stream.grouped(ctx).toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.length == wins.length)
+    out.zip(wins).foreach { case (r, w) =>
+      assert(r.getAs[Long]("n_tokens") == w.length.toLong)
+      assert(r.getAs[String]("window_md5") == m(w))
+    }
+    // the stream is decodable back to the concatenated original texts
+    // (decode is per-symbol context-free, so it distributes over the
+    // doc concatenation)
+    assert(pipeline.Bpe.decodeString(stream) == d.map(_._2).mkString(""))
+  }
+
   test("TextCountsF matches the higher-order Column spelling incl. edge cases") {
     import spark.implicits._
     // hand-picked edges (empty string -> one empty token; double
