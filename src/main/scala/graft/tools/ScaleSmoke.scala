@@ -191,6 +191,12 @@ object ScaleSmoke {
       graft.pipeline.Corpus.packWindows(d, ctx = 512L)
         .groupBy("window_id").count().count()
 
+    // Window MATERIALIZATION: the one window_id shuffle carries the
+    // sliced pieces — total volume = corpus tokens, so the ratio must
+    // track volume.
+    def packMat(d: DataFrame): Long =
+      graft.pipeline.Corpus.packMaterialize(d, ctx = 512L).count()
+
     // Full retention chain: LSH chain -> CC labels -> keep-longest
     // representatives (one max_by agg over labels joined to docs).
     def reps(d: DataFrame): Long = {
@@ -397,6 +403,7 @@ object ScaleSmoke {
       "ann lsh topk" -> (() => (time("ann 1x", ann(emb1)), time(s"ann ${n}x", ann(embN)))),
       "pack offsets" -> (() => (time("pack 1x", pack(docs1)), time(s"pack ${n}x", pack(docsN)))),
       "pack windows" -> (() => (time("packwin 1x", packWin(docs1)), time(s"packwin ${n}x", packWin(docsN)))),
+      "pack materialize" -> (() => (time("packmat 1x", packMat(docs1)), time(s"packmat ${n}x", packMat(docsN)))),
       "dedup representatives" -> (() => (time("reps 1x", reps(docs1)), time(s"reps ${n}x", reps(docsNDistinct)))),
       "paragraph dedup" -> (() => (time("paradedup 1x", paraDedup(docs1)), time(s"paradedup ${n}x", paraDedup(docsNDistinct)))),
       "tfidf top tokens" -> (() => (time("tfidf 1x", tfidf(docs1)), time(s"tfidf ${n}x", tfidf(docsN)))),
