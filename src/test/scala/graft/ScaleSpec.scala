@@ -191,6 +191,16 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("pack_materialize declared plans have no single-partition exchange") {
+    Seq("pack_materialize", "pack_materialize_bpe").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name must inherit the distributed prefix plan:\n$plan")
+    }
+  }
+
   test("quality_deciles declared plan has no single-partition exchange") {
     val df = SparkEntry.queries("quality_deciles")(spark, "/root/testdata/sf0.001")
     df.count()
