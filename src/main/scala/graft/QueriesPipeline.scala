@@ -754,6 +754,13 @@ object QueriesPipeline {
       Corpus.packMaterializeBpe(docs(s, dir), ctx = 512L)
         .orderBy("window_id")),
 
+    // Padding-waste accounting per source: sequences and wasted token
+    // slots if each doc were packed ALONE into fixed 512-token
+    // sequences — the number that justifies stream packing. See
+    // [[graft.pipeline.Corpus.packPaddingStats]].
+    "pack_padding_stats" -> ((s, dir) =>
+      Corpus.packPaddingStats(docs(s, dir), ctx = 512L).orderBy("source")),
+
     // Deterministic hash-based train/valid/test assignment — see
     // [[graft.pipeline.Corpus.splitAssign]] (map-only at any scale).
     "corpus_split" -> ((s, dir) =>
@@ -2521,6 +2528,17 @@ object QueriesPipeline {
          |  CAST(sum(length(piece)) AS BIGINT) AS n_tokens,
          |  md5(string_agg(piece, '' ORDER BY doc_id)) AS window_md5
          |FROM p GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    "pack_padding_stats" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(len($Toks) AS BIGINT) AS n,
+         |    (CAST(len($Toks) AS BIGINT) + 511) // 512 AS seqs
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(seqs) AS BIGINT) AS n_seqs_padded,
+         |  round(1.0 - CAST(sum(n) AS DOUBLE) / (CAST(sum(seqs) AS BIGINT) * 512), 6) AS padding_frac
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_split" ->
       s"""SELECT doc_id,

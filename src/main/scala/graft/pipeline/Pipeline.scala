@@ -1140,6 +1140,39 @@ object Corpus {
           " ")).as("window_md5"))
   }
 
+  /** Padding-waste accounting — the instrument that DECIDES between
+    * doc-aligned padding and stream packing: if every document were
+    * packed alone into ceil(n/ctx) fixed-size sequences (the
+    * no-boundary-crossing strategy), how many sequences and what
+    * fraction of their token slots would be padding, per source.
+    * Stream packing ([[packMaterialize]]) wastes ~zero slots by
+    * construction; this table quantifies what that buys against the
+    * doc-aligned alternative corpora with long-tail short documents
+    * pay for. One map-side-combinable groupBy; integer-exact counts,
+    * the fraction a ratio of exact integers.
+    */
+  def packPaddingStats(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      tokenCount: Column => Column = t => size(tokens(t)).cast("bigint")): DataFrame = {
+    require(ctx > 0, s"context size must be positive (got $ctx)")
+    val n = tokenCount(col("text")).cast("bigint")
+    docs
+      .select(col("source"), n.as("_n"))
+      // integer ceil-div (Column `/` would promote to double)
+      .withColumn("_seqs", expr(s"(_n + ${ctx - 1}) div $ctx"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_n")).cast("long").as("n_tokens"),
+        sum(col("_seqs")).cast("long").as("n_seqs_padded"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_seqs_padded"),
+        round(lit(1.0) -
+          col("n_tokens").cast("double") / (col("n_seqs_padded") * ctx), 6)
+          .as("padding_frac"))
+  }
+
   /** [[packMaterialize]] denominated in BPE subword tokens — the real
     * training-batch materialization: every symbol of the merged
     * [[Bpe.encode]] string is one token, so the global stream is the

@@ -1103,6 +1103,23 @@ class PipelineSpec extends SparkSpec {
     out.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == ctx.toLong))
   }
 
+  test("packPaddingStats: exact ceil-div sequences and waste fraction") {
+    import scala.jdk.CollectionConverters._
+    // ctx=4: docs of 1 / 4 / 5 tokens -> 1+1+2 sequences, 16 slots for
+    // 10 tokens -> padding 6/16 = 0.375
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "a", "s"),
+      Row(2L, "a b c d", "s"),
+      Row(3L, "a b c d e", "s")).asJava, docSchema)
+    val out = pipeline.Corpus.packPaddingStats(d, ctx = 4L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Long]("n_seqs_padded") == 4L)
+    assert(r.getAs[Double]("padding_frac") == 0.375)
+  }
+
   test("packMaterializeBpe windows slice the encoded stream; decode recovers text") {
     import spark.implicits._
     import org.apache.spark.sql.graft.expressions.BpeEncodeF
