@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, SimhashBitsF, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{BpeEncodeF, DotProductF, DotProductFD, EwmaWindow, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -21,7 +21,13 @@ import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWi
   *  - `dot_product_fd(a, b)` — float array × double array (constant
   *    plane-vector sides);
   *  - `simhash_bits_f(th[, offset])` — fused 32-bit SimHash majority
-  *    vote over a token-hash array, bits at offset..offset+31.
+  *    vote over a token-hash array, bits at offset..offset+31;
+  *  - `bpe_encode(text)` — the fused one-buffer BPE merge-chain
+  *    encode over the committed 256-merge table (token count =
+  *    length of the result);
+  *  - `text_counts(text)` — the fused one-pass token profile struct
+  *    (n_tokens, stop_en, stop_es, n_alpha, stop_en_dist, sh_n,
+  *    sh_distinct).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -90,6 +96,20 @@ object GraftExtensions {
         val offset =
           if (args.length == 2) doubleLit(args(1), "offset").toInt else 0
         SimhashBitsF(args.head, offset)
+      }),
+    (
+      "bpe_encode",
+      new ExpressionInfo(classOf[BpeEncodeF].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_encode(text) takes 1 argument")
+        BpeEncodeF(args.head)
+      }),
+    (
+      "text_counts",
+      new ExpressionInfo(classOf[TextCountsF].getName, "text_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_counts(text) takes 1 argument")
+        TextCountsF(args.head)
       }))
 
   /** Register on an already-built session. */

@@ -64,6 +64,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getLong(2) == 11L << 32)
   }
 
+  test("bpe_encode and text_counts are callable from SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT
+        |  length(bpe_encode('the quick brown fox')) AS n_bpe,
+        |  text_counts('the a of x').n_tokens AS nt,
+        |  text_counts('the a of x').stop_en AS se,
+        |  text_counts('the a of x').stop_en_dist AS sed
+        |""".stripMargin).collect().head
+    // must agree with the Column-API spellings
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val want = Seq("x").toDF("d").select(
+      graft.pipeline.Bpe.tokenCount(lit("the quick brown fox")),
+      graft.pipeline.TextOps.textCounts(lit("the a of x")).getField("n_tokens"))
+      .collect().head
+    assert(got.getInt(0).toLong == want.getLong(0)) // SQL length() is INT
+    assert(got.getInt(1) == 4 && got.getInt(1) == want.getInt(1))
+    assert(got.getInt(2) == 3 && got.getInt(3) == 3)
+  }
+
   test("var_alpha_ewma is callable from SQL with OVER") {
     GraftExtensions.register(spark)
     val df = bars("x", Seq(10.0, 20.0, 30.0))
