@@ -109,6 +109,17 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // The attribution view of the same leak: per BENCH doc, how many
+    // non-bench corpus docs share a 4-gram and how many of its grams
+    // leak — the per-eval-item report. See
+    // [[graft.pipeline.Dedup.contaminationAttribution]].
+    "decontaminate_attribution" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationAttribution(
+          d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0))
+        .orderBy("bench_id")
+    }),
+
     // Bloom-filter decontamination over the same benchmark staging:
     // the bitmap is built once from the bench grams (8 KB at 2^16
     // bits, FIXED regardless of eval-suite size) and rides along as a
@@ -1536,6 +1547,24 @@ object QueriesPipeline {
          |  coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_attribution" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |b AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 50 = 0),
+         |c AS (SELECT doc_id AS corpus_id, g FROM g WHERE doc_id % 50 <> 0),
+         |hits AS (
+         |  SELECT b.bench_id,
+         |    CAST(count(DISTINCT c.corpus_id) AS BIGINT) AS n_leaking_docs,
+         |    CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams
+         |  FROM b JOIN c ON b.g = c.g GROUP BY b.bench_id)
+         |SELECT d.doc_id AS bench_id,
+         |  coalesce(h.n_leaking_docs, 0) AS n_leaking_docs,
+         |  coalesce(h.n_shared_grams, 0) AS n_shared_grams
+         |FROM read_parquet('{SFDIR}/documents.parquet') d
+         |LEFT JOIN hits h ON d.doc_id = h.bench_id
+         |WHERE d.doc_id % 50 = 0 ORDER BY bench_id""".stripMargin,
 
     // The bit set is reproduced exactly: a position is "set" iff some
     // bench gram hashes to it, so membership in the distinct-position

@@ -506,6 +506,38 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-BENCHMARK-document contamination attribution — the flip side
+    * of [[decontaminate]] (which flags corpus docs) and the table an
+    * eval owner actually reads: for each eval doc, how many corpus
+    * documents share at least one n-gram with it and how many of its
+    * distinct grams leak into the corpus at all. Scale shape mirrors
+    * decontaminate: the (gram, bench_id) frame is eval-suite-sized
+    * and broadcast, the corpus gram stream probes it with one
+    * broadcast equi-join (no corpus shuffle of text), and the
+    * per-bench aggregation is a distinct-count over the join output
+    * keyed by the broadcast-sized bench id space.
+    */
+  def contaminationAttribution(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.select(
+        col("doc_id").as(idAs),
+        explode(transform(shingles(col("text"), n), g => hash32(g))).as("g"))
+    val bg = broadcast(grams(benchmark, "bench_id"))
+    val hits = grams(docs, "corpus_id")
+      .join(bg, "g")
+      .groupBy("bench_id")
+      .agg(
+        count_distinct(col("corpus_id")).as("n_leaking_docs"),
+        count_distinct(col("g")).as("n_shared_grams"))
+    benchmark.select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** The benchmark's distinct hashed n-gram set, collected to the
     * driver. Deliberately a driver-side collect: eval suites are MBs
     * against TB corpora, so the set is broadcast-sized by construction
