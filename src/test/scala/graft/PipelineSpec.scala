@@ -1103,6 +1103,29 @@ class PipelineSpec extends SparkSpec {
     out.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == ctx.toLong))
   }
 
+  test("contaminationAttribution: leak counts per bench doc, zero when clean") {
+    // bench doc 1 leaks into corpus docs 10 and 20 (shared 4-gram runs);
+    // bench doc 2 shares nothing -> explicit zero row
+    val corpus = docs(
+      (10L, "x a b c d y"),       // contains bench 1's "a b c d"
+      (20L, "a b c d e"),          // contains "a b c d" and "b c d e"
+      (30L, "q r s t u v"))
+    val bench = docs(
+      (1L, "a b c d e"),
+      (2L, "m n o p"))
+    val out = pipeline.Dedup.contaminationAttribution(corpus, bench, n = 4)
+      .orderBy("bench_id").collect()
+    assert(out.length == 2)
+    val r1 = out.head
+    assert(r1.getAs[Long]("bench_id") == 1L)
+    assert(r1.getAs[Long]("n_leaking_docs") == 2L)
+    assert(r1.getAs[Long]("n_shared_grams") == 2L) // "a b c d" + "b c d e"
+    val r2 = out(1)
+    assert(r2.getAs[Long]("bench_id") == 2L)
+    assert(r2.getAs[Long]("n_leaking_docs") == 0L)
+    assert(r2.getAs[Long]("n_shared_grams") == 0L)
+  }
+
   test("packPaddingStats: exact ceil-div sequences and waste fraction") {
     import scala.jdk.CollectionConverters._
     // ctx=4: docs of 1 / 4 / 5 tokens -> 1+1+2 sequences, 16 slots for
