@@ -301,6 +301,20 @@ object QueriesPipeline {
       Corpus.paragraphNearDedupFilter(units).orderBy("doc_id")
     }),
 
+    // WITHIN-document repeated-unit removal (CCNet-style line dedup):
+    // a 32-token unit repeated inside the SAME document keeps its
+    // first occurrence there; copies in other documents are untouched.
+    // The pre-clean run BEFORE the corpus-wide passes — see
+    // [[graft.pipeline.Corpus.intraDocDedupFilter]] for why the
+    // doc-leading window is the right plan here and wrong corpus-wide.
+    "dedup_intradoc" -> ((s, dir) => {
+      val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
+        .select(
+          col("doc_id"), col("chunk_id").as("para_idx"),
+          col("chunk_text").as("para_text"))
+      Corpus.intraDocDedupFilter(units).orderBy("doc_id")
+    }),
+
     // Lee et al. 2022 exact SUBSTRING dedup with rebuild: repeated
     // >=8-token windows keep only their globally first (doc_id, pos)
     // occurrence; every later occurrence's token span is removed and
@@ -1768,6 +1782,29 @@ object QueriesPipeline {
          |k AS (
          |  SELECT doc_id, para_idx, ptext,
          |    row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, para_idx) = 1 AS keep
+         |  FROM punits)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+         |  round(CAST(count(*) FILTER (WHERE NOT keep) AS DOUBLE) / count(*), 6) AS drop_frac,
+         |  coalesce(array_to_string(list(ptext ORDER BY para_idx) FILTER (WHERE keep), ' '), '') AS text_clean,
+         |  count(*) FILTER (WHERE NOT keep) > 0 AS changed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same rebuild as paragraph_dedup_filter, but first-occurrence is
+    // ranked PER DOCUMENT (partition leads with doc_id): only
+    // within-document copies drop.
+    "dedup_intradoc" ->
+      s"""WITH punits AS (
+         |  SELECT doc_id, chunk_id AS para_idx,
+         |    array_to_string(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS ptext
+         |  FROM (
+         |    SELECT doc_id, t,
+         |      unnest(range(0, greatest((len(t) - 32 + 31) // 32, 0) + 1)) AS chunk_id
+         |    FROM (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')))),
+         |k AS (
+         |  SELECT doc_id, para_idx, ptext,
+         |    row_number() OVER (PARTITION BY doc_id, md5(ptext) ORDER BY para_idx) = 1 AS keep
          |  FROM punits)
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_paras,

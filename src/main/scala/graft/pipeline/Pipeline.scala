@@ -1734,6 +1734,40 @@ object Corpus {
     rebuildFiltered(flagged, idCol, idxCol, textCol)
   }
 
+  /** WITHIN-document repeated-unit removal — the CCNet/RefinedWeb
+    * line-dedup pre-clean: a unit repeated inside the SAME document
+    * keeps only its first (lowest idx) occurrence there; copies in
+    * OTHER documents are untouched (cross-document reuse is
+    * [[paragraphDedupFilter]]'s job). Catches the nav-bar repeated at
+    * top and bottom of one page, chorus lines, boilerplate headers —
+    * the repetition [[repetitionStats]] measures, this one EDITS out.
+    *
+    * Scale shape: first-occurrence here IS safe as a window, unlike
+    * the corpus-wide passes — the partition key leads with the
+    * document id, so one window partition holds at most the copies of
+    * one unit inside ONE document, bounded by that document's own
+    * length — the exact bound the rebuild's groupBy(doc) aggregation
+    * already requires. (The corpus-wide passes must NOT use a window:
+    * there the partition is a content hash whose population is
+    * unbounded — the round-10 cmd5 lesson.) Two doc-keyed shuffles
+    * total: (doc, hash) for the ranking, (doc) for the rebuild; a
+    * groupBy+join-back spelling would add a third exchange for no
+    * extra safety.
+    *
+    * Input/output contract matches [[paragraphDedupFilter]].
+    */
+  def intraDocDedupFilter(
+      units: DataFrame,
+      idCol: String = "doc_id",
+      idxCol: String = "para_idx",
+      textCol: String = "para_text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), md5(col(textCol)))
+      .orderBy(col(idxCol))
+    val flagged = units.withColumn("_first", row_number().over(w) === 1)
+    rebuildFiltered(flagged, idCol, idxCol, textCol)
+  }
+
   /** Document rebuild from a unit frame carrying a `_first` keep flag:
     * per document, unit/drop counts and the cleaned text with the
     * surviving units re-joined in position order. One shuffle on

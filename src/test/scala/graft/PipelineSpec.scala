@@ -831,6 +831,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == (3L, 2L, 2L, "", true))
   }
 
+  test("intraDocDedupFilter drops only WITHIN-document copies; cross-doc copies stay") {
+    import org.apache.spark.sql.types._
+    val unitSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("para_idx", LongType),
+      StructField("para_text", StringType)))
+    val units = spark.createDataFrame(java.util.Arrays.asList(
+      // doc 1 repeats its own header at the bottom (nav-bar shape)
+      Row(1L, 0L, "site header"), Row(1L, 1L, "real body"), Row(1L, 2L, "site header"),
+      // doc 2 carries the SAME header once: cross-doc copy, must survive
+      Row(2L, 0L, "site header"), Row(2L, 1L, "other body"),
+      // doc 3 is one unit three times over: only the first survives
+      Row(3L, 0L, "chorus"), Row(3L, 1L, "chorus"), Row(3L, 2L, "chorus")), unitSchema)
+    val out = pipeline.Corpus.intraDocDedupFilter(units).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_paras"), r.getAs[Long]("n_dropped"),
+        r.getAs[String]("text_clean"), r.getAs[Boolean]("changed")))
+    assert(out(0) == (1L, 3L, 1L, "site header real body", true))
+    // unlike paragraphDedupFilter, doc 2's copy of doc 1's header is KEPT
+    assert(out(1) == (2L, 2L, 0L, "site header other body", false))
+    assert(out(2) == (3L, 3L, 2L, "chorus", true))
+  }
+
   test("paragraphNearDedupFilter collapses exact AND near-dup copies into one survivor") {
     import org.apache.spark.sql.types._
     val unitSchema = StructType(Seq(
