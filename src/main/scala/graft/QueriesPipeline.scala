@@ -169,6 +169,19 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Embedding-space decontamination: per benchmark vector (every
+    // 50th, the decontaminate convention carried into vec_id space),
+    // leak count at cosine >= 0.4 plus the nearest corpus vector and
+    // its cosine — catches PARAPHRASED eval leakage the n-gram passes
+    // above cannot see. Bench side broadcast, one map-only corpus
+    // pass. See [[graft.pipeline.Similarity.semanticContamination]].
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticContamination(
+          e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0))
+        .orderBy("bench_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")),
 
@@ -1649,6 +1662,28 @@ object QueriesPipeline {
          |  coalesce(f.n_bench_candidates, 0) > 0 AS contaminated
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN fagg f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Full-precision cosine ranks the nearest neighbor (rounding only
+    // at output); ties break to the lower corpus id, mirroring the
+    // engine's negated-id max-struct.
+    "decontaminate_semantic" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |sc AS (
+         |  SELECT b.vec_id AS bench_id, c.vec_id AS corp_id,
+         |    ${cosSql("c.embedding", "b.embedding")} AS cosv
+         |  FROM e b JOIN e c ON b.vec_id % 50 = 0 AND c.vec_id % 50 <> 0),
+         |ag AS (
+         |  SELECT bench_id,
+         |    CAST(count(*) FILTER (WHERE cosv >= 0.4) AS BIGINT) AS n_leaks
+         |  FROM sc GROUP BY bench_id),
+         |nr AS (
+         |  SELECT bench_id, corp_id AS nearest_id, cosv,
+         |    row_number() OVER (PARTITION BY bench_id ORDER BY cosv DESC, corp_id ASC) AS rn
+         |  FROM sc)
+         |SELECT a.bench_id, a.n_leaks, n.nearest_id,
+         |  round(n.cosv, 6) AS nearest_cosine, a.n_leaks > 0 AS leaked
+         |FROM ag a JOIN nr n USING (bench_id) WHERE n.rn = 1
+         |ORDER BY bench_id""".stripMargin,
 
     "normalize_text" ->
       """WITH n AS (

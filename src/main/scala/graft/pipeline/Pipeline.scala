@@ -2799,6 +2799,51 @@ object Similarity {
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram passes ([[Dedup.decontaminate]] catches verbatim/near-
+    * verbatim leaks; this one catches paraphrased eval items the
+    * token-level grams can never see). Per benchmark vector: how many
+    * corpus vectors sit at cosine >= threshold (`n_leaks`), and the
+    * single nearest corpus vector with its cosine — the per-eval-item
+    * report an eval-integrity audit reads ([[Dedup
+    * .contaminationAttribution]]'s shape, in embedding space).
+    * Zero-leak bench items still get a row: "nothing near it" is the
+    * answer the audit wants recorded, and the nearest-neighbor column
+    * quantifies the margin.
+    *
+    * Scale shape: the bench side is an eval suite — KB–MB against a
+    * corpus of TB — so it BROADCASTS and the whole similarity pass is
+    * map-only over one corpus scan (a BroadcastNestedLoopJoin of
+    * corpus x bench is the correct plan here: every corpus vector
+    * must meet every bench vector; there is no key to prune on).
+    * The per-bench aggregate (leak count + max-struct nearest)
+    * partial-combines map-side, so the shuffle carries
+    * O(bench x partitions) rows, never the corpus. Ties on cosine
+    * resolve to the LOWER corpus id (negated-id max-struct).
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val b = broadcast(withNorm(bench, "bench_id", "be", "bn"))
+    val scored = withNorm(corpus, "corp_id", "ce", "cn")
+      .crossJoin(b)
+      .select(
+        col("bench_id"), col("corp_id"),
+        (dotF(col("ce"), col("be")) / (col("cn") * col("bn"))).as("cosine"))
+    scored
+      .groupBy("bench_id")
+      .agg(
+        count(when(col("cosine") >= threshold, 1)).as("n_leaks"),
+        max(struct(col("cosine").as("c"), (-col("corp_id")).as("nid"))).as("_m"))
+      .select(
+        col("bench_id"),
+        col("n_leaks"),
+        (-col("_m")("nid")).as("nearest_id"),
+        round(col("_m")("c"), 6).as("nearest_cosine"),
+        (col("n_leaks") > 0).as("leaked"))
+  }
+
   /** Recall@k of approximate ANN results against the exact top-k — the
     * measurement that turns an approximate index from a guess into a
     * tunable: a pipeline picks nProbe / plane count by reading this

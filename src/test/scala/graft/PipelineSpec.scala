@@ -423,6 +423,31 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == pairs(Similarity.nearDupPairsLsh(e, 0.4)))
   }
 
+  test("semanticContamination: identical vec leaks, orthogonal vec gets a zero-leak row") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(xs: Float*) = xs.toArray.toSeq
+    // corpus: ids 1-3; bench: ids 100 (== vec 1), 200 (orthogonal to all)
+    val e = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, v(1f, 0f, 0f, 0f)),
+      Row(2L, v(0.9f, 0.1f, 0f, 0f)),
+      Row(3L, v(0f, 1f, 0f, 0f)),
+      Row(100L, v(1f, 0f, 0f, 0f)),
+      Row(200L, v(0f, 0f, 0f, 1f))), schema)
+    val out = Similarity.semanticContamination(
+        e.where(col("vec_id") < 100), e.where(col("vec_id") >= 100), 0.9)
+      .orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_leaks"),
+        r.getAs[Long]("nearest_id"), r.getAs[Boolean]("leaked")))
+    // bench 100 sits on corpus vec 1 exactly and near vec 2 (cos ≈ .994)
+    assert(out(0) == (100L, 2L, 1L, true))
+    // bench 200 is orthogonal to every corpus vec: still reported,
+    // with SOME nearest id (all cosines 0 -> tie to the lowest id)
+    assert(out(1) == (200L, 0L, 1L, false))
+  }
+
   test("semanticDupPairs: subset of exact; equal to exact when nCells = k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = 4, iters = 1)
