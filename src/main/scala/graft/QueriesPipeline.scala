@@ -49,6 +49,35 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer-fit table per language: whitespace words, byte-BPE
+    // token count (the committed 256-merge table), and the two
+    // fertility ratios a multilingual tokenizer eval reads —
+    // chars/BPE-token (compression) and BPE-tokens/word (fertility
+    // proper; a language the vocab underserves shows fertility >> 1
+    // and gets over-billed by every token budget downstream). The BPE
+    // encode is the map-only replace chain; one map-side-combinable
+    // shuffle on lang. Integer-exact sums, ratios at 6dp.
+    "tokenizer_fertility" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("lang"),
+          length(col("text")).cast("bigint").as("nc"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("nw"),
+          Bpe.tokenCount(col("text")).as("nb"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nc").as("n_chars"),
+          sum("nw").as("n_words"),
+          sum("nb").as("n_bpe_tokens"))
+        .select(
+          col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+          col("n_bpe_tokens"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_bpe"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("bpe_per_word"))
+        .orderBy("lang")),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1496,6 +1525,23 @@ object QueriesPipeline {
          |  CAST(len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) AS BIGINT) AS es_score,
          |  $LangPredSql AS lang_pred
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "tokenizer_fertility" ->
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |j AS (
+         |  SELECT d.lang,
+         |    CAST(length(d.text) AS BIGINT) AS nc,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+         |    CAST(length(e.bpe) AS BIGINT) AS nb
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d JOIN enc e USING (doc_id))
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) AS chars_per_bpe,
+         |  round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) AS bpe_per_word
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,
