@@ -849,6 +849,17 @@ object QueriesPipeline {
         .orderBy("source", "sample_rank")
     }),
 
+    // Map-only per-source rate downsampling: md5-bucket membership vs
+    // a literal CASE rate table — no shuffle, no join; reproducible
+    // across runs and NESTING across rate changes (a doc kept at 25%
+    // stays kept at 50%). The first four sources are cut to
+    // 10/25/50/75%, the rest pass. See
+    // [[graft.pipeline.Corpus.rateSample]].
+    "corpus_sample_rate" -> ((s, dir) =>
+      Corpus.rateSample(docs(s, dir),
+          Map("src0" -> 1000, "src1" -> 2500, "src2" -> 5000, "src3" -> 7500))
+        .orderBy("doc_id")),
+
     // Per-source corpus composition: doc/token/type counts and
     // type-token ratio. Distinct aggregates shuffle once on source
     // with partial distinct combining.
@@ -2702,6 +2713,17 @@ object QueriesPipeline {
          |      ORDER BY ${h32("concat('sample_', CAST(doc_id AS VARCHAR))")} ASC, doc_id ASC) AS INTEGER) AS sample_rank
          |  FROM read_parquet('{SFDIR}/documents.parquet'))
          |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+
+    "corpus_sample_rate" ->
+      s"""SELECT doc_id, source,
+         |  ${h32("concat('rsample_', CAST(doc_id AS VARCHAR))")} % 10000 AS bucket_pm,
+         |  CAST(CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 2500
+         |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 7500 ELSE 10000 END AS BIGINT) AS rate_pm,
+         |  ${h32("concat('rsample_', CAST(doc_id AS VARCHAR))")} % 10000 <
+         |    CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 2500
+         |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 7500 ELSE 10000 END AS kept
+         |FROM read_parquet('{SFDIR}/documents.parquet')
+         |ORDER BY doc_id""".stripMargin,
 
     "source_robust_stats" ->
       s"""WITH base AS (

@@ -2126,6 +2126,43 @@ object Corpus {
       .limit(n)
   }
 
+  /** Deterministic per-source RATE downsampling — the other half of
+    * corpus composition next to [[mixWeights]]/[[budgetSample]]:
+    * those decide how much of each source a budget buys; this one
+    * APPLIES a chosen keep-rate as a pure filter. Each document's
+    * per-mille-of-10k bucket is an md5-derived hash of its id, so
+    * membership is reproducible across runs, engines, and partial
+    * re-ingests (the property `sample(fraction)` RNG sampling does
+    * not have), and keep decisions for different rates NEST: a doc
+    * kept at 25% is also kept at 50% (buckets are uniform, the
+    * threshold just moves), so rate changes re-use prior samples.
+    *
+    * Scale shape: map-only — no shuffle, no join, no broadcast; the
+    * rate table compiles into a literal CASE over the source column.
+    * At 100 TB this is THE downsampling spelling: a web-scale source
+    * cut to 10% without moving a single row between executors.
+    *
+    * Output: (doc_id, source, bucket_pm, rate_pm, kept) — a per-doc
+    * report; consumers filter on `kept`.
+    */
+  def rateSample(
+      docs: DataFrame,
+      ratesPm: Map[String, Int],
+      defaultPm: Int = 10000): DataFrame = {
+    require((ratesPm.values ++ Seq(defaultPm)).forall(r => r >= 0 && r <= 10000),
+      s"rates are per-10000 in [0, 10000]: $ratesPm default=$defaultPm")
+    val bucket = pmod(
+      hash32(concat(lit("rsample_"), col("doc_id").cast("string"))), lit(10000L))
+    val rate = ratesPm.toSeq.sortBy(_._1).foldLeft(lit(defaultPm.toLong)) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r.toLong)).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"), col("source"),
+      bucket.as("bucket_pm"),
+      rate.as("rate_pm"),
+      (bucket < rate).as("kept"))
+  }
+
   /** Per-source mixing weights for corpus composition: temperature-
     * scaled sampling shares w_s = t_s^τ / Σ t^τ with τ = 1/2 — the
     * standard down-weighting of dominant sources when assembling a

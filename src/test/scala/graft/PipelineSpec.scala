@@ -82,6 +82,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("rateSample: map-only plan, deterministic, and keep-sets NEST across rates") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = pipeline.Corpus.rateSample(d, Map.empty, defaultPm = 5000)
+    half.collect()
+    val plan = half.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rateSample claims a shuffle-free map pass but the plan has an Exchange:\n$plan")
+    def keptIds(pm: Int) =
+      pipeline.Corpus.rateSample(d, Map.empty, defaultPm = pm)
+        .where(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val (q, h, f) = (keptIds(2500), keptIds(5000), keptIds(10000))
+    // nesting: raising the rate only ADDS documents
+    assert(q.subsetOf(h) && h.subsetOf(f))
+    assert(f.size == d.count(), "rate 100% keeps everything")
+    // buckets are roughly uniform: 50% rate keeps 35-65% of 500 docs
+    assert(h.size > 175 && h.size < 325, s"suspicious 50% keep count ${h.size}")
+    // per-source override beats the default
+    val overridden = pipeline.Corpus.rateSample(d, Map("src0" -> 0), defaultPm = 10000)
+      .where(col("source") === "src0" && col("kept")).count()
+    assert(overridden == 0L)
+  }
+
   test("redactPii replaces email, ip, phone in order with exact counts") {
     val d = docs((1L, "mail me at a.b@x.co or 10.1.2.3 tel +44 20-7946 0958 end"))
     val out = graft.pipeline.Corpus.redactPii(d).collect().head
