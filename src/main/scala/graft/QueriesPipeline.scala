@@ -803,6 +803,14 @@ object QueriesPipeline {
           max(col("doc_id")).as("last_doc"))
         .orderBy("window_id")),
 
+    // Epoch-0 training order over the packed windows: md5 shuffle key
+    // per window + the global 1-based position on the distributed
+    // rank plan (no single-partition window). The per-epoch reshuffle
+    // with no RNG state — see [[graft.pipeline.Corpus.packShuffle]].
+    "pack_shuffle" -> ((s, dir) =>
+      Corpus.packShuffle(docs(s, dir), ctx = 512L, epoch = 0)
+        .orderBy("window_id")),
+
     // The packed windows MATERIALIZED — the training-batch content
     // itself (per 512-token window: contributing docs, token count,
     // md5 of the space-joined token slice). One join back to the
@@ -2628,6 +2636,27 @@ object QueriesPipeline {
          |  min(doc_id) AS first_doc,
          |  max(doc_id) AS last_doc
          |FROM w GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    "pack_shuffle" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(range((cum - n_tokens) // 512, (cum - 1) // 512 + 1)) AS window_id
+         |  FROM c WHERE (cum - 1) // 512 >= (cum - n_tokens) // 512),
+         |g AS (
+         |  SELECT window_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |    ${h32("concat('shuffle_0_', CAST(window_id AS VARCHAR))")} AS shuffle_key
+         |  FROM w GROUP BY window_id)
+         |SELECT window_id, n_docs, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY shuffle_key ASC, window_id ASC) AS BIGINT) AS train_pos
+         |FROM g ORDER BY window_id""".stripMargin,
 
     // The materialized windows: slice each doc's token list at the
     // window boundaries its offsets imply, reassemble per window in

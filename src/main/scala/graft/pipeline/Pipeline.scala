@@ -1172,6 +1172,43 @@ object Corpus {
           " ")).as("window_md5"))
   }
 
+  /** Deterministic global TRAINING ORDER over packed windows — the
+    * step between packing and the data loader: window ids come out of
+    * [[packWindows]] in corpus order, which is source/time-correlated
+    * (a whole crawl snapshot, then the next), and gradient descent
+    * wants a decorrelated stream. Each window gets an md5-derived
+    * shuffle key salted with the EPOCH (epoch 0 and epoch 1 are
+    * independent permutations — the standard per-epoch reshuffle with
+    * no RNG state to checkpoint), and its 1-based position in the
+    * shuffled order.
+    *
+    * Scale shape: the keying is map-only; the global position is
+    * [[graft.plans.Scale.rowNumberDistributed]] — range-partition on
+    * the key + local row_number + partition-count offsets, NO
+    * single-partition window. The sort moves window ROWS (corpus
+    * tokens / ctx of them), never token payloads; a loader joins
+    * `train_pos` back to [[packMaterialize]] output by window_id.
+    *
+    * Output: (window_id, n_docs, shuffle_key, train_pos).
+    */
+  def packShuffle(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      epoch: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numParts: Int = 32): DataFrame = {
+    val keyed = packWindows(docs, ctx, idCol, textCol, numParts)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("window_id"), col("n_docs"),
+        hash32(concat(lit(s"shuffle_${epoch}_"), col("window_id").cast("string")))
+          .as("shuffle_key"))
+    graft.plans.Scale.rowNumberDistributed(
+      keyed, Seq(col("shuffle_key").asc, col("window_id").asc), "train_pos", numParts)
+  }
+
   /** Padding-waste accounting — the instrument that DECIDES between
     * doc-aligned padding and stream packing: if every document were
     * packed alone into ceil(n/ctx) fixed-size sequences (the

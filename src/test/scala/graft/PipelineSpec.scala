@@ -1054,6 +1054,27 @@ class PipelineSpec extends SparkSpec {
       s"witness-free KMV must shuffle only the k-bounded partials, got $exchanges exchanges:\n$plan")
   }
 
+  test("packShuffle: train_pos is a 1..N bijection; epochs permute independently; no SinglePartition") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e0 = pipeline.Corpus.packShuffle(d, ctx = 512L, epoch = 0)
+    e0.collect()
+    val plan = e0.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global order must come from the distributed rank plan:\n$plan")
+    def posMap(epoch: Int) =
+      pipeline.Corpus.packShuffle(d, ctx = 512L, epoch = epoch).collect()
+        .map(r => r.getAs[Long]("window_id") -> r.getAs[Long]("train_pos")).toMap
+    val (p0, p1) = (posMap(0), posMap(1))
+    assert(p0.keySet == p1.keySet, "an epoch reshuffles, never drops windows")
+    assert(p0.values.toSeq.sorted == (1L to p0.size).toSeq, "positions are a 1..N bijection")
+    // different epochs give genuinely different permutations
+    assert(p0.keySet.count(w => p0(w) != p1(w)) > p0.size / 2,
+      "epoch salt must decorrelate the order")
+    // and the order is NOT the corpus order (that is the point)
+    assert(p0.keySet.toSeq.sorted.map(p0).zipWithIndex.exists {
+      case (pos, i) => pos != i + 1L })
+  }
+
   // --- weighted sampling / mix weights ----------------------------------
 
   test("weightedSample: A-ES key formula and descending deterministic order") {
