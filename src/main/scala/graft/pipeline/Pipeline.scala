@@ -3084,6 +3084,48 @@ object IvfChain {
   }
 }
 
+/** Dedup STATE as data — the [[IndexStore]] write-once/serve-many
+  * stance applied to the exact-substring pass's first-occurrence
+  * table: an incremental ingest pipeline does not re-hash its
+  * snapshot every delta; it reads the state table the last full pass
+  * (or the last delta merge) wrote. Unlike the ANN artifacts the
+  * state is NOT kilobytes — it is O(distinct windows), corpus-scale —
+  * which is exactly why it must live on disk as a parquet TABLE and
+  * enter the plan as a scan feeding an equi-join, never as a
+  * broadcast or a driver-side structure. Parquet round-trips the
+  * (wkey, struct(doc_id, p)) rows exactly, so the served filter is
+  * bit-identical to the in-memory one (IoSpec pins it).
+  *
+  * Same per-JVM temp root + md5(dir) keying as IvfChain.opqServed
+  * (round-10 advice): a stale store can never serve against a fresh
+  * oracle, and two sfDirs can never collide into one slot.
+  */
+object DedupStateStore {
+  private lazy val storeRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_dedupstate_").toString
+
+  /** [[Corpus.substringFirstOccurrences]] of `snapshot`, computed and
+    * written on first touch per (JVM, dir), served from parquet on
+    * every later touch — including bench passes in fresh sessions.
+    */
+  def substringFirstsServed(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      snapshot: => DataFrame): DataFrame =
+    synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = s"$storeRoot/$key/substring_firsts"
+      val marker = new java.io.File(p, "_SAVED")
+      if (!marker.exists()) {
+        Corpus.substringFirstOccurrences(snapshot)
+          .write.mode("overwrite").parquet(p)
+        marker.createNewFile()
+      }
+      s.read.parquet(p)
+    }
+}
+
 object Sessionize {
 
   /** Session windows over the events stream: a new session starts after

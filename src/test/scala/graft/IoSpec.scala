@@ -54,6 +54,33 @@ class IoSpec extends SparkSpec {
     assert(math.abs(out.head.features.sum - 1.0f) < 1e-6)
   }
 
+  test("DedupStateStore: the served incremental filter is bit-identical to in-memory state") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.pipeline.{Corpus, DedupStateStore}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val snap = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, s"alpha beta $boiler gamma delta"),
+      Row(2L, "entirely distinct snapshot words here okay fine")), schema)
+    val delta = spark.createDataFrame(java.util.Arrays.asList(
+      Row(10L, s"fresh opening $boiler closing words"), // leaks the snapshot run
+      Row(20L, "completely novel delta document nothing shared")), schema)
+    def rows(state: org.apache.spark.sql.DataFrame) =
+      Corpus.substringDedupFilterIncremental(state, delta)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    val inMem = rows(Corpus.substringFirstOccurrences(snap))
+    // two serves from the same (dir, snapshot): second hits the disk path
+    val dir = tmp("dedupstate")
+    val served1 = rows(DedupStateStore.substringFirstsServed(spark, dir, snap))
+    val served2 = rows(DedupStateStore.substringFirstsServed(spark, dir,
+      sys.error("second touch must load, not recompute")))
+    assert(served1 == inMem && served2 == inMem)
+    // sanity: the leaked run was actually removed from doc 10
+    assert(inMem.exists(_.contains("10")))
+  }
+
   test("IndexStore round-trip: search from loaded artifacts is bit-identical") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
