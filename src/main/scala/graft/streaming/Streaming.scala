@@ -566,6 +566,78 @@ object Streaming {
   def domainGateStream(docs: DataFrame): DataFrame =
     docs.where(graft.pipeline.Corpus.domainGate())
 
+  /** Streaming per-source rate sampling: the keep decision is a pure
+    * hash of the document id against a literal CASE rate table
+    * ([[graft.pipeline.Corpus.rateSample]]) — stateless, so the twin
+    * delegates verbatim. The ingest-side downsampler: a doc's
+    * keep/drop is identical whether adjudicated in a batch pass or
+    * the moment it arrives, and re-processing a doc reaches the same
+    * verdict (exactly-once not required for correctness).
+    */
+  def rateSampleStream(
+      docs: DataFrame,
+      ratesPm: Map[String, Int],
+      defaultPm: Int = 10000): DataFrame =
+    graft.pipeline.Corpus.rateSample(docs, ratesPm, defaultPm)
+
+  /** Streaming WITHIN-document dedup: a streaming record carries the
+    * whole document, and intra-doc dedup needs no cross-document
+    * state — so the twin is a per-row projection. The spelling
+    * differs from batch by necessity (streaming cannot run the
+    * window/groupBy rebuild), but the SEMANTICS are pinned
+    * bit-identical in StreamingSpec: chunk the text into the same
+    * 32-token units as [[graft.pipeline.Corpus.chunk]], keep each
+    * unit iff its first occurrence index in the unit array is its own
+    * (array_position — O(units²) per doc, bounded by one document,
+    * the same bound the batch rebuild buffers anyway), re-join.
+    */
+  def intraDocDedupStream(docs: DataFrame): DataFrame = {
+    val units = expr(
+      """transform(
+        |  sequence(0, greatest((size(split(text, ' ')) - 32 + 31) div 32, 0)),
+        |  i -> array_join(slice(split(text, ' '), i * 32 + 1, 32), ' '))""".stripMargin)
+    val kept = expr("filter(_u, (u, i) -> array_position(_u, u) == i + 1)")
+    docs
+      .withColumn("_u", units)
+      .withColumn("_k", kept)
+      .select(
+        col("doc_id"),
+        size(col("_u")).cast("long").as("n_paras"),
+        (size(col("_u")) - size(col("_k"))).cast("long").as("n_dropped"),
+        round((size(col("_u")) - size(col("_k"))).cast("double") / size(col("_u")), 6)
+          .as("drop_frac"),
+        array_join(col("_k"), " ").as("text_clean"),
+        (size(col("_u")) > size(col("_k"))).as("changed"))
+  }
+
+  /** Streaming tokenizer-fertility: the per-language running totals
+    * behind [[graft.QueriesPipeline]]'s `tokenizer_fertility` as a
+    * complete-mode aggregate — state is one row per language (a
+    * HANDFUL of keys, the boundedness argument), each micro-batch
+    * folds its docs' char/word/BPE-token counts in via map-side
+    * partials, and the emitted table converges to the batch one when
+    * the stream drains (pinned in StreamingSpec).
+    */
+  def fertilityStream(docs: DataFrame): DataFrame =
+    docs.select(
+        col("lang"),
+        length(col("text")).cast("bigint").as("nc"),
+        size(split(col("text"), " ")).cast("bigint").as("nw"),
+        graft.pipeline.Bpe.tokenCount(col("text")).as("nb"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nc").as("n_chars"),
+        sum("nw").as("n_words"),
+        sum("nb").as("n_bpe_tokens"))
+      .select(
+        col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("chars_per_bpe"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("bpe_per_word"))
+
   /** Streaming PII redaction — like the Bloom probe, the batch scrub
     * is a pure stateless projection (regex count + replace in a fixed
     * stage order), so the stream twin is the batch operator verbatim:

@@ -60,6 +60,8 @@ class StreamingSpec extends SparkSpec {
 
   case class Doc(doc_id: Long, text: String)
   case class DocSrc(doc_id: Long, text: String, source: String)
+  case class SrcDoc(doc_id: Long, source: String)
+  case class LangDoc(doc_id: Long, text: String, lang: String)
   case class EvNanos(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
 
@@ -270,6 +272,86 @@ class StreamingSpec extends SparkSpec {
       .orderBy("doc_id", "chunk_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("streaming rate sampling matches the batch keep decisions bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i => SrcDoc(i, s"src${i % 4}"))
+    val input = MemoryStream[SrcDoc]
+    input.addData(rows: _*)
+    val q = Streaming.rateSampleStream(
+        input.toDF(), Map("src0" -> 0, "src1" -> 5000), defaultPm = 10000)
+      .writeStream.format("memory").queryName("srate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("srate").orderBy("doc_id").collect().map(key)
+    val want = graft.pipeline.Corpus.rateSample(
+        rows.map(r => (r.doc_id, r.source)).toDF("doc_id", "source"),
+        Map("src0" -> 0, "src1" -> 5000))
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("streaming intra-doc dedup matches the batch rebuild bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // doc 1: 40 tokens whose second 32-token chunk repeats nothing;
+    // doc 2: the same 32-token unit twice (chunk-aligned repeat);
+    // doc 3: shorter than one chunk
+    val unit = (1 to 32).map(i => s"u$i").mkString(" ")
+    val texts = Seq(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2L -> s"$unit $unit",
+      3L -> "tiny doc")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
+    val q = Streaming.intraDocDedupStream(input.toDF()).writeStream
+      .format("memory").queryName("sintra").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("sintra").orderBy("doc_id").collect().map(key)
+    val units = graft.pipeline.Corpus.chunk(
+        texts.toDF("doc_id", "text"), chunkSize = 32, stride = 32)
+      .select(col("doc_id"), col("chunk_id").as("para_idx"),
+        col("chunk_text").as("para_text"))
+    val want = graft.pipeline.Corpus.intraDocDedupFilter(units)
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // and the repeat actually dropped
+    assert(got(1).contains("true"))
+  }
+
+  test("streaming fertility totals converge to the batch per-lang table") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      LangDoc(1L, "the cat sat on the mat", "en"),
+      LangDoc(2L, "el gato y la alfombra", "es"),
+      LangDoc(3L, "another english document here", "en"))
+    val input = MemoryStream[LangDoc]
+    input.addData(rows.take(2): _*)
+    val q = Streaming.fertilityStream(input.toDF()).writeStream
+      .format("memory").queryName("sfert").outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*) // second micro-batch folds in
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("sfert").orderBy("lang").collect().map(key)
+    val want = {
+      import org.apache.spark.sql.functions._
+      rows.map(r => (r.doc_id, r.text, r.lang)).toDF("doc_id", "text", "lang").select(
+          col("lang"),
+          length(col("text")).cast("bigint").as("nc"),
+          size(split(col("text"), " ")).cast("bigint").as("nw"),
+          graft.pipeline.Bpe.tokenCount(col("text")).as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+          sum("nw").as("n_words"), sum("nb").as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+          col("n_bpe_tokens"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6).as("chars_per_bpe"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6).as("bpe_per_word"))
+        .orderBy("lang").collect().map(key)
+    }
+    assert(got.toSeq == want.toSeq && got.length == 2)
   }
 
   test("streaming LSH candidates match batch pairs across micro-batches, no repeats") {
