@@ -389,6 +389,59 @@ object ScaleSmoke {
         .where(col("is_exact_canonical")).count()
     }
 
+    // Within-doc dedup: per-doc window partitions are bounded by one
+    // document's unit count, so Nx documents -> Nx independent
+    // partitions; the ratio must track volume.
+    def intraFilter(d: DataFrame): Long = {
+      val units = graft.pipeline.Corpus.chunk(d, chunkSize = 32, stride = 32)
+        .select(
+          col("doc_id"), col("chunk_id").as("para_idx"),
+          col("chunk_text").as("para_text"))
+      graft.pipeline.Corpus.intraDocDedupFilter(units).count()
+    }
+
+    // One-doc worst case for intra-doc dedup: the SAME unit count in
+    // one document, all-distinct vs one unit 250k copies deep. Both
+    // runs buffer the one document (the rebuild's inherent bound);
+    // the hot run must not cost more — the (doc, hash) window group
+    // is within the same single-doc task either way.
+    def intraDocSynth(nUnits: Long, hot: Boolean): Long = {
+      val text =
+        if (hot) lit("the one repeated unit body")
+        else concat(lit("distinct unit body number "), col("id"))
+      val units = spark.range(nUnits).select(
+        lit(0L).as("doc_id"), col("id").as("para_idx"), text.as("para_text"))
+      graft.pipeline.Corpus.intraDocDedupFilter(units).count()
+    }
+
+    // Semantic decontamination: fixed bench vectors (eval suites don't
+    // grow) against an Nx corpus — broadcast bench, map-only cosine
+    // pass + per-bench partial agg; the ratio must track corpus volume.
+    val embBench1 = emb1.where(col("vec_id") % 50 === 0)
+    def semDecon(e: DataFrame): Long =
+      graft.pipeline.Similarity.semanticContamination(e, embBench1)
+        .agg(sum(col("n_leaks"))).head.getLong(0)
+
+    // Epoch shuffle: packWindows' prefix plan + the distributed rank
+    // over window rows (corpus tokens / 512 of them).
+    def packShuf(d: DataFrame): Long = {
+      val m = graft.pipeline.Corpus.packShuffle(d, ctx = 512L).count()
+      spark.catalog.clearCache() // release the range-partition persist
+      m
+    }
+
+    // Per-lang fertility: the 256-replace BPE encode is the bill —
+    // map-only, then a |langs|-key agg; must track volume.
+    def fert(d: DataFrame): Long =
+      d.select(
+          col("lang"),
+          length(col("text")).cast("bigint").as("nc"),
+          size(split(col("text"), " ")).cast("bigint").as("nw"),
+          graft.pipeline.Bpe.tokenCount(col("text")).as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)), sum("nc"), sum("nw"), sum("nb"))
+        .count()
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -420,6 +473,11 @@ object ScaleSmoke {
       "exactcanon hot-key skew" -> (() => (time("exactcanon distinct 2e6", exactCanonSynth(2000000L, hotKey = false)), time("exactcanon 1e6-deep key", exactCanonSynth(2000000L, hotKey = true)))),
       "subfilter long-dup doc" -> (() => (time("subfilter dup-doc 50k tok", subFilterSynthLongDup(50000)), time("subfilter dup-doc 200k tok", subFilterSynthLongDup(200000)))),
       "domainstats hot-domain skew" -> (() => (time("domainstats uniform 2e6", domainStatsSynth(2000000L, hotDomain = false)), time("domainstats 1-domain 2e6", domainStatsSynth(2000000L, hotDomain = true)))),
+      "intradoc dedup filter" -> (() => (time("intrafilter 1x", intraFilter(docs1)), time(s"intrafilter ${n}x", intraFilter(docsN)))),
+      "intradoc one-doc hot-unit" -> (() => (time("intradoc distinct 250k units", intraDocSynth(250000L, hot = false)), time("intradoc 250k-deep unit", intraDocSynth(250000L, hot = true)))),
+      "semantic decontaminate" -> (() => (time("semdecon 1x", semDecon(emb1.where(col("vec_id") % 50 =!= 0))), time(s"semdecon ${n}x", semDecon(amplifyEmb(emb1, n))))),
+      "pack shuffle" -> (() => (time("packshuf 1x", packShuf(docs1)), time(s"packshuf ${n}x", packShuf(docsN)))),
+      "tokenizer fertility" -> (() => (time("fert 1x", fert(docs1)), time(s"fert ${n}x", fert(docsN)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
       "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))))
