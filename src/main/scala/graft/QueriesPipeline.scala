@@ -211,6 +211,19 @@ object QueriesPipeline {
         .orderBy("bench_id")
     }),
 
+    // The cell-bounded scale path for semantic decon: corpus vectors
+    // sit in their nearest trained IVF cell, bench vectors probe
+    // their 2 nearest, cosine verified only within shared cells —
+    // approximate by design (the IVF recall trade), the brute query
+    // above stays the correctness baseline. Session-staged centroids.
+    "decontaminate_semantic_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticContaminationIvf(
+          e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0),
+          graft.pipeline.IvfChain.centroids(s, dir, e))
+        .orderBy("bench_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")),
 
@@ -1765,6 +1778,52 @@ object QueriesPipeline {
          |SELECT a.bench_id, a.n_leaks, n.nearest_id,
          |  round(n.cosv, 6) AS nearest_cosine, a.n_leaks > 0 AS leaked
          |FROM ag a JOIN nr n USING (bench_id) WHERE n.rn = 1
+         |ORDER BY bench_id""".stripMargin,
+
+    // Corpus assignments keep crank = 1, bench probes crank <= 2;
+    // every (bench, corpus) pair meets at most once, so aggregates
+    // need no distinct. Bench rows with no cell-shared candidate
+    // surface with zero counts and null nearest columns.
+    "decontaminate_semantic_ivf" ->
+      s"""WITH $KmeansCtes,
+         |casg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |    FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |            ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |          FROM e, c2 c WHERE e.vec_id % 50 <> 0))
+         |  WHERE crank = 1),
+         |basg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |    FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |            ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |          FROM e, c2 c WHERE e.vec_id % 50 = 0))
+         |  WHERE crank <= 2),
+         |sc AS (
+         |  SELECT b.vec_id AS bench_id, a.vec_id AS corp_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosv
+         |  FROM casg a JOIN basg b ON a.cell = b.cell),
+         |ag AS (
+         |  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(count(*) FILTER (WHERE cosv >= 0.4) AS BIGINT) AS n_leaks
+         |  FROM sc GROUP BY bench_id),
+         |nr AS (
+         |  SELECT bench_id, corp_id, cosv,
+         |    row_number() OVER (PARTITION BY bench_id ORDER BY cosv DESC, corp_id ASC) AS rn
+         |  FROM sc)
+         |SELECT b.vec_id AS bench_id,
+         |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(a.n_leaks, 0) AS BIGINT) AS n_leaks,
+         |  n.corp_id AS nearest_id,
+         |  round(n.cosv, 6) AS nearest_cosine,
+         |  coalesce(a.n_leaks, 0) > 0 AS leaked
+         |FROM e b
+         |LEFT JOIN ag a ON b.vec_id = a.bench_id
+         |LEFT JOIN (SELECT * FROM nr WHERE rn = 1) n ON b.vec_id = n.bench_id
+         |WHERE b.vec_id % 50 = 0
          |ORDER BY bench_id""".stripMargin,
 
     "normalize_text" ->

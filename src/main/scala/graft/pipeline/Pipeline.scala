@@ -2918,6 +2918,57 @@ object Similarity {
         (col("n_leaks") > 0).as("leaked"))
   }
 
+  /** Cell-bounded [[semanticContamination]] — the 100 TB spelling
+    * when even one map-only brute pass per eval refresh is too much:
+    * corpus vectors are assigned to their single nearest trained IVF
+    * cell, bench vectors probe their `nCellsBench` nearest (the
+    * recall knob, same contract as [[topKIvfTrained]]'s nProbe), and
+    * cosine is verified only within shared cells — the corpus-side
+    * work drops from |corpus|·|bench| to the probed cells'
+    * populations. Approximate BY DESIGN: a leak whose corpus vector
+    * sits outside every probed cell is missed, exactly the documented
+    * IVF recall trade; the brute operator stays the correctness
+    * baseline. Bench rows with NO cell-shared candidate still emit
+    * (zero counts, null nearest) — the audit reads absence as data.
+    *
+    * A (bench, corpus) pair can meet at most once: the corpus side
+    * keeps only crank = 1, so no distinct pass is needed.
+    */
+  def semanticContaminationIvf(
+      corpus: DataFrame,
+      bench: DataFrame,
+      cents: DataFrame,
+      threshold: Double = 0.4,
+      nCellsBench: Int = 2): DataFrame = {
+    val c = trainedAssignments(corpus, cents)
+      .where(col("crank") === 1)
+      .select(col("vec_id").as("corp_id"), col("embedding").as("ce2"),
+        col("nrm").as("cn2"), col("cid").as("cell"))
+    val b = broadcast(trainedAssignments(bench, cents)
+      .where(col("crank") <= nCellsBench)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"),
+        col("nrm").as("bn"), col("cid").as("cell")))
+    val scored = c.join(b, "cell")
+      .select(
+        col("bench_id"), col("corp_id"),
+        (dotF(col("ce2"), col("be")) / (col("cn2") * col("bn"))).as("cosine"))
+    val agg = scored
+      .groupBy("bench_id")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(col("cosine") >= threshold, 1)).as("n_leaks"),
+        max(struct(col("cosine").as("c"), (-col("corp_id")).as("nid"))).as("_m"))
+    bench.select(col("vec_id").as("bench_id"))
+      .join(agg, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+        (-col("_m")("nid")).as("nearest_id"),
+        round(col("_m")("c"), 6).as("nearest_cosine"),
+        (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"))
+  }
+
   /** Recall@k of approximate ANN results against the exact top-k — the
     * measurement that turns an approximate index from a guess into a
     * tunable: a pipeline picks nProbe / plane count by reading this

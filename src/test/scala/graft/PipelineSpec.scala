@@ -470,6 +470,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == (200L, 0L, 1L, false))
   }
 
+  test("semanticContaminationIvf: counts bounded by brute; equal when bench probes all cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.where(col("vec_id") % 50 =!= 0)
+    val bench = e.where(col("vec_id") % 50 === 0)
+    val cents = Similarity.kmeansCentroids(e, k = 4, iters = 1)
+    def leaks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Long]("n_leaks")).toMap
+    val brute = leaks(Similarity.semanticContamination(corpus, bench))
+    val ivf2 = leaks(Similarity.semanticContaminationIvf(corpus, bench, cents))
+    val ivfAll = leaks(
+      Similarity.semanticContaminationIvf(corpus, bench, cents, nCellsBench = 4))
+    // every bench item emits a row in every variant
+    assert(ivf2.keySet == brute.keySet && ivfAll.keySet == brute.keySet)
+    // cell bounding can only LOSE leaks, never invent them
+    assert(ivf2.forall { case (b, n) => n <= brute(b) })
+    // probing every cell makes the candidate set exhaustive
+    assert(ivfAll == brute)
+  }
+
   test("semanticDupPairs: subset of exact; equal to exact when nCells = k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = 4, iters = 1)
