@@ -503,6 +503,15 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization before URL-keyed dedup (the CC-index
+    // convention): lowercase scheme/host, strip www. and default
+    // ports (non-default KEPT), drop tracking params + fragment, sort
+    // surviving params, empty path -> '/'. Map-only; url_key is the
+    // md5 a URL-keyed merge groups on. See
+    // [[graft.pipeline.Corpus.canonicalUrl]].
+    "url_normalize" -> ((s, dir) =>
+      Corpus.urlNormalize(docs(s, dir)).orderBy("doc_id")),
+
     // Per-registered-domain curation stats over the synthetic url
     // fixture (host extraction -> last-two-label domain -> one
     // map-side-combinable shuffle). See [[graft.pipeline.Corpus
@@ -2550,6 +2559,38 @@ object QueriesPipeline {
          |       ELSE 'test' END AS split,
          |  n_tokens
          |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "url_normalize" -> {
+      val tracking =
+        Corpus.TrackingParams.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+         |  SELECT doc_id, $UrlSql AS url
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+         |  FROM u),
+         |k AS (
+         |  SELECT doc_id, url,
+         |    scheme || '://' || host ||
+         |    (CASE WHEN port <> '' AND port <> '80' AND port <> '443'
+         |      THEN ':' || port ELSE '' END) ||
+         |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+         |    (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
+         |  FROM (
+         |    SELECT *,
+         |      array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |        p -> p <> '' AND NOT list_contains($tracking,
+         |          regexp_extract(p, '^([^=]*)', 1)))), '&') AS kept
+         |    FROM c))
+         |SELECT doc_id, url, canon AS url_canonical, md5(canon) AS url_key,
+         |  url <> canon AS changed
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
 
     "domain_stats" ->
       s"""WITH u AS (

@@ -1551,6 +1551,69 @@ object Corpus {
     !registeredDomain(urlHost(synthUrl(col("doc_id"), col("source"))))
       .isin(blocked: _*)
 
+  /** Tracking query parameters a URL canonicalizer strips — the
+    * analytics/click-id keys that vary per referrer while the
+    * resource is identical (the reason naive URL-keyed dedup
+    * under-merges a crawl). Literal set, same stance as
+    * [[DomainBlocklist]].
+    */
+  val TrackingParams: Seq[String] =
+    Seq("ref", "utm_source", "utm_medium", "utm_campaign", "utm_term",
+      "utm_content", "fbclid", "gclid")
+
+  /** Canonical form of a URL — the normalization a crawl runs BEFORE
+    * URL-keyed dedup (the CC-index convention), so `http://WWW.A.com
+    * /x?utm_source=f` and `https://a.com/x` collapse to one key:
+    * scheme and host lowercase, leading `www.` stripped, default
+    * ports (`:80`, `:443`) stripped while non-default ports are KEPT
+    * (different ports can serve different content), tracking params
+    * ([[TrackingParams]]) removed and the survivors SORTED (param
+    * order is transport noise), fragment dropped (client-side only),
+    * empty path → `/`. Pure codegen-friendly regex/array expressions,
+    * map-only; identical spelling replayed by the DuckDB oracle.
+    * Contract: input is an absolute http(s)-style URL (the synthetic
+    * fixture's shape); userinfo is out of scope like [[urlHost]].
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val port = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)", 1)
+    val keepPort = port =!= "" && port =!= "80" && port =!= "443"
+    val path0 = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(
+        split(query, "&"),
+        p => !regexp_extract(p, "^([^=]*)", 1).isin(TrackingParams: _*) &&
+          p =!= "")),
+      "&")
+    concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** Per-doc URL canonicalization report over the synthetic url
+    * fixture: the raw url, its canonical form, the md5 dedup key a
+    * URL-keyed pass groups on, and whether normalization changed
+    * anything. Map-only at any scale; feed `url_key` to
+    * [[Dedup.exactGroups]]-style grouping for the actual merge.
+    */
+  def urlNormalize(docs: DataFrame): DataFrame = {
+    val url = synthUrl(col("doc_id"), col("source"))
+    docs.select(
+      col("doc_id"),
+      url.as("url"),
+      canonicalUrl(url).as("url_canonical"))
+      .select(
+        col("doc_id"), col("url"), col("url_canonical"),
+        md5(col("url_canonical")).as("url_key"),
+        (col("url") =!= col("url_canonical")).as("changed"))
+  }
+
   /** Head/middle/tail domain tiers by cumulative token share — the
     * CCNet/RefinedWeb bucketing that decides which domains get the
     * expensive downstream treatment: domains in descending token

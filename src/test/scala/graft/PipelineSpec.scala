@@ -82,6 +82,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("canonicalUrl merges www/tracking/param-order/default-port variants, keeps real differences") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://WWW.Example.com/x?utm_source=feed&a=1",
+      "https://example.com:443/x?a=1",          // same resource
+      "https://example.com/x?a=1&utm_campaign=q#frag", // same again
+      "https://example.com/x?b=2&a=1",          // extra real param: DIFFERENT
+      "https://example.com/x?a=1&b=2",          // ...but param order collapses
+      "https://example.com:8443/x?a=1",         // non-default port: DIFFERENT
+      "http://example.com",                     // empty path -> '/'
+      "http://example.com/")
+    val out = urls.toDF("u")
+      .select(pipeline.Corpus.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://example.com/x?a=1")
+    assert(out(1) == out(0) && out(2) == out(0))
+    assert(out(3) == "https://example.com/x?a=1&b=2")
+    assert(out(4) == out(3) && out(3) != out(0))
+    assert(out(5) == "https://example.com:8443/x?a=1" && out(5) != out(0))
+    assert(out(6) == "http://example.com/" && out(7) == out(6))
+  }
+
   test("rateSample: map-only plan, deterministic, and keep-sets NEST across rates") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val half = pipeline.Corpus.rateSample(d, Map.empty, defaultPm = 5000)
