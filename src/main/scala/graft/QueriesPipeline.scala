@@ -198,6 +198,37 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Embedding hygiene audit BEFORE any ANN/dedup pass trusts the
+    // table: per label — counts, zero-norm vectors (cosine is
+    // undefined on them: they surface as NaN pair scores downstream),
+    // dim drift (min=max=64 or the ingest broke), and norm spread.
+    // The mean is an exact integer-micro sum (the doc_logprob
+    // convention) — a plain double sum would drift with partitioning.
+    // One map-side-combinable shuffle on label.
+    "embedding_stats" -> ((s, dir) => {
+      val nrm = sqrt(graft.functions.dotF(col("embedding"), col("embedding")))
+      embs(s, dir).select(
+          col("label"),
+          nrm.as("n"),
+          round(nrm * 1e6, 0).cast("bigint").as("nm"),
+          size(col("embedding")).as("dims"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          count(when(col("nm") === 0L, 1)).as("n_zero_norm"),
+          min(col("dims")).as("min_dims"),
+          max(col("dims")).as("max_dims"),
+          round(min(col("n")), 6).as("min_norm"),
+          round(max(col("n")), 6).as("max_norm"),
+          sum(col("nm")).as("_s"))
+        .select(
+          col("label"), col("n_vecs"), col("n_zero_norm"),
+          col("min_dims"), col("max_dims"), col("min_norm"), col("max_norm"),
+          round(col("_s").cast("double") / (col("n_vecs") * 1e6), 6)
+            .as("mean_norm"))
+        .orderBy("label")
+    }),
+
     // Embedding-space decontamination: per benchmark vector (every
     // 50th, the decontaminate convention carried into vec_id space),
     // leak count at cosine >= 0.4 plus the nearest corpus vector and
@@ -1766,6 +1797,23 @@ object QueriesPipeline {
          |  coalesce(f.n_bench_candidates, 0) > 0 AS contaminated
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN fagg f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "embedding_stats" ->
+      s"""WITH n AS (
+         |  SELECT label,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+         |    CAST(round(sqrt(${dotSql("embedding", "embedding")}) * 1e6, 0) AS BIGINT) AS nm,
+         |    len(embedding) AS dims
+         |  FROM read_parquet('{SFDIR}/embeddings.parquet'))
+         |SELECT label,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) FILTER (WHERE nm = 0) AS BIGINT) AS n_zero_norm,
+         |  CAST(min(dims) AS INTEGER) AS min_dims,
+         |  CAST(max(dims) AS INTEGER) AS max_dims,
+         |  round(min(nrm), 6) AS min_norm,
+         |  round(max(nrm), 6) AS max_norm,
+         |  round(CAST(sum(nm) AS DOUBLE) / (count(*) * 1e6), 6) AS mean_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     // Full-precision cosine ranks the nearest neighbor (rounding only
     // at output); ties break to the lower corpus id, mirroring the

@@ -638,6 +638,21 @@ object Streaming {
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
           .as("bpe_per_word"))
 
+  /** Streaming SEMANTIC decontamination: arriving corpus vectors
+    * score against the static broadcast bench table (an eval suite —
+    * KB-MB), and the per-bench leak report is a complete-mode
+    * aggregate whose state is ONE row per bench item (leak count +
+    * the running nearest-corpus max-struct) — bounded by the eval
+    * suite, never the stream. The batch operator's plan (broadcast
+    * cross join + partial-combining agg) is streaming-legal as-is,
+    * so the twin delegates verbatim; the emitted table converges to
+    * the batch report when the stream drains (pinned in
+    * StreamingSpec).
+    */
+  def semanticDeconStream(
+      vecs: DataFrame, bench: DataFrame, threshold: Double = 0.4): DataFrame =
+    graft.pipeline.Similarity.semanticContamination(vecs, bench, threshold)
+
   /** Streaming PII redaction — like the Bloom probe, the batch scrub
     * is a pure stateless projection (regex count + replace in a fixed
     * stage order), so the stream twin is the batch operator verbatim:

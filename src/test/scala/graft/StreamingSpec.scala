@@ -62,6 +62,7 @@ class StreamingSpec extends SparkSpec {
   case class DocSrc(doc_id: Long, text: String, source: String)
   case class SrcDoc(doc_id: Long, source: String)
   case class LangDoc(doc_id: Long, text: String, lang: String)
+  case class Vec(vec_id: Long, embedding: Seq[Float])
   case class EvNanos(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
 
@@ -352,6 +353,29 @@ class StreamingSpec extends SparkSpec {
         .orderBy("lang").collect().map(key)
     }
     assert(got.toSeq == want.toSeq && got.length == 2)
+  }
+
+  test("streaming semantic decon converges to the batch per-bench leak report") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = all.where(col("vec_id") % 50 === 0)
+    val corpusRows = all.where(col("vec_id") % 50 =!= 0)
+      .collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[Vec]
+    input.addData(corpusRows.take(200): _*)
+    val q = Streaming.semanticDeconStream(input.toDF(), bench).writeStream
+      .format("memory").queryName("ssemdecon").outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(corpusRows.drop(200): _*) // second micro-batch folds in
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("ssemdecon").orderBy("bench_id").collect().map(key)
+    val want = graft.pipeline.Similarity.semanticContamination(
+        all.where(col("vec_id") % 50 =!= 0), bench)
+      .orderBy("bench_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
   test("streaming LSH candidates match batch pairs across micro-batches, no repeats") {
