@@ -804,6 +804,20 @@ object QueriesPipeline {
       Similarity.cellSizes(e, graft.pipeline.IvfChain.centroids(s, dir, e)).orderBy("cid")
     }),
 
+    // Training-convergence instrument: exact-micro inertia at the
+    // seeds and after each Lloyd iteration — training is "done" when
+    // the per-iteration drop flattens. Replaying iters 0..2 here is a
+    // fixture convenience; production logs inertia DURING training
+    // (the assignment pass already exists in the update step). See
+    // [[graft.pipeline.Similarity.kmeansInertia]].
+    "ivf_inertia" -> ((s, dir) => {
+      val e = embs(s, dir)
+      (0 to 2).map { i =>
+        Similarity.kmeansInertia(e, Similarity.kmeansCentroids(e, k = 8, iters = i))
+          .select(lit(i).as("iter"), col("n_vecs"), col("inertia_micro"))
+      }.reduce(_ union _).orderBy("iter")
+    }),
+
     // Recall@k of the two approximate indexes against the brute-force
     // ground truth — the table that tunes nProbe / plane count. See
     // [[graft.pipeline.Similarity.recallAtK]].
@@ -2503,6 +2517,22 @@ object QueriesPipeline {
          |        FROM e, c2 c))
          |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM asg WHERE crank = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "ivf_inertia" -> {
+      def inertiaSql(cCte: String, iter: Int) =
+        s"""i$iter AS (
+           |  SELECT CAST($iter AS INTEGER) AS iter,
+           |    CAST(count(*) AS BIGINT) AS n_vecs,
+           |    CAST(sum(d) AS BIGINT) AS inertia_micro FROM (
+           |    SELECT CAST(round((1 - max(${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}))) * 1e6, 0) AS BIGINT) AS d
+           |    FROM e, $cCte c GROUP BY e.vec_id))""".stripMargin
+      s"""WITH $KmeansCtes,
+         |${inertiaSql("c0", 0)},
+         |${inertiaSql("c1", 1)},
+         |${inertiaSql("c2", 2)}
+         |SELECT * FROM i0 UNION ALL SELECT * FROM i1 UNION ALL SELECT * FROM i2
+         |ORDER BY iter""".stripMargin
+    },
 
     // Recall@k: the brute / IVF / LSH CTE bodies are verbatim the three
     // ann_topk* oracles above, reduced to their (query, neighbor) sets,

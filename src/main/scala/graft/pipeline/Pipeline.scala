@@ -2924,6 +2924,23 @@ object Similarity {
     if (nCells > 1) pairs.distinct() else pairs
   }
 
+  /** K-means inertia (1 − cosine to the assigned centroid, summed in
+    * exact integer micro-units) — the convergence instrument read
+    * alongside [[cellSizes]]: training is "done" when the inertia
+    * drop per Lloyd iteration flattens, and a production run logs
+    * this DURING training (the assignment pass it needs is the one
+    * the update step already does). One corpus-scale agg with
+    * map-side combine per measured iteration; at 100 TB convergence
+    * is measured on a sample exactly like recall.
+    */
+  def kmeansInertia(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    trainedAssignments(embeddings, cents)
+      .where(col("crank") === 1)
+      .select(round((lit(1.0) - col("ccos")) * 1e6, 0).cast("bigint").as("d"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("d")).as("inertia_micro"))
+
   /** Vectors per trained IVF cell — the balance diagnostic: a skewed
     * cell is the IVF latency killer (every probe of it scans its whole
     * population), and the fix — re-train with more centroids or split

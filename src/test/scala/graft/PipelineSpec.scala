@@ -492,6 +492,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == (200L, 0L, 1L, false))
   }
 
+  test("kmeansInertia: micro-exact, and training reduces it on the real fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def inertia(iters: Int) =
+      Similarity.kmeansInertia(e, Similarity.kmeansCentroids(e, k = 8, iters = iters))
+        .collect().head.getAs[Long]("inertia_micro")
+    val (i0, i1, i2) = (inertia(0), inertia(1), inertia(2))
+    // empirical pin on the committed fixture (the cosine-assign /
+    // mean-update hybrid has no monotonicity theorem; what matters is
+    // that the instrument SHOWS the convergence a user tunes by)
+    assert(i1 < i0 && i2 <= i1, s"inertia did not fall: $i0 -> $i1 -> $i2")
+    assert(inertia(2) == i2, "deterministic replay")
+  }
+
   test("semanticContaminationIvf: counts bounded by brute; equal when bench probes all cells") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.where(col("vec_id") % 50 =!= 0)
