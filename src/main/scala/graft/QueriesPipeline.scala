@@ -1187,6 +1187,24 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Audio modality: synthetic 8-bit PCM blobs resampled to HALF the
+    // source rate (1-D NN — resize's degenerate case) and featurized
+    // through the same batched seam; histogram counts recovered as
+    // integers. The oracle predicts the resampled waveform
+    // arithmetically like multimodal_resize does for pixels.
+    "multimodal_audio" -> ((s, dir) => {
+      val feats = Multimodal.resampleFeatures(
+        Multimodal.syntheticAudio(s, docs(s, dir)), 1, 2).toDF()
+      val bins = (0 until 16).map(b =>
+        round(element_at(col("features"), b + 1) * col("width"))
+          .cast("bigint").as(s"h$b"))
+      feats.select(Seq(
+          col("id").as("doc_id"),
+          col("n_bytes").as("n_samples"),
+          col("width").cast("bigint").as("n_out")) ++ bins: _*)
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling for video-modality records (keep every 3rd frame
     // index): the documents table plays a video corpus through the
     // deterministic fake decoder, whose hash-derived frame count the
@@ -3113,6 +3131,25 @@ object QueriesPipeline {
         |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  $bins
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // 1-D NN resample prediction: output index i reads source sample
+    // (i*n)//m, whose value is the synthetic (id*17 + idx*7) % 256.
+    "multimodal_audio" -> {
+      val bins = (0 until 16)
+        .map(b => s"CAST(count(*) FILTER (WHERE bin = $b) AS BIGINT) AS h$b")
+        .mkString(",\n        |  ")
+      s"""WITH d AS (
+        |  SELECT doc_id, 256 + doc_id % 512 AS n
+        |  FROM read_parquet('{SFDIR}/documents.parquet')),
+        |s AS (SELECT doc_id, n, greatest(n // 2, 1) AS m FROM d),
+        |px AS (
+        |  SELECT doc_id, ((doc_id * 17 + ((t.i * n) // m) * 7) % 256) // 16 AS bin
+        |  FROM s, LATERAL (SELECT unnest(range(0, m)) AS i) t)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_samples, CAST(s.m AS BIGINT) AS n_out,
+        |  $bins
+        |FROM px JOIN s USING (doc_id)
+        |GROUP BY s.doc_id, s.n, s.m ORDER BY s.doc_id""".stripMargin
     },
 
     // Frame sampling: the fake decoder's video frame count is

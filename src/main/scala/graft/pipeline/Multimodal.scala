@@ -137,6 +137,68 @@ object Multimodal {
       }
   }
 
+  /** PCM "decoder": an 8-bit waveform blob IS its decoded payload —
+    * width carries the sample count, height 1 (audio is the 1-D
+    * degenerate case of the image contract, which is exactly why
+    * [[resize]] doubles as the resampler below). Arithmetic-trivial
+    * by design so the oracle predicts everything.
+    */
+  object PcmDecoder extends MediaDecoder {
+    override def decode(modality: String, blob: Array[Byte]): Decoded =
+      Decoded(blob.length, 1, 1, blob)
+  }
+
+  /** Deterministic synthetic audio corpus keyed off the documents
+    * table: per doc a fake 8-bit PCM blob — n_samples = 256 + id%512,
+    * sample(i) = (id*17 + i*7) % 256 — pure functions of doc_id, so
+    * an arithmetic oracle predicts the resampled histogram exactly
+    * (the [[syntheticImages]] stance for the audio modality).
+    */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val n = (256 + id % 512).toInt
+        MediaRecord(id, "audio",
+          Array.tabulate(n)(i => ((id * 17 + i * 7) % 256).toByte), src)
+      }
+  }
+
+  /** Batched per-partition RESAMPLE (to num/den of the source rate,
+    * nearest-neighbor — [[resize]] on the 1-D payload) + featurize
+    * for audio-modality records. Same mapPartitions seam and 16-bin
+    * histogram contract as [[extractFeatures]]; the emitted `width`
+    * is the post-resample sample count.
+    */
+  def resampleFeatures(
+      ds: Dataset[MediaRecord],
+      num: Int,
+      den: Int,
+      decoder: MediaDecoder = PcmDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    require(num >= 1 && den >= 1, s"bad resample ratio $num/$den")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val decoded = decoder.decodeBatch(batch.map(r => (r.modality, r.blob)))
+          .map { d =>
+            val dst = math.max(1L,
+              d.payload.length.toLong * num / den).toInt
+            resize(d, dst, 1)
+          }
+        batch.zip(decoded).map { case (r, d) =>
+          val hist = new Array[Float](16)
+          d.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+          val n = math.max(d.payload.length, 1).toFloat
+          MediaFeatures(
+            r.id, r.modality, r.blob.length.toLong,
+            d.width, d.height, d.nFrames,
+            hist.map(_ / n))
+        }
+      }
+    }
+  }
+
   /** Deterministic nearest-neighbor "resize" of a decoded payload to
     * target dimensions — the byte-level stand-in for the image resize
     * a codec-backed deployment slots between decode and featurize.
