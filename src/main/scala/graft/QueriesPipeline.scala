@@ -126,6 +126,32 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Cross-signal calibration: per quality-score decile (0 = best),
+    // what fraction passes the independent Gopher rule gate. The
+    // sanity table read before trusting EITHER signal for selection —
+    // a score whose top decile fails the rule gate (or whose bottom
+    // decile passes it) is mis-calibrated. Rank on the distributed
+    // two-pass plan, gates map-only, one decile agg.
+    "quality_calibration" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality_score"),
+        Corpus.gopherKeep().as("keep"))
+      val (ranked, nTot) = graft.plans.Scale.rowNumberDistributedWithTotal(
+        d, Seq(col("quality_score").desc, col("doc_id").asc), "rank")
+      ranked
+        .select(expr(s"((rank - 1) * 10) div $nTot").as("decile"), col("keep"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_gopher_pass"))
+        .select(
+          col("decile"), col("n_docs"), col("n_gopher_pass"),
+          round(col("n_gopher_pass").cast("double") / col("n_docs"), 6)
+            .as("pass_rate"))
+        .orderBy("decile")
+    }),
+
     "ngram_counts" -> ((s, dir) =>
       Corpus.ngramCounts(docs(s, dir)).orderBy(col("cnt").desc, col("ngram").asc)),
 
@@ -1719,6 +1745,32 @@ object QueriesPipeline {
          |  ((rank - 1) * 10) // n AS decile,
          |  rank <= (n + 4) // 5 AS top_20pct
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "quality_calibration" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, round($QualitySql, 6) AS qs,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |k AS (
+         |  SELECT doc_id, qs,
+         |    ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+         |  FROM b),
+         |r AS (
+         |  SELECT keep,
+         |    row_number() OVER (ORDER BY qs DESC, doc_id ASC) AS rank,
+         |    count(*) OVER () AS n
+         |  FROM k)
+         |SELECT ((rank - 1) * 10) // n AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_gopher_pass,
+         |  round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*), 6) AS pass_rate
+         |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
 
     "ngram_counts" ->
       s"""WITH g AS (
