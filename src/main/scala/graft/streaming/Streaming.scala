@@ -638,6 +638,14 @@ object Streaming {
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
           .as("bpe_per_word"))
 
+  /** Streaming URL canonicalization: pure regex/array projections
+    * ([[graft.pipeline.Corpus.urlNormalize]]), so the twin delegates
+    * verbatim — the ingest-side normalize-before-store step that
+    * makes URL-keyed dedup possible downstream.
+    */
+  def urlNormalizeStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Corpus.urlNormalize(docs)
+
   /** Streaming SEMANTIC decontamination: arriving corpus vectors
     * score against the static broadcast bench table (an eval suite —
     * KB-MB), and the per-bench leak report is a complete-mode

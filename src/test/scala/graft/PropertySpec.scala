@@ -136,6 +136,37 @@ class PropertySpec extends SparkSpec {
       assert(dupOut.getAs[Long]("n_removed") == dupOut.getAs[Long]("n_tokens"))
   }
 
+  test("canonicalUrl is idempotent and scheme/host/path-shape preserving") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val hosts = Vector("WWW.Example.com", "example.com", "cdn.a.co.uk", "X.Y.org")
+    val ports = Vector("", ":80", ":443", ":8443")
+    val paths = Vector("", "/", "/doc/1", "/A/B")
+    val queries = Vector("", "?a=1", "?utm_source=f", "?b=2&a=1&ref=x", "?ref=x")
+    val frags = Vector("", "#frag")
+    val urls = (0 until 300).map { _ =>
+      "https://" + hosts(rnd.nextInt(hosts.length)) + ports(rnd.nextInt(ports.length)) +
+        paths(rnd.nextInt(paths.length)) + queries(rnd.nextInt(queries.length)) +
+        frags(rnd.nextInt(frags.length))
+    }
+    val out = urls.toDF("u")
+      .select(
+        col("u"),
+        pipeline.Corpus.canonicalUrl(col("u")).as("c1"),
+        pipeline.Corpus.canonicalUrl(pipeline.Corpus.canonicalUrl(col("u"))).as("c2"))
+      .collect()
+    out.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      // idempotence: canonicalizing a canonical URL changes nothing
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      assert(c1.startsWith("https://"), s"scheme lost: $u -> $c1")
+      assert(!c1.contains("#") && !c1.contains("utm_") && !c1.contains("ref="),
+        s"tracking/fragment survived: $u -> $c1")
+      assert(!c1.matches("^[a-z]+://[^/]*:(80|443)/.*"), s"default port survived: $c1")
+    }
+  }
+
   test("registeredDomain is always a dot-suffix of the host") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

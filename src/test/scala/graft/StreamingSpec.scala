@@ -355,6 +355,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.length == 2)
   }
 
+  test("streaming URL canonicalization matches batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => SrcDoc(i, s"src${i % 5}"))
+    val input = MemoryStream[SrcDoc]
+    input.addData(rows: _*)
+    val q = Streaming.urlNormalizeStream(input.toDF()).writeStream
+      .format("memory").queryName("surl").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("surl").orderBy("doc_id").collect().map(key)
+    val want = graft.pipeline.Corpus.urlNormalize(
+        rows.map(r => (r.doc_id, r.source)).toDF("doc_id", "source"))
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("streaming semantic decon converges to the batch per-bench leak report") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
