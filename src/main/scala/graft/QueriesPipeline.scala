@@ -224,6 +224,33 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // The one-row dedup FUNNEL dashboard an operator reads after a
+    // corpus pass: how much each dedup tier would remove — exact doc
+    // copies, near-dup cluster non-canonicals (session-staged chain),
+    // repeated 32-token paragraph units, and exact-substring token
+    // removals. Every input is an already-declared operator; the
+    // report is four 1-row aggregates cross-joined (broadcast by
+    // construction — no corpus-side join).
+    "corpus_dedup_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ex = d.agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dup"))
+      val nd = DedupChain.clusterLabels(s, dir, d)
+        .where(!col("is_canonical"))
+        .agg(count(lit(1)).as("n_neardup_noncanonical"))
+      val units = Corpus.chunk(d, chunkSize = 32, stride = 32)
+        .select(col("doc_id"), col("chunk_id").as("para_idx"),
+          col("chunk_text").as("para_text"))
+      val pa = Corpus.paragraphDedupFilter(units)
+        .agg(
+          sum("n_paras").as("n_paragraph_units"),
+          sum("n_dropped").as("n_paragraph_dropped"))
+      val sb = Corpus.substringDedupFilter(d)
+        .agg(sum("n_removed").as("n_substring_tokens_removed"))
+      ex.crossJoin(nd).crossJoin(pa).crossJoin(sb)
+    }),
+
     // Embedding hygiene audit BEFORE any ANN/dedup pass trusts the
     // table: per label — counts, zero-norm vectors (cosine is
     // undefined on them: they surface as NaN pair scores downstream),
@@ -1881,6 +1908,42 @@ object QueriesPipeline {
          |  coalesce(f.n_bench_candidates, 0) > 0 AS contaminated
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN fagg f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "corpus_dedup_report" -> {
+      val n = Corpus.SubstringN
+      s"""WITH RECURSIVE $CcCtes,
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_neardup_noncanonical FROM dups),
+         |punits AS (
+         |  SELECT doc_id, chunk_id AS para_idx,
+         |    array_to_string(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ') AS ptext
+         |  FROM (
+         |    SELECT doc_id, t,
+         |      unnest(range(0, greatest((len(t) - 32 + 31) // 32, 0) + 1)) AS chunk_id
+         |    FROM (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')))),
+         |pk AS (
+         |  SELECT row_number() OVER (PARTITION BY md5(ptext) ORDER BY doc_id, para_idx) = 1 AS keep
+         |  FROM punits),
+         |pa AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_paragraph_units,
+         |    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_paragraph_dropped
+         |  FROM pk),
+         |toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |wins AS (
+         |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
+         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM toks)),
+         |wrk AS (
+         |  SELECT doc_id, p, row_number() OVER (PARTITION BY wkey ORDER BY doc_id, p) AS rn FROM wins),
+         |srem AS (
+         |  SELECT DISTINCT doc_id, p + ds.d AS pos
+         |  FROM wrk, (SELECT unnest(range(0, $n)) AS d) ds WHERE rn > 1),
+         |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_substring_tokens_removed FROM srem)
+         |SELECT * FROM ex, nd, pa, sb""".stripMargin
+    },
 
     "embedding_stats" ->
       s"""WITH n AS (
