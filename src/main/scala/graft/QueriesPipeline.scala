@@ -948,6 +948,35 @@ object QueriesPipeline {
       Corpus.packShuffle(docs(s, dir), ctx = 512L, epoch = 0)
         .orderBy("window_id")),
 
+    // THE END PRODUCT of the packing tier: the epoch-0 batch manifest
+    // a data loader walks — materialized windows grouped into batches
+    // of 8 by shuffled train_pos, each batch carrying its window
+    // count, token count, and an order-sensitive content digest
+    // (md5 of the window md5s in train order). One equi-join of two
+    // window-row frames (both inherit the distributed prefix plan) +
+    // one batch agg whose groups are 8 rows by construction.
+    "pack_batches" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mat = Corpus.packMaterialize(d, ctx = 512L)
+        .select("window_id", "n_tokens", "window_md5")
+      val pos = Corpus.packShuffle(d, ctx = 512L, epoch = 0)
+        .select("window_id", "train_pos")
+      mat.join(pos, "window_id")
+        .select(
+          expr("(train_pos - 1) div 8").as("batch_id"),
+          col("n_tokens"), col("window_md5"), col("train_pos"))
+        .groupBy("batch_id")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum("n_tokens").as("n_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("train_pos"), col("window_md5")))),
+              s => s.getField("window_md5")),
+            "")).as("batch_md5"))
+        .orderBy("batch_id")
+    }),
+
     // The packed windows MATERIALIZED — the training-batch content
     // itself (per 512-token window: contributing docs, token count,
     // md5 of the space-joined token slice). One join back to the
@@ -2990,6 +3019,42 @@ object QueriesPipeline {
          |SELECT window_id, n_docs, shuffle_key,
          |  CAST(row_number() OVER (ORDER BY shuffle_key ASC, window_id ASC) AS BIGINT) AS train_pos
          |FROM g ORDER BY window_id""".stripMargin,
+
+    "pack_batches" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $Toks AS t, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, t, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d),
+         |o AS (
+         |  SELECT doc_id, t, n_tokens, cum - n_tokens AS start_offset,
+         |    (cum - n_tokens) // 512 AS fw, (cum - 1) // 512 AS lw
+         |  FROM c WHERE (cum - 1) // 512 >= (cum - n_tokens) // 512),
+         |p AS (
+         |  SELECT doc_id, w.window_id,
+         |    list_slice(t,
+         |      greatest(w.window_id * 512, start_offset) - start_offset + 1,
+         |      least((w.window_id + 1) * 512, start_offset + n_tokens) - start_offset) AS piece
+         |  FROM o, LATERAL (SELECT unnest(range(fw, lw + 1)) AS window_id) w),
+         |wm AS (
+         |  SELECT window_id,
+         |    CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+         |    md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')) AS window_md5
+         |  FROM p GROUP BY window_id),
+         |tp AS (
+         |  SELECT window_id, n_tokens, window_md5,
+         |    row_number() OVER (ORDER BY
+         |      ${h32("concat('shuffle_0_', CAST(window_id AS VARCHAR))")} ASC,
+         |      window_id ASC) AS train_pos
+         |  FROM wm)
+         |SELECT (train_pos - 1) // 8 AS batch_id,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(window_md5, '' ORDER BY train_pos)) AS batch_md5
+         |FROM tp GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     // The materialized windows: slice each doc's token list at the
     // window boundaries its offsets imply, reassemble per window in
