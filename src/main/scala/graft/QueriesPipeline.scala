@@ -175,6 +175,19 @@ object QueriesPipeline {
         .orderBy("bench_id")
     }),
 
+    // Span-level decontamination: instead of dropping a contaminated
+    // document (decontaminate flags it), EDIT the leaked 4-gram spans
+    // out and rebuild — a long doc quoting one eval question keeps
+    // everything but the quoted span. Bench window-key set broadcasts;
+    // rebuild is the shared linear run-merge tail. See
+    // [[graft.pipeline.Corpus.decontaminateSpans]].
+    "decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminateSpans(
+          d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-filter decontamination over the same benchmark staging:
     // the bitmap is built once from the bench grams (8 KB at 2^16
     // bits, FIXED regardless of eval-suite size) and rides along as a
@@ -2012,6 +2025,35 @@ object QueriesPipeline {
          |  round(n.cosv, 6) AS nearest_cosine, a.n_leaks > 0 AS leaked
          |FROM ag a JOIN nr n USING (bench_id) WHERE n.rn = 1
          |ORDER BY bench_id""".stripMargin,
+
+    // Same removal/rebuild spelling as dedup_substrings at n=4, with
+    // "later occurrence of a repeated key" replaced by "key present
+    // in the benchmark window set".
+    "decontaminate_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |cw AS (
+         |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + 4), ' ')) AS wkey
+         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0))) AS p
+         |        FROM toks WHERE doc_id % 50 <> 0)),
+         |bk AS (
+         |  SELECT DISTINCT md5(array_to_string(list_slice(t, p + 1, p + 4), ' ')) AS wkey
+         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0))) AS p
+         |        FROM toks WHERE doc_id % 50 = 0)),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, p + ds.d AS pos
+         |  FROM cw JOIN bk USING (wkey), (SELECT unnest(range(0, 4)) AS d) ds),
+         |ragg AS (SELECT doc_id, list(pos) AS rem FROM rem GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+         |  round(CAST(coalesce(len(r.rem), 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS removed_frac,
+         |  md5(coalesce(array_to_string(
+         |    list_transform(
+         |      list_filter(range(0, len(t.t)), i -> NOT coalesce(list_contains(r.rem, i), false)),
+         |      i -> t.t[i + 1]), ' '), '')) AS text_sub_md5,
+         |  coalesce(len(r.rem), 0) > 0 AS changed
+         |FROM toks t LEFT JOIN ragg r USING (doc_id)
+         |WHERE t.doc_id % 50 <> 0 ORDER BY t.doc_id""".stripMargin,
 
     // Corpus assignments keep crank = 1, bench probes crank <= 2;
     // every (bench, corpus) pair meets at most once, so aggregates

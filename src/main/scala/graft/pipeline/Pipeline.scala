@@ -1728,6 +1728,39 @@ object Corpus {
     rebuildFromDupWindows(base, dups, n)
   }
 
+  /** SPAN-LEVEL decontamination — the surgical alternative to
+    * dropping whole contaminated documents ([[Dedup.decontaminate]]
+    * flags them; this EDITS them): every n-token window of a corpus
+    * document that appears verbatim in the benchmark set has its
+    * token span removed, and the document is rebuilt from what
+    * remains — the Lee-et-al-style removal applied to eval leakage,
+    * so a 10k-token doc quoting one eval question loses 4 tokens of
+    * span context, not its other 9k'+ tokens.
+    *
+    * Scale shape: the benchmark's window-key set is eval-suite-sized
+    * and BROADCASTS into the probe join (no shuffle of the corpus
+    * windows); the removal/rebuild tail is the shared run-merge
+    * machinery ([[substringDedupFilter]]'s linear
+    * rebuildFromDupWindows) — one doc_id shuffle. Output contract =
+    * [[substringDedupFilter]] (n_tokens, n_removed, removed_frac,
+    * text_sub_md5, changed).
+    */
+  def decontaminateSpans(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 4): DataFrame = {
+    require(n >= 2, s"bad span window n=$n")
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("_t"))
+    val benchKeys = broadcast(
+      substringWindows(benchmark.select(col("doc_id"), toks.as("_t")), n)
+        .select("wkey").distinct())
+    val dups = substringWindows(base, n)
+      .join(benchKeys, "wkey")
+      .select(col("doc_id"), col("p"))
+    rebuildFromDupWindows(base, dups, n)
+  }
+
   /** Shared rebuild tail of the substring-dedup passes: merge the dup
     * windows' spans into runs, subtract them, re-join survivors.
     */

@@ -932,6 +932,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == (3L, 2L, 2L, "", true))
   }
 
+  test("decontaminateSpans removes exactly the leaked 4-gram spans, keeps the rest") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val bench = spark.createDataFrame(java.util.Arrays.asList(
+      Row(100L, "what is the capital of france")), schema)
+    val corpus = spark.createDataFrame(java.util.Arrays.asList(
+      // quotes a bench 4-gram mid-document: loses the covered span only
+      Row(1L, "intro words what is the capital question outro words here"),
+      // verbatim bench copy: fully emptied
+      Row(2L, "what is the capital of france"),
+      // clean doc: untouched
+      Row(3L, "totally unrelated clean document text")), schema)
+    val out = pipeline.Corpus.decontaminateSpans(corpus, bench)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_removed"), r.getAs[Boolean]("changed")))
+    // doc 1: windows "what is the capital" matches -> span [2, 6) = 4 tokens
+    assert(out(0) == (1L, 4L, true))
+    // doc 2: every window leaks -> all 6 tokens removed
+    assert(out(1) == (2L, 6L, true))
+    assert(out(2) == (3L, 0L, false))
+  }
+
   test("intraDocDedupFilter drops only WITHIN-document copies; cross-doc copies stay") {
     import org.apache.spark.sql.types._
     val unitSchema = StructType(Seq(
