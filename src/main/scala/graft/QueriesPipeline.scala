@@ -78,6 +78,35 @@ object QueriesPipeline {
             .as("bpe_per_word"))
         .orderBy("lang")),
 
+    // Code-switching / mixed-language detector: language-ID per
+    // 32-token chunk, then per doc the chunk count, distinct chunk
+    // languages, majority language (ties to the lexicographically
+    // first) and its share — the screen that catches documents whose
+    // DOC-level language vote hides a half-and-half mix (multilingual
+    // curation drops or routes them). Chunking and lang-ID are
+    // map-only; the per-doc windows partition on doc_id (bounded by
+    // one doc's chunk-language rows).
+    "lang_consistency" -> ((s, dir) => {
+      val counts = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
+        .select(col("doc_id"), TextOps.langPred(col("chunk_text")).as("l"))
+        .groupBy("doc_id", "l")
+        .agg(count(lit(1)).as("c"))
+      val byDoc = Window.partitionBy("doc_id")
+      val rk = Window.partitionBy("doc_id").orderBy(col("c").desc, col("l").asc)
+      counts
+        .withColumn("_rk", row_number().over(rk))
+        .withColumn("n_chunks", sum("c").over(byDoc))
+        .withColumn("n_langs", count(lit(1)).over(byDoc))
+        .where(col("_rk") === 1)
+        .select(
+          col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("l").as("majority_lang"),
+          round(col("c").cast("double") / col("n_chunks"), 6)
+            .as("majority_frac"),
+          (col("n_langs") > 1).as("mixed"))
+        .orderBy("doc_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -506,6 +535,14 @@ object QueriesPipeline {
           d.where(isNew))
         .orderBy("doc_id")
     }),
+
+    // WITHIN-document substring dedup (self-repetition cleanup —
+    // looping generated text, chorus lines): later occurrences of an
+    // 8-token window repeated in the SAME doc are edited out;
+    // cross-doc repeats untouched. See
+    // [[graft.pipeline.Corpus.substringDedupFilterIntraDoc]].
+    "dedup_substrings_intradoc" -> ((s, dir) =>
+      Corpus.substringDedupFilterIntraDoc(docs(s, dir)).orderBy("doc_id")),
 
     // The instrument read BEFORE dedup_substrings: per-doc window /
     // duplicated-window counts and the longest duplicated run in
@@ -1742,6 +1779,29 @@ object QueriesPipeline {
          |  $LangPredSql AS lang_pred
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
+    "lang_consistency" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |ch AS (
+         |  SELECT doc_id, list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32) AS ct
+         |  FROM (SELECT doc_id, t,
+         |          unnest(range(0, greatest((len(t) - 32 + 31) // 32, 0) + 1)) AS chunk_id
+         |        FROM d)),
+         |lp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(list_filter(ct, t -> t IN ('the','a','of','to','and'))) > len(list_filter(ct, t -> t IN ('el','la','de','y','que'))) THEN 'en'
+         |         WHEN len(list_filter(ct, t -> t IN ('el','la','de','y','que'))) > len(list_filter(ct, t -> t IN ('the','a','of','to','and'))) THEN 'es'
+         |         ELSE 'und' END AS l
+         |  FROM ch),
+         |cnt AS (SELECT doc_id, l, CAST(count(*) AS BIGINT) AS c FROM lp GROUP BY doc_id, l),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |          CAST(count(*) AS BIGINT) AS n_langs FROM cnt GROUP BY doc_id),
+         |mj AS (SELECT doc_id, l, c,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, l ASC) AS rk FROM cnt)
+         |SELECT t.doc_id, t.n_chunks, t.n_langs, m.l AS majority_lang,
+         |  round(CAST(m.c AS DOUBLE) / t.n_chunks, 6) AS majority_frac,
+         |  t.n_langs > 1 AS mixed
+         |FROM tot t JOIN mj m USING (doc_id) WHERE m.rk = 1 ORDER BY t.doc_id""".stripMargin,
+
     "tokenizer_fertility" ->
       s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
          |j AS (
@@ -2280,6 +2340,32 @@ object QueriesPipeline {
     // parquet round-trip drift of the (wkey, first) rows goes red.
     "dedup_substrings_incremental_loaded" ->
       substringDedupSql("WHERE t.doc_id % 10 = 0"),
+
+    // The corpus-wide spelling with first-occurrence ranked PER
+    // DOCUMENT (partition leads with doc_id).
+    "dedup_substrings_intradoc" -> {
+      val n = Corpus.SubstringN
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |wins AS (
+         |  SELECT doc_id, p, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
+         |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM toks)),
+         |rk AS (
+         |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id, wkey ORDER BY p) AS rn FROM wins),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, p + ds.d AS pos
+         |  FROM rk, (SELECT unnest(range(0, $n)) AS d) ds WHERE rn > 1),
+         |ragg AS (SELECT doc_id, list(pos) AS rem FROM rem GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+         |  round(CAST(coalesce(len(r.rem), 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS removed_frac,
+         |  md5(coalesce(array_to_string(
+         |    list_transform(
+         |      list_filter(range(0, len(t.t)), i -> NOT coalesce(list_contains(r.rem, i), false)),
+         |      i -> t.t[i + 1]), ' '), '')) AS text_sub_md5,
+         |  coalesce(len(r.rem), 0) > 0 AS changed
+         |FROM toks t LEFT JOIN ragg r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
 
     "substring_stats" -> {
       val n = Corpus.SubstringN

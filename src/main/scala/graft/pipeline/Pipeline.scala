@@ -1728,6 +1728,30 @@ object Corpus {
     rebuildFromDupWindows(base, dups, n)
   }
 
+  /** WITHIN-document exact-substring dedup — the self-repetition
+    * cleanup (looping generated text, chorus lines, templated
+    * listings): an n-token window repeated later in the SAME document
+    * has its later occurrences' spans removed; repeats across
+    * documents are untouched (that is [[substringDedupFilter]]'s
+    * corpus-wide job). The substring-granularity sibling of
+    * [[intraDocDedupFilter]], and like it the first-occurrence rank
+    * is a doc-leading window — partition (doc_id, wkey) is bounded by
+    * one document's length, the bound the rebuild buffers anyway.
+    * Output contract = [[substringDedupFilter]].
+    */
+  def substringDedupFilterIntraDoc(
+      docs: DataFrame,
+      n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+    val w = Window.partitionBy(col("doc_id"), col("wkey")).orderBy(col("p"))
+    val dups = substringWindows(base, n)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("doc_id"), col("p"))
+    rebuildFromDupWindows(base, dups, n)
+  }
+
   /** SPAN-LEVEL decontamination — the surgical alternative to
     * dropping whole contaminated documents ([[Dedup.decontaminate]]
     * flags them; this EDITS them): every n-token window of a corpus
