@@ -422,6 +422,17 @@ object ScaleSmoke {
       graft.pipeline.Similarity.semanticContamination(e, embBench1)
         .agg(sum(col("n_leaks"))).head.getLong(0)
 
+    // Span decon: fixed bench window-key set broadcast, Nx corpus
+    // windows probe it — linear by the same argument as decontaminate.
+    def spanDecon(d: DataFrame): Long =
+      graft.pipeline.Corpus.decontaminateSpans(d, bench1)
+        .where(col("changed")).count()
+
+    // Within-doc substring dedup: doc-leading window partitions are
+    // independent per doc; Nx docs -> Nx partitions.
+    def subIntra(d: DataFrame): Long =
+      graft.pipeline.Corpus.substringDedupFilterIntraDoc(d).count()
+
     // Epoch shuffle: packWindows' prefix plan + the distributed rank
     // over window rows (corpus tokens / 512 of them).
     def packShuf(d: DataFrame): Long = {
@@ -477,6 +488,8 @@ object ScaleSmoke {
       "intradoc one-doc hot-unit" -> (() => (time("intradoc distinct 250k units", intraDocSynth(250000L, hot = false)), time("intradoc 250k-deep unit", intraDocSynth(250000L, hot = true)))),
       "semantic decontaminate" -> (() => (time("semdecon 1x", semDecon(emb1.where(col("vec_id") % 50 =!= 0))), time(s"semdecon ${n}x", semDecon(amplifyEmb(emb1, n))))),
       "pack shuffle" -> (() => (time("packshuf 1x", packShuf(docs1)), time(s"packshuf ${n}x", packShuf(docsN)))),
+      "span decontaminate" -> (() => (time("spandecon 1x", spanDecon(docs1)), time(s"spandecon ${n}x", spanDecon(docsN)))),
+      "substring intradoc" -> (() => (time("subintra 1x", subIntra(docs1)), time(s"subintra ${n}x", subIntra(docsN)))),
       "tokenizer fertility" -> (() => (time("fert 1x", fert(docs1)), time(s"fert ${n}x", fert(docsN)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
