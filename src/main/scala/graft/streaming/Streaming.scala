@@ -809,6 +809,156 @@ object Streaming {
       model)
   }
 
+  /** Per-row substring-span removal tail shared by the two streaming
+    * span-edit twins below: `dups` is a SORTED-ascending array of
+    * duplicated window start positions (0-based, each covering
+    * [p, p+n) of the token array `_t`), and one `aggregate` pass
+    * concatenates the kept slices between spans — the per-row
+    * spelling of the batch run-merge rebuild (overlap handled by
+    * capping each slice at the running cursor), so the output
+    * contract matches [[graft.pipeline.Corpus.substringDedupFilter]]
+    * column-for-column. O(tokens + spans) per document, same bound as
+    * the batch tail.
+    */
+  private def keptAfterSpanRemoval(dups: Column, n: Int): Column =
+    aggregate(
+      dups,
+      struct(lit(0).as("cur"), array().cast("array<string>").as("acc")),
+      (st, p) => struct(
+        greatest(st.getField("cur"), p + n).as("cur"),
+        concat(
+          st.getField("acc"),
+          slice(col("_t"), st.getField("cur") + 1,
+            greatest(p - st.getField("cur"), lit(0)))).as("acc")),
+      st => concat(
+        st.getField("acc"),
+        slice(col("_t"), st.getField("cur") + 1,
+          size(col("_t")) - st.getField("cur"))))
+
+  private def substringOutput(kept: Column): Seq[Column] = Seq(
+    col("doc_id"),
+    size(col("_t")).cast("long").as("n_tokens"),
+    (size(col("_t")) - size(kept)).cast("long").as("n_removed"),
+    round(
+      (size(col("_t")) - size(kept)).cast("double") /
+        greatest(size(col("_t")), lit(1)), 6).as("removed_frac"),
+    md5(array_join(kept, " ")).as("text_sub_md5"),
+    (size(kept) < size(col("_t"))).as("changed"))
+
+  /** The n-token window md5 keys of `_t`, 1-per-start-position —
+    * the per-row mirror of the batch substringWindows explode.
+    */
+  private def windowKeys(n: Int): Column =
+    when(size(col("_t")) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(col("_t")) - n),
+        p => md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n))))))
+
+  /** Streaming WITHIN-document substring dedup — the stream twin of
+    * [[graft.pipeline.Corpus.substringDedupFilterIntraDoc]]. A
+    * streaming record carries the whole document and intra-doc
+    * repeats need no cross-document state, so the twin is a per-row
+    * projection: window keys, first-occurrence test via
+    * array_position (O(windows²) per doc worst case, bounded by one
+    * document — the intraDocDedupStream precedent), then the linear
+    * span-removal tail. Semantics pinned bit-identical to batch in
+    * StreamingSpec.
+    */
+  def intraDocSubstringDedupStream(
+      docs: DataFrame,
+      n: Int = graft.pipeline.Corpus.SubstringN): DataFrame = {
+    require(n >= 2, s"bad substring window n=$n")
+    val withDups = docs
+      .withColumn("_t", graft.pipeline.TextOps.tokens(col("text")))
+      .withColumn("_wk", windowKeys(n))
+      .withColumn("_dups",
+        when(size(col("_wk")) === 0, array().cast("array<int>"))
+          .otherwise(filter(
+            sequence(lit(0), size(col("_wk")) - 1),
+            p => array_position(col("_wk"), element_at(col("_wk"), p + 1))
+              =!= (p + 1).cast("long"))))
+    withDups.select(substringOutput(keptAfterSpanRemoval(col("_dups"), n)): _*)
+  }
+
+  /** Streaming span-level decontamination — the stream twin of
+    * [[graft.pipeline.Corpus.decontaminateSpans]]. The benchmark's
+    * window-key set is eval-suite-sized and rides in the plan as a
+    * literal (the decontaminateStream stance), so the probe is a
+    * completely stateless projection: a corpus window is a removed
+    * span iff its key is in the bench set, then the shared linear
+    * rebuild. The live-ingest shape of eval-leak surgery: a doc is
+    * edited at arrival time with the SAME spans the batch backfill
+    * would remove.
+    */
+  def spanDeconStream(
+      docs: DataFrame,
+      benchWkeys: Seq[String],
+      n: Int = 4): DataFrame = {
+    require(n >= 2, s"bad span window n=$n")
+    val withDups = docs
+      .withColumn("_t", graft.pipeline.TextOps.tokens(col("text")))
+      .withColumn("_wk", windowKeys(n))
+      .withColumn("_dups",
+        when(size(col("_wk")) === 0, array().cast("array<int>"))
+          .otherwise(filter(
+            sequence(lit(0), size(col("_wk")) - 1),
+            p => array_contains(typedlit(benchWkeys),
+              element_at(col("_wk"), p + 1)))))
+    withDups.select(substringOutput(keptAfterSpanRemoval(col("_dups"), n)): _*)
+  }
+
+  /** Streaming language-consistency screen — the stream twin of the
+    * lang_consistency batch query. Every chunk of a document lives in
+    * the document's own row, so the majority vote is a per-row array
+    * computation (chunk, lang-ID per chunk, count per distinct lang,
+    * sort by (count desc, lang asc), take the head): stateless map,
+    * append mode, no cross-document state. The per-doc windows the
+    * batch query runs become array_sort with a comparator here —
+    * same tie-break, pinned equal in StreamingSpec.
+    */
+  def langConsistencyStream(
+      docs: DataFrame,
+      chunkSize: Int = 32): DataFrame = {
+    // integral `div` + greatest-clamp, the exact Corpus.chunk spelling
+    // (stride = chunkSize here): float `/` would round instead of
+    // truncate and disagree on chunk counts.
+    val extra = expr(
+      s"greatest((size(_t) - $chunkSize + ${chunkSize - 1}) div $chunkSize, 0)")
+      .cast("int")
+    val chunks = transform(
+      sequence(lit(0), extra),
+      c => concat_ws(" ", slice(col("_t"), c * chunkSize + 1, lit(chunkSize))))
+    val langs = transform(col("_chunks"),
+      ch => graft.pipeline.TextOps.langPred(ch))
+    val counts = transform(
+      array_distinct(col("_langs")),
+      l => struct(
+        size(filter(col("_langs"), x => x === l)).as("c"),
+        l.as("l")))
+    // (count desc, lang asc) — the batch row_number ordering
+    val best = element_at(
+      array_sort(col("_counts"), (a, b) =>
+        when(a.getField("c") > b.getField("c"), -1)
+          .when(a.getField("c") < b.getField("c"), 1)
+          .when(a.getField("l") < b.getField("l"), -1)
+          .when(a.getField("l") > b.getField("l"), 1)
+          .otherwise(0)), 1)
+    docs
+      .withColumn("_t", graft.pipeline.TextOps.tokens(col("text")))
+      .withColumn("_chunks", chunks)
+      .withColumn("_langs", langs)
+      .withColumn("_counts", counts)
+      .select(
+        col("doc_id"),
+        size(col("_chunks")).cast("long").as("n_chunks"),
+        size(col("_counts")).cast("long").as("n_langs"),
+        best.getField("l").as("majority_lang"),
+        round(
+          best.getField("c").cast("double") / size(col("_chunks")), 6)
+          .as("majority_frac"),
+        (size(col("_counts")) > 1).as("mixed"))
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

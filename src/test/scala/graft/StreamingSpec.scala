@@ -710,6 +710,107 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.length == 3)
   }
 
+  test("streaming intra-doc substring dedup matches the batch rebuild bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // doc 1: an 8-token phrase repeated twice within the doc (later
+    // span removed); doc 2: shares that phrase with doc 1 but has no
+    // internal repeat (cross-doc repeats are NOT this op's job);
+    // doc 3: shorter than one window; doc 4: three repeats with
+    // overlapping spans (the run-merge case).
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val texts = Seq(
+      1L -> s"$phrase alpha beta gamma $phrase tail",
+      2L -> s"$phrase completely different continuation here",
+      3L -> "too short",
+      4L -> s"$phrase $phrase $phrase")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.intraDocSubstringDedupStream(input.toDF()).writeStream
+      .format("memory").queryName("sintrasub").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("sintrasub").orderBy("doc_id").collect().map(key)
+    val want = graft.pipeline.Corpus.substringDedupFilterIntraDoc(
+        texts.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.length == 4)
+    assert(got(0).contains("true") && got(3).contains("true"))
+    assert(got(1).contains("false") && got(2).contains("false"))
+  }
+
+  test("streaming span decontamination matches the batch span removal bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val leak = "what is the capital of france then"  // 7 tokens, >1 window
+    val texts = Seq(
+      1L -> s"clean document with no bench overlap at all",
+      2L -> s"intro words $leak closing words here",
+      3L -> leak)                                    // verbatim copy, empties
+    val bench = Seq(100L -> leak)
+    // Bench window keys computed EXACTLY as the engine does (md5 of the
+    // space-joined 4-gram), but independently in JVM code.
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val benchKeys = leak.split(" ").sliding(4).map(w => md5hex(w.mkString(" "))).toSeq
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.spanDeconStream(input.toDF(), benchKeys).writeStream
+      .format("memory").queryName("sspandecon").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("sspandecon").orderBy("doc_id").collect().map(key)
+    val want = graft.pipeline.Corpus.decontaminateSpans(
+        texts.toDF("doc_id", "text"), bench.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.length == 3)
+    assert(got(0).contains("false") && got(1).contains("true"))
+    // verbatim copy loses all its tokens
+    assert(spark.table("sspandecon").where(col("doc_id") === 3)
+      .head().getAs[Long]("n_removed") == 7L)
+  }
+
+  test("streaming language-consistency screen matches the batch majority vote") {
+    implicit val sqlCtx = spark.sqlContext
+    // en-stop tokens {the,a,of,to,and}, es {el,la,de,y,que}; build
+    // docs long enough to span several 32-token chunks.
+    val en = "the cat and a dog of the house to see and more words here padding out the chunk with the usual and a of to filler tokens going on"
+    val es = "el gato y la casa de el perro que vive y la calle de que hablamos y el resto de la frase que sigue aqui con el y la de"
+    val texts = Seq(
+      1L -> (en + " " + en),        // uniformly english, 2+ chunks
+      2L -> (en + " " + es),        // half-and-half mix
+      3L -> "tiny und doc")         // one chunk, no stopwords -> und
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.langConsistencyStream(input.toDF()).writeStream
+      .format("memory").queryName("slangc").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("slangc").orderBy("doc_id").collect().map(key)
+    // batch spelling: chunk -> langPred -> per-doc majority vote
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val counts = graft.pipeline.Corpus.chunk(
+          texts.toDF("doc_id", "text"), chunkSize = 32, stride = 32)
+        .select(col("doc_id"),
+          graft.pipeline.TextOps.langPred(col("chunk_text")).as("l"))
+        .groupBy("doc_id", "l").agg(count(lit(1)).as("c"))
+      val byDoc = Window.partitionBy("doc_id")
+      val rk = Window.partitionBy("doc_id").orderBy(col("c").desc, col("l").asc)
+      counts
+        .withColumn("_rk", row_number().over(rk))
+        .withColumn("n_chunks", sum("c").over(byDoc))
+        .withColumn("n_langs", count(lit(1)).over(byDoc))
+        .where(col("_rk") === 1)
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("l").as("majority_lang"),
+          round(col("c").cast("double") / col("n_chunks"), 6).as("majority_frac"),
+          (col("n_langs") > 1).as("mixed"))
+        .orderBy("doc_id").collect().map(key)
+    }
+    assert(got.toSeq == want.toSeq && got.length == 3)
+    assert(got(1).contains("true"))  // the mixed doc flags
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
