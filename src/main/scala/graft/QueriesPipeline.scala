@@ -132,6 +132,14 @@ object QueriesPipeline {
     "quality_filter" -> ((s, dir) =>
       Corpus.gopherFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Classifier-based quality scoring: the committed 69-weight
+    // linear model (hashed token buckets + text-shape features,
+    // trained in-repo distilling the rule gate) applied as one
+    // map-only dot product — keep = logit >= 0, no transcendentals.
+    // See [[graft.pipeline.Corpus.qualityModelScore]].
+    "quality_model_score" -> ((s, dir) =>
+      Corpus.qualityModelScore(docs(s, dir)).orderBy("doc_id")),
+
     // Exact global quality ranking on the distributed two-pass plan
     // (Scale.rowNumberDistributed — range partition + local
     // row_number + count offsets; NO single-partition window): the
@@ -693,6 +701,26 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // τ-calibration curve for semantic dedup: how many pairs each
+    // candidate cosine threshold would merge — the instrument read
+    // BEFORE committing a near-dup threshold (pick τ where the curve's
+    // knee sits, not a folklore constant). One exact pair pass at the
+    // loosest τ (the same tiled plan as embedding_neardup — the
+    // sweep's marginal cost over it is a 7-row broadcast
+    // nested-loop join + a 7-group agg); zero-pair thresholds still
+    // emit (left join) so the curve has no holes.
+    "neardup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Similarity.nearDupPairs(embs(s, dir), 0.3)
+        .select(col("cosine"))
+      val ts = broadcast(
+        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold"))
+      ts.join(pairs, col("cosine") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(count(col("cosine")).as("n_pairs"))
+        .orderBy("threshold")
+    }),
+
     // The approximate (banded multi-table LSH) near-dup path, declared
     // separately so the scale plan is itself oracle-gated: the md5
     // planes make it fully deterministic, and the DuckDB mirror
@@ -907,6 +935,36 @@ object QueriesPipeline {
       Similarity.cellSizes(e, graft.pipeline.IvfChain.centroids(s, dir, e)).orderBy("cid")
     }),
 
+    // Topic labels for the trained IVF cells: each cell's 3 most
+    // DISTINCTIVE tokens by document-frequency lift (share of the
+    // cell's docs containing the token vs corpus docs containing it —
+    // the BERTopic class-TF-IDF idea with exact integer counts and a
+    // single IEEE division, so no float-sum ordering seam). Plan:
+    // broadcast-centroid cell assignment joined to the doc-token
+    // pairs on doc_id, two map-side-combinable count aggs, one
+    // token-keyed equi-join, and a per-cell top-3 (WindowGroupLimit
+    // prunes before the cid shuffle).
+    "cluster_top_terms" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellAssignments(
+        e, graft.pipeline.IvfChain.centroids(s, dir, e))
+      val dt = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      val dfCorpus = dt.groupBy("token").agg(count(lit(1)).as("df_corpus"))
+      val dfCell = dt.join(cells, col("doc_id") === col("vec_id"))
+        .groupBy("cid", "token").agg(count(lit(1)).as("df_cell"))
+      val scored = dfCell.join(dfCorpus, "token")
+        .withColumn("score", col("df_cell").cast("double") / col("df_corpus"))
+      val w = Window.partitionBy("cid")
+        .orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("cid"), col("rank"), col("token"),
+          col("df_cell"), col("df_corpus"), round(col("score"), 6).as("score"))
+        .orderBy("cid", "rank")
+    }),
+
     // Training-convergence instrument: exact-micro inertia at the
     // seeds and after each Lloyd iteration — training is "done" when
     // the per-iteration drop flattens. Replaying iters 0..2 here is a
@@ -1056,6 +1114,37 @@ object QueriesPipeline {
     // [[graft.pipeline.Corpus.splitAssign]] (map-only at any scale).
     "corpus_split" -> ((s, dir) =>
       Corpus.splitAssign(docs(s, dir)).orderBy("doc_id")),
+
+    // Token-balanced contiguous output-shard plan (write-side of a
+    // curated materialization): shard = exclusive-prefix token offset
+    // · S div total, on the distributed prefix plan. See
+    // [[graft.pipeline.Corpus.shardAssign]].
+    "shard_assign" -> ((s, dir) =>
+      Corpus.shardAssign(docs(s, dir)).orderBy("doc_id")),
+
+    // The balance audit of the shard plan — per shard its doc count,
+    // token sum, id range, and deviation from the ideal S-th of the
+    // corpus in exact per-mille (integer arithmetic; no float shares).
+    // One map-side-combinable agg over shard_assign's frame.
+    "shard_stats" -> ((s, dir) => {
+      val a = Corpus.shardAssign(docs(s, dir))
+      val tot = broadcast(a.agg(sum("n_tokens").cast("long").as("_tot")))
+      a.groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .crossJoin(tot)
+        .select(
+          col("shard"), col("n_docs"), col("n_tokens"),
+          col("first_doc"), col("last_doc"),
+          // shard size in per-mille of the IDEAL total/S share (1000 =
+          // perfectly balanced). Numerator kept non-negative so Spark's
+          // truncating div and DuckDB's flooring // agree.
+          expr("(n_tokens * 8000) div _tot").as("permille_of_ideal"))
+        .orderBy("shard")
+    }),
 
     // Deterministic stratified sample: N docs per source, chosen by
     // md5-hash order — the reproducible per-stratum downsampling step
@@ -1861,6 +1950,40 @@ object QueriesPipeline {
          |    AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "quality_model_score" -> {
+      val wList = Corpus.QualityModelWMicro.mkString("[", ", ", "]")
+      val wd = Corpus.QualityModelDenseWMicro
+      val bm = Corpus.QualityModelBiasMicro
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $Toks AS toks
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, tk ->
+         |      CAST(list_extract($wList,
+         |        CAST(${h32("concat('qm_', tk)")} % 64 AS INT) + 1) AS BIGINT))),
+         |      (a, x) -> a + x) AS zh,
+         |    CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS af,
+         |    CAST(len(list_distinct(list_filter(toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM t),
+         |z AS (
+         |  SELECT doc_id, n,
+         |    CAST(zh AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+         |      + (CAST(least(n, 1000) AS DOUBLE) / 1000.0) * (CAST(${wd(0)} AS DOUBLE) / 1000000.0)
+         |      + (mwl / 10.0) * (CAST(${wd(1)} AS DOUBLE) / 1000000.0)
+         |      + af * (CAST(${wd(2)} AS DOUBLE) / 1000000.0)
+         |      + (CAST(ns AS DOUBLE) / 5.0) * (CAST(${wd(3)} AS DOUBLE) / 1000000.0)
+         |      + df * (CAST(${wd(4)} AS DOUBLE) / 1000000.0)
+         |      + CAST($bm AS DOUBLE) / 1000000.0 AS logit
+         |  FROM f)
+         |SELECT doc_id, n AS n_tokens, round(logit, 6) AS logit, logit >= 0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
+
     "quality_deciles" ->
       s"""WITH q AS (
          |  SELECT doc_id, round($QualitySql, 6) AS quality_score
@@ -2471,6 +2594,18 @@ object QueriesPipeline {
          |WHERE cosv >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "neardup_threshold_sweep" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |p AS MATERIALIZED (
+         |  SELECT cosv FROM (
+         |    SELECT ${cosSql("a.embedding", "b.embedding")} AS cosv
+         |    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |  WHERE cosv >= 0.3),
+         |t(threshold) AS (VALUES (0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9))
+         |SELECT threshold, CAST(count(p.cosv) AS BIGINT) AS n_pairs
+         |FROM t LEFT JOIN p ON p.cosv >= t.threshold
+         |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
     "embedding_neardup_lsh" -> {
       def planeSql(p: Int, d: Int) =
         s"((${h32(s"'plane_${p}_$d'")} % 1000) / 500.0 - 1.0)"
@@ -2807,6 +2942,32 @@ object QueriesPipeline {
          |        FROM e, c2 c))
          |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM asg WHERE crank = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "cluster_top_terms" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |        FROM e, c2 c)),
+         |cell AS (SELECT vec_id, cid FROM asg WHERE crank = 1),
+         |dt AS (
+         |  SELECT doc_id, unnest(list_distinct($Toks)) AS token
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df_corpus FROM dt GROUP BY token),
+         |dcell AS (
+         |  SELECT c.cid, dt.token, CAST(count(*) AS BIGINT) AS df_cell
+         |  FROM dt JOIN cell c ON dt.doc_id = c.vec_id GROUP BY c.cid, dt.token),
+         |s AS (
+         |  SELECT cid, token, df_cell, df_corpus,
+         |    CAST(df_cell AS DOUBLE) / df_corpus AS score,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY CAST(df_cell AS DOUBLE) / df_corpus DESC, token ASC)
+         |      AS INTEGER) AS rank
+         |  FROM dcell JOIN dfc USING (token))
+         |SELECT cid, rank, token, df_cell, df_corpus, round(score, 6) AS score
+         |FROM s WHERE rank <= 3 ORDER BY cid, rank""".stripMargin,
 
     "ivf_inertia" -> {
       def inertiaSql(cCte: String, iter: Int) =
@@ -3260,6 +3421,41 @@ object QueriesPipeline {
          |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "shard_assign" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM k),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM k)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
+         |FROM c, t ORDER BY doc_id""".stripMargin,
+
+    "shard_stats" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM k),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM k),
+         |a AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
+         |  FROM c, t)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST((sum(n_tokens) * 8000) // (SELECT tot FROM t) AS BIGINT)
+         |    AS permille_of_ideal
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     "corpus_sample_stratified" ->
       s"""SELECT doc_id, source, sample_rank FROM (

@@ -957,6 +957,77 @@ object Corpus {
     (nTok, meanLen, alphaFrac, nStops, dupFrac, rules)
   }
 
+  /** Committed linear quality-model fixture (integer micros) —
+    * trained by [[graft.tools.TrainQualityModel]] (logistic
+    * regression, lr 50, 20k full-batch epochs, zero init, sf0.001
+    * corpus) distilling the repo's own rule gate (gopherKeep AND
+    * qualityScore >= 0.5) into one dot product; micro-rounded train
+    * fidelity vs the teacher 0.94. The artifact-not-code stance of
+    * the BPE merge table: the committed artifact is the weight
+    * vector, the procedure is in the repo.
+    */
+  val QualityModelBuckets = 64
+  val QualityModelWMicro: Array[Long] = Array(
+    0, 0, -11889826, 0, 33493710, 0, 0, 9044543,
+    0, 0, 0, 0, 0, 15873622, -555344, 0,
+    0, 0, 0, -12696675, 0, 0, -7565268, -39822350,
+    -5293664, 0, 0, 0, 0, 0, -13728904, -47109000,
+    15348564, 0, 0, 0, 15588496, -4521259, 0, 0,
+    0, 40801971, -6610462, 5256631, -8873792, -26951419, 0, 0,
+    0, 0, 0, 0, 0, 22644012, 0, -17143078,
+    0, 0, 0, 17647629, 0, -12134915, 0, 0
+  )
+  val QualityModelDenseWMicro: Array[Long] =
+    Array(313081089, -62461454, -39196778, 253255879, 40810366)
+  val QualityModelBiasMicro: Long = -39196778L
+
+  /** Classifier-based quality scoring (fastText/DCLM-style) — the
+    * single-dot-product alternative to evaluating the full rule gate,
+    * the shape a production pipeline ships once a cheap classifier
+    * has distilled its expensive quality signal. Map-only at any
+    * scale: the hashed-bag half of the logit is an EXACT integer
+    * fold over the token array (one md5 per token, weight looked up
+    * in the 64-entry literal), the dense half is five fixed-order
+    * IEEE multiply-adds over the same text-shape signals the Gopher
+    * gate reads — no transcendentals (the sigmoid is monotone, so
+    * keep = logit >= 0), so Spark and the DuckDB oracle agree
+    * bit-for-bit.
+    */
+  def qualityModelScore(docs: DataFrame): DataFrame = {
+    val tc = TextOps.textCounts(col("text"))
+    val nTok = tc.getField("n_tokens").cast("bigint")
+    val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok
+    val alphaFrac = tc.getField("n_alpha").cast("double") / nTok
+    val nStops = tc.getField("stop_en_dist").cast("bigint")
+    val dupFrac = when(tc.getField("sh_n") === 0, 0.0)
+      .otherwise(lit(1.0) -
+        tc.getField("sh_distinct").cast("double") / tc.getField("sh_n"))
+    val wHash = typedlit(QualityModelWMicro)
+    val zHashMicro = aggregate(
+      TextOps.tokens(col("text")),
+      lit(0L),
+      (acc, t) => acc + element_at(wHash,
+        (pmod(TextOps.hash32(concat(lit("qm_"), t)),
+          lit(QualityModelBuckets.toLong)) + 1).cast("int")))
+    val dense = Seq[Column](
+      least(nTok, lit(1000L)).cast("double") / lit(1000.0),
+      meanLen / lit(10.0),
+      alphaFrac,
+      nStops.cast("double") / lit(5.0),
+      dupFrac)
+    // fixed left-to-right addition order, mirrored in the oracle SQL
+    val logit = dense.zip(QualityModelDenseWMicro)
+      .map { case (x, w) => x * (lit(w).cast("double") / lit(1e6)) }
+      .foldLeft(
+        zHashMicro.cast("double") / (nTok.cast("double") * lit(1e6)))(_ + _) +
+      lit(QualityModelBiasMicro).cast("double") / lit(1e6)
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(logit, 6).as("logit"),
+      (logit >= 0).as("keep"))
+  }
+
   /** The composite keep decision alone, as a pure column over `text` —
     * for fused single-scan pipelines (corpus_prepare) that want the
     * gate inline instead of joining [[gopherFilter]]'s attribution
@@ -1664,6 +1735,36 @@ object Corpus {
         col("domain"), col("n_hosts"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("n_docs"), 6)
           .as("tokens_per_doc"))
+
+  /** Token-balanced contiguous output-shard plan — the write-side
+    * answer to "materialize this curated corpus as S roughly-equal
+    * files": docs in id order, each assigned to the shard its
+    * exclusive-prefix token offset falls in (shard = ⌊start·S/total⌋,
+    * clamped), so shard boundaries land within ±1 document of the
+    * ideal S-quantile cut and every shard is one contiguous id range
+    * (a reader can seek a doc range without a shard index). The
+    * prefix sum is [[graft.plans.Scale.cumSumDistributedLong]] — NO
+    * single-partition window at any corpus size — and the shard
+    * arithmetic is exact integer div (total·S fits a long far past
+    * 100 TB of tokens), so engine and oracle cannot drift on a float
+    * boundary. The degenerate tail (a zero-token last doc, whose
+    * start equals the total) is absorbed by the clamp.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"bad shard count $nShards")
+    val base = docs.select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val cum = graft.plans.Scale
+      .cumSumDistributedLong(base, "n_tokens", "doc_id", "cum_tokens")
+    val tot = broadcast(base.agg(sum("n_tokens").cast("long").as("_tot")))
+    cum.crossJoin(tot)
+      .select(
+        col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        least(
+          expr(s"((cum_tokens - n_tokens) * $nShards) div _tot"),
+          lit(nShards - 1L)).cast("bigint").as("shard"))
+  }
 
   def substringDedupFilter(docs: DataFrame, n: Int = SubstringN): DataFrame = {
     require(n >= 2, s"bad substring window n=$n")
@@ -3009,6 +3110,15 @@ object Similarity {
       .where(col("crank") === 1)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"))
+
+  /** Each vector's single nearest trained cell — the (vec_id, cid)
+    * membership table topic instruments join against. Broadcast
+    * centroids × one corpus scan, same plan as [[cellSizes]].
+    */
+  def cellAssignments(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    trainedAssignments(embeddings, cents)
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
 
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram passes ([[Dedup.decontaminate]] catches verbatim/near-

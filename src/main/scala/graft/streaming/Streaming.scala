@@ -959,6 +959,18 @@ object Streaming {
         (size(col("_counts")) > 1).as("mixed"))
   }
 
+  /** Streaming classifier-based quality scoring — the stream twin of
+    * [[graft.pipeline.Corpus.qualityModelScore]]. The committed
+    * weight vector rides in the plan as literals and the whole score
+    * is a per-document projection (exact-integer hashed-bucket fold +
+    * five dense multiply-adds), so the twin delegates verbatim:
+    * stateless, append mode — the ingest-side quality gate scores a
+    * doc the moment it arrives with bit-identical logits to the
+    * batch backfill.
+    */
+  def qualityModelScoreStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Corpus.qualityModelScore(docs)
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

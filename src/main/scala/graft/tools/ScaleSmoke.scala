@@ -453,6 +453,16 @@ object ScaleSmoke {
         .agg(count(lit(1)), sum("nc"), sum("nw"), sum("nb"))
         .count()
 
+    // Shard plan: the distributed prefix sum is the bill; Nx docs ->
+    // Nx prefix rows, the per-partition offset map stays O(partitions).
+    def shard(d: DataFrame): Long =
+      graft.pipeline.Corpus.shardAssign(d).agg(max("shard")).head.getLong(0)
+
+    // Classifier quality score: one md5 + literal lookup per token,
+    // five dense mul-adds per doc — pure map, must track volume.
+    def qms(d: DataFrame): Long =
+      graft.pipeline.Corpus.qualityModelScore(d).where(col("keep")).count()
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -493,7 +503,9 @@ object ScaleSmoke {
       "tokenizer fertility" -> (() => (time("fert 1x", fert(docs1)), time(s"fert ${n}x", fert(docsN)))),
       "global rank" -> (() => (time("grank 1x", grank(docs1)), time(s"grank ${n}x", grank(docsN)))),
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
-      "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))))
+      "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))),
+      "shard assign" -> (() => (time("shard 1x", shard(docs1)), time(s"shard ${n}x", shard(docsN)))),
+      "quality model score" -> (() => (time("qms 1x", qms(docs1)), time(s"qms ${n}x", qms(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

@@ -1554,6 +1554,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shardAssign: contiguous, covering, token-balanced shards") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.pipeline.Corpus.shardAssign(d, nShards = 8)
+      .orderBy("doc_id").collect()
+    // every shard id in range, nondecreasing in doc order (contiguity)
+    val shards = got.map(_.getAs[Long]("shard"))
+    assert(shards.forall(s => s >= 0 && s <= 7))
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+    assert(shards.distinct.length == 8, "all 8 shards populated")
+    // balance: each shard within one max-doc of the ideal S-th
+    val tot = got.map(_.getAs[Long]("n_tokens")).sum
+    val maxDoc = got.map(_.getAs[Long]("n_tokens")).max
+    val perShard = got.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
+    perShard.values.foreach { s =>
+      assert(math.abs(s - tot / 8.0) <= maxDoc + 1,
+        s"shard imbalance: $s vs ideal ${tot / 8.0} (max doc $maxDoc)")
+    }
+  }
+
+  test("qualityModelScore distills the rule gate with high fidelity") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val teacher = d.select(
+      col("doc_id"),
+      (graft.pipeline.Corpus.gopherKeep() &&
+        TextOps.qualityScore(col("text")) >= 0.5).as("y"))
+    val joined = graft.pipeline.Corpus.qualityModelScore(d)
+      .join(teacher, "doc_id").collect()
+    val agree = joined.count(r =>
+      r.getAs[Boolean]("keep") == r.getAs[Boolean]("y"))
+    // committed fixture's train fidelity is 0.94; anything far below
+    // means the serving expression no longer matches the trainer
+    assert(agree >= (joined.length * 0.90).toInt,
+      s"distillation fidelity ${agree.toDouble / joined.length}")
+    assert(joined.forall(r => !r.getAs[Double]("logit").isNaN))
+  }
+
   test("corpus filter/prepare family plans carry no Window keyed on cmd5") {
     // The full declared queries (DedupChain staging included): the r10
     // verdict's remaining hot-key shape must never reappear. Logical

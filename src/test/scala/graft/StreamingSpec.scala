@@ -811,6 +811,24 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).contains("true"))  // the mixed doc flags
   }
 
+  test("streaming quality-model scoring matches batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(50).collect()
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val input = MemoryStream[Doc]
+    input.addData(rows: _*)
+    val q = Streaming.qualityModelScoreStream(input.toDF()).writeStream
+      .format("memory").queryName("sqms").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("sqms").orderBy("doc_id").collect().map(key)
+    val want = graft.pipeline.Corpus.qualityModelScore(
+        rows.toSeq.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.length == 50)
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
