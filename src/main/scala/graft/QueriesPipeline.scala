@@ -1115,6 +1115,73 @@ object QueriesPipeline {
     "corpus_split" -> ((s, dir) =>
       Corpus.splitAssign(docs(s, dir)).orderBy("doc_id")),
 
+    // Inter-source text-overlap matrix: distinct shared 8-token
+    // windows per source pair — the provenance diagnostic that scopes
+    // dedup across sources. See
+    // [[graft.pipeline.Corpus.sourceWindowOverlap]].
+    "source_overlap" -> ((s, dir) =>
+      Corpus.sourceWindowOverlap(docs(s, dir))
+        .orderBy("source_a", "source_b")),
+
+    // Vocabulary coverage curve: share of corpus token OCCURRENCES
+    // covered by the top-K most frequent token types — the
+    // tokenizer-design instrument (how big must a word-level vocab be
+    // before <unk> is rare). Token counts are one combinable shuffle;
+    // the global frequency rank runs on the distributed two-pass
+    // plan (no single-partition window); the K-sweep is a 3-row
+    // broadcast join over the vocab-sized rank frame.
+    "vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val counts = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      val (ranked, nVocab) = graft.plans.Scale.rowNumberDistributedWithTotal(
+        counts, Seq(col("n_occ").desc, col("token").asc), "rank")
+      val tot = broadcast(counts.agg(sum("n_occ").cast("long").as("_tot")))
+      val ks = broadcast(Seq(100L, 1000L, 10000L).toDF("k"))
+      ks.join(ranked, col("rank") <= col("k"), "left")
+        .groupBy("k")
+        .agg(
+          count(col("token")).as("n_in_vocab"),
+          coalesce(sum("n_occ"), lit(0L)).cast("long").as("covered_occ"))
+        .crossJoin(tot)
+        .select(
+          col("k"), lit(nVocab).as("n_vocab_total"), col("n_in_vocab"),
+          col("covered_occ"), col("_tot").as("total_occ"),
+          round(col("covered_occ").cast("double") / col("_tot"), 6)
+            .as("coverage"))
+        .orderBy("k")
+    }),
+
+    // URL-keyed crawl merge: two deterministic sightings per doc (the
+    // raw synthetic url + a tracking-parameter/fragment variant of
+    // it) collapse to one canonical URL group — the
+    // repeated-crawl-of-the-same-page merge a URL-keyed ingest runs,
+    // and a live check that canonicalization actually merges what it
+    // claims (a broken canonicalUrl leaves singleton groups). One
+    // map-only canonicalization + one combinable groupBy(url_key).
+    "dedup_urls" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val u0 = d.select(
+        (col("doc_id") * 2).as("sighting_id"),
+        Corpus.synthUrl(col("doc_id"), col("source")).as("url"))
+      val u1 = d.select(
+        (col("doc_id") * 2 + 1).as("sighting_id"),
+        concat(
+          Corpus.synthUrl(col("doc_id"), col("source")),
+          when(col("doc_id") % 2 === 0, lit("&utm_source=share"))
+            .otherwise(lit("?utm_source=share")),
+          lit("#frag")).as("url"))
+      u0.union(u1)
+        .select(col("sighting_id"), Corpus.canonicalUrl(col("url")).as("canon"))
+        .groupBy(md5(col("canon")).as("url_key"))
+        .agg(
+          count(lit(1)).as("n_sightings"),
+          min("sighting_id").as("canonical_sighting"),
+          min("canon").as("url_canonical"))
+        .orderBy("url_key")
+    }),
+
     // Token-balanced contiguous output-shard plan (write-side of a
     // curated materialization): shard = exclusive-prefix token offset
     // · S div total, on the distributed prefix plan. See
@@ -3421,6 +3488,78 @@ object QueriesPipeline {
          |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "source_overlap" -> {
+      val n = Corpus.SubstringN
+      s"""WITH t AS (SELECT source, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |w AS (
+         |  SELECT DISTINCT source, md5(array_to_string(list_slice(t, p + 1, p + $n), ' ')) AS wkey
+         |  FROM (SELECT source, t, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS p FROM t))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_windows
+         |FROM w a JOIN w b ON a.wkey = b.wkey AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+    },
+
+    "vocab_coverage" ->
+      s"""WITH c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM (SELECT unnest($Toks) AS token
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))
+         |  GROUP BY token),
+         |r AS (
+         |  SELECT token, n_occ,
+         |    row_number() OVER (ORDER BY n_occ DESC, token ASC) AS rank
+         |  FROM c),
+         |t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot,
+         |             CAST(count(*) AS BIGINT) AS nv FROM c),
+         |ks(k) AS (VALUES (100), (1000), (10000))
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |  (SELECT nv FROM t) AS n_vocab_total,
+         |  CAST(count(r.token) AS BIGINT) AS n_in_vocab,
+         |  CAST(coalesce(sum(r.n_occ), 0) AS BIGINT) AS covered_occ,
+         |  (SELECT tot FROM t) AS total_occ,
+         |  round(CAST(coalesce(sum(r.n_occ), 0) AS DOUBLE) / (SELECT tot FROM t), 6) AS coverage
+         |FROM ks LEFT JOIN r ON r.rank <= ks.k
+         |GROUP BY ks.k ORDER BY k""".stripMargin,
+
+    "dedup_urls" -> {
+      val tracking =
+        Corpus.TrackingParams.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+         |  SELECT doc_id * 2 AS sighting_id, $UrlSql AS url
+         |  FROM read_parquet('{SFDIR}/documents.parquet')
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS sighting_id,
+         |    concat($UrlSql,
+         |      CASE WHEN doc_id % 2 = 0 THEN '&utm_source=share' ELSE '?utm_source=share' END,
+         |      '#frag') AS url
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT sighting_id, url,
+         |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+         |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+         |  FROM u),
+         |k AS (
+         |  SELECT sighting_id,
+         |    scheme || '://' || host ||
+         |    (CASE WHEN port <> '' AND port <> '80' AND port <> '443'
+         |      THEN ':' || port ELSE '' END) ||
+         |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+         |    (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
+         |  FROM (
+         |    SELECT *,
+         |      array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |        p -> p <> '' AND NOT list_contains($tracking,
+         |          regexp_extract(p, '^([^=]*)', 1)))), '&') AS kept
+         |    FROM c))
+         |SELECT md5(canon) AS url_key, CAST(count(*) AS BIGINT) AS n_sightings,
+         |  min(sighting_id) AS canonical_sighting, min(canon) AS url_canonical
+         |FROM k GROUP BY md5(canon) ORDER BY url_key""".stripMargin
+    },
 
     "shard_assign" ->
       s"""WITH k AS (

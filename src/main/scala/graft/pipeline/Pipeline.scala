@@ -1736,6 +1736,40 @@ object Corpus {
         round(col("n_tokens").cast("double") / col("n_docs"), 6)
           .as("tokens_per_doc"))
 
+  /** Inter-source text-overlap matrix — which sources duplicate each
+    * other's text, counted in DISTINCT shared n-token windows per
+    * unordered source pair. The provenance diagnostic read when
+    * scoping dedup ("is CommonCrawl-vs-Wikipedia overlap big enough
+    * to dedup jointly, or can each source dedup alone?") and when
+    * auditing a new source for wholesale copies of an existing one.
+    *
+    * Scale shape: one window explode + a (source, wkey) distinct
+    * (combinable shuffle), then a self equi-join on wkey — each side
+    * holds AT MOST |sources| rows per key, so the per-key fan-out is
+    * bounded by |sources|² regardless of how many documents share the
+    * window (the hot-boilerplate key that breaks doc-level pair joins
+    * is harmless here), and the pair agg partial-combines.
+    */
+  def sourceWindowOverlap(docs: DataFrame, n: Int = SubstringN): DataFrame = {
+    require(n >= 2, s"bad window n=$n")
+    val wins = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("_t"))
+      .select(
+        col("source"),
+        explode(
+          when(size(col("_t")) < n, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), size(col("_t")) - n),
+              p => md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))))))
+          .as("wkey"))
+      .distinct()
+    wins.select(col("source").as("source_a"), col("wkey"))
+      .join(wins.select(col("source").as("source_b"), col("wkey")), "wkey")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Token-balanced contiguous output-shard plan — the write-side
     * answer to "materialize this curated corpus as S roughly-equal
     * files": docs in id order, each assigned to the shard its

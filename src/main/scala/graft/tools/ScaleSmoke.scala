@@ -463,6 +463,29 @@ object ScaleSmoke {
     def qms(d: DataFrame): Long =
       graft.pipeline.Corpus.qualityModelScore(d).where(col("keep")).count()
 
+    // Source-overlap matrix: per-key join fan-out is bounded by
+    // |sources|², so Nx windows -> Nx join rows. amplifyDocsDistinct
+    // (per-copy token suffixes) keeps copies from sharing windows —
+    // cross-copy collisions would measure the fixture's duplication,
+    // not the operator.
+    def srcOverlap(d: DataFrame): Long =
+      graft.pipeline.Corpus.sourceWindowOverlap(d)
+        .agg(coalesce(sum("n_shared_windows"), lit(0L))).head.getLong(0)
+
+    // Vocab coverage: count shuffle + distributed rank over the vocab
+    // + 3-row broadcast sweep; must track token volume.
+    def vocabCov(d: DataFrame): Long = {
+      val counts = d
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      val (ranked, _) = graft.plans.Scale.rowNumberDistributedWithTotal(
+        counts, Seq(col("n_occ").desc, col("token").asc), "rank")
+      val m = ranked.where(col("rank") <= 1000)
+        .agg(coalesce(sum("n_occ"), lit(0L))).head.getLong(0)
+      spark.catalog.clearCache()
+      m
+    }
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -505,7 +528,9 @@ object ScaleSmoke {
       "bloom decontaminate" -> (() => (time("bloom 1x", bloomDecon(docs1)), time(s"bloom ${n}x", bloomDecon(docsN)))),
       "opq moment+rotate" -> (() => (time("opq 1x", opqTrain(emb1)), time(s"opq ${n}x", opqTrain(embN)))),
       "shard assign" -> (() => (time("shard 1x", shard(docs1)), time(s"shard ${n}x", shard(docsN)))),
-      "quality model score" -> (() => (time("qms 1x", qms(docs1)), time(s"qms ${n}x", qms(docsN)))))
+      "quality model score" -> (() => (time("qms 1x", qms(docs1)), time(s"qms ${n}x", qms(docsN)))),
+      "source overlap" -> (() => (time("srcoverlap 1x", srcOverlap(docs1)), time(s"srcoverlap ${n}x", srcOverlap(docsNDistinct)))),
+      "vocab coverage" -> (() => (time("vocabcov 1x", vocabCov(docs1)), time(s"vocabcov ${n}x", vocabCov(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

@@ -1591,6 +1591,22 @@ class PipelineSpec extends SparkSpec {
     assert(joined.forall(r => !r.getAs[Double]("logit").isNaN))
   }
 
+  test("sourceWindowOverlap counts distinct shared windows per source pair") {
+    val phrase = (1 to 8).map(i => s"s$i").mkString(" ")
+    val rows = Seq(
+      Row(1L, s"$phrase alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+      Row(2L, s"$phrase totally different continuation of words here now", "srcB"),
+      // the SAME shared phrase twice in srcB must not double-count
+      // (distinct windows per source)
+      Row(3L, s"prefix tokens then $phrase and more trailing words", "srcB"),
+      Row(4L, "no overlap with anything else at all in this one", "srcC"))
+    val d = spark.createDataFrame(rows.asJava, docSchema)
+    val got = graft.pipeline.Corpus.sourceWindowOverlap(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // srcA and srcB share exactly the one 8-token phrase window
+    assert(got == Map(("srcA", "srcB") -> 1L))
+  }
+
   test("corpus filter/prepare family plans carry no Window keyed on cmd5") {
     // The full declared queries (DedupChain staging included): the r10
     // verdict's remaining hot-key shape must never reappear. Logical
