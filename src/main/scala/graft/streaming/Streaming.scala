@@ -171,6 +171,40 @@ object Streaming {
         })
   }
 
+  case class SightingIn(sighting_id: Long, url: String)
+  case class UrlDedupOut(sighting_id: Long, url_key: String, is_first: Boolean)
+
+  /** Streaming URL-keyed crawl dedup — the stream twin of the
+    * dedup_urls merge: each arriving crawl sighting is canonicalized
+    * ([[graft.pipeline.Corpus.canonicalUrl]], the same stateless
+    * projection the batch runs) and first-arrival-wins keyed state on
+    * the canonical-URL md5 flags it kept or duplicate — the
+    * ingest-side "have we already crawled this page" gate. Within a
+    * micro-batch ties resolve by sighting_id (the batch min
+    * canonical); state is one boolean per distinct canonical URL,
+    * TTL-boundable like [[dedupStream]]'s.
+    */
+  def urlDedupStream(sightings: Dataset[SightingIn]): Dataset[UrlDedupOut] = {
+    import sightings.sparkSession.implicits._
+    sightings
+      .withColumn("url_key",
+        md5(graft.pipeline.Corpus.canonicalUrl(col("url"))))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[SeenState]) => {
+          var seen = state.getOption.exists(_.seen)
+          val out = rows.toSeq.sortBy(_._1).map { r =>
+            val first = !seen
+            seen = true
+            UrlDedupOut(r._1, key, first)
+          }
+          state.update(SeenState(seen))
+          out.iterator
+        })
+  }
+
   case class BandIn(doc_id: Long, band: Int, v: Long)
   case class PairOut(doc_a: Long, doc_b: Long)
   case class BucketState(ids: List[Long])

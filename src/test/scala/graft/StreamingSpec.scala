@@ -829,6 +829,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.length == 50)
   }
 
+  test("streaming URL dedup keeps the first sighting per canonical URL across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      Streaming.SightingIn(1L, "https://www.example.com/doc/7?ref=feed"),
+      Streaming.SightingIn(2L, "https://example.com/doc/7"),      // same canon as 1
+      Streaming.SightingIn(3L, "https://example.com/doc/8"))
+    val b2 = Seq(
+      Streaming.SightingIn(4L, "https://example.com/doc/7#frag"), // dup, later batch
+      Streaming.SightingIn(5L, "https://example.com/doc/9?x=1"))
+    val input = MemoryStream[Streaming.SightingIn]
+    val q = Streaming.urlDedupStream(input.toDS()).writeStream
+      .format("memory").queryName("surldedup").outputMode("append").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("surldedup").collect()
+      .map(r => r.getAs[Long]("sighting_id") -> r.getAs[Boolean]("is_first")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+    // and the merged sightings actually share a key
+    val keys = spark.table("surldedup").collect()
+      .map(r => r.getAs[Long]("sighting_id") -> r.getAs[String]("url_key")).toMap
+    assert(keys(1L) == keys(2L) && keys(2L) == keys(4L) && keys(1L) != keys(3L))
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
