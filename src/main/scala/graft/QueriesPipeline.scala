@@ -132,6 +132,25 @@ object QueriesPipeline {
     "quality_filter" -> ((s, dir) =>
       Corpus.gopherFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Quality-curriculum training order: every doc ranked by the
+    // committed classifier's logit (best first) with its cumulative
+    // token count along that order — the "train on the cleanest X
+    // tokens first / anneal on the top slice last" schedule. Rank and
+    // prefix sum both run distributed (rowNumberDistributed +
+    // cumSumDistributedLong — no single-partition window); ranking on
+    // the 6dp-rounded logit is the quality_deciles determinism seam.
+    "pack_curriculum" -> ((s, dir) => {
+      val scored = Corpus.qualityModelScore(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("logit"))
+      val ranked = graft.plans.Scale.rowNumberDistributed(
+        scored, Seq(col("logit").desc, col("doc_id").asc), "curriculum_pos")
+      graft.plans.Scale
+        .cumSumDistributedLong(ranked, "n_tokens", "curriculum_pos", "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("logit"),
+          col("curriculum_pos"), col("cum_tokens"))
+        .orderBy("curriculum_pos")
+    }),
+
     // Classifier-based quality scoring: the committed 69-weight
     // linear model (hashed token buckets + text-shape features,
     // trained in-repo distilling the rule gate) applied as one
@@ -1115,6 +1134,13 @@ object QueriesPipeline {
     "corpus_split" -> ((s, dir) =>
       Corpus.splitAssign(docs(s, dir)).orderBy("doc_id")),
 
+    // Winnowing fingerprint profile (the MOSS sub-sampling): per doc
+    // the k-gram count, selected fingerprint count, density (expected
+    // 2/(w+1)) and an order-sensitive fingerprint digest. See
+    // [[graft.pipeline.Corpus.winnowFingerprints]].
+    "doc_winnow" -> ((s, dir) =>
+      Corpus.winnowFingerprints(docs(s, dir)).orderBy("doc_id")),
+
     // Inter-source text-overlap matrix: distinct shared 8-token
     // windows per source pair — the provenance diagnostic that scopes
     // dedup across sources. See
@@ -1848,6 +1874,44 @@ object QueriesPipeline {
   /** Synthetic-url / host / registered-domain SQL — single source of
     * truth mirroring Corpus.synthUrl / urlHost / registeredDomain.
     */
+  /** Shared t/f/z CTE chain computing the committed linear quality
+    * model's logit per doc (ends with CTE `z(doc_id, n, logit)`) —
+    * interpolated by quality_model_score AND the curriculum rank so
+    * the two oracles cannot drift from each other or from
+    * Corpus.qualityModelScore.
+    */
+  private val QualityLogitCtes: String = {
+    val wList = Corpus.QualityModelWMicro.mkString("[", ", ", "]")
+    val wd = Corpus.QualityModelDenseWMicro
+    val bm = Corpus.QualityModelBiasMicro
+    s"""t AS (
+       |  SELECT doc_id, text, $Toks AS toks
+       |  FROM read_parquet('{SFDIR}/documents.parquet')),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, tk ->
+       |      CAST(list_extract($wList,
+       |        CAST(${h32("concat('qm_', tk)")} % 64 AS INT) + 1) AS BIGINT))),
+       |      (a, x) -> a + x) AS zh,
+       |    CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+       |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS af,
+       |    CAST(len(list_distinct(list_filter(toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+       |    CASE WHEN len($Shingles) = 0 THEN 0.0
+       |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+       |  FROM t),
+       |z AS (
+       |  SELECT doc_id, n,
+       |    CAST(zh AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |      + (CAST(least(n, 1000) AS DOUBLE) / 1000.0) * (CAST(${wd(0)} AS DOUBLE) / 1000000.0)
+       |      + (mwl / 10.0) * (CAST(${wd(1)} AS DOUBLE) / 1000000.0)
+       |      + af * (CAST(${wd(2)} AS DOUBLE) / 1000000.0)
+       |      + (CAST(ns AS DOUBLE) / 5.0) * (CAST(${wd(3)} AS DOUBLE) / 1000000.0)
+       |      + df * (CAST(${wd(4)} AS DOUBLE) / 1000000.0)
+       |      + CAST($bm AS DOUBLE) / 1000000.0 AS logit
+       |  FROM f)""".stripMargin
+  }
+
   private val UrlSql: String =
     s"""concat('https://',
        |      CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END,
@@ -2017,39 +2081,22 @@ object QueriesPipeline {
          |    AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "quality_model_score" -> {
-      val wList = Corpus.QualityModelWMicro.mkString("[", ", ", "]")
-      val wd = Corpus.QualityModelDenseWMicro
-      val bm = Corpus.QualityModelBiasMicro
-      s"""WITH t AS (
-         |  SELECT doc_id, text, $Toks AS toks
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, tk ->
-         |      CAST(list_extract($wList,
-         |        CAST(${h32("concat('qm_', tk)")} % 64 AS INT) + 1) AS BIGINT))),
-         |      (a, x) -> a + x) AS zh,
-         |    CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
-         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS af,
-         |    CAST(len(list_distinct(list_filter(toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
-         |    CASE WHEN len($Shingles) = 0 THEN 0.0
-         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
-         |  FROM t),
-         |z AS (
-         |  SELECT doc_id, n,
-         |    CAST(zh AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
-         |      + (CAST(least(n, 1000) AS DOUBLE) / 1000.0) * (CAST(${wd(0)} AS DOUBLE) / 1000000.0)
-         |      + (mwl / 10.0) * (CAST(${wd(1)} AS DOUBLE) / 1000000.0)
-         |      + af * (CAST(${wd(2)} AS DOUBLE) / 1000000.0)
-         |      + (CAST(ns AS DOUBLE) / 5.0) * (CAST(${wd(3)} AS DOUBLE) / 1000000.0)
-         |      + df * (CAST(${wd(4)} AS DOUBLE) / 1000000.0)
-         |      + CAST($bm AS DOUBLE) / 1000000.0 AS logit
-         |  FROM f)
+    "quality_model_score" ->
+      s"""WITH $QualityLogitCtes
          |SELECT doc_id, n AS n_tokens, round(logit, 6) AS logit, logit >= 0 AS keep
-         |FROM z ORDER BY doc_id""".stripMargin
-    },
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    "pack_curriculum" ->
+      s"""WITH $QualityLogitCtes,
+         |r AS (
+         |  SELECT doc_id, n AS n_tokens, round(logit, 6) + 0 AS l6,
+         |    CAST(row_number() OVER (ORDER BY round(logit, 6) + 0 DESC, doc_id ASC)
+         |      AS BIGINT) AS curriculum_pos
+         |  FROM z)
+         |SELECT doc_id, n_tokens, l6 AS logit, curriculum_pos,
+         |  CAST(sum(n_tokens) OVER (ORDER BY curriculum_pos ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS cum_tokens
+         |FROM r ORDER BY curriculum_pos""".stripMargin,
 
     "quality_deciles" ->
       s"""WITH q AS (
@@ -3488,6 +3535,38 @@ object QueriesPipeline {
          |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "doc_winnow" -> {
+      val n = Corpus.SubstringN
+      val w = 4
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM read_parquet('{SFDIR}/documents.parquet')),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, len(tk) - ${n - 1}),
+         |      p -> ${h32(s"array_to_string(list_slice(tk, p + 1, p + $n), ' ')")}) AS hs
+         |  FROM t),
+         |sel AS (
+         |  SELECT doc_id, hs,
+         |    list_transform(
+         |      range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - $w, 0) + 1 END),
+         |      j -> list_reduce(
+         |        list_prepend({'h': CAST(9223372036854775807 AS BIGINT), 'p': -1},
+         |          list_transform(range(j, least(j + $w, len(hs))),
+         |            p -> {'h': hs[p + 1], 'p': CAST(p AS INT)})),
+         |        (st, x) -> CASE WHEN x.h <= st.h THEN x ELSE st END)) AS sl
+         |  FROM h),
+         |fp AS (
+         |  SELECT doc_id, hs,
+         |    list_sort(list_distinct(list_transform(sl, x -> x.p))) AS fps
+         |  FROM sel)
+         |SELECT doc_id,
+         |  CAST(len(hs) AS BIGINT) AS n_grams,
+         |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         |  round(CASE WHEN len(hs) = 0 THEN 0.0
+         |        ELSE CAST(len(fps) AS DOUBLE) / len(hs) END, 6) AS density,
+         |  md5(array_to_string(list_transform(fps, p -> CAST(hs[p + 1] AS VARCHAR)), ' ')) AS fp_md5
+         |FROM fp ORDER BY doc_id""".stripMargin
+    },
 
     "source_overlap" -> {
       val n = Corpus.SubstringN

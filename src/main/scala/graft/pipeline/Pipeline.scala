@@ -1736,6 +1736,65 @@ object Corpus {
         round(col("n_tokens").cast("double") / col("n_docs"), 6)
           .as("tokens_per_doc"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): per document, slide a width-`w` window over the
+    * n-token k-gram hashes and record each window's minimum hash
+    * (ties → rightmost), deduplicated by position. Winnowing's
+    * guarantee: any shared run of at least w+n-1 tokens between two
+    * documents shares at least one selected fingerprint, at an
+    * expected density of 2/(w+1) — the principled sub-sampling that
+    * lets a dedup index store ~2/(w+1) of the grams instead of all of
+    * them and still catch every long overlap. Per-row array
+    * arithmetic, map-only at any scale; documents shorter than one
+    * k-gram emit zero fingerprints. Feed the fingerprint keys to the
+    * same groupBy/join machinery the full-gram passes use.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, n: Int = SubstringN, w: Int = 4): DataFrame = {
+    require(n >= 2 && w >= 1, s"bad winnow params n=$n w=$w")
+    val hashes =
+      when(size(col("_t")) < n, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(0), size(col("_t")) - n),
+          p => TextOps.hash32(concat_ws(" ", slice(col("_t"), p + 1, lit(n))))))
+    val g = size(col("_h"))
+    // rightmost-min per window: ascending fold replaces on <=, so the
+    // last position of the minimum wins — the published tie rule.
+    val sel =
+      when(g === 0, array().cast("array<struct<h:bigint,p:int>>"))
+        .otherwise(transform(
+          sequence(lit(0), greatest(g - w, lit(0))),
+          j => aggregate(
+            sequence(j, least(j + w, g) - 1),
+            struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
+            (st, p) => when(
+              element_at(col("_h"), p + 1) <= st.getField("h"),
+              struct(element_at(col("_h"), p + 1).as("h"), p.as("p")))
+              .otherwise(st))))
+    // dedup by POSITION: a position selected from several windows
+    // always carries the same hash, so distinct positions ARE the
+    // distinct fingerprints (and int dedup has a DuckDB mirror where
+    // struct dedup does not)
+    val fps = array_sort(array_distinct(transform(
+      col("_sel"), x => x.getField("p"))))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .withColumn("_h", hashes)
+      .withColumn("_sel", sel)
+      .withColumn("_fp", fps)
+      .select(
+        col("doc_id"),
+        size(col("_h")).cast("long").as("n_grams"),
+        size(col("_fp")).cast("long").as("n_fingerprints"),
+        round(
+          when(size(col("_h")) === 0, 0.0)
+            .otherwise(size(col("_fp")).cast("double") / size(col("_h"))),
+          6).as("density"),
+        md5(array_join(
+          transform(col("_fp"),
+            p => element_at(col("_h"), p + 1).cast("string")), " "))
+          .as("fp_md5"))
+  }
+
   /** Inter-source text-overlap matrix — which sources duplicate each
     * other's text, counted in DISTINCT shared n-token windows per
     * unordered source pair. The provenance diagnostic read when

@@ -486,6 +486,26 @@ object ScaleSmoke {
       m
     }
 
+    // Winnowing: per-row array arithmetic, O(grams·w) per doc — pure
+    // map, must track volume.
+    def winnow(d: DataFrame): Long =
+      graft.pipeline.Corpus.winnowFingerprints(d)
+        .agg(sum("n_fingerprints")).head.getLong(0)
+
+    // Curriculum order: classifier score (map) + distributed rank +
+    // distributed prefix sum — two prefix plans over doc rows.
+    def curriculum(d: DataFrame): Long = {
+      val scored = graft.pipeline.Corpus.qualityModelScore(d)
+        .select(col("doc_id"), col("n_tokens"), col("logit"))
+      val ranked = graft.plans.Scale.rowNumberDistributed(
+        scored, Seq(col("logit").desc, col("doc_id").asc), "curriculum_pos")
+      val m = graft.plans.Scale
+        .cumSumDistributedLong(ranked, "n_tokens", "curriculum_pos", "cum_tokens")
+        .agg(max("cum_tokens")).head.getLong(0)
+      spark.catalog.clearCache()
+      m
+    }
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -530,7 +550,9 @@ object ScaleSmoke {
       "shard assign" -> (() => (time("shard 1x", shard(docs1)), time(s"shard ${n}x", shard(docsN)))),
       "quality model score" -> (() => (time("qms 1x", qms(docs1)), time(s"qms ${n}x", qms(docsN)))),
       "source overlap" -> (() => (time("srcoverlap 1x", srcOverlap(docs1)), time(s"srcoverlap ${n}x", srcOverlap(docsNDistinct)))),
-      "vocab coverage" -> (() => (time("vocabcov 1x", vocabCov(docs1)), time(s"vocabcov ${n}x", vocabCov(docsN)))))
+      "vocab coverage" -> (() => (time("vocabcov 1x", vocabCov(docs1)), time(s"vocabcov ${n}x", vocabCov(docsN)))),
+      "winnow fingerprints" -> (() => (time("winnow 1x", winnow(docs1)), time(s"winnow ${n}x", winnow(docsN)))),
+      "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

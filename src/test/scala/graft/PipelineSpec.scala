@@ -1607,6 +1607,59 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(("srcA", "srcB") -> 1L))
   }
 
+  test("winnowing: long shared runs share a fingerprint; short docs empty") {
+    // guarantee: any shared run of >= w+n-1 = 11 tokens shares at
+    // least one selected fingerprint (same hash at the same offset
+    // within the run)
+    val shared = (1 to 16).map(i => s"sh$i").mkString(" ")
+    val d = spark.createDataFrame(Seq(
+      Row(1L, s"aa bb cc dd $shared ee ff gg", "srcA"),
+      Row(2L, s"xx yy $shared zz ww vv uu tt", "srcB"),
+      Row(3L, "too short", "srcC")).asJava, docSchema)
+    // fingerprint HASHES per doc (recompute with the op's own digest
+    // inputs): rerun with the full per-position output via the corpus
+    // method on singleton frames and compare hash sets through fp_md5
+    // of the shared run alone
+    val out = graft.pipeline.Corpus.winnowFingerprints(d)
+      .orderBy("doc_id").collect()
+    assert(out(2).getAs[Long]("n_grams") == 0L &&
+      out(2).getAs[Long]("n_fingerprints") == 0L)
+    // density ~ 2/(w+1) = 0.4: loose band, the published expectation
+    val dens = out.take(2).map(_.getAs[Double]("density"))
+    assert(dens.forall(x => x > 0.2 && x < 0.7), dens.toSeq.toString)
+    // the guarantee itself, checked against an independent JVM
+    // reference implementation (same md5-derived hash32): the two
+    // docs' selected fingerprint HASH sets must intersect, because
+    // they share a 16-token run >= w+n-1
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    def winnowRef(text: String, n: Int = 8, w: Int = 4): Set[Long] = {
+      val tk = text.split(" ")
+      val hs = (0 to tk.length - n).map(p => h32(tk.slice(p, p + n).mkString(" ")))
+      (0 to math.max(hs.length - w, 0)).flatMap { j =>
+        val win = hs.slice(j, math.min(j + w, hs.length)).zipWithIndex
+        Some(win.minBy { case (h, i) => (h, -i) }).map { case (h, _) => h }
+      }.toSet
+    }
+    val fpA = winnowRef(s"aa bb cc dd $shared ee ff gg")
+    val fpB = winnowRef(s"xx yy $shared zz ww vv uu tt")
+    assert((fpA & fpB).nonEmpty, "shared long run must share a fingerprint")
+    // and the engine's digest agrees with the reference digest
+    def digestRef(text: String, n: Int = 8, w: Int = 4): String = {
+      val tk = text.split(" ")
+      val hs = (0 to tk.length - n).map(p => h32(tk.slice(p, p + n).mkString(" ")))
+      val sel = (0 to math.max(hs.length - w, 0)).map { j =>
+        val win = hs.slice(j, math.min(j + w, hs.length)).zipWithIndex
+        win.minBy { case (h, i) => (h, -i) }._2 + j
+      }.distinct.sorted
+      md5hex(sel.map(hs(_)).mkString(" "))
+    }
+    assert(out(0).getAs[String]("fp_md5") ==
+      digestRef(s"aa bb cc dd $shared ee ff gg"))
+  }
+
   test("corpus filter/prepare family plans carry no Window keyed on cmd5") {
     // The full declared queries (DedupChain staging included): the r10
     // verdict's remaining hot-key shape must never reappear. Logical
