@@ -201,6 +201,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("shard_assign and pack_curriculum windows all run partitioned (no global window)") {
+    // The blanket no-SinglePartition assertion is too strict here: the
+    // broadcast 1-row TOTAL aggregate legitimately reduces through a
+    // single partition (O(partitions) partial rows, not corpus rows).
+    // The actual scale hazard is an UNPARTITIONED window over corpus
+    // rows — assert every window node keys on the prefix plan's _pid.
+    Seq("shard_assign", "pack_curriculum").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+        assert(l.contains("_pid"),
+          s"$name: window not keyed on the distributed plan's partition id: $l")
+      }
+      assert(plan.contains("windowspecdefinition"),
+        s"$name expected to carry the prefix/rank window at all")
+    }
+  }
+
+  test("quality_model_score declared plan is map-only (no Exchange at all)") {
+    val df = SparkEntry.queries("quality_model_score")(spark, "/root/testdata/sf0.001")
+    df.count()
+    // the trailing orderBy is presentation; assert on the plan BEFORE
+    // it: score+keep must be a pure projection over the scan
+    val scored = graft.pipeline.Corpus.qualityModelScore(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    scored.count()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier scoring must not shuffle:\n$plan")
+  }
+
   test("quality_deciles declared plan has no single-partition exchange") {
     val df = SparkEntry.queries("quality_deciles")(spark, "/root/testdata/sf0.001")
     df.count()
