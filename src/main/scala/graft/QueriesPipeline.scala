@@ -1141,6 +1141,14 @@ object QueriesPipeline {
     "doc_winnow" -> ((s, dir) =>
       Corpus.winnowFingerprints(docs(s, dir)).orderBy("doc_id")),
 
+    // Winnow-keyed candidate pairs: docs sharing a selected
+    // fingerprint (boilerplate fingerprints stop-listed at df>16) —
+    // the exact-long-run candidate generator off the ~2/(w+1)-sized
+    // index. See [[graft.pipeline.Corpus.winnowCandidatePairs]].
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Corpus.winnowCandidatePairs(docs(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // Inter-source text-overlap matrix: distinct shared 8-token
     // windows per source pair — the provenance diagnostic that scopes
     // dedup across sources. See
@@ -1300,6 +1308,31 @@ object QueriesPipeline {
           round(first(col("median_tokens")), 6).as("median_tokens"),
           round(expr("percentile(abs(n_tok - median_tokens), 0.5)"), 6).as("mad_tokens"))
         .orderBy("source")
+    }),
+
+    // Per-document robust length-outlier flag (CCNet-style length
+    // screening with MAD instead of stddev, so one 10M-token doc
+    // cannot drag its own threshold): |n_tok − median_src| > 4·MAD_src.
+    // Two tiny per-source aggs broadcast back over one corpus scan;
+    // docs in a degenerate source (MAD = 0) flag only when they
+    // differ from the median at all.
+    "length_outliers" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("double").as("n_tok"))
+      val med = base.groupBy("source")
+        .agg(expr("percentile(n_tok, 0.5)").as("med"))
+      val withMed = base.join(broadcast(med), Seq("source"))
+      val mad = withMed.groupBy("source")
+        .agg(expr("percentile(abs(n_tok - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), Seq("source"))
+        .select(
+          col("doc_id"), col("source"),
+          col("n_tok").cast("long").as("n_tokens"),
+          round(col("med"), 6).as("median_tokens"),
+          round(col("mad"), 6).as("mad_tokens"),
+          (abs(col("n_tok") - col("med")) > col("mad") * 4).as("outlier"))
+        .orderBy("doc_id")
     }),
 
     // Bigram novelty of the valid split vs the train split (splits by
@@ -1874,6 +1907,36 @@ object QueriesPipeline {
   /** Synthetic-url / host / registered-domain SQL — single source of
     * truth mirroring Corpus.synthUrl / urlHost / registeredDomain.
     */
+  /** Shared winnow CTE chain (t -> h -> sel -> fp: token arrays, gram
+    * hashes, rightmost-min window selections, distinct selected
+    * positions) — interpolated by doc_winnow AND dedup_winnow_pairs so
+    * the two oracles share one selection spelling.
+    */
+  private val WinnowCtes: String = {
+    val n = Corpus.SubstringN
+    val w = 4
+    s"""t AS (SELECT doc_id, $Toks AS tk FROM read_parquet('{SFDIR}/documents.parquet')),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, len(tk) - ${n - 1}),
+       |      p -> ${h32(s"array_to_string(list_slice(tk, p + 1, p + $n), ' ')")}) AS hs
+       |  FROM t),
+       |sel AS (
+       |  SELECT doc_id, hs,
+       |    list_transform(
+       |      range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - $w, 0) + 1 END),
+       |      j -> list_reduce(
+       |        list_prepend({'h': CAST(9223372036854775807 AS BIGINT), 'p': -1},
+       |          list_transform(range(j, least(j + $w, len(hs))),
+       |            p -> {'h': hs[p + 1], 'p': CAST(p AS INT)})),
+       |        (st, x) -> CASE WHEN x.h <= st.h THEN x ELSE st END)) AS sl
+       |  FROM h),
+       |fp AS (
+       |  SELECT doc_id, hs,
+       |    list_sort(list_distinct(list_transform(sl, x -> x.p))) AS fps
+       |  FROM sel)""".stripMargin
+  }
+
   /** Shared t/f/z CTE chain computing the committed linear quality
     * model's logit per doc (ends with CTE `z(doc_id, n, logit)`) —
     * interpolated by quality_model_score AND the curriculum rank so
@@ -3536,37 +3599,29 @@ object QueriesPipeline {
          |       ELSE 'test' END AS split
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
 
-    "doc_winnow" -> {
-      val n = Corpus.SubstringN
-      val w = 4
-      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM read_parquet('{SFDIR}/documents.parquet')),
-         |h AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, len(tk) - ${n - 1}),
-         |      p -> ${h32(s"array_to_string(list_slice(tk, p + 1, p + $n), ' ')")}) AS hs
-         |  FROM t),
-         |sel AS (
-         |  SELECT doc_id, hs,
-         |    list_transform(
-         |      range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - $w, 0) + 1 END),
-         |      j -> list_reduce(
-         |        list_prepend({'h': CAST(9223372036854775807 AS BIGINT), 'p': -1},
-         |          list_transform(range(j, least(j + $w, len(hs))),
-         |            p -> {'h': hs[p + 1], 'p': CAST(p AS INT)})),
-         |        (st, x) -> CASE WHEN x.h <= st.h THEN x ELSE st END)) AS sl
-         |  FROM h),
-         |fp AS (
-         |  SELECT doc_id, hs,
-         |    list_sort(list_distinct(list_transform(sl, x -> x.p))) AS fps
-         |  FROM sel)
+    "doc_winnow" ->
+      s"""WITH $WinnowCtes
          |SELECT doc_id,
          |  CAST(len(hs) AS BIGINT) AS n_grams,
          |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
          |  round(CASE WHEN len(hs) = 0 THEN 0.0
          |        ELSE CAST(len(fps) AS DOUBLE) / len(hs) END, 6) AS density,
          |  md5(array_to_string(list_transform(fps, p -> CAST(hs[p + 1] AS VARCHAR)), ' ')) AS fp_md5
-         |FROM fp ORDER BY doc_id""".stripMargin
-    },
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH $WinnowCtes,
+         |rows_ AS (
+         |  SELECT DISTINCT doc_id, hs[p + 1] AS h
+         |  FROM (SELECT doc_id, hs, unnest(fps) AS p FROM fp)),
+         |keep AS (
+         |  SELECT h FROM (SELECT h, count(*) AS c FROM rows_ GROUP BY h)
+         |  WHERE c <= 16),
+         |k AS (SELECT doc_id, h FROM rows_ JOIN keep USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+         |FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "source_overlap" -> {
       val n = Corpus.SubstringN
@@ -3707,6 +3762,25 @@ object QueriesPipeline {
          |  round(quantile_cont(abs(b.n_tok - m.median_tokens), 0.5), 6) AS mad_tokens
          |FROM base b JOIN med m ON b.source = m.source
          |GROUP BY b.source ORDER BY b.source""".stripMargin,
+
+    "length_outliers" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, CAST(len($Toks) AS DOUBLE) AS n_tok
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |med AS (
+         |  SELECT source, quantile_cont(n_tok, 0.5) AS med
+         |  FROM base GROUP BY source),
+         |mad AS (
+         |  SELECT b.source, quantile_cont(abs(b.n_tok - m.med), 0.5) AS mad
+         |  FROM base b JOIN med m ON b.source = m.source GROUP BY b.source)
+         |SELECT b.doc_id, b.source,
+         |  CAST(b.n_tok AS BIGINT) AS n_tokens,
+         |  round(m.med, 6) AS median_tokens,
+         |  round(d.mad, 6) AS mad_tokens,
+         |  abs(b.n_tok - m.med) > d.mad * 4 AS outlier
+         |FROM base b JOIN med m ON b.source = m.source
+         |  JOIN mad d ON b.source = d.source
+         |ORDER BY b.doc_id""".stripMargin,
 
     "split_novelty" ->
       s"""WITH bg AS MATERIALIZED (

@@ -1749,8 +1749,52 @@ object Corpus {
     * k-gram emit zero fingerprints. Feed the fingerprint keys to the
     * same groupBy/join machinery the full-gram passes use.
     */
-  def winnowFingerprints(
-      docs: DataFrame, n: Int = SubstringN, w: Int = 4): DataFrame = {
+  /** The selected fingerprints as ROWS (doc_id, p, h) — the frame a
+    * winnow-keyed dedup index stores (~2/(w+1) of the grams). Same
+    * per-row selection as [[winnowFingerprints]]; that summary is a
+    * per-doc fold of this frame.
+    */
+  def winnowFingerprintRows(
+      docs: DataFrame, n: Int = SubstringN, w: Int = 4): DataFrame =
+    winnowBase(docs, n, w)
+      .select(col("doc_id"),
+        explode(transform(col("_fp"),
+          p => struct(p.as("p"), element_at(col("_h"), p + 1).as("h")))).as("f"))
+      .select(col("doc_id"), col("f.p").as("p"), col("f.h").as("h"))
+
+  /** Winnow-keyed candidate pairs — the USE of the fingerprint index:
+    * two documents are candidates iff they share a selected
+    * fingerprint hash, counted per pair. By winnowing's guarantee this
+    * catches every shared run of >= w+n-1 tokens while the index holds
+    * only ~2/(w+1) of the grams — the cheap exact-overlap candidate
+    * generator complementing MinHash-LSH's whole-document similarity
+    * candidates. `maxDf` drops fingerprints present in more documents
+    * (boilerplate); with it the self-join's per-key fan-out is
+    * <= maxDf², the standard stop-list cap every inverted-index pair
+    * generator applies — without it one boilerplate fingerprint in 1e6
+    * docs would emit 1e12 pairs.
+    */
+  def winnowCandidatePairs(
+      docs: DataFrame, n: Int = SubstringN, w: Int = 4,
+      maxDf: Int = 16): DataFrame = {
+    val rows = winnowFingerprintRows(docs, n, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val kept = rows.join(
+      rows.groupBy("h").agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf)
+        .select("h"),
+      "h")
+    kept.select(col("doc_id").as("doc_a"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fingerprints"))
+  }
+
+  /** Shared tail: token array, gram hashes, per-window rightmost-min
+    * selections, distinct selected positions.
+    */
+  private def winnowBase(docs: DataFrame, n: Int, w: Int): DataFrame = {
     require(n >= 2 && w >= 1, s"bad winnow params n=$n w=$w")
     val hashes =
       when(size(col("_t")) < n, array().cast("array<bigint>"))
@@ -1781,6 +1825,11 @@ object Corpus {
       .withColumn("_h", hashes)
       .withColumn("_sel", sel)
       .withColumn("_fp", fps)
+  }
+
+  def winnowFingerprints(
+      docs: DataFrame, n: Int = SubstringN, w: Int = 4): DataFrame =
+    winnowBase(docs, n, w)
       .select(
         col("doc_id"),
         size(col("_h")).cast("long").as("n_grams"),
@@ -1793,7 +1842,6 @@ object Corpus {
           transform(col("_fp"),
             p => element_at(col("_h"), p + 1).cast("string")), " "))
           .as("fp_md5"))
-  }
 
   /** Inter-source text-overlap matrix — which sources duplicate each
     * other's text, counted in DISTINCT shared n-token windows per

@@ -993,6 +993,17 @@ object Streaming {
         (size(col("_counts")) > 1).as("mixed"))
   }
 
+  /** Streaming winnowing — the stream twin of
+    * [[graft.pipeline.Corpus.winnowFingerprints]]: the whole
+    * selection is per-row array arithmetic, so the twin delegates
+    * verbatim (stateless, append mode). The ingest side of a
+    * winnow-keyed dedup index: fingerprint a document the moment it
+    * arrives, feed (doc_id, fingerprint) rows to the keyed store the
+    * batch pair generator queries.
+    */
+  def winnowStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Corpus.winnowFingerprints(docs)
+
   /** Streaming classifier-based quality scoring — the stream twin of
     * [[graft.pipeline.Corpus.qualityModelScore]]. The committed
     * weight vector rides in the plan as literals and the whole score

@@ -492,6 +492,12 @@ object ScaleSmoke {
       graft.pipeline.Corpus.winnowFingerprints(d)
         .agg(sum("n_fingerprints")).head.getLong(0)
 
+    // Winnow pair generation: fingerprint rows + df-capped self-join;
+    // decorrelated amplifier so cross-copy fingerprint collisions
+    // don't masquerade as operator cost.
+    def winPairs(d: DataFrame): Long =
+      graft.pipeline.Corpus.winnowCandidatePairs(d).count()
+
     // Curriculum order: classifier score (map) + distributed rank +
     // distributed prefix sum — two prefix plans over doc rows.
     def curriculum(d: DataFrame): Long = {
@@ -552,6 +558,7 @@ object ScaleSmoke {
       "source overlap" -> (() => (time("srcoverlap 1x", srcOverlap(docs1)), time(s"srcoverlap ${n}x", srcOverlap(docsNDistinct)))),
       "vocab coverage" -> (() => (time("vocabcov 1x", vocabCov(docs1)), time(s"vocabcov ${n}x", vocabCov(docsN)))),
       "winnow fingerprints" -> (() => (time("winnow 1x", winnow(docs1)), time(s"winnow ${n}x", winnow(docsN)))),
+      "winnow pairs" -> (() => (time("winpairs 1x", winPairs(docs1)), time(s"winpairs ${n}x", winPairs(docsNDistinct)))),
       "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).

@@ -811,6 +811,24 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).contains("true"))  // the mixed doc flags
   }
 
+  test("streaming winnow fingerprints match batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(30).collect()
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val input = MemoryStream[Doc]
+    input.addData(rows: _*)
+    val q = Streaming.winnowStream(input.toDF()).writeStream
+      .format("memory").queryName("swinnow").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.table("swinnow").orderBy("doc_id").collect().map(key)
+    val want = graft.pipeline.Corpus.winnowFingerprints(
+        rows.toSeq.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(key)
+    assert(got.toSeq == want.toSeq && got.length == 30)
+  }
+
   test("streaming quality-model scoring matches batch bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
