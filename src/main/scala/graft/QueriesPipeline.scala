@@ -664,6 +664,34 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // corpus_prepare with the LEARNED gate: the committed classifier's
+    // logit >= 0 replaces the Gopher rule conjunction (everything else
+    // identical) — the production shape once a cheap distilled
+    // classifier takes over from hand rules (DCLM/FineWeb-Edu). Still
+    // ONE corpus scan: the logit is a pure column
+    // (Corpus.qualityModelLogit), so the swap costs no extra pass.
+    "corpus_prepare_model" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupIds = DedupChain.clusterLabels(s, dir, d)
+        .where(!col("is_canonical"))
+        .select(col("doc_id").as("dup_id"))
+      Corpus.withExactCanonical(d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          TextOps.qualityScore(col("text")).as("q"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          (Corpus.qualityModelLogit() >= 0).as("keep")))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .where(col("is_exact_canonical") && col("dup_id").isNull &&
+          col("q") >= 0.5 && col("lang_ok") && col("keep"))
+        .select(
+          col("doc_id"),
+          Corpus.splitCol(col("doc_id")).as("split"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization before URL-keyed dedup (the CC-index
     // convention): lowercase scheme/host, strip www. and default
     // ports (non-default KEPT), drop tracking params + fragment, sort
@@ -1140,6 +1168,20 @@ object QueriesPipeline {
     // [[graft.pipeline.Corpus.winnowFingerprints]].
     "doc_winnow" -> ((s, dir) =>
       Corpus.winnowFingerprints(docs(s, dir)).orderBy("doc_id")),
+
+    // Incremental winnow candidates off the disk-served fingerprint
+    // index (delta = doc_id % 10 == 0, the dedup_incremental
+    // convention): snapshot enters only as stored (doc_id, h) rows.
+    // See [[graft.pipeline.Corpus.winnowIncrementalPairs]].
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = col("doc_id") % 10 === 0
+      Corpus.winnowIncrementalPairs(
+          graft.pipeline.DedupStateStore.winnowRowsServed(
+            s, dir, d.where(!isNew)),
+          d.where(isNew))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Winnow-keyed candidate pairs: docs sharing a selected
     // fingerprint (boilerplate fingerprints stop-listed at df>16) —
@@ -3266,6 +3308,29 @@ object QueriesPipeline {
          |  n_tokens
          |FROM kept ORDER BY doc_id""".stripMargin,
 
+    "corpus_prepare_model" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |$QualityLogitCtes,
+         |g AS (SELECT doc_id, n AS n_tokens, logit >= 0 AS keep FROM z),
+         |canon AS (
+         |  SELECT doc_id, q, lang_ok,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS is_exact
+         |  FROM (SELECT doc_id, lang, md5(text) AS cmd5,
+         |          $QualitySql AS q,
+         |          ($LangPredSql) = lang AS lang_ok
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |kept AS (
+         |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
+         |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM dups)
+         |    AND c.q >= 0.5 AND c.lang_ok AND g.keep)
+         |SELECT doc_id,
+         |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  n_tokens
+         |FROM kept ORDER BY doc_id""".stripMargin,
+
     "url_normalize" -> {
       val tracking =
         Corpus.TrackingParams.map(p => s"'$p'").mkString("[", ", ", "]")
@@ -3608,6 +3673,21 @@ object QueriesPipeline {
          |        ELSE CAST(len(fps) AS DOUBLE) / len(hs) END, 6) AS density,
          |  md5(array_to_string(list_transform(fps, p -> CAST(hs[p + 1] AS VARCHAR)), ' ')) AS fp_md5
          |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_incremental" ->
+      s"""WITH $WinnowCtes,
+         |rows_ AS (
+         |  SELECT DISTINCT doc_id, hs[p + 1] AS h
+         |  FROM (SELECT doc_id, hs, unnest(fps) AS p FROM fp)),
+         |keep AS (
+         |  SELECT h FROM (SELECT h, count(*) AS c FROM rows_ GROUP BY h)
+         |  WHERE c <= 16),
+         |k AS (SELECT doc_id, h FROM rows_ JOIN keep USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+         |FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_winnow_pairs" ->
       s"""WITH $WinnowCtes,

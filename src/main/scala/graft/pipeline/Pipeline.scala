@@ -996,6 +996,20 @@ object Corpus {
   def qualityModelScore(docs: DataFrame): DataFrame = {
     val tc = TextOps.textCounts(col("text"))
     val nTok = tc.getField("n_tokens").cast("bigint")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(qualityModelLogit(), 6).as("logit"),
+      (qualityModelLogit() >= 0).as("keep"))
+  }
+
+  /** The classifier logit as a pure column over `text` — for fused
+    * single-scan pipelines (corpus_prepare_model) that want the gate
+    * inline, the [[gopherKeep]] stance applied to the learned gate.
+    */
+  def qualityModelLogit(): Column = {
+    val tc = TextOps.textCounts(col("text"))
+    val nTok = tc.getField("n_tokens").cast("bigint")
     val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok
     val alphaFrac = tc.getField("n_alpha").cast("double") / nTok
     val nStops = tc.getField("stop_en_dist").cast("bigint")
@@ -1021,11 +1035,7 @@ object Corpus {
       .foldLeft(
         zHashMicro.cast("double") / (nTok.cast("double") * lit(1e6)))(_ + _) +
       lit(QualityModelBiasMicro).cast("double") / lit(1e6)
-    docs.select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      round(logit, 6).as("logit"),
-      (logit >= 0).as("keep"))
+    logit
   }
 
   /** The composite keep decision alone, as a pure column over `text` —
@@ -1787,6 +1797,43 @@ object Corpus {
     kept.select(col("doc_id").as("doc_a"), col("h"))
       .join(kept.select(col("doc_id").as("doc_b"), col("h")), "h")
       .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fingerprints"))
+  }
+
+  /** Incremental (delta-ingest) winnow candidates — the
+    * [[Dedup.incrementalCandidatePairs]] contract on the fingerprint
+    * index: the snapshot enters ONLY as its stored (doc_id, h)
+    * fingerprint rows (read, not recomputed — and only ~2/(w+1) of
+    * the snapshot's grams by winnowing's construction), the delta's
+    * fingerprints probe snapshot ∪ delta, and the output is exactly
+    * [[winnowCandidatePairs]] over snapshot ∪ delta RESTRICTED to
+    * pairs touching a delta doc (the oracle asserts that equality).
+    * The df stop-list is counted over the union, as the full
+    * recompute would — that aggregate runs over the stored index
+    * rows, not the corpus. Delta-delta pairs meet twice in the
+    * probe join; the distinct on (pair, h) collapses them before the
+    * shared-count agg.
+    */
+  def winnowIncrementalPairs(
+      snapshotRows: DataFrame, delta: DataFrame,
+      n: Int = SubstringN, w: Int = 4, maxDf: Int = 16): DataFrame = {
+    val dRows = winnowFingerprintRows(delta, n, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val all = snapshotRows.select(col("doc_id"), col("h")).distinct()
+      .union(dRows)
+    val keep = all.groupBy("h").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("h")
+    val dK = dRows.join(keep, "h")
+    val allK = all.join(keep, "h")
+    dK.select(col("doc_id").as("d_id"), col("h"))
+      .join(allK.select(col("doc_id").as("o_id"), col("h")), "h")
+      .where(col("d_id") =!= col("o_id"))
+      .select(
+        least(col("d_id"), col("o_id")).as("doc_a"),
+        greatest(col("d_id"), col("o_id")).as("doc_b"),
+        col("h"))
+      .distinct()
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_fingerprints"))
   }
@@ -3558,6 +3605,27 @@ object DedupStateStore {
       val marker = new java.io.File(p, "_SAVED")
       if (!marker.exists()) {
         Corpus.substringFirstOccurrences(snapshot)
+          .write.mode("overwrite").parquet(p)
+        marker.createNewFile()
+      }
+      s.read.parquet(p)
+    }
+
+  /** [[Corpus.winnowFingerprintRows]] of `snapshot` served from
+    * parquet — the winnow index's write-once/serve-many state, same
+    * stance as the substring first-occurrence table.
+    */
+  def winnowRowsServed(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      snapshot: => DataFrame): DataFrame =
+    synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = s"$storeRoot/$key/winnow_rows"
+      val marker = new java.io.File(p, "_SAVED")
+      if (!marker.exists()) {
+        Corpus.winnowFingerprintRows(snapshot)
           .write.mode("overwrite").parquet(p)
         marker.createNewFile()
       }
