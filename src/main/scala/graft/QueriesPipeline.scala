@@ -1638,6 +1638,49 @@ object QueriesPipeline {
     "approx_distinct_kmv" -> ((s, dir) =>
       Corpus.kmvTypes(docs(s, dir), 64).orderBy("source")),
 
+    // Bounded-state quantile estimation completing the sketch trio
+    // (KMV distinct, CMS counts, THIS for quantiles): per event type,
+    // p50/p90 estimated from the deterministic bottom-128-by-hash
+    // priority sample, with the EXACT percentiles as witness columns
+    // and the relative errors the operator reports. The sample is
+    // md5-ordered (reproducible across engines and runs); the
+    // per-group top-k executes as a WindowGroupLimit partial rank
+    // before the shuffle, so state per group is 128 rows regardless
+    // of group size — the bounded-memory property a 100 TB quantile
+    // pass needs.
+    "approx_quantiles_sample" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(
+          TextOps.hash32(concat(lit("qs_"), col("event_id").cast("string"))).asc,
+          col("event_id").asc)
+      val samp = ev.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 128)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_sample"),
+          expr("percentile(value, 0.5)").as("p50_est"),
+          expr("percentile(value, 0.9)").as("p90_est"))
+      val exact = ev.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("percentile(value, 0.9)").as("p90_exact"))
+      samp.join(exact, "event_type")
+        .select(
+          col("event_type"), col("n_events"), col("n_sample"),
+          round(col("p50_est"), 6).as("p50_est"),
+          round(col("p50_exact"), 6).as("p50_exact"),
+          round(abs(col("p50_est") - col("p50_exact")) /
+            greatest(abs(col("p50_exact")), lit(1e-9)), 6).as("p50_rel_err"),
+          round(col("p90_est"), 6).as("p90_est"),
+          round(col("p90_exact"), 6).as("p90_exact"),
+          round(abs(col("p90_est") - col("p90_exact")) /
+            greatest(abs(col("p90_exact")), lit(1e-9)), 6).as("p90_rel_err"))
+        .orderBy("event_type")
+    }),
+
     // Length-weighted deterministic sample (Efraimidis–Spirakis keys
     // from md5 draws): map-only key projection + TakeOrdered top-50,
     // no corpus shuffle.
@@ -4083,6 +4126,35 @@ object QueriesPipeline {
     // KMV: k smallest distinct token hashes per source (exact window
     // formulation — the oracle can afford the vocabulary shuffle the
     // sketch avoids), same final-math expressions as the Spark side.
+    "approx_quantiles_sample" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, value
+         |  FROM read_parquet('{SFDIR}/events.parquet')),
+         |r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${h32("concat('qs_', CAST(event_id AS VARCHAR))")} ASC, event_id ASC) AS rn
+         |  FROM e),
+         |samp AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         |    quantile_cont(value, 0.5) AS p50_est,
+         |    quantile_cont(value, 0.9) AS p90_est
+         |  FROM r WHERE rn <= 128 GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |    quantile_cont(value, 0.5) AS p50_exact,
+         |    quantile_cont(value, 0.9) AS p90_exact
+         |  FROM e GROUP BY event_type)
+         |SELECT s.event_type, ex.n_events, s.n_sample,
+         |  round(s.p50_est, 6) AS p50_est,
+         |  round(ex.p50_exact, 6) AS p50_exact,
+         |  round(abs(s.p50_est - ex.p50_exact) / greatest(abs(ex.p50_exact), 1e-9), 6) AS p50_rel_err,
+         |  round(s.p90_est, 6) AS p90_est,
+         |  round(ex.p90_exact, 6) AS p90_exact,
+         |  round(abs(s.p90_est - ex.p90_exact) / greatest(abs(ex.p90_exact), 1e-9), 6) AS p90_rel_err
+         |FROM samp s JOIN ex ON s.event_type = ex.event_type
+         |ORDER BY s.event_type""".stripMargin,
+
     "approx_distinct_kmv" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($Toks) AS token
