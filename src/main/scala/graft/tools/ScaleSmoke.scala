@@ -492,6 +492,26 @@ object ScaleSmoke {
       graft.pipeline.Corpus.winnowFingerprints(d)
         .agg(sum("n_fingerprints")).head.getLong(0)
 
+    // Hot-window worst case for the source-overlap matrix: the SAME
+    // 8-token phrase in EVERY document (every source shares the one
+    // window) vs all-distinct windows. The (source, wkey) distinct
+    // collapses the hot key map-side and the self-join fan-out is
+    // bounded by |sources|², so hot must cost ~ distinct.
+    def srcOverlapSynth(nRows: Long, hot: Boolean): Long = {
+      val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+      val text =
+        if (hot) concat(lit(phrase + " tail "), col("id"))
+        else concat(
+          lit("t"), col("id"), lit("a t"), col("id"), lit("b t"),
+          col("id"), lit("c t"), col("id"), lit("d t"), col("id"),
+          lit("e t"), col("id"), lit("f t"), col("id"), lit("g t"),
+          col("id"), lit("h"))
+      val d = spark.range(nRows).select(
+        col("id").as("doc_id"), text.as("text"),
+        concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
+      graft.pipeline.Corpus.sourceWindowOverlap(d).count()
+    }
+
     // Winnow pair generation: fingerprint rows + df-capped self-join;
     // decorrelated amplifier so cross-copy fingerprint collisions
     // don't masquerade as operator cost.
@@ -559,6 +579,7 @@ object ScaleSmoke {
       "vocab coverage" -> (() => (time("vocabcov 1x", vocabCov(docs1)), time(s"vocabcov ${n}x", vocabCov(docsN)))),
       "winnow fingerprints" -> (() => (time("winnow 1x", winnow(docs1)), time(s"winnow ${n}x", winnow(docsN)))),
       "winnow pairs" -> (() => (time("winpairs 1x", winPairs(docs1)), time(s"winpairs ${n}x", winPairs(docsNDistinct)))),
+      "srcoverlap hot-window skew" -> (() => (time("srcoverlap distinct 1e6", srcOverlapSynth(1000000L, hot = false)), time("srcoverlap 1e6-deep window", srcOverlapSynth(1000000L, hot = true)))),
       "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
