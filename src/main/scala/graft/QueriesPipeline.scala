@@ -664,6 +664,49 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Gate attribution: for EVERY curation gate this library declares
+    // (exact-dup canonical, near-dup canonical, quality score,
+    // language agreement, Gopher rules, learned classifier, domain
+    // blocklist) — how many docs fail it, and how many fail ONLY it
+    // (the marginal data cost of keeping that gate). The one-row
+    // report a pipeline owner reads before relaxing a gate. One
+    // corpus scan computes every text gate inline; the exact/near-dup
+    // flags ride the same agg+join-back and staged-chain frames as
+    // corpus_filter; the final rollup is a single partial-combining
+    // aggregate.
+    "gate_attribution" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupIds = DedupChain.clusterLabels(s, dir, d)
+        .where(!col("is_canonical"))
+        .select(col("doc_id").as("dup_id"))
+      val flags = Corpus.withExactCanonical(d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          Corpus.gopherKeep().as("gopher_ok"),
+          (Corpus.qualityModelLogit() >= 0).as("model_ok"),
+          Corpus.domainGate().as("domain_ok")))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .select(
+          col("is_exact_canonical").as("exact_ok"),
+          col("dup_id").isNull.as("neardup_ok"),
+          col("q_ok"), col("lang_ok"), col("gopher_ok"),
+          col("model_ok"), col("domain_ok"))
+      val gates = Seq("exact", "neardup", "q", "lang", "gopher", "model", "domain")
+        .zip(Seq("exact_ok", "neardup_ok", "q_ok", "lang_ok", "gopher_ok",
+          "model_ok", "domain_ok"))
+      val failCols = gates.map { case (g, c) =>
+        sum(when(!col(c), 1L).otherwise(0L)).as(s"fail_$g") }
+      val soleCols = gates.map { case (g, c) =>
+        val others = gates.filter(_._2 != c).map(o => col(o._2)).reduce(_ && _)
+        sum(when(!col(c) && others, 1L).otherwise(0L)).as(s"sole_$g") }
+      val keptCol = sum(
+        when(gates.map(o => col(o._2)).reduce(_ && _), 1L).otherwise(0L))
+        .as("n_kept")
+      flags.agg(count(lit(1)).as("n_docs"), (failCols ++ soleCols :+ keptCol): _*)
+    }),
+
     // corpus_prepare with the LEARNED gate: the committed classifier's
     // logit >= 0 replaces the Gopher rule conjunction (everything else
     // identical) — the production shape once a cheap distilled
@@ -1478,6 +1521,36 @@ object QueriesPipeline {
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
         .persist()
       Corpus.bigramScore(bg, Corpus.bigramModel(bg)).orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity buckets: docs ranked by per-bigram mean
+    // logprob under the self-trained LM (best first), bucketed
+    // head/middle/tail at exact integer thirds of cumulative BIGRAM
+    // mass (the budget-tier convention — the crossing doc stays in
+    // the richer bucket). The fluency tier CCNet routes through
+    // different cleaning pipelines. Distributed prefix plan; ordering
+    // on the IEEE-exact micro ratio with doc_id tiebreak.
+    "ppl_buckets" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+        .persist()
+      val scored = Corpus.bigramScore(bg, Corpus.bigramModel(bg))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("logprob_micro").cast("double") / col("n_bigrams"))
+            .as("avg_lp_micro"))
+        .withColumn("_ord",
+          struct((-col("avg_lp_micro")).as("a"), col("doc_id").as("d")))
+      val cum = graft.plans.Scale
+        .cumSumDistributedLong(scored, "n_bigrams", "_ord", "cum_bigrams")
+      val tot = broadcast(cum.agg(sum("n_bigrams").cast("long").as("_tot")))
+      cum.crossJoin(tot)
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          round(col("avg_lp_micro"), 6).as("avg_lp_micro"),
+          when((col("cum_bigrams") - col("n_bigrams")) * 3 < col("_tot"), "head")
+            .when((col("cum_bigrams") - col("n_bigrams")) * 3 < col("_tot") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     }),
 
     // Cluster-size histogram over the near-dup components — the
@@ -3351,6 +3424,57 @@ object QueriesPipeline {
          |  n_tokens
          |FROM kept ORDER BY doc_id""".stripMargin,
 
+    "gate_attribution" -> {
+      val gates = Seq("exact", "neardup", "q", "lang", "gopher", "model", "domain")
+      val okCol = Map(
+        "exact" -> "exact_ok", "neardup" -> "neardup_ok", "q" -> "q_ok",
+        "lang" -> "lang_ok", "gopher" -> "gopher_ok", "model" -> "model_ok",
+        "domain" -> "domain_ok")
+      val fails = gates.map(g =>
+        s"CAST(sum(CASE WHEN NOT ${okCol(g)} THEN 1 ELSE 0 END) AS BIGINT) AS fail_$g")
+      val soles = gates.map { g =>
+        val others = gates.filterNot(_ == g).map(okCol).mkString(" AND ")
+        s"CAST(sum(CASE WHEN NOT ${okCol(g)} AND $others THEN 1 ELSE 0 END) AS BIGINT) AS sole_$g"
+      }
+      val kept = s"CAST(sum(CASE WHEN ${gates.map(okCol).mkString(" AND ")} " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"
+      s"""WITH RECURSIVE $CcCtes,
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |$QualityLogitCtes,
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |g AS (
+         |  SELECT doc_id,
+         |    ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS gopher_ok
+         |  FROM g0),
+         |m AS (SELECT doc_id, logit >= 0 AS model_ok FROM z),
+         |canon AS (
+         |  SELECT doc_id, q_ok, lang_ok, domain_ok,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS exact_ok
+         |  FROM (SELECT doc_id, md5(text) AS cmd5,
+         |          ($QualitySql) >= 0.5 AS q_ok,
+         |          ($LangPredSql) = lang AS lang_ok,
+         |          ${domainSql("host")} NOT IN $BlocklistSql AS domain_ok
+         |        FROM (SELECT *, $HostSql AS host
+         |              FROM read_parquet('{SFDIR}/documents.parquet')))),
+         |fl AS (
+         |  SELECT c.doc_id, c.exact_ok,
+         |    c.doc_id NOT IN (SELECT doc_id FROM dups) AS neardup_ok,
+         |    c.q_ok, c.lang_ok, g.gopher_ok, m.model_ok, c.domain_ok
+         |  FROM canon c JOIN g USING (doc_id) JOIN m USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${(fails ++ soles :+ kept).mkString(",\n  ")}
+         |FROM fl""".stripMargin
+    },
+
     "corpus_prepare_model" ->
       s"""WITH RECURSIVE $CcCtes,
          |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
@@ -3962,6 +4086,34 @@ object QueriesPipeline {
          |  CAST(sum(m.logp_micro) AS BIGINT) AS logprob_micro
          |FROM bg b JOIN model m ON b.bg = m.bg
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    "ppl_buckets" ->
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT doc_id, unnest(${shinglesSql(2)}) AS bg
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1),
+         |model AS (
+         |  SELECT c2.bg,
+         |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e6, 0) AS BIGINT) AS logp_micro
+         |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(m.logp_micro) AS DOUBLE) / count(*) AS avg_lp_micro
+         |  FROM bg b JOIN model m ON b.bg = m.bg GROUP BY b.doc_id),
+         |cum AS (
+         |  SELECT doc_id, n_bigrams, avg_lp_micro,
+         |    CAST(sum(n_bigrams) OVER (ORDER BY avg_lp_micro DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bigrams
+         |  FROM scored),
+         |t AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tot FROM scored)
+         |SELECT doc_id, n_bigrams, round(avg_lp_micro, 6) AS avg_lp_micro,
+         |  CASE WHEN (cum_bigrams - n_bigrams) * 3 < tot THEN 'head'
+         |       WHEN (cum_bigrams - n_bigrams) * 3 < tot * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM cum, t ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $CcCtes,
