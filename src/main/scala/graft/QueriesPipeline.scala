@@ -1281,17 +1281,29 @@ object QueriesPipeline {
     // map-only canonicalization + one combinable groupBy(url_key).
     "dedup_urls" -> ((s, dir) => {
       val d = docs(s, dir)
+      // 1-3 sightings per doc (group sizes vary, so the merge count is
+      // a real data-dependent check, not a constant): the raw url
+      // always; a tracking-param/fragment variant for 2 of 3 docs; a
+      // www-prefixed second variant for 1 in 5.
       val u0 = d.select(
-        (col("doc_id") * 2).as("sighting_id"),
+        (col("doc_id") * 3).as("sighting_id"),
         Corpus.synthUrl(col("doc_id"), col("source")).as("url"))
-      val u1 = d.select(
-        (col("doc_id") * 2 + 1).as("sighting_id"),
+      val u1 = d.where(col("doc_id") % 3 =!= 2).select(
+        (col("doc_id") * 3 + 1).as("sighting_id"),
         concat(
           Corpus.synthUrl(col("doc_id"), col("source")),
           when(col("doc_id") % 2 === 0, lit("&utm_source=share"))
             .otherwise(lit("?utm_source=share")),
           lit("#frag")).as("url"))
-      u0.union(u1)
+      val u2 = d.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") * 3 + 2).as("sighting_id"),
+        concat(
+          regexp_replace(
+            Corpus.synthUrl(col("doc_id"), col("source")),
+            "^https://(www\\.)?", "https://www."),
+          when(col("doc_id") % 2 === 0, lit("&fbclid=x"))
+            .otherwise(lit("?fbclid=x"))).as("url"))
+      u0.union(u1).union(u2)
         .select(col("sighting_id"), Corpus.canonicalUrl(col("url")).as("canon"))
         .groupBy(md5(col("canon")).as("url_key"))
         .agg(
@@ -3908,14 +3920,22 @@ object QueriesPipeline {
       val tracking =
         Corpus.TrackingParams.map(p => s"'$p'").mkString("[", ", ", "]")
       s"""WITH u AS (
-         |  SELECT doc_id * 2 AS sighting_id, $UrlSql AS url
+         |  SELECT doc_id * 3 AS sighting_id, $UrlSql AS url
          |  FROM read_parquet('{SFDIR}/documents.parquet')
          |  UNION ALL
-         |  SELECT doc_id * 2 + 1 AS sighting_id,
+         |  SELECT doc_id * 3 + 1 AS sighting_id,
          |    concat($UrlSql,
          |      CASE WHEN doc_id % 2 = 0 THEN '&utm_source=share' ELSE '?utm_source=share' END,
          |      '#frag') AS url
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |  FROM read_parquet('{SFDIR}/documents.parquet')
+         |  WHERE doc_id % 3 <> 2
+         |  UNION ALL
+         |  SELECT doc_id * 3 + 2 AS sighting_id,
+         |    concat(
+         |      regexp_replace($UrlSql, '^https://(www\\.)?', 'https://www.'),
+         |      CASE WHEN doc_id % 2 = 0 THEN '&fbclid=x' ELSE '?fbclid=x' END) AS url
+         |  FROM read_parquet('{SFDIR}/documents.parquet')
+         |  WHERE doc_id % 5 = 0),
          |c AS (
          |  SELECT sighting_id, url,
          |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
