@@ -171,6 +171,52 @@ object Streaming {
         })
   }
 
+  case class QEventIn(event_type: String, event_id: Long, value: Double)
+  case class QSketchOut(
+      event_type: String, n_sample: Long, p50_est: Double, p90_est: Double)
+  case class QSketchState(rows: List[(Long, Long, Double)])
+
+  /** Streaming bottom-k quantile sketch — the stream twin of the
+    * approx_quantiles_sample batch query, and the reason a bottom-k-
+    * by-hash sample is the right quantile sketch for a live pipeline:
+    * the keyed state IS the sample (the k smallest (md5-hash,
+    * event_id, value) triples per key — bounded at k rows per key by
+    * construction), every micro-batch folds its arrivals in and
+    * emits the key's refreshed p50/p90, and because membership
+    * depends only on each row's own hash, the state after ANY arrival
+    * order equals the batch sample over the same rows — the estimate
+    * CONVERGES to the batch query's exactly (pinned in
+    * StreamingSpec). Update mode; percentile interpolation matches
+    * Spark's `percentile` (linear between floor/ceil positions).
+    */
+  def quantileSketchStream(
+      events: Dataset[QEventIn], k: Int = 128): Dataset[QSketchOut] = {
+    import events.sparkSession.implicits._
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    def pct(sorted: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[QEventIn], state: GroupState[QSketchState]) =>
+          val cur = state.getOption.map(_.rows).getOrElse(Nil)
+          val merged = (cur ++ rows.map(r =>
+              (h32(s"qs_${r.event_id}"), r.event_id, r.value)).toList)
+            .distinct.sortBy(t => (t._1, t._2)).take(k)
+          state.update(QSketchState(merged))
+          val vals = merged.map(_._3).sorted.toIndexedSeq
+          QSketchOut(et, merged.length.toLong, pct(vals, 0.5), pct(vals, 0.9))
+      }
+  }
+
   case class SightingIn(sighting_id: Long, url: String)
   case class UrlDedupOut(sighting_id: Long, url_key: String, is_first: Boolean)
 

@@ -532,6 +532,24 @@ object ScaleSmoke {
       m
     }
 
+    // Perplexity buckets: bigram model + score + distributed prefix
+    // over doc rows; all shuffles combinable or range-partitioned.
+    def pplBuckets(d: DataFrame): Long = {
+      val bg = d.select(col("doc_id"),
+          explode(graft.pipeline.TextOps.shingles(col("text"), 2)).as("bg"))
+        .persist()
+      val scored = graft.pipeline.Corpus
+        .bigramScore(bg, graft.pipeline.Corpus.bigramModel(bg))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("logprob_micro").cast("double") / col("n_bigrams")).as("a"))
+        .withColumn("_ord", struct((-col("a")).as("a"), col("doc_id").as("d")))
+      val m = graft.plans.Scale
+        .cumSumDistributedLong(scored, "n_bigrams", "_ord", "cum")
+        .agg(max("cum")).head.getLong(0)
+      spark.catalog.clearCache()
+      m
+    }
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -580,7 +598,8 @@ object ScaleSmoke {
       "winnow fingerprints" -> (() => (time("winnow 1x", winnow(docs1)), time(s"winnow ${n}x", winnow(docsN)))),
       "winnow pairs" -> (() => (time("winpairs 1x", winPairs(docs1)), time(s"winpairs ${n}x", winPairs(docsNDistinct)))),
       "srcoverlap hot-window skew" -> (() => (time("srcoverlap distinct 1e6", srcOverlapSynth(1000000L, hot = false)), time("srcoverlap 1e6-deep window", srcOverlapSynth(1000000L, hot = true)))),
-      "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))))
+      "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))),
+      "ppl buckets" -> (() => (time("pplbuckets 1x", pplBuckets(docs1)), time(s"pplbuckets ${n}x", pplBuckets(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

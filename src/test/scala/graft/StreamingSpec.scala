@@ -870,6 +870,49 @@ class StreamingSpec extends SparkSpec {
     assert(keys(1L) == keys(2L) && keys(2L) == keys(4L) && keys(1L) != keys(3L))
   }
 
+  test("streaming bottom-k quantile sketch converges to the batch sample estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => Streaming.QEventIn(r.getString(0), r.getLong(1), r.getDouble(2)))
+    val input = MemoryStream[Streaming.QEventIn]
+    val q = Streaming.quantileSketchStream(input.toDS()).writeStream
+      .format("memory").queryName("sqsk").outputMode("update").start()
+    input.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*); q.processAllAvailable(); q.stop()
+    // update mode appends refreshed rows; the LAST emission per key is
+    // the converged sketch
+    val got = spark.table("sqsk").collect()
+      .zipWithIndex
+      .groupBy(_._1.getAs[String]("event_type"))
+      .map { case (et, xs) =>
+        val r = xs.maxBy(_._2)._1
+        et -> (r.getAs[Long]("n_sample"),
+          math.rint(r.getAs[Double]("p50_est") * 1e6) / 1e6,
+          math.rint(r.getAs[Double]("p90_est") * 1e6) / 1e6)
+      }
+    val want = {
+      val ev = rows.toSeq.toDF("event_type", "event_id", "value")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        .orderBy(
+          graft.pipeline.TextOps.hash32(
+            concat(lit("qs_"), col("event_id").cast("string"))).asc,
+          col("event_id").asc)
+      ev.withColumn("_rn", row_number().over(w)).where(col("_rn") <= 128)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))
+        .toMap
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming sessions split on the gap like the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
