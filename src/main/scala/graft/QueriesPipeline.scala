@@ -823,6 +823,24 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // The SCALE-sound half of the τ-calibration story: the sweep over
+    // the banded-LSH candidate set, valid in the true near-dup regime
+    // (τ >= ~0.7 where multi-table recall ≈ 1 — the nearDupPairsLsh
+    // scaladoc's analysis) and sub-quadratic at any corpus size,
+    // where neardup_threshold_sweep's exact tiled pass is the
+    // small-τ/ground-truth instrument. Same 5-row broadcast sweep
+    // tail.
+    "neardup_threshold_sweep_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Similarity.nearDupPairsLsh(embs(s, dir), 0.5)
+        .select(col("cosine"))
+      val ts = broadcast(Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold"))
+      ts.join(pairs, col("cosine") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(count(col("cosine")).as("n_pairs"))
+        .orderBy("threshold")
+    }),
+
     // SemDeDup: cosine verification only within trained IVF cells
     // (nCells=2 recall knob), on the session-staged centroid table.
     // The semantic-dedup plan that survives 100 TB — quadratic work
@@ -2975,6 +2993,32 @@ object QueriesPipeline {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
          |WHERE cosv >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "neardup_threshold_sweep_lsh" -> {
+      def planeSql(p: Int, d: Int) =
+        s"((${h32(s"'plane_${p}_$d'")} % 1000) / 500.0 - 1.0)"
+      def bucketSql(t: Int, nbits: Int, tbl: String) =
+        (0 until nbits).map { i =>
+          val dot = (0 until 64)
+            .map(d => s"CAST($tbl.embedding[${d + 1}] AS DOUBLE) * ${planeSql(t * nbits + i, d)}")
+            .mkString(" + ")
+          s"(CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql(0, 4, "embeddings")} AS b0,
+         |    ${bucketSql(1, 4, "embeddings")} AS b1
+         |  FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings),
+         |p AS MATERIALIZED (
+         |  SELECT cosv FROM (
+         |    SELECT ${cosSql("a.embedding", "b.embedding")} AS cosv
+         |    FROM e a JOIN e b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+         |  WHERE cosv >= 0.5),
+         |t(threshold) AS (VALUES (0.5),(0.6),(0.7),(0.8),(0.9))
+         |SELECT threshold, CAST(count(p.cosv) AS BIGINT) AS n_pairs
+         |FROM t LEFT JOIN p ON p.cosv >= t.threshold
+         |GROUP BY threshold ORDER BY threshold""".stripMargin
     },
 
     "ann_topk" ->

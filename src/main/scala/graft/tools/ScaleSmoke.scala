@@ -532,6 +532,27 @@ object ScaleSmoke {
       m
     }
 
+    // Hot-fingerprint worst case for winnow pairs: every doc contains
+    // the SAME 8-token phrase (its fingerprint lands in all 1e6 docs)
+    // plus unique filler. The df>16 stop-list drops the hot
+    // fingerprint BEFORE the self-join, so the hot fixture must cost
+    // ~ the all-distinct one — without the cap it would emit ~5e11
+    // pairs and never finish.
+    def winPairsSynth(nRows: Long, hot: Boolean): Long = {
+      val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+      val text =
+        if (hot) concat(lit(phrase + " tail "), col("id"))
+        else concat(
+          lit("t"), col("id"), lit("a t"), col("id"), lit("b t"),
+          col("id"), lit("c t"), col("id"), lit("d t"), col("id"),
+          lit("e t"), col("id"), lit("f t"), col("id"), lit("g t"),
+          col("id"), lit("h"))
+      spark.range(nRows)
+        .select(col("id").as("doc_id"), text.as("text"))
+        .transform(graft.pipeline.Corpus.winnowCandidatePairs(_))
+        .count()
+    }
+
     // Perplexity buckets: bigram model + score + distributed prefix
     // over doc rows; all shuffles combinable or range-partitioned.
     def pplBuckets(d: DataFrame): Long = {
@@ -599,7 +620,8 @@ object ScaleSmoke {
       "winnow pairs" -> (() => (time("winpairs 1x", winPairs(docs1)), time(s"winpairs ${n}x", winPairs(docsNDistinct)))),
       "srcoverlap hot-window skew" -> (() => (time("srcoverlap distinct 1e6", srcOverlapSynth(1000000L, hot = false)), time("srcoverlap 1e6-deep window", srcOverlapSynth(1000000L, hot = true)))),
       "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))),
-      "ppl buckets" -> (() => (time("pplbuckets 1x", pplBuckets(docs1)), time(s"pplbuckets ${n}x", pplBuckets(docsN)))))
+      "ppl buckets" -> (() => (time("pplbuckets 1x", pplBuckets(docs1)), time(s"pplbuckets ${n}x", pplBuckets(docsN)))),
+      "winpairs hot-fingerprint skew" -> (() => (time("winpairs distinct 1e6", winPairsSynth(1000000L, hot = false)), time("winpairs 1e6-deep fingerprint", winPairsSynth(1000000L, hot = true)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
