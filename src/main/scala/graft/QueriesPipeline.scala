@@ -1547,10 +1547,11 @@ object QueriesPipeline {
     // (the score join is deliberately un-hinted — model is
     // corpus-scale at 100 TB; AQE broadcasts it when small).
     "doc_bigram_logprob" -> ((s, dir) => {
-      val bg = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
-        .persist()
-      Corpus.bigramScore(bg, Corpus.bigramModel(bg)).orderBy("doc_id")
+      import graft.pipeline.BigramChain
+      Corpus.bigramScore(
+          BigramChain.bigrams(docs(s, dir)),
+          BigramChain.model(s, dir, docs(s, dir)))
+        .orderBy("doc_id")
     }),
 
     // CCNet-style perplexity buckets: docs ranked by per-bigram mean
@@ -1561,10 +1562,10 @@ object QueriesPipeline {
     // different cleaning pipelines. Distributed prefix plan; ordering
     // on the IEEE-exact micro ratio with doc_id tiebreak.
     "ppl_buckets" -> ((s, dir) => {
-      val bg = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
-        .persist()
-      val scored = Corpus.bigramScore(bg, Corpus.bigramModel(bg))
+      import graft.pipeline.BigramChain
+      val scored = Corpus.bigramScore(
+          BigramChain.bigrams(docs(s, dir)),
+          BigramChain.model(s, dir, docs(s, dir)))
         .select(col("doc_id"), col("n_bigrams"),
           (col("logprob_micro").cast("double") / col("n_bigrams"))
             .as("avg_lp_micro"))

@@ -3586,6 +3586,30 @@ object IvfChain {
   * (round-10 advice): a stale store can never serve against a fresh
   * oracle, and two sfDirs can never collide into one slot.
   */
+/** Session-staged self-trained bigram LM — the DedupChain/IvfChain
+  * pattern applied to the fluency tier: doc_bigram_logprob and
+  * ppl_buckets each need the SAME vocabulary-scale (bg, logp_micro)
+  * table, and training it reads the whole corpus; staging it once per
+  * (session, sfDir) makes every consumer after the first pay only its
+  * own scoring join. The bigram ROWS are deliberately NOT staged —
+  * the explode is a map-only pass, cheaper to recompute than a
+  * corpus-token-scale checkpoint is to hold (the opqRotated stance).
+  */
+object BigramChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), 2)).as("bg"))
+
+  def model(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(
+      (s, dir), Corpus.bigramModel(bigrams(docs)).localCheckpoint(true))
+}
+
 object DedupStateStore {
   private lazy val storeRoot: String =
     java.nio.file.Files.createTempDirectory("graft_dedupstate_").toString
