@@ -1252,6 +1252,54 @@ object QueriesPipeline {
       Corpus.winnowCandidatePairs(docs(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // Snapshot-vs-current ingest drift per source (old = the
+    // dedup_incremental snapshot split): doc/token counts both sides
+    // and the token-share delta in exact per-mille — the monitoring
+    // table that catches a source silently exploding or vanishing
+    // between corpus versions. Two combinable aggs + a broadcast
+    // 1-row total each; all-integer arithmetic.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"),
+        (col("doc_id") % 10 =!= 0).as("is_old"))
+      val agg = d.groupBy("source").agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("n_docs_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_docs_new"),
+        sum(when(col("is_old"), col("n_tok")).otherwise(0L)).as("n_tokens_old"),
+        sum(when(!col("is_old"), col("n_tok")).otherwise(0L)).as("n_tokens_new"))
+      val tot = broadcast(agg.agg(
+        sum("n_tokens_old").cast("long").as("_to"),
+        sum("n_tokens_new").cast("long").as("_tn")))
+      agg.crossJoin(tot)
+        .select(
+          col("source"),
+          col("n_docs_old"), col("n_docs_new"),
+          col("n_tokens_old"), col("n_tokens_new"),
+          // per-mille token share on each side, then the drift
+          expr("(n_tokens_old * 1000) div _to").as("share_old_permille"),
+          expr("(n_tokens_new * 1000) div _tn").as("share_new_permille"),
+          (expr("(n_tokens_new * 1000) div _tn") -
+            expr("(n_tokens_old * 1000) div _to")).as("share_drift_permille"))
+        .orderBy("source")
+    }),
+
+    // Per-source exact-duplicate rate (docs minus distinct content
+    // hashes, in exact per-mille) — the first-look curation
+    // diagnostic that tells which source needs dedup most. One
+    // combinable agg (count + countDistinct partial-aggregate).
+    "dedup_rate_by_source" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_contents"))
+        .select(
+          col("source"), col("n_docs"), col("n_distinct_contents"),
+          expr("((n_docs - n_distinct_contents) * 1000) div n_docs")
+            .as("dup_rate_permille"))
+        .orderBy("source")),
+
     // Inter-source text-overlap matrix: distinct shared 8-token
     // windows per source pair — the provenance diagnostic that scopes
     // dedup across sources. See
@@ -3926,6 +3974,36 @@ object QueriesPipeline {
          |  CAST(count(*) AS BIGINT) AS n_shared_fingerprints
          |FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "corpus_snapshot_diff" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(len($Toks) AS BIGINT) AS n_tok,
+         |    (doc_id % 10 <> 0) AS is_old
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |a AS (
+         |  SELECT source,
+         |    CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_old,
+         |    CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_new,
+         |    CAST(sum(CASE WHEN is_old THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_old,
+         |    CAST(sum(CASE WHEN NOT is_old THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_new
+         |  FROM d GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens_old) AS BIGINT) AS "_to",
+         |             CAST(sum(n_tokens_new) AS BIGINT) AS tn FROM a)
+         |SELECT source, n_docs_old, n_docs_new, n_tokens_old, n_tokens_new,
+         |  CAST((n_tokens_old * 1000) // "_to" AS BIGINT) AS share_old_permille,
+         |  CAST((n_tokens_new * 1000) // tn AS BIGINT) AS share_new_permille,
+         |  CAST((n_tokens_new * 1000) // tn - (n_tokens_old * 1000) // "_to" AS BIGINT)
+         |    AS share_drift_permille
+         |FROM a, t ORDER BY source""".stripMargin,
+
+    "dedup_rate_by_source" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_contents,
+         |  CAST(((count(*) - count(DISTINCT md5(text))) * 1000) // count(*) AS BIGINT)
+         |    AS dup_rate_permille
+         |FROM read_parquet('{SFDIR}/documents.parquet')
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "source_overlap" -> {
       val n = Corpus.SubstringN
