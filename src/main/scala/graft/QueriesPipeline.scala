@@ -1244,6 +1244,18 @@ object QueriesPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // CC clusters over the winnow candidate graph — the winnow path
+    // run to completion (fingerprints → pairs → components →
+    // canonicals). No verify stage needed BY CONSTRUCTION: a shared
+    // selected fingerprint is an exact shared-8-token-run witness
+    // (md5-collision odds aside), unlike MinHash candidates which
+    // require the Jaccard pass. Same pointer-jumping CC as the LSH
+    // chain; only docs with at least one shared run appear.
+    "dedup_winnow_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Corpus.winnowCandidatePairs(docs(s, dir)).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
+
     // Winnow-keyed candidate pairs: docs sharing a selected
     // fingerprint (boilerplate fingerprints stop-listed at df>16) —
     // the exact-long-run candidate generator off the ~2/(w+1)-sized
@@ -1844,6 +1856,27 @@ object QueriesPipeline {
     // denominator.
     "source_mix_weights" -> ((s, dir) =>
       Corpus.mixWeights(docs(s, dir)).orderBy("source")),
+
+    // The multi-epoch reading of the mix (LLaMA-style): at a training
+    // budget of 4x the corpus, each source's sqrt-temperature token
+    // allocation expressed as EPOCHS over its own data (per-mille),
+    // capped at 4 — the repeat-small-high-quality-sources rule, with
+    // the cap flag showing which sources saturate it. Same single
+    // aggregation as source_mix_weights plus integer arithmetic.
+    "mix_epochs" -> ((s, dir) => {
+      val mw = Corpus.mixWeights(docs(s, dir))
+      val tot = broadcast(mw.agg(sum("n_tokens").cast("long").as("_tot")))
+      mw.crossJoin(tot)
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("mix_weight"),
+          floor(col("mix_weight") * (col("_tot") * 4).cast("double"))
+            .cast("long").as("alloc_tokens"))
+        .withColumn("epochs_permille",
+          least(expr("(alloc_tokens * 1000) div n_tokens"), lit(4000L)))
+        .withColumn("capped",
+          expr("(alloc_tokens * 1000) div n_tokens") > 4000L)
+        .orderBy("source")
+    }),
 
     // Materialize the mix: fill a 2000-token budget per mix_weight
     // shares, keeping hash-ordered docs per source until each source's
@@ -3946,6 +3979,29 @@ object QueriesPipeline {
          |  md5(array_to_string(list_transform(fps, p -> CAST(hs[p + 1] AS VARCHAR)), ' ')) AS fp_md5
          |FROM fp ORDER BY doc_id""".stripMargin,
 
+    "dedup_winnow_clusters" ->
+      s"""WITH RECURSIVE $WinnowCtes,
+         |rows_ AS (
+         |  SELECT DISTINCT doc_id, hs[p + 1] AS h
+         |  FROM (SELECT doc_id, hs, unnest(fps) AS p FROM fp)),
+         |keep AS (
+         |  SELECT h FROM (SELECT h, count(*) AS c FROM rows_ GROUP BY h)
+         |  WHERE c <= 16),
+         |k AS (SELECT doc_id, h FROM rows_ JOIN keep USING (h)),
+         |wp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
+         |           UNION SELECT doc_b, doc_a FROM wp),
+         |wreach(src, dst) AS (
+         |  SELECT src, dst FROM wedges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM wreach GROUP BY src ORDER BY doc_id""".stripMargin,
+
     "dedup_winnow_incremental" ->
       s"""WITH $WinnowCtes,
          |rows_ AS (
@@ -4494,6 +4550,26 @@ object QueriesPipeline {
          |    / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6)
          |    AS mix_weight
          |FROM s ORDER BY source""".stripMargin,
+
+    "mix_epochs" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+         |w AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    round(sqrt(CAST(n_tokens AS DOUBLE))
+         |      / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6) AS mix_weight
+         |  FROM s),
+         |a AS (
+         |  SELECT w.source, w.n_docs, w.n_tokens, w.mix_weight,
+         |    CAST(floor(w.mix_weight * CAST(t.tot * 4 AS DOUBLE)) AS BIGINT) AS alloc_tokens
+         |  FROM w, t)
+         |SELECT source, n_docs, n_tokens, mix_weight, alloc_tokens,
+         |  CAST(least((alloc_tokens * 1000) // n_tokens, 4000) AS BIGINT) AS epochs_permille,
+         |  (alloc_tokens * 1000) // n_tokens > 4000 AS capped
+         |FROM a ORDER BY source""".stripMargin,
 
     "corpus_budget_sample" ->
       s"""WITH s AS (
