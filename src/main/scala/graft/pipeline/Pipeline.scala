@@ -1768,8 +1768,8 @@ object Corpus {
       docs: DataFrame, n: Int = SubstringN, w: Int = 4): DataFrame =
     winnowBase(docs, n, w)
       .select(col("doc_id"),
-        explode(transform(col("_fp"),
-          p => struct(p.as("p"), element_at(col("_h"), p + 1).as("h")))).as("f"))
+        explode(arrays_zip(
+          col("_w.positions").as("p"), col("_w.hashes").as("h"))).as("f"))
       .select(col("doc_id"), col("f.p").as("p"), col("f.h").as("h"))
 
   /** Winnow-keyed candidate pairs — the USE of the fingerprint index:
@@ -1841,37 +1841,22 @@ object Corpus {
   /** Shared tail: token array, gram hashes, per-window rightmost-min
     * selections, distinct selected positions.
     */
+  /** The fused one-pass winnow selection
+    * ([[org.apache.spark.sql.graft.expressions.WinnowF]] — gram
+    * hashing + rightmost-min selection in one codegen'd kernel,
+    * replacing the interpreted higher-order-function array spelling
+    * that evaluated one O(w) lambda fold per window outside
+    * whole-stage codegen). Output `_w` struct: (n_grams, positions,
+    * hashes).
+    */
   private def winnowBase(docs: DataFrame, n: Int, w: Int): DataFrame = {
     require(n >= 2 && w >= 1, s"bad winnow params n=$n w=$w")
-    val hashes =
-      when(size(col("_t")) < n, array().cast("array<bigint>"))
-        .otherwise(transform(
-          sequence(lit(0), size(col("_t")) - n),
-          p => TextOps.hash32(concat_ws(" ", slice(col("_t"), p + 1, lit(n))))))
-    val g = size(col("_h"))
-    // rightmost-min per window: ascending fold replaces on <=, so the
-    // last position of the minimum wins — the published tie rule.
-    val sel =
-      when(g === 0, array().cast("array<struct<h:bigint,p:int>>"))
-        .otherwise(transform(
-          sequence(lit(0), greatest(g - w, lit(0))),
-          j => aggregate(
-            sequence(j, least(j + w, g) - 1),
-            struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
-            (st, p) => when(
-              element_at(col("_h"), p + 1) <= st.getField("h"),
-              struct(element_at(col("_h"), p + 1).as("h"), p.as("p")))
-              .otherwise(st))))
-    // dedup by POSITION: a position selected from several windows
-    // always carries the same hash, so distinct positions ARE the
-    // distinct fingerprints (and int dedup has a DuckDB mirror where
-    // struct dedup does not)
-    val fps = array_sort(array_distinct(transform(
-      col("_sel"), x => x.getField("p"))))
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-      .withColumn("_h", hashes)
-      .withColumn("_sel", sel)
-      .withColumn("_fp", fps)
+    docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.graft.expressions.WinnowF(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+          n, w)).as("_w"))
   }
 
   def winnowFingerprints(
@@ -1879,15 +1864,15 @@ object Corpus {
     winnowBase(docs, n, w)
       .select(
         col("doc_id"),
-        size(col("_h")).cast("long").as("n_grams"),
-        size(col("_fp")).cast("long").as("n_fingerprints"),
+        col("_w.n_grams").as("n_grams"),
+        size(col("_w.positions")).cast("long").as("n_fingerprints"),
         round(
-          when(size(col("_h")) === 0, 0.0)
-            .otherwise(size(col("_fp")).cast("double") / size(col("_h"))),
+          when(col("_w.n_grams") === 0L, 0.0)
+            .otherwise(size(col("_w.positions")).cast("double") /
+              col("_w.n_grams")),
           6).as("density"),
         md5(array_join(
-          transform(col("_fp"),
-            p => element_at(col("_h"), p + 1).cast("string")), " "))
+          transform(col("_w.hashes"), h => h.cast("string")), " "))
           .as("fp_md5"))
 
   /** Inter-source text-overlap matrix — which sources duplicate each
