@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{BpeEncodeF, DotProductF, DotProductFD, EwmaWindow, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{BpeEncodeF, DotProductF, DotProductFD, EwmaWindow, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -27,7 +27,10 @@ import org.apache.spark.sql.graft.expressions.{BpeEncodeF, DotProductF, DotProdu
   *    length of the result);
   *  - `text_counts(text)` — the fused one-pass token profile struct
   *    (n_tokens, stop_en, stop_es, n_alpha, stop_en_dist, sh_n,
-  *    sh_distinct).
+  *    sh_distinct);
+  *  - `winnow_fp(text[, n, w])` — the fused winnowing fingerprint
+  *    selection struct (n_grams, positions, hashes); defaults n=8,
+  *    w=4, the doc_winnow contract.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -103,6 +106,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "bpe_encode(text) takes 1 argument")
         BpeEncodeF(args.head)
+      }),
+    (
+      "winnow_fp",
+      new ExpressionInfo(classOf[WinnowF].getName, "winnow_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 1 && args.length <= 3,
+          "winnow_fp(text[, n, w]) takes 1-3 arguments")
+        val n = if (args.length >= 2) doubleLit(args(1), "n").toInt else 8
+        val w = if (args.length >= 3) doubleLit(args(2), "w").toInt else 4
+        WinnowF(args.head, n, w)
       }),
     (
       "text_counts",

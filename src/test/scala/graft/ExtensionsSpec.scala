@@ -85,6 +85,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getInt(2) == 3 && got.getInt(3) == 3)
   }
 
+  test("winnow_fp is callable from SQL and agrees with the Corpus spelling") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val text = (1 to 8).map(i => s"p$i").mkString(" ") + " alpha beta gamma " +
+      (1 to 8).map(i => s"p$i").mkString(" ")
+    val got = spark.sql(
+      s"""SELECT winnow_fp('$text').n_grams AS g,
+         |  size(winnow_fp('$text').positions) AS nf,
+         |  winnow_fp('$text', 8, 4).hashes AS hs
+         |""".stripMargin).collect().head
+    val want = graft.pipeline.Corpus.winnowFingerprints(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    assert(got.getLong(0) == want.getAs[Long]("n_grams"))
+    assert(got.getInt(1).toLong == want.getAs[Long]("n_fingerprints"))
+    assert(got.getSeq[Long](2).nonEmpty)
+  }
+
   test("var_alpha_ewma is callable from SQL with OVER") {
     GraftExtensions.register(spark)
     val df = bars("x", Seq(10.0, 20.0, 30.0))
