@@ -184,4 +184,70 @@ class PropertySpec extends SparkSpec {
         assert(rd.nonEmpty)
       }
   }
+
+  test("shardAssign: contiguity, coverage and balance hold on random corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val nDocs = 50 + rnd.nextInt(200)
+      val rows = (0L until nDocs).map { id =>
+        // skewed doc lengths: mostly short, a few giants
+        val len = if (rnd.nextInt(10) == 0) 200 + rnd.nextInt(800)
+                  else 1 + rnd.nextInt(30)
+        (id, (1 to len).map(i => s"t${id}_$i").mkString(" "))
+      }
+      val s = 4 + rnd.nextInt(5)
+      val got = pipeline.Corpus.shardAssign(
+          rows.toDF("doc_id", "text"), nShards = s)
+        .orderBy("doc_id").collect()
+      val shards = got.map(_.getAs[Long]("shard"))
+      assert(shards.forall(x => x >= 0 && x < s), s"trial $trial: shard range")
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b },
+        s"trial $trial: contiguity")
+      val tot = got.map(_.getAs[Long]("n_tokens")).sum
+      val maxDoc = got.map(_.getAs[Long]("n_tokens")).max
+      got.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+        val sz = g.map(_.getAs[Long]("n_tokens")).sum
+        assert(math.abs(sz - tot.toDouble / s) <= maxDoc + 1,
+          s"trial $trial: imbalance $sz vs ${tot.toDouble / s}")
+      }
+    }
+  }
+
+  test("winnowing guarantee holds on random docs with planted shared runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h32(x: String) = java.lang.Long.parseLong(md5hex(x).substring(0, 8), 16)
+    for (trial <- 1 to 5) {
+      // plant a shared run of exactly w+n-1 = 11 tokens (the guarantee's
+      // minimum) inside two otherwise-random documents
+      val run = (1 to 11).map(i => s"r${trial}_$i").mkString(" ")
+      def randTail(m: Int) = (1 to m).map(_ => s"x${rnd.nextInt(100000)}").mkString(" ")
+      val docA = s"${randTail(3 + rnd.nextInt(10))} $run ${randTail(3 + rnd.nextInt(10))}"
+      val docB = s"${randTail(3 + rnd.nextInt(10))} $run ${randTail(3 + rnd.nextInt(10))}"
+      val rows = pipeline.Corpus.winnowFingerprintRows(
+          Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h"))
+      val fpA = rows.filter(_._1 == 1L).map(_._2).toSet
+      val fpB = rows.filter(_._1 == 2L).map(_._2).toSet
+      assert((fpA & fpB).nonEmpty,
+        s"trial $trial: shared ${11}-token run must share a fingerprint")
+    }
+  }
+
+  test("quality model logit is invariant to doc order and partitioning") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      pipeline.Corpus.qualityModelScore(df)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("logit"))).toSeq
+    val a = key(d.repartition(3))
+    val b = key(d.repartition(17, col("source")))
+    assert(a == b && a.nonEmpty)
+  }
 }
