@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-operator invariants on the real sf0.001 corpus — relations
+  * BETWEEN declared operators that no single-query oracle can check
+  * (each oracle mirrors one query; these pin that the family agrees
+  * with itself).
+  */
+class CrossInvariantSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact duplicates land in one winnow cluster (long docs)") {
+    // Any two identical documents of >= w+n-1 tokens share every
+    // fingerprint, so winnow clustering must put them in the same
+    // component — the cross-check between the exact-dedup and
+    // winnow-dedup families.
+    // sf0.001 has no exact dups among long docs — plant verbatim
+    // copies of five REAL long documents under fresh ids
+    val base = docs.select(col("doc_id"), col("text"))
+    val sources = base
+      .where(size(split(col("text"), " ")) >= 11)
+      .orderBy("doc_id").limit(5).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val copies = sources.zipWithIndex.map { case ((_, t), i) =>
+      (100000L + i, t)
+    }
+    import spark.implicits._
+    val d = base.union(copies.toSeq.toDF("doc_id", "text"))
+    val dupGroups = sources.zipWithIndex.map { case ((id, _), i) =>
+      Seq(id, 100000L + i)
+    }.toSeq
+    val clusters = graft.pipeline.Dedup.clusters(
+        graft.pipeline.Corpus.winnowCandidatePairs(d).select("doc_a", "doc_b"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    dupGroups.foreach { ids =>
+      val cs = ids.flatMap(clusters.get).distinct
+      assert(cs.length == 1 && ids.forall(clusters.contains),
+        s"exact-dup group $ids split across winnow clusters $cs")
+    }
+  }
+
+  test("vocab coverage is monotone in K and bounded by 1") {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    val (ranked, _) = graft.plans.Scale.rowNumberDistributedWithTotal(
+      counts, Seq(col("n_occ").desc, col("token").asc), "rank")
+    val tot = counts.agg(sum("n_occ")).head.getLong(0)
+    val cov = Seq(100L, 1000L, 10000L).map { k =>
+      ranked.where(col("rank") <= k)
+        .agg(coalesce(sum("n_occ"), lit(0L))).head.getLong(0).toDouble / tot
+    }
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c >= 0.0 && c <= 1.0))
+    spark.catalog.clearCache()
+  }
+
+  test("curriculum cumulative tokens end at the corpus total") {
+    val scored = graft.pipeline.Corpus.qualityModelScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("logit"))
+    val ranked = graft.plans.Scale.rowNumberDistributed(
+      scored, Seq(col("logit").desc, col("doc_id").asc), "curriculum_pos")
+    val cum = graft.plans.Scale
+      .cumSumDistributedLong(ranked, "n_tokens", "curriculum_pos", "cum_tokens")
+    val last = cum.agg(max("cum_tokens")).head.getLong(0)
+    val tot = scored.agg(sum("n_tokens")).head.getLong(0)
+    assert(last == tot && tot > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("shard stats cover every doc and the full token mass") {
+    val a = graft.pipeline.Corpus.shardAssign(docs)
+    val byShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+      .agg(sum("nd"), sum("nt")).head
+    val total = a.agg(count(lit(1)), sum("n_tokens")).head
+    assert(byShard.getLong(0) == total.getLong(0))
+    assert(byShard.getLong(1) == total.getLong(1))
+  }
+}
