@@ -1783,6 +1783,13 @@ object Corpus {
     * <= maxDf², the standard stop-list cap every inverted-index pair
     * generator applies — without it one boilerplate fingerprint in 1e6
     * docs would emit 1e12 pairs.
+    *
+    * Streaming stance: fingerprint EXTRACTION streams
+    * ([[graft.streaming.Streaming.winnowStream]]); the pair join's
+    * state is the corpus-sized fingerprint index, so the live shape
+    * is the incremental batch pass ([[winnowIncrementalPairs]])
+    * against the disk-served index — the dedupStream-vs-
+    * incrementalCandidatePairs split, at fingerprint granularity.
     */
   def winnowCandidatePairs(
       docs: DataFrame, n: Int = SubstringN, w: Int = 4,
@@ -1888,6 +1895,11 @@ object Corpus {
     * bounded by |sources|² regardless of how many documents share the
     * window (the hot-boilerplate key that breaks doc-level pair joins
     * is harmless here), and the pair agg partial-combines.
+    *
+    * No streaming twin BY DECISION: the distinct (source, window) set
+    * is corpus-sized state; the honest streaming shape is periodic
+    * batch recomputation over the accumulated corpus (it is an audit
+    * table, not an ingest gate).
     */
   def sourceWindowOverlap(docs: DataFrame, n: Int = SubstringN): DataFrame = {
     require(n >= 2, s"bad window n=$n")
@@ -1922,6 +1934,11 @@ object Corpus {
     * 100 TB of tokens), so engine and oracle cannot drift on a float
     * boundary. The degenerate tail (a zero-token last doc, whose
     * start equals the total) is absorbed by the clamp.
+    *
+    * No streaming twin BY DECISION: the assignment depends on the
+    * global prefix sum and total, which do not exist until the corpus
+    * is bounded — a live pipeline shards per micro-batch (trivially)
+    * and runs THIS operator at materialization time.
     */
   def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
     require(nShards > 0, s"bad shard count $nShards")
