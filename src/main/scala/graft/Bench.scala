@@ -56,13 +56,18 @@ object Bench {
       sf: String,
       nFailed: Int,
       stealTotal: Long,
-      out: String): String = {
+      out: String,
+      cpus: Int): String = {
     val slow = chosen.sortBy { case (_, w) => -math.abs(w) }.take(30)
     val qsCompact = jnum(slow.map { case (n, w) => n -> r3(w) })
+    // bench_cpus is the thread count the engine ACTUALLY ran with
+    // (SPARK_GRAFT_CPUS; the driver wrapper's own `cpus` field is the
+    // machine core count, which never varies) — recorded so cross-round
+    // ratios compare like with like (round-11 verdict nit).
     s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qsCompact,"sf":"$sf","n_queries":${chosen.size},""" +
       s""""n_failed":$nFailed,"raw_total":${r3(rawTotal)},""" +
-      s""""steal_ms_total":$stealTotal,"full":"$out"}"""
+      s""""steal_ms_total":$stealTotal,"bench_cpus":$cpus,"full":"$out"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -187,6 +192,7 @@ object Bench {
     val stealTotal = stealMillis()
     val gcTotal = gcMillis()
     val meta = s"""{"warmup_sec":$warmupSec,"passes":$passes,""" +
+      s""""bench_cpus":$cpus,""" +
       s""""raw_total":$rawTotal,"adjusted_total":$total,""" +
       s""""noisy_queries":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""load_avg_start":$loadStart,"load_avg_end":${loadAvg()},""" +
@@ -218,7 +224,7 @@ object Bench {
     val nFailed = chosen.count(!_._2.ok)
     println(compactLine(
       chosen.map { case (n, m) => n -> (if (m.ok) m.wall else -m.wall) },
-      total, rawTotal, sfDir, nFailed, stealTotal, out))
+      total, rawTotal, sfDir, nFailed, stealTotal, out, cpus.toInt))
     spark.stop()
   }
 }

@@ -30,7 +30,8 @@ class BenchLineSpec extends AnyFunSuite {
       sf = "/root/testdata/sf0.1",
       nFailed = chosen.size,
       stealTotal = 99999999L,
-      out = longOut)
+      out = longOut,
+      cpus = 32)
     // 100-char margin below the hard 2000 so drift is caught early.
     assert(line.length < 1900, s"compact bench line is ${line.length} chars")
     assert(line.startsWith("""{"metric":"total""""))
