@@ -571,6 +571,15 @@ object ScaleSmoke {
       m
     }
 
+    // One distributed BPE merge-selection round (the trainer's unit of
+    // work): explode(bpe_pairs) -> groupBy(pair).count -> argmax. The
+    // only exchange is the pair-count aggregate, bounded by the
+    // distinct-pair vocabulary — the corpus never moves, so the ratio
+    // must track the map-side volume.
+    def bpeRound(d: DataFrame): Long =
+      BpeTrain.bestPair(d.select(col("text").as("s")))
+        .map(_._2).getOrElse(0L)
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -621,7 +630,8 @@ object ScaleSmoke {
       "srcoverlap hot-window skew" -> (() => (time("srcoverlap distinct 1e6", srcOverlapSynth(1000000L, hot = false)), time("srcoverlap 1e6-deep window", srcOverlapSynth(1000000L, hot = true)))),
       "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))),
       "ppl buckets" -> (() => (time("pplbuckets 1x", pplBuckets(docs1)), time(s"pplbuckets ${n}x", pplBuckets(docsN)))),
-      "winpairs hot-fingerprint skew" -> (() => (time("winpairs distinct 1e6", winPairsSynth(1000000L, hot = false)), time("winpairs 1e6-deep fingerprint", winPairsSynth(1000000L, hot = true)))))
+      "winpairs hot-fingerprint skew" -> (() => (time("winpairs distinct 1e6", winPairsSynth(1000000L, hot = false)), time("winpairs 1e6-deep fingerprint", winPairsSynth(1000000L, hot = true)))),
+      "bpe merge round" -> (() => (time("bperound 1x", bpeRound(docs1)), time(s"bperound ${n}x", bpeRound(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

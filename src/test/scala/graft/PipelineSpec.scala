@@ -1233,7 +1233,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("Bpe: char-47 table is the prefix of the byte table; symbols well-formed") {
-    assert(pipeline.Bpe.Merges.size == 256)
+    assert(pipeline.Bpe.Merges.size == 1024)
     assert(pipeline.Bpe.MergesChar == pipeline.Bpe.Merges.take(47))
     pipeline.Bpe.Merges.zipWithIndex.foreach { case ((p, r), i) =>
       assert(r == (0xE000 + i).toChar.toString, s"rank $i: bad symbol")
@@ -1241,6 +1241,48 @@ class PipelineSpec extends SparkSpec {
       p.foreach(c => assert(c < 128 || (c >= 0xE000 && c < 0xE000 + i),
         s"rank $i: pair symbol must be ASCII or an EARLIER merge output"))
     }
+  }
+
+  test("BpePairsF: left-to-right non-overlapping scan matches replace semantics") {
+    import org.apache.spark.sql.graft.expressions.BpePairsF
+    // run handling: "aaa" -> one "aa" (the replace consumes both),
+    // "aaaa" -> two, "aab" -> "aa" then "ab" (candidate pairs are
+    // counted independently, the trainer's approximation)
+    assert(BpePairsF.pairsArray("aaa").toSeq == Seq("aa"))
+    assert(BpePairsF.pairsArray("aaaa").toSeq == Seq("aa", "aa"))
+    assert(BpePairsF.pairsArray("aab").toSeq == Seq("aa", "ab"))
+    assert(BpePairsF.pairsArray("a").isEmpty)
+    assert(BpePairsF.pairsArray("").isEmpty)
+    // for every pair p, its count in the scan equals the number of
+    // replacements a left-to-right replace(p, X) performs
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val s = (0 until 1 + rnd.nextInt(30))
+        .map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+      val counts = BpePairsF.pairsArray(s).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+      for (a <- "abc"; b <- "abc") {
+        val p = s"$a$b"
+        val replaced = s.replace(p, "")
+        val fired = (s.length - replaced.length) / 2  // each fire removes 2 chars
+        assert(counts.getOrElse(p, 0) == fired,
+          s"pair $p in '$s': scan=${counts.getOrElse(p, 0)} replace=$fired")
+      }
+    }
+  }
+
+  test("distributed BpeTrain reproduces the committed table prefix on the real corpus") {
+    // the committed 1024-row BpeMergesTable was generated by this same
+    // distributed procedure; re-training the first 16 merges here pins
+    // rank, pair, symbol AND frequency against the committed artifact
+    // (frequencies hardcoded from the generation run)
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("s"))
+    val got = tools.BpeTrain.train(corpus, nMerges = 16)
+    assert(got.map(r => (r._1, r._2)) == pipeline.Bpe.Merges.take(16))
+    assert(got.map(_._3) == Seq(5505L, 4650L, 3690L, 2880L, 2858L, 2763L,
+      2223L, 2163L, 2143L, 1928L, 1873L, 1873L, 1836L, 1806L, 1563L, 1476L))
   }
 
   test("packMaterialize windows reassemble the global token stream exactly") {
