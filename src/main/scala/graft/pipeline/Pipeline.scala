@@ -964,7 +964,11 @@ object Corpus {
     * qualityScore >= 0.5) into one dot product; micro-rounded train
     * fidelity vs the teacher 0.94. The artifact-not-code stance of
     * the BPE merge table: the committed artifact is the weight
-    * vector, the procedure is in the repo.
+    * vector, the procedure is in the repo — since round 12 the
+    * trainer's corpus-scale half is DISTRIBUTED (map-only QmFeaturesF
+    * feature kernel + deterministic hash-capped sample; only the
+    * bounded feature matrix reaches the driver, never the text) and
+    * PipelineSpec pins that it re-derives these exact micros.
     */
   val QualityModelBuckets = 64
   val QualityModelWMicro: Array[Long] = Array(

@@ -1,8 +1,9 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** FIXTURE TRAINER for the committed linear quality-model weights
+/** DISTRIBUTED trainer for the committed linear quality-model weights
   * ([[graft.pipeline.Corpus.QualityModelWMicro]]) — the in-repo
   * record of "trained by exactly this procedure", the same
   * artifact-not-code stance as the BPE merge table and the OPQ
@@ -18,72 +19,74 @@ import org.apache.spark.sql.functions._
   * distill an expensive teacher signal into a cheap linear scorer.
   * Plus 5 dense text-shape features (length, mean word len, alpha
   * frac, distinct stops, dup-trigram frac) scaled to ~[0,1].
-  * Full-batch gradient descent, lr 50, 20k epochs, zero init —
-  * deterministic end to end (doc order fixed by doc_id; the feature
-  * hash is the same md5-derived hash32 the engine applies). Final
-  * weights are rounded to integer MICROS so the serving-side dot
-  * product is exact integer arithmetic (the doc_logprob convention)
-  * with ONE trailing IEEE division — bit-reproducible across Spark
-  * and DuckDB without transcendentals at query time (the sigmoid is
-  * monotone, so keep = logit >= 0 needs no exp()).
   *
-  * Prints the Scala literal to paste into Corpus, plus held-out-free
-  * train accuracy vs the teacher gate (a distillation fidelity
-  * check, not a benchmark).
+  * Scale shape (replacing the round-11 whole-corpus text collect):
+  * feature extraction and labeling run DISTRIBUTED, map-only, where
+  * the data lives ([[org.apache.spark.sql.graft.expressions.QmFeaturesF]]
+  * — one kernel pass per doc, no shuffle); a deterministic hash
+  * sample caps the training set at `maxTrain` rows, and only that
+  * bounded fixed-width feature matrix (≤ maxTrain × 69 doubles, ~55 MB
+  * at the 100k default — a documented bounded artifact, the OPQ
+  * moment-pass stance) reaches the driver, never the corpus text.
+  * The optimizer itself (full-batch gradient descent, lr 50, 20k
+  * epochs, zero init) is deliberately driver-side over that bounded
+  * matrix — the fastText reality: quality classifiers train on a
+  * bounded labeled sample while the corpus-scale costs are feature
+  * extraction (distributed here) and serving (the map-only integer
+  * dot product in [[graft.pipeline.Corpus.qualityModelScore]]).
+  * Deterministic end to end: the sample is hash-selected, rows are
+  * collected in doc_id order, and the kernel reproduces the round-11
+  * per-doc arithmetic byte for byte — so the distributed trainer
+  * re-derives the COMMITTED weights exactly (PipelineSpec pins the
+  * full train-and-compare round trip on the real corpus).
   *
-  * Usage: runMain graft.tools.TrainQualityModel [sfDir]
+  * Final weights are rounded to integer MICROS so the serving-side
+  * dot product is exact integer arithmetic (the doc_logprob
+  * convention) with ONE trailing IEEE division — bit-reproducible
+  * across Spark and DuckDB without transcendentals at query time
+  * (the sigmoid is monotone, so keep = logit >= 0 needs no exp()).
+  *
+  * Usage: runMain graft.tools.TrainQualityModel [sfDir] [lr] [epochs]
   */
 object TrainQualityModel {
-  private val B = 64
+  private val B = org.apache.spark.sql.graft.expressions.QmFeaturesF.B
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def qmFeats(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.QmFeaturesF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
-  /** JVM mirror of TextOps.hash32: first 8 md5 hex chars as a long. */
-  private def hash32(s: String): Long =
-    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
-
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = graft.sources.Sessions.builder("local[8]", 8).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        col("doc_id"), col("text"),
+  /** Distributed feature+label pass -> bounded driver matrix. The
+    * hash sample keeps every k-th doc (k = ceil(n / maxTrain),
+    * hash-selected so the sample is corpus-order-independent), rows
+    * arrive in doc_id order.
+    */
+  def trainingMatrix(docs: DataFrame,
+      maxTrain: Long = 100000L): Array[(Array[Double], Double)] = {
+    val n = docs.count()
+    val k = math.max(1L, (n + maxTrain - 1) / maxTrain)
+    docs.select(
+        col("doc_id"),
+        qmFeats(col("text")).as("x"),
         (graft.pipeline.Corpus.gopherKeep() &&
           graft.pipeline.TextOps.qualityScore(col("text")) >= 0.5).as("y"))
+      .where(pmod(graft.pipeline.TextOps.hash32(
+        concat(lit("qmtrain_"), col("doc_id").cast("string"))), lit(k)) === 0)
       .orderBy("doc_id")
       .collect()
-    // feature vector = 64 hashed-token-bucket frequencies + 5 dense
-    // text-shape features (length, mean word len, alpha frac,
-    // distinct stops, dup-trigram frac — the gate's own signals,
-    // scaled to ~[0,1]), exactly as the serving expression computes
-    // them.
-    val feats = rows.map { r =>
-      val text = r.getString(1)
-      val toks = text.split(" ", -1)
-      val cnt = new Array[Double](B + 5)
-      toks.foreach(t => cnt((hash32("qm_" + t) % B).toInt) += 1.0)
-      val n = math.max(toks.length, 1).toDouble
-      var j = 0
-      while (j < B) { cnt(j) /= n; j += 1 }
-      cnt(B) = math.min(toks.length, 1000).toDouble / 1000.0
-      cnt(B + 1) = ((text.length - (toks.length - 1)).toDouble / toks.length) / 10.0
-      cnt(B + 2) = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / toks.length
-      cnt(B + 3) = toks.filter(Set("the", "a", "of", "to", "and")).distinct.length.toDouble / 5.0
-      cnt(B + 4) = {
-        val sh = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
-        if (sh.isEmpty) 0.0 else 1.0 - sh.distinct.length.toDouble / sh.length
-      }
-      (cnt, if (r.getBoolean(2)) 1.0 else 0.0)
-    }
-    println(s"// base rate y=1: ${feats.count(_._2 > 0.5)} / ${feats.length}")
+      .map(r => (r.getSeq[Double](1).toArray, if (r.getBoolean(2)) 1.0 else 0.0))
+  }
+
+  /** Full-batch logistic GD over the bounded matrix; returns
+    * (hashed wMicro, dense wMicro, biasMicro, micro-rounded train
+    * accuracy vs the teacher gate).
+    */
+  def fit(feats: Array[(Array[Double], Double)],
+      lr: Double = 50.0, epochs: Int = 20000)
+      : (Array[Long], Array[Long], Long, Double) = {
     val D = B + 5
     val w = new Array[Double](D)
     var b = 0.0
-    val lr = args.lift(1).map(_.toDouble).getOrElse(50.0)
-    val epochs = args.lift(2).map(_.toInt).getOrElse(20000)
     for (_ <- 1 to epochs) {
       val gw = new Array[Double](D)
       var gb = 0.0
@@ -113,12 +116,25 @@ object TrainQualityModel {
       val z = zh / 1e6 + zd + bMicro / 1e6
       (z >= 0) == (y > 0.5)
     }.toDouble / feats.length
+    (wMicro.take(B), wMicro.drop(B), bMicro, acc)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.sources.Sessions.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = trainingMatrix(docs)
+    println(s"// base rate y=1: ${feats.count(_._2 > 0.5)} / ${feats.length}")
+    val lr = args.lift(1).map(_.toDouble).getOrElse(50.0)
+    val epochs = args.lift(2).map(_.toInt).getOrElse(20000)
+    val (wHash, wDense, bMicro, acc) = fit(feats, lr, epochs)
     println(s"// trained on $sfDir, ${feats.length} docs, " +
       f"micro-rounded train accuracy vs teacher gate: $acc%.4f")
     println(s"  val QualityModelWMicro: Array[Long] = Array(")
-    println(wMicro.take(B).grouped(8).map(g => "    " + g.mkString(", ")).mkString(",\n"))
+    println(wHash.grouped(8).map(g => "    " + g.mkString(", ")).mkString(",\n"))
     println("  )")
-    println(s"  val QualityModelDenseWMicro: Array[Long] = Array(${wMicro.drop(B).mkString(", ")})")
+    println(s"  val QualityModelDenseWMicro: Array[Long] = Array(${wDense.mkString(", ")})")
     println(s"  val QualityModelBiasMicro: Long = ${bMicro}L")
     spark.stop()
   }

@@ -1271,6 +1271,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("distributed TrainQualityModel reproduces the committed weights exactly") {
+    // the distributed pass (map-only QmFeaturesF kernel + hash-capped
+    // ordered collect of the bounded feature matrix) must re-derive
+    // the committed integer-micro fixture bit for bit
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = tools.TrainQualityModel.trainingMatrix(d)
+    val (wh, wd, b, acc) = tools.TrainQualityModel.fit(feats)
+    assert(wh.toSeq == pipeline.Corpus.QualityModelWMicro.toSeq)
+    assert(wd.toSeq == pipeline.Corpus.QualityModelDenseWMicro.toSeq)
+    assert(b == pipeline.Corpus.QualityModelBiasMicro)
+    assert(acc >= 0.93)
+  }
+
   test("distributed BpeTrain reproduces the committed table prefix on the real corpus") {
     // the committed 1024-row BpeMergesTable was generated by this same
     // distributed procedure; re-training the first 16 merges here pins
