@@ -296,10 +296,12 @@ object QueriesPipeline {
     // The one-row dedup FUNNEL dashboard an operator reads after a
     // corpus pass: how much each dedup tier would remove — exact doc
     // copies, near-dup cluster non-canonicals (session-staged chain),
-    // repeated 32-token paragraph units, and exact-substring token
-    // removals. Every input is an already-declared operator; the
-    // report is four 1-row aggregates cross-joined (broadcast by
-    // construction — no corpus-side join).
+    // repeated 32-token paragraph units, exact-substring token
+    // removals, and the winnow candidate graph (pairs + docs touched
+    // by the df-capped shared-fingerprint generator). Every input is
+    // an already-declared operator; the report is five 1-row
+    // aggregates cross-joined (broadcast by construction — no
+    // corpus-side join).
     "corpus_dedup_report" -> ((s, dir) => {
       val d = docs(s, dir)
       val ex = d.agg(
@@ -317,7 +319,12 @@ object QueriesPipeline {
           sum("n_dropped").as("n_paragraph_dropped"))
       val sb = Corpus.substringDedupFilter(d)
         .agg(sum("n_removed").as("n_substring_tokens_removed"))
-      ex.crossJoin(nd).crossJoin(pa).crossJoin(sb)
+      val wn = Corpus.winnowCandidatePairs(d)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("wd"))
+        .agg(
+          (count(lit(1)) / 2).cast("bigint").as("n_winnow_pairs"),
+          countDistinct(col("wd")).as("n_winnow_docs"))
+      ex.crossJoin(nd).crossJoin(pa).crossJoin(sb).crossJoin(wn)
     }),
 
     // Embedding hygiene audit BEFORE any ANN/dedup pass trusts the
@@ -2613,8 +2620,26 @@ object QueriesPipeline {
          |srem AS (
          |  SELECT DISTINCT doc_id, p + ds.d AS pos
          |  FROM wrk, (SELECT unnest(range(0, $n)) AS d) ds WHERE rn > 1),
-         |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_substring_tokens_removed FROM srem)
-         |SELECT * FROM ex, nd, pa, sb""".stripMargin
+         |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_substring_tokens_removed FROM srem),
+         |$WinnowCtes,
+         |rows_ AS (
+         |  SELECT DISTINCT doc_id, hs[p + 1] AS h
+         |  FROM (SELECT doc_id, hs, unnest(fps) AS p FROM fp)),
+         |keep AS (
+         |  SELECT h FROM (SELECT h, count(*) AS c FROM rows_ GROUP BY h)
+         |  WHERE c <= 16),
+         |k AS (SELECT doc_id, h FROM rows_ JOIN keep USING (h)),
+         |wpair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |wn AS (
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM wpair) AS n_winnow_pairs,
+         |    (SELECT CAST(count(DISTINCT dd) AS BIGINT) FROM
+         |      (SELECT doc_a AS dd FROM wpair UNION ALL SELECT doc_b FROM wpair))
+         |      AS n_winnow_docs)
+         |SELECT * FROM ex, nd, pa, sb, wn""".stripMargin
     },
 
     "embedding_stats" ->

@@ -1271,6 +1271,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cross-invariant: winnow candidates cover substring-dedup shared runs >= w+n-1") {
+    // Winnowing's guarantee (Schleimer-Wilkerson-Aiken): two documents
+    // sharing an aligned contiguous run of >= w+n-1 tokens share at
+    // least one SELECTED fingerprint (the rightmost-min pick inside the
+    // one full window the run contains depends only on window content).
+    // Derive the claimed pairs from the substring-dedup tier's own
+    // window attribution on the real corpus — doc B windows whose
+    // first occurrence lies in doc A at a constant offset with
+    // consecutive positions, runs of >= w windows — and assert every
+    // one appears in the UNCAPPED winnow candidate graph (the funnel's
+    // df<=16 graph additionally stop-lists boilerplate, a deliberate
+    // recall trade the report documents).
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = pipeline.Corpus.SubstringN
+    val w = 4
+    val wins = d
+      .select(col("doc_id"), pipeline.TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) < n, array().cast("array<struct<p:int,wkey:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - n), p =>
+            struct(p.cast("int").as("p"),
+              md5(concat_ws(" ", slice(col("t"), p + 1, lit(n)))).as("wkey")))))
+          .as("win"))
+      .select(col("doc_id"), col("win.p").as("p"), col("win.wkey").as("wkey"))
+    val firsts = wins.groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+      .select(col("wkey"), col("f.doc_id").as("a"), col("f.p").as("pa"))
+    val rep = wins.join(firsts, "wkey")
+      .where(col("doc_id") =!= col("a"))
+      .select(col("a"), col("pa"), col("doc_id").as("b"), col("p").as("pb"))
+    val byRun = Window
+      .partitionBy(col("a"), col("b"), (col("pb") - col("pa")).as("diff"))
+      .orderBy("pb")
+    val claimed = rep
+      .withColumn("island", col("pb") - row_number().over(byRun))
+      .groupBy(col("a"), col("b"), (col("pb") - col("pa")).as("diff"), col("island"))
+      .agg(count(lit(1)).as("runLen"))
+      .where(col("runLen") >= w)
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(claimed.nonEmpty, "vacuous fixture: no long shared runs in corpus")
+    val winnow = pipeline.Corpus
+      .winnowCandidatePairs(d, maxDf = Int.MaxValue)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = claimed -- winnow
+    assert(missed.isEmpty, s"winnow missed guaranteed pairs: ${missed.take(5)}")
+  }
+
   test("distributed TrainQualityModel reproduces the committed weights exactly") {
     // the distributed pass (map-only QmFeaturesF kernel + hash-capped
     // ordered collect of the bounded feature matrix) must re-derive
