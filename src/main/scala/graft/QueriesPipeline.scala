@@ -1200,6 +1200,18 @@ object QueriesPipeline {
         .orderBy("batch_id")
     }),
 
+    // Multi-epoch batch manifests: mix_epochs' sqrt-temperature epoch
+    // allocation composed with the packing tier — per epoch, sources
+    // participate per their epochs_permille (partial epochs are a
+    // deterministic hash-selected doc subset), windows repack and
+    // reshuffle on the epoch-salted key, batches stamp (epoch,
+    // batch_id). One distributed prefix plan PER EPOCH, never a
+    // single-partition window. See
+    // [[graft.pipeline.Corpus.packBatchesEpochs]].
+    "pack_batches_epochs" -> ((s, dir) =>
+      Corpus.packBatchesEpochs(docs(s, dir), ctx = 512L)
+        .orderBy("epoch", "batch_id")),
+
     // The packed windows MATERIALIZED — the training-batch content
     // itself (per 512-token window: contributing docs, token count,
     // md5 of the space-joined token slice). One join back to the
@@ -3916,6 +3928,69 @@ object QueriesPipeline {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  md5(string_agg(window_md5, '' ORDER BY train_pos)) AS batch_md5
          |FROM tp GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    // Four epoch-filtered replays of the pack_batches chain (doc
+    // subset per the mix_epochs permille arithmetic, shuffle key
+    // salted per epoch), unioned. CTE blocks generated per epoch so
+    // the two engines share one spelling of the whole composition.
+    "pack_batches_epochs" -> {
+      val blocks = (0 until 4).map { e =>
+        s"""d$e AS (
+           |  SELECT doc_id, t, n_tokens FROM basedocs JOIN perm USING (source)
+           |  WHERE ${h32("concat('epoch_', CAST(doc_id AS VARCHAR))")} % 1000 < permille - ${e * 1000}),
+           |c$e AS (
+           |  SELECT doc_id, t, n_tokens,
+           |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM d$e),
+           |o$e AS (
+           |  SELECT doc_id, t, n_tokens, cum - n_tokens AS start_offset,
+           |    (cum - n_tokens) // 512 AS fw, (cum - 1) // 512 AS lw
+           |  FROM c$e WHERE (cum - 1) // 512 >= (cum - n_tokens) // 512),
+           |p$e AS (
+           |  SELECT doc_id, w.window_id,
+           |    list_slice(t,
+           |      greatest(w.window_id * 512, start_offset) - start_offset + 1,
+           |      least((w.window_id + 1) * 512, start_offset + n_tokens) - start_offset) AS piece
+           |  FROM o$e, LATERAL (SELECT unnest(range(fw, lw + 1)) AS window_id) w),
+           |wm$e AS (
+           |  SELECT window_id,
+           |    CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+           |    md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')) AS window_md5
+           |  FROM p$e GROUP BY window_id),
+           |tp$e AS (
+           |  SELECT window_id, n_tokens, window_md5,
+           |    row_number() OVER (ORDER BY
+           |      ${h32(s"concat('shuffle_${e}_', CAST(window_id AS VARCHAR))")} ASC,
+           |      window_id ASC) AS train_pos
+           |  FROM wm$e)""".stripMargin
+      }
+      val selects = (0 until 4).map { e =>
+        s"""SELECT CAST($e AS INTEGER) AS epoch, (train_pos - 1) // 8 AS batch_id,
+           |  CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(window_md5, '' ORDER BY train_pos)) AS batch_md5
+           |FROM tp$e GROUP BY 1, 2""".stripMargin
+      }
+      s"""WITH basedocs AS (
+         |  SELECT doc_id, source, $Toks AS t, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM basedocs GROUP BY source),
+         |t_ AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+         |w_ AS (
+         |  SELECT source, n_tokens,
+         |    round(sqrt(CAST(n_tokens AS DOUBLE))
+         |      / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6) AS mix_weight
+         |  FROM s),
+         |perm AS (
+         |  SELECT w_.source,
+         |    least((CAST(floor(w_.mix_weight * CAST(t_.tot * 4 AS DOUBLE)) AS BIGINT) * 1000)
+         |      // w_.n_tokens, 4000) AS permille
+         |  FROM w_, t_),
+         |${blocks.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY epoch, batch_id""".stripMargin
+    },
 
     // The materialized windows: slice each doc's token list at the
     // window boundaries its offsets imply, reassemble per window in

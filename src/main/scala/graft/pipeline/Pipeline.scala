@@ -1294,6 +1294,75 @@ object Corpus {
       keyed, Seq(col("shuffle_key").asc, col("window_id").asc), "train_pos", numParts)
   }
 
+  /** EPOCH-AWARE batch manifests — [[mixWeights]]' multi-epoch
+    * allocation composed with the packing tier into the manifest a
+    * multi-epoch data loader walks: for each training epoch e, a
+    * source participates per its sqrt-temperature epoch allocation
+    * (`epochs_permille`, the mix_epochs arithmetic verbatim: a source
+    * at 2500‰ contributes all docs in epochs 0-1 and a deterministic
+    * hash-selected half in epoch 2), the surviving docs are packed
+    * into ctx-token windows, shuffled on the EPOCH-SALTED key
+    * (packShuffle's `shuffle_{e}_` namespace — each epoch visits the
+    * data in its own order, the epoch-reshuffle every trainer
+    * expects), materialized, and grouped into `batch`-window batches
+    * stamped (epoch, batch_id) with an order-sensitive content
+    * digest.
+    *
+    * Scale shape: the allocation is one broadcast per-source row set;
+    * epoch membership is a map-only hash predicate; each epoch runs
+    * its OWN distributed prefix plan (packOffsets — no
+    * SinglePartition exchange at any scale) over its shrinking doc
+    * subset, and the epoch frames union. Epochs are bounded by the
+    * cap (default 4), so the union width is a constant, not a
+    * corpus-dependent fan-out.
+    */
+  def packBatchesEpochs(
+      docs: DataFrame,
+      ctx: Long = 512L,
+      batch: Int = 8,
+      maxEpochs: Int = 4): DataFrame = {
+    require(batch > 0 && maxEpochs > 0, s"bad batch=$batch epochs=$maxEpochs")
+    val mw = mixWeights(docs)
+    val tot = broadcast(mw.agg(sum("n_tokens").cast("long").as("_tot")))
+    // mix_epochs' allocation arithmetic verbatim (floor of the
+    // 6-rounded weight times the 4x budget, integer permille, capped)
+    val perm = mw.crossJoin(tot)
+      .select(
+        col("source"),
+        floor(col("mix_weight") * (col("_tot") * maxEpochs).cast("double"))
+          .cast("long").as("_alloc"),
+        col("n_tokens").as("_ntok"))
+      .select(
+        col("source"),
+        least(expr("(_alloc * 1000) div _ntok"), lit(maxEpochs * 1000L))
+          .cast("long").as("_permille"))
+    val dd = docs.join(broadcast(perm), "source")
+    val frames = (0 until maxEpochs).map { e =>
+      val inEpoch = dd.where(
+        pmod(hash32(concat(lit("epoch_"), col("doc_id").cast("string"))),
+          lit(1000L)) < col("_permille") - lit(e * 1000L))
+      val mat = packMaterialize(inEpoch, ctx)
+        .select(col("window_id"), col("n_tokens"), col("window_md5"))
+      val pos = packShuffle(inEpoch, ctx, epoch = e)
+        .select(col("window_id"), col("train_pos"))
+      mat.join(pos, "window_id")
+        .select(
+          lit(e).as("epoch"),
+          expr(s"(train_pos - 1) div $batch").as("batch_id"),
+          col("n_tokens"), col("window_md5"), col("train_pos"))
+    }
+    frames.reduce(_ unionAll _)
+      .groupBy("epoch", "batch_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("train_pos"), col("window_md5")))),
+            s => s.getField("window_md5")),
+          "")).as("batch_md5"))
+  }
+
   /** Padding-waste accounting — the instrument that DECIDES between
     * doc-aligned padding and stream packing: if every document were
     * packed alone into ceil(n/ctx) fixed-size sequences (the

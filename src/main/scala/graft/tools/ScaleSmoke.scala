@@ -571,6 +571,12 @@ object ScaleSmoke {
       m
     }
 
+    // Epoch-stamped batch manifests: bounded-many (<=4) epoch frames,
+    // each its own distributed prefix plan over a shrinking subset —
+    // the ratio must track volume times the constant epoch count.
+    def packEpochs(d: DataFrame): Long =
+      graft.pipeline.Corpus.packBatchesEpochs(d, ctx = 512L).count()
+
     // One distributed BPE merge-selection round (the trainer's unit of
     // work): explode(bpe_pairs) -> groupBy(pair).count -> argmax. The
     // only exchange is the pair-count aggregate, bounded by the
@@ -631,7 +637,8 @@ object ScaleSmoke {
       "pack curriculum" -> (() => (time("curriculum 1x", curriculum(docs1)), time(s"curriculum ${n}x", curriculum(docsN)))),
       "ppl buckets" -> (() => (time("pplbuckets 1x", pplBuckets(docs1)), time(s"pplbuckets ${n}x", pplBuckets(docsN)))),
       "winpairs hot-fingerprint skew" -> (() => (time("winpairs distinct 1e6", winPairsSynth(1000000L, hot = false)), time("winpairs 1e6-deep fingerprint", winPairsSynth(1000000L, hot = true)))),
-      "bpe merge round" -> (() => (time("bperound 1x", bpeRound(docs1)), time(s"bperound ${n}x", bpeRound(docsN)))))
+      "bpe merge round" -> (() => (time("bperound 1x", bpeRound(docs1)), time(s"bperound ${n}x", bpeRound(docsN)))),
+      "pack epochs" -> (() => (time("packepochs 1x", packEpochs(docs1)), time(s"packepochs ${n}x", packEpochs(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

@@ -1152,6 +1152,49 @@ class PipelineSpec extends SparkSpec {
       case (pos, i) => pos != i + 1L })
   }
 
+  test("packBatchesEpochs: per-epoch manifests batch in 8s, epoch salt decorrelates, no SinglePartition") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = pipeline.Corpus.packBatchesEpochs(d, ctx = 512L)
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // single-partition exchanges are legitimate ONLY under the 1-row
+    // global aggregates (the mix-weight denominator); a corpus-sized
+    // sort/window must never run on one partition
+    val lines = plan.split("\n")
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val ctx = lines.slice(math.max(0, i - 2), i).mkString("\n")
+        assert(ctx.contains("HashAggregate(keys=[]"),
+          s"SinglePartition outside a 1-row global aggregate:\n$ctx")
+      }
+    val epochs = rows.map(_.getAs[Int]("epoch")).distinct.sorted.toSeq
+    assert(epochs.head == 0 && epochs.size >= 2, s"epochs seen: $epochs")
+    epochs.foreach { e =>
+      val b = rows.filter(_.getAs[Int]("epoch") == e)
+        .sortBy(_.getAs[Long]("batch_id"))
+      assert(b.map(_.getAs[Long]("batch_id")).toSeq == (0L until b.length).toSeq,
+        s"epoch $e: batch ids must be dense from 0")
+      b.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_windows") == 8L, s"epoch $e: non-tail batch not full"))
+      assert(b.last.getAs[Long]("n_windows") <= 8L)
+    }
+    // epoch allocations only shrink: a source participates in epoch e+1
+    // only if it participated (at least as fully) in epoch e
+    val tok = epochs.map(e => e ->
+      rows.filter(_.getAs[Int]("epoch") == e).map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(epochs.sliding(2).forall {
+      case Seq(a, b) => tok(b) <= tok(a); case _ => true })
+    // the epoch salt must give epoch 1 a different batch composition
+    // than epoch 0 even when the doc subsets coincide
+    if (epochs.contains(1) && tok(1) == tok(0)) {
+      val m0 = rows.filter(_.getAs[Int]("epoch") == 0)
+        .sortBy(_.getAs[Long]("batch_id")).map(_.getAs[String]("batch_md5")).toSeq
+      val m1 = rows.filter(_.getAs[Int]("epoch") == 1)
+        .sortBy(_.getAs[Long]("batch_id")).map(_.getAs[String]("batch_md5")).toSeq
+      assert(m0 != m1, "identical doc subsets must still reshuffle per epoch")
+    }
+  }
+
   // --- weighted sampling / mix weights ----------------------------------
 
   test("weightedSample: A-ES key formula and descending deterministic order") {
