@@ -1109,6 +1109,26 @@ object QueriesPipeline {
         .orderBy("query_id")
     }),
 
+    // Sample-trained IVF parity — the 100 TB training reality
+    // (centroids from a deterministic hash-sample serve the full
+    // corpus; only assignment touches every vector) measured against
+    // the full-corpus-trained cells on the same brute ground truth.
+    // Reading this table answers "can I train on 1/4 of the data":
+    // at parity, sample training removes the only full-corpus pass
+    // from IVF build. See
+    // [[graft.pipeline.Similarity.kmeansCentroidsSampled]].
+    "ann_recall_ivf_sampled" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+        Similarity.topK(e),
+        Seq(
+          "ivft" -> Similarity.topKIvfTrained(
+            e, graft.pipeline.IvfChain.centroids(s, dir, e)),
+          "ivfs" -> Similarity.topKIvfTrained(
+            e, Similarity.kmeansCentroidsSampled(e))))
+        .orderBy("query_id")
+    }),
+
     // Recall@5 of the COMPOSED IVF-PQ index — the number actually read
     // before deploying ann_topk_ivfpq, since its misses are the union
     // of IVF's pruning misses and PQ's quantization misses; comparing
@@ -3561,6 +3581,74 @@ object QueriesPipeline {
          |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |LEFT JOIN ivft t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
          |LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    },
+
+    // Sample-trained vs full-trained IVF recall: the full-trained
+    // chain is KmeansCtes verbatim; the sampled chain repeats the
+    // same Lloyd spelling over the hash-sample with rank-of-sampled-id
+    // init; both serve through the identical probe/rank block.
+    "ann_recall_ivf_sampled" -> {
+      def sAssign(cPrev: String, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS rk
+           |    FROM es e, $cPrev c) WHERE rk = 1)""".stripMargin
+      def sUpdate(aName: String, cPrev: String, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT p.cid, coalesce(u.ce, p.ce) AS ce
+           |  FROM $cPrev p LEFT JOIN (
+           |    SELECT cid, list(cv ORDER BY i) AS ce FROM (
+           |      SELECT cid, i, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) + 0 AS cv
+           |      FROM $aName, range(64) t(i) GROUP BY cid, i)
+           |    GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+      def serve(cents: String, pfx: String) =
+        s"""${pfx}asg AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cid, ccos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+           |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+           |          ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+           |        FROM e, $cents c)),
+           |${pfx}corpus AS (SELECT vec_id AS neighbor_id, embedding AS ne, cid AS cell FROM ${pfx}asg WHERE crank = 1),
+           |${pfx}probes AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell FROM ${pfx}asg WHERE vec_id < 5 AND crank <= 2),
+           |${pfx}top AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT p.query_id, c.neighbor_id,
+           |      row_number() OVER (PARTITION BY p.query_id ORDER BY ${cosSql("p.qe", "c.ne")} DESC, c.neighbor_id ASC) AS rank
+           |    FROM ${pfx}probes p JOIN ${pfx}corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id)
+           |  WHERE rank <= 5)""".stripMargin
+      s"""WITH $KmeansCtes,
+         |es AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM e
+         |  WHERE ${h32("concat('ivfsample_', CAST(vec_id AS VARCHAR))")} % 4 = 0),
+         |cs0 AS (
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM es)
+         |  WHERE rn <= 8),
+         |${sAssign("cs0", "as1_")},
+         |${sUpdate("as1_", "cs0", "cs1")},
+         |${sAssign("cs1", "as2_")},
+         |${sUpdate("as2_", "cs1", "cs2")},
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5),
+         |${serve("c2", "ft")},
+         |${serve("cs2", "sm")}
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(t.neighbor_id) AS BIGINT) AS ivft_hits,
+         |  round(CAST(count(t.neighbor_id) AS DOUBLE) / count(*), 6) AS ivft_recall,
+         |  CAST(count(sv.neighbor_id) AS BIGINT) AS ivfs_hits,
+         |  round(CAST(count(sv.neighbor_id) AS DOUBLE) / count(*), 6) AS ivfs_recall
+         |FROM brute b
+         |LEFT JOIN fttop t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+         |LEFT JOIN smtop sv ON b.query_id = sv.query_id AND b.neighbor_id = sv.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     },
 

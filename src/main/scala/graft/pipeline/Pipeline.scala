@@ -3010,13 +3010,69 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     require(k >= 1 && iters >= 0, s"bad kmeans params k=$k iters=$iters")
+    lloyd(
+      embeddings,
+      embeddings.where(col("vec_id") < k)
+        .select(
+          col("vec_id").cast("int").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("ce")),
+      iters)
+  }
+
+  /** IVF training on a deterministic hash-SAMPLE of the corpus — the
+    * billion-scale reality the [[kmeansCentroids]] scaladoc promises
+    * (centroids from a bounded sample serve the full corpus; only
+    * cell ASSIGNMENT touches every vector): keep vectors whose
+    * `hash32("ivfsample_" + vec_id) % sampleMod == 0` (corpus-order
+    * independent, ~1/sampleMod of the rows), init from the k lowest
+    * sampled vec_ids (collected — k rows, a bounded artifact like the
+    * OPQ moment pairs — so no single-partition rank window), Lloyd
+    * over the sample only. `ann_recall_ivf_sampled` is the parity
+    * instrument: recall@5 of sample-trained vs full-trained cells
+    * against the brute ground truth.
+    */
+  def kmeansCentroidsSampled(
+      embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      sampleMod: Int = 4): DataFrame = {
+    require(k >= 1 && iters >= 0 && sampleMod >= 1,
+      s"bad params k=$k iters=$iters sampleMod=$sampleMod")
+    val samp = embeddings.where(
+      pmod(TextOps.hash32(concat(lit("ivfsample_"), col("vec_id").cast("string"))),
+        lit(sampleMod.toLong)) === 0)
+    val seed = samp.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(k).collect()
+    val spark = embeddings.sparkSession
+    import scala.jdk.CollectionConverters._
+    val init = spark.createDataFrame(
+      seed.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+        // exact float->double widening, same as cast("double")
+        org.apache.spark.sql.Row(
+          i, r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case x => throw new IllegalStateException(s"bad emb elem $x")
+          })
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    lloyd(samp, init, iters)
+  }
+
+  /** The shared Lloyd loop (assignment argmax + 6dp-rounded mean
+    * update; empty cluster keeps its centroid) — see
+    * [[kmeansCentroids]] for the determinism contract.
+    */
+  private def lloyd(
+      embeddings: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     val e = embeddings.select(
       col("vec_id"), col("embedding"),
       sqrt(dotF(col("embedding"), col("embedding"))).as("en"))
-    var cents = embeddings.where(col("vec_id") < k)
-      .select(
-        col("vec_id").cast("int").as("cid"),
-        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    var cents = init
     for (_ <- 1 to iters) {
       // centroid norm: sequential fold (bit-reproducible, k rows only)
       val c = broadcast(cents.withColumn(

@@ -34,6 +34,20 @@ object RecallSweep {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] nProbe=$p  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }
+    // Sample-trained centroids at 1/2, 1/4, 1/8 of the corpus vs the
+    // full-trained row above — the "can I train on a sample" parity
+    // table (at 100 TB the sample is the only viable training input;
+    // this quantifies what the fixture-scale corpus pays for it).
+    Seq(2, 4, 8).foreach { mod =>
+      val t0 = System.nanoTime()
+      val sc = Similarity.kmeansCentroidsSampled(e, sampleMod = mod)
+      val rec = Similarity.recallAtK(
+        exact,
+        Seq("ivfs" -> Similarity.topKIvfTrained(e, sc)))
+        .agg(avg(col("ivfs_recall"))).head.getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[sweep] sampled 1/$mod  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
+    }
     // PQ side of the trade: recall@5 vs (m, ksub) — compression is
     // 4·64/m bytes -> m codes; larger m (finer subspaces) and larger
     // ksub (finer cells) both raise recall and shrink the saving.

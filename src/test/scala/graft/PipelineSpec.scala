@@ -396,6 +396,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroidsSampled: trains on the hash-sample ONLY, deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.pipeline.Similarity.kmeansCentroidsSampled(e)
+      .orderBy("cid").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1)))
+    assert(out.map(_._1).toSeq == (0 until 8), "dense cids 0..7")
+    assert(out.forall(_._2.length == 64), "64-dim centroids")
+    // deterministic: a rerun is bit-identical
+    val again = graft.pipeline.Similarity.kmeansCentroidsSampled(e)
+      .orderBy("cid").collect().map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1)))
+    assert(out.toSeq == again.toSeq)
+    // training-input independence: perturbing every NON-sampled vector
+    // must leave the centroids untouched — the proof the trainer never
+    // reads outside its sample (the 100 TB cost contract)
+    val inSample = pmod(
+      graft.pipeline.TextOps.hash32(
+        concat(lit("ivfsample_"), col("vec_id").cast("string"))), lit(4L)) === 0
+    val perturbed = e.withColumn("embedding",
+      when(inSample, col("embedding"))
+        .otherwise(transform(col("embedding"), x => x * 2.0f)))
+    val fromPerturbed = graft.pipeline.Similarity.kmeansCentroidsSampled(perturbed)
+      .orderBy("cid").collect().map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1)))
+    assert(out.toSeq == fromPerturbed.toSeq,
+      "centroids must be a function of the sampled vectors alone")
+  }
+
   test("kmeansCentroids: rounded-mean update, empty cluster keeps its seed") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
