@@ -1464,8 +1464,8 @@ object Corpus {
     * with removed positions subtracted and survivors re-joined with
     * single spaces (md5'd — the compare reads the hash, not the text).
     *
-    * Scale shape: one explode to O(tokens) window rows (32-char key,
-    * not text), one map-side-combinable groupBy on the window key, an
+    * Scale shape: one explode to O(tokens) window rows (16-byte
+    * binary key, not text), one map-side-combinable groupBy on the window key, an
     * equi-join back (hot boilerplate keys are AQE-skew-splittable:
     * each probe row is an independent lookup), one per-doc islands
     * window merging dup spans into O(runs) intervals, one doc_id
@@ -1502,20 +1502,29 @@ object Corpus {
   /** The (doc_id, p, wkey) n-token window frame over a (doc_id, _t
     * tokens) base — the shared first stage of [[substringStats]],
     * [[substringDedupFilter]] and the incremental variant. One
-    * map-only explode to O(tokens) rows carrying a 32-char key, never
-    * the text.
+    * map-only explode to O(tokens) rows carrying a FIXED-WIDTH
+    * 16-byte binary key (`unhex(md5(...))`), never the text: this
+    * distinct-window exchange is the largest in the system at 100 TB,
+    * and the binary key halves its key bytes vs the 32-char hex
+    * spelling while keeping the full 128 bits (collision odds
+    * W²/2¹²⁹ — vacuous at any corpus size, unlike a 64-bit
+    * truncation, which at 1e14 windows would expect ~1e8 false
+    * merges). The key stays internal — no declared output exposes
+    * it, so the oracle keeps replaying the hex md5 spelling
+    * byte-for-byte on the text side.
     */
   private def substringWindows(base: DataFrame, n: Int): DataFrame =
     base
       .select(
         col("doc_id"),
         explode(
-          when(size(col("_t")) < n, array().cast("array<struct<p:int,wkey:string>>"))
+          when(size(col("_t")) < n, array().cast("array<struct<p:int,wkey:binary>>"))
             .otherwise(transform(
               sequence(lit(0), size(col("_t")) - n),
               p => struct(
                 p.cast("int").as("p"),
-                md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))).as("wkey")))))
+                unhex(md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))))
+                  .as("wkey")))))
           .as("w"))
       .select(col("doc_id"), col("w.p").as("p"), col("w.wkey").as("wkey"))
 
@@ -1980,11 +1989,13 @@ object Corpus {
       .select(col("source"), TextOps.tokens(col("text")).as("_t"))
       .select(
         col("source"),
+        // 16-byte binary key: halves the (source, wkey) distinct
+        // exchange's key bytes vs hex (see substringWindows)
         explode(
-          when(size(col("_t")) < n, array().cast("array<string>"))
+          when(size(col("_t")) < n, array().cast("array<binary>"))
             .otherwise(transform(
               sequence(lit(0), size(col("_t")) - n),
-              p => md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n)))))))
+              p => unhex(md5(concat_ws(" ", slice(col("_t"), p + 1, lit(n))))))))
           .as("wkey"))
       .distinct()
     wins.select(col("source").as("source_a"), col("wkey"))
@@ -2045,7 +2056,8 @@ object Corpus {
 
   /** The per-window-key FIRST-OCCURRENCE table (wkey → min (doc_id,
     * p)) — the STATE of exact-substring dedup. A production snapshot
-    * persists this frame (32-char key + two ints per distinct window)
+    * persists this frame (16-byte binary key + two ints per distinct
+    * window)
     * and the incremental pass READS it instead of re-hashing the
     * snapshot corpus; it is also exactly the `firsts` stage of the
     * batch [[substringDedupFilter]].

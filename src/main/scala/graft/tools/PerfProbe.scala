@@ -34,10 +34,15 @@ object PerfProbe {
     // executor task-time accumulator (single JVM in local mode, so a
     // plain listener sum is exact)
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    // shuffle WRITE bytes: the per-query exchange volume — the number
+    // the compact-key work (round 12) moves
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
+        if (te.taskMetrics != null) {
           taskTime.addAndGet(te.taskMetrics.executorRunTime)
+          shufBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
     graft.indicators.Indicators(graft.sources.Bars.fromEvents(spark, sfDir))
       .sma(Seq("close"), 5).toDF.count()
@@ -50,6 +55,7 @@ object PerfProbe {
       val gc0 = gcMillis()
       val st0 = stealMillis()
       val tt0 = taskTime.get()
+      val sb0 = shufBytes.get()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -57,7 +63,8 @@ object PerfProbe {
       val gc = gcMillis() - gc0
       val st = stealMillis() - st0
       val tt = (taskTime.get() - tt0) / 1e3
-      println(f"[probe] $name%-24s $dt%8.2f s  gc=${gc}%5d ms  steal=${st}%6d ms  taskSum=$tt%8.1f s  ($n rows)")
+      val sb = (shufBytes.get() - sb0) / 1e6
+      println(f"[probe] $name%-24s $dt%8.2f s  gc=${gc}%5d ms  steal=${st}%6d ms  taskSum=$tt%8.1f s  shufW=$sb%8.1f MB  ($n rows)")
     }
     spark.stop()
   }

@@ -77,6 +77,13 @@ class IoSpec extends SparkSpec {
     val served2 = rows(DedupStateStore.substringFirstsServed(spark, dir,
       sys.error("second touch must load, not recompute")))
     assert(served1 == inMem && served2 == inMem)
+    // the STORED key is the fixed-width 16-byte binary form (round-12
+    // compact-exchange contract), not the 32-char hex spelling
+    val stored = DedupStateStore.substringFirstsServed(spark, dir,
+      sys.error("schema probe must load, not recompute"))
+    assert(stored.schema("wkey").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      s"state key must be binary, got ${stored.schema("wkey").dataType}")
     // sanity: the leaked run was actually removed from doc 10
     assert(inMem.exists(_.contains("10")))
   }
