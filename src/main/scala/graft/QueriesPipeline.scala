@@ -1202,9 +1202,14 @@ object QueriesPipeline {
       val d = docs(s, dir)
       val mat = Corpus.packMaterialize(d, ctx = 512L)
         .select("window_id", "n_tokens", "window_md5")
-      val pos = Corpus.packShuffle(d, ctx = 512L, epoch = 0)
-        .select("window_id", "train_pos")
-      mat.join(pos, "window_id")
+      // train order derived from the materialized window set (the
+      // same set packShuffle ranks — stream packing leaves no empty
+      // window): one prefix plan instead of two, no join back
+      val keyed = mat.withColumn("shuffle_key",
+        TextOps.hash32(concat(lit("shuffle_0_"), col("window_id").cast("string"))))
+      graft.plans.Scale.rowNumberDistributed(
+          keyed, Seq(col("shuffle_key").asc, col("window_id").asc),
+          "train_pos", 32)
         .select(
           expr("(train_pos - 1) div 8").as("batch_id"),
           col("n_tokens"), col("window_md5"), col("train_pos"))

@@ -1337,19 +1337,43 @@ object Corpus {
         least(expr("(_alloc * 1000) div _ntok"), lit(maxEpochs * 1000L))
           .cast("long").as("_permille"))
     val dd = docs.join(broadcast(perm), "source")
-    val frames = (0 until maxEpochs).map { e =>
-      val inEpoch = dd.where(
-        pmod(hash32(concat(lit("epoch_"), col("doc_id").cast("string"))),
-          lit(1000L)) < col("_permille") - lit(e * 1000L))
-      val mat = packMaterialize(inEpoch, ctx)
-        .select(col("window_id"), col("n_tokens"), col("window_md5"))
-      val pos = packShuffle(inEpoch, ctx, epoch = e)
-        .select(col("window_id"), col("train_pos"))
-      mat.join(pos, "window_id")
-        .select(
-          lit(e).as("epoch"),
-          expr(s"(train_pos - 1) div $batch").as("batch_id"),
-          col("n_tokens"), col("window_md5"), col("train_pos"))
+    // Epochs whose per-source participation cutoffs coincide (every
+    // source fully in, or partial at the same permille) contain the
+    // IDENTICAL doc subset, hence the identical window set — decide
+    // that from the bounded per-source permille table (|sources|
+    // rows, the frame that broadcasts anyway) and MATERIALIZE ONCE
+    // per distinct subset; within a group only the epoch-salted
+    // order differs. At a 4x budget the common case is several full
+    // epochs sharing one packing — this collapses their corpus
+    // passes to one.
+    val permRows = perm.collect().map(r => (r.getString(0), r.getLong(1)))
+    def cutoffs(e: Int): Seq[(String, Long)] = permRows
+      .map { case (s, p) =>
+        (s, math.max(0L, math.min(1000L, p - 1000L * e)))
+      }.sortBy(_._1)
+    val frames = (0 until maxEpochs).groupBy(cutoffs).toSeq.flatMap {
+      case (_, es) =>
+        val e0 = es.min
+        val inSubset = dd.where(
+          pmod(hash32(concat(lit("epoch_"), col("doc_id").cast("string"))),
+            lit(1000L)) < col("_permille") - lit(e0 * 1000L))
+        val mat = packMaterialize(inSubset, ctx)
+          .select(col("window_id"), col("n_tokens"), col("window_md5"))
+          .persist()
+        es.map { e =>
+          // train order derived from the materialized window set
+          // itself (same set packShuffle ranks: stream packing leaves
+          // no empty window) — one prefix plan per epoch, no join
+          val keyed = mat.withColumn("shuffle_key",
+            hash32(concat(lit(s"shuffle_${e}_"), col("window_id").cast("string"))))
+          graft.plans.Scale.rowNumberDistributed(
+              keyed, Seq(col("shuffle_key").asc, col("window_id").asc),
+              "train_pos", 32)
+            .select(
+              lit(e).as("epoch"),
+              expr(s"(train_pos - 1) div $batch").as("batch_id"),
+              col("n_tokens"), col("window_md5"), col("train_pos"))
+        }
     }
     frames.reduce(_ unionAll _)
       .groupBy("epoch", "batch_id")
