@@ -671,6 +671,39 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // corpus_prepare with the WINNOW near-dup gate: the LSH chain's
+    // whole-document-similarity non-canonicals are replaced by the
+    // winnow candidate graph's (shared-long-run) non-canonicals —
+    // everything else identical. The two prepares bracket the dedup
+    // design space: LSH catches globally-similar documents, winnow
+    // catches verbatim shared runs (clone families, boilerplate
+    // chains) the per-document Jaccard can dilute away; comparing
+    // their kept sets is how a pipeline owner picks (or stacks) the
+    // tiers. Same scale shape as corpus_prepare — the winnow graph is
+    // banded by fingerprint with the df<=16 stop-list cap.
+    "corpus_prepare_winnow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupIds = Dedup.clusters(
+          Corpus.winnowCandidatePairs(d).select("doc_a", "doc_b"))
+        .where(!col("is_canonical"))
+        .select(col("doc_id").as("dup_id"))
+      Corpus.withExactCanonical(d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          TextOps.qualityScore(col("text")).as("q"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          Corpus.gopherKeep().as("keep")))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .where(col("is_exact_canonical") && col("dup_id").isNull &&
+          col("q") >= 0.5 && col("lang_ok") && col("keep"))
+        .select(
+          col("doc_id"),
+          Corpus.splitCol(col("doc_id")).as("split"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Gate attribution: for EVERY curation gate this library declares
     // (exact-dup canonical, near-dup canonical, quality score,
     // language agreement, Gopher rules, learned classifier, domain
@@ -3684,6 +3717,61 @@ object QueriesPipeline {
          |kept AS (
          |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
          |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM dups)
+         |    AND c.q >= 0.5 AND c.lang_ok AND g.keep)
+         |SELECT doc_id,
+         |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  n_tokens
+         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // The prepare body with the winnow CC graph supplying the
+    // near-dup non-canonicals (wdups) — g0/g/canon/kept verbatim from
+    // corpus_prepare.
+    "corpus_prepare_winnow" ->
+      s"""WITH RECURSIVE $WinnowCtes,
+         |rows_ AS (
+         |  SELECT DISTINCT doc_id, hs[p + 1] AS h
+         |  FROM (SELECT doc_id, hs, unnest(fps) AS p FROM fp)),
+         |keep_ AS (
+         |  SELECT h FROM (SELECT h, count(*) AS c FROM rows_ GROUP BY h)
+         |  WHERE c <= 16),
+         |k AS (SELECT doc_id, h FROM rows_ JOIN keep_ USING (h)),
+         |wp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
+         |           UNION SELECT doc_b, doc_a FROM wp),
+         |wreach(src, dst) AS (
+         |  SELECT src, dst FROM wedges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src),
+         |wdups AS (SELECT src AS doc_id FROM wreach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |g AS (
+         |  SELECT doc_id, n_words AS n_tokens,
+         |    ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+         |  FROM g0),
+         |canon AS (
+         |  SELECT doc_id, q, lang_ok,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY cmd5)) AS is_exact
+         |  FROM (SELECT doc_id, lang, md5(text) AS cmd5,
+         |          $QualitySql AS q,
+         |          ($LangPredSql) = lang AS lang_ok
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |kept AS (
+         |  SELECT c.doc_id, g.n_tokens FROM canon c JOIN g ON c.doc_id = g.doc_id
+         |  WHERE c.is_exact AND c.doc_id NOT IN (SELECT doc_id FROM wdups)
          |    AND c.q >= 0.5 AND c.lang_ok AND g.keep)
          |SELECT doc_id,
          |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'

@@ -1391,6 +1391,34 @@ class PipelineSpec extends SparkSpec {
     assert(missed.isEmpty, s"winnow missed guaranteed pairs: ${missed.take(5)}")
   }
 
+  test("winnow gate vs LSH gate: verbatim shared run with low whole-doc Jaccard") {
+    // The case that separates corpus_prepare_winnow from
+    // corpus_prepare (identical on the synthetic corpus, where
+    // near-dups are whole-document mutations): doc 2 embeds an
+    // 11-token verbatim run of doc 1 inside otherwise-distinct text.
+    // Whole-doc 3-gram Jaccard is far below the 0.5 LSH-verify
+    // threshold, but the run is >= w+n-1 tokens, so winnowing
+    // GUARANTEES a shared fingerprint — doc 2 is a winnow
+    // non-canonical while the Jaccard tier keeps it.
+    val run = (5 to 15).map(i => s"w$i").mkString(" ")
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"x$i") ++ Seq(run) ++
+      (1 to 10).map(i => s"y$i")).mkString(" ")
+    val d = docs((1L, a), (2L, b))
+    val wPairs = pipeline.Corpus.winnowCandidatePairs(d).collect()
+    assert(wPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "the shared run must produce a winnow candidate pair")
+    val nonCanon = pipeline.Dedup.clusters(
+        pipeline.Corpus.winnowCandidatePairs(d).select("doc_a", "doc_b"))
+      .where(!col("is_canonical")).collect().map(_.getLong(0)).toSeq
+    assert(nonCanon == Seq(2L), "doc 2 is the winnow non-canonical")
+    // exact whole-doc Jaccard on 3-gram shingles is below the LSH
+    // verify threshold, so the Jaccard tier does NOT treat 2 as a dup
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+    assert(j < 0.5, s"fixture must keep whole-doc jaccard low, got $j")
+  }
+
   test("distributed TrainQualityModel reproduces the committed weights exactly") {
     // the distributed pass (map-only QmFeaturesF kernel + hash-capped
     // ordered collect of the bounded feature matrix) must re-derive
