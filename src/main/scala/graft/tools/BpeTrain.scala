@@ -61,18 +61,35 @@ object BpeTrain {
   /** Train `nMerges` byte-level merges over `corpus` (one string
     * column named `s`); returns (pair, symbol, freq) in rank order.
     * Stops early when no pair repeats.
+    *
+    * `startRank` RESUMES training past an existing table: pass the
+    * corpus already encoded with the first `startRank` merges and the
+    * new merges continue the symbol space at U+E000+startRank — the
+    * procedure composes (train(raw, a+b) == train(raw, a) followed by
+    * train(encodeWithFirst_a, b, startRank = a), spec-pinned), so a
+    * deployment can EXTEND its committed vocabulary from the stored
+    * encoded corpus without re-running the first thousand merges over
+    * raw text. With startRank > 0 the input legitimately contains the
+    * earlier merge symbols, so the ASCII guard admits exactly the
+    * private-use prefix below startRank and still rejects everything
+    * else.
     */
   def train(corpus: DataFrame, nMerges: Int,
-      checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
-    require(corpus.filter(col("s").rlike("[^\\x00-\\x7F]")).isEmpty,
-      "byte-level training requires a pure-ASCII corpus " +
-        "(non-ASCII chars are multi-byte and would break the " +
-        "one-char-per-symbol replace-chain spelling)")
+      checkpointEvery: Int = 16, startRank: Int = 0): Seq[(String, String, Long)] = {
+    require(startRank >= 0 && startRank <= 0x1000, s"bad startRank $startRank")
+    val okChars =
+      if (startRank == 0) "[^\\x00-\\x7F]"
+      else f"[^\\x00-\\x7F\\uE000-\\u${0xE000 + startRank - 1}%04X]"
+    require(corpus.filter(col("s").rlike(okChars)).isEmpty,
+      "byte-level training requires a pure-ASCII corpus (plus, when " +
+        "resuming, the merge symbols below startRank): non-ASCII " +
+        "chars are multi-byte and would break the " +
+        "one-char-per-symbol replace-chain spelling")
     var df = corpus.localCheckpoint()
     val rows = Seq.newBuilder[(String, String, Long)]
-    var rank = 0
+    var rank = startRank
     var done = false
-    while (rank < nMerges && !done) {
+    while (rank < startRank + nMerges && !done) {
       bestPair(df) match {
         case None => done = true
         case Some((pair, freq)) =>
@@ -81,7 +98,7 @@ object BpeTrain {
             call_function("replace", col("s"), lit(pair), lit(sym)))
           rows += ((pair, sym, freq))
           rank += 1
-          if (rank % checkpointEvery == 0) df = df.localCheckpoint()
+          if ((rank - startRank) % checkpointEvery == 0) df = df.localCheckpoint()
       }
     }
     rows.result()

@@ -1432,6 +1432,27 @@ class PipelineSpec extends SparkSpec {
     assert(acc >= 0.93)
   }
 
+  test("BpeTrain resume: training composes across a vocabulary extension") {
+    // train(raw, 24) must equal train(raw, 16) ++ train(encoded_16, 8,
+    // startRank = 16) — the compositionality that lets a deployment
+    // extend its committed table from the stored ENCODED corpus
+    // without re-running the first merges over raw text
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("s"))
+    val full = tools.BpeTrain.train(corpus, nMerges = 24)
+    val head = full.take(16)
+    val encoded = head.foldLeft(corpus) { case (df, (p, r, _)) =>
+      df.withColumn("s", call_function("replace", col("s"), lit(p), lit(r)))
+    }
+    val resumed = tools.BpeTrain.train(encoded, nMerges = 8, startRank = 16)
+    assert(full.drop(16) == resumed)
+    // resume refuses symbols at-or-above startRank in the input
+    intercept[IllegalArgumentException] {
+      tools.BpeTrain.train(encoded, nMerges = 1, startRank = 8)
+    }
+  }
+
   test("distributed BpeTrain reproduces the committed table prefix on the real corpus") {
     // the committed 1024-row BpeMergesTable was generated by this same
     // distributed procedure; re-training the first 16 merges here pins
