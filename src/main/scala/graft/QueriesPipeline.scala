@@ -1475,6 +1475,15 @@ object QueriesPipeline {
     "shard_assign" -> ((s, dir) =>
       Corpus.shardAssign(docs(s, dir)).orderBy("doc_id")),
 
+    // The shard plan denominated in BPE subword tokens — a curated
+    // materialization balances its output files in the tokens the
+    // TRAINER will count, not whitespace words (the
+    // corpus_budget_sample_bpe argument applied to the write side).
+    // Same distributed prefix plan; only the per-doc counter changes.
+    "shard_assign_bpe" -> ((s, dir) =>
+      Corpus.shardAssign(docs(s, dir), tokenCount = Bpe.tokenCount)
+        .orderBy("doc_id")),
+
     // The balance audit of the shard plan — per shard its doc count,
     // token sum, id range, and deviation from the ideal S-th of the
     // corpus in exact per-mille (integer arithmetic; no float shares).
@@ -4426,6 +4435,20 @@ object QueriesPipeline {
       s"""WITH k AS (
          |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
          |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM k),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM k)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
+         |FROM c, t ORDER BY doc_id""".stripMargin,
+
+    "shard_assign_bpe" ->
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |k AS (
+         |  SELECT doc_id, CAST(length(bpe) AS BIGINT) AS n_tokens FROM enc),
          |c AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

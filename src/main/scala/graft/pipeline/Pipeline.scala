@@ -1315,6 +1315,11 @@ object Corpus {
     * subset, and the epoch frames union. Epochs are bounded by the
     * cap (default 4), so the union width is a constant, not a
     * corpus-dependent fan-out.
+    *
+    * No streaming twin BY DECISION: the allocation and each epoch's
+    * prefix plan need the bounded corpus (the shard-planning stance);
+    * a live pipeline accumulates, then runs this at materialization
+    * time.
     */
   def packBatchesEpochs(
       docs: DataFrame,
@@ -2048,11 +2053,13 @@ object Corpus {
     * is bounded — a live pipeline shards per micro-batch (trivially)
     * and runs THIS operator at materialization time.
     */
-  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame = {
+  def shardAssign(docs: DataFrame, nShards: Int = 8,
+      tokenCount: Column => Column =
+        t => size(TextOps.tokens(t)).cast("bigint")): DataFrame = {
     require(nShards > 0, s"bad shard count $nShards")
     val base = docs.select(
       col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      tokenCount(col("text")).cast("bigint").as("n_tokens"))
     val cum = graft.plans.Scale
       .cumSumDistributedLong(base, "n_tokens", "doc_id", "cum_tokens")
     val tot = broadcast(base.agg(sum("n_tokens").cast("long").as("_tot")))
