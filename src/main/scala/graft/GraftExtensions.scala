@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{BpeEncodeF, DotProductF, DotProductFD, EwmaWindow, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF}
+import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -23,8 +23,14 @@ import org.apache.spark.sql.graft.expressions.{BpeEncodeF, DotProductF, DotProdu
   *  - `simhash_bits_f(th[, offset])` — fused 32-bit SimHash majority
   *    vote over a token-hash array, bits at offset..offset+31;
   *  - `bpe_encode(text)` — the fused one-buffer BPE merge-chain
-  *    encode over the committed 256-merge table (token count =
+  *    encode over the committed 1024-merge table (token count =
   *    length of the result);
+  *  - `bpe_decode(sym)` — its lossless inverse (reverse-rank
+  *    expansion);
+  *  - `bpe_pairs(sym)` — the left-to-right non-overlapping adjacent
+  *    symbol pairs (the distributed BPE trainer's map side);
+  *  - `qm_features(text)` — the quality classifier's 69-dim training
+  *    feature vector (64 hashed-bucket frequencies + 5 text-shape);
   *  - `text_counts(text)` — the fused one-pass token profile struct
   *    (n_tokens, stop_en, stop_es, n_alpha, stop_en_dist, sh_n,
   *    sh_distinct);
@@ -106,6 +112,27 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "bpe_encode(text) takes 1 argument")
         BpeEncodeF(args.head)
+      }),
+    (
+      "bpe_decode",
+      new ExpressionInfo(classOf[BpeDecodeF].getName, "bpe_decode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_decode(sym) takes 1 argument")
+        BpeDecodeF(args.head)
+      }),
+    (
+      "bpe_pairs",
+      new ExpressionInfo(classOf[BpePairsF].getName, "bpe_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_pairs(sym) takes 1 argument")
+        BpePairsF(args.head)
+      }),
+    (
+      "qm_features",
+      new ExpressionInfo(classOf[QmFeaturesF].getName, "qm_features"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "qm_features(text) takes 1 argument")
+        QmFeaturesF(args.head)
       }),
     (
       "winnow_fp",

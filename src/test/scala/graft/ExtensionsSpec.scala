@@ -85,6 +85,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getInt(2) == 3 && got.getInt(3) == 3)
   }
 
+  test("bpe_decode, bpe_pairs and qm_features are callable from SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT
+        |  bpe_decode(bpe_encode('the quick brown fox')) AS rt,
+        |  bpe_pairs('aaab') AS prs,
+        |  size(qm_features('the a of to and words here')) AS nf
+        |""".stripMargin).collect().head
+    assert(got.getString(0) == "the quick brown fox", "decode inverts encode")
+    assert(got.getSeq[String](1) == Seq("aa", "ab"))
+    assert(got.getInt(2) == 69)
+  }
+
   test("winnow_fp is callable from SQL and agrees with the Corpus spelling") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
