@@ -319,7 +319,7 @@ object QueriesPipeline {
           sum("n_dropped").as("n_paragraph_dropped"))
       val sb = Corpus.substringDedupFilter(d)
         .agg(sum("n_removed").as("n_substring_tokens_removed"))
-      val wn = Corpus.winnowCandidatePairs(d)
+      val wn = DedupChain.winnowPairs(s, dir, d)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("wd"))
         .agg(
           (count(lit(1)) / 2).cast("bigint").as("n_winnow_pairs"),
@@ -684,7 +684,7 @@ object QueriesPipeline {
     "corpus_prepare_winnow" -> ((s, dir) => {
       val d = docs(s, dir)
       val dupIds = Dedup.clusters(
-          Corpus.winnowCandidatePairs(d).select("doc_a", "doc_b"))
+          DedupChain.winnowPairs(s, dir, d).select("doc_a", "doc_b"))
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
       Corpus.withExactCanonical(d.select(
@@ -1330,7 +1330,7 @@ object QueriesPipeline {
     // chain; only docs with at least one shared run appear.
     "dedup_winnow_clusters" -> ((s, dir) =>
       Dedup.clusters(
-        Corpus.winnowCandidatePairs(docs(s, dir)).select("doc_a", "doc_b"))
+        DedupChain.winnowPairs(s, dir, docs(s, dir)).select("doc_a", "doc_b"))
         .orderBy("doc_id")),
 
     // Winnow-keyed candidate pairs: docs sharing a selected
@@ -1338,7 +1338,7 @@ object QueriesPipeline {
     // the exact-long-run candidate generator off the ~2/(w+1)-sized
     // index. See [[graft.pipeline.Corpus.winnowCandidatePairs]].
     "dedup_winnow_pairs" -> ((s, dir) =>
-      Corpus.winnowCandidatePairs(docs(s, dir))
+      DedupChain.winnowPairs(s, dir, docs(s, dir))
         .orderBy("doc_a", "doc_b")),
 
     // Snapshot-vs-current ingest drift per source (old = the

@@ -100,6 +100,16 @@ object DedupChain {
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")))
 
+  /** The df-capped winnow candidate graph (doc_a, doc_b,
+    * n_shared_fingerprints), staged once per (session, dir): four
+    * declared consumers (`dedup_winnow_pairs`, `dedup_winnow_clusters`,
+    * `corpus_dedup_report`, `corpus_prepare_winnow`) fold the same
+    * graph, and the frame is O(candidate pairs) — far smaller than
+    * the fingerprint rows it joins. Same stance as the jaccard stage.
+    */
+  def winnowPairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "winpairs")(Corpus.winnowCandidatePairs(docs))
+
   /** The (doc_id, th1, th2) token-hash frame ([[Dedup.tokenHashes]]),
     * staged once per (session, dir): md5 over the token stream is the
     * cost floor of every simhash signature, and all three declared
