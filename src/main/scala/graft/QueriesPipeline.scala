@@ -57,6 +57,25 @@ object QueriesPipeline {
     // and gets over-billed by every token budget downstream). The BPE
     // encode is the map-only replace chain; one map-side-combinable
     // shuffle on lang. Integer-exact sums, ratios at 6dp.
+    // The id-space materialization of the tokenizer: per doc the
+    // integer token-id sequence a trainer's embedding table indexes
+    // (GPT-2 convention — byte value for base symbols, 256+rank for
+    // merges), summarized as count / max id (the vocab-bound witness:
+    // always < 256 + |Merges|) / an order-sensitive digest. Map-only;
+    // the id mapping is bijective with the symbol string, so the
+    // digest pins the exact sequence. See
+    // [[graft.pipeline.Bpe.tokenIds]].
+    "tokenizer_ids" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Bpe.tokenIds(col("text")).as("_ids"))
+        .select(
+          col("doc_id"),
+          size(col("_ids")).cast("bigint").as("n_ids"),
+          array_max(col("_ids")).as("max_id"),
+          md5(array_join(transform(col("_ids"), i => i.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy("doc_id")),
+
     "tokenizer_fertility" -> ((s, dir) =>
       docs(s, dir).select(
           col("lang"),
@@ -2440,6 +2459,21 @@ object QueriesPipeline {
          |  round(CAST(m.c AS DOUBLE) / t.n_chunks, 6) AS majority_frac,
          |  t.n_langs > 1 AS mixed
          |FROM tot t JOIN mj m USING (doc_id) WHERE m.rk = 1 ORDER BY t.doc_id""".stripMargin,
+
+    "tokenizer_ids" ->
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |ids AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(bpe) + 1), i ->
+         |      CASE WHEN unicode(substr(bpe, i, 1)) < 256
+         |           THEN unicode(substr(bpe, i, 1))
+         |           ELSE 256 + unicode(substr(bpe, i, 1)) - 57344 END) AS v
+         |  FROM enc)
+         |SELECT doc_id,
+         |  CAST(len(v) AS BIGINT) AS n_ids,
+         |  CAST(list_max(v) AS INTEGER) AS max_id,
+         |  md5(array_to_string(v, ' ')) AS ids_md5
+         |FROM ids ORDER BY doc_id""".stripMargin,
 
     "tokenizer_fertility" ->
       s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},

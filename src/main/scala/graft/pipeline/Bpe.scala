@@ -78,6 +78,18 @@ object Bpe {
   /** BPE token count: length of the merged symbol string. */
   def tokenCount(text: Column): Column = length(encode(text)).cast("long")
 
+  /** Integer token ids for `text` — [[encode]] then the GPT-2-style
+    * id mapping (base byte symbols keep their byte value, merge
+    * symbols map to 256+rank; see
+    * [[org.apache.spark.sql.graft.expressions.BpeIdsF]]). The array a
+    * trainer's embedding table actually indexes; bijective with the
+    * symbol string, hence losslessly decodable to byte-exact text.
+    */
+  def tokenIds(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.BpeIdsF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(encode(text))))
+
   /** Inverse of [[encode]]: expand merge symbols back to their pairs
     * in REVERSE rank order (each replace re-inflates one symbol; a
     * later-rank symbol's expansion may contain earlier-rank symbols,

@@ -1432,6 +1432,25 @@ class PipelineSpec extends SparkSpec {
     assert(acc >= 0.93)
   }
 
+  test("Bpe token ids: bijective with symbols, losslessly decodable, vocab-bounded") {
+    import org.apache.spark.sql.graft.expressions.{BpeEncodeF, BpeIdsF}
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    texts.foreach { t =>
+      val sym = BpeEncodeF.encode(t)
+      val ids = BpeIdsF.idsArray(sym)
+      assert(ids.length == sym.length, "one id per symbol")
+      assert(ids.forall(id => id >= 0 && id < 256 + pipeline.Bpe.Merges.size),
+        "ids bounded by the vocab (256 bytes + merge ranks)")
+      assert(BpeIdsF.symbols(ids) == sym, "ids -> symbols round-trips")
+      assert(pipeline.Bpe.decodeString(BpeIdsF.symbols(ids)) == t,
+        "ids decode to byte-exact text")
+    }
+    intercept[IllegalArgumentException] { BpeIdsF.idsArray("\uF000") }
+    intercept[IllegalArgumentException] { BpeIdsF.symbols(Array(99999)) }
+  }
+
   test("BpeTrain resume: training composes across a vocabulary extension") {
     // train(raw, 24) must equal train(raw, 16) ++ train(encoded_16, 8,
     // startRank = 16) — the compositionality that lets a deployment
