@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF}
+import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -29,6 +29,8 @@ import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpePairsF
   *    expansion);
   *  - `bpe_pairs(sym)` — the left-to-right non-overlapping adjacent
   *    symbol pairs (the distributed BPE trainer's map side);
+  *  - `bpe_ids(sym)` — integer token ids for a symbol string (byte
+  *    value for base symbols, 256+rank for merges);
   *  - `qm_features(text)` — the quality classifier's 69-dim training
   *    feature vector (64 hashed-bucket frequencies + 5 text-shape);
   *  - `text_counts(text)` — the fused one-pass token profile struct
@@ -126,6 +128,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "bpe_pairs(sym) takes 1 argument")
         BpePairsF(args.head)
+      }),
+    (
+      "bpe_ids",
+      new ExpressionInfo(classOf[BpeIdsF].getName, "bpe_ids"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_ids(sym) takes 1 argument")
+        BpeIdsF(args.head)
       }),
     (
       "qm_features",

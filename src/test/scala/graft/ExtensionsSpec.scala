@@ -91,11 +91,15 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT
         |  bpe_decode(bpe_encode('the quick brown fox')) AS rt,
         |  bpe_pairs('aaab') AS prs,
+        |  bpe_ids(bpe_encode('fox')) AS ids,
         |  size(qm_features('the a of to and words here')) AS nf
         |""".stripMargin).collect().head
     assert(got.getString(0) == "the quick brown fox", "decode inverts encode")
     assert(got.getSeq[String](1) == Seq("aa", "ab"))
-    assert(got.getInt(2) == 69)
+    assert(org.apache.spark.sql.graft.expressions.BpeIdsF.symbols(
+      got.getSeq[Int](2).toArray) ==
+      org.apache.spark.sql.graft.expressions.BpeEncodeF.encode("fox"))
+    assert(got.getInt(3) == 69)
   }
 
   test("winnow_fp is callable from SQL and agrees with the Corpus spelling") {
