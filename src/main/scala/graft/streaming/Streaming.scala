@@ -637,6 +637,18 @@ object Streaming {
       graft.pipeline.Bpe.tokenCount(
         org.apache.spark.sql.functions.col("text")).as("n_tokens_bpe"))
 
+  /** Streaming integer token ids ([[graft.pipeline.Bpe.tokenIds]]):
+    * encode + the GPT-2-style id mapping are both stateless codegen
+    * projections, so the stream twin is the batch expression verbatim
+    * — a live ingest can emit trainer-ready id sequences the moment a
+    * document arrives.
+    */
+  def tokenIdsStream(docs: DataFrame): DataFrame =
+    docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.pipeline.Bpe.tokenIds(
+        org.apache.spark.sql.functions.col("text")).as("ids"))
+
   /** Streaming domain blocklist gate: the registered-domain predicate
     * ([[graft.pipeline.Corpus.domainGate]]) is a stateless map over
     * (doc_id, source), so the stream twin delegates verbatim — the

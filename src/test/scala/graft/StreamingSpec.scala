@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("streaming token ids match the batch kernel bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "flower power")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
+    val q = Streaming.tokenIdsStream(input.toDF()).writeStream
+      .format("memory").queryName("sids").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sids").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    val want = texts.map { case (id, t) =>
+      id -> org.apache.spark.sql.graft.expressions.BpeIdsF.idsArray(
+        org.apache.spark.sql.graft.expressions.BpeEncodeF.encode(t)).toSeq
+    }
+    assert(got.toSeq == want)
+  }
+
   test("streaming domain gate drops blocklisted domains like batch") {
     implicit val sqlCtx = spark.sqlContext
     // src0 lands on the blocklist (src0.com/.org both blocked); src1
