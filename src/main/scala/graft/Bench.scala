@@ -137,6 +137,7 @@ object Bench {
       if (p > 1) {
         graft.pipeline.DedupChain.release(spark)
         graft.pipeline.IvfChain.release(spark)
+        graft.pipeline.BpeChain.release(spark)
         spark.catalog.clearCache()
       }
       runPass()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -66,8 +66,8 @@ object QueriesPipeline {
     // digest pins the exact sequence. See
     // [[graft.pipeline.Bpe.tokenIds]].
     "tokenizer_ids" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), Bpe.tokenIds(col("text")).as("_ids"))
+      BpeChain.encoded(s, dir, docs(s, dir))
+        .select(col("doc_id"), Bpe.idsFromSymbols(col("bpe")).as("_ids"))
         .select(
           col("doc_id"),
           size(col("_ids")).cast("bigint").as("n_ids"),
@@ -77,11 +77,11 @@ object QueriesPipeline {
         .orderBy("doc_id")),
 
     "tokenizer_fertility" -> ((s, dir) =>
-      docs(s, dir).select(
+      BpeChain.encoded(s, dir, docs(s, dir)).select(
           col("lang"),
-          length(col("text")).cast("bigint").as("nc"),
-          size(TextOps.tokens(col("text"))).cast("bigint").as("nw"),
-          Bpe.tokenCount(col("text")).as("nb"))
+          col("nc"),
+          col("nw"),
+          length(col("bpe")).cast("bigint").as("nb"))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1219,7 +1219,9 @@ object QueriesPipeline {
     // proxy — what a real budget fill is actually measured in. The
     // whitespace variant stays declared for oracle continuity.
     "pack_sequences_bpe" -> ((s, dir) =>
-      Corpus.packOffsets(docs(s, dir), ctx = 512L, tokenCount = Bpe.tokenCount)
+      Corpus.packOffsets(
+          BpeChain.encoded(s, dir, docs(s, dir)), ctx = 512L,
+          textCol = "bpe", tokenCount = t => length(t).cast("bigint"))
         .orderBy("doc_id")),
 
     // The inverted (window -> docs) index of the packing: which
@@ -1304,7 +1306,9 @@ object QueriesPipeline {
     // window's symbols is its byte-exact text) — the batch a trainer
     // actually reads. See [[graft.pipeline.Corpus.packMaterializeBpe]].
     "pack_materialize_bpe" -> ((s, dir) =>
-      Corpus.packMaterializeBpe(docs(s, dir), ctx = 512L)
+      Corpus.packMaterializeBpeFrom(
+          BpeChain.encoded(s, dir, docs(s, dir)).select("doc_id", "bpe"),
+          ctx = 512L)
         .orderBy("window_id")),
 
     // Padding-waste accounting per source: sequences and wasted token
@@ -1500,7 +1504,10 @@ object QueriesPipeline {
     // corpus_budget_sample_bpe argument applied to the write side).
     // Same distributed prefix plan; only the per-doc counter changes.
     "shard_assign_bpe" -> ((s, dir) =>
-      Corpus.shardAssign(docs(s, dir), tokenCount = Bpe.tokenCount)
+      Corpus.shardAssign(
+          BpeChain.encoded(s, dir, docs(s, dir))
+            .select(col("doc_id"), col("bpe").as("text")),
+          tokenCount = t => length(t).cast("bigint"))
         .orderBy("doc_id")),
 
     // The balance audit of the shard plan — per shard its doc count,
@@ -1996,7 +2003,10 @@ object QueriesPipeline {
     // mixes correctly only if numerator and denominator use the same
     // tokenizer). Same broadcast-weights + one-window plan.
     "corpus_budget_sample_bpe" -> ((s, dir) =>
-      Corpus.budgetSample(docs(s, dir), 2000L, Bpe.tokenCount)
+      Corpus.budgetSample(
+          BpeChain.encoded(s, dir, docs(s, dir))
+            .select(col("doc_id"), col("source"), col("bpe").as("text")),
+          2000L, t => length(t).cast("long"))
         .orderBy("source", "cum_tokens", "doc_id")),
 
     // Count-min sketch frequency estimates for the top-50 tokens, with

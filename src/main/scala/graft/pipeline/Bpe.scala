@@ -85,10 +85,15 @@ object Bpe {
     * trainer's embedding table actually indexes; bijective with the
     * symbol string, hence losslessly decodable to byte-exact text.
     */
-  def tokenIds(text: Column): Column =
+  def tokenIds(text: Column): Column = idsFromSymbols(encode(text))
+
+  /** The id mapping over an ALREADY-ENCODED symbol column (the staged
+    * [[BpeChain]] frame's `bpe`) — skips the encode pass.
+    */
+  def idsFromSymbols(sym: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.graft.expressions.BpeIdsF(
-        org.apache.spark.sql.graft.ColumnBridge.expression(encode(text))))
+        org.apache.spark.sql.graft.ColumnBridge.expression(sym)))
 
   /** Inverse of [[encode]]: expand merge symbols back to their pairs
     * in REVERSE rank order (each replace re-inflates one symbol; a

@@ -1443,13 +1443,27 @@ object Corpus {
       ctx: Long = 512L,
       idCol: String = "doc_id",
       textCol: String = "text",
+      numParts: Int = 32): DataFrame =
+    packMaterializeBpeFrom(
+      docs.select(col(idCol).as("doc_id"), Bpe.encode(col(textCol)).as("bpe")),
+      ctx, numParts)
+
+  /** [[packMaterializeBpe]] over an ALREADY-ENCODED (doc_id, bpe)
+    * frame (the staged [[BpeChain]] artifact) — offsets from the
+    * symbol length, no encode pass. Identical output.
+    */
+  def packMaterializeBpeFrom(
+      enc: DataFrame,
+      ctx: Long = 512L,
       numParts: Int = 32): DataFrame = {
-    val offs = packOffsets(docs, ctx, idCol, textCol, numParts, Bpe.tokenCount)
+    val idCol = "doc_id"
+    val offs = packOffsets(enc, ctx, idCol, "bpe", numParts,
+        t => length(t).cast("bigint"))
       .where(col("last_window") >= col("first_window"))
     val g = greatest(col("window_id") * ctx, col("start_offset"))
     val l = least((col("window_id") + 1) * ctx, col("start_offset") + col("n_tokens"))
     val pieces = offs
-      .join(docs.select(col(idCol), Bpe.encode(col(textCol)).as("_e")), idCol)
+      .join(enc.select(col(idCol), col("bpe").as("_e")), idCol)
       .select(
         col(idCol), col("start_offset"), col("n_tokens"), col("_e"),
         explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
@@ -3769,6 +3783,42 @@ object IvfChain {
   * the explode is a map-only pass, cheaper to recompute than a
   * corpus-token-scale checkpoint is to hold (the opqRotated stance).
   */
+/** Session-staged ENCODED corpus — the DedupChain/BigramChain pattern
+  * applied to the tokenizer: six declared queries re-denominate on
+  * BPE symbols (`tokenizer_fertility`, `tokenizer_ids`,
+  * `pack_sequences_bpe`, `pack_materialize_bpe`,
+  * `corpus_budget_sample_bpe`, `shard_assign_bpe`), and each was
+  * paying its own full encode pass. A production pipeline encodes
+  * ONCE and stores the symbol column — [[Bpe.decode]]'s scaladoc makes
+  * exactly that argument (the ~6x-smaller lossless representation) —
+  * so the staged frame IS the production artifact, not a cache trick:
+  * (doc_id, source, lang, nc chars, nw words, bpe symbols),
+  * checkpointed once per (session, sfDir). Consumers read `bpe` as
+  * their text column with `length` as the token counter; every
+  * downstream plan is unchanged in shape.
+  */
+object BpeChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def encoded(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir),
+      docs.select(
+        col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("bigint").as("nc"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("nw"),
+        Bpe.encode(col("text")).as("bpe"))
+        .localCheckpoint(true))
+
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
+}
+
 object BigramChain {
   import scala.collection.concurrent.TrieMap
   import org.apache.spark.sql.SparkSession
