@@ -1771,6 +1771,15 @@ object QueriesPipeline {
         .select(col("doc_id"), col("top_token"), round(col("tfidf"), 6).as("tfidf"))
         .orderBy("doc_id")),
 
+    // BM25 keyword retrieval over the corpus — inverted-probe shape
+    // (only query-term postings leave the scan; broadcast df + corpus
+    // constants; TakeOrderedAndProject top-k). Integer-micro posting
+    // contributions make the per-doc sum order-free, so the ranking is
+    // bit-deterministic across engines. See [[Corpus.bm25TopK]].
+    "bm25_topk" -> ((s, dir) =>
+      Corpus.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"), 20)
+        .select(col("doc_id"), col("n_terms_matched"), col("score_micro"))),
+
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir))
         .orderBy("user_id", "session_idx")),
@@ -4691,6 +4700,33 @@ object QueriesPipeline {
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
          |      FROM scored)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, $Toks AS t
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |corpus AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |p AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |             unnest(t) AS term FROM tok),
+         |q AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM p WHERE term IN ('spark', 'merge', 'window')
+         |      GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |        FROM q GROUP BY term),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(round(
+         |      ln(1 + (n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6,
+         |      0) AS BIGINT) AS c_micro
+         |  FROM q JOIN dfq USING (term) CROSS JOIN corpus)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |  CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // The oracle is the UNSALTED groupBy — salting must be invisible
     // in the result.

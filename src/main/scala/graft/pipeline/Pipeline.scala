@@ -2566,6 +2566,75 @@ object Corpus {
       .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
   }
 
+  /** BM25 top-k keyword retrieval (Okapi BM25, Lucene idf:
+    * ln(1 + (N − df + 0.5)/(df + 0.5))) — the query path a corpus
+    * this size actually needs: decontamination lookups, eval-leak
+    * audits, and "show me the documents about X" spot checks all
+    * reduce to scoring a handful of terms against the corpus.
+    *
+    * Scale shape is the INVERTED-INDEX PROBE, not a corpus scan-and-
+    * sort: the per-doc term filter (`array_intersect` with the literal
+    * query-term array) runs map-side, so only postings for the ≤|q|
+    * query terms ever leave the scan — docs matching no term exit at
+    * the explode. df (≤|q| rows) and the (N, Σdl) corpus constants are
+    * broadcast back; the final top-k is `orderBy.limit` =
+    * TakeOrderedAndProject, per-partition partial top-k with a k-row
+    * exchange, never a full sort. At 100 TB with a posting-bearing doc
+    * fraction f, the whole query moves O(f·N) rows once.
+    *
+    * Determinism contract (the engine/oracle bit-match argument):
+    * avgdl is spelled Σdl/N over EXACT integer token counts (never
+    * avg(), whose accumulation order varies); each posting's
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is one deterministic
+    * double from exact inputs, rounded to integer micros per posting;
+    * the per-doc score is then a SUM OF BIGINTS — order-free — and the
+    * top-k order (score_micro desc, doc_id asc) is total.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    val toks = TextOps.tokens(col("text"))
+    val corpus = broadcast(
+      docs.select(size(TextOps.tokens(col("text"))).cast("long").as("_dl"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          (sum(col("_dl")).cast("double") / count(lit(1))).as("avgdl")))
+    val postings = docs
+      .select(
+        col("doc_id"),
+        size(toks).cast("double").as("dl"),
+        explode(transform(
+          array_intersect(array_distinct(toks), termArr),
+          w => struct(
+            w.as("term"),
+            size(filter(toks, x => x === w)).cast("double").as("tf"))))
+          .as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"),
+        col("p.tf").as("tf"))
+    val df_ = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    postings
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(corpus)
+      .select(
+        col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1) * 1e6,
+          0).cast("long").as("c_micro"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms_matched"),
+        sum(col("c_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Per-source approximate distinct-token (vocabulary) counts via the
     * KMV sketch ([[org.apache.spark.sql.graft.expressions.KmvSketch]]):
     * hash every token occurrence, keep the k smallest distinct hashes

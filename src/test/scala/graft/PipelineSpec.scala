@@ -778,6 +778,33 @@ class PipelineSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, "expected partial+final aggregate")
   }
 
+  test("bm25: hand-computed score, probe pruning, and top-k plan") {
+    // corpus of 4 docs; query {x, q}: doc 4 has no query term and must
+    // not appear (the inverted-probe prune); doc 1 has x twice.
+    val corpus = docs(
+      (1L, "x a x b"), // tf_x=2, dl=4
+      (2L, "x c"), //     tf_x=1, dl=2
+      (3L, "q d e"), //   tf_q=1, dl=3
+      (4L, "a b c"))
+    val out = graft.pipeline.Corpus.bm25TopK(corpus, Seq("x", "q"), k = 10)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!rows.contains(4L), "doc without query terms must be pruned")
+    // N=4, sum dl=12, avgdl=3. x: df=2, q: df=1; Lucene idf.
+    def contrib(tf: Double, dl: Double, df: Double): Long = {
+      val idf = math.log(1 + (4.0 - df + 0.5) / (df + 0.5))
+      math.round(idf * (tf * 2.2) / (tf + (0.25 + dl * 0.75 / 3.0) * 1.2) * 1e6)
+    }
+    assert(rows(1L) == (1L, contrib(2, 4, 2)))
+    assert(rows(2L) == (1L, contrib(1, 2, 2)))
+    assert(rows(3L) == (1L, contrib(1, 3, 1)))
+    // rarer q in doc 3 must outrank the shorter-doc x hit in doc 2
+    assert(rows(3L)._2 > rows(2L)._2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected partial top-k, not a global sort:\n$plan")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
