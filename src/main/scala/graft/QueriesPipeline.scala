@@ -2018,6 +2018,28 @@ object QueriesPipeline {
           2000L, t => length(t).cast("long"))
         .orderBy("source", "cum_tokens", "doc_id")),
 
+    // DSIR (Xie et al. 2023) importance weights: hashed unigram+bigram
+    // bag log-likelihood ratio of a target distribution (source src1
+    // plays the "high-quality target") vs the raw corpus. Both models
+    // are fixed 128-bucket broadcast tables at any corpus size; the
+    // log-ratio is integer-micro per bucket so the per-doc sum is
+    // order-free. See [[Corpus.dsirWeights]].
+    "dsir_weights" -> ((s, dir) =>
+      Corpus.dsirWeights(docs(s, dir), col("source") === "src1")
+        .select(
+          col("doc_id"), col("n_feats"), col("weight_micro"),
+          round(col("weight_micro").cast("double") / col("n_feats") / 1e6, 6)
+            .as("avg_logratio"))
+        .orderBy("doc_id")),
+
+    // The resampling step: fill a 2000-token global budget with the
+    // most target-like documents first — distributed prefix sum over
+    // the (-avg_logratio, doc_id) total order, no SinglePartition
+    // window. See [[Corpus.dsirSample]].
+    "corpus_sample_dsir" -> ((s, dir) =>
+      Corpus.dsirSample(docs(s, dir), col("source") === "src1", 2000L)
+        .orderBy("cum_tokens", "doc_id")),
+
     // Count-min sketch frequency estimates for the top-50 tokens, with
     // exact-count witness columns (dropped at 100 TB like kmvTypes'
     // n_types). The sketch exchange is <= d*w rows total; the finished
@@ -4727,6 +4749,61 @@ object QueriesPipeline {
          |  CAST(sum(c_micro) AS BIGINT) AS score_micro
          |FROM c GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH fb AS MATERIALIZED (
+         |  SELECT doc_id, is_t, ${h32("f")} % 128 AS b
+         |  FROM (SELECT doc_id, source = 'src1' AS is_t,
+         |          unnest(list_concat($Toks, ${shinglesSql(2)})) AS f
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fb GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, sum(cnt) AS cr FROM p GROUP BY b),
+         |tgt AS (SELECT b, sum(cnt) AS ct FROM p WHERE is_t GROUP BY b),
+         |tots AS (SELECT sum(cnt) AS totr,
+         |                sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS tott FROM p),
+         |r AS (SELECT raw.b AS b,
+         |        CAST(round((ln((coalesce(ct, 0) + 1.0) / (tott + 128)) -
+         |                    ln((cr + 1.0) / (totr + 128))) * 1e6, 0) AS BIGINT)
+         |          AS lr_micro
+         |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |  CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro,
+         |  round(CAST(sum(cnt * lr_micro) AS DOUBLE) / sum(cnt) / 1e6, 6) AS avg_logratio
+         |FROM p JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_dsir" ->
+      s"""WITH fb AS MATERIALIZED (
+         |  SELECT doc_id, is_t, ${h32("f")} % 128 AS b
+         |  FROM (SELECT doc_id, source = 'src1' AS is_t,
+         |          unnest(list_concat($Toks, ${shinglesSql(2)})) AS f
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fb GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, sum(cnt) AS cr FROM p GROUP BY b),
+         |tgt AS (SELECT b, sum(cnt) AS ct FROM p WHERE is_t GROUP BY b),
+         |tots AS (SELECT sum(cnt) AS totr,
+         |                sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS tott FROM p),
+         |r AS (SELECT raw.b AS b,
+         |        CAST(round((ln((coalesce(ct, 0) + 1.0) / (tott + 128)) -
+         |                    ln((cr + 1.0) / (totr + 128))) * 1e6, 0) AS BIGINT)
+         |          AS lr_micro
+         |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+         |w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |        CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro
+         |      FROM p JOIN r USING (b) GROUP BY doc_id),
+         |tok AS (SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |        FROM read_parquet('{SFDIR}/documents.parquet')),
+         |s AS (SELECT w.doc_id AS doc_id, tok.source AS source, tok.n_tokens AS n_tokens,
+         |        CAST(weight_micro AS DOUBLE) / n_feats / 1e6 AS avg_lr
+         |      FROM w JOIN tok ON w.doc_id = tok.doc_id),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY avg_lr DESC, doc_id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM s)
+         |SELECT doc_id, source, n_tokens, cum_tokens, round(avg_lr, 6) AS avg_logratio
+         |FROM c WHERE cum_tokens - n_tokens < 2000 ORDER BY cum_tokens, doc_id""".stripMargin,
 
     // The oracle is the UNSALTED groupBy — salting must be invisible
     // in the result.

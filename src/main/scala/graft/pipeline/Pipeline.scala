@@ -2885,6 +2885,92 @@ object Corpus {
         col("source"), col("doc_id"), col("n_tokens"),
         col("cum_tokens"), col("budget_tokens"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its HASHED-N-GRAM bag is under a target
+    * distribution than under the raw-corpus distribution —
+    * Σ_b cnt(d,b)·(ln p_target(b) − ln p_raw(b)) over `buckets` hash
+    * buckets of the doc's unigrams+bigrams, Laplace-smoothed bag-of-
+    * buckets models on both sides. The hashing is the whole scale
+    * story: the feature space collapses from open-vocabulary n-grams
+    * to a FIXED `buckets`-row table, so both "models" are one
+    * broadcast frame each regardless of corpus size.
+    *
+    * Plan: explode features → pmod(hash32) bucket → one partial-agg
+    * shuffle of ≤`buckets` rows/doc for the (doc, bucket) counts; the
+    * bucket log-ratio table (≤`buckets` rows, from exact integer count
+    * aggregates) broadcasts back; per-doc weight is a second bounded
+    * groupBy. Determinism: the log-ratio is rounded to integer micros
+    * per bucket (one deterministic double from exact integers), so the
+    * per-doc weight is a sum of exact products of bigints — order-free
+    * and engine-exact.
+    */
+  def dsirWeights(
+      docs: DataFrame, target: Column, buckets: Int = 128): DataFrame = {
+    val b = lit(buckets.toLong)
+    val pairs = docs
+      .select(
+        col("doc_id"), target.as("_is_t"),
+        explode(concat(
+          TextOps.tokens(col("text")),
+          TextOps.shingles(col("text"), 2))).as("f"))
+      .select(col("doc_id"), col("_is_t"),
+        (TextOps.hash32(col("f")) % b).as("b"))
+      .groupBy("doc_id", "_is_t", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val raw = pairs.groupBy("b").agg(sum("cnt").as("cr"))
+    val tgt = pairs.where(col("_is_t")).groupBy("b").agg(sum("cnt").as("ct"))
+    val tots = broadcast(pairs.agg(
+      sum(col("cnt")).as("totr"),
+      sum(when(col("_is_t"), col("cnt")).otherwise(lit(0L))).as("tott")))
+    val ratios = broadcast(
+      raw.join(tgt, Seq("b"), "left")
+        .crossJoin(tots)
+        .select(
+          col("b"),
+          round(
+            (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+                (col("tott") + buckets)) -
+              log((col("cr") + lit(1L)).cast("double") /
+                (col("totr") + buckets))) * 1e6,
+            0).cast("long").as("lr_micro")))
+    pairs
+      .join(ratios, Seq("b"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).cast("long").as("n_feats"),
+        sum(col("cnt") * col("lr_micro")).cast("long").as("weight_micro"))
+  }
+
+  /** DSIR selection: fill a global token budget with the most
+    * target-like documents first (descending per-feature log-ratio) —
+    * the deterministic-budget spelling of the paper's importance
+    * resampling step, on the same distributed prefix-sum machinery as
+    * [[budgetSample]] (per-partition offsets, no SinglePartition
+    * window; see graft.plans.Scale).
+    */
+  def dsirSample(
+      docs: DataFrame,
+      target: Column,
+      budgetTokens: Long,
+      buckets: Int = 128): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val scored = dsirWeights(docs, target, buckets)
+      .join(keyed, Seq("doc_id"))
+      .withColumn("avg_lr",
+        col("weight_micro").cast("double") / col("n_feats") / 1e6)
+      .withColumn("_ord",
+        struct((-col("avg_lr")).as("a"), col("doc_id").as("d")))
+    graft.plans.Scale
+      .cumSumDistributedLong(scored, "n_tokens", "_ord", "cum_tokens")
+      .where(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        round(col("avg_lr"), 6).as("avg_logratio"))
+  }
 }
 
 object Similarity {

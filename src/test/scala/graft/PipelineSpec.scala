@@ -805,6 +805,36 @@ class PipelineSpec extends SparkSpec {
       s"expected partial top-k, not a global sort:\n$plan")
   }
 
+  test("dsir: target-like docs outrank raw-like docs; sample respects budget") {
+    // src1 docs speak "alpha beta", the rest speak "gamma delta"; a
+    // held-out probe doc in each dialect must land on the right end of
+    // the importance-weight ordering.
+    val corpus = spark.createDataFrame(Seq(
+      Row(1L, "alpha beta alpha beta", "src1"),
+      Row(2L, "alpha beta beta alpha", "src1"),
+      Row(3L, "gamma delta gamma delta", "src2"),
+      Row(4L, "gamma delta delta gamma", "src2"),
+      Row(5L, "alpha beta alpha beta", "src3"), // target-like probe
+      Row(6L, "gamma delta gamma delta", "src3") // raw-like probe
+    ).asJava, docSchema)
+    val isTarget = col("source") === "src1"
+    val w = graft.pipeline.Corpus.dsirWeights(corpus, isTarget).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 4 unigrams + 3 bigrams per doc
+    assert(w.values.forall(_._1 == 7L))
+    // NOTE deliberately no sign assertion: with Laplace smoothing over
+    // B=128 buckets and a 6-doc fixture the smoothing mass dominates
+    // both models, so absolute signs are meaningless — DSIR's contract
+    // is the RELATIVE ordering, which must separate the dialects.
+    assert(w(5L)._2 > w(6L)._2, s"target-like probe must outrank: $w")
+    // identical texts get identical weights regardless of source label
+    assert(w(1L)._2 == w(5L)._2 && w(3L)._2 == w(6L)._2)
+    // a 12-token budget admits exactly the three most target-like docs
+    val sel = graft.pipeline.Corpus
+      .dsirSample(corpus, isTarget, 12L).collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L, 5L), s"budget fill picked $sel")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
