@@ -2040,6 +2040,25 @@ object QueriesPipeline {
       Corpus.dsirSample(docs(s, dir), col("source") === "src1", 2000L)
         .orderBy("cum_tokens", "doc_id")),
 
+    // The co-located join: doc token stats ⋈ embedding norms, both
+    // served from the write-once BUCKETED doc_id layout
+    // ([[graft.pipeline.BucketStore]]) — the repeated-join family's
+    // 100 TB shape, where the partitioning shuffle was paid once at
+    // write time and the join itself runs exchange-free
+    // (BucketingSpec asserts the plan). The oracle is the plain join:
+    // storage layout must be invisible in the result.
+    "colocated_join_stats" -> ((s, dir) => {
+      val (dTab, eTab) = graft.pipeline.BucketStore.tables(s, dir)
+      s.table(dTab).join(s.table(eTab), Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          round(sum(col("norm_micro")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("avg_norm"))
+        .orderBy("source")
+    }),
+
     // Count-min sketch frequency estimates for the top-50 tokens, with
     // exact-count witness columns (dropped at 100 TB like kmvTypes'
     // n_types). The sketch exchange is <= d*w rows total; the finished
@@ -4749,6 +4768,22 @@ object QueriesPipeline {
          |  CAST(sum(c_micro) AS BIGINT) AS score_micro
          |FROM c GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "colocated_join_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |e AS (
+         |  SELECT vec_id,
+         |    CAST(round(sqrt(${dotSql("embedding", "embedding")}) * 1e6, 0) AS BIGINT)
+         |      AS norm_micro
+         |  FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |j AS (SELECT source, n_tokens, norm_micro
+         |      FROM d JOIN e ON d.doc_id = e.vec_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(norm_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_norm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH fb AS MATERIALIZED (

@@ -4036,6 +4036,49 @@ object DedupStateStore {
     }
 }
 
+/** Write-once/serve-many BUCKETED doc-keyed store — the DedupStateStore
+  * stance applied to storage layout instead of state: the first
+  * consumer pays one partitioning shuffle per side to lay the
+  * token-stats table and the embedding-norm sidecar down bucketed +
+  * sorted on doc_id ([[graft.sources.Io.writeBucketed]]); every later
+  * join of the two — the repeated-join family a feature store exists
+  * for — reads buckets 1:1 with no exchange (BucketingSpec asserts the
+  * executed plan). Tables are catalog entries backed by a temp
+  * directory, keyed by input-dir md5 so distinct scales coexist.
+  */
+object BucketStore {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+  import graft.functions.dotF
+
+  private val memo = TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** (docStatsTable, embNormTable), both bucketed by doc_id. */
+  def tables(s: SparkSession, dir: String): (String, String) = synchronized {
+    memo.getOrElseUpdate((s, dir), {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bucket_").toString
+      val dTab = s"graft_docs_bkt_$key"
+      val eTab = s"graft_embs_bkt_$key"
+      graft.sources.Io.writeBucketed(
+        s.read.parquet(s"$dir/documents.parquet").select(
+          col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        dTab, s"$root/docs", "doc_id")
+      graft.sources.Io.writeBucketed(
+        s.read.parquet(s"$dir/embeddings.parquet").select(
+          col("vec_id").as("doc_id"),
+          // integer-micro norm so downstream averages are order-free
+          round(sqrt(dotF(col("embedding"), col("embedding"))) * 1e6, 0)
+            .cast("long").as("norm_micro")),
+        eTab, s"$root/embs", "doc_id")
+      (dTab, eTab)
+    })
+  }
+}
+
 object Sessionize {
 
   /** Session windows over the events stream: a new session starts after

@@ -50,6 +50,36 @@ object Io {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted external table — the storage layout for a key
+    * that gets joined REPEATEDLY (a doc-keyed feature store, an
+    * embedding sidecar): pay the partitioning shuffle once at write
+    * time, then every later join of two tables bucketed on the key
+    * runs with NO exchange (asserted in BucketingSpec against the
+    * executed plan, not assumed). At 100 TB that converts the
+    * dominant per-query cost of the join family into a one-time
+    * write-side cost.
+    *
+    * The explicit `repartition(numBuckets, key)` before the write is
+    * load-bearing: Spark's bucket hash IS Murmur3 hash partitioning,
+    * so each write task holds exactly one bucket's rows and emits ONE
+    * file per bucket — without it every task writes a sliver of every
+    * bucket (tasks×buckets small files). The reader still runs a
+    * per-bucket in-memory Sort before the merge join (Spark 4 does
+    * not trust file-level order from bucketed scans); the win this
+    * layout buys is the absent EXCHANGE, which is the cost that
+    * scales with the corpus.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, numBuckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(numBuckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 

