@@ -2906,42 +2906,65 @@ object Corpus {
     * per-doc weight is a sum of exact products of bigints — order-free
     * and engine-exact.
     */
-  def dsirWeights(
-      docs: DataFrame, target: Column, buckets: Int = 128): DataFrame = {
-    val b = lit(buckets.toLong)
-    val pairs = docs
+  /** The (doc_id, _is_t, b, cnt) hashed-bucket count frame behind the
+    * DSIR family — one partial-agg shuffle of ≤`buckets` rows/doc.
+    */
+  private def dsirPairs(
+      docs: DataFrame, target: Column, buckets: Int): DataFrame =
+    docs
       .select(
         col("doc_id"), target.as("_is_t"),
         explode(concat(
           TextOps.tokens(col("text")),
           TextOps.shingles(col("text"), 2))).as("f"))
       .select(col("doc_id"), col("_is_t"),
-        (TextOps.hash32(col("f")) % b).as("b"))
+        (TextOps.hash32(col("f")) % lit(buckets.toLong)).as("b"))
       .groupBy("doc_id", "_is_t", "b")
       .agg(count(lit(1)).as("cnt"))
+
+  /** The trained DSIR "model": the fixed `buckets`-row table of
+    * integer-micro bucket log-ratios ln p_target(b) − ln p_raw(b).
+    * This is the artifact a production pipeline trains once on the
+    * corpus and then broadcasts to score anything — including a
+    * stream (see graft.streaming.Streaming.dsirScoreStream).
+    */
+  def dsirRatios(
+      docs: DataFrame, target: Column, buckets: Int = 128): DataFrame = {
+    val pairs = dsirPairs(docs, target, buckets)
     val raw = pairs.groupBy("b").agg(sum("cnt").as("cr"))
     val tgt = pairs.where(col("_is_t")).groupBy("b").agg(sum("cnt").as("ct"))
     val tots = broadcast(pairs.agg(
       sum(col("cnt")).as("totr"),
       sum(when(col("_is_t"), col("cnt")).otherwise(lit(0L))).as("tott")))
-    val ratios = broadcast(
-      raw.join(tgt, Seq("b"), "left")
-        .crossJoin(tots)
-        .select(
-          col("b"),
-          round(
-            (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
-                (col("tott") + buckets)) -
-              log((col("cr") + lit(1L)).cast("double") /
-                (col("totr") + buckets))) * 1e6,
-            0).cast("long").as("lr_micro")))
-    pairs
-      .join(ratios, Seq("b"))
+    raw.join(tgt, Seq("b"), "left")
+      .crossJoin(tots)
+      .select(
+        col("b"),
+        round(
+          (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+              (col("tott") + buckets)) -
+            log((col("cr") + lit(1L)).cast("double") /
+              (col("totr") + buckets))) * 1e6,
+          0).cast("long").as("lr_micro"))
+  }
+
+  /** Score (doc_id, b, cnt) feature rows against a trained ratio
+    * table: broadcast join + one bounded per-doc aggregate. Exact
+    * integer arithmetic throughout — order-free and engine-exact.
+    */
+  def dsirScore(features: DataFrame, ratios: DataFrame): DataFrame =
+    features
+      .join(broadcast(ratios), Seq("b"))
       .groupBy("doc_id")
       .agg(
         sum(col("cnt")).cast("long").as("n_feats"),
         sum(col("cnt") * col("lr_micro")).cast("long").as("weight_micro"))
-  }
+
+  def dsirWeights(
+      docs: DataFrame, target: Column, buckets: Int = 128): DataFrame =
+    dsirScore(
+      dsirPairs(docs, target, buckets).select("doc_id", "b", "cnt"),
+      dsirRatios(docs, target, buckets))
 
   /** DSIR selection: fill a global token budget with the most
     * target-like documents first (descending per-feature log-ratio) —

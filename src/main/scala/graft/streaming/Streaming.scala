@@ -1074,6 +1074,85 @@ object Streaming {
   def qualityModelScoreStream(docs: DataFrame): DataFrame =
     graft.pipeline.Corpus.qualityModelScore(docs)
 
+  /** Streaming DSIR scoring against a STATIC trained bucket-ratio
+    * table (b, lr_micro — train one with
+    * [[graft.pipeline.Corpus.dsirRatios]]): the production shape for
+    * importance-weighting an ingest stream with a corpus-trained
+    * model. Per-doc bucket counts are computed PER ROW with array
+    * expressions (chained streaming aggregations are unsupported, so
+    * the batch side's (doc, bucket) groupBy is not available — and at
+    * ≤`buckets` distinct values per doc the array scan is cheap);
+    * then one broadcast stream-static join on the ≤128-row model and
+    * a single UPDATE-mode per-doc aggregate, which finalizes in the
+    * arrival micro-batch since a document's features arrive
+    * atomically. Integer-micro arithmetic end to end, so scores are
+    * bit-identical to the batch [[graft.pipeline.Corpus.dsirScore]]
+    * (pinned in StreamingSpec).
+    */
+  def dsirScoreStream(
+      docs: DataFrame, ratios: DataFrame, buckets: Int = 128): DataFrame = {
+    import graft.pipeline.{Corpus, TextOps}
+    val bs = transform(
+      concat(TextOps.tokens(col("text")), TextOps.shingles(col("text"), 2)),
+      f => TextOps.hash32(f) % lit(buckets.toLong))
+    val features = docs
+      .select(col("doc_id"), bs.as("_bs"))
+      .select(
+        col("doc_id"),
+        explode(transform(
+          array_distinct(col("_bs")),
+          b => struct(
+            b.as("b"),
+            size(filter(col("_bs"), x => x === b)).cast("long").as("cnt"))))
+          .as("p"))
+      .select(col("doc_id"), col("p.b").as("b"), col("p.cnt").as("cnt"))
+    Corpus.dsirScore(features, ratios)
+  }
+
+  /** Streaming BM25 scoring of incoming documents against FROZEN
+    * retrieval statistics (per-term df, corpus size n, avgdl — the
+    * numbers a batch pass over the corpus produced): the serving
+    * side of [[graft.pipeline.Corpus.bm25TopK]]. Everything rides in
+    * the plan as literals — per-term idf is precomputed driver-side
+    * from the same double spelling the batch expression uses — so the
+    * twin is a STATELESS per-row projection (append mode, no state
+    * store): tf per query term via one array scan each, contribution
+    * rounded to integer micros exactly like batch, rows with no
+    * matching term dropped (the inverted-probe prune). Per-doc
+    * score_micro is bit-identical to the batch query for the same
+    * stats (StreamingSpec).
+    */
+  def bm25ScoreStream(
+      docs: DataFrame,
+      df: Map[String, Double],
+      n: Double,
+      avgdl: Double,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = graft.pipeline.TextOps.tokens(col("text"))
+    val dl = size(toks).cast("double")
+    val per = df.toSeq.sortBy(_._1).map { case (term, dfT) =>
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      val tf = size(filter(toks, x => x === term)).cast("double")
+      struct(
+        (tf > 0).cast("long").as("m"),
+        when(tf > 0,
+          round(lit(idf) * (tf * (k1 + 1.0)) /
+            (tf + (lit(1.0 - b) + dl * b / avgdl) * k1) * 1e6, 0)
+            .cast("long"))
+          .otherwise(lit(0L)).as("c"))
+    }
+    docs
+      .select(col("doc_id"), array(per: _*).as("_p"))
+      .select(
+        col("doc_id"),
+        aggregate(col("_p"), lit(0L), (a, s) => a + s.getField("m"))
+          .as("n_terms_matched"),
+        aggregate(col("_p"), lit(0L), (a, s) => a + s.getField("c"))
+          .as("score_micro"))
+      .where(col("n_terms_matched") > 0)
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

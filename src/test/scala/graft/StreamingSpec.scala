@@ -728,6 +728,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.length == 3)
   }
 
+  test("streaming DSIR scoring vs a static trained ratio table matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "alpha beta alpha beta gamma",
+      2L -> "gamma delta gamma delta",
+      3L -> "alpha beta delta")
+    val batchDocs = texts
+      .map { case (id, t) => (id, t, if (id == 1L) "src1" else "src2") }
+      .toDF("doc_id", "text", "source")
+    val ratios = graft.pipeline.Corpus
+      .dsirRatios(batchDocs, col("source") === "src1")
+      .collect() // freeze the trained model so both sides read one artifact
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("b", "lr_micro")
+    val want = graft.pipeline.Corpus
+      .dsirWeights(batchDocs, col("source") === "src1")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.dsirScoreStream(input.toDF(), ratios).writeStream
+      .format("memory").queryName("sdsir").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdsir").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq && got.length == 3)
+  }
+
+  test("streaming BM25 scoring vs frozen stats matches batch score_micro") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "x a x b",
+      2L -> "x c",
+      3L -> "q d e",
+      4L -> "a b c")
+    val batchDocs = texts.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val want = graft.pipeline.Corpus
+      .bm25TopK(batchDocs, Seq("q", "x"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // frozen stats a batch pass produced: N=4, sum dl=12 -> avgdl=3
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, txt) => Doc(id, txt) }: _*)
+    val q = Streaming.bm25ScoreStream(
+        input.toDF(), Map("x" -> 2.0, "q" -> 1.0), n = 4.0, avgdl = 3.0)
+      .writeStream
+      .format("memory").queryName("sbm25").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbm25").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
+    assert(got.length == 3, "doc without query terms must be pruned")
+  }
+
   test("streaming intra-doc substring dedup matches the batch rebuild bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     // doc 1: an 8-token phrase repeated twice within the doc (later
