@@ -586,6 +586,35 @@ object ScaleSmoke {
       BpeTrain.bestPair(d.select(col("text").as("s")))
         .map(_._2).getOrElse(0L)
 
+    // BM25 probe: map-side query-term filter, broadcast df + corpus
+    // constants, partial top-k — ratio must track the scan volume.
+    def bm25(d: DataFrame): Long =
+      graft.pipeline.Corpus
+        .bm25TopK(d, Seq("spark", "merge", "window"), 20).count()
+
+    // DSIR train+score: one bounded (doc, bucket) exchange + a
+    // broadcast 128-row ratio model — ratio must track volume.
+    def dsir(d: DataFrame): Long =
+      graft.pipeline.Corpus
+        .dsirWeights(d, col("source") === "src1").count()
+
+    // Bucketed layout: one partitioning shuffle per side at write
+    // time, then the exchange-free co-located join — both linear.
+    def bucketJoin(d: DataFrame, tag: String): Long = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_smoke_bkt_").toString
+      val stats = d.select(col("doc_id"), col("source"),
+        size(graft.pipeline.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      graft.sources.Io.writeBucketed(
+        stats, s"graft_smoke_a_$tag", s"$root/a", "doc_id")
+      graft.sources.Io.writeBucketed(
+        stats.select(col("doc_id"), (col("n_tokens") * 2).as("x")),
+        s"graft_smoke_b_$tag", s"$root/b", "doc_id")
+      spark.table(s"graft_smoke_a_$tag")
+        .join(spark.table(s"graft_smoke_b_$tag"), Seq("doc_id")).count()
+    }
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -638,7 +667,10 @@ object ScaleSmoke {
       "ppl buckets" -> (() => (time("pplbuckets 1x", pplBuckets(docs1)), time(s"pplbuckets ${n}x", pplBuckets(docsN)))),
       "winpairs hot-fingerprint skew" -> (() => (time("winpairs distinct 1e6", winPairsSynth(1000000L, hot = false)), time("winpairs 1e6-deep fingerprint", winPairsSynth(1000000L, hot = true)))),
       "bpe merge round" -> (() => (time("bperound 1x", bpeRound(docs1)), time(s"bperound ${n}x", bpeRound(docsN)))),
-      "pack epochs" -> (() => (time("packepochs 1x", packEpochs(docs1)), time(s"packepochs ${n}x", packEpochs(docsN)))))
+      "pack epochs" -> (() => (time("packepochs 1x", packEpochs(docs1)), time(s"packepochs ${n}x", packEpochs(docsN)))),
+      "bm25 probe" -> (() => (time("bm25 1x", bm25(docs1)), time(s"bm25 ${n}x", bm25(docsN)))),
+      "dsir train+score" -> (() => (time("dsir 1x", dsir(docs1)), time(s"dsir ${n}x", dsir(docsN)))),
+      "bucketed write+join" -> (() => (time("bktjoin 1x", bucketJoin(docs1, "x1")), time(s"bktjoin ${n}x", bucketJoin(docsN, "xn")))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
