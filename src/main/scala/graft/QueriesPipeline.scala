@@ -811,6 +811,13 @@ object QueriesPipeline {
     "domain_stats" -> ((s, dir) =>
       Corpus.domainStats(docs(s, dir)).orderBy("domain")),
 
+    // Empirical-Bayes shrunk per-domain quality (prior strength 20):
+    // small-n domains pulled toward the global mean, so the ranking
+    // trusts evidence in proportion to volume. Integer-micro sums —
+    // engine-exact. See [[Corpus.domainQualityShrunk]].
+    "domain_quality_shrunk" -> ((s, dir) =>
+      Corpus.domainQualityShrunk(docs(s, dir)).orderBy("domain")),
+
     // CCNet/RefinedWeb head/middle/tail bucketing by cumulative token
     // share, on the distributed prefix plan (no single-partition
     // window); tier cuts are exact integer comparisons. See
@@ -1977,6 +1984,14 @@ object QueriesPipeline {
     // denominator.
     "source_mix_weights" -> ((s, dir) =>
       Corpus.mixWeights(docs(s, dir)).orderBy("source")),
+
+    // The mT5/mC4 temperature-sampling generalization (α=0.3): small
+    // sources upsampled relative to proportional, big sources damped;
+    // upsample_factor reads as effective epochs under a one-corpus-
+    // pass budget. Map-only at any scale. See
+    // [[Corpus.mixWeightsTemperature]].
+    "source_mix_temperature" -> ((s, dir) =>
+      Corpus.mixWeightsTemperature(docs(s, dir), 0.3).orderBy("source")),
 
     // The multi-epoch reading of the mix (LLaMA-style): at a training
     // budget of 4x the corpus, each source's sqrt-temperature token
@@ -4001,6 +4016,25 @@ object QueriesPipeline {
          |  round(CAST(sum(len($Toks)) AS DOUBLE) / count(*), 6) AS tokens_per_doc
          |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
+    "domain_quality_shrunk" ->
+      s"""WITH u AS (
+         |  SELECT text, $HostSql AS host
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |q AS (
+         |  SELECT ${domainSql("host")} AS domain,
+         |    CAST(round(($QualitySql) * 1e6, 0) AS BIGINT) AS q_micro
+         |  FROM u),
+         |d AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(q_micro) AS BIGINT) AS sum_q
+         |      FROM q GROUP BY domain),
+         |g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS gn,
+         |             CAST(sum(sum_q) AS BIGINT) AS gs FROM d)
+         |SELECT domain, n_docs,
+         |  round(CAST(sum_q AS DOUBLE) / n_docs / 1e6, 6) AS mean_quality,
+         |  round((sum_q + (CAST(gs AS DOUBLE) / gn) * 20) / (n_docs + 20) / 1e6, 6)
+         |    AS shrunk_quality
+         |FROM d, g ORDER BY domain""".stripMargin,
+
     "domain_tiers" ->
       s"""WITH u AS (
          |  SELECT doc_id, text, $HostSql AS host
@@ -5046,6 +5080,19 @@ object QueriesPipeline {
          |    / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6)
          |    AS mix_weight
          |FROM s ORDER BY source""".stripMargin,
+
+    "source_mix_temperature" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY source),
+         |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS totw,
+         |             CAST(sum(n_tokens) AS BIGINT) AS tott FROM s)
+         |SELECT source, n_docs, n_tokens,
+         |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / totw, 6) AS mix_weight,
+         |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / totw * tott / n_tokens, 6)
+         |    AS upsample_factor
+         |FROM s, t ORDER BY source""".stripMargin,
 
     "mix_epochs" ->
       s"""WITH s AS (

@@ -1871,6 +1871,46 @@ object Corpus {
         round(col("n_tokens").cast("double") / col("n_docs"), 6)
           .as("tokens_per_doc"))
 
+  /** Per-domain quality with EMPIRICAL-BAYES SHRINKAGE — the crawl-
+    * curation ranking a domain tiering actually wants: raw per-domain
+    * mean quality is dominated by small-n noise (a 2-doc domain with
+    * two lucky docs outranks a consistently-good 10k-doc domain), so
+    * each domain's mean is shrunk toward the global mean with prior
+    * strength k: shrunk = (Σq_d + k·μ_global)/(n_d + k) — the
+    * conjugate-normal posterior mean, equivalently a weighted average
+    * that trusts the domain's own evidence in proportion to n_d.
+    *
+    * Per-doc quality is rounded to integer micros at the scan, so
+    * both the domain sums and the global sum are EXACT integers and
+    * the whole statistic is engine-exact. One domains-sized
+    * aggregate + a broadcast global total — map-only at any corpus
+    * size.
+    */
+  def domainQualityShrunk(
+      docs: DataFrame, priorStrength: Int = 20): DataFrame = {
+    val perDom = docs
+      .select(
+        registeredDomain(urlHost(synthUrl(col("doc_id"), col("source"))))
+          .as("domain"),
+        round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long")
+          .as("q_micro"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("q_micro").as("sum_q"))
+    val glob = broadcast(perDom.agg(
+      sum(col("n_docs")).cast("long").as("_n"),
+      sum(col("sum_q")).cast("long").as("_s")))
+    perDom.crossJoin(glob)
+      .select(
+        col("domain"), col("n_docs"),
+        round(col("sum_q").cast("double") / col("n_docs") / 1e6, 6)
+          .as("mean_quality"),
+        round(
+          (col("sum_q") +
+            (col("_s").cast("double") / col("_n")) * priorStrength) /
+            (col("n_docs") + priorStrength) / 1e6, 6)
+          .as("shrunk_quality"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
     * MOSS algorithm): per document, slide a width-`w` window over the
     * n-token k-gram hashes and record each window's minimum hash
@@ -2838,6 +2878,40 @@ object Corpus {
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         round(col("w_raw") / col("_tot"), 6).as("mix_weight"))
+  }
+
+  /** Temperature-scaled source mixing (the mT5/mC4 α-sampling rule):
+    * source s gets weight n_s^α / Σ_t n_t^α. α=1 is proportional
+    * sampling (big sources dominate), α→0 is uniform (every source
+    * equal); the published sweet spots (0.2-0.5) upsample small
+    * sources without letting them swamp the mix. [[mixWeights]]'s
+    * sqrt rule is exactly α=0.5 — this is its generalization, with
+    * the two diagnostics a mix designer actually reads: the
+    * upsampling factor relative to proportional (how many effective
+    * epochs of s a one-corpus-pass budget implies) capped only by
+    * the mix itself, and the raw token share. One sources-sized
+    * aggregate, broadcast total — map-only at any corpus size.
+    */
+  def mixWeightsTemperature(
+      docs: DataFrame,
+      alpha: Double = 0.3,
+      tokenCount: Column => Column = t => size(tokens(t)).cast("long")): DataFrame = {
+    val perSrc = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w_raw", pow(col("n_tokens").cast("double"), alpha))
+    val tot = broadcast(perSrc.agg(
+      sum(col("w_raw")).as("_totw"),
+      sum(col("n_tokens")).cast("long").as("_tott")))
+    perSrc.crossJoin(tot)
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("_totw"), 6).as("mix_weight"),
+        // epochs of s under a one-corpus-pass token budget: w_s·T/n_s
+        round(col("w_raw") / col("_totw") * col("_tott") /
+          col("n_tokens"), 6).as("upsample_factor"))
   }
 
   /** Token-budget sample: fill a total token budget across sources in

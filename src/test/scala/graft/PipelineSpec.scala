@@ -835,6 +835,53 @@ class PipelineSpec extends SparkSpec {
     assert(sel == Set(1L, 2L, 5L), s"budget fill picked $sel")
   }
 
+  test("temperature mixing: alpha=1 is proportional, alpha<1 upsamples small sources") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prop = graft.pipeline.Corpus.mixWeightsTemperature(d, 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val tot = prop.values.map(_._1).sum.toDouble
+    prop.foreach { case (src, (n, w, up)) =>
+      assert(math.abs(w - n / tot) < 1e-5, s"$src: alpha=1 must be proportional")
+      assert(math.abs(up - 1.0) < 1e-5, s"$src: alpha=1 upsample must be 1")
+    }
+    val t = graft.pipeline.Corpus.mixWeightsTemperature(d, 0.3).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val bySize = t.toSeq.sortBy(_._2._1)
+    // strictly anti-monotone: the smaller the source, the larger the
+    // upsampling factor (n^(alpha-1) is decreasing in n)
+    bySize.sliding(2).foreach { case Seq((s1, (n1, u1)), (s2, (n2, u2))) =>
+      if (n1 < n2) assert(u1 > u2, s"$s1 ($n1 tok) must upsample more than $s2 ($n2 tok)")
+    }
+    // alpha=0.5 reproduces the sqrt mixWeights rule
+    val sqrtW = graft.pipeline.Corpus.mixWeights(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    graft.pipeline.Corpus.mixWeightsTemperature(d, 0.5).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - sqrtW(r.getString(0))) < 1e-6)
+    }
+  }
+
+  test("shrunk domain quality contracts toward the global mean, more for small n") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = graft.pipeline.Corpus.domainQualityShrunk(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val gMean = {
+      val agg = graft.pipeline.Corpus.domainQualityShrunk(d, priorStrength = 0)
+      // prior strength 0 leaves means untouched; weight them back up
+      val xs = agg.collect().map(r => (r.getLong(1), r.getDouble(2)))
+      xs.map { case (n, m) => n * m }.sum / xs.map(_._1).sum
+    }
+    rows.foreach { case (dom, n, mean, shrunk) =>
+      // shrunk lies between the domain mean and the global mean
+      assert((shrunk - mean) * (gMean - mean) >= -1e-9,
+        s"$dom: shrunk must move toward the global mean")
+      assert(math.abs(shrunk - gMean) <= math.abs(mean - gMean) + 1e-9,
+        s"$dom: shrinkage must contract toward the global mean")
+      // with k=20 and n docs, the pull is k/(n+k) of the gap
+      val want = mean + (gMean - mean) * 20.0 / (n + 20.0)
+      assert(math.abs(shrunk - want) < 2e-6, s"$dom: posterior-mean formula")
+    }
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
