@@ -1064,6 +1064,24 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Hard-negative mining for contrastive data: top-k similar-but-
+    // not-near-duplicate neighbors (cosine band < 0.5) per query —
+    // same broadcast-queries plan as ann_topk with a free map-side
+    // band predicate. See [[Similarity.hardNegatives]].
+    "ann_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
+    // PMI collocations (Church & Hanks) with min support 5 — the
+    // multi-word-unit screen. Vocab-keyed equi-joins after the
+    // support filter; never broadcasts the vocabulary. See
+    // [[Corpus.collocationsPmi]].
+    "collocations_pmi" -> ((s, dir) =>
+      Corpus.collocationsPmi(docs(s, dir))),
+
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(embs(s, dir))
         .select(
@@ -3330,6 +3348,43 @@ object QueriesPipeline {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+         |banded AS (SELECT * FROM scored WHERE cosine < 0.5),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM banded)
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "collocations_pmi" ->
+      s"""WITH uni AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($Toks) AS w
+         |        FROM read_parquet('{SFDIR}/documents.parquet')) GROUP BY w),
+         |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+         |bgall AS MATERIALIZED (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12
+         |  FROM (SELECT unnest(${shinglesSql(2)}) AS bg
+         |        FROM read_parquet('{SFDIR}/documents.parquet')) GROUP BY bg),
+         |n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM bgall),
+         |j AS (
+         |  SELECT bg, c12,
+         |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+         |  FROM bgall WHERE c12 >= 5)
+         |SELECT j.bg AS bg, j.c12 AS c12,
+         |  CAST(round(ln((CAST(j.c12 AS DOUBLE) / n2.n2) /
+         |    ((CAST(u1.c AS DOUBLE) / n1.n1) * (CAST(u2.c AS DOUBLE) / n1.n1))) * 1e6,
+         |    0) AS BIGINT) AS pmi_micro
+         |FROM j JOIN uni u1 ON j.w1 = u1.w JOIN uni u2 ON j.w2 = u2.w
+         |CROSS JOIN n1 CROSS JOIN n2
+         |ORDER BY pmi_micro DESC, bg ASC LIMIT 50""".stripMargin,
 
     "ann_topk_ivf" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),

@@ -2546,6 +2546,50 @@ object Corpus {
           .cast("bigint").as("logp_micro"))
   }
 
+  /** PMI collocation mining: the top-k bigrams by pointwise mutual
+    * information ln( (c12/N2) / ((c1/N1)·(c2/N1)) ) with a minimum
+    * support of `minCount` occurrences — the classic collocation
+    * detector (Church & Hanks), and the screen a tokenizer/vocab
+    * designer reads to find multi-word units worth merging.
+    *
+    * Scale shape: bigram and unigram counts are each ONE partial-agg
+    * shuffle; the min-support filter runs BEFORE the unigram joins, so
+    * only surviving bigrams (a tiny head of the distribution) join —
+    * and those joins are vocab-keyed equi-joins, never a broadcast of
+    * the vocabulary (which at 100 TB can be 1e9 types). Corpus totals
+    * ride as broadcast 1-row aggregates. PMI is one deterministic
+    * double from exact integer counts, rounded to integer micros; the
+    * final top-k is TakeOrderedAndProject on the total
+    * (pmi_micro desc, bg asc) order.
+    */
+  def collocationsPmi(
+      docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val uni = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = broadcast(uni.agg(sum(col("c")).cast("long").as("n1")))
+    val bgAll = docs
+      .select(explode(TextOps.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val n2 = broadcast(bgAll.agg(sum(col("c12")).cast("long").as("n2")))
+    bgAll
+      .where(col("c12") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(n1).crossJoin(n2)
+      .select(
+        col("bg"), col("c12"),
+        round(
+          log((col("c12").cast("double") / col("n2")) /
+            ((col("c1").cast("double") / col("n1")) *
+              (col("c2").cast("double") / col("n1")))) * 1e6,
+          0).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bg").asc)
+      .limit(k)
+  }
+
   /** Per-document bigram log-probability under a (bg, logp_micro)
     * model frame (see [[bigramModel]]) — the LM-fluency filter score.
     * Inner join: bigrams absent from the model are dropped, matching
@@ -3106,6 +3150,39 @@ object Similarity {
         col("query_id"),
         col("neighbor_id"),
         (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training data: per query,
+    * the top-k most similar neighbors whose cosine is still BELOW
+    * `maxSim` — similar enough to be informative negatives, not so
+    * similar that they are unlabeled positives/near-duplicates (the
+    * standard dense-retrieval curation step; the band filter is the
+    * "denoised" variant of BM25/ANN-mined negatives). Same plan as
+    * [[topK]] — broadcast queries, map-side scoring, per-query
+    * window — with the band predicate applied before ranking, so
+    * the filter is map-side and free.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      maxSim: Double = 0.5): DataFrame = {
+    val queries = broadcast(
+      withNorm(embeddings, "query_id", "qe", "qn")
+        .where(col("query_id") < numQueries))
+    val scored = queries.join(
+        withNorm(embeddings, "neighbor_id", "ne", "nn"),
+        col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+      .where(col("cosine") < maxSim)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

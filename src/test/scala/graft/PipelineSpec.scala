@@ -882,6 +882,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: band excludes near-duplicates, keeps informative neighbors") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), //   the query
+      10L -> Array(0.99f, 0.1f, 0f, 0f), // near-dup (cos ~0.995) — excluded
+      11L -> Array(0.4f, 0.9f, 0f, 0f), //  informative negative (cos ~0.41)
+      12L -> Array(0f, 0f, 1f, 0f) //       orthogonal (cos 0)
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity
+      .hardNegatives(vecs, numQueries = 1, k = 5, maxSim = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(11L, 12L),
+      s"near-dup must be banded out, got ${out.toSeq}")
+    assert(out.forall(_._3 < 0.5))
+    // the same query WITHOUT the band ranks the near-dup first —
+    // i.e. the band is what separates "hard negative" from "positive"
+    val top = graft.pipeline.Similarity.topK(vecs, numQueries = 1, k = 1)
+      .collect().head.getLong(1)
+    assert(top == 10L)
+  }
+
+  test("PMI collocations: exclusive pair outranks frequent independent pair") {
+    // "red queen" only ever co-occur (exclusive collocation);
+    // "a b" both appear often independently — PMI must rank
+    // "red queen" above "a b" even though "a b" is more frequent.
+    val rows = (1L to 6L).map(i => (i, "red queen a b a c b a")) :+
+      (7L, "a a b b c c a b")
+    val out = graft.pipeline.Corpus
+      .collocationsPmi(docs(rows: _*), minCount = 2, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byBg = out.map(x => x._1 -> x._3).toMap
+    assert(byBg.contains("red queen"), s"got ${out.toSeq}")
+    assert(out.head._1 == "red queen", s"exclusive pair must rank first: ${out.toSeq}")
+    assert(byBg("red queen") > byBg("a b"))
+    // support filter: bigrams seen once (e.g. 'c c') are gone
+    assert(!byBg.contains("c c"))
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
