@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * DISTRIBUTED (per-round pair-count aggregate: most-frequent
   * adjacent pair, ties lexicographic, left-to-right non-overlapping
   * counting and replace; the corpus never moves) -- on the sf0.001
-  * documents corpus: 1024 merges, compressing the corpus to ~32.5
-  * mean symbols/doc (chars 306, whitespace words 56, round-11's
+  * documents corpus, run to SATURATION: 2400 merges (training stops
+  * when no pair repeats -- the corpus admits no 2401st), compressing
+  * sf0.01 to ~9.3 chars/symbol and ~0.59 symbols/word (round-12's
+  * earlier 1024-merge table ~32.5 mean symbols/doc, round-11's
   * 256-merge table ~49, round-10's 47-merge table 160).
   *
   * Contract: input text must be ASCII -- no U+E000..U+F8FF
@@ -34,18 +36,20 @@ import org.apache.spark.sql.functions._
   * merge). PipelineSpec pins both properties over the committed
   * testdata corpora so a contract violation fails loudly, and
   * [[graft.tools.BpeTrain]] refuses to train on a non-ASCII corpus.
-  * Scale shape: encode is a map-only projection (the fused 1024-pass
-  * kernel), no shuffle, no state.
+  * Scale shape: encode is a map-only projection (the fused
+  * presence-gated kernel; rank space sized off the table), no
+  * shuffle, no state.
   */
 object Bpe {
 
-  /** (pair, replacement) in training rank order -- 1024 byte-level
-    * merges trained by the DISTRIBUTED [[graft.tools.BpeTrain]]
-    * (per-round pair-count aggregate; the corpus never moves) on
-    * sf0.001; committed as the generated [[BpeMergesTable]]. The
-    * round-11 256-merge table is its exact rank-for-rank,
-    * freq-for-freq prefix (the training procedure is deterministic),
-    * verified at generation time and procedure-pinned in PipelineSpec.
+  /** (pair, replacement) in training rank order -- 2400 byte-level
+    * merges (saturation) trained by the DISTRIBUTED
+    * [[graft.tools.BpeTrain]] (per-round pair-count aggregate; the
+    * corpus never moves) on sf0.001; committed as the generated
+    * [[BpeMergesTable]]. Earlier rounds' 256- and 1024-merge tables
+    * are its exact rank-for-rank, freq-for-freq prefixes (the
+    * training procedure is deterministic), verified at generation
+    * time and procedure-pinned in PipelineSpec.
     */
   val Merges: Seq[(String, String)] = BpeMergesTable.rows
 
@@ -65,9 +69,9 @@ object Bpe {
   /** The fully-merged symbol string (each char = one BPE token).
     * Spelled as the fused one-buffer kernel
     * ([[org.apache.spark.sql.graft.expressions.BpeEncodeF]]) rather
-    * than 1024 chained `StringReplace`s: bit-identical by contract
+    * than 2400 chained `StringReplace`s: bit-identical by contract
     * (PipelineSpec pins kernel == fold == Spark chain), ~an order of
-    * magnitude cheaper per row (no 1024 intermediate UTF8Strings;
+    * magnitude cheaper per row (no per-rank intermediate UTF8Strings;
     * passes whose pair symbols are absent are skipped).
     */
   def encode(text: Column): Column =
@@ -115,8 +119,8 @@ object Bpe {
   private lazy val mergesReversed: Seq[(String, String)] = Merges.reverse
 
   /** The decode kernel (also the JVM mirror for tests): reverse-rank
-    * `String.replace` chain. With the 1024-row table the Column-fold
-    * spelling would be a 1024-deep expression tree, so [[decode]]
+    * `String.replace` chain. With the 2400-row table the Column-fold
+    * spelling would be a 2400-deep expression tree, so [[decode]]
     * routes through the codegen static-call expression
     * [[org.apache.spark.sql.graft.expressions.BpeDecodeF]] instead;
     * `String.replace` returns the receiver unchanged when the target
@@ -138,7 +142,7 @@ object Bpe {
     }
 
   /** DuckDB mirror of [[encode]] as a staged CTE block: DuckDB's
-    * binder caps expression recursion at 128, so the 1024-deep replace
+    * binder caps expression recursion at 128, so the 2400-deep replace
     * nesting cannot bind as ONE scalar expression -- the identical
     * chain is applied in 64-merge layers through stacked CTEs instead
     * (each layer's expression is 64 deep; rank order is preserved

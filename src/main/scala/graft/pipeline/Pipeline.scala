@@ -2679,43 +2679,47 @@ object Corpus {
       terms: Seq[String],
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      idCols: Seq[String] = Seq("doc_id"),
+      textCol: String = "text"): DataFrame = {
     val termArr = array(terms.map(lit): _*)
-    val toks = TextOps.tokens(col("text"))
+    val toks = TextOps.tokens(col(textCol))
+    val ids = idCols.map(col)
     val corpus = broadcast(
-      docs.select(size(TextOps.tokens(col("text"))).cast("long").as("_dl"))
+      docs.select(size(TextOps.tokens(col(textCol))).cast("long").as("_dl"))
         .agg(
           count(lit(1)).cast("double").as("n"),
           (sum(col("_dl")).cast("double") / count(lit(1))).as("avgdl")))
     val postings = docs
       .select(
-        col("doc_id"),
-        size(toks).cast("double").as("dl"),
-        explode(transform(
-          array_intersect(array_distinct(toks), termArr),
-          w => struct(
-            w.as("term"),
-            size(filter(toks, x => x === w)).cast("double").as("tf"))))
-          .as("p"))
-      .select(col("doc_id"), col("dl"), col("p.term").as("term"),
-        col("p.tf").as("tf"))
+        ids :+
+          size(toks).cast("double").as("dl") :+
+          explode(transform(
+            array_intersect(array_distinct(toks), termArr),
+            w => struct(
+              w.as("term"),
+              size(filter(toks, x => x === w)).cast("double").as("tf"))))
+            .as("p"): _*)
+      .select(
+        ids :+ col("dl") :+ col("p.term").as("term") :+
+          col("p.tf").as("tf"): _*)
     val df_ = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     postings
       .join(broadcast(df_), Seq("term"))
       .crossJoin(corpus)
       .select(
-        col("doc_id"),
-        round(
-          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (k1 + 1.0)) /
-            (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1) * 1e6,
-          0).cast("long").as("c_micro"))
-      .groupBy("doc_id")
+        ids :+
+          round(
+            log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf") * (k1 + 1.0)) /
+              (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1) * 1e6,
+            0).cast("long").as("c_micro"): _*)
+      .groupBy(ids: _*)
       .agg(
         count(lit(1)).as("n_terms_matched"),
         sum(col("c_micro")).as("score_micro"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .orderBy(col("score_micro").desc +: ids.map(_.asc): _*)
       .limit(k)
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Fused BPE merge-chain decode — the inverse of [[BpeEncodeF]],
   * expanding merge symbols back to their pairs in reverse rank order
   * via the JVM kernel [[graft.pipeline.Bpe.decodeString]]. With the
-  * vocab-scale table a Column-fold spelling would be a 1024-deep
+  * vocab-scale table a Column-fold spelling would be a table-deep
   * nested `StringReplace` tree (slow to analyze, at risk of codegen
   * fallback); the kernel call keeps the expression inside whole-stage
   * codegen as ONE static call. `String.replace` returns the receiver

@@ -6,22 +6,22 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-stage-codegen BPE merge-chain encode over the committed
-  * [[graft.pipeline.Bpe.Merges]] table — bit-identical to the 1024
+  * [[graft.pipeline.Bpe.Merges]] table — bit-identical to the rank-ordered
   * chained `StringReplace` expressions it replaces (each pass is the
   * same left-to-right non-overlapping replace `String.replace`
   * implements; PipelineSpec pins the equality), but fused into ONE
   * kernel over a single reused char buffer:
   *
-  *  - the replace chain materializes 1024 intermediate `UTF8String`s
+  *  - the replace chain materializes one intermediate `UTF8String` per rank
   *    per row (UTF-8 decode + encode + allocation each) — the fused
   *    kernel decodes once, runs every pass in place (write cursor
   *    never passes the read cursor), and encodes once;
   *  - a pass is SKIPPED outright when either pair char is provably
-  *    absent (a 1152-slot presence table over ASCII + the U+E000+rank
+  *    absent (a presence table over ASCII + the U+E000+rank
   *    merge-symbol space, updated as merges fire): most of the deep
   *    table's pairs are built from intermediate symbols that occur
   *    only if their parent merges fired, so typical documents execute
-  *    a fraction of the 1024 passes.
+  *    a fraction of the table's passes.
   *
   * Codegen emits a call to the static [[BpeEncodeF.encode]] kernel,
   * so the expression stays inside whole-stage codegen (no
@@ -66,13 +66,16 @@ object BpeEncodeF {
     (a, b, o)
   }
 
-  /** Presence-table slot for a char: 0..127 ASCII, 128..1151 the
-    * U+E000..U+E3FF merge-symbol space (1024 ranks), -1 = cannot
-    * appear in any merge pair (so passes never need it tracked).
+  private lazy val nRanks: Int = graft.pipeline.Bpe.Merges.length
+
+  /** Presence-table slot for a char: 0..127 ASCII, then the
+    * U+E000..U+E000+|Merges| merge-symbol space (sized off the
+    * committed table, so the kernel follows the vocabulary), -1 =
+    * cannot appear in any merge pair (so passes never track it).
     */
   private def slot(c: Char): Int =
     if (c < 128) c.toInt
-    else if (c >= 0xE000 && c < 0xE400) 128 + (c - 0xE000)
+    else if (c >= 0xE000 && c < 0xE000 + nRanks) 128 + (c - 0xE000)
     else -1
 
   /** One-buffer merge-chain encode, semantics identical to
@@ -81,7 +84,7 @@ object BpeEncodeF {
   def encode(s: String): String = {
     val buf = s.toCharArray
     var len = buf.length
-    val present = new Array[Boolean](1152)
+    val present = new Array[Boolean](128 + nRanks)
     var i = 0
     while (i < len) {
       val d = slot(buf(i)); if (d >= 0) present(d) = true

@@ -34,6 +34,10 @@ case class BpeIdsF(child: Expression)
 
 object BpeIdsF {
 
+  // id space sized off the committed table (GPT-2 convention: byte
+  // ids 0..255, then 256+rank per merge) so it follows the vocabulary
+  private lazy val nRanks: Int = graft.pipeline.Bpe.Merges.length
+
   def idsArray(sym: String): Array[Int] = {
     val out = new Array[Int](sym.length)
     var i = 0
@@ -41,7 +45,7 @@ object BpeIdsF {
       val c = sym.charAt(i)
       out(i) =
         if (c < 256) c.toInt
-        else if (c >= 0xE000 && c < 0xE000 + 1024) 256 + (c - 0xE000)
+        else if (c >= 0xE000 && c < 0xE000 + nRanks) 256 + (c - 0xE000)
         else throw new IllegalArgumentException(
           f"char U+${c.toInt}%04X is not a BPE symbol")
       i += 1
@@ -54,7 +58,7 @@ object BpeIdsF {
     val sb = new java.lang.StringBuilder(ids.length)
     ids.foreach { id =>
       if (id >= 0 && id < 256) sb.append(id.toChar)
-      else if (id >= 256 && id < 256 + 1024) sb.append((0xE000 + id - 256).toChar)
+      else if (id >= 256 && id < 256 + nRanks) sb.append((0xE000 + id - 256).toChar)
       else throw new IllegalArgumentException(s"id $id out of vocabulary")
     }
     sb.toString

@@ -1445,7 +1445,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("Bpe: char-47 table is the prefix of the byte table; symbols well-formed") {
-    assert(pipeline.Bpe.Merges.size == 1024)
+    // trained to SATURATION on the fixture corpus (training stops when
+    // no pair repeats), so the exact count is a property of the data
+    assert(pipeline.Bpe.Merges.size == 2400)
     assert(pipeline.Bpe.MergesChar == pipeline.Bpe.Merges.take(47))
     pipeline.Bpe.Merges.zipWithIndex.foreach { case ((p, r), i) =>
       assert(r == (0xE000 + i).toChar.toString, s"rank $i: bad symbol")
@@ -1616,7 +1618,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("distributed BpeTrain reproduces the committed table prefix on the real corpus") {
-    // the committed 1024-row BpeMergesTable was generated by this same
+    // the committed BpeMergesTable (2400 rows, trained to saturation) was generated by this same
     // distributed procedure; re-training the first 16 merges here pins
     // rank, pair, symbol AND frequency against the committed artifact
     // (frequencies hardcoded from the generation run)
