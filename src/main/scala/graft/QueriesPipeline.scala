@@ -1075,6 +1075,59 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Passage-level retrieval: BM25 over the SAME chunking the RAG/
+    // eval pipeline consumes (chunk_docs: 32-token windows, stride
+    // 24) — retrieval granularity is a pipeline choice, and the
+    // engine expresses both by composing the two operators (the
+    // chunker is map-only, so the probe shape is unchanged; the
+    // postings key is (doc_id, chunk_id)).
+    "bm25_chunks" -> ((s, dir) =>
+      Corpus.bm25TopK(
+        Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 24)
+          .withColumnRenamed("chunk_text", "text"),
+        Seq("spark", "merge", "window"), 20,
+        idCols = Seq("doc_id", "chunk_id"))
+        .select(col("doc_id"), col("chunk_id"), col("n_terms_matched"),
+          col("score_micro"))),
+
+    // Do the engine's own gates agree? Pearson correlation between
+    // the rule-based quality score and the DSIR target-likeness
+    // ratio, from five EXACT integer sums over per-doc micro scores
+    // (sums cast to double only for the final closed form, which
+    // both engines evaluate identically). The instrument a curation
+    // team reads before stacking gates: highly-correlated gates are
+    // redundant, anti-correlated ones fight.
+    "gate_correlation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val x = d.select(
+        col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long")
+          .as("x"))
+      val y = Corpus.dsirWeights(d, col("source") === "src1")
+        .select(
+          col("doc_id"),
+          round(col("weight_micro").cast("double") / col("n_feats"), 0)
+            .cast("long").as("y"))
+      x.join(y, Seq("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .select(
+          col("n").as("n_docs"),
+          round(
+            (col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+              (sqrt(col("n").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")) *
+                sqrt(col("n").cast("double") * col("syy") -
+                  col("sy").cast("double") * col("sy"))), 6)
+            .as("r_quality_dsir"))
+    }),
+
     // PMI collocations (Church & Hanks) with min support 5 — the
     // multi-word-unit screen. Vocab-keyed equi-joins after the
     // support filter; never broadcasts the vocabulary. See
@@ -3362,6 +3415,78 @@ object QueriesPipeline {
          |  FROM banded)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "bm25_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),
+         |ch AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(0, greatest((len(t) - 32 + 23) // 24, 0) + 1)) AS chunk_id
+         |  FROM d),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id,
+         |    list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32) AS t
+         |  FROM ch),
+         |corpus AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |p AS (SELECT doc_id, chunk_id, CAST(len(t) AS DOUBLE) AS dl,
+         |             unnest(t) AS term FROM tok),
+         |q AS (SELECT doc_id, chunk_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM p WHERE term IN ('spark', 'merge', 'window')
+         |      GROUP BY doc_id, chunk_id, dl, term),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |        FROM q GROUP BY term),
+         |c AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(round(
+         |      ln(1 + (n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6,
+         |      0) AS BIGINT) AS c_micro
+         |  FROM q JOIN dfq USING (term) CROSS JOIN corpus)
+         |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |  CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY score_micro DESC, doc_id ASC, chunk_id ASC LIMIT 20""".stripMargin,
+
+    "gate_correlation" ->
+      s"""WITH fb AS MATERIALIZED (
+         |  SELECT doc_id, is_t, ${h32("f")} % 128 AS b
+         |  FROM (SELECT doc_id, source = 'src1' AS is_t,
+         |          unnest(list_concat($Toks, ${shinglesSql(2)})) AS f
+         |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fb GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, sum(cnt) AS cr FROM p GROUP BY b),
+         |tgt AS (SELECT b, sum(cnt) AS ct FROM p WHERE is_t GROUP BY b),
+         |tots AS (SELECT sum(cnt) AS totr,
+         |                sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS tott FROM p),
+         |r AS (SELECT raw.b AS b,
+         |        CAST(round((ln((coalesce(ct, 0) + 1.0) / (tott + 128)) -
+         |                    ln((cr + 1.0) / (totr + 128))) * 1e6, 0) AS BIGINT)
+         |          AS lr_micro
+         |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+         |w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |        CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro
+         |      FROM p JOIN r USING (b) GROUP BY doc_id),
+         |xq AS (SELECT doc_id, CAST(round(($QualitySql) * 1e6, 0) AS BIGINT) AS x
+         |       FROM read_parquet('{SFDIR}/documents.parquet')),
+         |yq AS (SELECT doc_id,
+         |         CAST(round(CAST(weight_micro AS DOUBLE) / n_feats, 0) AS BIGINT) AS y
+         |       FROM w),
+         |j AS (SELECT x, y FROM xq JOIN yq USING (doc_id)),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(y * y) AS BIGINT) AS syy FROM j)
+         |SELECT n AS n_docs,
+         |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+         |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         |    AS r_quality_dsir
+         |FROM s""".stripMargin,
 
     "collocations_pmi" ->
       s"""WITH uni AS MATERIALIZED (

@@ -921,6 +921,38 @@ class PipelineSpec extends SparkSpec {
     assert(!byBg.contains("c c"))
   }
 
+  test("bm25_chunks: passage keys, probe prune, non-increasing scores") {
+    val out = SparkEntry.queries("bm25_chunks")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-k must be ordered by score desc")
+    // every hit really contains a query term in ITS OWN chunk window
+    val terms = Set("spark", "merge", "window")
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out.foreach { r =>
+      val toks = d(r.getLong(0)).split(" ")
+      val start = (r.getLong(1) * 24).toInt
+      val window = toks.slice(start, start + 32)
+      assert(window.exists(terms), s"chunk ${r.getLong(0)}/${r.getLong(1)} has no query term")
+    }
+  }
+
+  test("gate_correlation: a bounded, reproducible Pearson statistic") {
+    val rows = SparkEntry.queries("gate_correlation")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head.getDouble(1)
+    assert(r >= -1.0 && r <= 1.0, s"Pearson out of range: $r")
+    assert(rows.head.getLong(0) == 500L)
+    // exact integer sums => bit-stable across runs
+    val r2 = SparkEntry.queries("gate_correlation")(spark, "/root/testdata/sf0.001")
+      .collect().head.getDouble(1)
+    assert(r == r2)
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
