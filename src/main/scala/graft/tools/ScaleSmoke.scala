@@ -598,6 +598,11 @@ object ScaleSmoke {
       graft.pipeline.Corpus
         .dsirWeights(d, col("source") === "src1").count()
 
+    // PMI collocations: two vocab-sized partial aggs + equi-joins on
+    // the support-filtered head — ratio must track token volume.
+    def pmi(d: DataFrame): Long =
+      graft.pipeline.Corpus.collocationsPmi(d).count()
+
     // Bucketed layout: one partitioning shuffle per side at write
     // time, then the exchange-free co-located join — both linear.
     def bucketJoin(d: DataFrame, tag: String): Long = {
@@ -670,7 +675,8 @@ object ScaleSmoke {
       "pack epochs" -> (() => (time("packepochs 1x", packEpochs(docs1)), time(s"packepochs ${n}x", packEpochs(docsN)))),
       "bm25 probe" -> (() => (time("bm25 1x", bm25(docs1)), time(s"bm25 ${n}x", bm25(docsN)))),
       "dsir train+score" -> (() => (time("dsir 1x", dsir(docs1)), time(s"dsir ${n}x", dsir(docsN)))),
-      "bucketed write+join" -> (() => (time("bktjoin 1x", bucketJoin(docs1, "x1")), time(s"bktjoin ${n}x", bucketJoin(docsN, "xn")))))
+      "bucketed write+join" -> (() => (time("bktjoin 1x", bucketJoin(docs1, "x1")), time(s"bktjoin ${n}x", bucketJoin(docsN, "xn")))),
+      "pmi collocations" -> (() => (time("pmi 1x", pmi(docs1)), time(s"pmi ${n}x", pmi(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
