@@ -1096,7 +1096,11 @@ object QueriesPipeline {
     // (sums cast to double only for the final closed form, which
     // both engines evaluate identically). The instrument a curation
     // team reads before stacking gates: highly-correlated gates are
-    // redundant, anti-correlated ones fight.
+    // redundant, anti-correlated ones fight. Range note: micro²
+    // summands are ~1e12, so the exact-integer sums stay below Long
+    // range to ~9e6 docs; past that drop the per-doc scores to milli
+    // units (summands ~1e6 → good to ~9e12 docs) — the statistic is
+    // scale-invariant, only the fixed-point unit changes.
     "gate_correlation" -> ((s, dir) => {
       val d = docs(s, dir)
       val x = d.select(
