@@ -1107,7 +1107,7 @@ object QueriesPipeline {
         col("doc_id"),
         round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long")
           .as("x"))
-      val y = Corpus.dsirWeights(d, col("source") === "src1")
+      val y = graft.pipeline.DsirChain.weights(s, dir, d)
         .select(
           col("doc_id"),
           round(col("weight_micro").cast("double") / col("n_feats"), 0)
@@ -2115,7 +2115,7 @@ object QueriesPipeline {
     // log-ratio is integer-micro per bucket so the per-doc sum is
     // order-free. See [[Corpus.dsirWeights]].
     "dsir_weights" -> ((s, dir) =>
-      Corpus.dsirWeights(docs(s, dir), col("source") === "src1")
+      graft.pipeline.DsirChain.weights(s, dir, docs(s, dir))
         .select(
           col("doc_id"), col("n_feats"), col("weight_micro"),
           round(col("weight_micro").cast("double") / col("n_feats") / 1e6, 6)
@@ -2127,7 +2127,9 @@ object QueriesPipeline {
     // the (-avg_logratio, doc_id) total order, no SinglePartition
     // window. See [[Corpus.dsirSample]].
     "corpus_sample_dsir" -> ((s, dir) =>
-      Corpus.dsirSample(docs(s, dir), col("source") === "src1", 2000L)
+      Corpus.dsirSampleFromWeights(
+          graft.pipeline.DsirChain.weights(s, dir, docs(s, dir)),
+          docs(s, dir), 2000L)
         .orderBy("cum_tokens", "doc_id")),
 
     // The co-located join: doc token stats ⋈ embedding norms, both

@@ -3031,7 +3031,7 @@ object Corpus {
   /** The (doc_id, _is_t, b, cnt) hashed-bucket count frame behind the
     * DSIR family — one partial-agg shuffle of ≤`buckets` rows/doc.
     */
-  private def dsirPairs(
+  private[pipeline] def dsirPairs(
       docs: DataFrame, target: Column, buckets: Int): DataFrame =
     docs
       .select(
@@ -3051,8 +3051,14 @@ object Corpus {
     * stream (see graft.streaming.Streaming.dsirScoreStream).
     */
   def dsirRatios(
-      docs: DataFrame, target: Column, buckets: Int = 128): DataFrame = {
-    val pairs = dsirPairs(docs, target, buckets)
+      docs: DataFrame, target: Column, buckets: Int = 128): DataFrame =
+    dsirRatiosFromPairs(dsirPairs(docs, target, buckets), buckets)
+
+  /** The ratio table from an existing (doc_id, _is_t, b, cnt) pair
+    * frame — the seam [[DsirChain]] stages so the pair explode runs
+    * once per session, not once per consumer.
+    */
+  def dsirRatiosFromPairs(pairs: DataFrame, buckets: Int = 128): DataFrame = {
     val raw = pairs.groupBy("b").agg(sum("cnt").as("cr"))
     val tgt = pairs.where(col("_is_t")).groupBy("b").agg(sum("cnt").as("ct"))
     val tots = broadcast(pairs.agg(
@@ -3099,11 +3105,20 @@ object Corpus {
       docs: DataFrame,
       target: Column,
       budgetTokens: Long,
-      buckets: Int = 128): DataFrame = {
+      buckets: Int = 128): DataFrame =
+    dsirSampleFromWeights(dsirWeights(docs, target, buckets), docs, budgetTokens)
+
+  /** The resampling step from an existing weights frame — the seam
+    * [[DsirChain]] consumers use so the model trains once per session.
+    */
+  def dsirSampleFromWeights(
+      weights: DataFrame,
+      docs: DataFrame,
+      budgetTokens: Long): DataFrame = {
     val keyed = docs.select(
       col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val scored = dsirWeights(docs, target, buckets)
+    val scored = weights
       .join(keyed, Seq("doc_id"))
       .withColumn("avg_lr",
         col("weight_micro").cast("double") / col("n_feats") / 1e6)
@@ -4150,6 +4165,38 @@ object BpeChain {
       memo.remove(k).foreach(df =>
         CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
     }
+}
+
+/** Session-staged DSIR model — the BigramChain stance applied to the
+  * importance-resampling family: three declared consumers
+  * (dsir_weights, corpus_sample_dsir, gate_correlation) each need the
+  * per-doc weights, and each was paying its own feature explode +
+  * model training. A production pipeline trains the 128-bucket ratio
+  * table once and scores everything with it, so the staged artifacts
+  * ARE the production shape: the (doc, bucket) count frame
+  * (checkpointed — the explode never re-runs) and the per-doc weights
+  * derived from it. Target fixed to the declared queries' spelling
+  * (source = src1).
+  */
+object DsirChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memoP = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memoW = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def pairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memoP.getOrElseUpdate((s, dir),
+      Corpus.dsirPairs(docs, col("source") === "src1", 128)
+        .localCheckpoint(true))
+
+  def weights(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memoW.getOrElseUpdate((s, dir), {
+      val p = pairs(s, dir, docs)
+      Corpus.dsirScore(
+        p.select("doc_id", "b", "cnt"),
+        Corpus.dsirRatiosFromPairs(p)).localCheckpoint(true)
+    })
 }
 
 object BigramChain {
