@@ -1139,6 +1139,12 @@ object QueriesPipeline {
     "collocations_pmi" -> ((s, dir) =>
       Corpus.collocationsPmi(docs(s, dir))),
 
+    // Zipf slope of the top-200 token types — the head/tail-loss
+    // drift instrument a curation dashboard tracks across cleaning
+    // steps. See [[Corpus.vocabZipfSlope]].
+    "vocab_zipf_slope" -> ((s, dir) =>
+      Corpus.vocabZipfSlope(docs(s, dir))),
+
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(embs(s, dir))
         .select(
@@ -3492,6 +3498,27 @@ object QueriesPipeline {
          |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
          |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
          |    AS r_quality_dsir
+         |FROM s""".stripMargin,
+
+    "vocab_zipf_slope" ->
+      s"""WITH cnt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($Toks) AS w
+         |        FROM read_parquet('{SFDIR}/documents.parquet')) GROUP BY w),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 200),
+         |rk AS (SELECT c,
+         |         CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rank
+         |       FROM top),
+         |m AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         |             CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+         |      FROM rk),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx FROM m)
+         |SELECT k AS n_terms,
+         |  round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |    (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope
          |FROM s""".stripMargin,
 
     "collocations_pmi" ->

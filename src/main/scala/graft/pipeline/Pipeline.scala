@@ -2546,6 +2546,49 @@ object Corpus {
           .cast("bigint").as("logp_micro"))
   }
 
+  /** Zipf-fit instrument: OLS slope of ln(freq) on ln(rank) over the
+    * top-`topK` token types — natural language sits near −1
+    * (Zipf's law); a corpus that drifts far from its baseline slope
+    * after a cleaning step lost either its head (over-aggressive
+    * stopword/boilerplate removal) or its tail (over-deduplication),
+    * which is why curation dashboards track it.
+    *
+    * Scale shape: one vocab-sized partial-agg shuffle, then the
+    * bounded top-K (TakeOrderedAndProject) ranked by
+    * [[graft.plans.Scale.rowNumberDistributed]] (no SinglePartition
+    * window even on the bounded frame — the house rank spelling).
+    * ln(rank)/ln(freq) are micro-rounded per term so the regression
+    * sums are exact integers; the closed form runs on doubles cast
+    * from exact ints, identically in both engines.
+    */
+  def vocabZipfSlope(docs: DataFrame, topK: Int = 200): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(topK)
+    val ranked = graft.plans.Scale.rowNumberDistributed(
+      counts, Seq(col("c").desc, col("w").asc), "rank")
+    ranked
+      .select(
+        round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1e6, 0).cast("long").as("y"))
+      .agg(
+        count(lit(1)).cast("long").as("k"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .select(
+        col("k").as("n_terms"),
+        round(
+          (col("k").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("k").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")), 6)
+          .as("zipf_slope"))
+  }
+
   /** PMI collocation mining: the top-k bigrams by pointwise mutual
     * information ln( (c12/N2) / ((c1/N1)·(c2/N1)) ) with a minimum
     * support of `minCount` occurrences — the classic collocation

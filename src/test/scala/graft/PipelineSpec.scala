@@ -953,6 +953,21 @@ class PipelineSpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("zipf slope: ~-1 on a 1/rank corpus, 0 on a flat one") {
+    // freq(token r) = floor(120 / r) for r = 1..12 — a Zipfian head
+    val zipfText = (1 to 12).flatMap(r => Seq.fill(120 / r)(s"w$r")).mkString(" ")
+    val z = graft.pipeline.Corpus.vocabZipfSlope(docs((1L, zipfText)))
+      .collect().head
+    assert(z.getLong(0) == 12)
+    val slope = z.getDouble(1)
+    assert(slope < -0.85 && slope > -1.1, s"expected ~-1, got $slope")
+    // flat distribution: every type equally frequent -> slope 0
+    val flatText = (1 to 10).flatMap(r => Seq.fill(7)(s"w$r")).mkString(" ")
+    val f = graft.pipeline.Corpus.vocabZipfSlope(docs((2L, flatText)))
+      .collect().head.getDouble(1)
+    assert(f == 0.0, s"flat corpus must fit slope 0, got $f")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
