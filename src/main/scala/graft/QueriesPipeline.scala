@@ -1949,6 +1949,26 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Perceptual-hash image dedup: aHash (decode → 8×8 NN-resize →
+    // mean-threshold bits) over the REAL-PNG synthetic corpus, then
+    // the exact-hash group/canonical pattern — the image mirror of
+    // the text md5 tier. The oracle replays decode+resize+threshold
+    // ARITHMETICALLY (the multimodal_resize stance), so the whole
+    // seam is correctness-gated. See [[Multimodal.aHash]].
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      val h = Multimodal.aHash(
+        Multimodal.syntheticImages(s, docs(s, dir)),
+        Multimodal.ImageIODecoder)
+      val g = h.groupBy("ahash").agg(
+        count(lit(1)).as("n_same"),
+        min(col("doc_id")).as("_canon"))
+      h.join(g, Seq("ahash"))
+        .select(
+          col("doc_id"), col("ahash"), col("n_same"),
+          (col("doc_id") === col("_canon")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Audio modality: synthetic 8-bit PCM blobs resampled to HALF the
     // source rate (1-D NN — resize's degenerate case) and featurized
     // through the same batched seam; histogram counts recovered as
@@ -5145,6 +5165,37 @@ object QueriesPipeline {
         |  $bins
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // aHash replayed arithmetically: resampled pixel i of doc id is
+    // (id*31 + (i*(w*h))//64) % 256; bit = pixel*64 > grid sum; bits
+    // pack MSB-first into hex bytes; dedup is exact-hash grouping.
+    "multimodal_phash_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 16 AS w,
+         |    16 + (doc_id // 16) % 16 AS h
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |px AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
+         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+         |bits AS (
+         |  SELECT px.doc_id AS doc_id, i,
+         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+         |bytes AS (
+         |  SELECT doc_id, i // 8 AS k,
+         |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
+         |  FROM bits GROUP BY doc_id, i // 8),
+         |hx AS (
+         |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
+         |  FROM bytes GROUP BY doc_id),
+         |g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same,
+         |        min(doc_id) AS canon FROM hx GROUP BY ahash)
+         |SELECT hx.doc_id AS doc_id, hx.ahash AS ahash, g.n_same AS n_same,
+         |  hx.doc_id = g.canon AS is_canonical
+         |FROM hx JOIN g USING (ahash) ORDER BY doc_id""".stripMargin,
 
     // 1-D NN resample prediction: output index i reads source sample
     // (i*n)//m, whose value is the synthetic (id*17 + idx*7) % 256.

@@ -242,6 +242,47 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) of each media record: decode,
+    * NN-resize to 8×8, threshold each of the 64 resampled pixels
+    * against the grid mean (exact integer comparison p·64 > Σp — no
+    * float mean), pack the bits MSB-first into a 16-hex-char key.
+    * Images that differ by scale or mild brightness noise share a
+    * key; the downstream dedup is then the exact-hash groupBy — the
+    * image-side mirror of the text pipeline's md5 tier, with the
+    * same 100 TB shape (map-only hashing; one shuffle on a 16-char
+    * key). Batched per-partition like [[extractFeatures]] (the
+    * mapInPandas seam).
+    */
+  def aHash(
+      ds: Dataset[MediaRecord],
+      decoder: MediaDecoder = DeterministicFakeDecoder,
+      batchSize: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val decoded = decoder.decodeBatch(batch.map(r => (r.modality, r.blob)))
+          .map(d => resize(d, 8, 8))
+        batch.zip(decoded).map { case (r, d) =>
+          val v = d.payload.map(_ & 0xff)
+          val s = v.foldLeft(0L)(_ + _)
+          val sb = new java.lang.StringBuilder(v.length / 4)
+          var k = 0
+          while (k < v.length / 8) {
+            var b = 0
+            var j = 0
+            while (j < 8) {
+              b = (b << 1) | (if (v(8 * k + j).toLong * v.length > s) 1 else 0)
+              j += 1
+            }
+            sb.append(f"$b%02x")
+            k += 1
+          }
+          (r.id, sb.toString)
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
   /** Frame sampling for video-modality records: keep every k-th frame
     * index (metadata-level; real decoders sample before featurizing).
     */

@@ -968,6 +968,29 @@ class PipelineSpec extends SparkSpec {
     assert(f == 0.0, s"flat corpus must fit slope 0, got $f")
   }
 
+  test("aHash: brightness-shift invariant, pattern-sensitive, scale-normalized") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    // values bounded <= 199 so the +10 shift never clamps — the
+    // invariance being tested is exact uniform shift
+    val base = Array.tabulate(128)(i => ((i * 7) % 200).toByte)
+    val brighter = base.map(b => ((b & 0xff) + 10).toByte)
+    val other = Array.tabulate(128)(i => (199 - (i * 13) % 200).toByte)
+    val doubled = Array.tabulate(256)(i => (((i / 2) * 7) % 200).toByte)
+    val ds = Seq(
+      MediaRecord(1L, "image", base, "s"),
+      MediaRecord(2L, "image", brighter, "s"),
+      MediaRecord(3L, "image", other, "s"),
+      MediaRecord(4L, "image", doubled, "s")).toDS()
+    val h = Multimodal.aHash(ds, Multimodal.PcmDecoder)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L).length == 16, "64 bits -> 16 hex chars")
+    assert(h(1L) == h(2L), "uniform brightness shift must not change the hash")
+    assert(h(1L) != h(3L), "a different pattern must hash differently")
+    assert(h(1L) == h(4L), "2x upsampled pattern must normalize to the same hash")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
