@@ -1969,6 +1969,18 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Near-duplicate image PAIRS by aHash Hamming distance — the
+    // text simhash64 tier run verbatim on the packed perceptual hash
+    // (8×8-bit banded equi-join, exhaustive ≤ hamming 3, never
+    // all-pairs). See [[Multimodal.aHashPairs]].
+    "multimodal_phash_pairs" -> ((s, dir) =>
+      Multimodal.aHashPairs(
+        Multimodal.aHash(
+          Multimodal.syntheticImages(s, docs(s, dir)),
+          Multimodal.ImageIODecoder),
+        maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // Audio modality: synthetic 8-bit PCM blobs resampled to HALF the
     // source rate (1-D NN — resize's degenerate case) and featurized
     // through the same batched seam; histogram counts recovered as
@@ -5196,6 +5208,45 @@ object QueriesPipeline {
          |SELECT hx.doc_id AS doc_id, hx.ahash AS ahash, g.n_same AS n_same,
          |  hx.doc_id = g.canon AS is_canonical
          |FROM hx JOIN g USING (ahash) ORDER BY doc_id""".stripMargin,
+
+    // The packed 64-bit aHash rebuilt as a SIGNED BIGINT (two 32-bit
+    // halves; the hi half recentred before the shift so the top bit
+    // lands as the sign), then the simhash64 band-join spelling.
+    "multimodal_phash_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 16 AS w,
+         |    16 + (doc_id // 16) % 16 AS h
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |px AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
+         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+         |bits AS (
+         |  SELECT px.doc_id AS doc_id, i,
+         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+         |parts AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN i < 32
+         |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN i >= 32
+         |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY doc_id),
+         |sh AS (
+         |  SELECT doc_id,
+         |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |      * 4294967296 + lo AS simhash
+         |  FROM parts),
+         |sbands AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS v
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS band) b)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // 1-D NN resample prediction: output index i reads source sample
     // (i*n)//m, whose value is the synthetic (id*17 + idx*7) % 256.

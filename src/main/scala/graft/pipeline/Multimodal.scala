@@ -266,6 +266,7 @@ object Multimodal {
           val v = d.payload.map(_ & 0xff)
           val s = v.foldLeft(0L)(_ + _)
           val sb = new java.lang.StringBuilder(v.length / 4)
+          var acc = 0L // the same bits packed MSB-first into one long
           var k = 0
           while (k < v.length / 8) {
             var b = 0
@@ -275,13 +276,26 @@ object Multimodal {
               j += 1
             }
             sb.append(f"$b%02x")
+            acc = (acc << 8) | b
             k += 1
           }
-          (r.id, sb.toString)
+          (r.id, sb.toString, acc)
         }
       }
-    }.toDF("doc_id", "ahash")
+    }.toDF("doc_id", "ahash", "abits")
   }
+
+  /** Near-duplicate IMAGE pairs by Hamming distance on the aHash —
+    * the perceptual analogue of the text simhash tier, and it IS the
+    * text machinery: [[graft.pipeline.Dedup.simhashPairs64From]] run
+    * on the packed 64-bit hash (8×8-bit banded equi-join, exhaustive
+    * to hamming ≤ 7 by pigeonhole — never all-pairs).
+    */
+  def aHashPairs(
+      hashes: DataFrame, maxHamming: Int = 7): DataFrame =
+    Dedup.simhashPairs64From(
+      hashes.select(col("doc_id"), col("abits").as("simhash")),
+      maxHamming, bands = 8)
 
   /** Frame sampling for video-modality records: keep every k-th frame
     * index (metadata-level; real decoders sample before featurizing).
