@@ -1153,6 +1153,21 @@ object Streaming {
       .where(col("n_terms_matched") > 0)
   }
 
+  /** Streaming perceptual hashing — the ingest-side image-dedup key.
+    * aHash is a STATELESS batched per-partition projection (decode →
+    * 8×8 NN-resize → mean-threshold bits), so the twin delegates
+    * verbatim and runs append-mode with no state store; feed the
+    * (doc_id, ahash) output to a first-sighting dedup state (the
+    * urlDedupStream pattern) or to the batch band join for cross-
+    * batch near-dup pairs. Bit-identical to batch by construction
+    * (same kernel; StreamingSpec pins it through a MemoryStream).
+    */
+  def aHashStream(
+      media: Dataset[graft.pipeline.Multimodal.MediaRecord],
+      decoder: graft.pipeline.Multimodal.MediaDecoder =
+        graft.pipeline.Multimodal.DeterministicFakeDecoder): DataFrame =
+    graft.pipeline.Multimodal.aHash(media, decoder)
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

@@ -785,6 +785,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 3, "doc without query terms must be pruned")
   }
 
+  test("streaming aHash matches batch bit-for-bit over the real PNG corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(40)
+    val records = Multimodal.syntheticImages(spark, d).collect()
+    val want = Multimodal
+      .aHash(Multimodal.syntheticImages(spark, d), Multimodal.ImageIODecoder)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[MediaRecord]
+    input.addData(records.toIndexedSeq: _*)
+    val q = Streaming.aHashStream(input.toDS(), Multimodal.ImageIODecoder)
+      .writeStream
+      .format("memory").queryName("sahash").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sahash").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq && got.length == 40)
+  }
+
   test("streaming intra-doc substring dedup matches the batch rebuild bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     // doc 1: an 8-token phrase repeated twice within the doc (later
