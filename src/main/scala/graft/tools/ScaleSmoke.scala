@@ -598,6 +598,17 @@ object ScaleSmoke {
       graft.pipeline.Corpus
         .dsirWeights(d, col("source") === "src1").count()
 
+    // Perceptual-hash dedup: PNG encode+decode+hash map-side, one
+    // 16-char-key groupBy — linear. (The PAIRS path is not measured
+    // here: the synthetic pixel space has only 2^16 patterns, so its
+    // pair count is quadratic in the FIXTURE, not the operator.)
+    def phash(d: DataFrame): Long = {
+      val h = graft.pipeline.Multimodal.aHash(
+        graft.pipeline.Multimodal.syntheticImages(spark, d),
+        graft.pipeline.Multimodal.ImageIODecoder)
+      h.groupBy("ahash").agg(count(lit(1))).count()
+    }
+
     // PMI collocations: two vocab-sized partial aggs + equi-joins on
     // the support-filtered head — ratio must track token volume.
     def pmi(d: DataFrame): Long =
@@ -676,7 +687,8 @@ object ScaleSmoke {
       "bm25 probe" -> (() => (time("bm25 1x", bm25(docs1)), time(s"bm25 ${n}x", bm25(docsN)))),
       "dsir train+score" -> (() => (time("dsir 1x", dsir(docs1)), time(s"dsir ${n}x", dsir(docsN)))),
       "bucketed write+join" -> (() => (time("bktjoin 1x", bucketJoin(docs1, "x1")), time(s"bktjoin ${n}x", bucketJoin(docsN, "xn")))),
-      "pmi collocations" -> (() => (time("pmi 1x", pmi(docs1)), time(s"pmi ${n}x", pmi(docsN)))))
+      "pmi collocations" -> (() => (time("pmi 1x", pmi(docs1)), time(s"pmi ${n}x", pmi(docsN)))),
+      "phash dedup" -> (() => (time("phash 1x", phash(docs1)), time(s"phash ${n}x", phash(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
