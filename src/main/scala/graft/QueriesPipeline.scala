@@ -1411,6 +1411,26 @@ object QueriesPipeline {
     "corpus_split" -> ((s, dir) =>
       Corpus.splitAssign(docs(s, dir)).orderBy("doc_id")),
 
+    // LEAKAGE-SAFE train/valid/test split: the split key is the
+    // near-dup CLUSTER, not the document — a doc-keyed split puts
+    // near-copies of one document on both sides of the train/eval
+    // fence, which is exactly the contamination the dedup tier
+    // exists to stop (split_novelty measures it; this op prevents
+    // it). Docs outside any cluster key by their own id. Rides the
+    // staged chain: one broadcast-sized label join over the corpus.
+    "corpus_split_leakage_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = DedupChain.clusterLabels(s, dir, d)
+        .select(col("doc_id"), col("cluster_id"))
+      d.select("doc_id").join(labels, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+        .select(
+          col("doc_id"), col("split_key"),
+          Corpus.splitBucket(col("split_key")).as("bucket_pct"),
+          Corpus.splitCol(col("split_key")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint profile (the MOSS sub-sampling): per doc
     // the k-gram count, selected fingerprint count, density (expected
     // 2/(w+1)) and an order-sensitive fingerprint digest. See
@@ -4623,6 +4643,23 @@ object QueriesPipeline {
          |  CAST(sum(seqs) AS BIGINT) AS n_seqs_padded,
          |  round(1.0 - CAST(sum(n) AS DOUBLE) / (CAST(sum(seqs) AS BIGINT) * 512), 6) AS padding_frac
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_split_leakage_safe" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT d.doc_id AS doc_id,
+         |    coalesce(l.cluster_id, d.doc_id) AS split_key
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, split_key,
+         |  ${h32("concat('split_', CAST(split_key AS VARCHAR))")} % 100 AS bucket_pct,
+         |  CASE WHEN ${h32("concat('split_', CAST(split_key AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(split_key AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
       s"""SELECT doc_id,

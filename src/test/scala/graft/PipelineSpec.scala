@@ -991,6 +991,29 @@ class PipelineSpec extends SparkSpec {
     assert(h(1L) == h(4L), "2x upsampled pattern must normalize to the same hash")
   }
 
+  test("leakage-safe split: clusters never straddle splits; doc-keyed split does") {
+    val dir = "/root/testdata/sf0.001"
+    val safe = SparkEntry.queries("corpus_split_leakage_safe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(safe.length == 500)
+    // every cluster maps to exactly one split
+    safe.groupBy(_._2).foreach { case (key, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $key straddles splits: ${members.toSeq}")
+    }
+    // the hazard is real on this corpus: the PLAIN doc-keyed split
+    // puts at least one near-dup cluster on both sides of the fence
+    val plain = SparkEntry.queries("corpus_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clusters = safe.filter(t => t._2 != t._1 ||
+      safe.count(_._2 == t._2) > 1).groupBy(_._2)
+    val straddled = clusters.count { case (_, members) =>
+      members.map(m => plain(m._1)).distinct.length > 1
+    }
+    assert(straddled > 0,
+      "expected the doc-keyed split to straddle at least one cluster")
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
