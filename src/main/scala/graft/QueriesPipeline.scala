@@ -1145,6 +1145,28 @@ object QueriesPipeline {
     "vocab_zipf_slope" -> ((s, dir) =>
       Corpus.vocabZipfSlope(docs(s, dir))),
 
+    // The contrastive-training manifest: per anchor, the top positive
+    // (nearest neighbor — self-supervised, no labels) and the top
+    // HARD negatives (banded below the near-dup line, the positive
+    // itself excluded — on an isotropic space the top-1 can sit
+    // inside the band). The (anchor, positive, negative) triplet
+    // frame a dense-retrieval trainer consumes. Pure composition of
+    // the two broadcast-query plans; one broadcast join stitches
+    // them.
+    "contrastive_triplets" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pos = Similarity.topK(e, numQueries = 5, k = 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"),
+          round(col("cosine"), 6).as("pos_cos"))
+      val neg = Similarity.hardNegatives(e, numQueries = 5, k = 3)
+        .select(col("query_id"), col("rank").as("neg_rank"),
+          col("neighbor_id").as("neg_id"),
+          round(col("cosine"), 6).as("neg_cos"))
+      pos.join(neg, Seq("query_id"))
+        .where(col("neg_id") =!= col("pos_id"))
+        .orderBy("query_id", "neg_rank")
+    }),
+
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(embs(s, dir))
         .select(
@@ -3465,6 +3487,29 @@ object QueriesPipeline {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "contrastive_triplets" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |scored AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+         |pos AS (
+         |  SELECT query_id, neighbor_id AS pos_id, round(cosine, 6) AS pos_cos
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |        FROM scored)
+         |  WHERE rn = 1),
+         |neg AS (
+         |  SELECT query_id, rn AS neg_rank, neighbor_id AS neg_id,
+         |    round(cosine, 6) AS neg_cos
+         |  FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rn
+         |        FROM scored WHERE cosine < 0.5)
+         |  WHERE rn <= 3)
+         |SELECT p.query_id AS query_id, p.pos_id AS pos_id, p.pos_cos AS pos_cos,
+         |  n.neg_rank AS neg_rank, n.neg_id AS neg_id, n.neg_cos AS neg_cos
+         |FROM pos p JOIN neg n USING (query_id)
+         |WHERE n.neg_id <> p.pos_id
+         |ORDER BY query_id, neg_rank""".stripMargin,
 
     "ann_hard_negatives" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),

@@ -1014,6 +1014,20 @@ class PipelineSpec extends SparkSpec {
       "expected the doc-keyed split to straddle at least one cluster")
   }
 
+  test("contrastive triplets: positive outranks negatives, negatives banded") {
+    val out = SparkEntry
+      .queries("contrastive_triplets")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.length <= 15) // 5 anchors x <= 3 negatives
+    out.foreach { case (q, pos, posCos, _, neg, negCos) =>
+      assert(pos != q && neg != q && pos != neg)
+      assert(negCos < 0.5, "negative must sit below the near-dup band")
+      assert(posCos >= negCos, "the positive must outrank every negative")
+    }
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
