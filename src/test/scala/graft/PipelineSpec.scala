@@ -1028,6 +1028,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dsir sample and zipf slope plans: no SinglePartition outside 1-row aggregates") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(
+      "dsir sample" -> graft.pipeline.Corpus
+        .dsirSample(d, col("source") === "src1", 2000L),
+      "zipf slope" -> graft.pipeline.Corpus.vocabZipfSlope(d)
+    ).foreach { case (name, out) =>
+      out.collect()
+      val lines = out.queryExecution.executedPlan.toString.split("\n")
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val ctx = lines.slice(math.max(0, i - 2), i).mkString("\n")
+          assert(ctx.contains("HashAggregate(keys=[]"),
+            s"$name: SinglePartition outside a 1-row global aggregate:\n$ctx")
+        }
+    }
+  }
+
   test("sessionize splits on gaps and aggregates correctly") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
