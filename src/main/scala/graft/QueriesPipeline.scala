@@ -2023,6 +2023,26 @@ object QueriesPipeline {
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // The same perceptual tier for AUDIO: aHash over the 8-bit PCM
+    // blobs (resize's 1-D degenerate case resamples the waveform to
+    // 64 points; mean-threshold bits fingerprint the envelope — a
+    // chromaprint-shaped stand-in), then exact-hash grouping. One
+    // kernel serves both modalities, which is the point of the
+    // decode-seam contract.
+    "multimodal_audio_dedup" -> ((s, dir) => {
+      val h = Multimodal.aHash(
+        Multimodal.syntheticAudio(s, docs(s, dir)),
+        Multimodal.PcmDecoder)
+      val g = h.groupBy("ahash").agg(
+        count(lit(1)).as("n_same"),
+        min(col("doc_id")).as("_canon"))
+      h.join(g, Seq("ahash"))
+        .select(
+          col("doc_id"), col("ahash"), col("n_same"),
+          (col("doc_id") === col("_canon")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Audio modality: synthetic 8-bit PCM blobs resampled to HALF the
     // source rate (1-D NN — resize's degenerate case) and featurized
     // through the same batched seam; histogram counts recovered as
@@ -5329,6 +5349,35 @@ object QueriesPipeline {
          |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Audio aHash replay: resampled point i of doc id reads sample
+    // (i*n)//64 -> value (id*17 + ((i*n)//64)*7) % 256; then the
+    // same threshold/pack/group arithmetic as the image tier.
+    "multimodal_audio_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 256 + doc_id % 512 AS n
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |px AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 17 + ((t.i * n) // 64) * 7) % 256 AS v
+         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+         |bits AS (
+         |  SELECT px.doc_id AS doc_id, i,
+         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+         |bytes AS (
+         |  SELECT doc_id, i // 8 AS k,
+         |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
+         |  FROM bits GROUP BY doc_id, i // 8),
+         |hx AS (
+         |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
+         |  FROM bytes GROUP BY doc_id),
+         |g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same,
+         |        min(doc_id) AS canon FROM hx GROUP BY ahash)
+         |SELECT hx.doc_id AS doc_id, hx.ahash AS ahash, g.n_same AS n_same,
+         |  hx.doc_id = g.canon AS is_canonical
+         |FROM hx JOIN g USING (ahash) ORDER BY doc_id""".stripMargin,
 
     // 1-D NN resample prediction: output index i reads source sample
     // (i*n)//m, whose value is the synthetic (id*17 + idx*7) % 256.
