@@ -1998,9 +1998,7 @@ object QueriesPipeline {
     // ARITHMETICALLY (the multimodal_resize stance), so the whole
     // seam is correctness-gated. See [[Multimodal.aHash]].
     "multimodal_phash_dedup" -> ((s, dir) => {
-      val h = Multimodal.aHash(
-        Multimodal.syntheticImages(s, docs(s, dir)),
-        Multimodal.ImageIODecoder)
+      val h = graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir))
       val g = h.groupBy("ahash").agg(
         count(lit(1)).as("n_same"),
         min(col("doc_id")).as("_canon"))
@@ -2017,9 +2015,7 @@ object QueriesPipeline {
     // all-pairs). See [[Multimodal.aHashPairs]].
     "multimodal_phash_pairs" -> ((s, dir) =>
       Multimodal.aHashPairs(
-        Multimodal.aHash(
-          Multimodal.syntheticImages(s, docs(s, dir)),
-          Multimodal.ImageIODecoder),
+        graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir)),
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 

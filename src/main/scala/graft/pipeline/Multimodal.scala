@@ -318,3 +318,26 @@ object Multimodal {
       .as[MediaRecord]
   }
 }
+
+/** Session-staged image-hash frame — the DedupChain stance applied to
+  * the perceptual tier: both declared consumers (exact-hash dedup and
+  * the banded-Hamming pair graph) read the SAME (doc_id, ahash,
+  * abits) frame, and the expensive part is the codec round-trip, not
+  * the hash — so the decode+hash pass runs once per (session, dir)
+  * and is checkpointed. At 100 TB this is the only sane shape: you
+  * hash each image once and serve every downstream dedup/cluster/
+  * audit question from the stored hashes.
+  */
+object AHashChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def imageHashes(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir),
+      Multimodal.aHash(
+        Multimodal.syntheticImages(s, docs),
+        Multimodal.ImageIODecoder).localCheckpoint(true))
+}
