@@ -80,4 +80,56 @@ class CrossInvariantSpec extends SparkSpec {
     assert(byShard.getLong(0) == total.getLong(0))
     assert(byShard.getLong(1) == total.getLong(1))
   }
+
+  test("dsir feature count is exactly 2n-1 of the text-stats token count") {
+    // unigrams + bigrams of an n-token doc = n + (n-1); the DSIR
+    // hashed-feature explode and the text_stats tokenizer must agree
+    // on n — the cross-check between the two families' tokenization.
+    val w = graft.pipeline.Corpus
+      .dsirWeights(docs, col("source") === "src1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == n.keySet)
+    w.foreach { case (id, feats) =>
+      assert(feats == 2 * n(id) - 1, s"doc $id: $feats vs 2*${n(id)}-1")
+    }
+  }
+
+  test("equal perceptual hashes appear as hamming-0 pairs in the band graph") {
+    // every same-ahash pair the exact tier groups must surface in the
+    // banded pair graph with hamming 0 (all 8 bands collide) — the
+    // cross-check between the two phash consumers of AHashChain.
+    val h = graft.pipeline.AHashChain
+      .imageHashes(spark, "/root/testdata/sf0.001", docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = h.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    assert(expected.nonEmpty, "fixture must contain exact perceptual dups")
+    val pairs = graft.pipeline.Multimodal.aHashPairs(
+        graft.pipeline.AHashChain.imageHashes(spark, "/root/testdata/sf0.001", docs))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    expected.foreach { p =>
+      assert(pairs.get(p).contains(0L), s"pair $p missing or hamming != 0")
+    }
+  }
+
+  test("singleton docs get the same split from the plain and leakage-safe splitters") {
+    // docs outside every near-dup cluster key by their own id, so the
+    // two splitters must agree on them exactly — and disagree only
+    // inside clusters.
+    val dir = "/root/testdata/sf0.001"
+    val clustered = graft.pipeline.DedupChain.clusterLabels(spark, dir, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val safe = SparkEntry.queries("corpus_split_leakage_safe")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val plain = SparkEntry.queries("corpus_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    safe.keys.filterNot(clustered).foreach { id =>
+      assert(safe(id) == plain(id), s"singleton $id: ${safe(id)} vs ${plain(id)}")
+    }
+  }
 }
