@@ -2019,6 +2019,39 @@ object QueriesPipeline {
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // Connected components over the perceptual pair graph — image
+    // cluster labels + canonicals, completing the image tier
+    // (hash → pairs → clusters) with the SAME CC machinery the text
+    // tiers use. Rides the staged hash frame.
+    "multimodal_phash_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Multimodal.aHashPairs(
+          graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir)),
+          maxHamming = 3)
+          .select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
+
+    // The one-row media-dedup dashboard: image and audio perceptual
+    // duplication in one glance (distinct hashes, docs in dup
+    // groups, largest group) — the corpus_dedup_report stance for
+    // the non-text modalities. Two bounded aggregates cross-joined
+    // (1-row frames, broadcast by construction).
+    "media_dedup_report" -> ((s, dir) => {
+      val img = graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir))
+      val aud = Multimodal.aHash(
+        Multimodal.syntheticAudio(s, docs(s, dir)), Multimodal.PcmDecoder)
+      def tier(h: DataFrame, prefix: String): DataFrame = {
+        val g = h.groupBy("ahash").agg(count(lit(1)).as("n"))
+        g.agg(
+          sum(col("n")).cast("long").as(s"n_${prefix}"),
+          count(lit(1)).cast("long").as(s"n_${prefix}_hashes"),
+          sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).cast("long")
+            .as(s"n_${prefix}_in_dup_groups"),
+          max(col("n")).cast("long").as(s"max_${prefix}_group"))
+      }
+      tier(img, "images").crossJoin(tier(aud, "audio"))
+    }),
+
     // The same perceptual tier for AUDIO: aHash over the 8-bit PCM
     // blobs (resize's 1-D degenerate case resamples the waveform to
     // 64 points; mean-threshold bits fingerprint the envelope — a
@@ -5345,6 +5378,102 @@ object QueriesPipeline {
          |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "multimodal_phash_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 16 AS w,
+         |    16 + (doc_id // 16) % 16 AS h
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |px AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
+         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+         |bits AS (
+         |  SELECT px.doc_id AS doc_id, i,
+         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+         |parts AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN i < 32
+         |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN i >= 32
+         |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY doc_id),
+         |sh AS (
+         |  SELECT doc_id,
+         |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |      * 4294967296 + lo AS simhash
+         |  FROM parts),
+         |wp AS (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+         |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
+         |           UNION SELECT doc_b, doc_a FROM wp),
+         |wreach(src, dst) AS (
+         |  SELECT src, dst FROM wedges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM wreach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "media_dedup_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 16 AS w,
+         |    16 + (doc_id // 16) % 16 AS h,
+         |    256 + doc_id % 512 AS n
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |ipx AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
+         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |apx AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 17 + ((t.i * n) // 64) * 7) % 256 AS v
+         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |ih AS (
+         |  SELECT b.doc_id AS doc_id,
+         |    string_agg(printf('%02x',
+         |      CAST(byte AS BIGINT)), '' ORDER BY k) AS ahash
+         |  FROM (
+         |    SELECT px.doc_id AS doc_id, i // 8 AS k,
+         |      sum(CASE WHEN v * 64 > s THEN 1 ELSE 0 END
+         |          * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS byte
+         |    FROM ipx px JOIN (SELECT doc_id, sum(v) AS s FROM ipx GROUP BY doc_id) t
+         |      ON px.doc_id = t.doc_id
+         |    GROUP BY px.doc_id, i // 8) b
+         |  GROUP BY b.doc_id),
+         |ah AS (
+         |  SELECT b.doc_id AS doc_id,
+         |    string_agg(printf('%02x',
+         |      CAST(byte AS BIGINT)), '' ORDER BY k) AS ahash
+         |  FROM (
+         |    SELECT px.doc_id AS doc_id, i // 8 AS k,
+         |      sum(CASE WHEN v * 64 > s THEN 1 ELSE 0 END
+         |          * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS byte
+         |    FROM apx px JOIN (SELECT doc_id, sum(v) AS s FROM apx GROUP BY doc_id) t
+         |      ON px.doc_id = t.doc_id
+         |    GROUP BY px.doc_id, i // 8) b
+         |  GROUP BY b.doc_id),
+         |ig AS (SELECT ahash, count(*) AS n FROM ih GROUP BY ahash),
+         |ag AS (SELECT ahash, count(*) AS n FROM ah GROUP BY ahash),
+         |irep AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_images,
+         |    CAST(count(*) AS BIGINT) AS n_images_hashes,
+         |    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_images_in_dup_groups,
+         |    CAST(max(n) AS BIGINT) AS max_images_group
+         |  FROM ig),
+         |arep AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_audio,
+         |    CAST(count(*) AS BIGINT) AS n_audio_hashes,
+         |    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_audio_in_dup_groups,
+         |    CAST(max(n) AS BIGINT) AS max_audio_group
+         |  FROM ag)
+         |SELECT * FROM irep, arep""".stripMargin,
 
     // Audio aHash replay: resampled point i of doc id reads sample
     // (i*n)//64 -> value (id*17 + ((i*n)//64)*7) % 256; then the
