@@ -1064,6 +1064,44 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Scalar-quantized (SQ8) top-k — the faiss SQ8 index family:
+    // candidate generation against the 8-bit-per-dim quantized corpus
+    // (4x memory drop vs float32; PQ's 32x sibling with far lower
+    // training cost — one min/max aggregate), exact cosine re-rank of
+    // the top-20 shortlist. See [[Similarity.topKSq8]].
+    "ann_topk_sq8" -> ((s, dir) =>
+      Similarity.topKSq8(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
+    // Matryoshka truncated-dimension top-k (Kusupati et al. 2022):
+    // candidates scored over only the first 16 of 64 dims (4x scan-
+    // byte drop, zero trained artifact), exact full-dim re-rank. See
+    // [[Similarity.topKMrl]].
+    "ann_topk_mrl" -> ((s, dir) =>
+      Similarity.topKMrl(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
+    // Recall@5 of the two compact-vector candidate generators (SQ8
+    // dequantized scores, MRL 16-dim prefix scores) against brute-
+    // force ground truth — read next to ann_recall_pq/opq: these two
+    // trade quantizer training (SQ8: one aggregate; MRL: none) for
+    // scan bytes, and this instrument is where that trade is graded.
+    "ann_recall_compact" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+          Similarity.topK(e),
+          Seq(
+            "sq8" -> Similarity.topKSq8(e),
+            "mrl" -> Similarity.topKMrl(e)))
+        .orderBy("query_id")
+    }),
+
     // Hard-negative mining for contrastive data: top-k similar-but-
     // not-near-duplicate neighbors (cosine band < 0.5) per query —
     // same broadcast-queries plan as ann_topk with a free map-side
@@ -2310,9 +2348,15 @@ object QueriesPipeline {
     s"list_min(list_transform(sh, s -> (${h32("s")} * $a + $b) % 1000000007))"
   }
 
+  /** DuckDB sequential-fold dot product over the first `n` dims of two
+    * float lists, matching DotProductF over a `slice(..., 1, n)`
+    * prefix (same left-to-right double accumulation).
+    */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
   /** DuckDB sequential-fold dot product matching DotProductF. */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+  private def dotSql(a: String, b: String): String = dotSqlN(a, b, 64)
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
@@ -2324,6 +2368,64 @@ object QueriesPipeline {
   /** Double-list norm, matching `sqrt(aggregate(ce, 0.0, a + x*x))`. */
   private def normDblSql(dl: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($dl, x -> x * x)), (acc, x) -> acc + x))"
+
+  /** CTE chain mirroring [[graft.pipeline.Similarity.topKSq8]]: final
+    * CTE `sq8` carries (query_id, rank, neighbor_id, cosine). Expects
+    * a CTE `e(vec_id, embedding)`. The encode spelling `floor(... +
+    * 0.5)` (not `round`) is shared with the Spark side because the two
+    * engines' `round` disagree on .5 ties; `code[i] / 255` is DuckDB
+    * float division, matching Spark's fractional `/` on a long code.
+    */
+  private def sq8Ctes: String =
+    s"""sq8stats AS (
+       |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM e, range(1, 65) t(i) GROUP BY i),
+       |sq8p AS (SELECT list(mn ORDER BY i) AS mins, list(mx - mn ORDER BY i) AS spans FROM sq8stats),
+       |sq8code AS (
+       |  SELECT e.vec_id, list_transform(range(1, 65), i ->
+       |    CASE WHEN p.spans[i] > 0 THEN floor((CAST(e.embedding[i] AS DOUBLE) - p.mins[i]) / p.spans[i] * 255 + 0.5) ELSE 0 END) AS code
+       |  FROM e, sq8p p),
+       |sq8r AS MATERIALIZED (
+       |  SELECT c.vec_id AS neighbor_id, recon, ${normDblSql("recon")} AS rnorm
+       |  FROM (SELECT c.vec_id, list_transform(range(1, 65), i -> p.mins[i] + c.code[i] / 255 * p.spans[i]) AS recon
+       |        FROM sq8code c, sq8p p) c),
+       |sq8cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, r.neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotMixedSql("q.embedding", "r.recon")} / (sqrt(${dotSql("q.embedding", "q.embedding")}) * r.rnorm) DESC,
+       |        r.neighbor_id ASC) AS crank
+       |    FROM e q JOIN sq8r r ON q.vec_id < 5 AND q.vec_id <> r.neighbor_id)
+       |  WHERE crank <= 20),
+       |sq8 AS (
+       |  SELECT query_id, rank, neighbor_id, cosine FROM (
+       |    SELECT c.query_id, c.neighbor_id, ${cosSql("q.embedding", "n.embedding")} AS cosine,
+       |      CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.neighbor_id ASC) AS INTEGER) AS rank
+       |    FROM sq8cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** CTE chain mirroring [[graft.pipeline.Similarity.topKMrl]]: final
+    * CTE `mrl` carries (query_id, rank, neighbor_id, cosine). Expects
+    * a CTE `e(vec_id, embedding)`; candidate scores fold only the
+    * first 16 dims, exactly as the Spark side's `slice(..., 1, 16)`.
+    */
+  private def mrlCtes: String = {
+    def dot16(a: String, b: String) = dotSqlN(a, b, 16)
+    s"""mrlcand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot16("q.embedding", "n.embedding")} / (sqrt(${dot16("q.embedding", "q.embedding")}) * sqrt(${dot16("n.embedding", "n.embedding")})) DESC,
+       |        n.vec_id ASC) AS crank
+       |    FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+       |  WHERE crank <= 20),
+       |mrl AS (
+       |  SELECT query_id, rank, neighbor_id, cosine FROM (
+       |    SELECT c.query_id, c.neighbor_id, ${cosSql("q.embedding", "n.embedding")} AS cosine,
+       |      CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.neighbor_id ASC) AS INTEGER) AS rank
+       |    FROM mrlcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
+       |  WHERE rank <= 5)""".stripMargin
+  }
 
   /** K-means training CTE chain mirroring
     * [[graft.pipeline.Similarity.kmeansCentroids]] (k=8, 2 Lloyd
@@ -3536,6 +3638,39 @@ object QueriesPipeline {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_sq8" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |$sq8Ctes
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM sq8 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_mrl" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |$mrlCtes
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM mrl ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall_compact" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5),
+         |$sq8Ctes,
+         |$mrlCtes
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(s.neighbor_id) AS BIGINT) AS sq8_hits,
+         |  CAST(count(m.neighbor_id) AS BIGINT) AS mrl_hits,
+         |  round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 6) AS sq8_recall,
+         |  round(CAST(count(m.neighbor_id) AS DOUBLE) / count(*), 6) AS mrl_recall
+         |FROM brute b
+         |LEFT JOIN sq8 s ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+         |LEFT JOIN mrl m ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "contrastive_triplets" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),

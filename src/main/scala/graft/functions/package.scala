@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductF, DotProductFD, EwmaWindow, KmvSketch, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductD, DotProductF, DotProductFD, EwmaWindow, KmvSketch, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -64,6 +64,14 @@ package object functions {
   def dotFD(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd dot product of two double arrays — for derived double
+    * vectors such as SQ8 dequantized reconstructions; see
+    * [[org.apache.spark.sql.graft.expressions.DotProductD]].
+    */
+  def dotD(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Fused 32-bit SimHash majority vote over a token-hash array, bits
     * placed at `offset`..`offset+31` — see

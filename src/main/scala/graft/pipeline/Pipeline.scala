@@ -3177,7 +3177,7 @@ object Corpus {
 }
 
 object Similarity {
-  import graft.functions.{dotF, dotFD}
+  import graft.functions.{dotD, dotF, dotFD}
 
   /** Cosine similarity between two float-array columns, accumulated in
     * double left-to-right (bit-reproducible; DuckDB list_reduce
@@ -3248,6 +3248,139 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Per-dimension SQ8 quantization parameters as a ONE-ROW frame
+    * `(mins: array<double>, spans: array<double>)` — the faiss
+    * `SQ8`-style trained scalar quantizer: one aggregate pass over the
+    * corpus (map-side combinable min/max per dimension), collapsed to
+    * position-ordered arrays via `array_sort(collect_list(struct(dim,
+    * v)))` so the result is deterministic without any driver collect.
+    * The frame is index-artifact sized (two 64-double arrays) and is
+    * consumed through a broadcast cross-join — at 100 TB this is the
+    * "train once, apply map-only" shape shared with the PQ codebooks.
+    */
+  def sq8Params(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(
+        min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s("mn")).as("mins"),
+        transform(
+          array_sort(collect_list(struct(col("dim"), (col("mx") - col("mn")).as("sp")))),
+          s => s("sp")).as("spans"))
+
+  /** SQ8 scalar-quantized top-k: candidate generation against the
+    * 8-bit-per-dimension quantized corpus (4x the memory drop of
+    * float32 — the faiss `SQ8` index family), exact cosine re-rank of
+    * the shortlist. Encode is `floor((x-min)/span*255 + 0.5)` per
+    * dimension (floor(+0.5) rather than round(): Spark's BigDecimal
+    * HALF_UP and DuckDB's rounding disagree on ties, floor is
+    * bit-identical IEEE in both); candidate score is the cosine
+    * between the full-precision query and the DEQUANTIZED
+    * reconstruction `min + code/255*span`, accumulated left-to-right
+    * in double via the codegen'd [[graft.functions.dotFD]] /
+    * [[graft.functions.dotD]] kernels. Plan shape: one min/max
+    * aggregate (the trained quantizer), map-only encode+reconstruct,
+    * broadcast queries over the coded corpus, per-query partial top-C,
+    * then the exact re-rank touches only C float vectors per query —
+    * the scan itself never reads full-precision corpus vectors, which
+    * is what makes the candidate pass fit executor memory at 100 TB.
+    */
+  def topKSq8(
+      embeddings: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nCandidates: Int = 20): DataFrame = {
+    val params = broadcast(sq8Params(embeddings))
+    val coded = embeddings.crossJoin(params)
+      .select(
+        col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val sp = element_at(col("spans"), i + 1)
+          when(sp > 0, floor((x.cast("double") - mn) / sp * 255 + lit(0.5)))
+            .otherwise(lit(0L))
+        }).as("code"),
+        col("mins"), col("spans"))
+      .select(
+        col("neighbor_id"),
+        transform(col("code"), (c, i) =>
+          element_at(col("mins"), i + 1) +
+            c / lit(255) * element_at(col("spans"), i + 1)).as("recon"))
+      .withColumn("rnorm", sqrt(dotD(col("recon"), col("recon"))))
+    val queries = broadcast(
+      withNorm(embeddings, "query_id", "qe", "qn").where(col("query_id") < numQueries))
+    val cands = queries.join(coded, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("qe"), col("qn"),
+        (dotFD(col("qe"), col("recon")) / (col("qn") * col("rnorm"))).as("sq_cosine"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sq_cosine").desc, col("neighbor_id").asc)))
+      .where(col("crank") <= nCandidates)
+    val exact = withNorm(embeddings, "nid", "ne", "nn")
+      .join(broadcast(cands), col("neighbor_id") === col("nid"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Matryoshka-style truncated-dimension top-k (Kusupati et al.
+    * 2022): candidate generation scores cosine over only the FIRST
+    * `prefixDims` coordinates (an MRL-trained embedding front-loads
+    * information, so the 4x-shorter prefix preserves neighborhood
+    * structure), exact full-dimension re-rank of the shortlist. No
+    * trained artifact at all — the "index" is a projection — which
+    * makes this the cheapest scan-cost dial in the ANN family: the
+    * candidate pass reads prefixDims/64 of the vector bytes, composable
+    * with SQ8/PQ on the prefix. Same broadcast-queries + partial-top-C
+    * + bounded re-rank plan as [[topKSq8]].
+    */
+  def topKMrl(
+      embeddings: DataFrame,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nCandidates: Int = 20,
+      prefixDims: Int = 16): DataFrame = {
+    def prefixed(idAs: String, pAs: String, nAs: String): DataFrame =
+      embeddings.select(
+        col("vec_id").as(idAs),
+        slice(col("embedding"), 1, prefixDims).as(pAs),
+        sqrt(dotF(
+          slice(col("embedding"), 1, prefixDims),
+          slice(col("embedding"), 1, prefixDims))).as(nAs))
+    val queries = broadcast(prefixed("query_id", "qp", "qpn").where(col("query_id") < numQueries))
+    val cands = queries.join(prefixed("neighbor_id", "np", "npn"),
+        col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dotF(col("qp"), col("np")) / (col("qpn") * col("npn"))).as("mrl_cosine"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("mrl_cosine").desc, col("neighbor_id").asc)))
+      .where(col("crank") <= nCandidates)
+    val full = withNorm(embeddings, "qid", "qe", "qn")
+    val exact = full.join(broadcast(cands), col("query_id") === col("qid"))
+      .join(withNorm(embeddings, "nid", "ne", "nn"), col("neighbor_id") === col("nid"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

@@ -396,6 +396,71 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dotD matches the interpreted zip_with/aggregate fold exactly") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))
+    val rows = Seq(
+      Row(Seq(0.1, -2.5, 3.75, 1e-9), Seq(4.0, 0.25, -1.5, 1e9)),
+      Row(Seq(1.0, 2.0), Seq(3.0, 4.0))).asJava
+    val out = spark.createDataFrame(rows, schema)
+      .select(
+        graft.functions.dotD(col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("f"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("sq8Params: mins/spans are per-dimension min and max-min") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(0f, 10f, 7f)),
+      Row(1L, Seq(5f, 20f, 7f))).asJava
+    val p = Similarity.sq8Params(spark.createDataFrame(rows, schema)).collect()(0)
+    assert(p.getSeq[Double](0) == Seq(0.0, 10.0, 7.0))
+    // constant dimension -> span 0 (encode guards the division)
+    assert(p.getSeq[Double](1) == Seq(5.0, 10.0, 0.0))
+  }
+
+  test("topKSq8: constant dimensions don't divide by zero; output ranked") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = (0L until 8L).map(i =>
+      Row(i, Seq(i.toFloat, 1f, (i % 3).toFloat))).asJava
+    val out = Similarity.topKSq8(
+      spark.createDataFrame(rows, schema), numQueries = 2, k = 3, nCandidates = 5).collect()
+    assert(out.length == 6)
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("topKSq8 recovers the exact top-k on real embeddings (recall 1 at C=20)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val exact = Similarity.topK(e).collect().map(key).toSet
+    val sq8 = Similarity.topKSq8(e).collect().map(key).toSet
+    // 8-bit quantization is candidate-gen only; the exact re-rank of a
+    // C=20 shortlist reproduces brute-force top-5 bit-for-bit here
+    assert(sq8 == exact)
+  }
+
+  test("topKMrl: re-rank cosines are FULL-dim (match brute-force values on shared pairs)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pair(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")
+    val exact = Similarity.topK(e, k = 20).collect().map(pair).toMap
+    val mrl = Similarity.topKMrl(e).collect().map(pair).toMap
+    // every mrl pair that brute-force also ranks must carry the IDENTICAL
+    // full-dimension cosine — the re-rank is not a prefix approximation
+    val shared = mrl.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(mrl(k) == exact(k)))
+  }
+
   test("kmeansCentroidsSampled: trains on the hash-sample ONLY, deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = graft.pipeline.Similarity.kmeansCentroidsSampled(e)
