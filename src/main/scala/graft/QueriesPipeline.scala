@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps, Wordpiece}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -96,6 +96,58 @@ object QueriesPipeline {
           round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
             .as("bpe_per_word"))
         .orderBy("lang")),
+
+    // The SECOND tokenizer family — WordPiece (BERT): greedy
+    // longest-match segmentation per word over the committed capped
+    // vocabulary, `##` continuation pieces, byte-fallback. Per-doc
+    // token accounting next to the BPE twin. One map-only kernel
+    // pass; see [[graft.pipeline.Wordpiece]].
+    "tokenizer_wordpiece" -> ((s, dir) => {
+      val p = Wordpiece.pieces(col("text"))
+      val words = filter(TextOps.tokens(col("text")), w => length(w) > 0)
+      docs(s, dir).select(
+          col("doc_id"),
+          size(p).cast("bigint").as("wp_tokens"),
+          size(words).cast("bigint").as("n_words"))
+        .select(
+          col("doc_id"), col("wp_tokens"), col("n_words"),
+          when(col("n_words") > 0,
+            round(col("wp_tokens").cast("double") / col("n_words"), 6))
+            .as("fertility"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-wide WordPiece piece distribution (top 50): what the
+    // embedding table actually trains on — reads directly off the
+    // kernel's piece arrays, one explode + combinable count.
+    "wordpiece_piece_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(Wordpiece.pieces(col("text"))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(50)),
+
+    // Per-source vocabulary coverage: a word is IN-VOCAB iff greedy
+    // segmentation returns one piece (equivalently, the whole word is
+    // a word-initial vocab entry); coverage and mean fertility are
+    // the two dials a vocab-budget decision reads. Kernel applied
+    // per word occurrence (map-only), one groupBy(source).
+    "wordpiece_coverage" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          col("source"),
+          explode(filter(TextOps.tokens(col("text")), w => length(w) > 0)).as("w"))
+        .select(col("source"), size(Wordpiece.pieces(col("w"))).as("np"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_words"),
+          sum(col("np")).cast("bigint").as("wp_tokens"),
+          sum(when(col("np") === 1, 1L).otherwise(0L)).cast("bigint").as("n_in_vocab"))
+        .select(
+          col("source"), col("n_words"), col("wp_tokens"), col("n_in_vocab"),
+          round(col("n_in_vocab").cast("double") / col("n_words"), 6).as("coverage"),
+          round(col("wp_tokens").cast("double") / col("n_words"), 6).as("fertility"))
+        .orderBy("source")),
 
     // Code-switching / mixed-language detector: language-ID per
     // 32-token chunk, then per doc the chunk count, distinct chunk
@@ -2369,6 +2421,49 @@ object QueriesPipeline {
   private def normDblSql(dl: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($dl, x -> x * x)), (acc, x) -> acc + x))"
 
+  /** WordPiece oracle CTE chain mirroring
+    * [[graft.pipeline.Wordpiece]]'s greedy longest-match kernel.
+    * Greedy matching has a DETERMINISTIC successor (pos -> pos +
+    * best-step), so it is SQL-expressible as a non-recursive best-step
+    * table (distinct-word × position × vocab, conditional max) plus a
+    * LINEAR recursive-CTE walk — one row per emitted piece, not a
+    * search; queries embedding this chain must spell the clause
+    * `WITH RECURSIVE`. Defines: wpvocab (the committed vocabulary as
+    * literals), wpwords (distinct corpus words — the same
+    * work-dedup the 100 TB plan uses), wpbest, wpwalk, wpcounts
+    * (word -> piece count), wppieces (word -> emitted pieces).
+    */
+  private def wordpieceCtes: String = {
+    val vocabVals =
+      graft.pipeline.Wordpiece.Vocab.map { case (p, _) => s"('$p')" }.mkString(", ")
+    s"""wpvocab AS (
+       |  SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS ptext,
+       |         piece LIKE '##%' AS is_cont
+       |  FROM (VALUES $vocabVals) v(piece)),
+       |wpwords AS MATERIALIZED (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w
+       |    FROM read_parquet('{SFDIR}/documents.parquet'))
+       |  WHERE len(w) > 0),
+       |wpbest AS MATERIALIZED (
+       |  SELECT w.word, p.pos,
+       |    coalesce(max(CASE WHEN v.is_cont = (p.pos > 1)
+       |                       AND substr(w.word, p.pos, len(v.ptext)) = v.ptext
+       |                      THEN len(v.ptext) END), 1) AS step
+       |  FROM wpwords w, range(1, 41) p(pos), wpvocab v
+       |  WHERE p.pos <= len(w.word)
+       |  GROUP BY w.word, p.pos),
+       |wpwalk(word, pos, n, piece) AS (
+       |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR) FROM wpwords
+       |  UNION ALL
+       |  SELECT w.word, w.pos + b.step, w.n + 1,
+       |    CASE WHEN w.pos > 1 THEN '##' || substr(w.word, w.pos, b.step)
+       |         ELSE substr(w.word, w.pos, b.step) END
+       |  FROM wpwalk w JOIN wpbest b ON b.word = w.word AND b.pos = w.pos),
+       |wpcounts AS (SELECT word, max(n) AS n_pieces FROM wpwalk GROUP BY word),
+       |wppieces AS (SELECT word, piece FROM wpwalk WHERE piece IS NOT NULL)""".stripMargin
+  }
+
   /** CTE chain mirroring [[graft.pipeline.Similarity.topKSq8]]: final
     * CTE `sq8` carries (query_id, rank, neighbor_id, cosine). Expects
     * a CTE `e(vec_id, embedding)`. The encode spelling `floor(... +
@@ -2874,6 +2969,49 @@ object QueriesPipeline {
          |  round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) AS chars_per_bpe,
          |  round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) AS bpe_per_word
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tokenizer_wordpiece" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |docw AS (
+         |  SELECT d.doc_id, t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c.n_pieces) AS BIGINT) AS wp_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_words
+         |  FROM docw JOIN wpcounts c ON c.word = docw.w GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.wp_tokens, 0) AS wp_tokens,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  CASE WHEN coalesce(a.n_words, 0) > 0
+         |       THEN round(CAST(a.wp_tokens AS DOUBLE) / a.n_words, 6) END AS fertility
+         |FROM read_parquet('{SFDIR}/documents.parquet') d
+         |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "wordpiece_piece_freq" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |docw AS (
+         |  SELECT t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0)
+         |SELECT p.piece, CAST(count(*) AS BIGINT) AS cnt
+         |FROM docw JOIN wppieces p ON p.word = docw.w
+         |GROUP BY p.piece ORDER BY cnt DESC, piece ASC LIMIT 50""".stripMargin,
+
+    "wordpiece_coverage" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |docw AS (
+         |  SELECT d.source, t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0)
+         |SELECT docw.source,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(c.n_pieces) AS BIGINT) AS wp_tokens,
+         |  CAST(sum(CASE WHEN c.n_pieces = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+         |  round(CAST(sum(CASE WHEN c.n_pieces = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+         |  round(CAST(sum(c.n_pieces) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM docw JOIN wpcounts c ON c.word = docw.w
+         |GROUP BY docw.source ORDER BY docw.source""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenization over a COMMITTED fixture vocabulary — the
+  * BERT-family subword tokenizer (Schuster & Nakajima 2012; Devlin et
+  * al. 2018), the second tokenizer family next to [[Bpe]]:
+  *
+  *  - TRAINING selects merges by the likelihood ratio
+  *    `count(ab) / (count(a)·count(b))` (not BPE's raw frequency) over
+  *    word-bounded symbols, with continuation symbols distinct from
+  *    word-initial ones; the committed vocabulary is CAPPED (48
+  *    merges — the BERT vocabulary-budget stance, vs the BPE table's
+  *    train-to-saturation), so frequent words are single pieces while
+  *    rare words genuinely segment. Trained DISTRIBUTED by
+  *    [[graft.tools.WordpieceTrain]] over the word-frequency table —
+  *    the corpus is scanned once; each merge round aggregates the
+  *    word table only.
+  *  - INFERENCE is greedy longest-match per word (NOT merge replay):
+  *    at each position the longest matching vocab piece wins,
+  *    continuation positions match only `##` pieces, and an unmatched
+  *    char falls back to itself (lossless byte-fallback instead of
+  *    BERT's `[UNK]`). One map-only codegen kernel pass
+  *    ([[org.apache.spark.sql.graft.expressions.WordpieceEncodeF]]);
+  *    the DuckDB oracle mirrors it as a non-recursive best-step table
+  *    (word × position × vocab) + a LINEAR recursive-CTE walk — greedy
+  *    match has a deterministic successor, so the recursion is one row
+  *    per emitted piece, never a search.
+  */
+object Wordpiece {
+
+  /** (piece, training-time weighted frequency) — single-char symbols
+    * first (the byte-fallback tier), then merges in rank order; `##`
+    * prefixes continuation pieces. Committed as the generated
+    * [[WordpieceVocabTable]].
+    */
+  val Vocab: Seq[(String, Long)] = WordpieceVocabTable.rows
+
+  /** The per-document piece array (continuation pieces spelled
+    * `##x`); empty-word gaps from repeated spaces are skipped.
+    */
+  def pieces(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.WordpieceEncodeF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** WordPiece token count of `text`. */
+  def tokenCount(text: Column): Column = size(pieces(text)).cast("long")
+
+  /** JVM mirror of the kernel for tests. */
+  def encodeString(s: String): Seq[String] = {
+    val a = org.apache.spark.sql.graft.expressions.WordpieceEncodeF.encode(s)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+}

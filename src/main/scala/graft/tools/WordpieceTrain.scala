@@ -1,0 +1,203 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DISTRIBUTED trainer for the committed WordPiece vocabulary
+  * ([[graft.pipeline.Wordpiece]], table in
+  * [[graft.pipeline.WordpieceVocabTable]]) — the BERT-family tokenizer
+  * (Schuster & Nakajima 2012; Devlin et al. 2018): merge selection
+  * maximizes the LIKELIHOOD ratio `count(ab) / (count(a)·count(b))`
+  * rather than BPE's raw pair frequency, symbols are word-bounded, and
+  * continuation symbols (word-internal, the `##` spelling) are
+  * distinct from word-initial ones.
+  *
+  * Scale shape — BETTER than per-merge corpus passes: the corpus is
+  * scanned ONCE to build the word-frequency table (`explode(split)` →
+  * `groupBy(word).count`, combinable map-side; at 100 TB this table is
+  * ~10^7-10^8 rows against ~10^12 corpus tokens), and every merge
+  * round runs over the WORD TABLE weighted by `freq` — two
+  * vocabulary-bounded aggregates (pair counts, symbol counts) + one
+  * argmax-row collect per round; the corpus never moves again. This is
+  * the standard production WordPiece/BPE training layout and the
+  * reason word-bounded tokenizers train cheaply at corpus scale.
+  *
+  * Mechanics reuse the BPE replace-chain spelling
+  * ([[BpeTrain]]): each word's current segmentation is a STRING whose
+  * chars are symbols — word-initial single chars stay themselves,
+  * continuation single chars are shifted into U+E000+byte, merge
+  * outputs get U+E100+rank — so pair extraction is the fused
+  * left-to-right non-overlapping [[org.apache.spark.sql.graft.expressions.BpePairsF]]
+  * kernel and applying a merge is one map-only `replace`. The
+  * continuation shift is a column-only `translate`, no UDFs anywhere.
+  *
+  * Unlike the BPE table (trained to saturation), the committed vocab
+  * is CAPPED (default 48 merges) — the BERT-style vocabulary-budget
+  * stance: frequent words end single-piece, rare words stay
+  * multi-piece, so greedy inference genuinely segments. The trainer
+  * still self-terminates earlier if no pair repeats. Determinism: the
+  * likelihood score is a double, but it is the same arithmetic over
+  * the same exact integer counts every run; ties break by raw pair
+  * count then lexicographic pair, so the argmax row is unique.
+  *
+  * Usage: runMain graft.tools.WordpieceTrain [sfDir] [nMerges] [outFile]
+  */
+object WordpieceTrain {
+
+  private val Printable: String = (0x21 to 0x7e).map(_.toChar).mkString
+  private val Shifted: String = (0x21 to 0x7e).map(c => (0xE000 + c).toChar).mkString
+
+  private def pairsCol(c: Column) =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.BpePairsF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Word-frequency table from a one-column corpus frame `text` — the
+    * single corpus-sized pass of the whole procedure.
+    */
+  def wordFreq(corpus: DataFrame): DataFrame =
+    corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Per-symbol weighted occurrence counts of the current segmentation. */
+  private def symCounts(df: DataFrame): DataFrame =
+    df.select(col("freq"), explode(split(col("s"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy("c").agg(sum(col("freq")).as("cnt"))
+
+  /** Train up to `nMerges` WordPiece merges over a `(w, freq)` word
+    * table; returns (singles, merges), each `(piece, freq)` with the
+    * `##` continuation prefix where applicable — singles are the
+    * observed word-initial and continuation characters (the byte
+    * fallback tier of the vocabulary), merges in rank order.
+    */
+  def train(words: DataFrame, nMerges: Int,
+      checkpointEvery: Int = 16): (Seq[(String, Long)], Seq[(String, Long)]) = {
+    require(words.filter(col("w").rlike("[^\\x21-\\x7E]")).isEmpty,
+      "WordPiece training requires printable-ASCII space-free words " +
+        "(the one-char-per-symbol replace-chain spelling)")
+    require(words.filter(col("w").contains("#")).isEmpty,
+      "'#' is reserved for the ## continuation spelling")
+    var df = words.select(
+        col("freq"),
+        concat(
+          substring(col("w"), 1, 1),
+          translate(col("w").substr(lit(2), length(col("w"))), Printable, Shifted)).as("s"))
+      .localCheckpoint()
+
+    def textOf(ch: Char, symText: collection.Map[Char, String]): String =
+      if (ch < 0xE000) ch.toString
+      else if (ch < 0xE100) (ch - 0xE000).toChar.toString
+      else symText(ch)
+    def contOf(ch: Char, symCont: collection.Map[Char, Boolean]): Boolean =
+      if (ch < 0xE000) false
+      else if (ch < 0xE100) true
+      else symCont(ch)
+
+    val singles = symCounts(df).collect()
+      .map { r =>
+        val ch = r.getString(0).charAt(0)
+        val piece =
+          if (ch < 0xE000) ch.toString else "##" + (ch - 0xE000).toChar
+        (piece, r.getLong(1))
+      }
+      .sortBy { case (p, _) => (p.startsWith("##"), p) }
+      .toSeq
+
+    val symText = scala.collection.mutable.Map[Char, String]()
+    val symCont = scala.collection.mutable.Map[Char, Boolean]()
+    val merges = Seq.newBuilder[(String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val sc = symCounts(df)
+      val best = df.select(col("freq"), explode(pairsCol(col("s"))).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("pc"))
+        .filter(col("pc") >= 2)
+        .withColumn("a", substring(col("p"), 1, 1))
+        .withColumn("b", substring(col("p"), 2, 1))
+        .join(sc.select(col("c").as("a"), col("cnt").as("ca")), "a")
+        .join(sc.select(col("c").as("b"), col("cnt").as("cb")), "b")
+        // exact-integer counts; ca*cb <= (total corpus chars)^2 stays
+        // well inside a long at any realistic word-table scale
+        .withColumn("score", col("pc").cast("double") / (col("ca") * col("cb")))
+        .orderBy(col("score").desc, col("pc").desc, col("p").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head
+        val pair = row.getAs[String]("p")
+        val pc = row.getAs[Long]("pc")
+        val (l, r) = (pair.charAt(0), pair.charAt(1))
+        val sym = (0xE100 + rank).toChar
+        symText(sym) = textOf(l, symText) + textOf(r, symText)
+        symCont(sym) = contOf(l, symCont)
+        merges += (((if (symCont(sym)) "##" else "") + symText(sym), pc))
+        df = df.withColumn("s",
+          call_function("replace", col("s"), lit(pair), lit(sym.toString)))
+        rank += 1
+        if (rank % checkpointEvery == 0) df = df.localCheckpoint()
+      }
+    }
+    (singles, merges.result())
+  }
+
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c => c.toString
+  }
+
+  def renderTable(
+      singles: Seq[(String, Long)], merges: Seq[(String, Long)],
+      sfDir: String, nMerges: Int): String = {
+    def rows(g: Seq[(String, Long)]) = g.map { case (p, f) =>
+      s"""    ("${esc(p)}", ${f}L),"""
+    }.mkString("\n")
+    s"""package graft.pipeline
+       |
+       |/** AUTO-GENERATED by `graft.tools.WordpieceTrain` (distributed
+       |  * word-frequency-table training, likelihood-ratio merge scores)
+       |  * on $sfDir documents — ${singles.size} single-char symbols +
+       |  * ${merges.size} merges (cap $nMerges) in training rank order,
+       |  * `##` marking continuation pieces. The committed
+       |  * artifact-not-code fixture behind [[Wordpiece.Vocab]];
+       |  * regenerate with
+       |  * `runMain graft.tools.WordpieceTrain $sfDir $nMerges <thisFile>`.
+       |  */
+       |private[pipeline] object WordpieceVocabTable {
+       |  val singles: Seq[(String, Long)] = Seq(
+       |${rows(singles)}
+       |  )
+       |  val merges: Seq[(String, Long)] = Seq(
+       |${rows(merges)}
+       |  )
+       |  val rows: Seq[(String, Long)] = singles ++ merges
+       |}
+       |""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(48)
+    val outFile = args.lift(2)
+    val spark = graft.sources.Sessions.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val words = wordFreq(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("text")))
+    val t0 = System.nanoTime()
+    val (singles, merges) = train(words, nMerges)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val src = renderTable(singles, merges, sfDir, nMerges)
+    outFile match {
+      case Some(f) =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f), src)
+        println(s"// wrote ${singles.size} singles + ${merges.size} merges to $f")
+      case None => println(src)
+    }
+    println(f"// trained on $sfDir in $sec%.1f s")
+    spark.stop()
+  }
+}

@@ -1947,6 +1947,71 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Wordpiece kernel: greedy longest-match, ## discipline, lossless over the corpus") {
+    val vocab = pipeline.Wordpiece.Vocab.map(_._1)
+    val initV = vocab.filterNot(_.startsWith("##")).toSet
+    val contV = vocab.filter(_.startsWith("##")).map(_.substring(2)).toSet
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    texts.take(100).foreach { t =>
+      val words = t.split(" ").filter(_.nonEmpty).toSeq
+      val perWord = words.map(w => (w, pipeline.Wordpiece.encodeString(w)))
+      // doc segmentation decomposes into per-word segmentations
+      assert(pipeline.Wordpiece.encodeString(t) == perWord.flatMap(_._2))
+      perWord.foreach { case (w, ps) =>
+        assert(!ps.head.startsWith("##") && ps.tail.forall(_.startsWith("##")),
+          s"## discipline violated on '$w': $ps")
+        // lossless: pieces concatenate back to the word
+        assert(ps.map(p => if (p.startsWith("##")) p.substring(2) else p).mkString == w)
+        // greedy: no LONGER vocab piece matches at any emitted position,
+        // and any non-vocab piece is a single-char byte fallback
+        var pos = 0
+        ps.foreach { p =>
+          val raw = if (p.startsWith("##")) p.substring(2) else p
+          val set = if (pos == 0) initV else contV
+          ((raw.length + 1) to (w.length - pos)).foreach { l =>
+            assert(!set.contains(w.substring(pos, pos + l)),
+              s"greedy violated on '$w' at $pos: '${w.substring(pos, pos + l)}' in vocab")
+          }
+          if (!set.contains(raw)) assert(raw.length == 1, s"non-vocab piece '$raw' not a fallback char")
+          pos += raw.length
+        }
+      }
+    }
+  }
+
+  test("Wordpiece: single-piece words are exactly the word-initial vocab entries") {
+    val initV = pipeline.Wordpiece.Vocab.map(_._1).filterNot(_.startsWith("##")).toSet
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert((pipeline.Wordpiece.encodeString(w).size == 1) == initV.contains(w),
+        s"coverage predicate diverges on '$w'")
+    }
+  }
+
+  test("WordpieceTrain: distributed trainer reproduces the committed table prefix") {
+    val words = tools.WordpieceTrain.wordFreq(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text"))
+    val (singles, merges) = tools.WordpieceTrain.train(words, nMerges = 6)
+    // the procedure is deterministic: singles and the first merges
+    // (piece AND weighted frequency) must match the committed fixture
+    assert(pipeline.Wordpiece.Vocab.take(singles.size) == singles)
+    assert(pipeline.Wordpiece.Vocab.slice(singles.size, singles.size + 6) == merges)
+  }
+
+  test("WordpieceTrain guards: non-printable and '#' words rejected") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      tools.WordpieceTrain.train(Seq(("héllo", 1L)).toDF("w", "freq"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      tools.WordpieceTrain.train(Seq(("a#b", 1L)).toDF("w", "freq"), 1)
+    }
+  }
+
   test("Bpe decode inverts encode byte-exactly over the real corpus") {
     // Losslessness is what licenses storing the merged symbol string:
     // decode must recover the original text for every sf0.001 doc
