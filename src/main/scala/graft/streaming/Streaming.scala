@@ -649,6 +649,19 @@ object Streaming {
       graft.pipeline.Bpe.tokenIds(
         org.apache.spark.sql.functions.col("text")).as("ids"))
 
+  /** Streaming WordPiece segmentation
+    * ([[graft.pipeline.Wordpiece.pieces]]): greedy longest-match over
+    * the committed vocabulary is a stateless map-only kernel (the
+    * vocab is compiled into the expression), so the stream twin is the
+    * batch expression verbatim — the BERT-family counterpart of
+    * [[tokenIdsStream]] for live ingest.
+    */
+  def wordpieceStream(docs: DataFrame): DataFrame =
+    docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.pipeline.Wordpiece.pieces(
+        org.apache.spark.sql.functions.col("text")).as("pieces"))
+
   /** Streaming domain blocklist gate: the registered-domain predicate
     * ([[graft.pipeline.Corpus.domainGate]]) is a stateless map over
     * (doc_id, source), so the stream twin delegates verbatim — the

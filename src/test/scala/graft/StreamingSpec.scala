@@ -106,6 +106,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("streaming wordpiece pieces match the batch kernel bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(1L -> "window scan order", 2L -> "custom column join")
+    val input = MemoryStream[Doc]
+    input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
+    val q = Streaming.wordpieceStream(input.toDF()).writeStream
+      .format("memory").queryName("swp").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("swp").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+    val want = texts.map { case (id, t) =>
+      id -> graft.pipeline.Wordpiece.encodeString(t)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("streaming domain gate drops blocklisted domains like batch") {
     implicit val sqlCtx = spark.sqlContext
     // src0 lands on the blocklist (src0.com/.org both blocked); src1
