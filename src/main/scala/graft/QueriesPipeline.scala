@@ -2376,7 +2376,18 @@ object QueriesPipeline {
     // sketch broadcasts.
     "approx_counts_cms" -> ((s, dir) =>
       Corpus.cmsCounts(docs(s, dir))
-        .orderBy(col("cnt").desc, col("token").asc))
+        .orderBy(col("cnt").desc, col("token").asc)),
+
+    // Z-ORDER layout effectiveness (the Delta/Iceberg OPTIMIZE ZORDER
+    // tradeoff, measured): Morton-curve files vs leading-column-sorted
+    // files over events(user_id, value), per-file min/max footer
+    // stats, 8 range probes per dimension — the scan fraction a
+    // pushed-down range predicate would actually read under each
+    // layout. See [[graft.sources.Zorder.skippingStats]].
+    "zorder_layout_stats" -> ((s, dir) =>
+      graft.sources.Zorder.skippingStats(
+          events(s, dir), col("user_id"), col("value"))
+        .orderBy("layout", "probe_dim"))
   )
 
   // ------------------------------------------------------------------
@@ -5467,6 +5478,41 @@ object QueriesPipeline {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  round(CAST(sum(norm_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_norm
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "zorder_layout_stats" -> {
+      val morton = (0 until 8).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+        .mkString(" + ")
+      def bin(v: String, mn: String, mx: String) =
+        s"CAST(least(255, greatest(0, CASE WHEN $mx > $mn THEN floor(($v - $mn) / ($mx - $mn) * 256) ELSE 0 END)) AS BIGINT)"
+      s"""WITH ev AS (SELECT CAST(user_id AS DOUBLE) AS x, value AS y FROM read_parquet('{SFDIR}/events.parquet')),
+         |b AS (SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy FROM ev),
+         |binned AS (SELECT ${bin("x", "mnx", "mxx")} AS bx, ${bin("y", "mny", "mxy")} AS by FROM ev, b),
+         |keyed AS (SELECT bx, by, $morton AS zkey FROM binned),
+         |files AS (SELECT floor(zkey * 16 / 65536) AS zfile, floor(bx * 16 / 256) AS lfile, bx, by FROM keyed),
+         |tagged AS (
+         |  SELECT 'zorder' AS layout, zfile AS file, bx, by FROM files
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, lfile AS file, bx, by FROM files),
+         |fstats AS (
+         |  SELECT layout, file, min(bx) AS minx, max(bx) AS maxx, min(by) AS miny, max(by) AS maxy
+         |  FROM tagged GROUP BY layout, file),
+         |probes AS (
+         |  SELECT CASE WHEN dd.d = 0 THEN 'x' ELSE 'y' END AS probe_dim,
+         |    p.i * 32 AS plo, p.i * 32 + 31 AS phi
+         |  FROM range(0, 8) p(i), range(0, 2) dd(d)),
+         |scanned AS (
+         |  SELECT layout, probe_dim, CAST(count(*) AS BIGINT) AS files_scanned
+         |  FROM fstats f JOIN probes p
+         |    ON (p.probe_dim = 'x' AND f.minx <= p.phi AND f.maxx >= p.plo)
+         |    OR (p.probe_dim = 'y' AND f.miny <= p.phi AND f.maxy >= p.plo)
+         |  GROUP BY layout, probe_dim),
+         |totals AS (SELECT layout, CAST(count(DISTINCT file) AS BIGINT) AS n_files FROM fstats GROUP BY layout)
+         |SELECT s.layout, s.probe_dim, t.n_files, CAST(8 AS BIGINT) AS n_probes, s.files_scanned,
+         |  round(CAST(s.files_scanned AS DOUBLE) / (t.n_files * 8), 6) AS scan_fraction
+         |FROM scanned s JOIN totals t USING (layout)
+         |ORDER BY s.layout, s.probe_dim""".stripMargin
+    },
 
     "dsir_weights" ->
       s"""WITH fb AS MATERIALIZED (
