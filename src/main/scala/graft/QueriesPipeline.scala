@@ -2387,7 +2387,31 @@ object QueriesPipeline {
     "zorder_layout_stats" -> ((s, dir) =>
       graft.sources.Zorder.skippingStats(
           events(s, dir), col("user_id"), col("value"))
-        .orderBy("layout", "probe_dim"))
+        .orderBy("layout", "probe_dim")),
+
+    // Corpus n-gram diversity (type-token ratio at n=1,2,3) per
+    // source — the cross-document repetitiveness dial (a self-BLEU
+    // proxy): templated/boilerplate-heavy sources show low TTR at
+    // higher n. Complements repetition_stats (intra-doc) and
+    // approx_distinct_kmv (the sketch spelling of the same distinct
+    // count, which is what replaces the exact countDistinct at
+    // 100 TB). One union of three shingle explodes, one grouped
+    // distinct aggregate.
+    "ngram_diversity" -> ((s, dir) => {
+      val byN = (1 to 3).map { n =>
+        docs(s, dir).select(
+          col("source"), lit(n).as("n"),
+          explode(TextOps.shingles(col("text"), n)).as("g"))
+      }.reduce(_ unionAll _)
+      byN.groupBy("source", "n")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_grams"),
+          countDistinct(col("g")).cast("bigint").as("n_types"))
+        .select(
+          col("source"), col("n"), col("n_grams"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_grams"), 6).as("ttr"))
+        .orderBy("source", "n")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -5512,6 +5536,19 @@ object QueriesPipeline {
          |  round(CAST(s.files_scanned AS DOUBLE) / (t.n_files * 8), 6) AS scan_fraction
          |FROM scanned s JOIN totals t USING (layout)
          |ORDER BY s.layout, s.probe_dim""".stripMargin
+    },
+
+    "ngram_diversity" -> {
+      val byN = (1 to 3).map(n =>
+        s"SELECT source, $n AS n, unnest(${shinglesSql(n)}) AS g FROM read_parquet('{SFDIR}/documents.parquet')")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH g AS (
+         |  $byN)
+         |SELECT source, n,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS n_types,
+         |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS ttr
+         |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
     },
 
     "dsir_weights" ->
