@@ -489,6 +489,22 @@ object QueriesPipeline {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // Asymmetric CONTAINMENT scores over the same LSH candidates
+    // (Broder 1997): near-SUBSET detection — a short doc absorbed
+    // into a long one scores ~1.0 on containment_a where symmetric
+    // Jaccard under-scores it. Joins only candidate pairs; reuses the
+    // session-staged signature chain. See [[Dedup.containmentPairs]].
+    "dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.containmentPairs(
+          Dedup.lshCandidatePairsFromSigs(DedupChain.minhashSigs(s, dir, d)), d)
+        .select(
+          col("doc_a"), col("doc_b"), col("n_common"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Fuzzy verification of the SAME LSH candidates by plain edit
     // distance (both engines ship classic Levenshtein; integer result,
     // exact cross-engine) — the alternative verifier to jaccard when
@@ -2389,6 +2405,27 @@ object QueriesPipeline {
           events(s, dir), col("user_id"), col("value"))
         .orderBy("layout", "probe_dim")),
 
+    // The LSH S-curve parameter planner: for every (bands x rows)
+    // split of the 8-hash signature budget, the threshold similarity
+    // s* = (1/b)^(1/r) and candidate probabilities 1-(1-s^r)^b at a
+    // similarity grid — the closed-form table one consults before
+    // committing a banding config at corpus scale (more bands = higher
+    // recall + more candidate volume; the shipped 4x2 config is
+    // flagged). Pure config-space math, no corpus scan.
+    "lsh_param_plan" -> ((s, dir) => {
+      import s.implicits._
+      val grid = Seq((8, 1), (4, 2), (2, 4), (1, 8)).toDF("bands", "rows_per_band")
+      def pAt(sv: Double) =
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(sv), col("rows_per_band")), col("bands")), 6)
+      grid.select(
+          col("bands"), col("rows_per_band"),
+          (col("bands") === 4 && col("rows_per_band") === 2).as("is_current"),
+          round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6).as("s_star"),
+          pAt(0.3).as("p_at_030"), pAt(0.5).as("p_at_050"),
+          pAt(0.7).as("p_at_070"), pAt(0.9).as("p_at_090"))
+        .orderBy(col("bands").desc)
+    }),
+
     // Corpus n-gram diversity (type-token ratio at n=1,2,3) per
     // source — the cross-document repetitiveness dial (a self-BLEU
     // proxy): templated/boilerplate-heavy sources show low TTR at
@@ -3480,6 +3517,15 @@ object QueriesPipeline {
          |SELECT p.doc_a, p.doc_b,
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $LshPairCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_a,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_b
          |FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -5536,6 +5582,20 @@ object QueriesPipeline {
          |  round(CAST(s.files_scanned AS DOUBLE) / (t.n_files * 8), 6) AS scan_fraction
          |FROM scanned s JOIN totals t USING (layout)
          |ORDER BY s.layout, s.probe_dim""".stripMargin
+    },
+
+    "lsh_param_plan" -> {
+      def pAt(sv: String) =
+        s"round(1.0 - pow(1.0 - pow($sv, rows_per_band), bands), 6)"
+      s"""WITH grid(bands, rows_per_band) AS (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+         |SELECT bands, rows_per_band,
+         |  (bands = 4 AND rows_per_band = 2) AS is_current,
+         |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_star,
+         |  ${pAt("0.3")} AS p_at_030,
+         |  ${pAt("0.5")} AS p_at_050,
+         |  ${pAt("0.7")} AS p_at_070,
+         |  ${pAt("0.9")} AS p_at_090
+         |FROM grid ORDER BY bands DESC""".stripMargin
     },
 
     "ngram_diversity" -> {

@@ -324,6 +324,33 @@ object Dedup {
           size(array_union(col("da.sh"), col("db.sh")))).as("jaccard"))
   }
 
+  /** CONTAINMENT verification of the same candidate pairs (Broder
+    * 1997's asymmetric resemblance): |A∩B|/|A| and |A∩B|/|B| over the
+    * shingle sets. Symmetric Jaccard under-scores a short document
+    * absorbed verbatim into a long one (quote/template/boilerplate
+    * absorption — the common near-SUBSET case in web corpora): a
+    * 100-shingle doc fully contained in a 1000-shingle doc has
+    * Jaccard ≈ 0.1 but containment_a = 1.0. Same plan shape as
+    * [[jaccardPairsSh]]: joins touch only candidate pairs, the
+    * shingle-set frame is persisted for its two join sides.
+    */
+  def containmentPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val withSets = shingled(docs)
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+      .persist()
+    pairs
+      .join(withSets.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(withSets.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        size(array_intersect(col("da.sh"), col("db.sh"))).cast("long").as("n_common"),
+        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+          size(col("da.sh"))).as("containment_a"),
+        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+          size(col("db.sh"))).as("containment_b"))
+  }
+
   /** Per-document SimHash (near-dup via small hamming distance).
     * Token hashes are staged once into an array column (hash-once, as
     * in [[minhashSignatures]] — CollapseProject keeps the staging

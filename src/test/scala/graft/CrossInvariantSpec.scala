@@ -132,4 +132,31 @@ class CrossInvariantSpec extends SparkSpec {
       assert(safe(id) == plain(id), s"singleton $id: ${safe(id)} vs ${plain(id)}")
     }
   }
+
+  test("containment bounds Jaccard on every LSH candidate pair; subset docs hit 1.0") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    // real corpus: J(A,B) <= min(C(A->B), C(B->A)) <= max <= 1, pairwise
+    val pairs = Dedup.lshCandidatePairs(docs)
+    val j = Dedup.jaccardPairs(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = Dedup.containmentPairs(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(c.nonEmpty && c.keySet == j.keySet)
+    c.foreach { case (k, (ca, cb)) =>
+      assert(j(k) <= math.min(ca, cb) + 1e-12 && math.max(ca, cb) <= 1.0 + 1e-12,
+        s"containment/Jaccard ordering violated on $k: j=${j(k)} ca=$ca cb=$cb")
+    }
+    // hand fixture: doc 1 is a verbatim prefix of doc 2 -> every shingle
+    // of 1 appears in 2 -> containment_a = 1.0 while Jaccard < 1
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val sub = Seq(
+      (1L, base),
+      (2L, base + " " + (13 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"), sub)
+      .collect().head
+    assert(out.getDouble(3) == 1.0 && out.getDouble(4) < 1.0)
+  }
 }
