@@ -1155,6 +1155,16 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Filtered vector search: top-5 among SAME-LABEL vectors only
+    // (per-tenant / same-language retrieval), predicate applied
+    // BEFORE ranking. See [[Similarity.topKFiltered]].
+    "ann_topk_filtered" -> ((s, dir) =>
+      Similarity.topKFiltered(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
     // Recall@5 of the two compact-vector candidate generators (SQ8
     // dequantized scores, MRL 16-dim prefix scores) against brute-
     // force ground truth — read next to ann_recall_pq/opq: these two
@@ -2405,6 +2415,32 @@ object QueriesPipeline {
           events(s, dir), col("user_id"), col("value"))
         .orderBy("layout", "probe_dim")),
 
+    // SOFT dedup via cluster-size-weighted sampling: instead of hard
+    // dropping near-duplicates, keep each doc with probability
+    // 1/|cluster| and carry weight = |cluster| (Horvitz-Thompson —
+    // expected content mass unbiased, duplicated content downweighted;
+    // the middle ground between corpus_filter's hard drop and keeping
+    // everything). Keep rule is exact-integer ((h % 1e6) * size < 1e6)
+    // so both engines agree bit-for-bit; singletons always pass with
+    // weight 1. Reuses the session-staged cluster labels.
+    "corpus_sample_dedup_weighted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = DedupChain.clusterLabels(s, dir, d).select("doc_id", "cluster_id")
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      d.join(labels.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"),
+          (TextOps.hash32(concat(lit("dwsample|"), col("doc_id").cast("string"))) % 1000000)
+            .as("u"))
+        .where(col("u") * col("cluster_size") < 1000000)
+        .select(
+          col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("cluster_size").cast("double").as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // The LSH S-curve parameter planner: for every (bands x rows)
     // split of the 8-hash signature budget, the threshold similarity
     // s* = (1/b)^(1/r) and candidate probabilities 1-(1-s^r)^b at a
@@ -2434,21 +2470,8 @@ object QueriesPipeline {
     // count, which is what replaces the exact countDistinct at
     // 100 TB). One union of three shingle explodes, one grouped
     // distinct aggregate.
-    "ngram_diversity" -> ((s, dir) => {
-      val byN = (1 to 3).map { n =>
-        docs(s, dir).select(
-          col("source"), lit(n).as("n"),
-          explode(TextOps.shingles(col("text"), n)).as("g"))
-      }.reduce(_ unionAll _)
-      byN.groupBy("source", "n")
-        .agg(
-          count(lit(1)).cast("bigint").as("n_grams"),
-          countDistinct(col("g")).cast("bigint").as("n_types"))
-        .select(
-          col("source"), col("n"), col("n_grams"), col("n_types"),
-          round(col("n_types").cast("double") / col("n_grams"), 6).as("ttr"))
-        .orderBy("source", "n")
-    })
+    "ngram_diversity" -> ((s, dir) =>
+      Corpus.ngramDiversity(docs(s, dir)).orderBy("source", "n"))
   )
 
   // ------------------------------------------------------------------
@@ -3856,6 +3879,19 @@ object QueriesPipeline {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_filtered" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label AS label,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 5 AND q.label = n.label AND q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, label, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_topk_sq8" ->
@@ -5583,6 +5619,21 @@ object QueriesPipeline {
          |FROM scanned s JOIN totals t USING (layout)
          |ORDER BY s.layout, s.probe_dim""".stripMargin
     },
+
+    "corpus_sample_dedup_weighted" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM labels GROUP BY cluster_id),
+         |j AS (
+         |  SELECT d.doc_id,
+         |    coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |    coalesce(s.sz, 1) AS cluster_size,
+         |    (${h32("concat('dwsample|', CAST(d.doc_id AS VARCHAR))")} % 1000000) AS u
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN labels l USING (doc_id)
+         |  LEFT JOIN sizes s ON s.cluster_id = l.cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size, CAST(cluster_size AS DOUBLE) AS weight
+         |FROM j WHERE u * cluster_size < 1000000 ORDER BY doc_id""".stripMargin,
 
     "lsh_param_plan" -> {
       def pAt(sv: String) =

@@ -1124,6 +1124,29 @@ object Corpus {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
 
+  /** Per-source n-gram type-token ratio at n = 1..maxN — the
+    * cross-document repetitiveness dial (a self-BLEU proxy):
+    * templated/boilerplate-heavy sources show low TTR at higher n.
+    * One union of shingle explodes, one grouped exact distinct
+    * aggregate (the KMV sketch in [[kmvTypes]] is what replaces the
+    * exact `countDistinct` when the type space stops fitting a
+    * shuffle at 100 TB).
+    */
+  def ngramDiversity(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val byN = (1 to maxN).map { n =>
+      docs.select(
+        col("source"), lit(n).as("n"),
+        explode(shingles(col("text"), n)).as("g"))
+    }.reduce(_ unionAll _)
+    byN.groupBy("source", "n")
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        countDistinct(col("g")).cast("long").as("n_types"))
+      .select(
+        col("source"), col("n"), col("n_grams"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_grams"), 6).as("ttr"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * splitting step before embedding/indexing long documents
     * (size `chunkSize`, step `stride`; overlap = chunkSize − stride).
@@ -3361,6 +3384,40 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     exact
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Label-FILTERED top-k — filtered vector search, the production
+    * ANN variant where a metadata predicate constrains the candidate
+    * set (same-language retrieval, per-tenant search): neighbors must
+    * share the query's `label`, and the predicate is applied BEFORE
+    * ranking (pre-filter — post-filtering a global top-k under-fills
+    * whenever fewer than k of the global neighbors satisfy the
+    * predicate). The label rides the broadcast-queries join as an
+    * equi-condition, so with a label-partitioned corpus layout (the
+    * [[graft.sources.Io.writeBucketed]] / partitionBy story) the scan
+    * touches only the matching label's files at 100 TB.
+    */
+  def topKFiltered(
+      embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
+    def side(idAs: String, eAs: String, nAs: String, lAs: String): DataFrame =
+      embeddings.select(
+        col("vec_id").as(idAs),
+        col("embedding").as(eAs),
+        sqrt(dotF(col("embedding"), col("embedding"))).as(nAs),
+        col("label").as(lAs))
+    val queries = broadcast(
+      side("query_id", "qe", "qn", "qlabel").where(col("query_id") < numQueries))
+    val scored = queries.join(
+        side("neighbor_id", "ne", "nn", "label"),
+        col("qlabel") === col("label") && col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("label"),
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

@@ -614,6 +614,34 @@ object ScaleSmoke {
     def pmi(d: DataFrame): Long =
       graft.pipeline.Corpus.collocationsPmi(d).count()
 
+    // SQ8 / MRL ANN: one (or zero) train aggregate + map-only encode +
+    // broadcast-queries candidate scan + partial top-k — linear in
+    // corpus rows.
+    def sq8(e: DataFrame): Long = graft.pipeline.Similarity.topKSq8(e).count()
+    def mrl(e: DataFrame): Long = graft.pipeline.Similarity.topKMrl(e).count()
+
+    // WordPiece: the greedy-match kernel is map-only; the piece-freq
+    // agg is vocabulary-bounded — linear.
+    def wp(d: DataFrame): Long =
+      d.select(explode(graft.pipeline.Wordpiece.pieces(col("text"))).as("p"))
+        .groupBy("p").agg(count(lit(1))).count()
+
+    // Z-order skipping stats: one bounds aggregate + map-only binning
+    // + a 32-file grouped agg — linear.
+    def zo(e: DataFrame): Long =
+      graft.sources.Zorder.skippingStats(e, col("user_id"), col("value")).count()
+
+    // N-gram diversity: 3 shingle explodes + one grouped exact
+    // distinct — tracks token volume.
+    def ngd(d: DataFrame): Long =
+      graft.pipeline.Corpus.ngramDiversity(d).count()
+
+    // Containment verify: joins only the LSH candidate pairs (same
+    // frontier as the jaccard verifier).
+    def contain(d: DataFrame): Long =
+      graft.pipeline.Dedup.containmentPairs(
+        graft.pipeline.Dedup.lshCandidatePairs(d), d).count()
+
     // Bucketed layout: one partitioning shuffle per side at write
     // time, then the exchange-free co-located join — both linear.
     def bucketJoin(d: DataFrame, tag: String): Long = {
@@ -688,7 +716,13 @@ object ScaleSmoke {
       "dsir train+score" -> (() => (time("dsir 1x", dsir(docs1)), time(s"dsir ${n}x", dsir(docsN)))),
       "bucketed write+join" -> (() => (time("bktjoin 1x", bucketJoin(docs1, "x1")), time(s"bktjoin ${n}x", bucketJoin(docsN, "xn")))),
       "pmi collocations" -> (() => (time("pmi 1x", pmi(docs1)), time(s"pmi ${n}x", pmi(docsN)))),
-      "phash dedup" -> (() => (time("phash 1x", phash(docs1)), time(s"phash ${n}x", phash(docsN)))))
+      "phash dedup" -> (() => (time("phash 1x", phash(docs1)), time(s"phash ${n}x", phash(docsN)))),
+      "ann sq8 topk" -> (() => (time("sq8 1x", sq8(emb1)), time(s"sq8 ${n}x", sq8(embN)))),
+      "ann mrl topk" -> (() => (time("mrl 1x", mrl(emb1)), time(s"mrl ${n}x", mrl(embN)))),
+      "wordpiece pieces" -> (() => (time("wp 1x", wp(docs1)), time(s"wp ${n}x", wp(docsN)))),
+      "zorder stats" -> (() => (time("zorder 1x", zo(ev1)), time(s"zorder ${n}x", zo(evN)))),
+      "ngram diversity" -> (() => (time("ngd 1x", ngd(docs1)), time(s"ngd ${n}x", ngd(docsN)))),
+      "containment verify" -> (() => (time("contain 1x", contain(docs1)), time(s"contain ${n}x", contain(docsNDistinct)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

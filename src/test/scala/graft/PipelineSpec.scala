@@ -461,6 +461,24 @@ class PipelineSpec extends SparkSpec {
     shared.foreach(k => assert(mrl(k) == exact(k)))
   }
 
+  test("topKFiltered: every neighbor shares the query's label; pre-filter fills k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.topKFiltered(e, numQueries = 3, k = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("label") == labels(r.getAs[Long]("query_id")),
+        "neighbor label must equal query label")
+    }
+    // pre-filter semantics: each query with >= 4 same-label peers gets 4 rows
+    val peers = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val avail = peers(labels(q)) - 1
+      assert(rows.length == math.min(4, avail))
+    }
+  }
+
   test("kmeansCentroidsSampled: trains on the hash-sample ONLY, deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = graft.pipeline.Similarity.kmeansCentroidsSampled(e)
