@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF}
+import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF, WordpieceEncodeF}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -38,7 +38,10 @@ import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, 
   *    sh_distinct);
   *  - `winnow_fp(text[, n, w])` — the fused winnowing fingerprint
   *    selection struct (n_grams, positions, hashes); defaults n=8,
-  *    w=4, the doc_winnow contract.
+  *    w=4, the doc_winnow contract;
+  *  - `wordpiece_encode(text)` — the greedy longest-match WordPiece
+  *    piece array over the committed vocabulary (`##` continuation
+  *    prefixes; token count = size of the result).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -159,6 +162,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "text_counts(text) takes 1 argument")
         TextCountsF(args.head)
+      }),
+    (
+      "wordpiece_encode",
+      new ExpressionInfo(classOf[WordpieceEncodeF].getName, "wordpiece_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "wordpiece_encode(text) takes 1 argument")
+        WordpieceEncodeF(args.head)
       }))
 
   /** Register on an already-built session. */

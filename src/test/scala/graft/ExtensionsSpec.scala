@@ -85,6 +85,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getInt(2) == 3 && got.getInt(3) == 3)
   }
 
+  test("wordpiece_encode is callable from SQL and matches the kernel") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT wordpiece_encode('window custom') AS p").collect().head
+    assert(got.getSeq[String](0) ==
+      graft.pipeline.Wordpiece.encodeString("window custom"))
+    assert(got.getSeq[String](0).head == "window", "in-vocab word is one piece")
+  }
+
   test("bpe_decode, bpe_pairs and qm_features are callable from SQL") {
     GraftExtensions.register(spark)
     val got = spark.sql(
