@@ -3327,6 +3327,20 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), (col("mx") - col("mn")).as("sp")))),
           s => s("sp")).as("spans"))
 
+  /** The SQ8 encode expression over (mins, spans) array columns —
+    * shared by the batch index build ([[topKSq8]]) and the streaming
+    * ingest twin ([[graft.streaming.Streaming.sq8EncodeStream]]),
+    * so an online-quantized vector is bit-identical to a batch-
+    * quantized one.
+    */
+  def sq8EncodeCol(e: Column, mins: Column, spans: Column): Column =
+    transform(e, (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val sp = element_at(spans, i + 1)
+      when(sp > 0, floor((x.cast("double") - mn) / sp * 255 + lit(0.5)))
+        .otherwise(lit(0L))
+    })
+
   /** SQ8 scalar-quantized top-k: candidate generation against the
     * 8-bit-per-dimension quantized corpus (4x the memory drop of
     * float32 — the faiss `SQ8` index family), exact cosine re-rank of
@@ -3353,12 +3367,7 @@ object Similarity {
     val coded = embeddings.crossJoin(params)
       .select(
         col("vec_id").as("neighbor_id"),
-        transform(col("embedding"), (x, i) => {
-          val mn = element_at(col("mins"), i + 1)
-          val sp = element_at(col("spans"), i + 1)
-          when(sp > 0, floor((x.cast("double") - mn) / sp * 255 + lit(0.5)))
-            .otherwise(lit(0L))
-        }).as("code"),
+        sq8EncodeCol(col("embedding"), col("mins"), col("spans")).as("code"),
         col("mins"), col("spans"))
       .select(
         col("neighbor_id"),

@@ -662,6 +662,43 @@ object Streaming {
       graft.pipeline.Wordpiece.pieces(
         org.apache.spark.sql.functions.col("text")).as("pieces"))
 
+  /** Streaming SQ8 quantization — the ONLINE INDEX-INGEST path: new
+    * vectors are encoded against the FROZEN trained quantizer (mins/
+    * spans from the batch [[graft.pipeline.Similarity.sq8Params]]
+    * pass, passed as literals) the moment they arrive, so the serving
+    * index appends 64-byte codes instead of 256-byte floats with no
+    * retrain in the loop. Stateless map-only; shares
+    * [[graft.pipeline.Similarity.sq8EncodeCol]] with the batch build,
+    * so online and batch codes are bit-identical (the same
+    * frozen-artifact hot-swap stance as bm25/dsir/quality scoring).
+    */
+  def sq8EncodeStream(
+      vectors: DataFrame, mins: Seq[Double], spans: Seq[Double]): DataFrame =
+    vectors.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      graft.pipeline.Similarity.sq8EncodeCol(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.typedLit(mins),
+        org.apache.spark.sql.functions.typedLit(spans)).as("code"))
+
+  /** Streaming z-order key assignment — the ingest-side router for
+    * the [[graft.sources.Zorder]] layout: arriving events get their
+    * Morton key against FROZEN layout bounds (from the batch
+    * [[graft.sources.Zorder.bounds2]] aggregate), so a live writer
+    * can append into the correct curve bucket without re-clustering.
+    * Stateless; same bin/interleave expressions as the batch layout.
+    */
+  def zkeyStream(
+      events: DataFrame,
+      mnx: Double, mxx: Double, mny: Double, mxy: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    events.select(
+      col("event_id"),
+      graft.sources.Zorder.morton16(
+        graft.sources.Zorder.bin8(col("user_id").cast("double"), lit(mnx), lit(mxx)),
+        graft.sources.Zorder.bin8(col("value"), lit(mny), lit(mxy))).as("zkey"))
+  }
+
   /** Streaming domain blocklist gate: the registered-domain predicate
     * ([[graft.pipeline.Corpus.domainGate]]) is a stateless map over
     * (doc_id, source), so the stream twin delegates verbatim — the

@@ -106,6 +106,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("streaming sq8 encode matches the batch quantizer bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen quantizer trained on the batch corpus
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = graft.pipeline.Similarity.sq8Params(e).collect().head
+    val (mins, spans) = (p.getSeq[Double](0), p.getSeq[Double](1))
+    val sample = e.limit(5).collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[Vec]
+    input.addData(sample: _*)
+    val q = Streaming.sq8EncodeStream(input.toDF(), mins, spans).writeStream
+      .format("memory").queryName("ssq8").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssq8").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    // batch spelling on the same rows
+    val want = e.crossJoin(broadcast(graft.pipeline.Similarity.sq8Params(e)))
+      .where(col("vec_id").isin(sample.map(_.vec_id): _*))
+      .select(col("vec_id"),
+        graft.pipeline.Similarity.sq8EncodeCol(
+          col("embedding"), col("mins"), col("spans")).as("code"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    assert(got == want)
+    got.values.foreach(code => assert(code.forall(c => c >= 0 && c <= 255)))
+  }
+
+  test("streaming zkey assignment matches the batch layout keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Bars.readEvents(spark, "/root/testdata/sf0.001")
+    val b = graft.sources.Zorder
+      .bounds2(ev, col("user_id"), col("value")).collect().head
+    val rows = ev.limit(6).collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+    val input = MemoryStream[(Long, Long, Double)]
+    input.addData(rows: _*)
+    val q = Streaming.zkeyStream(
+        input.toDF().toDF("event_id", "user_id", "value"),
+        b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      .writeStream.format("memory").queryName("szkey").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("szkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = graft.sources.Zorder.withZkey(ev, col("user_id"), col("value"))
+      .where(col("event_id").isin(rows.map(_._1): _*))
+      .select("event_id", "zkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming wordpiece pieces match the batch kernel bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(1L -> "window scan order", 2L -> "custom column join")
