@@ -117,6 +117,37 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Cross-tokenizer accounting: per source, the SAME text mass
+    // denominated in whitespace words, saturated-BPE symbols and
+    // capped-WordPiece pieces — the one-table read on the tokenizer
+    // trade (the 2400-merge BPE compresses below 1 symbol/word; the
+    // 48-merge WordPiece budget pays ~2.8 pieces/word). BPE rides the
+    // session-staged BpeChain; WordPiece is one extra map-only kernel.
+    "tokenizer_compare" -> ((s, dir) => {
+      val enc = BpeChain.encoded(s, dir, docs(s, dir))
+        .select(
+          col("doc_id"), col("source"), col("nc"), col("nw"),
+          length(col("bpe")).cast("bigint").as("nb"))
+      val wp = docs(s, dir)
+        .select(col("doc_id"), Wordpiece.tokenCount(col("text")).as("nwp"))
+      enc.join(wp, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum("nc").cast("bigint").as("n_chars"),
+          sum("nw").cast("bigint").as("n_words"),
+          sum("nb").cast("bigint").as("n_bpe"),
+          sum("nwp").cast("bigint").as("n_wp"))
+        .select(
+          col("source"), col("n_docs"), col("n_chars"), col("n_words"),
+          col("n_bpe"), col("n_wp"),
+          round(col("n_chars").cast("double") / col("n_bpe"), 6).as("chars_per_bpe"),
+          round(col("n_chars").cast("double") / col("n_wp"), 6).as("chars_per_wp"),
+          round(col("n_bpe").cast("double") / col("n_words"), 6).as("bpe_per_word"),
+          round(col("n_wp").cast("double") / col("n_words"), 6).as("wp_per_word"))
+        .orderBy("source")
+    }),
+
     // Corpus-wide WordPiece piece distribution (top 50): what the
     // embedding table actually trains on — reads directly off the
     // kernel's piece arrays, one explode + combinable count.
@@ -395,7 +426,13 @@ object QueriesPipeline {
         .agg(
           (count(lit(1)) / 2).cast("bigint").as("n_winnow_pairs"),
           countDistinct(col("wd")).as("n_winnow_docs"))
-      ex.crossJoin(nd).crossJoin(pa).crossJoin(sb).crossJoin(wn)
+      // the near-SUBSET tier: candidate pairs where either direction's
+      // containment reaches 0.8 — absorption the jaccard tier misses
+      val ct = Dedup.containmentPairs(
+          Dedup.lshCandidatePairsFromSigs(DedupChain.minhashSigs(s, dir, d)), d)
+        .where(greatest(col("containment_a"), col("containment_b")) >= 0.8)
+        .agg(count(lit(1)).cast("bigint").as("n_containment_pairs"))
+      ex.crossJoin(nd).crossJoin(pa).crossJoin(sb).crossJoin(wn).crossJoin(ct)
     }),
 
     // Embedding hygiene audit BEFORE any ANN/dedup pass trusts the
@@ -3083,6 +3120,36 @@ object QueriesPipeline {
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "tokenizer_compare" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |docw AS (
+         |  SELECT d.doc_id, t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0),
+         |wpdoc AS (
+         |  SELECT doc_id, CAST(sum(c.n_pieces) AS BIGINT) AS nwp
+         |  FROM docw JOIN wpcounts c ON c.word = docw.w GROUP BY doc_id),
+         |j AS (
+         |  SELECT d.source,
+         |    CAST(length(d.text) AS BIGINT) AS nc,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+         |    CAST(length(e.bpe) AS BIGINT) AS nb,
+         |    w.nwp AS nwp
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  JOIN enc e USING (doc_id) JOIN wpdoc w USING (doc_id))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe,
+         |  CAST(sum(nwp) AS BIGINT) AS n_wp,
+         |  round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) AS chars_per_bpe,
+         |  round(CAST(sum(nc) AS DOUBLE) / sum(nwp), 6) AS chars_per_wp,
+         |  round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) AS bpe_per_word,
+         |  round(CAST(sum(nwp) AS DOUBLE) / sum(nw), 6) AS wp_per_word
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "wordpiece_piece_freq" ->
       s"""WITH RECURSIVE $wordpieceCtes,
          |docw AS (
@@ -3367,8 +3434,14 @@ object QueriesPipeline {
          |    (SELECT CAST(count(*) AS BIGINT) FROM wpair) AS n_winnow_pairs,
          |    (SELECT CAST(count(DISTINCT dd) AS BIGINT) FROM
          |      (SELECT doc_a AS dd FROM wpair UNION ALL SELECT doc_b FROM wpair))
-         |      AS n_winnow_docs)
-         |SELECT * FROM ex, nd, pa, sb, wn""".stripMargin
+         |      AS n_winnow_docs),
+         |cont AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_containment_pairs
+         |  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+         |  WHERE greatest(
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)) >= 0.8)
+         |SELECT * FROM ex, nd, pa, sb, wn, cont""".stripMargin
     },
 
     "embedding_stats" ->
