@@ -354,4 +354,31 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"the sketch must merge after a hash shuffle, not on one node:\n$plan")
   }
+
+  test("topKSq8 plan: partial top-k before the exchange, broadcasts everywhere it matters") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.pipeline.Similarity.topKSq8(e)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark 4's rank-limit pushdown: each partition keeps only its own
+    // top-C/top-k rows before anything moves
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected partial top-k (WindowGroupLimit) in:\n$plan")
+    // the 1-row quantizer params and the C-row shortlist both broadcast
+    assert(plan.contains("BroadcastExchange"), s"expected broadcasts in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs in the SQ8 path:\n$plan")
+  }
+
+  test("zorder skippingStats plan: no window operator anywhere (agg-only layout math)") {
+    val ev = graft.sources.Bars.readEvents(spark, "/root/testdata/sf0.001")
+    val df = graft.sources.Zorder.skippingStats(ev, col("user_id"), col("value"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the deliberate design point: equal-width binning instead of
+    // rank/ntile means NO Window operator — nothing that would need a
+    // global sort at 100 TB
+    assert(!plan.contains("Window"),
+      s"zorder layout math must stay rank-free:\n$plan")
+  }
 }
