@@ -1202,6 +1202,31 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Quantizer drift instrument — WHEN must the SQ8 quantizer
+    // retrain? Train per-dim bounds on two disjoint snapshot halves
+    // (even/odd vec_ids) and report the worst per-dim min/span shift
+    // plus how many dims moved past a 0.01 tolerance. At 100 TB this
+    // one-row check (two min/max aggregates) is what gates the
+    // re-encode of a billion stored codes; the same stance as
+    // corpus_snapshot_diff for the corpus itself.
+    "sq8_drift" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pa = Similarity.sq8Params(e.where(col("vec_id") % 2 === 0))
+        .select(col("mins").as("mins_a"), col("spans").as("spans_a"))
+      val pb = Similarity.sq8Params(e.where(col("vec_id") % 2 =!= 0))
+        .select(col("mins").as("mins_b"), col("spans").as("spans_b"))
+      pa.crossJoin(pb)
+        .select(
+          zip_with(col("mins_a"), col("mins_b"), (x, y) => abs(x - y)).as("dm"),
+          zip_with(col("spans_a"), col("spans_b"), (x, y) => abs(x - y)).as("ds"))
+        .select(
+          size(col("dm")).cast("bigint").as("n_dims"),
+          round(array_max(col("dm")), 6).as("max_min_shift"),
+          round(array_max(col("ds")), 6).as("max_span_shift"),
+          size(filter(col("dm"), d => d > 0.01)).cast("bigint").as("n_min_shifted"),
+          size(filter(col("ds"), d => d > 0.01)).cast("bigint").as("n_span_shifted"))
+    }),
+
     // Recall@5 of the two compact-vector candidate generators (SQ8
     // dequantized scores, MRL 16-dim prefix scores) against brute-
     // force ground truth — read next to ann_recall_pq/opq: these two
@@ -3978,6 +4003,27 @@ object QueriesPipeline {
          |$mrlCtes
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM mrl ORDER BY query_id, rank""".stripMargin,
+
+    "sq8_drift" -> {
+      def stats(par: String, mAs: String, sAs: String) =
+        s"""(SELECT list(mn ORDER BY i) AS $mAs, list(mx - mn ORDER BY i) AS $sAs FROM (
+           |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, max(CAST(embedding[i] AS DOUBLE)) AS mx
+           |  FROM read_parquet('{SFDIR}/embeddings.parquet'), range(1, 65) t(i)
+           |  WHERE vec_id % 2 $par GROUP BY i))""".stripMargin
+      s"""WITH pa AS ${stats("= 0", "mins_a", "spans_a")},
+         |pb AS ${stats("<> 0", "mins_b", "spans_b")},
+         |d AS (
+         |  SELECT
+         |    list_transform(range(1, 65), i -> abs(mins_a[i] - mins_b[i])) AS dm,
+         |    list_transform(range(1, 65), i -> abs(spans_a[i] - spans_b[i])) AS ds
+         |  FROM pa, pb)
+         |SELECT CAST(len(dm) AS BIGINT) AS n_dims,
+         |  round(list_max(dm), 6) AS max_min_shift,
+         |  round(list_max(ds), 6) AS max_span_shift,
+         |  CAST(len(list_filter(dm, x -> x > 0.01)) AS BIGINT) AS n_min_shifted,
+         |  CAST(len(list_filter(ds, x -> x > 0.01)) AS BIGINT) AS n_span_shifted
+         |FROM d""".stripMargin
+    },
 
     "ann_recall_compact" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
