@@ -1192,6 +1192,19 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // The all-nodes k-NN GRAPH via distributed NN-descent (Dong et
+    // al. 2011): deterministic seed + 2 neighbor-of-neighbor rounds,
+    // each bounded by n*k^2 candidate edges — the scalable route to
+    // the graph artifact that graph-ANN serving and semantic
+    // clustering consume (brute force is n^2*d). See
+    // [[Similarity.knnGraph]].
+    "ann_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(embs(s, dir))
+        .select(
+          col("vec_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_id", "rank")),
+
     // Filtered vector search: top-5 among SAME-LABEL vectors only
     // (per-tenant / same-language retrieval), predicate applied
     // BEFORE ranking. See [[Similarity.topKFiltered]].
@@ -3978,6 +3991,30 @@ object QueriesPipeline {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_knn_graph" -> {
+      // one NN-descent round: rank `pool`(u,v) by cosine, keep top-4
+      def ranked(pool: String, out: String) =
+        s"""$out AS MATERIALIZED (
+           |  SELECT u, v, cos, rk FROM (
+           |    SELECT p.u, p.v, ${cosSql("a.embedding", "b.embedding")} AS cos,
+           |      CAST(row_number() OVER (PARTITION BY p.u ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, p.v ASC) AS INTEGER) AS rk
+           |    FROM $pool p JOIN e a ON a.vec_id = p.u JOIN e b ON b.vec_id = p.v)
+           |  WHERE rk <= 4)""".stripMargin
+      def round_(prev: String, g: String, c: String, p: String, out: String) =
+        s"""$g AS (SELECT u, v FROM $prev UNION SELECT v, u FROM $prev),
+           |$c AS (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v),
+           |$p AS (SELECT u, v FROM $prev UNION SELECT u, v FROM $c),
+           |${ranked(p, out)}""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |nnc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+         |seed AS (SELECT e.vec_id AS u, (e.vec_id + j.j) % nnc.nn AS v FROM e, range(1, 5) j(j), nnc),
+         |${ranked("seed", "nb0")},
+         |${round_("nb0", "g1", "c1", "p1", "nb1")},
+         |${round_("nb1", "g2", "c2", "p2", "nb2")}
+         |SELECT u AS vec_id, rk AS rank, v AS neighbor_id, round(cos, 6) AS cosine
+         |FROM nb2 ORDER BY vec_id, rank""".stripMargin
+    },
 
     "ann_topk_filtered" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM read_parquet('{SFDIR}/embeddings.parquet')),

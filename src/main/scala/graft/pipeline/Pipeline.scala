@@ -3397,6 +3397,63 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** k-NN GRAPH construction via NN-DESCENT (Dong et al. 2011) — the
+    * distributed route to an all-nodes neighbor graph without the n²
+    * brute-force pass: start from a deterministic SCATTERED seed graph
+    * (a fixed-stride LCG jump `(u·48271 + j·1999) mod n` — NN-descent
+    * needs seed neighbors spread across the whole space; an id-local
+    * chain seed never escapes its id window and converges to noise),
+    * then iterate "a neighbor of my neighbor is probably my neighbor":
+    * each round unions the graph with its reverse, generates
+    * neighbor-of-neighbor candidates by ONE equi-join of the edge list
+    * with itself, scores candidates ∪ current neighbors, and keeps the
+    * top-k per node. Every round is bounded by n·(2k)² candidate edges
+    * — at 100 TB this is the difference between a kNN graph you can
+    * build and one you cannot (the brute pass is n²·d). Each round's
+    * graph is lineage-truncated (`localCheckpoint`, the DedupChain
+    * stance; on a real cluster this is the per-round reliable
+    * checkpoint every iterative distributed algorithm needs) so the
+    * plan stays constant-size across rounds. The finished graph is the
+    * input artifact for graph-ANN serving (HNSW-family), SemDeDup-style
+    * semantic clustering, and diversity analysis. Deterministic end
+    * to end: seed is arithmetic, ranking ties break on neighbor id,
+    * cosines are the shared left-to-right folds.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val nRow = broadcast(embeddings.agg(count(lit(1)).as("nn")))
+    val init = embeddings.select(col("vec_id").as("u"))
+      .crossJoin(nRow)
+      .select(col("u"), explode(sequence(lit(1), lit(k))).as("j"), col("nn"))
+      .select(col("u"),
+        ((col("u") * lit(48271L) + col("j") * lit(1999L)) % col("nn")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val us = withNorm(embeddings, "uid", "ue", "un")
+    val vs = withNorm(embeddings, "vid", "ve", "vn")
+    def topk(pool: DataFrame): DataFrame = {
+      val w = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)
+      pool
+        .join(us, col("u") === col("uid"))
+        .join(vs, col("v") === col("vid"))
+        .select(col("u"), col("v"),
+          (dotF(col("ue"), col("ve")) / (col("un") * col("vn"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
+    var nb = topk(init).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val edges = nb.select("u", "v")
+      val g = edges
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+        .where(col("u") =!= col("v"))
+      nb = topk(edges.unionAll(cand).distinct()).localCheckpoint(true)
+    }
+    nb.select(
+      col("u").as("vec_id"), col("rank"), col("v").as("neighbor_id"), col("cosine"))
+  }
+
   /** Label-FILTERED top-k — filtered vector search, the production
     * ANN variant where a metadata predicate constrains the candidate
     * set (same-language retrieval, per-tenant search): neighbors must

@@ -461,6 +461,38 @@ class PipelineSpec extends SparkSpec {
     shared.foreach(k => assert(mrl(k) == exact(k)))
   }
 
+  test("knnGraph: shape (n·k rows, no self-edges, ranked) and NN-descent recall vs brute") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count()
+    val out = Similarity.knnGraph(e).collect()
+    assert(out.length == n * 4)
+    out.foreach(r => assert(r.getAs[Long]("vec_id") != r.getAs[Long]("neighbor_id"),
+      "NN-descent candidates must exclude self-edges"))
+    out.groupBy(_.getAs[Long]("vec_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 4))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+    // brute-force ground truth: exact top-4 per node over all n² pairs
+    val a = e.select(col("vec_id").as("u"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("v"), col("embedding").as("eb"))
+    val cos = graft.functions.dotF(col("ea"), col("eb")) /
+      (sqrt(graft.functions.dotF(col("ea"), col("ea"))) *
+        sqrt(graft.functions.dotF(col("eb"), col("eb"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("cos").desc, col("v").asc)
+    val exact = a.crossJoin(b).where(col("u") =!= col("v"))
+      .select(col("u"), col("v"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 4)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // 2 neighbor-of-neighbor rounds from the arithmetic seed; the bound
+    // is an empirical floor with slack, not the measured point value
+    assert(recall >= 0.55, s"NN-descent recall vs brute-force graph: $recall")
+  }
+
   test("topKFiltered: every neighbor shares the query's label; pre-filter fills k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select("vec_id", "label").collect()
