@@ -3407,23 +3407,39 @@ object Similarity {
     * each round unions the graph with its reverse, generates
     * neighbor-of-neighbor candidates by ONE equi-join of the edge list
     * with itself, scores candidates ∪ current neighbors, and keeps the
-    * top-k per node. Every round is bounded by n·(2k)² candidate edges
-    * — at 100 TB this is the difference between a kNN graph you can
-    * build and one you cannot (the brute pass is n²·d). Each round's
-    * graph is lineage-truncated (`localCheckpoint`, the DedupChain
-    * stance; on a real cluster this is the per-round reliable
-    * checkpoint every iterative distributed algorithm needs) so the
-    * plan stays constant-size across rounds. The finished graph is the
-    * input artifact for graph-ANN serving (HNSW-family), SemDeDup-style
+    * top-`searchK` per node. The descent runs on a WIDENED working
+    * list (`searchK` > `k`, the standard NN-descent fix for weak
+    * neighbor-of-neighbor signal — with only k=4 slots on isotropic
+    * embeddings the chain of "friend of a friend" hops has almost no
+    * surface to propagate through; k'=16 gives each node 4× the
+    * exploration frontier while the FINAL artifact is still the
+    * top-`k` prefix of the converged list). Every round is bounded by
+    * n·(2·searchK)² candidate edges — at 100 TB this is the
+    * difference between a kNN graph you can build and one you cannot
+    * (the brute pass is n²·d). Each round's graph is
+    * lineage-truncated (`localCheckpoint`, the DedupChain stance; on
+    * a real cluster this is the per-round reliable checkpoint every
+    * iterative distributed algorithm needs) so the plan stays
+    * constant-size across rounds. The finished graph is the input
+    * artifact for graph-ANN serving (HNSW-family), SemDeDup-style
     * semantic clustering, and diversity analysis. Deterministic end
     * to end: seed is arithmetic, ranking ties break on neighbor id,
     * cosines are the shared left-to-right folds.
+    *
+    * Measured (RecallSweep knn mode, recall@4 vs brute): at n=500
+    * searchK=16/iters=3 → 0.986; at n=2000 the same config → 0.799
+    * and searchK=24 → 0.971. The working-list width must grow slowly
+    * (~log n) with corpus size — the standard NN-descent sizing — so
+    * at larger n callers raise `searchK`, not `iters`; cost stays
+    * n·(2·searchK)² per round either way.
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+  def knnGraph(
+      embeddings: DataFrame, k: Int = 4, iters: Int = 3,
+      searchK: Int = 16): DataFrame = {
     val nRow = broadcast(embeddings.agg(count(lit(1)).as("nn")))
     val init = embeddings.select(col("vec_id").as("u"))
       .crossJoin(nRow)
-      .select(col("u"), explode(sequence(lit(1), lit(k))).as("j"), col("nn"))
+      .select(col("u"), explode(sequence(lit(1), lit(searchK))).as("j"), col("nn"))
       .select(col("u"),
         ((col("u") * lit(48271L) + col("j") * lit(1999L)) % col("nn")).as("v"))
       .where(col("u") =!= col("v")).distinct()
@@ -3437,7 +3453,7 @@ object Similarity {
         .select(col("u"), col("v"),
           (dotF(col("ue"), col("ve")) / (col("un") * col("vn"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
+        .where(col("rank") <= searchK)
     }
     var nb = topk(init).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -3450,7 +3466,7 @@ object Similarity {
         .where(col("u") =!= col("v"))
       nb = topk(edges.unionAll(cand).distinct()).localCheckpoint(true)
     }
-    nb.select(
+    nb.where(col("rank") <= k).select(
       col("u").as("vec_id"), col("rank"), col("v").as("neighbor_id"), col("cosine"))
   }
 

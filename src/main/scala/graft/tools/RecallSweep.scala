@@ -11,7 +11,8 @@ import graft.sources.Sessions
   * brute-force ground truth, plus the candidate volume each probe
   * level scans (the cost side of the trade).
   *
-  * Usage: runMain graft.tools.RecallSweep [sfDir]
+  * Usage: runMain graft.tools.RecallSweep [sfDir] [knn]
+  * (second arg `knn` runs ONLY the NN-descent graph sweep)
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -20,6 +21,36 @@ object RecallSweep {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // NN-descent kNN-graph sweep: recall of the descent graph vs the
+    // brute-force top-4 graph, across working-list width (searchK)
+    // and round count — the tuning table behind knnGraph's defaults
+    // and the pinned floor in PipelineSpec.
+    val knnOnly = args.lift(1).contains("knn")
+    if (knnOnly) {
+      val ec = e.localCheckpoint(true)
+      val a = ec.select(col("vec_id").as("u"), col("embedding").as("ea"))
+      val b = ec.select(col("vec_id").as("v"), col("embedding").as("eb"))
+      val cosc = graft.functions.dotF(col("ea"), col("eb")) /
+        (sqrt(graft.functions.dotF(col("ea"), col("ea"))) *
+          sqrt(graft.functions.dotF(col("eb"), col("eb"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("cos").desc, col("v").asc)
+      val exactSet = a.crossJoin(b).where(col("u") =!= col("v"))
+        .select(col("u"), col("v"), cosc.as("cos"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 4)
+        .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (sk <- Seq(8, 12, 16, 24); it <- Seq(1, 2, 3)) {
+        val t0 = System.nanoTime()
+        val got = Similarity.knnGraph(ec, k = 4, iters = it, searchK = sk)
+          .collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = got.intersect(exactSet).size.toDouble / exactSet.size
+        println(f"[sweep] knn searchK=$sk%2d iters=$it  recall@4 = $rec%.3f   wall $dt%5.2f s")
+      }
+      spark.stop()
+      return
+    }
     val exact = Similarity.topK(e).localCheckpoint(true)
     val cents = Similarity.kmeansCentroids(e).localCheckpoint(true)
     val sizes = Similarity.cellSizes(e, cents)

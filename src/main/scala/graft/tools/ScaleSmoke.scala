@@ -307,6 +307,18 @@ object ScaleSmoke {
     // k is scaled with N here, which is what a production run does
     // (cells ~ corpus / target_cell_size). Decorrelated copies, see
     // amplifyEmbDecor.
+    // NN-descent kNN graph at scale contract: every round is bounded
+    // by n·(2·searchK)² candidate edges — linear in n at fixed
+    // working-list width — so Nx decorrelated vectors must cost ~Nx.
+    // (Recall at larger n wants a wider searchK — a ~log n growth,
+    // see Similarity.knnGraph scaladoc — which scales the constant,
+    // not the shape.)
+    def knng(e: DataFrame): Long = {
+      val m = graft.pipeline.Similarity.knnGraph(e).count()
+      spark.catalog.clearCache()
+      m
+    }
+
     def semdedup(e: DataFrame, k: Int): Long = {
       val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = k)
       val m = graft.pipeline.Similarity
@@ -722,7 +734,8 @@ object ScaleSmoke {
       "wordpiece pieces" -> (() => (time("wp 1x", wp(docs1)), time(s"wp ${n}x", wp(docsN)))),
       "zorder stats" -> (() => (time("zorder 1x", zo(ev1)), time(s"zorder ${n}x", zo(evN)))),
       "ngram diversity" -> (() => (time("ngd 1x", ngd(docs1)), time(s"ngd ${n}x", ngd(docsN)))),
-      "containment verify" -> (() => (time("contain 1x", contain(docs1)), time(s"contain ${n}x", contain(docsNDistinct)))))
+      "containment verify" -> (() => (time("contain 1x", contain(docs1)), time(s"contain ${n}x", contain(docsNDistinct)))),
+      "knn graph descent" -> (() => (time("knng 1x", knng(emb1)), time(s"knng ${n}x", knng(amplifyEmbDecor(emb1, n))))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

@@ -488,9 +488,11 @@ class PipelineSpec extends SparkSpec {
       .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
-    // 2 neighbor-of-neighbor rounds from the arithmetic seed; the bound
-    // is an empirical floor with slack, not the measured point value
-    assert(recall >= 0.55, s"NN-descent recall vs brute-force graph: $recall")
+    // 3 neighbor-of-neighbor rounds on the searchK=16 working list from
+    // the arithmetic seed; RecallSweep (knn mode) measures 0.986 at
+    // n=500 — the bound is an empirical floor with slack, not the
+    // measured point value
+    assert(recall >= 0.9, s"NN-descent recall vs brute-force graph: $recall")
   }
 
   test("topKFiltered: every neighbor shares the query's label; pre-filter fills k") {
