@@ -1208,6 +1208,42 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("vec_id", "rank")),
 
+    // Recall@4 of the NN-descent graph against the exact graph on a
+    // deterministic 1-in-5 node sample — the tuning instrument for
+    // searchK/iters, reading next to ann_recall_pq/opq/compact. At
+    // 100 TB the brute ground truth only ever exists for a sample;
+    // the descent graph is full-corpus. See
+    // [[Similarity.topKSampledExact]] / [[Similarity.recallAtK]].
+    "ann_recall_knn_graph" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+        Similarity.topKSampledExact(e),
+        Seq("knng" -> Similarity.knnGraph(e)
+          .where(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"))))
+        .orderBy("query_id")
+    }),
+
+    // GRAPH-clustered semantic dedup (SemDeDup's alternative
+    // spelling): connected components over the kNN graph's edges at
+    // cosine >= 0.4, reusing the SAME min-label-propagation CC as the
+    // MinHash chain — the graph build is the only pairwise work, and
+    // it is NN-descent-bounded, never n². Compare with
+    // embedding_neardup_ivf (cell-tiled pairs): the graph spelling
+    // finds the same high-cosine structure without training a
+    // quantizer first. See [[Similarity.knnGraph]], [[Dedup.clusters]].
+    "embedding_neardup_graph" -> ((s, dir) => {
+      val edges = Similarity.knnGraph(embs(s, dir))
+        .where(col("cosine") >= 0.4)
+        .select(
+          least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+        .distinct()
+      Dedup.clusters(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     // Filtered vector search: top-5 among SAME-LABEL vectors only
     // (per-tenant / same-language retrieval), predicate applied
     // BEFORE ranking. See [[Similarity.topKFiltered]].

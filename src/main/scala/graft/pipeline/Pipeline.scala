@@ -3470,6 +3470,33 @@ object Similarity {
       col("u").as("vec_id"), col("rank"), col("v").as("neighbor_id"), col("cosine"))
   }
 
+  /** Brute-force exact top-k for a deterministic 1-in-`sampleMod`
+    * node sample (`vec_id % sampleMod == 0`) — the ground-truth side
+    * of graph-recall measurement ([[recallAtK]] against
+    * [[knnGraph]]). At 100 TB recall is always measured on a query
+    * sample, never the full node set: the sampled query frame stays
+    * broadcast-small while the scoring pass stays map-only over the
+    * corpus (per-partition partial top-k, tiny final shuffle).
+    */
+  def topKSampledExact(
+      embeddings: DataFrame, sampleMod: Int = 5, k: Int = 4): DataFrame = {
+    val queries = broadcast(
+      withNorm(embeddings, "query_id", "qe", "qn")
+        .where(col("query_id") % sampleMod === 0))
+    val scored = queries.join(
+        withNorm(embeddings, "neighbor_id", "ne", "nn"),
+        col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Label-FILTERED top-k — filtered vector search, the production
     * ANN variant where a metadata predicate constrains the candidate
     * set (same-language retrieval, per-tenant search): neighbors must
