@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Multimodal, Sessionize, Similarity, TextOps, Wordpiece}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, KnnChain, Multimodal, Sessionize, Similarity, TextOps, Wordpiece}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -1202,24 +1202,26 @@ object QueriesPipeline {
     // brute-force graph: 0.986 at n=500 (RecallSweep knn mode). See
     // [[Similarity.knnGraph]].
     "ann_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(embs(s, dir))
+      KnnChain.graph(s, dir, embs(s, dir))
         .select(
           col("vec_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("vec_id", "rank")),
 
     // Recall@4 of the NN-descent graph against the exact graph on a
-    // deterministic 1-in-5 node sample — the tuning instrument for
+    // FIXED 16-query frame (`vec_id < 16`, the bounded-sample stance
+    // every ann_recall_* shares) — the tuning instrument for
     // searchK/iters, reading next to ann_recall_pq/opq/compact. At
-    // 100 TB the brute ground truth only ever exists for a sample;
-    // the descent graph is full-corpus. See
-    // [[Similarity.topKSampledExact]] / [[Similarity.recallAtK]].
+    // 100 TB the brute ground truth only ever exists for a
+    // constant-size query sample — never a corpus fraction, whose
+    // brute pass grows as n²/const — while the descent graph side is
+    // full-corpus. See [[Similarity.topK]] / [[Similarity.recallAtK]].
     "ann_recall_knn_graph" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-        Similarity.topKSampledExact(e),
-        Seq("knng" -> Similarity.knnGraph(e)
-          .where(col("vec_id") % 5 === 0)
+        Similarity.topK(e, numQueries = 16, k = 4),
+        Seq("knng" -> KnnChain.graph(s, dir, e)
+          .where(col("vec_id") < 16)
           .select(col("vec_id").as("query_id"), col("neighbor_id"))))
         .orderBy("query_id")
     }),
@@ -1233,7 +1235,7 @@ object QueriesPipeline {
     // finds the same high-cosine structure without training a
     // quantizer first. See [[Similarity.knnGraph]], [[Dedup.clusters]].
     "embedding_neardup_graph" -> ((s, dir) => {
-      val edges = Similarity.knnGraph(embs(s, dir))
+      val edges = KnnChain.graph(s, dir, embs(s, dir))
         .where(col("cosine") >= 0.4)
         .select(
           least(col("vec_id"), col("neighbor_id")).as("doc_a"),
@@ -2261,6 +2263,34 @@ object QueriesPipeline {
           .select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // The image funnel's DELIVERABLE: per perceptual cluster, the
+    // canonical image to KEEP — highest resolution wins, doc_id
+    // breaks ties — plus the cluster size, the dedup_representatives
+    // manifest for the media tier. Resolution is the stored-metadata
+    // rank every image pipeline has (here the synthetic corpus' id→
+    // (w,h) metadata function); one window over the O(clustered docs)
+    // label frame, riding the staged AHashChain hashes.
+    "media_representatives" -> ((s, dir) => {
+      val labels = Dedup.clusters(
+        Multimodal.aHashPairs(
+          graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir)),
+          maxHamming = 3)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("cluster_id"))
+      val wKeep = Window.partitionBy("cluster_id")
+        .orderBy(col("pixels").desc, col("doc_id").asc)
+      labels
+        .withColumn("pixels", Multimodal.imagePixels(col("doc_id")))
+        .withColumn("rn", row_number().over(wKeep))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint"))
+        .where(col("rn") === 1)
+        .select(
+          col("cluster_id"), col("doc_id").as("keep_doc_id"),
+          col("pixels").as("keep_pixels"), col("cluster_size"))
+        .orderBy("cluster_id")
+    }),
+
     // The one-row media-dedup dashboard: image and audio perceptual
     // duplication in one glance (distinct hashes, docs in dup
     // groups, largest group) — the corpus_dedup_report stance for
@@ -2965,6 +2995,101 @@ object QueriesPipeline {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src)""".stripMargin
+
+  /** Shared NN-descent CTE chain (e → nnc → seed → nb0 → nb1 → nb2 →
+    * nb3) mirroring [[graft.pipeline.Similarity.knnWorkingList]]
+    * exactly: scattered-LCG seed `(u*48271 + j*1999) % n` with j in
+    * 1..16, THREE neighbor-of-neighbor rounds on a searchK=16 working
+    * list. One descent round: rank `pool`(u,v) by cosine, keep
+    * top-16 (cos computed once in the inner select). Interpolated by
+    * ann_knn_graph, ann_recall_knn_graph and embedding_neardup_graph
+    * so the three oracles can never disagree about the graph.
+    *
+    * Dedup is explicit (`SELECT DISTINCT` over `UNION ALL`), never
+    * implicit bag-semantics `UNION`: under a `WITH RECURSIVE`
+    * statement (the CC consumer) DuckDB 1.0.0 stops deduplicating
+    * plain `UNION` inside the non-recursive CTEs, and duplicate pool
+    * rows consume row_number rank slots — measured as triplicated
+    * working-list rows pushing true neighbors past the rank-16 cut.
+    */
+  private val KnnCtes: String = {
+    def ranked(pool: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT u, v, cos, rk FROM (
+         |    SELECT u, v, cos,
+         |      CAST(row_number() OVER (PARTITION BY u ORDER BY cos DESC, v ASC) AS INTEGER) AS rk
+         |    FROM (
+         |      SELECT p.u, p.v, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM $pool p JOIN e a ON a.vec_id = p.u JOIN e b ON b.vec_id = p.v))
+         |  WHERE rk <= 16)""".stripMargin
+    def round_(prev: String, g: String, c: String, p: String, out: String) =
+      s"""$g AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM $prev UNION ALL SELECT v AS u, u AS v FROM $prev)),
+         |$c AS (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v),
+         |$p AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM $prev UNION ALL SELECT u, v FROM $c)),
+         |${ranked(p, out)}""".stripMargin
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+       |nnc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+       |seed AS (SELECT DISTINCT u, v FROM (
+       |  SELECT e.vec_id AS u, (e.vec_id * 48271 + j.j * 1999) % nnc.nn AS v
+       |  FROM e, range(1, 17) j(j), nnc) WHERE u <> v),
+       |${ranked("seed", "nb0")},
+       |${round_("nb0", "g1", "c1", "p1", "nb1")},
+       |${round_("nb1", "g2", "c2", "p2", "nb2")},
+       |${round_("nb2", "g3", "c3", "p3", "nb3")}""".stripMargin
+  }
+
+  /** Shared aHash-replay CTE chain (d → px → sm → bits → parts → sh):
+    * the arithmetic rebuild of the packed 64-bit perceptual hash as a
+    * signed BIGINT (two 32-bit halves, hi recentred so the top bit
+    * lands as the sign) — interpolated by multimodal_phash_pairs,
+    * multimodal_phash_clusters and media_representatives so the image
+    * tier's oracles share one hash spelling.
+    */
+  private val PhashShCtes: String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    16 + doc_id % 16 AS w,
+       |    16 + (doc_id // 16) % 16 AS h
+       |  FROM read_parquet('{SFDIR}/documents.parquet')),
+       |px AS (
+       |  SELECT doc_id, t.i AS i,
+       |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
+       |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+       |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+       |bits AS (
+       |  SELECT px.doc_id AS doc_id, i,
+       |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+       |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+       |parts AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN i < 32
+       |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN i >= 32
+       |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+       |      * 4294967296 + lo AS simhash
+       |  FROM parts)""".stripMargin
+
+  /** [[PhashShCtes]] + hamming≤3 pairs + the recursive-CC reach over
+    * them (caller opens with WITH RECURSIVE) — shared by
+    * multimodal_phash_clusters and media_representatives so the two
+    * can never disagree about image components.
+    */
+  private val PhashCcCtes: String =
+    s"""$PhashShCtes,
+       |wp AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+       |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
+       |           UNION SELECT doc_b, doc_a FROM wp),
+       |wreach(src, dst) AS (
+       |  SELECT src, dst FROM wedges
+       |  UNION
+       |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src)""".stripMargin
 
   /** Synthetic-url / host / registered-domain SQL — single source of
     * truth mirroring Corpus.synthUrl / urlHost / registeredDomain.
@@ -4031,39 +4156,41 @@ object QueriesPipeline {
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "ann_knn_graph" -> {
-      // Mirrors Similarity.knnGraph exactly: scattered-LCG seed
-      // (u*48271 + j*1999) % n with j in 1..16, THREE
-      // neighbor-of-neighbor rounds on a searchK=16 working list,
-      // final artifact = top-4 prefix of the converged list. One
-      // NN-descent round: rank `pool`(u,v) by cosine, keep top-16
-      // (cos computed once in the inner select).
-      def ranked(pool: String, out: String) =
-        s"""$out AS MATERIALIZED (
-           |  SELECT u, v, cos, rk FROM (
-           |    SELECT u, v, cos,
-           |      CAST(row_number() OVER (PARTITION BY u ORDER BY cos DESC, v ASC) AS INTEGER) AS rk
-           |    FROM (
-           |      SELECT p.u, p.v, ${cosSql("a.embedding", "b.embedding")} AS cos
-           |      FROM $pool p JOIN e a ON a.vec_id = p.u JOIN e b ON b.vec_id = p.v))
-           |  WHERE rk <= 16)""".stripMargin
-      def round_(prev: String, g: String, c: String, p: String, out: String) =
-        s"""$g AS (SELECT u, v FROM $prev UNION SELECT v, u FROM $prev),
-           |$c AS (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v),
-           |$p AS (SELECT u, v FROM $prev UNION SELECT u, v FROM $c),
-           |${ranked(p, out)}""".stripMargin
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
-         |nnc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
-         |seed AS (SELECT DISTINCT u, v FROM (
-         |  SELECT e.vec_id AS u, (e.vec_id * 48271 + j.j * 1999) % nnc.nn AS v
-         |  FROM e, range(1, 17) j(j), nnc) WHERE u <> v),
-         |${ranked("seed", "nb0")},
-         |${round_("nb0", "g1", "c1", "p1", "nb1")},
-         |${round_("nb1", "g2", "c2", "p2", "nb2")},
-         |${round_("nb2", "g3", "c3", "p3", "nb3")}
+    "ann_knn_graph" ->
+      s"""WITH $KnnCtes
          |SELECT u AS vec_id, rk AS rank, v AS neighbor_id, round(cos, 6) AS cosine
-         |FROM nb3 WHERE rk <= 4 ORDER BY vec_id, rank""".stripMargin
-    },
+         |FROM nb3 WHERE rk <= 4 ORDER BY vec_id, rank""".stripMargin,
+
+    "ann_recall_knn_graph" ->
+      s"""WITH $KnnCtes,
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q JOIN e n ON q.vec_id < 16 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 4),
+         |knng AS (SELECT u AS query_id, v AS neighbor_id FROM nb3 WHERE rk <= 4 AND u < 16)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(g.neighbor_id) AS BIGINT) AS knng_hits,
+         |  round(CAST(count(g.neighbor_id) AS DOUBLE) / count(*), 6) AS knng_recall
+         |FROM brute b
+         |LEFT JOIN knng g ON g.query_id = b.query_id AND g.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    "embedding_neardup_graph" ->
+      s"""WITH RECURSIVE $KnnCtes,
+         |ge AS (
+         |  SELECT DISTINCT least(u, v) AS doc_a, greatest(u, v) AS doc_b
+         |  FROM nb3 WHERE rk <= 4 AND cos >= 0.4),
+         |gedges AS (SELECT doc_a AS src, doc_b AS dst FROM ge UNION SELECT doc_b, doc_a FROM ge),
+         |greach(src, dst) AS (
+         |  SELECT src, dst FROM gedges
+         |  UNION
+         |  SELECT rr.src, ed.dst FROM greach rr JOIN gedges ed ON rr.dst = ed.src)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM greach GROUP BY src ORDER BY vec_id""".stripMargin,
 
     "ann_topk_filtered" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM read_parquet('{SFDIR}/embeddings.parquet')),
@@ -6016,32 +6143,7 @@ object QueriesPipeline {
     // halves; the hi half recentred before the shift so the top bit
     // lands as the sign), then the simhash64 band-join spelling.
     "multimodal_phash_pairs" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    16 + doc_id % 16 AS w,
-         |    16 + (doc_id // 16) % 16 AS h
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
-         |px AS (
-         |  SELECT doc_id, t.i AS i,
-         |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
-         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
-         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
-         |bits AS (
-         |  SELECT px.doc_id AS doc_id, i,
-         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
-         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
-         |parts AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN i < 32
-         |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
-         |    CAST(sum(CASE WHEN i >= 32
-         |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY doc_id),
-         |sh AS (
-         |  SELECT doc_id,
-         |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
-         |      * 4294967296 + lo AS simhash
-         |  FROM parts),
+      s"""WITH $PhashShCtes,
          |sbands AS (
          |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS v
          |  FROM sh, (SELECT unnest(range(0, 8)) AS band) b)
@@ -6052,45 +6154,28 @@ object QueriesPipeline {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_phash_clusters" ->
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id,
-         |    16 + doc_id % 16 AS w,
-         |    16 + (doc_id // 16) % 16 AS h
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
-         |px AS (
-         |  SELECT doc_id, t.i AS i,
-         |    (doc_id * 31 + ((t.i * (w * h)) // 64)) % 256 AS v
-         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
-         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
-         |bits AS (
-         |  SELECT px.doc_id AS doc_id, i,
-         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
-         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
-         |parts AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN i < 32
-         |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
-         |    CAST(sum(CASE WHEN i >= 32
-         |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY doc_id),
-         |sh AS (
-         |  SELECT doc_id,
-         |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
-         |      * 4294967296 + lo AS simhash
-         |  FROM parts),
-         |wp AS (
-         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
-         |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
-         |           UNION SELECT doc_b, doc_a FROM wp),
-         |wreach(src, dst) AS (
-         |  SELECT src, dst FROM wedges
-         |  UNION
-         |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src)
+      s"""WITH RECURSIVE $PhashCcCtes
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical
          |FROM wreach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "media_representatives" ->
+      s"""WITH RECURSIVE $PhashCcCtes,
+         |wlabels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM wreach GROUP BY src),
+         |wld AS (
+         |  SELECT cluster_id, doc_id,
+         |    (16 + doc_id % 16) * (16 + (doc_id // 16) % 16) AS pixels
+         |  FROM wlabels),
+         |wrk AS (
+         |  SELECT cluster_id, doc_id, pixels,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY pixels DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cs
+         |  FROM wld)
+         |SELECT cluster_id, doc_id AS keep_doc_id,
+         |  CAST(pixels AS BIGINT) AS keep_pixels, CAST(cs AS BIGINT) AS cluster_size
+         |FROM wrk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "media_dedup_report" ->
       s"""WITH d AS (

@@ -305,6 +305,16 @@ object Multimodal {
       "sampled_frames",
       filter(sequence(lit(0), col("n_frames") - 1), i => i % everyK === 0))
 
+  /** The synthetic corpus' image pixel count as a column — the same
+    * pure id→(w,h) function [[syntheticImages]] encodes into each PNG
+    * header, exposed so manifest queries can rank cluster members by
+    * resolution without a second decode pass. Production images carry
+    * width/height as stored metadata columns next to the blob; this
+    * is that metadata for the synthetic corpus.
+    */
+  def imagePixels(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((lit(16) + docId % 16) * (lit(16) + floor(docId / lit(16)) % 16)).cast("long")
+
   /** Documents table viewed as a media corpus (text blobs), the
     * driver-testable stand-in for an image/audio table.
     */

@@ -3417,10 +3417,17 @@ object Similarity {
     * n·(2·searchK)² candidate edges — at 100 TB this is the
     * difference between a kNN graph you can build and one you cannot
     * (the brute pass is n²·d). Each round's graph is
-    * lineage-truncated (`localCheckpoint`, the DedupChain stance; on
-    * a real cluster this is the per-round reliable checkpoint every
-    * iterative distributed algorithm needs) so the plan stays
-    * constant-size across rounds. The finished graph is the input
+    * lineage-truncated (`localCheckpoint`, the DedupChain stance —
+    * executor-local and NOT fault-tolerant; on a real cluster the
+    * per-round truncation every iterative distributed algorithm needs
+    * is reliable `checkpoint()` to cluster storage, and this harness's
+    * single-JVM local mode is the one place the cheap spelling is
+    * safe) so the plan stays constant-size across rounds. This
+    * returns the CONVERGED searchK-wide working list (u, v, cosine,
+    * rank ≤ searchK) — the session-staged artifact [[KnnChain]] pins
+    * so its consumers ([[knnGraph]] prefixes, recall instruments,
+    * graph dedup, graph serving) never re-run the descent.
+    * The finished graph is the input
     * artifact for graph-ANN serving (HNSW-family), SemDeDup-style
     * semantic clustering, and diversity analysis. Deterministic end
     * to end: seed is arithmetic, ranking ties break on neighbor id,
@@ -3433,8 +3440,8 @@ object Similarity {
     * at larger n callers raise `searchK`, not `iters`; cost stays
     * n·(2·searchK)² per round either way.
     */
-  def knnGraph(
-      embeddings: DataFrame, k: Int = 4, iters: Int = 3,
+  def knnWorkingList(
+      embeddings: DataFrame, iters: Int = 3,
       searchK: Int = 16): DataFrame = {
     val nRow = broadcast(embeddings.agg(count(lit(1)).as("nn")))
     val init = embeddings.select(col("vec_id").as("u"))
@@ -3466,35 +3473,78 @@ object Similarity {
         .where(col("u") =!= col("v"))
       nb = topk(edges.unionAll(cand).distinct()).localCheckpoint(true)
     }
-    nb.where(col("rank") <= k).select(
-      col("u").as("vec_id"), col("rank"), col("v").as("neighbor_id"), col("cosine"))
+    nb.select(col("u"), col("v"), col("cosine"), col("rank"))
   }
 
-  /** Brute-force exact top-k for a deterministic 1-in-`sampleMod`
-    * node sample (`vec_id % sampleMod == 0`) — the ground-truth side
-    * of graph-recall measurement ([[recallAtK]] against
-    * [[knnGraph]]). At 100 TB recall is always measured on a query
-    * sample, never the full node set: the sampled query frame stays
-    * broadcast-small while the scoring pass stays map-only over the
-    * corpus (per-partition partial top-k, tiny final shuffle).
+  /** The finished k-NN graph: the top-`k` prefix of the converged
+    * [[knnWorkingList]]. Prefer [[KnnChain.graph]] inside a session —
+    * it stages the descent once and serves every consumer from the
+    * same converged list.
     */
-  def topKSampledExact(
-      embeddings: DataFrame, sampleMod: Int = 5, k: Int = 4): DataFrame = {
+  def knnGraph(
+      embeddings: DataFrame, k: Int = 4, iters: Int = 3,
+      searchK: Int = 16): DataFrame =
+    graphPrefix(knnWorkingList(embeddings, iters, searchK), k)
+
+  /** (vec_id, rank, neighbor_id, cosine) top-`k` prefix of a
+    * searchK-wide working list — the projection both [[knnGraph]] and
+    * [[KnnChain.graph]] share.
+    */
+  def graphPrefix(workingList: DataFrame, k: Int): DataFrame =
+    workingList.where(col("rank") <= k).select(
+      col("u").as("vec_id"), col("rank"), col("v").as("neighbor_id"), col("cosine"))
+
+  /** GRAPH-ANN SERVING: greedy beam search over the static kNN
+    * `graph` — the HNSW-family READ path, where query-time cost is
+    * O(hops · beam · degree) scored candidates per query instead of a
+    * corpus scan. Start every query's beam at a fixed entry node,
+    * then `hops` rounds of "expand the beam's out-neighbors, score
+    * them against the query, keep the best `beam`" (best-first beam
+    * search; ties break on node id). The query frame is
+    * broadcast-small (fixed count), each expansion is ONE equi-join
+    * of the tiny frontier with the graph's edge list, and scoring
+    * joins the frontier to the corpus by node id — at 100 TB the
+    * per-round frames are O(queries · beam · k), never O(n). The
+    * query node itself can enter the beam (queries here are corpus
+    * members — it anchors the walk in its own neighborhood, exactly
+    * what a serving walk does); it is excluded from the FINAL ranked
+    * answer like every ann_topk sibling excludes self.
+    */
+  def graphSearch(
+      embeddings: DataFrame, graph: DataFrame, numQueries: Int = 8,
+      k: Int = 4, beam: Int = 8, hops: Int = 4): DataFrame = {
     val queries = broadcast(
       withNorm(embeddings, "query_id", "qe", "qn")
-        .where(col("query_id") % sampleMod === 0))
-    val scored = queries.join(
-        withNorm(embeddings, "neighbor_id", "ne", "nn"),
-        col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        (dotF(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
+        .where(col("query_id") < numQueries))
+    val corpus = withNorm(embeddings, "nid", "ne", "nnorm")
+    val edges = graph.select(col("vec_id").as("enode"), col("neighbor_id"))
+    def rank(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("node").asc)
+      cand
+        .join(queries, Seq("query_id"))
+        .join(corpus, col("node") === col("nid"))
+        .select(col("query_id"), col("node"),
+          (dotF(col("qe"), col("ne")) / (col("qn") * col("nnorm"))).as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= beam)
+        .select("query_id", "node", "cosine")
+    }
+    var frontier = rank(
+      queries.select(col("query_id"), lit(0L).as("node")))
+    for (_ <- 1 to hops) {
+      val expanded = frontier.select("query_id", "node")
+        .join(edges, col("node") === col("enode"))
+        .select(col("query_id"), col("neighbor_id").as("node"))
+      frontier = rank(
+        frontier.select("query_id", "node").unionAll(expanded).distinct())
+    }
+    val wOut = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node").asc)
+    frontier.where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wOut))
       .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("cosine"))
   }
 
   /** Label-FILTERED top-k — filtered vector search, the production
@@ -4581,6 +4631,38 @@ object BigramChain {
   def model(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate(
       (s, dir), Corpus.bigramModel(bigrams(docs)).localCheckpoint(true))
+}
+
+/** Session-scoped memo for the NN-descent k-NN graph — the DedupChain
+  * stance applied to [[Similarity.knnWorkingList]]. Four declared
+  * queries consume the SAME converged graph (`ann_knn_graph` takes
+  * the top-4 prefix, `ann_recall_knn_graph` grades that prefix,
+  * `embedding_neardup_graph` clusters its high-cosine edges,
+  * `ann_graph_walk` serves from it); before this memo each rebuilt
+  * ~4.7 s of descent from scratch (round-13 verdict). The staged
+  * frame is the searchK-wide working list — O(n·searchK) rows, the
+  * widest thing any consumer needs — so prefixes and filters are
+  * free projections. No extra checkpoint on insert: the descent
+  * already `localCheckpoint`s its final round, so the memo pins the
+  * truncated frame as-is.
+  */
+object KnnChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The converged searchK-wide working list (u, v, cosine, rank),
+    * built once per (session, scale dir).
+    */
+  def workingList(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir), Similarity.knnWorkingList(embs))
+
+  /** The finished top-`k` graph (vec_id, rank, neighbor_id, cosine) —
+    * a prefix projection of the staged working list.
+    */
+  def graph(s: SparkSession, dir: String, embs: => DataFrame, k: Int = 4): DataFrame =
+    Similarity.graphPrefix(workingList(s, dir, embs), k)
 }
 
 object DedupStateStore {
