@@ -1246,6 +1246,24 @@ object QueriesPipeline {
         .orderBy("vec_id")
     }),
 
+    // GRAPH SERVING read path: greedy beam search over the staged
+    // NN-descent graph — 8 fixed queries walk from entry node 0 in 5
+    // expand-score-prune rounds (beam 16), the HNSW-family query-time
+    // answer whose cost is O(hops·beam·degree) scored candidates per
+    // query instead of a corpus scan. Serves on the FULL searchK=16
+    // working list (navigability needs degree — HNSW's M), while the
+    // published kNN artifact stays the top-4 prefix; both are
+    // projections of the one KnnChain-staged frame. Streaming twin:
+    // [[graft.streaming.Streaming.graphWalkStream]]. See
+    // [[Similarity.graphSearch]].
+    "ann_graph_walk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.graphSearch(e, KnnChain.graph(s, dir, e, k = 16))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Filtered vector search: top-5 among SAME-LABEL vectors only
     // (per-tenant / same-language retrieval), predicate applied
     // BEFORE ranking. See [[Similarity.topKFiltered]].
@@ -4191,6 +4209,40 @@ object QueriesPipeline {
          |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical
          |FROM greach GROUP BY src ORDER BY vec_id""".stripMargin,
+
+    "ann_graph_walk" -> {
+      // One beam-search round: candidates = beam ∪ beam's graph
+      // out-neighbors (dedup explicit — the KnnCtes stance), scored
+      // against the query, top-16 kept (cos DESC, node ASC). The
+      // serving graph is the FULL rank-16 working list.
+      def wround(prev: String, c: String, out: String) =
+        s"""$c AS (SELECT DISTINCT query_id, node FROM (
+           |  SELECT query_id, node FROM $prev
+           |  UNION ALL
+           |  SELECT f.query_id, g.v AS node FROM $prev f JOIN gg g ON g.u = f.node)),
+           |$out AS MATERIALIZED (
+           |  SELECT query_id, node, cos FROM (
+           |    SELECT query_id, node, cos,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rk
+           |    FROM (
+           |      SELECT cc.query_id, cc.node, ${cosSql("q.embedding", "b.embedding")} AS cos
+           |      FROM $c cc JOIN gq q ON q.query_id = cc.query_id JOIN e b ON b.vec_id = cc.node))
+           |  WHERE rk <= 16)""".stripMargin
+      s"""WITH $KnnCtes,
+         |gg AS (SELECT u, v FROM nb3 WHERE rk <= 16),
+         |gq AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 8),
+         |f0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM gq),
+         |${wround("f0", "wc1", "w1")},
+         |${wround("w1", "wc2", "w2")},
+         |${wround("w2", "wc3", "w3")},
+         |${wround("w3", "wc4", "w4")},
+         |${wround("w4", "wc5", "w5")}
+         |SELECT query_id, rank, node AS neighbor_id, round(cos, 6) AS cosine FROM (
+         |  SELECT query_id, node, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
+         |  FROM w5 WHERE node <> query_id)
+         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin
+    },
 
     "ann_topk_filtered" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM read_parquet('{SFDIR}/embeddings.parquet')),

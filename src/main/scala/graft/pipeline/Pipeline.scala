@@ -3509,10 +3509,21 @@ object Similarity {
     * members — it anchors the walk in its own neighborhood, exactly
     * what a serving walk does); it is excluded from the FINAL ranked
     * answer like every ann_topk sibling excludes self.
+    *
+    * Serve on the WIDE graph: pass the searchK-wide working list (the
+    * [[KnnChain.graph]] k=16 prefix), not the published top-4
+    * artifact — navigability needs degree (HNSW's M=16 story; the
+    * measured cliff: on the degree-4 graph recall@4 vs brute is
+    * 0.16-0.63 across the test scales, on the degree-16 list it is
+    * 1.0 at n=500 and 0.91 at n=2000, the remainder being the
+    * working list's own build quality at that searchK, not the
+    * walk's). Defaults (beam 16, hops 5) are from that measurement:
+    * hops must cover the entry-to-target path (~log_degree n), beam
+    * absorbs greedy local optima.
     */
   def graphSearch(
       embeddings: DataFrame, graph: DataFrame, numQueries: Int = 8,
-      k: Int = 4, beam: Int = 8, hops: Int = 4): DataFrame = {
+      k: Int = 4, beam: Int = 16, hops: Int = 5): DataFrame = {
     val queries = broadcast(
       withNorm(embeddings, "query_id", "qe", "qn")
         .where(col("query_id") < numQueries))

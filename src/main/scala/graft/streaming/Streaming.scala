@@ -508,6 +508,75 @@ object Streaming {
         })
   }
 
+  case class GraphWalkScored(query_id: Long, node: Long, cosine: Double)
+  case class GraphHit(query_id: Long, rank: Int, neighbor_id: Long, cosine: Double)
+
+  /** GRAPH-ANN serving as a STREAM: queries arrive, the static
+    * NN-descent kNN graph answers — the streaming twin of
+    * [[graft.pipeline.Similarity.graphSearch]]. The expansion is
+    * fixed-depth BFS from the entry node: `hops` chained
+    * stream-static equi-joins of the per-query frontier with the
+    * graph's edge list (each hop multiplies paths by 1+degree, so
+    * per-query work is (1+k)^hops scored rows — serving-bounded and
+    * corpus-independent), then ONE exact rank over the visited
+    * neighborhood as a bounded top-k heap in flatMapGroupsWithState
+    * (the [[adcSearchStream]] stance; the visited-set dedup rides the
+    * same pass). Streams can't rank mid-plan (no windows), so there
+    * is no per-hop beam prune — the visited set is the FULL h-hop
+    * neighborhood, and the stream answer equals the batch walk with
+    * `beam` >= neighborhood size, which is exactly what the spec
+    * pins.
+    */
+  def graphWalkStream(
+      queries: Dataset[AdcQuery], graph: DataFrame, corpus: DataFrame,
+      k: Int = 4, hops: Int = 4): Dataset[GraphHit] = {
+    import queries.sparkSession.implicits._
+    import graft.functions.dotF
+    val edges = graph.select(col("vec_id").as("enode"), col("neighbor_id"))
+    var frontier = queries.toDF
+      .select(col("query_id"), col("embedding"), lit(0L).as("node"))
+    for (_ <- 1 to hops) {
+      frontier = frontier.unionAll(
+        frontier.join(edges, col("node") === col("enode"))
+          .select(col("query_id"), col("embedding"),
+            col("neighbor_id").as("node")))
+    }
+    val scored = frontier
+      .join(
+        corpus.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        col("node") === col("nid"))
+      .select(col("query_id"), col("node"),
+        (dotF(col("embedding"), col("ne")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+            sqrt(dotF(col("ne"), col("ne"))))).as("cosine"))
+      .as[GraphWalkScored]
+    scored.groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[GraphWalkScored], state: GroupState[BestPairState]) => {
+          // worst-on-top ordering: lower cosine (then larger node id)
+          // dequeues first, so the heap never holds more than k.
+          val ord = new Ordering[(Double, Long)] {
+            def compare(a: (Double, Long), b: (Double, Long)): Int = {
+              val c = java.lang.Double.compare(b._1, a._1)
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+          rows.foreach { r =>
+            if (r.node != qid && seen.add(r.node)) {
+              val t = (r.cosine, r.node)
+              if (heap.size < k) heap.enqueue(t)
+              else if (ord.lt(t, heap.head)) { heap.dequeue(); heap.enqueue(t) }
+            }
+          }
+          val best: Seq[(Double, Long)] = heap.dequeueAll.reverse
+          best.zipWithIndex.map { case ((c, id), i) =>
+            GraphHit(qid, i + 1, id, c)
+          }.iterator
+        })
+  }
+
   case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long, ord: Long)
   case class BudgetOut(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
   case class BudgetState(cum: Long)

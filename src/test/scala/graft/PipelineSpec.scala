@@ -495,6 +495,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"NN-descent recall vs brute-force graph: $recall")
   }
 
+  test("graphSearch: beam-walk shape, self excluded, and serving recall vs brute") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.graphPrefix(Similarity.knnWorkingList(e), 16)
+    val out = Similarity.graphSearch(e, g).collect()
+    assert(out.length == 8 * 4, "8 queries x top-4")
+    out.foreach(r => assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"),
+      "the query node anchors the beam but never ranks in the answer"))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 4))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+    // serving recall vs exact brute top-4 for the same queries: on the
+    // degree-16 working list the walk recovers brute exactly at n=500
+    // (measured; the floor keeps slack for fixture drift)
+    val exact = Similarity.topK(e, numQueries = 8, k = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"graph-walk recall vs brute: $recall")
+  }
+
   test("topKFiltered: every neighbor shares the query's label; pre-filter fills k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select("vec_id", "label").collect()

@@ -679,6 +679,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.size == 25, "5 queries x top-5, batch-identical")
   }
 
+  test("streaming graph walk pinned to batch graphSearch (BFS twin = unpruned beam)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // serve the top-4 prefix graph with 4 hops: the stream can't prune
+    // per hop (no mid-plan windows), so its per-query path count is
+    // (1+4)^4 — bounded — and its visited set is the FULL 4-hop
+    // neighborhood; batch graphSearch with beam >= that neighborhood
+    // (<= 341 nodes) computes the identical answer.
+    val g = graft.pipeline.Similarity
+      .graphPrefix(graft.pipeline.Similarity.knnWorkingList(e), 4)
+      .localCheckpoint(true)
+    val qs = e.where(col("vec_id") < 3).collect()
+      .map(r => Streaming.AdcQuery(
+        r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val input = MemoryStream[Streaming.AdcQuery]
+    val q = Streaming.graphWalkStream(input.toDS(), g, e).writeStream
+      .format("memory").queryName("sgwalk").outputMode("append").start()
+    input.addData(qs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(qs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sgwalk").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val want = graft.pipeline.Similarity
+      .graphSearch(e, g, numQueries = 3, k = 4, beam = 400, hops = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    // bit-identical cosines: same dot kernel, same norm spelling
+    assert(got == want && got.size == 12, "3 queries x top-4, batch-identical")
+  }
+
   test("prepareStream: first-arrival dedup + quality gate + batch-identical split") {
     implicit val sqlCtx = spark.sqlContext
     val keepA = "the of and " + (1 to 37).map(i => s"word$i").mkString(" ")
