@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *  - TRAINING selects merges by the likelihood ratio
   *    `count(ab) / (count(a)·count(b))` (not BPE's raw frequency) over
   *    word-bounded symbols, with continuation symbols distinct from
-  *    word-initial ones; the committed vocabulary is CAPPED (48
-  *    merges — the BERT vocabulary-budget stance, vs the BPE table's
-  *    train-to-saturation), so frequent words are single pieces while
-  *    rare words genuinely segment. Trained DISTRIBUTED by
+  *    word-initial ones. The committed vocabulary is trained to
+  *    SATURATION (the BPE table's stance): the trainer self-terminated
+  *    at 100 merges, the depth at which no symbol pair repeats — on
+  *    this corpus that is full word coverage, every distinct word a
+  *    single piece, with every training-order prefix (the capped
+  *    BERT-style vocabulary-budget tables, e.g. the 48-merge round-13
+  *    fixture the spec pins) remaining a valid shallower vocabulary of
+  *    the same deterministic procedure. Trained DISTRIBUTED by
   *    [[graft.tools.WordpieceTrain]] over the word-frequency table —
   *    the corpus is scanned once; each merge round aggregates the
   *    word table only.

@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
   * kernel and applying a merge is one map-only `replace`. The
   * continuation shift is a column-only `translate`, no UDFs anywhere.
   *
-  * Unlike the BPE table (trained to saturation), the committed vocab
-  * is CAPPED (default 48 merges) — the BERT-style vocabulary-budget
-  * stance: frequent words end single-piece, rare words stay
-  * multi-piece, so greedy inference genuinely segments. The trainer
-  * still self-terminates earlier if no pair repeats. Determinism: the
+  * The committed vocab is trained to SATURATION like the BPE table:
+  * the trainer self-terminates when no symbol pair repeats (pc >= 2
+  * fails), which on this corpus lands at 100 merges — full word
+  * coverage. Because each round's argmax is deterministic, any capped
+  * run is a training-order PREFIX of the saturated table (the spec
+  * pins the round-13 48-merge fixture as exactly that), so a
+  * BERT-style vocabulary-budget table is always recoverable as
+  * `merges.take(budget)`. Determinism: the
   * likelihood score is a double, but it is the same arithmetic over
   * the same exact integer counts every run; ties break by raw pair
   * count then lexicographic pair, so the argmax row is unique.

@@ -2077,6 +2077,40 @@ class PipelineSpec extends SparkSpec {
     assert(pipeline.Wordpiece.Vocab.slice(singles.size, singles.size + 6) == merges)
   }
 
+  test("Wordpiece saturated table: round-13 48-merge fixture is its exact prefix; full word coverage") {
+    // the deterministic trainer means any capped run is a prefix of the
+    // saturated run — pin the previously-committed 48-merge table
+    // (piece AND weighted frequency) against the deep table's head
+    val old48: Seq[(String, Long)] = Seq(
+      ("wi", 976L), ("li", 946L), ("qu", 934L), ("win", 976L),
+      ("wind", 976L), ("lin", 946L), ("th", 910L), ("##sh", 923L),
+      ("##ch", 910L), ("fi", 917L), ("bi", 890L), ("##in", 936L),
+      ("big", 890L), ("ag", 953L), ("agg", 953L), ("fil", 917L),
+      ("##bl", 903L), ("##up", 963L), ("sp", 910L), ("##us", 889L),
+      ("cus", 889L), ("##lu", 1928L), ("##lum", 978L), ("##lumn", 978L),
+      ("##ll", 898L), ("sl", 921L), ("sc", 984L), ("##ct", 931L),
+      ("filt", 917L), ("##st", 913L), ("##tch", 910L), ("cust", 889L),
+      ("##ow", 2763L), ("window", 976L), ("slow", 921L), ("row", 866L),
+      ("co", 978L), ("column", 978L), ("jo", 936L), ("join", 936L),
+      ("##cto", 931L), ("custo", 889L), ("##oup", 934L), ("dup", 29L),
+      ("custom", 889L), ("so", 974L), ("sm", 898L), ("st", 919L))
+    val merges = pipeline.Wordpiece.Vocab.filterNot { case (p, _) =>
+      p.replace("##", "").length == 1
+    }
+    assert(merges.take(48) == old48, "48-merge fixture must be a training-order prefix")
+    // saturation semantics: the trainer stopped because every distinct
+    // corpus word is fully merged, so every word encodes to ONE piece
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(pipeline.Wordpiece.encodeString(w) == Seq(w),
+        s"saturated vocab must cover '$w' as a single piece")
+    }
+  }
+
   test("WordpieceTrain guards: non-printable and '#' words rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
