@@ -2274,11 +2274,7 @@ object QueriesPipeline {
     // (hash → pairs → clusters) with the SAME CC machinery the text
     // tiers use. Rides the staged hash frame.
     "multimodal_phash_clusters" -> ((s, dir) =>
-      Dedup.clusters(
-        Multimodal.aHashPairs(
-          graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir)),
-          maxHamming = 3)
-          .select(col("doc_a"), col("doc_b")))
+      graft.pipeline.AHashChain.clusterLabels(s, dir, docs(s, dir))
         .orderBy("doc_id")),
 
     // The image funnel's DELIVERABLE: per perceptual cluster, the
@@ -2289,11 +2285,7 @@ object QueriesPipeline {
     // (w,h) metadata function); one window over the O(clustered docs)
     // label frame, riding the staged AHashChain hashes.
     "media_representatives" -> ((s, dir) => {
-      val labels = Dedup.clusters(
-        Multimodal.aHashPairs(
-          graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir)),
-          maxHamming = 3)
-          .select(col("doc_a"), col("doc_b")))
+      val labels = graft.pipeline.AHashChain.clusterLabels(s, dir, docs(s, dir))
         .select(col("doc_id"), col("cluster_id"))
       val wKeep = Window.partitionBy("cluster_id")
         .orderBy(col("pixels").desc, col("doc_id").asc)
