@@ -1264,6 +1264,25 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL graph append — the index-maintenance path: a 2%
+    // delta (vec_id % 50 == 0) joins the BASE snapshot's kNN graph
+    // without a rebuild. Delta vectors walk the base graph for their
+    // own neighbors ('delta' rows); reverse edges re-rank only the
+    // touched base nodes ('updated' rows). The full-rebuild bill is
+    // n·(2·searchK)² per round; this is O(delta·hops·beam·degree) —
+    // at 100 TB the difference between a nightly index and a
+    // continuously-maintained one. See [[Similarity.knnGraphAppend]].
+    "ann_knn_graph_append" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.knnGraphAppend(
+        e.where(col("vec_id") % 50 =!= 0),
+        e.where(col("vec_id") % 50 === 0),
+        KnnChain.baseWorkingList(s, dir, e))
+        .select(col("vec_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("part"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // Filtered vector search: top-5 among SAME-LABEL vectors only
     // (per-tenant / same-language retrieval), predicate applied
     // BEFORE ranking. See [[Similarity.topKFiltered]].
@@ -3022,7 +3041,7 @@ object QueriesPipeline {
     * rows consume row_number rank slots — measured as triplicated
     * working-list rows pushing true neighbors past the rank-16 cut.
     */
-  private val KnnCtes: String = {
+  private def knnCtesFrom(where: String): String = {
     def ranked(pool: String, out: String) =
       s"""$out AS MATERIALIZED (
          |  SELECT u, v, cos, rk FROM (
@@ -3037,7 +3056,7 @@ object QueriesPipeline {
          |$c AS (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v),
          |$p AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM $prev UNION ALL SELECT u, v FROM $c)),
          |${ranked(p, out)}""".stripMargin
-    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')$where),
        |nnc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
        |seed AS (SELECT DISTINCT u, v FROM (
        |  SELECT e.vec_id AS u, (e.vec_id * 48271 + j.j * 1999) % nnc.nn AS v
@@ -3047,6 +3066,29 @@ object QueriesPipeline {
        |${round_("nb1", "g2", "c2", "p2", "nb2")},
        |${round_("nb2", "g3", "c3", "p3", "nb3")}""".stripMargin
   }
+
+  private val KnnCtes: String = knnCtesFrom("")
+
+  /** One beam-search round of the graph walk (shared by ann_graph_walk
+    * and ann_knn_graph_append): candidates = beam ∪ beam's graph
+    * out-neighbors (dedup explicit — the [[knnCtesFrom]] stance),
+    * scored against the query frame `gq`, top-16 kept (cos DESC, node
+    * ASC). Expects CTEs `gg(u, v)` (the serving edges) and
+    * `gq(query_id, embedding)`.
+    */
+  private def walkRoundSql(prev: String, c: String, out: String): String =
+    s"""$c AS (SELECT DISTINCT query_id, node FROM (
+       |  SELECT query_id, node FROM $prev
+       |  UNION ALL
+       |  SELECT f.query_id, g.v AS node FROM $prev f JOIN gg g ON g.u = f.node)),
+       |$out AS MATERIALIZED (
+       |  SELECT query_id, node, cos FROM (
+       |    SELECT query_id, node, cos,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rk
+       |    FROM (
+       |      SELECT cc.query_id, cc.node, ${cosSql("q.embedding", "b.embedding")} AS cos
+       |      FROM $c cc JOIN gq q ON q.query_id = cc.query_id JOIN e b ON b.vec_id = cc.node))
+       |  WHERE rk <= 16)""".stripMargin
 
   /** Shared aHash-replay CTE chain (d → px → sm → bits → parts → sh):
     * the arithmetic rebuild of the packed 64-bit perceptual hash as a
@@ -4202,39 +4244,57 @@ object QueriesPipeline {
          |  least(src, min(dst)) = src AS is_canonical
          |FROM greach GROUP BY src ORDER BY vec_id""".stripMargin,
 
-    "ann_graph_walk" -> {
-      // One beam-search round: candidates = beam ∪ beam's graph
-      // out-neighbors (dedup explicit — the KnnCtes stance), scored
-      // against the query, top-16 kept (cos DESC, node ASC). The
-      // serving graph is the FULL rank-16 working list.
-      def wround(prev: String, c: String, out: String) =
-        s"""$c AS (SELECT DISTINCT query_id, node FROM (
-           |  SELECT query_id, node FROM $prev
-           |  UNION ALL
-           |  SELECT f.query_id, g.v AS node FROM $prev f JOIN gg g ON g.u = f.node)),
-           |$out AS MATERIALIZED (
-           |  SELECT query_id, node, cos FROM (
-           |    SELECT query_id, node, cos,
-           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rk
-           |    FROM (
-           |      SELECT cc.query_id, cc.node, ${cosSql("q.embedding", "b.embedding")} AS cos
-           |      FROM $c cc JOIN gq q ON q.query_id = cc.query_id JOIN e b ON b.vec_id = cc.node))
-           |  WHERE rk <= 16)""".stripMargin
+    "ann_graph_walk" ->
       s"""WITH $KnnCtes,
          |gg AS (SELECT u, v FROM nb3 WHERE rk <= 16),
          |gq AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 8),
          |f0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM gq),
-         |${wround("f0", "wc1", "w1")},
-         |${wround("w1", "wc2", "w2")},
-         |${wround("w2", "wc3", "w3")},
-         |${wround("w3", "wc4", "w4")},
-         |${wround("w4", "wc5", "w5")}
+         |${walkRoundSql("f0", "wc1", "w1")},
+         |${walkRoundSql("w1", "wc2", "w2")},
+         |${walkRoundSql("w2", "wc3", "w3")},
+         |${walkRoundSql("w3", "wc4", "w4")},
+         |${walkRoundSql("w4", "wc5", "w5")}
          |SELECT query_id, rank, node AS neighbor_id, round(cos, 6) AS cosine FROM (
          |  SELECT query_id, node, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
          |  FROM w5 WHERE node <> query_id)
-         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin
-    },
+         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_knn_graph_append" ->
+      s"""WITH ${knnCtesFrom(" WHERE vec_id % 50 <> 0")},
+         |gg AS (SELECT u, v FROM nb3),
+         |gq AS (SELECT vec_id AS query_id, embedding
+         |       FROM read_parquet('{SFDIR}/embeddings.parquet') WHERE vec_id % 50 = 0),
+         |f0 AS (SELECT query_id, CAST(1 AS BIGINT) AS node FROM gq),
+         |${walkRoundSql("f0", "wc1", "w1")},
+         |${walkRoundSql("w1", "wc2", "w2")},
+         |${walkRoundSql("w2", "wc3", "w3")},
+         |${walkRoundSql("w3", "wc4", "w4")},
+         |${walkRoundSql("w4", "wc5", "w5")},
+         |dans AS (
+         |  SELECT query_id, rank, node, cos FROM (
+         |    SELECT query_id, node, cos,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
+         |    FROM w5 WHERE node <> query_id)
+         |  WHERE rank <= 4),
+         |rev AS (SELECT node AS u, query_id AS v, cos FROM dans),
+         |b4 AS (SELECT u, v, cos FROM nb3 WHERE rk <= 4),
+         |upd AS (
+         |  SELECT u, v, cos, rank FROM (
+         |    SELECT u, v, cos,
+         |      CAST(row_number() OVER (PARTITION BY u ORDER BY cos DESC, v ASC) AS INTEGER) AS rank
+         |    FROM (SELECT u, v, cos FROM b4 UNION ALL SELECT u, v, cos FROM rev))
+         |  WHERE rank <= 4),
+         |chg AS (SELECT DISTINCT u FROM upd WHERE v % 50 = 0)
+         |SELECT vec_id, rank, neighbor_id, cosine, part FROM (
+         |  SELECT u AS vec_id, rank, v AS neighbor_id, round(cos, 6) AS cosine,
+         |    'updated' AS part
+         |  FROM upd WHERE u IN (SELECT u FROM chg)
+         |  UNION ALL
+         |  SELECT query_id AS vec_id, rank, node AS neighbor_id, round(cos, 6) AS cosine,
+         |    'delta' AS part
+         |  FROM dans)
+         |ORDER BY vec_id, rank""".stripMargin,
 
     "ann_topk_filtered" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM read_parquet('{SFDIR}/embeddings.parquet')),

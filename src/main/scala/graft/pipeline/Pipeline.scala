@@ -3523,11 +3523,21 @@ object Similarity {
     */
   def graphSearch(
       embeddings: DataFrame, graph: DataFrame, numQueries: Int = 8,
-      k: Int = 4, beam: Int = 16, hops: Int = 5): DataFrame = {
-    val queries = broadcast(
-      withNorm(embeddings, "query_id", "qe", "qn")
-        .where(col("query_id") < numQueries))
-    val corpus = withNorm(embeddings, "nid", "ne", "nnorm")
+      k: Int = 4, beam: Int = 16, hops: Int = 5): DataFrame =
+    graphSearchFrom(
+      broadcast(withNorm(embeddings, "query_id", "qe", "qn")
+        .where(col("query_id") < numQueries)),
+      embeddings, graph, k, beam, hops)
+
+  /** [[graphSearch]] for an ARBITRARY broadcast-small query frame
+    * (query_id, qe, qn) — the seam [[knnGraphAppend]] uses to walk
+    * NEW vectors against the base corpus' graph. `entryNode` must be
+    * a node of `graph`'s corpus.
+    */
+  def graphSearchFrom(
+      queries: DataFrame, corpusEmb: DataFrame, graph: DataFrame,
+      k: Int, beam: Int, hops: Int, entryNode: Long = 0L): DataFrame = {
+    val corpus = withNorm(corpusEmb, "nid", "ne", "nnorm")
     val edges = graph.select(col("vec_id").as("enode"), col("neighbor_id"))
     def rank(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy("query_id")
@@ -3542,7 +3552,7 @@ object Similarity {
         .select("query_id", "node", "cosine")
     }
     var frontier = rank(
-      queries.select(col("query_id"), lit(0L).as("node")))
+      queries.select(col("query_id"), lit(entryNode).as("node")))
     for (_ <- 1 to hops) {
       val expanded = frontier.select("query_id", "node")
         .join(edges, col("node") === col("enode"))
@@ -3556,6 +3566,57 @@ object Similarity {
       .withColumn("rank", row_number().over(wOut))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("cosine"))
+  }
+
+  /** INCREMENTAL GRAPH APPEND — new vectors join the kNN graph
+    * without rebuilding the descent (the index-maintenance path every
+    * streaming corpus needs; a full rebuild at 100 TB for a 2% delta
+    * re-pays the whole n·(2·searchK)² bill for nothing):
+    *
+    *  1. each delta vector WALKS the base graph ([[graphSearchFrom]]
+    *     on the searchK-wide working list — serving-bounded, no
+    *     corpus-pair work) to find its own top-`k` neighbors among
+    *     the base — the `part = 'delta'` rows;
+    *  2. the REVERSE edges (base node ← new vector, same cosine — the
+    *     arithmetic is symmetric) are unioned into the base top-`k`
+    *     lists and re-ranked per base node; base nodes whose top-`k`
+    *     now contains a delta vector emit their full updated list —
+    *     the `part = 'updated'` rows. O(delta·k) reverse candidates,
+    *     so the update pass never touches unaffected base rows'
+    *     neighborhoods.
+    *
+    * Same approximation contract as graph serving: the delta rows are
+    * walk results (recall ≈ the [[graphSearch]] measurement), and a
+    * base node only learns of a new vector the walk scored against it
+    * — exactly the NSW/HNSW insert procedure. Deterministic: walk,
+    * union, and re-rank all tie-break on id.
+    */
+  def knnGraphAppend(
+      base: DataFrame, delta: DataFrame, baseWorkingList: DataFrame,
+      k: Int = 4, beam: Int = 16, hops: Int = 5,
+      entryNode: Long = 1L): DataFrame = {
+    val deltaRows = graphSearchFrom(
+      broadcast(withNorm(delta, "query_id", "qe", "qn")),
+      base, graphPrefix(baseWorkingList, Int.MaxValue), k, beam, hops, entryNode)
+    val reversed = deltaRows.select(
+      col("neighbor_id").as("vec_id"), col("query_id").as("neighbor_id"),
+      col("cosine"))
+    val baseTopK = graphPrefix(baseWorkingList, k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    val wU = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val deltaIds = delta.select(col("vec_id").as("neighbor_id"))
+    val updated = baseTopK.unionAll(reversed)
+      .withColumn("rank", row_number().over(wU))
+      .where(col("rank") <= k)
+    val changed = updated.join(broadcast(deltaIds), Seq("neighbor_id"), "left_semi")
+      .select(col("vec_id")).distinct()
+    updated.join(broadcast(changed), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cosine"),
+        lit("updated").as("part"))
+      .unionAll(deltaRows.select(
+        col("query_id").as("vec_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), lit("delta").as("part")))
   }
 
   /** Label-FILTERED top-k — filtered vector search, the production
@@ -4674,6 +4735,18 @@ object KnnChain {
     */
   def graph(s: SparkSession, dir: String, embs: => DataFrame, k: Int = 4): DataFrame =
     Similarity.graphPrefix(workingList(s, dir, embs), k)
+
+  private val baseMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The converged working list over the BASE snapshot (vec_id % 50
+    * != 0) — the "index as it existed before the delta arrived" that
+    * [[Similarity.knnGraphAppend]] maintains. Its own memo entry: the
+    * full-corpus list cannot serve here because an incremental append
+    * must, by definition, not have seen the delta.
+    */
+  def baseWorkingList(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    baseMemo.getOrElseUpdate((s, dir),
+      Similarity.knnWorkingList(embs.where(col("vec_id") % 50 =!= 0)))
 }
 
 object DedupStateStore {

@@ -319,6 +319,36 @@ object ScaleSmoke {
       m
     }
 
+    // serving walk timed on a PREBUILT graph (the production split:
+    // the descent is the indexing bill, the walk is the query bill)
+    def gwalkGraph(e: DataFrame): DataFrame =
+      graft.pipeline.Similarity
+        .graphPrefix(graft.pipeline.Similarity.knnWorkingList(e), 16)
+        .localCheckpoint(true)
+    def gwalk(e: DataFrame, g: DataFrame): Long = {
+      val m = graft.pipeline.Similarity.graphSearch(e, g).count()
+      spark.catalog.clearCache()
+      m
+    }
+
+    def mediaRep(d: DataFrame): Long = {
+      val labels = graft.pipeline.Dedup.clusters(
+        graft.pipeline.Multimodal.aHashPairs(
+          graft.pipeline.Multimodal.aHash(
+            graft.pipeline.Multimodal.syntheticImages(spark, d),
+            graft.pipeline.Multimodal.ImageIODecoder), maxHamming = 3)
+          .select(col("doc_a"), col("doc_b")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("px").desc, col("doc_id").asc)
+      val m = labels
+        .withColumn("px", graft.pipeline.Multimodal.imagePixels(col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).count()
+      spark.catalog.clearCache()
+      m
+    }
+
     def semdedup(e: DataFrame, k: Int): Long = {
       val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = k)
       val m = graft.pipeline.Similarity
@@ -735,7 +765,13 @@ object ScaleSmoke {
       "zorder stats" -> (() => (time("zorder 1x", zo(ev1)), time(s"zorder ${n}x", zo(evN)))),
       "ngram diversity" -> (() => (time("ngd 1x", ngd(docs1)), time(s"ngd ${n}x", ngd(docsN)))),
       "containment verify" -> (() => (time("contain 1x", contain(docs1)), time(s"contain ${n}x", contain(docsNDistinct)))),
-      "knn graph descent" -> (() => (time("knng 1x", knng(emb1)), time(s"knng ${n}x", knng(amplifyEmbDecor(emb1, n))))))
+      "knn graph descent" -> (() => (time("knng 1x", knng(emb1)), time(s"knng ${n}x", knng(amplifyEmbDecor(emb1, n))))),
+      "graph walk serving" -> (() => {
+        val eN = amplifyEmbDecor(emb1, n)
+        val (g1, gN) = (gwalkGraph(emb1), gwalkGraph(eN))
+        (time("gwalk 1x", gwalk(emb1, g1)), time(s"gwalk ${n}x", gwalk(eN, gN)))
+      }),
+      "media representatives" -> (() => (time("mediarep 1x", mediaRep(docs1)), time(s"mediarep ${n}x", mediaRep(docsNDistinct)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

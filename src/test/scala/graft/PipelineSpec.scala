@@ -518,6 +518,46 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.85, s"graph-walk recall vs brute: $recall")
   }
 
+  test("knnGraphAppend: delta rows walk the base, updated rows touch only affected nodes") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.where(col("vec_id") % 50 =!= 0)
+    val delta = e.where(col("vec_id") % 50 === 0)
+    val wl = Similarity.knnWorkingList(base)
+    val out = Similarity.knnGraphAppend(base, delta, wl).collect()
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    val (dRows, uRows) = out.partition(_.getAs[String]("part") == "delta")
+    // every delta node answered with k base neighbors, ranked
+    assert(dRows.map(_.getAs[Long]("vec_id")).toSet == deltaIds)
+    dRows.foreach(r => assert(baseIds(r.getAs[Long]("neighbor_id")),
+      "delta neighbors must come from the base snapshot"))
+    assert(dRows.length == deltaIds.size * 4)
+    // updated rows: only base nodes, each with a full re-ranked list
+    // that contains at least one delta neighbor (else it wouldn't
+    // have been emitted)
+    uRows.groupBy(_.getAs[Long]("vec_id")).foreach { case (u, rows) =>
+      assert(baseIds(u), "updated rows must be base nodes")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 4))
+      assert(rows.exists(r => deltaIds(r.getAs[Long]("neighbor_id"))),
+        s"node $u emitted as updated but its top-4 has no delta neighbor")
+    }
+    // walk quality: delta answers vs brute-force over the base
+    val bn = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val dq = delta.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cosC = graft.functions.dotF(col("qe"), col("ne")) /
+      (sqrt(graft.functions.dotF(col("qe"), col("qe"))) *
+        sqrt(graft.functions.dotF(col("ne"), col("ne"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exact = dq.crossJoin(bn).select(col("query_id"), col("neighbor_id"), cosC.as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = dRows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"append walk recall vs brute: $recall")
+  }
+
   test("topKFiltered: every neighbor shares the query's label; pre-filter fills k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = e.select("vec_id", "label").collect()
