@@ -3551,14 +3551,23 @@ object Similarity {
         .where(col("rk") <= beam)
         .select("query_id", "node", "cosine")
     }
+    // Each round references the frontier TWICE (carry ∪ expand), so an
+    // untruncated loop re-executes round h-1's plan 2^h times by the
+    // end — lineage truncation per hop (the descent's own stance; the
+    // frontier is O(queries·beam) rows, trivially small) keeps the
+    // final plan linear in hops. Measured at sf0.1 (PerfProbe staged
+    // marginals): append 10.5 → 3.2 s, walk 3.4 → 2.5 s; the
+    // remainder is ~13 tiny jobs of scheduler overhead, not data.
     var frontier = rank(
       queries.select(col("query_id"), lit(entryNode).as("node")))
+      .localCheckpoint(true)
     for (_ <- 1 to hops) {
       val expanded = frontier.select("query_id", "node")
         .join(edges, col("node") === col("enode"))
         .select(col("query_id"), col("neighbor_id").as("node"))
       frontier = rank(
         frontier.select("query_id", "node").unionAll(expanded).distinct())
+        .localCheckpoint(true)
     }
     val wOut = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("node").asc)
