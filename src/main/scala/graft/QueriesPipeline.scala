@@ -1234,16 +1234,44 @@ object QueriesPipeline {
     // embedding_neardup_ivf (cell-tiled pairs): the graph spelling
     // finds the same high-cosine structure without training a
     // quantizer first. See [[Similarity.knnGraph]], [[Dedup.clusters]].
-    "embedding_neardup_graph" -> ((s, dir) => {
-      val edges = KnnChain.graph(s, dir, embs(s, dir))
-        .where(col("cosine") >= 0.4)
-        .select(
-          least(col("vec_id"), col("neighbor_id")).as("doc_a"),
-          greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
-        .distinct()
-      Dedup.clusters(edges)
+    "embedding_neardup_graph" -> ((s, dir) =>
+      KnnChain.clusterLabels(s, dir, embs(s, dir))
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
-        .orderBy("vec_id")
+        .orderBy("vec_id")),
+
+    // The semantic funnel's DELIVERABLE: per graph cluster the MEDOID
+    // — the member with the highest exact-micro sum of cosines to its
+    // cluster peers (floor(cos·1e6 + 0.5) as BIGINT: float sums are
+    // order-sensitive, integer micro sums are not — the repo's
+    // determinism pattern), vec_id breaking ties. Completes the
+    // representative-manifest trio (text dedup_representatives, media
+    // media_representatives, embeddings here). Per-cluster quadratic
+    // but near-dup clusters are diameter-bounded by construction
+    // (cosine ≥ 0.4 edges); rides the staged KnnChain labels.
+    "embedding_representatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val labels = KnnChain.clusterLabels(s, dir, e)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      def side(v: String, emb: String) = labels
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("cluster_id"), col("vec_id").as(v), col("embedding").as(emb))
+      val cosP = graft.functions.dotF(col("ea"), col("eb")) /
+        (sqrt(graft.functions.dotF(col("ea"), col("ea"))) *
+          sqrt(graft.functions.dotF(col("eb"), col("eb"))))
+      val scored = side("va", "ea").join(side("vb", "eb"), Seq("cluster_id"))
+        .where(col("va") =!= col("vb"))
+        .select(col("cluster_id"), col("va"),
+          floor(cosP * lit(1000000d) + lit(0.5)).cast("bigint").as("cmicro"))
+        .groupBy("cluster_id", "va")
+        .agg(sum(col("cmicro")).as("score_micro"), count(lit(1)).as("n_peers"))
+      val wKeep = Window.partitionBy("cluster_id")
+        .orderBy(col("score_micro").desc, col("va").asc)
+      scored
+        .withColumn("rn", row_number().over(wKeep))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("va").as("keep_vec_id"),
+          col("score_micro"), (col("n_peers") + 1).cast("bigint").as("cluster_size"))
+        .orderBy("cluster_id")
     }),
 
     // GRAPH SERVING read path: greedy beam search over the staged
@@ -3069,6 +3097,22 @@ object QueriesPipeline {
 
   private val KnnCtes: String = knnCtesFrom("")
 
+  /** [[KnnCtes]] + the cosine ≥ 0.4 top-4 edges and the recursive-CC
+    * reach over them (caller opens with WITH RECURSIVE) — shared by
+    * embedding_neardup_graph and embedding_representatives so the two
+    * can never disagree about semantic components.
+    */
+  private val KnnCcCtes: String =
+    s"""$KnnCtes,
+       |ge AS (
+       |  SELECT DISTINCT least(u, v) AS doc_a, greatest(u, v) AS doc_b
+       |  FROM nb3 WHERE rk <= 4 AND cos >= 0.4),
+       |gedges AS (SELECT doc_a AS src, doc_b AS dst FROM ge UNION SELECT doc_b, doc_a FROM ge),
+       |greach(src, dst) AS (
+       |  SELECT src, dst FROM gedges
+       |  UNION
+       |  SELECT rr.src, ed.dst FROM greach rr JOIN gedges ed ON rr.dst = ed.src)""".stripMargin
+
   /** One beam-search round of the graph walk (shared by ann_graph_walk
     * and ann_knn_graph_append): candidates = beam ∪ beam's graph
     * out-neighbors (dedup explicit — the [[knnCtesFrom]] stance),
@@ -4231,18 +4275,32 @@ object QueriesPipeline {
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "embedding_neardup_graph" ->
-      s"""WITH RECURSIVE $KnnCtes,
-         |ge AS (
-         |  SELECT DISTINCT least(u, v) AS doc_a, greatest(u, v) AS doc_b
-         |  FROM nb3 WHERE rk <= 4 AND cos >= 0.4),
-         |gedges AS (SELECT doc_a AS src, doc_b AS dst FROM ge UNION SELECT doc_b, doc_a FROM ge),
-         |greach(src, dst) AS (
-         |  SELECT src, dst FROM gedges
-         |  UNION
-         |  SELECT rr.src, ed.dst FROM greach rr JOIN gedges ed ON rr.dst = ed.src)
+      s"""WITH RECURSIVE $KnnCcCtes
          |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical
          |FROM greach GROUP BY src ORDER BY vec_id""".stripMargin,
+
+    "embedding_representatives" ->
+      s"""WITH RECURSIVE $KnnCcCtes,
+         |glabels AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |  FROM greach GROUP BY src),
+         |gmem AS (
+         |  SELECT l.cluster_id, l.vec_id, e.embedding
+         |  FROM glabels l JOIN e ON e.vec_id = l.vec_id),
+         |gsc AS (
+         |  SELECT a.cluster_id, a.vec_id AS va,
+         |    CAST(sum(CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro,
+         |    CAST(count(*) AS BIGINT) AS n_peers
+         |  FROM gmem a JOIN gmem b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+         |  GROUP BY a.cluster_id, a.vec_id)
+         |SELECT cluster_id, va AS keep_vec_id, score_micro,
+         |  n_peers + 1 AS cluster_size FROM (
+         |  SELECT cluster_id, va, score_micro, n_peers,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY score_micro DESC, va ASC) AS rn
+         |  FROM gsc)
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "ann_graph_walk" ->
       s"""WITH $KnnCtes,

@@ -4745,6 +4745,23 @@ object KnnChain {
   def graph(s: SparkSession, dir: String, embs: => DataFrame, k: Int = 4): DataFrame =
     Similarity.graphPrefix(workingList(s, dir, embs), k)
 
+  /** CC labels over the graph's cosine ≥ 0.4 edges, staged once per
+    * (session, dir): both semantic-cluster consumers
+    * (`embedding_neardup_graph` and the `embedding_representatives`
+    * manifest) read the same component structure — the AHashChain
+    * stance for the embedding tier.
+    */
+  def clusterLabels(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir + "#cc"), {
+      val edges = Similarity.graphPrefix(workingList(s, dir, embs), 4)
+        .where(col("cosine") >= 0.4)
+        .select(
+          least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+        .distinct()
+      Dedup.clusters(edges).localCheckpoint(true)
+    })
+
   private val baseMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The converged working list over the BASE snapshot (vec_id % 50
