@@ -581,6 +581,32 @@ object QueriesPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental cluster-label MAINTENANCE, one step past
+    // dedup_incremental's candidates: the base snapshot's labels (the
+    // state a production dedup store holds) merge with the delta's
+    // verified edges via star-edge CC — O(base docs + delta edges)
+    // instead of re-running CC over the base pair graph. The oracle
+    // is the FULL-REBUILD SQL (identical to dedup_clusters): the
+    // declared contract is that incremental maintenance and a from-
+    // scratch relabel can never disagree. See
+    // [[Dedup.clustersIncremental]].
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = col("doc_id") % 10 === 0
+      val sigs = DedupChain.minhashSigs(s, dir, d)
+      val baseLabels = Dedup.clusters(
+        Dedup.jaccardPairs(
+          Dedup.lshCandidatePairsFromSigs(sigs.where(!isNew)), d.where(!isNew))
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val deltaEdges = Dedup.jaccardPairs(
+        Dedup.incrementalCandidatePairs(sigs.where(!isNew), sigs.where(isNew))
+          .select(col("doc_a"), col("doc_b")), d)
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.clustersIncremental(baseLabels, deltaEdges).orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       DedupChain.simhashes32(s, dir, docs(s, dir)).orderBy("doc_id")),
 
@@ -3964,6 +3990,14 @@ object QueriesPipeline {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $CcCtes
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // DELIBERATELY the full-rebuild SQL: the incremental query's
+    // contract is exact agreement with relabeling from scratch.
+    "dedup_clusters_incremental" ->
       s"""WITH RECURSIVE $CcCtes
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical

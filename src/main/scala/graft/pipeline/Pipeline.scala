@@ -784,6 +784,26 @@ object Dedup {
       (col("cluster_id") === col("doc_id")).as("is_canonical"))
   }
 
+  /** INCREMENTAL CC label maintenance — merge a delta's verified
+    * edges into an EXISTING label table without re-running the CC
+    * over the base corpus' pair graph: the base labels collapse to
+    * STAR edges (doc → its current cluster label), which preserve
+    * exactly the base components while being O(base docs) rows
+    * instead of O(base pairs); one CC over (star ∪ delta edges)
+    * yields labels provably IDENTICAL to a full rebuild over the
+    * union pair graph (star edges preserve connectivity, min-label
+    * is order-free — the declared query's oracle is literally the
+    * full-rebuild SQL). At 100 TB this is the difference between
+    * relabeling the corpus nightly and touching O(delta + affected
+    * components) per ingest.
+    */
+  def clustersIncremental(baseLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val starEdges = baseLabels
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    clusters(starEdges.unionAll(deltaEdges.select(col("doc_a"), col("doc_b"))))
+  }
+
   /** Paragraph-level near-dup pairs — the FineWeb-style sub-document
     * dedup: near-identical paragraphs reused across documents
     * (boilerplate, templates, licence blocks) that whole-document

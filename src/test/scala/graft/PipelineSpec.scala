@@ -518,6 +518,30 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.85, s"graph-walk recall vs brute: $recall")
   }
 
+  test("clustersIncremental: star-edge merge equals full rebuild, incl. component fusion") {
+    import spark.implicits._
+    // two disjoint base components {1,2} and {3,4}; delta doc 10
+    // bridges them — the hard case for incremental labeling (labels
+    // of BOTH base components must fall to the global min)
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val deltaEdges = Seq((2L, 10L), (3L, 10L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersIncremental(baseLabels, deltaEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = Dedup.clusters(
+      Seq((1L, 2L), (3L, 4L), (2L, 10L), (3L, 10L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == full)
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (10L, 1L, false)))
+    // delta extending one component, base labels already non-trivial
+    val got2 = Dedup.clustersIncremental(
+      Seq((5L, 5L), (7L, 5L)).toDF("doc_id", "cluster_id"),
+      Seq((7L, 20L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((5L, 5L), (7L, 5L), (20L, 5L)))
+  }
+
   test("knnGraphAppend: delta rows walk the base, updated rows touch only affected nodes") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = e.where(col("vec_id") % 50 =!= 0)
