@@ -594,17 +594,13 @@ object QueriesPipeline {
       val d = docs(s, dir)
       val isNew = col("doc_id") % 10 === 0
       val sigs = DedupChain.minhashSigs(s, dir, d)
-      val baseLabels = Dedup.clusters(
-        Dedup.jaccardPairs(
-          Dedup.lshCandidatePairsFromSigs(sigs.where(!isNew)), d.where(!isNew))
-          .where(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b")))
       val deltaEdges = Dedup.jaccardPairs(
         Dedup.incrementalCandidatePairs(sigs.where(!isNew), sigs.where(isNew))
           .select(col("doc_a"), col("doc_b")), d)
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      Dedup.clustersIncremental(baseLabels, deltaEdges).orderBy("doc_id")
+      Dedup.clustersIncremental(
+        DedupChain.baseClusterLabels(s, dir, d), deltaEdges).orderBy("doc_id")
     }),
 
     "dedup_simhash" -> ((s, dir) =>

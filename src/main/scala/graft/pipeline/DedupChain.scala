@@ -100,6 +100,26 @@ object DedupChain {
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")))
 
+  /** CC labels over the BASE snapshot only (doc_id % 10 != 0) — the
+    * persistent label-store state `dedup_clusters_incremental`
+    * maintains. Staged like every other chain stage: in production
+    * this table IS on disk (it is the dedup store), so deriving it
+    * per query would charge the incremental path for the full history
+    * it exists to avoid.
+    */
+  def baseClusterLabels(s: SparkSession, dir: String, docs: => DataFrame): DataFrame = {
+    lazy val d = docs
+    cached(s, dir, "baselabels") {
+      val isNew = col("doc_id") % 10 === 0
+      Dedup.clusters(
+        Dedup.jaccardPairs(
+          Dedup.lshCandidatePairsFromSigs(minhashSigs(s, dir, d).where(!isNew)),
+          d.where(!isNew))
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")))
+    }
+  }
+
   /** The df-capped winnow candidate graph (doc_a, doc_b,
     * n_shared_fingerprints), staged once per (session, dir): four
     * declared consumers (`dedup_winnow_pairs`, `dedup_winnow_clusters`,
