@@ -1314,6 +1314,22 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Recall@4 of the graph-serving WALK against brute force on the
+    // same 8-query frame — grades the full serving path (descent
+    // build quality × walk navigation) where ann_recall_knn_graph
+    // grades the built artifact alone; the gap between the two
+    // instruments isolates walk-induced loss. Rides the staged
+    // KnnChain list. See [[Similarity.graphSearch]] /
+    // [[Similarity.recallAtK]].
+    "ann_recall_graph_walk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+        Similarity.topK(e, numQueries = 8, k = 4),
+        Seq("walk" -> Similarity.graphSearch(e, KnnChain.graph(s, dir, e, k = 16))
+          .select(col("query_id"), col("neighbor_id"))))
+        .orderBy("query_id")
+    }),
+
     // INCREMENTAL graph append — the index-maintenance path: a 2%
     // delta (vec_id % 50 == 0) joins the BASE snapshot's kNN graph
     // without a rebuild. Delta vectors walk the base graph for their
@@ -4347,6 +4363,36 @@ object QueriesPipeline {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
          |  FROM w5 WHERE node <> query_id)
          |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall_graph_walk" ->
+      s"""WITH $KnnCtes,
+         |gg AS (SELECT u, v FROM nb3 WHERE rk <= 16),
+         |gq AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 8),
+         |f0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM gq),
+         |${walkRoundSql("f0", "wc1", "w1")},
+         |${walkRoundSql("w1", "wc2", "w2")},
+         |${walkRoundSql("w2", "wc3", "w3")},
+         |${walkRoundSql("w3", "wc4", "w4")},
+         |${walkRoundSql("w4", "wc5", "w5")},
+         |walkr AS (
+         |  SELECT query_id, node AS neighbor_id FROM (
+         |    SELECT query_id, node,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
+         |    FROM w5 WHERE node <> query_id)
+         |  WHERE rank <= 4),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q JOIN e n ON q.vec_id < 8 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 4)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(w.neighbor_id) AS BIGINT) AS walk_hits,
+         |  round(CAST(count(w.neighbor_id) AS DOUBLE) / count(*), 6) AS walk_recall
+         |FROM brute b
+         |LEFT JOIN walkr w ON w.query_id = b.query_id AND w.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "ann_knn_graph_append" ->
       s"""WITH ${knnCtesFrom(" WHERE vec_id % 50 <> 0")},

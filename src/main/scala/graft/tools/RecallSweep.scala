@@ -11,8 +11,9 @@ import graft.sources.Sessions
   * brute-force ground truth, plus the candidate volume each probe
   * level scans (the cost side of the trade).
   *
-  * Usage: runMain graft.tools.RecallSweep [sfDir] [knn]
-  * (second arg `knn` runs ONLY the NN-descent graph sweep)
+  * Usage: runMain graft.tools.RecallSweep [sfDir] [knn|walk]
+  * (second arg `knn` runs ONLY the NN-descent graph sweep; `walk`
+  * runs ONLY the graph-serving walk sweep over degree/hops/beam)
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -47,6 +48,29 @@ object RecallSweep {
         val dt = (System.nanoTime() - t0) / 1e9
         val rec = got.intersect(exactSet).size.toDouble / exactSet.size
         println(f"[sweep] knn searchK=$sk%2d iters=$it  recall@4 = $rec%.3f   wall $dt%5.2f s")
+      }
+      spark.stop()
+      return
+    }
+    // Graph-serving walk sweep: recall of the greedy beam walk vs
+    // brute force for the 8-query frame, across serving-graph degree
+    // (the prefix width of the working list), hops, and beam — the
+    // measurement behind graphSearch's degree-16/hops-5/beam-16
+    // defaults and the "serve on the WIDE list" rule.
+    if (args.lift(1).contains("walk")) {
+      val ec = e.localCheckpoint(true)
+      val wl = Similarity.knnWorkingList(ec).localCheckpoint(true)
+      val exactSet = Similarity.topK(ec, numQueries = 8, k = 4).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      for (deg <- Seq(4, 8, 16); (hops, beam) <- Seq((4, 8), (5, 16), (6, 24))) {
+        val t0 = System.nanoTime()
+        val got = Similarity.graphSearch(
+            ec, Similarity.graphPrefix(wl, deg), beam = beam, hops = hops)
+          .collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = got.intersect(exactSet).size.toDouble / exactSet.size
+        println(f"[sweep] walk degree=$deg%2d hops=$hops beam=$beam%2d  recall@4 = $rec%.3f   wall $dt%5.2f s")
       }
       spark.stop()
       return
