@@ -3562,8 +3562,10 @@ object Similarity {
     def rank(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("node").asc)
-      cand
-        .join(queries, Seq("query_id"))
+      // the frontier side is explicitly broadcast: the corpus probe
+      // must stay a map-only scan at any corpus size (a shuffled join
+      // here would move the corpus per hop)
+      broadcast(cand.join(queries, Seq("query_id")))
         .join(corpus, col("node") === col("nid"))
         .select(col("query_id"), col("node"),
           (dotF(col("qe"), col("ne")) / (col("qn") * col("nnorm"))).as("cosine"))

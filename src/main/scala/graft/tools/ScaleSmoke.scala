@@ -771,6 +771,19 @@ object ScaleSmoke {
         val (g1, gN) = (gwalkGraph(emb1), gwalkGraph(eN))
         (time("gwalk 1x", gwalk(emb1, g1)), time(s"gwalk ${n}x", gwalk(eN, gN)))
       }),
+      "graph append" -> (() => {
+        def split(e: DataFrame) =
+          (e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0))
+        def append(e: DataFrame): Long = {
+          val (base, delta) = split(e)
+          val wl = graft.pipeline.Similarity.knnWorkingList(base).localCheckpoint(true)
+          val m = graft.pipeline.Similarity.knnGraphAppend(base, delta, wl).count()
+          spark.catalog.clearCache()
+          m
+        }
+        (time("gappend 1x", append(emb1)),
+          time(s"gappend ${n}x", append(amplifyEmbDecor(emb1, n))))
+      }),
       "media representatives" -> (() => (time("mediarep 1x", mediaRep(docs1)), time(s"mediarep ${n}x", mediaRep(docsNDistinct)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
