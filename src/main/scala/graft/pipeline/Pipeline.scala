@@ -3556,7 +3556,10 @@ object Similarity {
     */
   def graphSearchFrom(
       queries: DataFrame, corpusEmb: DataFrame, graph: DataFrame,
-      k: Int, beam: Int, hops: Int, entryNode: Long = 0L): DataFrame = {
+      k: Int, beam: Int, hops: Int, entryNode: Long = 0L,
+      truncate: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (truncate) df.localCheckpoint(true) else df
     val corpus = withNorm(corpusEmb, "nid", "ne", "nnorm")
     val edges = graph.select(col("vec_id").as("enode"), col("neighbor_id"))
     def rank(cand: DataFrame): DataFrame = {
@@ -3580,16 +3583,14 @@ object Similarity {
     // final plan linear in hops. Measured at sf0.1 (PerfProbe staged
     // marginals): append 10.5 → 3.2 s, walk 3.4 → 2.5 s; the
     // remainder is ~13 tiny jobs of scheduler overhead, not data.
-    var frontier = rank(
-      queries.select(col("query_id"), lit(entryNode).as("node")))
-      .localCheckpoint(true)
+    var frontier = cut(rank(
+      queries.select(col("query_id"), lit(entryNode).as("node"))))
     for (_ <- 1 to hops) {
       val expanded = frontier.select("query_id", "node")
         .join(edges, col("node") === col("enode"))
         .select(col("query_id"), col("neighbor_id").as("node"))
-      frontier = rank(
-        frontier.select("query_id", "node").unionAll(expanded).distinct())
-        .localCheckpoint(true)
+      frontier = cut(rank(
+        frontier.select("query_id", "node").unionAll(expanded).distinct()))
     }
     val wOut = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("node").asc)

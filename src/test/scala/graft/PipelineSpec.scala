@@ -518,6 +518,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.85, s"graph-walk recall vs brute: $recall")
   }
 
+  test("graphSearch plan: corpus probe is a broadcast join, never a shuffled corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.graphPrefix(Similarity.knnWorkingList(e), 16)
+    // disable auto-broadcast so only the EXPLICIT hint can produce a
+    // broadcast — the shape must hold when statistics misestimate
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // truncate=false keeps the hop joins in the examined plan (the
+      // production path checkpoints per hop, hiding them in build jobs)
+      val queries = broadcast(e.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"),
+          sqrt(graft.functions.dotF(col("embedding"), col("embedding"))).as("qn"))
+        .where(col("query_id") < 3))
+      val plan = Similarity
+        .graphSearchFrom(queries, e, g, k = 4, beam = 8, hops = 1, truncate = false)
+        .queryExecution.executedPlan.toString
+      // the contract is about the CORPUS side (`nid`): every join that
+      // touches it must broadcast the tiny frontier, never shuffle the
+      // corpus — joins among the O(queries·beam) frontier frames are
+      // free to pick any strategy
+      val corpusJoins = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("nid#")).toSeq
+      assert(corpusJoins.nonEmpty, plan)
+      corpusJoins.foreach(l => assert(l.contains("BroadcastHashJoin"),
+        s"corpus probe must be a broadcast join:\n$l\n$plan"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("clustersIncremental: star-edge merge equals full rebuild, incl. component fusion") {
     import spark.implicits._
     // two disjoint base components {1,2} and {3,4}; delta doc 10
