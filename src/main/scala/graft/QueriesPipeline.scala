@@ -117,12 +117,32 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Greedy segmentation on OUT-OF-VOCABULARY words: each doc's
+    // first two words glued into one unseen token (the saturated
+    // vocab covers every corpus word as a single piece, so corpus
+    // text no longer exercises multi-piece matching — this query
+    // keeps the greedy longest-match + ##-continuation + lossless
+    // byte-fallback path oracle-gated on words the trainer never
+    // saw). Map-only kernel pass; deterministic word construction.
+    "wordpiece_oov" -> ((s, dir) => {
+      val toks = filter(TextOps.tokens(col("text")), w => length(w) > 0)
+      val oov = concat(element_at(toks, 1), element_at(toks, 2))
+      val p = Wordpiece.pieces(oov)
+      docs(s, dir)
+        .where(size(toks) >= 2)
+        .select(col("doc_id"), oov.as("word"),
+          size(p).cast("bigint").as("n_pieces"),
+          array_join(p, " ").as("pieces_str"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-tokenizer accounting: per source, the SAME text mass
     // denominated in whitespace words, saturated-BPE symbols and
-    // capped-WordPiece pieces — the one-table read on the tokenizer
-    // trade (the 2400-merge BPE compresses below 1 symbol/word; the
-    // 48-merge WordPiece budget pays ~2.8 pieces/word). BPE rides the
-    // session-staged BpeChain; WordPiece is one extra map-only kernel.
+    // saturated-WordPiece pieces — the one-table read on the
+    // tokenizer trade (BPE merges across word boundaries so it
+    // compresses below 1 symbol/word; word-bounded WordPiece floors
+    // at 1 piece/word at saturation). BPE rides the session-staged
+    // BpeChain; WordPiece is one extra map-only kernel.
     "tokenizer_compare" -> ((s, dir) => {
       val enc = BpeChain.encoded(s, dir, docs(s, dir))
         .select(
@@ -2767,7 +2787,18 @@ object QueriesPipeline {
     * work-dedup the 100 TB plan uses), wpbest, wpwalk, wpcounts
     * (word -> piece count), wppieces (word -> emitted pieces).
     */
-  private def wordpieceCtes: String = {
+  private def wordpieceCtes: String = wordpieceCtesOver(
+    s"""SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w
+       |    FROM read_parquet('{SFDIR}/documents.parquet'))
+       |  WHERE len(w) > 0""".stripMargin)
+
+  /** [[wordpieceCtes]] with the word frame parameterized — the OOV
+    * segmentation oracle feeds glued word pairs instead of corpus
+    * words; everything downstream (best-step table, linear walk) is
+    * identical.
+    */
+  private def wordpieceCtesOver(wordsSel: String): String = {
     val vocabVals =
       graft.pipeline.Wordpiece.Vocab.map { case (p, _) => s"('$p')" }.mkString(", ")
     s"""wpvocab AS (
@@ -2775,10 +2806,7 @@ object QueriesPipeline {
        |         piece LIKE '##%' AS is_cont
        |  FROM (VALUES $vocabVals) v(piece)),
        |wpwords AS MATERIALIZED (
-       |  SELECT DISTINCT w AS word FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w
-       |    FROM read_parquet('{SFDIR}/documents.parquet'))
-       |  WHERE len(w) > 0),
+       |  $wordsSel),
        |wpbest AS MATERIALIZED (
        |  SELECT w.word, p.pos,
        |    coalesce(max(CASE WHEN v.is_cont = (p.pos > 1)
@@ -3455,6 +3483,27 @@ object QueriesPipeline {
          |       THEN round(CAST(a.wp_tokens AS DOUBLE) / a.n_words, 6) END AS fertility
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "wordpiece_oov" -> {
+      val oovWords =
+        s"""SELECT DISTINCT t[1] || t[2] AS word FROM (
+           |    SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+           |    FROM read_parquet('{SFDIR}/documents.parquet'))
+           |  WHERE len(t) >= 2""".stripMargin
+      s"""WITH RECURSIVE ${wordpieceCtesOver(oovWords)},
+         |dw AS (
+         |  SELECT doc_id, t[1] || t[2] AS word FROM (
+         |    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+         |    FROM read_parquet('{SFDIR}/documents.parquet'))
+         |  WHERE len(t) >= 2),
+         |wps AS (
+         |  SELECT word, array_to_string(list(piece ORDER BY n), ' ') AS pieces_str
+         |  FROM wpwalk WHERE piece IS NOT NULL GROUP BY word)
+         |SELECT dw.doc_id AS doc_id, dw.word AS word, c.n_pieces AS n_pieces,
+         |  s.pieces_str AS pieces_str
+         |FROM dw JOIN wpcounts c ON c.word = dw.word JOIN wps s ON s.word = dw.word
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "tokenizer_compare" ->
       s"""WITH RECURSIVE $wordpieceCtes,
