@@ -3523,8 +3523,16 @@ object Similarity {
     * search; ties break on node id). The query frame is
     * broadcast-small (fixed count), each expansion is ONE equi-join
     * of the tiny frontier with the graph's edge list, and scoring
-    * joins the frontier to the corpus by node id — at 100 TB the
-    * per-round frames are O(queries · beam · k), never O(n). The
+    * joins the frontier to the corpus by node id — the per-round
+    * FRAMES are O(queries · beam · k), never O(n). Honest 100 TB
+    * reading of the corpus probe: it is a map-only SCAN per hop that
+    * the broadcast frontier filters (never a shuffle of the corpus —
+    * plan-pinned), so batch serving amortizes the scan across the
+    * whole query batch; with a vec_id-sorted/bucketed layout the
+    * bounded frontier id set also prunes row groups, and true
+    * per-query point lookups are the streaming twin's job
+    * ([[graft.streaming.Streaming.graphWalkStream]] against a keyed
+    * store). The
     * query node itself can enter the beam (queries here are corpus
     * members — it anchors the walk in its own neighborhood, exactly
     * what a serving walk does); it is excluded from the FINAL ranked
