@@ -1334,6 +1334,30 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Graph DELETE repair — the other half of index maintenance
+    // (ann_knn_graph_append is the insert): a ~1% tombstone set
+    // (vec_id % 97 == 0) leaves the graph, and every surviving node
+    // whose top-4 contained a tombstone REFILLS from the surviving
+    // tail of its own searchK=16 working list — the reason the staged
+    // artifact keeps the wide list, not just the published prefix: a
+    // delete is one filter + one re-rank over O(affected·searchK)
+    // rows, never a descent rebuild and never a walk. Affected set is
+    // O(k·|deleted|) — broadcast-small by construction.
+    "ann_knn_graph_delete" -> ((s, dir) => {
+      val wl = KnnChain.workingList(s, dir, embs(s, dir))
+      val affected = wl
+        .where(col("rank") <= 4 && col("v") % 97 === 0 && col("u") % 97 =!= 0)
+        .select(col("u")).distinct()
+      val survivors = wl.where(col("u") % 97 =!= 0 && col("v") % 97 =!= 0)
+      val w = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)
+      survivors.join(broadcast(affected), Seq("u"), "left_semi")
+        .withColumn("new_rank", row_number().over(w))
+        .where(col("new_rank") <= 4)
+        .select(col("u").as("vec_id"), col("new_rank").as("rank"),
+          col("v").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // Recall@4 of the graph-serving WALK against brute force on the
     // same 8-query frame — grades the full serving path (descent
     // build quality × walk navigation) where ann_recall_knn_graph
@@ -4412,6 +4436,17 @@ object QueriesPipeline {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
          |  FROM w5 WHERE node <> query_id)
          |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_knn_graph_delete" ->
+      s"""WITH $KnnCtes,
+         |aff AS (SELECT DISTINCT u FROM nb3 WHERE rk <= 4 AND v % 97 = 0 AND u % 97 <> 0),
+         |surv AS (SELECT u, v, cos FROM nb3 WHERE u % 97 <> 0 AND v % 97 <> 0),
+         |rr AS (
+         |  SELECT s.u, s.v, s.cos,
+         |    CAST(row_number() OVER (PARTITION BY s.u ORDER BY s.cos DESC, s.v ASC) AS INTEGER) AS new_rank
+         |  FROM surv s JOIN aff a ON a.u = s.u)
+         |SELECT u AS vec_id, new_rank AS rank, v AS neighbor_id, round(cos, 6) AS cosine
+         |FROM rr WHERE new_rank <= 4 ORDER BY vec_id, rank""".stripMargin,
 
     "ann_recall_graph_walk" ->
       s"""WITH $KnnCtes,

@@ -547,6 +547,37 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graph delete repair: refills from the wide working list, no tombstones survive") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wl = Similarity.knnWorkingList(e).localCheckpoint(true)
+    val top4 = Similarity.graphPrefix(wl, 4).collect()
+    val affected = top4
+      .filter(r => r.getAs[Long]("neighbor_id") % 97 == 0 && r.getAs[Long]("vec_id") % 97 != 0)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(affected.nonEmpty, "fixture must contain affected nodes")
+    // replay the declared query's spelling
+    val repaired = wl
+      .where(col("u") % 97 =!= 0 && col("v") % 97 =!= 0)
+      .withColumn("new_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(col("cosine").desc, col("v").asc)))
+      .where(col("new_rank") <= 4)
+      .join(broadcast(wl.where(col("rank") <= 4 && col("v") % 97 === 0 && col("u") % 97 =!= 0)
+        .select(col("u")).distinct()), Seq("u"), "left_semi")
+      .collect()
+    assert(repaired.map(_.getAs[Long]("u")).toSet == affected,
+      "repair must touch exactly the nodes that lost a neighbor")
+    repaired.foreach { r =>
+      assert(r.getAs[Long]("v") % 97 != 0, "no tombstone survives a repair")
+      assert(r.getAs[Long]("u") % 97 != 0)
+    }
+    // repaired lists are full again (the 16-wide reservoir has >= 4
+    // survivors at a ~1% delete rate) with contiguous ranks
+    repaired.groupBy(_.getAs[Long]("u")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("new_rank")).sorted.toSeq == (1 to 4))
+    }
+  }
+
   test("clustersIncremental: star-edge merge equals full rebuild, incl. component fusion") {
     import spark.implicits._
     // two disjoint base components {1,2} and {3,4}; delta doc 10
