@@ -1334,6 +1334,34 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Graph HEALTH monitor — the "when to re-descend" instrument
+    // (sq8_drift's sibling for the graph tier): edge reciprocity
+    // (fraction of directed edges whose reverse is also published —
+    // NN-descent converges toward symmetric neighborhoods, so decay
+    // here means the graph has gone stale vs the corpus) and exact
+    // per-rank cosine mass (integer micro sums — float avgs are
+    // order-sensitive, these are not). One self-join on the published
+    // O(n·k) edges + one aggregate; no corpus access at all.
+    "ann_graph_health" -> ((s, dir) => {
+      val g = KnnChain.graph(s, dir, embs(s, dir))
+      val edges = g.select(col("vec_id"), col("neighbor_id"), col("rank"),
+        floor(col("cosine") * lit(1000000d) + lit(0.5)).cast("bigint").as("cmicro"))
+      val recip = edges.as("a").join(
+          edges.select(col("vec_id").as("rv"), col("neighbor_id").as("ru")).as("b"),
+          col("a.vec_id") === col("ru") && col("a.neighbor_id") === col("rv"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal"))
+      val rankCols = (1 to 4).flatMap(r => Seq(
+        sum(when(col("rank") === r, col("cmicro"))).cast("bigint").as(s"cos_micro_r$r")))
+      edges.agg(count(lit(1)).cast("bigint").as("n_edges"), rankCols: _*)
+        .crossJoin(recip)
+        .select(col("n_edges"),
+          col("n_reciprocal").cast("bigint").as("n_reciprocal"),
+          round(col("n_reciprocal").cast("double") / col("n_edges"), 6).as("reciprocity"),
+          col("cos_micro_r1"), col("cos_micro_r2"),
+          col("cos_micro_r3"), col("cos_micro_r4"))
+    }),
+
     // Graph DELETE repair — the other half of index maintenance
     // (ann_knn_graph_append is the insert): a ~1% tombstone set
     // (vec_id % 97 == 0) leaves the graph, and every surviving node
@@ -4436,6 +4464,25 @@ object QueriesPipeline {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
          |  FROM w5 WHERE node <> query_id)
          |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_graph_health" ->
+      s"""WITH $KnnCtes,
+         |he AS (
+         |  SELECT u, v, rk,
+         |    CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cmicro
+         |  FROM nb3 WHERE rk <= 4),
+         |hr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+         |  FROM he a WHERE EXISTS (
+         |    SELECT 1 FROM he b WHERE b.u = a.v AND b.v = a.u))
+         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  hr.n_reciprocal AS n_reciprocal,
+         |  round(CAST(hr.n_reciprocal AS DOUBLE) / count(*), 6) AS reciprocity,
+         |  CAST(sum(CASE WHEN rk = 1 THEN cmicro END) AS BIGINT) AS cos_micro_r1,
+         |  CAST(sum(CASE WHEN rk = 2 THEN cmicro END) AS BIGINT) AS cos_micro_r2,
+         |  CAST(sum(CASE WHEN rk = 3 THEN cmicro END) AS BIGINT) AS cos_micro_r3,
+         |  CAST(sum(CASE WHEN rk = 4 THEN cmicro END) AS BIGINT) AS cos_micro_r4
+         |FROM he, hr GROUP BY hr.n_reciprocal""".stripMargin,
 
     "ann_knn_graph_delete" ->
       s"""WITH $KnnCtes,
