@@ -1066,6 +1066,21 @@ object QueriesPipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk ratio margin —
+    // the CCMatrix/NLLB translation-pair miner): label parity stands
+    // in for two language shards, candidates are cell-bounded on the
+    // session-staged trained centroids (the SemDeDup frontier made
+    // bipartite), each candidate cosine is scored against both
+    // endpoints' candidate-top-4 neighborhood averages, and
+    // mutual-best pairs at margin >= 1.0 are the mined bitext. See
+    // [[graft.pipeline.Similarity.bitextMine]].
+    "bitext_mine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bitextMine(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+        .orderBy("src_id")
+    }),
+
     // Recall@5 of the ADC/PQ index against the brute-force ground
     // truth — the compression-vs-recall table read before trusting
     // the 32x memory saving (separate from ann_recall so the PQ CTE
@@ -5067,6 +5082,53 @@ object QueriesPipeline {
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Similarity.bitextMine: the embedding_neardup_ivf
+    // assignment CTE made bipartite on label parity, candidate
+    // micro-cosines, both endpoints' top-4 neighborhood integer sums,
+    // the one double margin expression, and the mutual-best filter.
+    "bitext_mine" ->
+      s"""WITH $KmeansCtes,
+         |el AS (SELECT vec_id, label % 2 AS side FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |basg AS MATERIALIZED (
+         |  SELECT a.vec_id, a.embedding, a.cell, el.side FROM (
+         |    SELECT vec_id, embedding, cid AS cell FROM (
+         |      SELECT vec_id, embedding, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         |      FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |              ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+         |            FROM e, c2 c))
+         |    WHERE crank <= 2) a
+         |  JOIN el ON el.vec_id = a.vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT src_id, tgt_id, cosv, CAST(round(cosv * 1e6, 0) AS BIGINT) AS cos_micro FROM (
+         |    SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         |      ${cosSql("a.embedding", "b.embedding")} AS cosv
+         |    FROM basg a JOIN basg b ON a.cell = b.cell AND a.side = 0 AND b.side = 1)),
+         |fstats AS (
+         |  SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS fsum, CAST(count(*) AS BIGINT) AS fcnt FROM (
+         |    SELECT src_id, cos_micro,
+         |      row_number() OVER (PARTITION BY src_id ORDER BY cos_micro DESC, tgt_id ASC) AS r
+         |    FROM cand) WHERE r <= 4 GROUP BY src_id),
+         |bstats AS (
+         |  SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt FROM (
+         |    SELECT tgt_id, cos_micro,
+         |      row_number() OVER (PARTITION BY tgt_id ORDER BY cos_micro DESC, src_id ASC) AS r
+         |    FROM cand) WHERE r <= 4 GROUP BY tgt_id),
+         |mrg AS (
+         |  SELECT c.src_id, c.tgt_id, c.cosv,
+         |    CAST(c.cos_micro AS DOUBLE) /
+         |      ((CAST(f.fsum AS DOUBLE) / f.fcnt + CAST(b.bsum AS DOUBLE) / b.bcnt) / 2.0) AS margin
+         |  FROM cand c JOIN fstats f USING (src_id) JOIN bstats b USING (tgt_id)),
+         |rk AS (
+         |  SELECT src_id, tgt_id, cosv, margin,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS fwd_rank,
+         |    row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS bwd_rank
+         |  FROM mrg)
+         |SELECT src_id, tgt_id, round(cosv, 6) AS cosine,
+         |  CAST(round(margin * 1e6, 0) AS BIGINT) AS margin_micro
+         |FROM rk WHERE fwd_rank = 1 AND bwd_rank = 1 AND margin >= 1.0
+         |ORDER BY src_id""".stripMargin,
 
     "ivf_cell_stats" ->
       s"""WITH $KmeansCtes,

@@ -4337,6 +4337,96 @@ object Similarity {
     if (nCells > 1) pairs.distinct() else pairs
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk's ratio margin —
+    * the pipeline step that pairs translation candidates across two
+    * language shards of an embedding space, the CCMatrix/NLLB recipe).
+    * Sides come from the fixture's label parity (`label % 2`; in
+    * production each language is its own embedding table and the side
+    * flag is a literal on the union). Candidates are src × tgt WITHIN
+    * shared trained IVF cells — the [[semanticDupPairs]] frontier, so
+    * the bipartite work is Σ|cell_src|·|cell_tgt| instead of
+    * |src|·|tgt| — then each candidate cosine is scored against the
+    * average of BOTH endpoints' candidate-top-`k` neighborhoods:
+    * margin = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2). A pair is
+    * mined when it is both endpoints' best candidate by margin
+    * (mutual-best) at margin >= `minMargin` — the margin denominator
+    * is what suppresses hubs (a vector near everything has a high
+    * neighborhood average, so nothing pairs with it spuriously).
+    *
+    * Determinism seam: every margin input is an exact integer
+    * micro-cosine (per-pair `round(cos*1e6)` BIGINT; neighborhood sums
+    * are integer sums of those), so the one double expression that
+    * forms the margin is bit-identical in the DuckDB oracle and the
+    * margin ranks (id tie-broken) are engine-stable.
+    *
+    * Scale shape: assignment is map-only against broadcast centroids;
+    * the candidate join, both neighborhood aggregations, and both
+    * mutual-best windows are equi-keyed on src/tgt ids — no
+    * all-pairs anywhere. Miss mode: a true pair whose endpoints share
+    * none of their `nCells` cells — the same recall knob and
+    * measurement (ann_recall_ivf_sampled) as every IVF consumer. The
+    * neighborhood denominators use candidate-top-k rather than global
+    * top-k — the standard mined approximation (the global spelling is
+    * the brute bipartite pass this replaces).
+    */
+  def bitextMine(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      nCells: Int = 2,
+      k: Int = 4,
+      minMargin: Double = 1.0): DataFrame = {
+    require(nCells >= 1 && k >= 1, s"bad nCells=$nCells k=$k")
+    val side = embeddings.select(
+      col("vec_id"), pmod(col("label"), lit(2)).as("side"))
+    val asg = trainedAssignments(embeddings, cents)
+      .where(col("crank") <= nCells)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .join(side, Seq("vec_id"))
+      .persist()
+    val cand = asg.where(col("side") === 0).as("a")
+      .join(asg.where(col("side") === 1).as("b"),
+        col("a.cell") === col("b.cell"))
+      .select(
+        col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
+        (dotF(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosv"))
+      // multi-cell duplicates are bit-identical rows (cosine is a pure
+      // function of the pair), so distinct is exact — as in
+      // semanticDupPairs
+      .distinct()
+      .withColumn("cos_micro", round(col("cosv") * 1e6, 0).cast("bigint"))
+      // read by the two neighborhood aggregations AND the margin join
+      .persist()
+    val fw = Window.partitionBy("src_id")
+      .orderBy(col("cos_micro").desc, col("tgt_id").asc)
+    val bw = Window.partitionBy("tgt_id")
+      .orderBy(col("cos_micro").desc, col("src_id").asc)
+    val fstats = cand.withColumn("r", row_number().over(fw))
+      .where(col("r") <= k).groupBy("src_id")
+      .agg(sum(col("cos_micro")).as("fsum"), count(lit(1)).as("fcnt"))
+    val bstats = cand.withColumn("r", row_number().over(bw))
+      .where(col("r") <= k).groupBy("tgt_id")
+      .agg(sum(col("cos_micro")).as("bsum"), count(lit(1)).as("bcnt"))
+    val scored = cand
+      .join(fstats, Seq("src_id")).join(bstats, Seq("tgt_id"))
+      .withColumn("margin",
+        col("cos_micro").cast("double") /
+          ((col("fsum").cast("double") / col("fcnt") +
+            col("bsum").cast("double") / col("bcnt")) / 2.0))
+    val fr = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    val br = Window.partitionBy("tgt_id")
+      .orderBy(col("margin").desc, col("src_id").asc)
+    scored
+      .withColumn("fwd_rank", row_number().over(fr))
+      .withColumn("bwd_rank", row_number().over(br))
+      .where(col("fwd_rank") === 1 && col("bwd_rank") === 1 &&
+        col("margin") >= minMargin)
+      .select(
+        col("src_id"), col("tgt_id"), round(col("cosv"), 6).as("cosine"),
+        round(col("margin") * 1e6, 0).cast("bigint").as("margin_micro"))
+  }
+
   /** K-means inertia (1 − cosine to the assigned centroid, summed in
     * exact integer micro-units) — the convergence instrument read
     * alongside [[cellSizes]]: training is "done" when the inertia

@@ -836,6 +836,54 @@ class PipelineSpec extends SparkSpec {
       s"cell verify must not be a cartesian:\n$plan")
   }
 
+  test("bitextMine: ratio margin suppresses the hub; mined pairs form a matching") {
+    import spark.implicits._
+    def v(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    // two clean counterpart pairs at cosine 0.6 plus one hub at
+    // cosine ~0.707 to BOTH side-0 vectors: raw-cosine best for both
+    // sources is the hub, but its neighborhood average is equally
+    // high, so the ratio margin routes each source to its specific
+    // counterpart (hand-replay: margin(a,a') = 0.6/((0.4357+0.3)/2)
+    // = 1.63 > margin(a,hub) = 0.7071/((0.4357+0.7071)/2) = 1.24)
+    val c = math.sqrt(1 - 0.6 * 0.6)
+    val e = Seq(
+      (0L, v(0 -> 1.0), 0), // a   (side 0)
+      (1L, v(1 -> 1.0), 2), // b   (side 0)
+      (10L, v(0 -> 0.6, 2 -> c), 1), // a' (side 1)
+      (11L, v(1 -> 0.6, 3 -> c), 3), // b' (side 1)
+      (12L, v(0 -> math.sqrt(0.5), 1 -> math.sqrt(0.5)), 5) // hub (side 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(e, k = 1, iters = 1)
+    val mined = Similarity.bitextMine(e, cents, nCells = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined == Map(0L -> 10L, 1L -> 11L), s"hub must lose: $mined")
+
+    // real fixture: mutual-best pairs form a partial matching (each
+    // endpoint mined at most once), sides are exactly label parity,
+    // every margin clears the threshold, and the candidate join is
+    // cell-keyed, never a cartesian
+    val fix = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fcents = Similarity.kmeansCentroids(fix, k = 4, iters = 1)
+    val out = Similarity.bitextMine(fix, fcents).collect()
+    assert(out.nonEmpty)
+    val srcs = out.map(_.getLong(0))
+    val tgts = out.map(_.getLong(1))
+    assert(srcs.distinct.length == srcs.length, "a source mined twice")
+    assert(tgts.distinct.length == tgts.length, "a target mined twice")
+    assert(out.forall(_.getAs[Long]("margin_micro") >= 1000000L))
+    val lbl = fix.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(srcs.forall(s => lbl(s) % 2 == 0) && tgts.forall(t => lbl(t) % 2 == 1))
+    val plan = Similarity.bitextMine(fix, fcents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bipartite candidates must be cell-keyed:\n$plan")
+  }
+
   test("PQ: codebook shape, complete codes in range, ADC top-k ranked and deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val books = Similarity.pqCodebooks(e)
