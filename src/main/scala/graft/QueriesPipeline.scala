@@ -49,6 +49,16 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // C4-style term-lexicon ("bad words") gate, softened to a
+    // blocked-mass ratio (the RefinedWeb stance; ratio 0 degenerates
+    // to C4's drop-on-any-hit). The fixture lexicon is a 2-term
+    // stand-in for the published list; the gate mechanics — exact
+    // integer micro mass, integer-compare keep — are the real thing.
+    // Map-only single scan. See [[graft.pipeline.TextOps
+    // .badwordsStats]].
+    "quality_badwords" -> ((s, dir) =>
+      TextOps.badwordsStats(docs(s, dir)).orderBy("doc_id")),
+
     // Tokenizer-fit table per language: whitespace words, byte-BPE
     // token count (the committed 256-merge table), and the two
     // fertility ratios a multilingual tokenizer eval reads —
@@ -3477,6 +3487,19 @@ object QueriesPipeline {
          |  CAST(len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) AS BIGINT) AS es_score,
          |  $LangPredSql AS lang_pred
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.badwordsStats: the lexicon IN-list interpolates
+    // from the same Scala constant, so engine and oracle cannot drift.
+    "quality_badwords" -> {
+      val lex = graft.pipeline.TextOps.Badwords.map(w => s"'$w'").mkString(", ")
+      val blocked = s"len(list_filter($Toks, t -> t IN ($lex)))"
+      s"""SELECT doc_id,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |  CAST($blocked AS BIGINT) AS n_blocked,
+         |  CAST(floor($blocked * 1000000.0 / len($Toks) + 0.5) AS BIGINT) AS ratio_micro,
+         |  CAST(floor($blocked * 1000000.0 / len($Toks) + 0.5) AS BIGINT) <= 50000 AS keep
+         |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin
+    },
 
     "lang_consistency" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),

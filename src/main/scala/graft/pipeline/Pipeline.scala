@@ -98,6 +98,36 @@ object TextOps {
   def stopCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops: _*)))
 
+  /** Fixture stand-in for a C4-style "bad words" lexicon — in
+    * production this is the published blocklist (hundreds of terms per
+    * language, still literal-broadcast scale like
+    * [[Corpus.DomainBlocklist]]); two in-vocabulary terms exercise the
+    * gate's full pass/fail split on the synthetic corpus.
+    */
+  val Badwords: Seq[String] = Seq("slow", "dup")
+
+  /** C4-style term-lexicon gate, softened to a blocked-mass ratio (the
+    * RefinedWeb stance; `maxRatioMicro = 0` degenerates to C4's
+    * drop-on-any-hit). Per doc: token count, blocked-token count,
+    * blocked mass in exact integer micro units (`floor(x + 0.5)` — the
+    * cross-engine rounding spelling from topKSq8), and the keep
+    * decision as an integer compare. Map-only over one corpus scan;
+    * composes into [[gopherKeep]]-style gate stacks.
+    */
+  def badwordsStats(
+      docs: DataFrame,
+      lexicon: Seq[String] = Badwords,
+      maxRatioMicro: Long = 50000L): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("bigint")
+    val nBlk = stopCount(col("text"), lexicon).cast("bigint")
+    docs.select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nBlk.as("n_blocked"),
+        floor(nBlk * 1000000.0 / nTok + 0.5).cast("bigint").as("ratio_micro"))
+      .withColumn("keep", col("ratio_micro") <= maxRatioMicro)
+  }
+
   /** Fused one-pass integer token profile
     * ([[org.apache.spark.sql.graft.expressions.TextCountsF]]):
     * n_tokens / stop_en / stop_es / n_alpha / stop_en_dist / sh_n /

@@ -777,6 +777,15 @@ object Streaming {
   def domainGateStream(docs: DataFrame): DataFrame =
     docs.where(graft.pipeline.Corpus.domainGate())
 
+  /** Streaming badwords gate: the C4-style term-lexicon ratio gate
+    * ([[graft.pipeline.TextOps.badwordsStats]]) is a stateless map
+    * over each document's own tokens, so the twin delegates verbatim —
+    * the ingest-side scrub that keeps lexicon-heavy documents from
+    * ever reaching storage.
+    */
+  def badwordsGateStream(docs: DataFrame): DataFrame =
+    graft.pipeline.TextOps.badwordsStats(docs)
+
   /** Streaming per-source rate sampling: the keep decision is a pure
     * hash of the document id against a literal CASE rate table
     * ([[graft.pipeline.Corpus.rateSample]]) — stateless, so the twin

@@ -836,6 +836,37 @@ class PipelineSpec extends SparkSpec {
       s"cell verify must not be a cartesian:\n$plan")
   }
 
+  test("badwordsStats: exact micro mass, boundary keep, full split on the fixture") {
+    import spark.implicits._
+    val nineteen = ("dup" +: Seq.fill(18)("fast")).mkString(" ")
+    val twenty = ("dup" +: Seq.fill(19)("fast")).mkString(" ")
+    val d = Seq(
+      (0L, "slow slow fast"), // 2/3 blocked -> 666667 micro, dropped
+      (1L, "fast join merge"), // clean -> kept
+      (2L, twenty), // exactly 50000 micro -> kept (<= boundary)
+      (3L, nineteen) // 52632 micro -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.badwordsStats(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 2L, 666667L, false),
+      (1L, 3L, 0L, 0L, true),
+      (2L, 20L, 1L, 50000L, true),
+      (3L, 19L, 1L, 52632L, false)))
+    // C4 degenerate mode: maxRatioMicro = 0 drops on ANY hit
+    val c4 = TextOps.badwordsStats(d, maxRatioMicro = 0L)
+      .orderBy("doc_id").collect().map(_.getBoolean(4))
+    assert(c4.toSeq == Seq(false, true, false, false))
+    // the fixture splits both ways, and the decision is exactly the
+    // integer compare on the reported mass
+    val fix = TextOps.badwordsStats(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")).collect()
+    assert(fix.exists(_.getBoolean(4)) && fix.exists(!_.getBoolean(4)))
+    assert(fix.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(fix.forall(r => r.getBoolean(4) == (r.getLong(3) <= 50000L)))
+  }
+
   test("bitextMine: ratio margin suppresses the hub; mined pairs form a matching") {
     import spark.implicits._
     def v(parts: (Int, Double)*): Array[Float] = {

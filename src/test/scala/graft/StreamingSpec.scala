@@ -202,6 +202,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.toSeq == Seq(2L, 3L))
   }
 
+  test("streaming badwords gate matches batch stats bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      DocSrc(0L, "slow slow fast", "s"), DocSrc(1L, "fast join merge", "s"),
+      DocSrc(2L, "dup fast fast fast", "s"))
+    val input = MemoryStream[DocSrc]
+    input.addData(docs: _*)
+    val q = Streaming.badwordsGateStream(input.toDF()).writeStream
+      .format("memory").queryName("sbad").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val got = spark.table("sbad").orderBy("doc_id").collect()
+    val want = graft.pipeline.TextOps.badwordsStats(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
+  }
+
   test("streaming media featurize matches batch bit-for-bit (real codec + resize)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Multimodal
