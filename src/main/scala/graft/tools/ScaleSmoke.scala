@@ -92,7 +92,8 @@ object ScaleSmoke {
       val signs = array(Seq.fill(64)(lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
       e.select(
         (col("vec_id") + i * maxId).as("vec_id"),
-        zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+        zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
+        col("label"))
     }.reduce(_ union _)
   }
 
@@ -356,6 +357,19 @@ object ScaleSmoke {
       spark.catalog.clearCache() // release the assignment persist
       m
     }
+
+    // Bitext mining rides the semdedup frontier (bipartite cell tiles),
+    // so the same cells-track-corpus rule applies: centroid count
+    // scales with volume to hold per-cell populations bounded.
+    def bitext(e: DataFrame, k: Int): Long = {
+      val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = k)
+      val m = graft.pipeline.Similarity.bitextMine(e, cents, nCells = 1).count()
+      spark.catalog.clearCache() // release the assignment + candidate persists
+      m
+    }
+
+    def badwords(d: DataFrame): Long =
+      graft.pipeline.TextOps.badwordsStats(d).where(col("keep")).count()
 
     // Single-key skew witness for the exact paragraph filter: the same
     // total row count either all-distinct or with ONE unit text 1e6
@@ -784,7 +798,9 @@ object ScaleSmoke {
         (time("gappend 1x", append(emb1)),
           time(s"gappend ${n}x", append(amplifyEmbDecor(emb1, n))))
       }),
-      "media representatives" -> (() => (time("mediarep 1x", mediaRep(docs1)), time(s"mediarep ${n}x", mediaRep(docsNDistinct)))))
+      "media representatives" -> (() => (time("mediarep 1x", mediaRep(docs1)), time(s"mediarep ${n}x", mediaRep(docsNDistinct)))),
+      "bitext mining" -> (() => (time("bitext 1x", bitext(emb1, 8)), time(s"bitext ${n}x", bitext(amplifyEmbDecor(emb1, n), 8 * n)))),
+      "badwords gate" -> (() => (time("badwords 1x", badwords(docs1)), time(s"badwords ${n}x", badwords(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
