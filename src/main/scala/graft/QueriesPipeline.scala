@@ -2524,6 +2524,20 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // VIDEO near-dup by frame fingerprints: per-frame aHash through
+    // the same batched decode seam, then Jaccard over each video's
+    // frame-hash SET with a df-cap on hub frames (black frames / intro
+    // cards never generate pairs) — the re-cut/re-encode detector a
+    // video corpus runs, on a synthetic series corpus whose overlap
+    // structure is exact (variants d apart share 8−d of 8+d frames).
+    // See [[graft.pipeline.Multimodal.videoDupPairs]].
+    "multimodal_video_dedup" -> ((s, dir) => {
+      val h = Multimodal.aHash(
+        Multimodal.syntheticVideoFrames(s, docs(s, dir)),
+        Multimodal.PcmDecoder)
+      Multimodal.videoDupPairs(h).orderBy("id_a", "id_b")
+    }),
+
     // Audio modality: synthetic 8-bit PCM blobs resampled to HALF the
     // source rate (1-D NN — resize's degenerate case) and featurized
     // through the same batched seam; histogram counts recovered as
@@ -6714,6 +6728,48 @@ object QueriesPipeline {
          |SELECT hx.doc_id AS doc_id, hx.ahash AS ahash, g.n_same AS n_same,
          |  hx.doc_id = g.canon AS is_canonical
          |FROM hx JOIN g USING (ahash) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.syntheticVideoFrames + aHash + videoDupPairs:
+    // frame waveforms are pure doc_id arithmetic, the per-frame aHash
+    // CTEs are the audio_dedup chain keyed by (doc_id, f), then the
+    // df-capped frame-hash join and exact integer Jaccard.
+    "multimodal_video_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM read_parquet('{SFDIR}/documents.parquet')),
+        |fr AS (
+        |  SELECT doc_id, t.f AS f, doc_id // 4 AS series, doc_id % 4 + t.f AS s
+        |  FROM d, LATERAL (SELECT unnest(range(0, 8)) AS f) t),
+        |px AS (
+        |  SELECT doc_id, f, t.i AS i,
+        |    (series * 29 + s * 17 + (1 + 2 * ((series * 13 + s * 5) % 64)) * t.i) % 256 AS v
+        |  FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+        |sm AS (SELECT doc_id, f, sum(v) AS sv FROM px GROUP BY doc_id, f),
+        |bits AS (
+        |  SELECT px.doc_id AS doc_id, px.f AS f, i,
+        |    CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN sm ON px.doc_id = sm.doc_id AND px.f = sm.f),
+        |bytes AS (
+        |  SELECT doc_id, f, i // 8 AS k,
+        |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
+        |  FROM bits GROUP BY doc_id, f, i // 8),
+        |hx AS (
+        |  SELECT doc_id, f, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
+        |  FROM bytes GROUP BY doc_id, f),
+        |vsets AS (SELECT DISTINCT doc_id AS video_id, ahash FROM hx),
+        |vsz AS (SELECT video_id, CAST(count(*) AS BIGINT) AS sz FROM vsets GROUP BY video_id),
+        |hdf AS (SELECT ahash, count(*) AS df FROM vsets GROUP BY ahash),
+        |fr2 AS (SELECT v.video_id, v.ahash FROM vsets v JOIN hdf USING (ahash) WHERE df <= 64),
+        |sh AS (
+        |  SELECT a.video_id AS id_a, b.video_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fr2 a JOIN fr2 b ON a.ahash = b.ahash AND a.video_id < b.video_id
+        |  GROUP BY a.video_id, b.video_id)
+        |SELECT id_a, id_b, n_shared,
+        |  sa.sz + sb.sz - n_shared AS n_union,
+        |  CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) AS jaccard_micro
+        |FROM sh JOIN vsz sa ON sh.id_a = sa.video_id JOIN vsz sb ON sh.id_b = sb.video_id
+        |WHERE CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) >= 500000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // 1-D NN resample prediction: output index i reads source sample
     // (i*n)//m, whose value is the synthetic (id*17 + idx*7) % 256.

@@ -297,6 +297,97 @@ object Multimodal {
       hashes.select(col("doc_id"), col("abits").as("simhash")),
       maxHamming, bands = 8)
 
+  /** Deterministic synthetic VIDEO corpus keyed off the documents
+    * table, built so near-duplicate structure is REAL: docs group into
+    * series of four (series = doc_id / 4), each series owns a pool of
+    * 11 source frames, and variant v = doc_id % 4 takes the 8-frame
+    * sliding window starting at v — the "edits of one source" shape
+    * (re-cuts sharing most of their footage) that frame-fingerprint
+    * dedup exists to catch. Variants d apart share 8−d of their 8+d
+    * union frames (Jaccard 7/9, 3/5, 5/11 at d = 1, 2, 3 — the 0.5
+    * threshold keeps d <= 2). Each frame is a 64-byte 8-bit sawtooth,
+    * sample(i) = (off + stride·i) % 256 with off = series*29 + s*17
+    * and stride = 1 + 2·((series*13 + s*5) % 64) — TWO frame-keyed
+    * parameters, not offset alone: an offset-only family collapses to
+    * 256 distinct waveforms corpus-wide, every hash blows the
+    * consumer's df-cap at sf0.1, and the dedup goes vacuous (measured
+    * — 0 pairs). The 256·64 (offset, stride) family keeps expected
+    * frame-hash df bounded (~24 at sf0.1) while staying pure doc_id
+    * arithmetic the oracle predicts ([[syntheticImages]]' stance).
+    * The family is periodic: series 256 apart reuse identical frame
+    * waveforms, so past 1024 docs the corpus also contains EXACT
+    * re-uploads (Jaccard-1.0 alias pairs) and near-dups across aliased
+    * series — the other real video-dedup population, found by the same
+    * hash join (sf0.1: 31,398 pairs = in-series re-cuts + alias
+    * re-uploads).
+    * Frame records pack (doc_id, f) into id = doc_id*16 + f;
+    * frames-per-video < 16 keeps it reversible. Map-only; frames are
+    * generated on executors.
+    */
+  def syntheticVideoFrames(
+      spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+      .flatMap { case (id, src) =>
+        val series = id / 4
+        (0 until 8).map { f =>
+          val s = id % 4 + f
+          val stride = 1 + 2 * ((series * 13 + s * 5) % 64)
+          val bytes = Array.tabulate(64)(i =>
+            ((series * 29 + s * 17 + stride * i) % 256).toByte)
+          MediaRecord(id * 16 + f, "video", bytes, src)
+        }
+      }
+  }
+
+  /** Frame-fingerprint VIDEO near-dup: Jaccard over each video's SET
+    * of frame aHashes — the frame-sampling dedup a video corpus runs
+    * (near-dup videos are re-cuts/re-encodes sharing most frames, and
+    * per-frame perceptual hashes survive re-encoding where byte hashes
+    * don't). Input is [[aHash]] output over frame records with
+    * id = video*16 + frame.
+    *
+    * Scale shape: sets and sizes are one groupBy each (map-side
+    * combine); candidate pairs come from an equi-join on the frame
+    * hash, DF-CAPPED at `dfCap` — a frame shared by more videos than
+    * the cap (black frames, intro cards, test patterns: the media
+    * hub keys) is dropped from PAIR GENERATION while still counted in
+    * set sizes, exactly the winnowing df-cap stance. Miss mode: a
+    * pair sharing ONLY ubiquitous frames — which is not a near-dup
+    * pair, it is two videos quoting the same stock footage. Never
+    * all-pairs; jaccard is exact integer micro math on the candidate
+    * set.
+    */
+  def videoDupPairs(
+      frameHashes: DataFrame,
+      minJaccardMicro: Long = 500000L,
+      dfCap: Long = 64L): DataFrame = {
+    val sets = frameHashes
+      .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
+      .distinct()
+      .persist() // read by sizes, df, and the pair join
+    val sizes = sets.groupBy("video_id").agg(count(lit(1)).as("sz"))
+    val hashDf = sets.groupBy("ahash").agg(count(lit(1)).as("df"))
+    val frontier = sets
+      .join(hashDf.where(col("df") <= dfCap), Seq("ahash"))
+      .select(col("ahash"), col("video_id"))
+    val shared = frontier.as("a")
+      .join(frontier.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.video_id") < col("b.video_id"))
+      .groupBy(col("a.video_id").as("id_a"), col("b.video_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("video_id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("video_id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
+      .withColumn("n_union", col("sa") + col("sb") - col("n_shared"))
+      .withColumn("jaccard_micro",
+        floor(col("n_shared") * 1000000.0 / col("n_union") + 0.5).cast("bigint"))
+      .where(col("jaccard_micro") >= minJaccardMicro)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_union"),
+        col("jaccard_micro"))
+  }
+
   /** Frame sampling for video-modality records: keep every k-th frame
     * index (metadata-level; real decoders sample before featurizing).
     */

@@ -371,6 +371,30 @@ object ScaleSmoke {
     def badwords(d: DataFrame): Long =
       graft.pipeline.TextOps.badwordsStats(d).where(col("keep")).count()
 
+    // Video frame-set dedup measured on the HASH table (the operator's
+    // real input seam), amplified with per-copy-suffixed hashes so
+    // copies share no frames — the amplifyDocsDistinct stance: the
+    // synthetic frame family's period-256 series aliasing would
+    // otherwise make cross-copy alias pairs grow quadratically and
+    // measure the FIXTURE, not the join.
+    lazy val vhash1 = graft.pipeline.Multimodal.aHash(
+      graft.pipeline.Multimodal.syntheticVideoFrames(spark, docs1),
+      graft.pipeline.Multimodal.PcmDecoder).localCheckpoint(true)
+    def amplifyVideoHashes(h: DataFrame, copies: Int): DataFrame = {
+      val maxPacked = h.agg(max(col("doc_id"))).head.getLong(0) + 16
+      (0 until copies).map { i =>
+        h.select(
+          (col("doc_id") + i * maxPacked).as("doc_id"),
+          concat(col("ahash"), lit(s"_$i")).as("ahash"),
+          col("abits"))
+      }.reduce(_ union _)
+    }
+    def videoDedup(h: DataFrame): Long = {
+      val m = graft.pipeline.Multimodal.videoDupPairs(h).count()
+      spark.catalog.clearCache() // release the set-frame persist
+      m
+    }
+
     // Single-key skew witness for the exact paragraph filter: the same
     // total row count either all-distinct or with ONE unit text 1e6
     // copies deep (the 100 TB boilerplate shape — "All rights
@@ -800,7 +824,8 @@ object ScaleSmoke {
       }),
       "media representatives" -> (() => (time("mediarep 1x", mediaRep(docs1)), time(s"mediarep ${n}x", mediaRep(docsNDistinct)))),
       "bitext mining" -> (() => (time("bitext 1x", bitext(emb1, 8)), time(s"bitext ${n}x", bitext(amplifyEmbDecor(emb1, n), 8 * n)))),
-      "badwords gate" -> (() => (time("badwords 1x", badwords(docs1)), time(s"badwords ${n}x", badwords(docsN)))))
+      "badwords gate" -> (() => (time("badwords 1x", badwords(docs1)), time(s"badwords ${n}x", badwords(docsN)))),
+      "video frame dedup" -> (() => (time("videodedup 1x", videoDedup(vhash1)), time(s"videodedup ${n}x", videoDedup(amplifyVideoHashes(vhash1, n))))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

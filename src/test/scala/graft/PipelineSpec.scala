@@ -1311,6 +1311,43 @@ class PipelineSpec extends SparkSpec {
     assert(f == 0.0, s"flat corpus must fit slope 0, got $f")
   }
 
+  test("videoDupPairs: series overlap structure exact, df-cap kills hub frames") {
+    import spark.implicits._
+    // two complete series (docs 0-7): the sliding-window construction
+    // makes the expected pairs pure arithmetic — within a series,
+    // variants d apart share 8-d of 8+d union frames (J = 7/9, 3/5 at
+    // d = 1, 2; d = 3 gives 5/11 < 0.5 and must be absent); the two
+    // series share no (offset, stride) family member, so no
+    // cross-series pairs
+    val docs = (0L until 8L).map(id => (id, "s")).toDF("doc_id", "source")
+    val h = Multimodal.aHash(
+      Multimodal.syntheticVideoFrames(spark, docs), Multimodal.PcmDecoder)
+    val got = Multimodal.videoDupPairs(h).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val d1 = (6L, 10L, 600000L) // shared 6 of union 10
+    val d2 = (7L, 9L, 777778L) // shared 7 of union 9
+    assert(got == Map(
+      (0L, 1L) -> d2, (1L, 2L) -> d2, (2L, 3L) -> d2,
+      (0L, 2L) -> d1, (1L, 3L) -> d1,
+      (4L, 5L) -> d2, (5L, 6L) -> d2, (6L, 7L) -> d2,
+      (4L, 6L) -> d1, (5L, 7L) -> d1), s"got $got")
+    // df-cap: a hub frame present in EVERY video (the black-frame
+    // shape) must not create pairs on its own — videos that share
+    // nothing else stay unpaired
+    val hub = h.select(col("doc_id"), col("ahash"), col("abits"))
+      .unionAll(docs.select(
+        (col("doc_id") * 16 + 15).as("doc_id"), lit("hubhash").as("ahash"),
+        lit(0L).as("abits")))
+    val capped = Multimodal.videoDupPairs(hub, dfCap = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == got.keySet,
+      "a hub frame above the df-cap must not add or remove pairs")
+    // the candidate join is hash-keyed, never a cartesian
+    val plan = Multimodal.videoDupPairs(h).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, scale-normalized") {
     import spark.implicits._
     import graft.pipeline.Multimodal
