@@ -465,6 +465,54 @@ object QueriesPipeline {
       ex.crossJoin(nd).crossJoin(pa).crossJoin(sb).crossJoin(wn).crossJoin(ct)
     }),
 
+    // Token-denominated end-to-end YIELD funnel — the one artifact a
+    // pipeline owner publishes: docs AND tokens remaining after each
+    // SEQUENTIAL stage (exact dedup → near-dup → quality → language →
+    // badwords) with per-stage drop accounting. Where
+    // corpus_dedup_report sizes each dedup tier independently and
+    // gate_attribution adjudicates gate overlap, THIS is the ordered
+    // composition — the number that becomes the training-token budget.
+    // Stage flags reuse the declared gate spellings in ONE corpus scan
+    // (plus the staged cluster labels); the funnel is one aggregate
+    // unpivoted to six rows.
+    "corpus_yield_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupIds = DedupChain.clusterLabels(s, dir, d)
+        .where(!col("is_canonical")).select(col("doc_id").as("dup_id"))
+      val flags = Corpus.withExactCanonical(d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          (TextOps.badwordsRatioMicro(col("text")) <= 50000L).as("bw_ok")))
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+      val c1 = col("is_exact_canonical")
+      val c2 = c1 && col("dup_id").isNull
+      val c3 = c2 && col("q_ok")
+      val c4 = c3 && col("lang_ok")
+      val c5 = c4 && col("bw_ok")
+      val aggs = Seq(c1, c2, c3, c4, c5).zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(c, 1L).otherwise(0L)).as(s"d${i + 1}"),
+          sum(when(c, col("n_tokens")).otherwise(0L)).as(s"t${i + 1}"))
+      }
+      val a = flags.agg(
+        count(lit(1)).as("d0"), (sum(col("n_tokens")).as("t0") +: aggs): _*)
+      val names = Seq("raw", "exact_dedup", "neardup_dedup", "quality",
+        "language", "badwords")
+      val stageRows = names.zipWithIndex.map { case (nm, i) =>
+        val dd = if (i == 0) lit(0L) else col(s"d${i - 1}") - col(s"d$i")
+        val td = if (i == 0) lit(0L) else col(s"t${i - 1}") - col(s"t$i")
+        struct(
+          lit(i).as("stage"), lit(nm).as("gate"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"),
+          dd.as("n_docs_dropped"), td.as("n_tokens_dropped"))
+      }
+      a.select(explode(array(stageRows: _*)).as("r")).select(col("r.*"))
+        .orderBy("stage")
+    }),
+
     // Embedding hygiene audit BEFORE any ANN/dedup pass trusts the
     // table: per label — counts, zero-norm vectors (cosine is
     // undefined on them: they surface as NaN pair scores downstream),
@@ -3931,6 +3979,50 @@ object QueriesPipeline {
          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)) >= 0.8)
          |SELECT * FROM ex, nd, pa, sb, wn, cont""".stripMargin
+    },
+
+    // Mirrors the corpus_yield_report funnel: the gate_attribution
+    // flag spellings composed as cumulative conjunctions, one
+    // aggregate, unpivoted by UNION ALL.
+    "corpus_yield_report" -> {
+      val lex = graft.pipeline.TextOps.Badwords.map(w => s"'$w'").mkString(", ")
+      val stages = Seq("raw", "exact_dedup", "neardup_dedup", "quality",
+        "language", "badwords")
+      val sel = stages.zipWithIndex.map { case (nm, i) =>
+        val dd = if (i == 0) "CAST(0 AS BIGINT)" else s"d${i - 1} - d$i"
+        val td = if (i == 0) "CAST(0 AS BIGINT)" else s"t${i - 1} - t$i"
+        s"SELECT CAST($i AS INTEGER) AS stage, '$nm' AS gate, d$i AS n_docs, " +
+          s"t$i AS n_tokens, $dd AS n_docs_dropped, $td AS n_tokens_dropped FROM a"
+      }.mkString("\n|  UNION ALL ")
+      val cnt = (1 to 5).map(i =>
+        s"CAST(count(*) FILTER (WHERE c$i) AS BIGINT) AS d$i, " +
+          s"CAST(coalesce(sum(n_tokens) FILTER (WHERE c$i), 0) AS BIGINT) AS t$i")
+        .mkString(",\n|    ")
+      s"""WITH RECURSIVE $CcCtes,
+         |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |base AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS exact_ok,
+         |    ($QualitySql) >= 0.5 AS q_ok,
+         |    ($LangPredSql) = lang AS lang_ok,
+         |    CAST(floor(len(list_filter($Toks, t -> t IN ($lex))) * 1000000.0 / len($Toks) + 0.5) AS BIGINT) <= 50000 AS bw_ok
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |f AS (
+         |  SELECT n_tokens,
+         |    exact_ok AS c1,
+         |    exact_ok AND nd_ok AS c2,
+         |    exact_ok AND nd_ok AND q_ok AS c3,
+         |    exact_ok AND nd_ok AND q_ok AND lang_ok AS c4,
+         |    exact_ok AND nd_ok AND q_ok AND lang_ok AND bw_ok AS c5
+         |  FROM (SELECT *, doc_id NOT IN (SELECT doc_id FROM dups) AS nd_ok FROM base)),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS d0,
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0,
+         |    $cnt
+         |  FROM f)
+         |SELECT * FROM (
+         |  $sel
+         |) ORDER BY stage""".stripMargin
     },
 
     "embedding_stats" ->

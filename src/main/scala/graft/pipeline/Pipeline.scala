@@ -124,9 +124,17 @@ object TextOps {
         col("doc_id"),
         nTok.as("n_tokens"),
         nBlk.as("n_blocked"),
-        floor(nBlk * 1000000.0 / nTok + 0.5).cast("bigint").as("ratio_micro"))
+        badwordsRatioMicro(col("text"), lexicon).as("ratio_micro"))
       .withColumn("keep", col("ratio_micro") <= maxRatioMicro)
   }
+
+  /** The [[badwordsStats]] blocked-mass column alone — the composable
+    * form gate stacks conjoin ([[Corpus.gopherKeep]]'s stance).
+    */
+  def badwordsRatioMicro(
+      text: Column, lexicon: Seq[String] = Badwords): Column =
+    floor(stopCount(text, lexicon).cast("bigint") * 1000000.0 /
+      size(tokens(text)).cast("bigint") + 0.5).cast("bigint")
 
   /** Fused one-pass integer token profile
     * ([[org.apache.spark.sql.graft.expressions.TextCountsF]]):

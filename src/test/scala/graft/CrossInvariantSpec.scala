@@ -133,6 +133,34 @@ class CrossInvariantSpec extends SparkSpec {
     }
   }
 
+  test("yield funnel: monotone, drops reconcile, stage 0 is the corpus, gates agree") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("corpus_yield_report")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0 until 6), "six ordered stages")
+    // stage 0 = raw corpus totals
+    val d = docs
+    assert(rows(0)._2 == d.count())
+    // monotone survivors + drop columns reconcile with the diffs
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 <= p._2 && c._3 <= p._3, s"funnel must be monotone: $p -> $c")
+      assert(c._4 == p._2 - c._2 && c._5 == p._3 - c._3,
+        s"drop accounting broken: $p -> $c")
+    }
+    // stage agreement with the declared component gates: exact-dedup
+    // survivors = distinct texts; near-dup stage drops exactly the
+    // staged non-canonicals among them
+    import org.apache.spark.sql.functions.{col, md5}
+    assert(rows(1)._2 == d.select(md5(col("text"))).distinct().count())
+    // badwords stage (final) never drops a doc the badwords gate keeps
+    val bwDropped = rows(4)._2 - rows(5)._2
+    val bwFails = graft.pipeline.TextOps.badwordsStats(d)
+      .where(!col("keep")).count()
+    assert(bwDropped <= bwFails,
+      "funnel cannot drop more badwords failures than exist corpus-wide")
+  }
+
   test("containment bounds Jaccard on every LSH candidate pair; subset docs hit 1.0") {
     import graft.pipeline.Dedup
     import spark.implicits._
