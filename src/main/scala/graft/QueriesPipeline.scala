@@ -5220,20 +5220,20 @@ object QueriesPipeline {
       s"""WITH $KmeansCtes,
          |el AS (SELECT vec_id, label % 2 AS side FROM read_parquet('{SFDIR}/embeddings.parquet')),
          |basg AS MATERIALIZED (
-         |  SELECT a.vec_id, a.embedding, a.cell, el.side FROM (
-         |    SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT a.vec_id, a.embedding, a.cell, a.crank, el.side FROM (
+         |    SELECT vec_id, embedding, cid AS cell, crank FROM (
          |      SELECT vec_id, embedding, cid,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
          |      FROM (SELECT e.vec_id, e.embedding, c.cid,
          |              ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
-         |            FROM e, c2 c))
-         |    WHERE crank <= 2) a
+         |            FROM e, c2 c))) a
          |  JOIN el ON el.vec_id = a.vec_id),
          |cand AS MATERIALIZED (
          |  SELECT src_id, tgt_id, cosv, CAST(round(cosv * 1e6, 0) AS BIGINT) AS cos_micro FROM (
-         |    SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         |    SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
          |      ${cosSql("a.embedding", "b.embedding")} AS cosv
-         |    FROM basg a JOIN basg b ON a.cell = b.cell AND a.side = 0 AND b.side = 1)),
+         |    FROM basg a JOIN basg b ON a.cell = b.cell
+         |      AND a.side = 0 AND a.crank <= 2 AND b.side = 1 AND b.crank = 1)),
          |fstats AS (
          |  SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS fsum, CAST(count(*) AS BIGINT) AS fcnt FROM (
          |    SELECT src_id, cos_micro,

@@ -4381,9 +4381,11 @@ object Similarity {
     * Sides come from the fixture's label parity (`label % 2`; in
     * production each language is its own embedding table and the side
     * flag is a literal on the union). Candidates are src × tgt WITHIN
-    * shared trained IVF cells — the [[semanticDupPairs]] frontier, so
-    * the bipartite work is Σ|cell_src|·|cell_tgt| instead of
-    * |src|·|tgt| — then each candidate cosine is scored against the
+    * shared trained IVF cells with ASYMMETRIC probing — src probes its
+    * `nCells` closest cells, tgt sits in its home cell only (the
+    * standard IVF query/corpus split) — so the bipartite work is
+    * nCells·Σ|cell_src|·|cell_tgt| instead of |src|·|tgt| — then each
+    * candidate cosine is scored against the
     * average of BOTH endpoints' candidate-top-`k` neighborhoods:
     * margin = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2). A pair is
     * mined when it is both endpoints' best candidate by margin
@@ -4416,22 +4418,28 @@ object Similarity {
     require(nCells >= 1 && k >= 1, s"bad nCells=$nCells k=$k")
     val side = embeddings.select(
       col("vec_id"), pmod(col("label"), lit(2)).as("side"))
+    // asymmetric probing (the standard IVF query/corpus split): the
+    // src side probes its nCells closest cells, the tgt side sits in
+    // its home cell only — a pair surfaces when tgt's home cell is
+    // among src's probes. Symmetric nCells-both-sides probing
+    // multiplies the candidate tiles by nCells² for marginal recall
+    // (measured: 4x the cosine work at nCells=2 for the same mined
+    // set shape); this is the nCells× spelling.
     val asg = trainedAssignments(embeddings, cents)
-      .where(col("crank") <= nCells)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("cell"), col("crank"))
       .join(side, Seq("vec_id"))
       .persist()
-    val cand = asg.where(col("side") === 0).as("a")
-      .join(asg.where(col("side") === 1).as("b"),
+    val cand = asg.where(col("side") === 0 && col("crank") <= nCells).as("a")
+      .join(asg.where(col("side") === 1 && col("crank") === 1).as("b"),
         col("a.cell") === col("b.cell"))
       .select(
         col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
         (dotF(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cosv"))
-      // multi-cell duplicates are bit-identical rows (cosine is a pure
-      // function of the pair), so distinct is exact — as in
-      // semanticDupPairs
-      .distinct()
+      // no distinct needed: tgt's home cell is unique and src's probed
+      // cells are distinct cids, so each (src, tgt) pair joins at most
+      // once
       .withColumn("cos_micro", round(col("cosv") * 1e6, 0).cast("bigint"))
       // read by the two neighborhood aggregations AND the margin join
       .persist()
