@@ -2586,6 +2586,25 @@ object QueriesPipeline {
       Multimodal.videoDupPairs(h).orderBy("id_a", "id_b")
     }),
 
+    // Ingest-time video dedup maintenance: the base corpus serves its
+    // stored frame-hash SETS (decode never re-paid), only the delta
+    // (every 10th video — the dedup_incremental convention) hashes its
+    // frames, and the pair join runs delta × all. Contract: equals the
+    // full rebuild restricted to delta-touching pairs — the oracle IS
+    // the full chain plus that restriction. See
+    // [[graft.pipeline.Multimodal.videoDupPairsIncremental]].
+    "multimodal_video_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = col("doc_id") % 10 === 0
+      def hashes(dd: org.apache.spark.sql.DataFrame) = Multimodal.aHash(
+        Multimodal.syntheticVideoFrames(s, dd), Multimodal.PcmDecoder)
+      val baseSets = hashes(d.where(!isNew))
+        .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
+        .distinct()
+      Multimodal.videoDupPairsIncremental(baseSets, hashes(d.where(isNew)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Audio modality: synthetic 8-bit PCM blobs resampled to HALF the
     // source rate (1-D NN — resize's degenerate case) and featurized
     // through the same batched seam; histogram counts recovered as
@@ -6861,6 +6880,49 @@ object QueriesPipeline {
         |  CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) AS jaccard_micro
         |FROM sh JOIN vsz sa ON sh.id_a = sa.video_id JOIN vsz sb ON sh.id_b = sb.video_id
         |WHERE CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) >= 500000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The declared contract: incremental maintenance equals the FULL
+    // rebuild restricted to delta-touching pairs (the
+    // dedup_clusters_incremental oracle stance) — so the oracle is the
+    // multimodal_video_dedup chain verbatim plus that restriction.
+    "multimodal_video_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM read_parquet('{SFDIR}/documents.parquet')),
+        |fr AS (
+        |  SELECT doc_id, t.f AS f, doc_id // 4 AS series, doc_id % 4 + t.f AS s
+        |  FROM d, LATERAL (SELECT unnest(range(0, 8)) AS f) t),
+        |px AS (
+        |  SELECT doc_id, f, t.i AS i,
+        |    (series * 29 + s * 17 + (1 + 2 * ((series * 13 + s * 5) % 64)) * t.i) % 256 AS v
+        |  FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+        |sm AS (SELECT doc_id, f, sum(v) AS sv FROM px GROUP BY doc_id, f),
+        |bits AS (
+        |  SELECT px.doc_id AS doc_id, px.f AS f, i,
+        |    CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN sm ON px.doc_id = sm.doc_id AND px.f = sm.f),
+        |bytes AS (
+        |  SELECT doc_id, f, i // 8 AS k,
+        |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
+        |  FROM bits GROUP BY doc_id, f, i // 8),
+        |hx AS (
+        |  SELECT doc_id, f, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
+        |  FROM bytes GROUP BY doc_id, f),
+        |vsets AS (SELECT DISTINCT doc_id AS video_id, ahash FROM hx),
+        |vsz AS (SELECT video_id, CAST(count(*) AS BIGINT) AS sz FROM vsets GROUP BY video_id),
+        |hdf AS (SELECT ahash, count(*) AS df FROM vsets GROUP BY ahash),
+        |fr2 AS (SELECT v.video_id, v.ahash FROM vsets v JOIN hdf USING (ahash) WHERE df <= 64),
+        |sh AS (
+        |  SELECT a.video_id AS id_a, b.video_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fr2 a JOIN fr2 b ON a.ahash = b.ahash AND a.video_id < b.video_id
+        |  GROUP BY a.video_id, b.video_id)
+        |SELECT id_a, id_b, n_shared,
+        |  sa.sz + sb.sz - n_shared AS n_union,
+        |  CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) AS jaccard_micro
+        |FROM sh JOIN vsz sa ON sh.id_a = sa.video_id JOIN vsz sb ON sh.id_b = sb.video_id
+        |WHERE CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) >= 500000
+        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // 1-D NN resample prediction: output index i reads source sample

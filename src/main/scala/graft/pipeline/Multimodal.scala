@@ -377,6 +377,16 @@ object Multimodal {
           col("a.video_id") < col("b.video_id"))
       .groupBy(col("a.video_id").as("id_a"), col("b.video_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+    jaccardTail(shared, sizes, minJaccardMicro)
+  }
+
+  /** Shared Jaccard tail of [[videoDupPairs]] and
+    * [[videoDupPairsIncremental]]: set-size joins + exact integer
+    * micro Jaccard + threshold.
+    */
+  private def jaccardTail(
+      shared: DataFrame, sizes: DataFrame,
+      minJaccardMicro: Long): DataFrame =
     shared
       .join(sizes.select(col("video_id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
       .join(sizes.select(col("video_id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
@@ -386,6 +396,48 @@ object Multimodal {
       .where(col("jaccard_micro") >= minJaccardMicro)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("n_union"),
         col("jaccard_micro"))
+
+  /** INCREMENTAL video near-dup — only pairs touching the delta (the
+    * ingest-time maintenance read, [[graft.pipeline.Dedup
+    * .incrementalCandidatePairs]]' stance for frame sets): the base
+    * corpus contributes its stored (video_id, ahash) SETS (in
+    * production a served state table — the per-frame decode is never
+    * re-paid), the delta hashes its own frames, the df-cap is
+    * recomputed over base ∪ delta (a hub frame must stay a hub when
+    * the delta makes it one), and the pair join runs delta × all
+    * instead of all × all. CONTRACT, spec-pinned: the result equals
+    * the full [[videoDupPairs]] rebuild restricted to pairs with at
+    * least one delta endpoint — incremental maintenance and a
+    * from-scratch pass can never disagree.
+    */
+  def videoDupPairsIncremental(
+      baseSets: DataFrame,
+      deltaFrameHashes: DataFrame,
+      minJaccardMicro: Long = 500000L,
+      dfCap: Long = 64L): DataFrame = {
+    val dSets = deltaFrameHashes
+      .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
+      .distinct()
+    val all = baseSets.select(col("video_id"), col("ahash")).union(dSets)
+      .persist() // read by sizes, the df-cap, and the pair join
+    val sizes = all.groupBy("video_id").agg(count(lit(1)).as("sz"))
+    val keep = all.groupBy("ahash").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("ahash")
+    val dK = dSets.join(keep, Seq("ahash"))
+    val allK = all.join(keep, Seq("ahash"))
+    val shared = dK.select(col("video_id").as("d_id"), col("ahash"))
+      .join(allK.select(col("video_id").as("o_id"), col("ahash")), Seq("ahash"))
+      .where(col("d_id") =!= col("o_id"))
+      .select(
+        least(col("d_id"), col("o_id")).as("id_a"),
+        greatest(col("d_id"), col("o_id")).as("id_b"),
+        col("ahash"))
+      // a delta-delta pair surfaces from both directions of the join;
+      // per-hash dedup before counting
+      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    jaccardTail(shared, sizes, minJaccardMicro)
   }
 
   /** Frame sampling for video-modality records: keep every k-th frame

@@ -1348,6 +1348,41 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("videoDupPairsIncremental equals the full rebuild restricted to delta pairs") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def check(
+        docs: org.apache.spark.sql.DataFrame,
+        newCol: org.apache.spark.sql.Column,
+        isNew: Long => Boolean) = {
+      def hashes(d: org.apache.spark.sql.DataFrame) = Multimodal.aHash(
+        Multimodal.syntheticVideoFrames(spark, d), Multimodal.PcmDecoder)
+      val baseSets = hashes(docs.where(!newCol))
+        .select(expr("doc_id DIV 16").as("video_id"), col("ahash")).distinct()
+      val inc = pairs(
+        Multimodal.videoDupPairsIncremental(baseSets, hashes(docs.where(newCol))))
+      val full = pairs(Multimodal.videoDupPairs(hashes(docs)))
+        .filter { case ((a, b), _) => isNew(a) || isNew(b) }
+      assert(inc == full, s"inc=$inc\nfull-restricted=$full")
+      inc
+    }
+    // toy: two delta videos in ONE series exercise the delta-delta
+    // direction-dedup; docs 0-7, delta = {1, 2} -> the (1,2) pair must
+    // surface once with the full-rebuild counts
+    val toy = (0L until 8L).map(id => (id, "s")).toDF("doc_id", "source")
+    val toyInc = check(
+      toy, col("doc_id").isin(1L, 2L), id => id == 1L || id == 2L)
+    assert(toyInc.contains((1L, 2L)), "delta-delta pair missing")
+    assert(toyInc.keySet.forall { case (a, b) =>
+      Set(1L, 2L).contains(a) || Set(1L, 2L).contains(b) })
+    // real fixture with the declared every-10th split
+    val fix = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fixInc = check(fix, col("doc_id") % 10 === 0, _ % 10 == 0)
+    assert(fixInc.nonEmpty)
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, scale-normalized") {
     import spark.implicits._
     import graft.pipeline.Multimodal
