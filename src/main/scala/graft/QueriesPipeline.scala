@@ -1139,6 +1139,18 @@ object QueriesPipeline {
         .orderBy("src_id")
     }),
 
+    // Recall instrument for the miner: per fixed src query, brute
+    // top-1 over the full tgt side vs the cell candidate frontier
+    // (hit_cand: did probing see the true counterpart?) and the mined
+    // partner (hit_mined: did the margin/mutual-best policy pick it?
+    // — a policy audit, not an error rate). See
+    // [[graft.pipeline.Similarity.bitextRecall]].
+    "ann_recall_bitext" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bitextRecall(
+        e, graft.pipeline.IvfChain.centroids(s, dir, e))
+    }),
+
     // Recall@5 of the ADC/PQ index against the brute-force ground
     // truth — the compression-vs-recall table read before trusting
     // the 32x memory saving (separate from ann_recall so the PQ CTE
@@ -3073,6 +3085,51 @@ object QueriesPipeline {
 
   private val KmeansCtes: String = kmeansCtesFrom(
     "e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet'))")
+
+  /** CTE chain mirroring [[graft.pipeline.Similarity.bitextMine]]
+    * (expects the KmeansCtes prefix): label-parity sides, asymmetric
+    * cell-bounded bipartite candidates (`cand`), both endpoints' top-4
+    * neighborhood integer sums, the one double margin expression, and
+    * the ranked frame `rk` — bitext_mine filters it to mutual-best,
+    * ann_recall_bitext grades it against brute.
+    */
+  private def bitextCtes: String =
+    s"""el AS (SELECT vec_id, label % 2 AS side FROM read_parquet('{SFDIR}/embeddings.parquet')),
+       |basg AS MATERIALIZED (
+       |  SELECT a.vec_id, a.embedding, a.cell, a.crank, el.side FROM (
+       |    SELECT vec_id, embedding, cid AS cell, crank FROM (
+       |      SELECT vec_id, embedding, cid,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+       |      FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |              ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
+       |            FROM e, c2 c))) a
+       |  JOIN el ON el.vec_id = a.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT src_id, tgt_id, cosv, CAST(round(cosv * 1e6, 0) AS BIGINT) AS cos_micro FROM (
+       |    SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+       |      ${cosSql("a.embedding", "b.embedding")} AS cosv
+       |    FROM basg a JOIN basg b ON a.cell = b.cell
+       |      AND a.side = 0 AND a.crank <= 2 AND b.side = 1 AND b.crank = 1)),
+       |fstats AS (
+       |  SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS fsum, CAST(count(*) AS BIGINT) AS fcnt FROM (
+       |    SELECT src_id, cos_micro,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_micro DESC, tgt_id ASC) AS r
+       |    FROM cand) WHERE r <= 4 GROUP BY src_id),
+       |bstats AS (
+       |  SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt FROM (
+       |    SELECT tgt_id, cos_micro,
+       |      row_number() OVER (PARTITION BY tgt_id ORDER BY cos_micro DESC, src_id ASC) AS r
+       |    FROM cand) WHERE r <= 4 GROUP BY tgt_id),
+       |mrg AS (
+       |  SELECT c.src_id, c.tgt_id, c.cosv,
+       |    CAST(c.cos_micro AS DOUBLE) /
+       |      ((CAST(f.fsum AS DOUBLE) / f.fcnt + CAST(b.bsum AS DOUBLE) / b.bcnt) / 2.0) AS margin
+       |  FROM cand c JOIN fstats f USING (src_id) JOIN bstats b USING (tgt_id)),
+       |rk AS (
+       |  SELECT src_id, tgt_id, cosv, margin,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS fwd_rank,
+       |    row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS bwd_rank
+       |  FROM mrg)""".stripMargin
 
   /** PQ CTE chain mirroring [[graft.pipeline.Similarity.pqCodebooks]]
     * (m=8 subspaces × ksub=16 centroids, 2 L2 Lloyd iterations with
@@ -5237,46 +5294,40 @@ object QueriesPipeline {
     // the one double margin expression, and the mutual-best filter.
     "bitext_mine" ->
       s"""WITH $KmeansCtes,
-         |el AS (SELECT vec_id, label % 2 AS side FROM read_parquet('{SFDIR}/embeddings.parquet')),
-         |basg AS MATERIALIZED (
-         |  SELECT a.vec_id, a.embedding, a.cell, a.crank, el.side FROM (
-         |    SELECT vec_id, embedding, cid AS cell, crank FROM (
-         |      SELECT vec_id, embedding, cid,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
-         |      FROM (SELECT e.vec_id, e.embedding, c.cid,
-         |              ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos
-         |            FROM e, c2 c))) a
-         |  JOIN el ON el.vec_id = a.vec_id),
-         |cand AS MATERIALIZED (
-         |  SELECT src_id, tgt_id, cosv, CAST(round(cosv * 1e6, 0) AS BIGINT) AS cos_micro FROM (
-         |    SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
-         |      ${cosSql("a.embedding", "b.embedding")} AS cosv
-         |    FROM basg a JOIN basg b ON a.cell = b.cell
-         |      AND a.side = 0 AND a.crank <= 2 AND b.side = 1 AND b.crank = 1)),
-         |fstats AS (
-         |  SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS fsum, CAST(count(*) AS BIGINT) AS fcnt FROM (
-         |    SELECT src_id, cos_micro,
-         |      row_number() OVER (PARTITION BY src_id ORDER BY cos_micro DESC, tgt_id ASC) AS r
-         |    FROM cand) WHERE r <= 4 GROUP BY src_id),
-         |bstats AS (
-         |  SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt FROM (
-         |    SELECT tgt_id, cos_micro,
-         |      row_number() OVER (PARTITION BY tgt_id ORDER BY cos_micro DESC, src_id ASC) AS r
-         |    FROM cand) WHERE r <= 4 GROUP BY tgt_id),
-         |mrg AS (
-         |  SELECT c.src_id, c.tgt_id, c.cosv,
-         |    CAST(c.cos_micro AS DOUBLE) /
-         |      ((CAST(f.fsum AS DOUBLE) / f.fcnt + CAST(b.bsum AS DOUBLE) / b.bcnt) / 2.0) AS margin
-         |  FROM cand c JOIN fstats f USING (src_id) JOIN bstats b USING (tgt_id)),
-         |rk AS (
-         |  SELECT src_id, tgt_id, cosv, margin,
-         |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS fwd_rank,
-         |    row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS bwd_rank
-         |  FROM mrg)
+         |$bitextCtes
          |SELECT src_id, tgt_id, round(cosv, 6) AS cosine,
          |  CAST(round(margin * 1e6, 0) AS BIGINT) AS margin_micro
          |FROM rk WHERE fwd_rank = 1 AND bwd_rank = 1 AND margin >= 1.0
          |ORDER BY src_id""".stripMargin,
+
+    // Mirrors Similarity.bitextRecall: brute top-1 over the full tgt
+    // side for the fixed src frame, left-joined against the miner's
+    // candidate frontier and mined partners from the shared CTEs.
+    "ann_recall_bitext" ->
+      s"""WITH $KmeansCtes,
+         |$bitextCtes,
+         |bq AS (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')
+         |       WHERE label % 2 = 0 AND vec_id < 32),
+         |bt AS (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')
+         |       WHERE label % 2 = 1),
+         |brute AS (
+         |  SELECT src_id, tgt_id AS brute_tgt, round(cosine, 6) AS brute_cosine FROM (
+         |    SELECT q.vec_id AS src_id, n.vec_id AS tgt_id,
+         |      ${cosSql("q.embedding", "n.embedding")} AS cosine,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM bq q JOIN bt n ON q.vec_id <> n.vec_id)
+         |  WHERE rank = 1),
+         |minedq AS (
+         |  SELECT src_id, tgt_id AS mined_tgt FROM rk
+         |  WHERE fwd_rank = 1 AND bwd_rank = 1 AND margin >= 1.0)
+         |SELECT b.src_id, b.brute_tgt, b.brute_cosine,
+         |  c.tgt_id IS NOT NULL AS hit_cand,
+         |  coalesce(m.mined_tgt, -1) AS mined_tgt,
+         |  coalesce(m.mined_tgt = b.brute_tgt, false) AS hit_mined
+         |FROM brute b
+         |LEFT JOIN cand c ON c.src_id = b.src_id AND c.tgt_id = b.brute_tgt
+         |LEFT JOIN minedq m ON m.src_id = b.src_id
+         |ORDER BY b.src_id""".stripMargin,
 
     "ivf_cell_stats" ->
       s"""WITH $KmeansCtes,

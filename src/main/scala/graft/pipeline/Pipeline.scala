@@ -4416,33 +4416,7 @@ object Similarity {
       k: Int = 4,
       minMargin: Double = 1.0): DataFrame = {
     require(nCells >= 1 && k >= 1, s"bad nCells=$nCells k=$k")
-    val side = embeddings.select(
-      col("vec_id"), pmod(col("label"), lit(2)).as("side"))
-    // asymmetric probing (the standard IVF query/corpus split): the
-    // src side probes its nCells closest cells, the tgt side sits in
-    // its home cell only — a pair surfaces when tgt's home cell is
-    // among src's probes. Symmetric nCells-both-sides probing
-    // multiplies the candidate tiles by nCells² for marginal recall
-    // (measured: 4x the cosine work at nCells=2 for the same mined
-    // set shape); this is the nCells× spelling.
-    val asg = trainedAssignments(embeddings, cents)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("cell"), col("crank"))
-      .join(side, Seq("vec_id"))
-      .persist()
-    val cand = asg.where(col("side") === 0 && col("crank") <= nCells).as("a")
-      .join(asg.where(col("side") === 1 && col("crank") === 1).as("b"),
-        col("a.cell") === col("b.cell"))
-      .select(
-        col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
-        (dotF(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("cosv"))
-      // no distinct needed: tgt's home cell is unique and src's probed
-      // cells are distinct cids, so each (src, tgt) pair joins at most
-      // once
-      .withColumn("cos_micro", round(col("cosv") * 1e6, 0).cast("bigint"))
-      // read by the two neighborhood aggregations AND the margin join
-      .persist()
+    val cand = bitextCandidates(embeddings, cents, nCells)
     val fw = Window.partitionBy("src_id")
       .orderBy(col("cos_micro").desc, col("tgt_id").asc)
     val bw = Window.partitionBy("tgt_id")
@@ -4471,6 +4445,94 @@ object Similarity {
       .select(
         col("src_id"), col("tgt_id"), round(col("cosv"), 6).as("cosine"),
         round(col("margin") * 1e6, 0).cast("bigint").as("margin_micro"))
+  }
+
+  /** [[bitextMine]]'s candidate frontier alone — (src_id, tgt_id,
+    * cosv, cos_micro), persisted (read by the two neighborhood
+    * aggregations and the margin join; [[bitextRecall]] grades it).
+    * Asymmetric probing (the standard IVF query/corpus split): the
+    * src side probes its `nCells` closest cells, the tgt side sits in
+    * its home cell only — a pair surfaces when tgt's home cell is
+    * among src's probes. Symmetric nCells-both-sides probing
+    * multiplies the candidate tiles by nCells² for marginal recall
+    * (measured: 4x the cosine work at nCells=2 for the same mined set
+    * shape); this is the nCells× spelling.
+    */
+  def bitextCandidates(
+      embeddings: DataFrame, cents: DataFrame, nCells: Int = 2): DataFrame = {
+    val side = embeddings.select(
+      col("vec_id"), pmod(col("label"), lit(2)).as("side"))
+    val asg = trainedAssignments(embeddings, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("cell"), col("crank"))
+      .join(side, Seq("vec_id"))
+      .persist()
+    asg.where(col("side") === 0 && col("crank") <= nCells).as("a")
+      .join(asg.where(col("side") === 1 && col("crank") === 1).as("b"),
+        col("a.cell") === col("b.cell"))
+      .select(
+        col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
+        (dotF(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosv"))
+      // no distinct needed: tgt's home cell is unique and src's probed
+      // cells are distinct cids, so each (src, tgt) pair joins at most
+      // once
+      .withColumn("cos_micro", round(col("cosv") * 1e6, 0).cast("bigint"))
+      .persist()
+  }
+
+  /** Recall instrument for the miner's candidate frontier — per fixed
+    * src query (side-0, vec_id < `maxQueryId`: a corpus-independent
+    * broadcast bound, the ann_recall_* convention): the BRUTE top-1
+    * tgt by cosine over the full tgt side, whether the cell frontier
+    * contained it, and whether the miner paired exactly it. Separates
+    * the two loss modes a mining deployment tunes independently:
+    * `hit_cand` false = IVF probing missed the true counterpart
+    * (raise nCells / retrain cells), `hit_cand` true but `hit_mined`
+    * false = the margin/mutual-best policy rejected it (a hub won, or
+    * the pair fell below minMargin — often the CORRECT outcome; this
+    * column is a policy audit, not an error rate). Brute side is one
+    * broadcast map-only pass over the tgt corpus.
+    */
+  def bitextRecall(
+      embeddings: DataFrame, cents: DataFrame,
+      nCells: Int = 2, maxQueryId: Long = 32L): DataFrame = {
+    val srcQ = broadcast(
+      withNorm(embeddings.where(pmod(col("label"), lit(2)) === 0), "src_id", "qe", "qn")
+        .where(col("src_id") < maxQueryId))
+    val tgt = withNorm(embeddings.where(pmod(col("label"), lit(2)) === 1),
+      "tgt_id", "te", "tn")
+    val wB = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("tgt_id").asc)
+    // sides are disjoint id spaces, so the predicate is vacuously true
+    // — it exists to make the broadcast nested-loop shape explicit
+    // (bench-x-corpus, the semanticContamination stance)
+    val brute = srcQ.join(tgt, col("src_id") =!= col("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        (dotF(col("qe"), col("te")) / (col("qn") * col("tn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wB))
+      .where(col("rank") === 1)
+      .select(col("src_id"), col("tgt_id").as("brute_tgt"),
+        round(col("cosine"), 6).as("brute_cosine"))
+    val cand = bitextCandidates(embeddings, cents, nCells)
+      .select(col("src_id"), col("tgt_id").as("cand_tgt"))
+    val mined = bitextMine(embeddings, cents, nCells)
+      .select(col("src_id"), col("tgt_id").as("mined_tgt"))
+    brute
+      .join(cand,
+        brute("src_id") === cand("src_id") &&
+          col("brute_tgt") === col("cand_tgt"), "left")
+      .select(brute("src_id"), col("brute_tgt"), col("brute_cosine"),
+        col("cand_tgt").isNotNull.as("hit_cand"))
+      .join(mined, Seq("src_id"), "left")
+      .select(
+        col("src_id"), col("brute_tgt"), col("brute_cosine"),
+        col("hit_cand"),
+        coalesce(col("mined_tgt"), lit(-1L)).as("mined_tgt"),
+        (col("mined_tgt") === col("brute_tgt")).as("_eq"))
+      .withColumn("hit_mined", coalesce(col("_eq"), lit(false)))
+      .drop("_eq")
+      .orderBy("src_id")
   }
 
   /** K-means inertia (1 − cosine to the assigned centroid, summed in

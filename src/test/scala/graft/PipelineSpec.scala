@@ -836,6 +836,26 @@ class PipelineSpec extends SparkSpec {
       s"cell verify must not be a cartesian:\n$plan")
   }
 
+  test("bitextRecall: mined implies candidate-hit; probing all cells is exhaustive") {
+    val fix = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(fix, k = 4, iters = 1)
+    val r2 = Similarity.bitextRecall(fix, cents, nCells = 2).collect()
+    assert(r2.nonEmpty)
+    r2.foreach { r =>
+      val (hitCand, minedTgt, hitMined) =
+        (r.getBoolean(3), r.getLong(4), r.getBoolean(5))
+      // the mined partner is drawn from the candidate frontier, so a
+      // mined hit implies the frontier contained the brute top-1
+      assert(!hitMined || hitCand, s"mined hit without candidate hit: $r")
+      assert(hitMined == (minedTgt == r.getLong(1)), s"flag drift: $r")
+    }
+    // probing EVERY cell makes the frontier exhaustive: the brute
+    // top-1 is always a candidate (the semanticDupPairs nCells = k
+    // invariant, bipartite)
+    val rAll = Similarity.bitextRecall(fix, cents, nCells = 4).collect()
+    assert(rAll.forall(_.getBoolean(3)), "exhaustive probe missed brute top-1")
+  }
+
   test("badwordsStats: exact micro mass, boundary keep, full split on the fixture") {
     import spark.implicits._
     val nineteen = ("dup" +: Seq.fill(18)("fast")).mkString(" ")
