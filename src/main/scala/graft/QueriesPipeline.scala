@@ -2742,6 +2742,27 @@ object QueriesPipeline {
     "source_mix_temperature" -> ((s, dir) =>
       Corpus.mixWeightsTemperature(docs(s, dir), 0.3).orderBy("source")),
 
+    // Temperature mixing over SEMANTIC clusters instead of provenance
+    // — the balancing step when source labels are unreliable, absent,
+    // or too coarse (one "web" source hiding many topics): the staged
+    // IVF cell assignment labels each embedded doc, docs WITHOUT an
+    // embedding land in cluster -1 (partial embedding coverage is the
+    // production reality, and the mix must account for that mass, not
+    // drop it), then the same sqrt-family temperature reweighting as
+    // source_mix_temperature. Broadcast centroids + one lang-sized
+    // shuffle; the doc↔embedding join is id-keyed.
+    "source_mix_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellAssignments(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val labeled = docs(s, dir).join(cells, Seq("doc_id"), "left")
+        .select(coalesce(col("cid"), lit(-1)).as("source"), col("text"))
+      Corpus.mixWeightsTemperature(labeled, 0.3)
+        .withColumnRenamed("source", "cluster")
+        .orderBy("cluster")
+    }),
+
     // The multi-epoch reading of the mix (LLaMA-style): at a training
     // budget of 4x the corpus, each source's sqrt-temperature token
     // allocation expressed as EPOCHS over its own data (per-mille),
@@ -7136,6 +7157,31 @@ object QueriesPipeline {
          |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / totw * tott / n_tokens, 6)
          |    AS upsample_factor
          |FROM s, t ORDER BY source""".stripMargin,
+
+    // Mirrors source_mix_semantic: the ivf_cell_stats home-cell
+    // assignment left-joined to documents (unembedded docs -> -1),
+    // then the source_mix_temperature math keyed by cluster.
+    "source_mix_semantic" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |dl AS (
+         |  SELECT coalesce(a.cid, -1) AS cluster, len($Toks) AS ntok
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN asg a ON a.vec_id = d.doc_id),
+         |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(ntok) AS BIGINT) AS n_tokens FROM dl GROUP BY cluster),
+         |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS totw,
+         |             CAST(sum(n_tokens) AS BIGINT) AS tott FROM s)
+         |SELECT cluster, n_docs, n_tokens,
+         |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / totw, 6) AS mix_weight,
+         |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / totw * tott / n_tokens, 6)
+         |    AS upsample_factor
+         |FROM s, t ORDER BY cluster""".stripMargin,
 
     "mix_epochs" ->
       s"""WITH s AS (
