@@ -2511,6 +2511,19 @@ object QueriesPipeline {
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // Near-duplicate AUDIO pairs by aHash Hamming distance — the
+    // banded tier completing the audio path the way phash_pairs
+    // completes images: re-encoded/re-sampled audio shifts a few
+    // envelope bits, which exact-hash grouping
+    // (multimodal_audio_dedup) can never catch. Same 8×8-bit banded
+    // equi-join, exhaustive ≤ hamming 3 by pigeonhole.
+    "multimodal_audio_pairs" -> ((s, dir) =>
+      Multimodal.aHashPairs(
+        Multimodal.aHash(
+          Multimodal.syntheticAudio(s, docs(s, dir)), Multimodal.PcmDecoder),
+        maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // Connected components over the perceptual pair graph — image
     // cluster labels + canonicals, completing the image tier
     // (hash → pairs → clusters) with the SAME CC machinery the text
@@ -6809,6 +6822,42 @@ object QueriesPipeline {
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
          |  least(src, min(dst)) = src AS is_canonical
          |FROM wreach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // The phash_pairs banded chain on the AUDIO waveform (the
+    // audio_dedup px formula), same signed-64 packing as PhashShCtes.
+    "multimodal_audio_pairs" ->
+      s"""WITH ad AS (
+         |  SELECT doc_id, 256 + doc_id % 512 AS n
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |px AS (
+         |  SELECT doc_id, t.i AS i,
+         |    (doc_id * 17 + ((t.i * n) // 64) * 7) % 256 AS v
+         |  FROM ad, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+         |bits AS (
+         |  SELECT px.doc_id AS doc_id, i,
+         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+         |parts AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN i < 32
+         |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN i >= 32
+         |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY doc_id),
+         |sh AS (
+         |  SELECT doc_id,
+         |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |      * 4294967296 + lo AS simhash
+         |  FROM parts),
+         |sbands AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS v
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS band) b)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "media_representatives" ->
       s"""WITH RECURSIVE $PhashCcCtes,
