@@ -4416,19 +4416,40 @@ object Similarity {
       k: Int = 4,
       minMargin: Double = 1.0): DataFrame = {
     require(nCells >= 1 && k >= 1, s"bad nCells=$nCells k=$k")
-    val cand = bitextCandidates(embeddings, cents, nCells)
-    val fw = Window.partitionBy("src_id")
-      .orderBy(col("cos_micro").desc, col("tgt_id").asc)
+    bitextMargins(bitextCandidates(embeddings, cents, nCells), k)
+      .where(col("fwd_rank") === 1 && col("bwd_rank") === 1 &&
+        col("margin") >= minMargin)
+      .select(
+        col("src_id"), col("tgt_id"), round(col("cosv"), 6).as("cosine"),
+        round(col("margin") * 1e6, 0).cast("bigint").as("margin_micro"))
+  }
+
+  /** The tgt side's candidate-neighborhood integer sums — the state a
+    * mining deployment SERVES so the streaming scorer
+    * ([[graft.streaming.Streaming.bitextScoreStream]]) can margin new
+    * src vectors without re-touching the src corpus.
+    */
+  def bitextTgtStats(cand: DataFrame, k: Int = 4): DataFrame = {
     val bw = Window.partitionBy("tgt_id")
       .orderBy(col("cos_micro").desc, col("src_id").asc)
+    cand.withColumn("r", row_number().over(bw))
+      .where(col("r") <= k).groupBy("tgt_id")
+      .agg(sum(col("cos_micro")).as("bsum"), count(lit(1)).as("bcnt"))
+  }
+
+  /** Margin-scored candidate frame shared by [[bitextMine]] (filters
+    * it to mutual-best) and the streaming-twin spec (pins the stream
+    * scorer to these exact rows): every candidate with its margin and
+    * both directional ranks.
+    */
+  def bitextMargins(cand: DataFrame, k: Int = 4): DataFrame = {
+    val fw = Window.partitionBy("src_id")
+      .orderBy(col("cos_micro").desc, col("tgt_id").asc)
     val fstats = cand.withColumn("r", row_number().over(fw))
       .where(col("r") <= k).groupBy("src_id")
       .agg(sum(col("cos_micro")).as("fsum"), count(lit(1)).as("fcnt"))
-    val bstats = cand.withColumn("r", row_number().over(bw))
-      .where(col("r") <= k).groupBy("tgt_id")
-      .agg(sum(col("cos_micro")).as("bsum"), count(lit(1)).as("bcnt"))
     val scored = cand
-      .join(fstats, Seq("src_id")).join(bstats, Seq("tgt_id"))
+      .join(fstats, Seq("src_id")).join(bitextTgtStats(cand, k), Seq("tgt_id"))
       .withColumn("margin",
         col("cos_micro").cast("double") /
           ((col("fsum").cast("double") / col("fcnt") +
@@ -4440,11 +4461,29 @@ object Similarity {
     scored
       .withColumn("fwd_rank", row_number().over(fr))
       .withColumn("bwd_rank", row_number().over(br))
-      .where(col("fwd_rank") === 1 && col("bwd_rank") === 1 &&
-        col("margin") >= minMargin)
-      .select(
-        col("src_id"), col("tgt_id"), round(col("cosv"), 6).as("cosine"),
-        round(col("margin") * 1e6, 0).cast("bigint").as("margin_micro"))
+  }
+
+  /** Served tgt-side index for the streaming margin scorer: each tgt
+    * vector's home cell, embedding + norm, and its base-pass
+    * neighborhood stats ([[bitextTgtStats]]) — what a mining
+    * deployment materializes after each batch pass. Tgt vectors that
+    * were never candidates in the base pass have no stats row and are
+    * excluded (a vector no base src could reach carries no calibrated
+    * neighborhood; it enters the index at the next batch pass).
+    */
+  def bitextServedIndex(
+      embeddings: DataFrame, cents: DataFrame,
+      nCells: Int = 2, k: Int = 4): DataFrame = {
+    val tgtHome = trainedAssignments(embeddings, cents)
+      .where(col("crank") === 1)
+      .join(embeddings.select(
+        col("vec_id"), pmod(col("label"), lit(2)).as("side")), Seq("vec_id"))
+      .where(col("side") === 1)
+      .select(col("cid").as("cell"), col("vec_id").as("tgt_id"),
+        col("embedding").as("te"), col("nrm").as("tn"))
+    tgtHome.join(
+      bitextTgtStats(bitextCandidates(embeddings, cents, nCells), k),
+      Seq("tgt_id"))
   }
 
   /** [[bitextMine]]'s candidate frontier alone — (src_id, tgt_id,

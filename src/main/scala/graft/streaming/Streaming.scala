@@ -508,6 +508,78 @@ object Streaming {
         })
   }
 
+  case class BitextQuery(src_id: Long, embedding: Array[Float])
+  case class BitextCandRow(
+      src_id: Long, tgt_id: Long, cos_micro: Long, bsum: Long, bcnt: Long)
+  case class BitextHit(
+      src_id: Long, fwd_rank: Int, tgt_id: Long, margin_micro: Long)
+
+  /** STREAMING bitext margin scorer — the ingest half of
+    * [[graft.pipeline.Similarity.bitextMine]]: new src-language
+    * vectors arrive, the SERVED tgt index
+    * ([[graft.pipeline.Similarity.bitextServedIndex]]: home cell,
+    * embedding, and the base pass's neighborhood sums) answers.
+    * Per record: probe cells come from a pure literal-centroid column
+    * expression (the [[adcSearchStream]] literal-codebook stance —
+    * negated-cosine struct sort replaces the window a stream cannot
+    * run, same (ccos desc, cid asc) order as trainedAssignments), one
+    * stream-static equi-join on cell produces the candidates, and one
+    * flatMapGroupsWithState ranks them by margin using the record's
+    * OWN candidate top-k as the fwd neighborhood — for a src whose
+    * probes land in base cells, the emitted (fwd_rank, margin) rows
+    * equal the batch [[graft.pipeline.Similarity.bitextMargins]] rows
+    * exactly (spec-pinned). Mutual-best adjudication needs the tgt
+    * direction across ALL srcs, so it stays a batch/compaction job —
+    * the same division of labor as every incremental dedup tier.
+    */
+  def bitextScoreStream(
+      queries: Dataset[BitextQuery], servedIndex: DataFrame,
+      cents: DataFrame, nCells: Int = 2, k: Int = 4): Dataset[BitextHit] = {
+    import queries.sparkSession.implicits._
+    import graft.functions.{dotF, dotFD}
+    val cs = cents.collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("ce"))))
+    val qn = sqrt(dotF(col("embedding"), col("embedding")))
+    val scoredCells = array(cs.map { case (cid, ce) =>
+      val ceLit = array(ce.map(lit): _*)
+      val cn = lit(math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
+      struct(
+        (-(dotFD(col("embedding"), ceLit) / (qn * cn))).as("negccos"),
+        lit(cid).as("cid"))
+    }.toSeq: _*)
+    val probes = queries.toDF
+      .withColumn("qn", qn)
+      .withColumn("cell",
+        explode(transform(slice(array_sort(scoredCells), 1, nCells),
+          s => s.getField("cid"))))
+    val cand = probes.join(servedIndex, Seq("cell"))
+      .select(col("src_id"), col("tgt_id"),
+        round(dotF(col("embedding"), col("te")) / (col("qn") * col("tn")) * 1e6, 0)
+          .cast("bigint").as("cos_micro"),
+        col("bsum"), col("bcnt"))
+      .as[BitextCandRow]
+    cand.groupByKey(_.src_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (sid: Long, rows: Iterator[BitextCandRow],
+            state: GroupState[BestPairState]) => {
+          val rs = rows.toArray
+          val top = rs.sortBy(r => (-r.cos_micro, r.tgt_id)).take(k)
+          // favg is double division of exact integer sums — the same
+          // IEEE sequence as the batch margin expression
+          val favg = top.map(_.cos_micro).sum.toDouble / top.length
+          rs.map { r =>
+            val margin = r.cos_micro.toDouble /
+              ((favg + r.bsum.toDouble / r.bcnt) / 2.0)
+            (r.tgt_id, margin)
+          }.sortBy { case (t, m) => (-m, t) }
+            .zipWithIndex.map { case ((t, m), i) =>
+              BitextHit(sid, i + 1, t,
+                BigDecimal(m * 1e6)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+            }.iterator
+        })
+  }
+
   case class GraphWalkScored(query_id: Long, node: Long, cosine: Double)
   case class GraphHit(query_id: Long, rank: Int, neighbor_id: Long, cosine: Double)
 

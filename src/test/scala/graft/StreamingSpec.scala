@@ -222,6 +222,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
   }
 
+  test("streaming bitext scorer matches the batch margin frame exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Similarity
+    val fix = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(fix, k = 4, iters = 1)
+    val served = Similarity.bitextServedIndex(fix, cents, nCells = 2)
+    // stream a handful of side-0 vectors as "new" arrivals
+    val srcRows = fix.where(col("label") % 2 === 0 && col("vec_id") < 40)
+      .select("vec_id", "embedding").collect()
+      .map(r => Streaming.BitextQuery(r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[Streaming.BitextQuery]
+    input.addData(srcRows: _*)
+    val q = Streaming.bitextScoreStream(input.toDS(), served, cents).writeStream
+      .format("memory").queryName("sbtx").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbtx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val streamed = srcRows.map(_.src_id).toSet
+    val want = Similarity.bitextMargins(
+        Similarity.bitextCandidates(fix, cents, nCells = 2))
+      .where(col("src_id").isin(streamed.toSeq: _*))
+      .select(col("src_id"), col("fwd_rank"), col("tgt_id"),
+        round(col("margin") * 1e6, 0).cast("long").as("mm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(want.nonEmpty && got == want,
+      s"stream/batch margin drift: got=${got.size} want=${want.size}")
+  }
+
   test("streaming media featurize matches batch bit-for-bit (real codec + resize)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Multimodal
