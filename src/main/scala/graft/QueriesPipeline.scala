@@ -2524,6 +2524,18 @@ object QueriesPipeline {
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // CC over the audio perceptual pair graph — cluster labels +
+    // canonicals, completing the audio tier (hash → pairs → clusters)
+    // exactly as multimodal_phash_clusters completes images.
+    "multimodal_audio_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Multimodal.aHashPairs(
+          Multimodal.aHash(
+            Multimodal.syntheticAudio(s, docs(s, dir)), Multimodal.PcmDecoder),
+          maxHamming = 3)
+          .select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
+
     // Connected components over the perceptual pair graph — image
     // cluster labels + canonicals, completing the image tier
     // (hash → pairs → clusters) with the SAME CC machinery the text
@@ -3491,6 +3503,52 @@ object QueriesPipeline {
     */
   private val PhashCcCtes: String =
     s"""$PhashShCtes,
+       |wp AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+       |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
+       |           UNION SELECT doc_b, doc_a FROM wp),
+       |wreach(src, dst) AS (
+       |  SELECT src, dst FROM wedges
+       |  UNION
+       |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src)""".stripMargin
+
+  /** AUDIO aHash CTE chain ending in `sh(doc_id, simhash)` — the
+    * PhashShCtes packing on the audio waveform formula; shared by
+    * multimodal_audio_pairs and multimodal_audio_clusters.
+    */
+  private val AudioShCtes: String =
+    s"""ad AS (
+       |  SELECT doc_id, 256 + doc_id % 512 AS n
+       |  FROM read_parquet('{SFDIR}/documents.parquet')),
+       |px AS (
+       |  SELECT doc_id, t.i AS i,
+       |    (doc_id * 17 + ((t.i * n) // 64) * 7) % 256 AS v
+       |  FROM ad, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+       |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+       |bits AS (
+       |  SELECT px.doc_id AS doc_id, i,
+       |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
+       |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
+       |parts AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN i < 32
+       |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN i >= 32
+       |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+       |      * 4294967296 + lo AS simhash
+       |  FROM parts)""".stripMargin
+
+  /** [[AudioShCtes]] + hamming≤3 pairs + recursive-CC reach (caller
+    * opens with WITH RECURSIVE) — the PhashCcCtes shape for audio.
+    */
+  private val AudioCcCtes: String =
+    s"""$AudioShCtes,
        |wp AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
@@ -6826,30 +6884,7 @@ object QueriesPipeline {
     // The phash_pairs banded chain on the AUDIO waveform (the
     // audio_dedup px formula), same signed-64 packing as PhashShCtes.
     "multimodal_audio_pairs" ->
-      s"""WITH ad AS (
-         |  SELECT doc_id, 256 + doc_id % 512 AS n
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
-         |px AS (
-         |  SELECT doc_id, t.i AS i,
-         |    (doc_id * 17 + ((t.i * n) // 64) * 7) % 256 AS v
-         |  FROM ad, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
-         |sm AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
-         |bits AS (
-         |  SELECT px.doc_id AS doc_id, i,
-         |    CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS b
-         |  FROM px JOIN sm ON px.doc_id = sm.doc_id),
-         |parts AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN i < 32
-         |      THEN b * CAST(round(pow(2, 31 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
-         |    CAST(sum(CASE WHEN i >= 32
-         |      THEN b * CAST(round(pow(2, 63 - i), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY doc_id),
-         |sh AS (
-         |  SELECT doc_id,
-         |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
-         |      * 4294967296 + lo AS simhash
-         |  FROM parts),
+      s"""WITH $AudioShCtes,
          |sbands AS (
          |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS v
          |  FROM sh, (SELECT unnest(range(0, 8)) AS band) b)
@@ -6858,6 +6893,14 @@ object QueriesPipeline {
          |FROM sbands l JOIN sbands r ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // CC over the audio pair graph — the phash_clusters spelling on
+    // the audio CTE chain.
+    "multimodal_audio_clusters" ->
+      s"""WITH RECURSIVE $AudioCcCtes
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM wreach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "media_representatives" ->
       s"""WITH RECURSIVE $PhashCcCtes,
