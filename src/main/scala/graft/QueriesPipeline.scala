@@ -2937,6 +2937,37 @@ object QueriesPipeline {
         .orderBy(col("bands").desc)
     }),
 
+    // IVF sizing planner — lsh_param_plan's counterpart for the
+    // trained-cell tier, derived from the CORPUS (one count agg, no
+    // scan): per nlist rule (the shipped 8, the sqrt-n heuristics, the
+    // bounded-cell n/64), average cell population, scan fraction at
+    // nprobe 1/2/4 in exact per-mille, the per-Lloyd-iteration
+    // training bill (n·nlist distance evals), and the broadcast
+    // centroid-table bytes. The table an operator reads before
+    // retraining cells at a new corpus size — the "cells track corpus"
+    // rule made quantitative.
+    "ivf_param_plan" -> ((s, dir) => {
+      import s.implicits._
+      val n = embs(s, dir).agg(count(lit(1)).as("n"))
+      val grid = Seq("current_8", "sqrt_n", "4sqrt_n", "n_over_64").toDF("rule")
+      val nlist = when(col("rule") === "current_8", lit(8L))
+        .when(col("rule") === "sqrt_n", ceil(sqrt(col("n"))))
+        .when(col("rule") === "4sqrt_n", ceil(sqrt(col("n"))) * 4)
+        .otherwise(greatest(lit(1L), expr("n div 64")))
+      broadcast(n).crossJoin(grid)
+        .withColumn("nlist", nlist.cast("bigint"))
+        .select(
+          col("rule"), col("nlist"),
+          (col("nlist") === 8L).as("is_current"),
+          expr("(n * 1000) div nlist").as("avg_cell_milli"),
+          least(lit(1000L), expr("1000 div nlist")).as("scanned_pm_p1"),
+          least(lit(1000L), expr("2000 div nlist")).as("scanned_pm_p2"),
+          least(lit(1000L), expr("4000 div nlist")).as("scanned_pm_p4"),
+          (col("n") * col("nlist")).as("train_mults"),
+          (col("nlist") * 512L).as("centroid_bytes"))
+        .orderBy("rule")
+    }),
+
     // Corpus n-gram diversity (type-token ratio at n=1,2,3) per
     // source — the cross-document repetitiveness dial (a self-BLEU
     // proxy): templated/boilerplate-heavy sources show low TTR at
@@ -6702,6 +6733,26 @@ object QueriesPipeline {
          |  ${pAt("0.9")} AS p_at_090
          |FROM grid ORDER BY bands DESC""".stripMargin
     },
+
+    "ivf_param_plan" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM read_parquet('{SFDIR}/embeddings.parquet')),
+        |grid(rule) AS (VALUES ('current_8'), ('sqrt_n'), ('4sqrt_n'), ('n_over_64')),
+        |g AS (
+        |  SELECT rule, n, CAST(CASE rule
+        |    WHEN 'current_8' THEN 8
+        |    WHEN 'sqrt_n' THEN ceil(sqrt(n))
+        |    WHEN '4sqrt_n' THEN ceil(sqrt(n)) * 4
+        |    ELSE greatest(1, n // 64) END AS BIGINT) AS nlist
+        |  FROM nn, grid)
+        |SELECT rule, nlist, nlist = 8 AS is_current,
+        |  (n * 1000) // nlist AS avg_cell_milli,
+        |  least(1000, 1000 // nlist) AS scanned_pm_p1,
+        |  least(1000, 2000 // nlist) AS scanned_pm_p2,
+        |  least(1000, 4000 // nlist) AS scanned_pm_p4,
+        |  n * nlist AS train_mults,
+        |  nlist * 512 AS centroid_bytes
+        |FROM g ORDER BY rule""".stripMargin,
 
     "ngram_diversity" -> {
       val byN = (1 to 3).map(n =>
