@@ -2402,6 +2402,33 @@ object QueriesPipeline {
       Corpus.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"), 20)
         .select(col("doc_id"), col("n_terms_matched"), col("score_micro"))),
 
+    // Weekly retention cohorts — the product-analytics read every
+    // event log serves: cohort = a user's first active epoch-week,
+    // rows = (cohort, week offset) with distinct active users and
+    // exact per-mille retention. Two user-keyed aggregations (both
+    // map-side combinable after the distinct) + one tiny cohort-sized
+    // join; epoch-week is integer µs division so the bucketing is
+    // engine-exact.
+    "events_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val uw = ev.select(
+          col("user_id"), graft.sources.Bars.eventTimeMicros(ev).as("us"))
+        .select(col("user_id"), expr("us div 604800000000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, Seq("cohort_wk"))
+        .select(
+          col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_users"),
+          expr("(n_active * 1000) div cohort_users").as("retained_pm"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir))
         .orderBy("user_id", "session_idx")),
@@ -6830,6 +6857,21 @@ object QueriesPipeline {
         |  round(sum(value), 6) AS sum_value
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
+
+    "events_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id),
+        |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+        |          FROM c GROUP BY cohort_wk),
+        |r AS (
+        |  SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+        |    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_wk, r.week_offset, r.n_active, s.cohort_users,
+        |  (r.n_active * 1000) // s.cohort_users AS retained_pm
+        |FROM r JOIN sizes s USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
 
     "sessionize" ->
       """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
