@@ -2943,6 +2943,33 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Horvitz-Thompson sampling balanced by SEMANTIC cluster —
+    // corpus_sample_dedup_weighted's spelling with staged IVF cells as
+    // the cluster key: inclusion probability 1/|cell|, weight |cell|,
+    // so dominant topics stop drowning the mix while the
+    // weighted estimator stays unbiased (the SemDeDup-era
+    // diversity-sampling read). Unembedded docs are their own
+    // singleton cluster (kept with probability 1, weight 1).
+    "corpus_sample_cluster_balanced" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellAssignments(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val sizes = cells.groupBy("cid").agg(count(lit(1)).as("sz"))
+      docs(s, dir).join(cells.join(sizes, "cid"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cid").cast("bigint"), col("doc_id")).as("cluster_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"),
+          (TextOps.hash32(concat(lit("cbsample|"), col("doc_id").cast("string"))) % 1000000)
+            .as("u"))
+        .where(col("u") * col("cluster_size") < 1000000)
+        .select(
+          col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("cluster_size").cast("double").as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // The LSH S-curve parameter planner: for every (bands x rows)
     // split of the 8-hash signature budget, the threshold similarity
     // s* = (1/b)^(1/r) and candidate probabilities 1-(1-s^r)^b at a
@@ -6744,6 +6771,28 @@ object QueriesPipeline {
          |  FROM read_parquet('{SFDIR}/documents.parquet') d
          |  LEFT JOIN labels l USING (doc_id)
          |  LEFT JOIN sizes s ON s.cluster_id = l.cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size, CAST(cluster_size AS DOUBLE) AS weight
+         |FROM j WHERE u * cluster_size < 1000000 ORDER BY doc_id""".stripMargin,
+
+    // The dedup_weighted HT spelling keyed by the ivf_cell_stats
+    // home-cell assignment; unembedded docs -> singleton clusters.
+    "corpus_sample_cluster_balanced" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY cid),
+         |j AS (
+         |  SELECT d.doc_id,
+         |    coalesce(CAST(a.cid AS BIGINT), d.doc_id) AS cluster_id,
+         |    coalesce(s.sz, 1) AS cluster_size,
+         |    (${h32("concat('cbsample|', CAST(d.doc_id AS VARCHAR))")} % 1000000) AS u
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN asg a ON a.vec_id = d.doc_id
+         |  LEFT JOIN sizes s ON s.cid = a.cid)
          |SELECT doc_id, cluster_id, cluster_size, CAST(cluster_size AS DOUBLE) AS weight
          |FROM j WHERE u * cluster_size < 1000000 ORDER BY doc_id""".stripMargin,
 
