@@ -1419,6 +1419,23 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED graph serving (post-filter spelling of filtered ANN):
+    // the same walk on the FULL graph — restricting navigation
+    // disconnects it, the filtered-DiskANN finding — with the
+    // attribute predicate (label parity as the metadata stand-in)
+    // applied at the final ranking. Queries whose neighborhood holds
+    // fewer matching nodes emit fewer rows — the honest answer. See
+    // [[graft.pipeline.Similarity.graphSearchFiltered]].
+    "ann_graph_walk_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.graphSearchFiltered(
+          e, KnnChain.graph(s, dir, e, k = 16),
+          e.where(pmod(col("label"), lit(2)) === 1))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Graph HEALTH monitor — the "when to re-descend" instrument
     // (sq8_drift's sibling for the graph tier): edge reciprocity
     // (fraction of directed edges whose reverse is also published —
@@ -4860,6 +4877,27 @@ object QueriesPipeline {
          |  SELECT query_id, node, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
          |  FROM w5 WHERE node <> query_id)
+         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+
+    // The ann_graph_walk chain with the label-parity predicate
+    // semi-joined into the final ranking (post-filter).
+    "ann_graph_walk_filtered" ->
+      s"""WITH $KnnCtes,
+         |gg AS (SELECT u, v FROM nb3 WHERE rk <= 16),
+         |gq AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 8),
+         |f0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM gq),
+         |${walkRoundSql("f0", "wc1", "w1")},
+         |${walkRoundSql("w1", "wc2", "w2")},
+         |${walkRoundSql("w2", "wc3", "w3")},
+         |${walkRoundSql("w3", "wc4", "w4")},
+         |${walkRoundSql("w4", "wc5", "w5")},
+         |fel AS (SELECT vec_id FROM read_parquet('{SFDIR}/embeddings.parquet')
+         |        WHERE label % 2 = 1)
+         |SELECT query_id, rank, node AS neighbor_id, round(cos, 6) AS cosine FROM (
+         |  SELECT query_id, node, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
+         |  FROM w5 JOIN fel ON fel.vec_id = w5.node
+         |  WHERE node <> query_id)
          |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
 
     "ann_graph_health" ->

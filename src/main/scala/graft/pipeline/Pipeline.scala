@@ -3603,7 +3603,55 @@ object Similarity {
   def graphSearchFrom(
       queries: DataFrame, corpusEmb: DataFrame, graph: DataFrame,
       k: Int, beam: Int, hops: Int, entryNode: Long = 0L,
-      truncate: Boolean = true): DataFrame = {
+      truncate: Boolean = true): DataFrame =
+    rankWalkOut(
+      walkFrontier(queries, corpusEmb, graph, beam, hops, entryNode, truncate), k)
+
+  /** FILTERED graph serving (the post-filter spelling of filtered
+    * ANN): navigation runs on the FULL graph — restricting the walk
+    * itself disconnects it, the filtered-DiskANN finding — and the
+    * predicate applies at the final ranking via one semi-join of the
+    * tiny frontier against the allowed-id frame (broadcast frontier →
+    * map-only corpus-side scan, the graphSearch corpus-probe shape).
+    * A query emits FEWER than k rows when its visited neighborhood
+    * holds fewer matching nodes — the honest answer (raise beam/hops
+    * or pre-partition the index per attribute when the filter is very
+    * selective; the recall instrument pattern grades the trade).
+    */
+  def graphSearchFiltered(
+      embeddings: DataFrame, graph: DataFrame, allowed: DataFrame,
+      numQueries: Int = 8, k: Int = 4, beam: Int = 16,
+      hops: Int = 5): DataFrame = {
+    val queries = broadcast(withNorm(embeddings, "query_id", "qe", "qn")
+      .where(col("query_id") < numQueries))
+    val frontier = walkFrontier(queries, embeddings, graph, beam, hops, 0L,
+      truncate = true)
+    rankWalkOut(
+      frontier.join(
+        allowed.select(col("vec_id").as("node")), Seq("node"), "left_semi"), k)
+  }
+
+  /** Final exact ranking over a walk frontier (self excluded) —
+    * shared by [[graphSearchFrom]] and [[graphSearchFiltered]].
+    */
+  private def rankWalkOut(frontier: DataFrame, k: Int): DataFrame = {
+    val wOut = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node").asc)
+    frontier.where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wOut))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  /** The converged walk frontier of [[graphSearchFrom]] — the hops
+    * loop alone, exposed so the filtered variant can apply its
+    * predicate before the final ranking.
+    */
+  private def walkFrontier(
+      queries: DataFrame, corpusEmb: DataFrame, graph: DataFrame,
+      beam: Int, hops: Int, entryNode: Long,
+      truncate: Boolean): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       if (truncate) df.localCheckpoint(true) else df
     val corpus = withNorm(corpusEmb, "nid", "ne", "nnorm")
@@ -3638,12 +3686,7 @@ object Similarity {
       frontier = cut(rank(
         frontier.select("query_id", "node").unionAll(expanded).distinct()))
     }
-    val wOut = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("node").asc)
-    frontier.where(col("node") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wOut))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("cosine"))
+    frontier
   }
 
   /** INCREMENTAL GRAPH APPEND — new vectors join the kNN graph

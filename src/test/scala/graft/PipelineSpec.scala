@@ -836,6 +836,32 @@ class PipelineSpec extends SparkSpec {
       s"cell verify must not be a cartesian:\n$plan")
   }
 
+  test("graphSearchFiltered: results obey the predicate, never beat the unfiltered walk") {
+    val fix = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.knnGraph(fix, k = 16, iters = 2, searchK = 16)
+      .localCheckpoint(true)
+    val lbl = fix.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filt = Similarity.graphSearchFiltered(
+        fix, g, fix.where(col("label") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(filt.nonEmpty)
+    // every answer satisfies the predicate
+    assert(filt.forall { case (_, _, n, _) => lbl(n) % 2 == 1 })
+    // the filtered top-1 can never beat the unfiltered top-1 (the
+    // filter only removes frontier rows before the final rank)
+    val unf = Similarity.graphSearch(fix, g).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    filt.filter(_._2 == 1).foreach { case (q, _, _, c) =>
+      assert(c <= unf(q) + 1e-12, s"filtered top-1 beats unfiltered for $q")
+    }
+    // ranks are contiguous from 1 per query
+    filt.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("bitextRecall: mined implies candidate-hit; probing all cells is exhaustive") {
     val fix = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.kmeansCentroids(fix, k = 4, iters = 1)
