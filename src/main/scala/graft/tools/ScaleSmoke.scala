@@ -395,6 +395,31 @@ object ScaleSmoke {
       m
     }
 
+    // Incremental video dedup: a FIXED 1/10 delta against a growing
+    // base — the ingest shape (the delta does not grow with the
+    // corpus); base sets come from the amplified hash table.
+    def videoDedupInc(h: DataFrame): Long = {
+      val isNew = expr("(doc_id DIV 16) % 10 = 0")
+      val baseSets = h.where(!isNew)
+        .select(expr("doc_id DIV 16").as("video_id"), col("ahash")).distinct()
+      val m = graft.pipeline.Multimodal
+        .videoDupPairsIncremental(baseSets, h.where(isNew)).count()
+      spark.catalog.clearCache()
+      m
+    }
+
+    def retention(ev: DataFrame): Long = {
+      val uw = ev.select(col("user_id"),
+          graft.sources.Bars.eventTimeMicros(ev).as("us"))
+        .select(col("user_id"), expr("us div 604800000000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("off"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .count()
+    }
+
     // Single-key skew witness for the exact paragraph filter: the same
     // total row count either all-distinct or with ONE unit text 1e6
     // copies deep (the 100 TB boilerplate shape — "All rights
@@ -825,7 +850,9 @@ object ScaleSmoke {
       "media representatives" -> (() => (time("mediarep 1x", mediaRep(docs1)), time(s"mediarep ${n}x", mediaRep(docsNDistinct)))),
       "bitext mining" -> (() => (time("bitext 1x", bitext(emb1, 8)), time(s"bitext ${n}x", bitext(amplifyEmbDecor(emb1, n), 8 * n)))),
       "badwords gate" -> (() => (time("badwords 1x", badwords(docs1)), time(s"badwords ${n}x", badwords(docsN)))),
-      "video frame dedup" -> (() => (time("videodedup 1x", videoDedup(vhash1)), time(s"videodedup ${n}x", videoDedup(amplifyVideoHashes(vhash1, n))))))
+      "video frame dedup" -> (() => (time("videodedup 1x", videoDedup(vhash1)), time(s"videodedup ${n}x", videoDedup(amplifyVideoHashes(vhash1, n))))),
+      "video dedup incremental" -> (() => (time("videoinc 1x", videoDedupInc(vhash1)), time(s"videoinc ${n}x", videoDedupInc(amplifyVideoHashes(vhash1, n))))),
+      "retention cohorts" -> (() => (time("retention 1x", retention(ev1)), time(s"retention ${n}x", retention(evN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
