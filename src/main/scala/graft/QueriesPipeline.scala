@@ -1504,6 +1504,22 @@ object QueriesPipeline {
         .orderBy("query_id")
     }),
 
+    // Recall of the FILTERED walk vs the filtered brute ground truth
+    // (top-4 among label-matching nodes only) — grades the post-filter
+    // trade: a selective predicate shrinks the frontier's matching
+    // population, and this is the instrument that says when to raise
+    // beam/hops or pre-partition the index per attribute.
+    "ann_recall_walk_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val allowed = e.where(pmod(col("label"), lit(2)) === 1)
+      Similarity.recallAtK(
+        Similarity.topKFrom(e, allowed, numQueries = 8, k = 4),
+        Seq("fwalk" -> Similarity.graphSearchFiltered(
+            e, KnnChain.graph(s, dir, e, k = 16), allowed)
+          .select(col("query_id"), col("neighbor_id"))))
+        .orderBy("query_id")
+    }),
+
     // INCREMENTAL graph append — the index-maintenance path: a 2%
     // delta (vec_id % 50 == 0) joins the BASE snapshot's kNN graph
     // without a rebuild. Delta vectors walk the base graph for their
@@ -4956,6 +4972,43 @@ object QueriesPipeline {
          |  CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(count(w.neighbor_id) AS BIGINT) AS walk_hits,
          |  round(CAST(count(w.neighbor_id) AS DOUBLE) / count(*), 6) AS walk_recall
+         |FROM brute b
+         |LEFT JOIN walkr w ON w.query_id = b.query_id AND w.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    // The walk-recall chain with the label predicate on BOTH sides:
+    // the walk post-filtered, the brute restricted to matching nodes.
+    "ann_recall_walk_filtered" ->
+      s"""WITH $KnnCtes,
+         |gg AS (SELECT u, v FROM nb3 WHERE rk <= 16),
+         |gq AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 8),
+         |f0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM gq),
+         |${walkRoundSql("f0", "wc1", "w1")},
+         |${walkRoundSql("w1", "wc2", "w2")},
+         |${walkRoundSql("w2", "wc3", "w3")},
+         |${walkRoundSql("w3", "wc4", "w4")},
+         |${walkRoundSql("w4", "wc5", "w5")},
+         |fel AS (SELECT vec_id FROM read_parquet('{SFDIR}/embeddings.parquet')
+         |        WHERE label % 2 = 1),
+         |walkr AS (
+         |  SELECT query_id, node AS neighbor_id FROM (
+         |    SELECT query_id, node,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node ASC) AS INTEGER) AS rank
+         |    FROM w5 JOIN fel ON fel.vec_id = w5.node
+         |    WHERE node <> query_id)
+         |  WHERE rank <= 4),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q
+         |    JOIN (SELECT e.* FROM e JOIN fel USING (vec_id)) n
+         |      ON q.vec_id < 8 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 4)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(w.neighbor_id) AS BIGINT) AS fwalk_hits,
+         |  round(CAST(count(w.neighbor_id) AS DOUBLE) / count(*), 6) AS fwalk_recall
          |FROM brute b
          |LEFT JOIN walkr w ON w.query_id = b.query_id AND w.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,

@@ -3310,11 +3310,20 @@ object Similarity {
     * window. At 100 TB: per-partition partial top-k then a tiny final
     * shuffle on query_id.
     */
-  def topK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame = {
+  def topK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5): DataFrame =
+    topKFrom(embeddings, embeddings, numQueries, k)
+
+  /** [[topK]] with a separate corpus frame — the brute ground truth
+    * for filtered/bipartite instruments (queries from one frame
+    * ranked over another).
+    */
+  def topKFrom(
+      queryEmb: DataFrame, corpusEmb: DataFrame,
+      numQueries: Int = 5, k: Int = 5): DataFrame = {
     val queries = broadcast(
-      withNorm(embeddings, "query_id", "qe", "qn").where(col("query_id") < numQueries))
+      withNorm(queryEmb, "query_id", "qe", "qn").where(col("query_id") < numQueries))
     val scored = queries.join(
-        withNorm(embeddings, "neighbor_id", "ne", "nn"),
+        withNorm(corpusEmb, "neighbor_id", "ne", "nn"),
         col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
