@@ -2153,6 +2153,35 @@ object QueriesPipeline {
     "shard_assign" -> ((s, dir) =>
       Corpus.shardAssign(docs(s, dir)).orderBy("doc_id")),
 
+    // LEAKAGE-SAFE shard plan: near-dup cluster members land in ONE
+    // shard (an eval/train shard boundary between two near-dups is
+    // cross-shard leakage — corpus_split_leakage_safe's argument
+    // applied to the write side), and shards stay token-balanced by
+    // running the SAME distributed prefix plan at the CLUSTER level:
+    // per-key token sums → shardAssign over keys → members join their
+    // key's shard. Staged labels; one extra keyed agg + join over the
+    // plain plan.
+    "shard_assign_cluster_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = DedupChain.clusterLabels(s, dir, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val keyed = d.select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("shard_key", coalesce(col("cluster_id"), col("doc_id")))
+      val groups = keyed.groupBy("shard_key")
+        .agg(sum(col("n_tok")).as("g_tok"))
+      val shards = Corpus.shardAssign(
+          groups.select(col("shard_key").as("doc_id"), col("g_tok")),
+          tokenCount = _ => col("g_tok"))
+        .select(col("doc_id").as("shard_key"), col("shard"))
+      keyed.join(shards, Seq("shard_key"))
+        .select(col("doc_id"), col("shard_key"),
+          col("n_tok").as("n_tokens"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // The shard plan denominated in BPE subword tokens — a curated
     // materialization balances its output files in the tokens the
     // TRAINER will count, not whitespace words (the
@@ -6568,6 +6597,30 @@ object QueriesPipeline {
          |SELECT doc_id, n_tokens, cum_tokens,
          |  CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
          |FROM c, t ORDER BY doc_id""".stripMargin,
+
+    // The shard_assign prefix spelling at the CLUSTER level (CC labels
+    // -> per-key token sums -> key shards -> members join).
+    "shard_assign_cluster_safe" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS shard_key,
+         |    CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN labels l USING (doc_id)),
+         |g AS (SELECT shard_key, CAST(sum(n_tokens) AS BIGINT) AS g_tok
+         |      FROM k GROUP BY shard_key),
+         |c AS (
+         |  SELECT shard_key, g_tok,
+         |    CAST(sum(g_tok) OVER (ORDER BY shard_key ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum
+         |  FROM g),
+         |t AS (SELECT CAST(sum(g_tok) AS BIGINT) AS tot FROM g),
+         |sh AS (
+         |  SELECT shard_key, CAST(least(((cum - g_tok) * 8) // tot, 7) AS BIGINT) AS shard
+         |  FROM c, t)
+         |SELECT k.doc_id, k.shard_key, k.n_tokens, sh.shard
+         |FROM k JOIN sh USING (shard_key) ORDER BY doc_id""".stripMargin,
 
     "shard_assign_bpe" ->
       s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},

@@ -161,6 +161,26 @@ class CrossInvariantSpec extends SparkSpec {
       "funnel cannot drop more badwords failures than exist corpus-wide")
   }
 
+  test("cluster-safe shards: members co-sharded, all shards populated and bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("shard_assign_cluster_safe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one shard per key — a near-dup cluster can never straddle shards
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).distinct.length == 1, s"cluster split across shards: $g")
+    }
+    // the invariant is non-vacuous: some cluster has >1 member
+    assert(rows.groupBy(_._2).values.exists(_.length > 1))
+    // every shard id in range and populated (token-balanced prefix)
+    val shards = rows.map(_._4).distinct.sorted
+    assert(shards.forall(s => s >= 0 && s < 8) && shards.length == 8)
+    // token balance: no shard above 2x the ideal share (clusters are
+    // small relative to the corpus, so the prefix plan stays tight)
+    val tok = rows.groupBy(_._4).map { case (s, g) => s -> g.map(_._3).sum }
+    val ideal = rows.map(_._3).sum / 8.0
+    tok.values.foreach(t => assert(t < 2 * ideal, s"shard imbalance: $tok"))
+  }
+
   test("containment bounds Jaccard on every LSH candidate pair; subset docs hit 1.0") {
     import graft.pipeline.Dedup
     import spark.implicits._
