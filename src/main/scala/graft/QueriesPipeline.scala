@@ -1859,6 +1859,19 @@ object QueriesPipeline {
           textCol = "bpe", tokenCount = t => length(t).cast("bigint"))
         .orderBy("doc_id")),
 
+    // The third tokenizer denomination of the packing plan: WordPiece
+    // subword counts from the map-only greedy kernel — whichever
+    // tokenizer the trainer bills in, the packing math is the same
+    // distributed prefix plan, and a denomination swap must never
+    // change the plan shape (the shard_assign_bpe argument).
+    "pack_sequences_wordpiece" -> ((s, dir) =>
+      Corpus.packOffsets(
+          docs(s, dir).select(
+            col("doc_id"), Wordpiece.pieces(col("text")).as("wp")),
+          ctx = 512L, textCol = "wp",
+          tokenCount = t => size(t).cast("bigint"))
+        .orderBy("doc_id")),
+
     // The inverted (window -> docs) index of the packing: which
     // documents each fixed 512-token context window reads, summarized
     // per window — see [[graft.pipeline.Corpus.packWindows]]. Inherits
@@ -6167,6 +6180,33 @@ object QueriesPipeline {
          |d AS (
          |  SELECT doc_id, CAST(length(bpe) AS BIGINT) AS n_tokens
          |  FROM enc),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_window,
+         |  (cum - 1) // 512 AS last_window,
+         |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The pack-offsets prefix spelling denominated in WordPiece
+    // counts (the tokenizer_wordpiece per-doc sums).
+    "pack_sequences_wordpiece" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |docw AS (
+         |  SELECT d.doc_id, t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0),
+         |wagg AS (
+         |  SELECT doc_id, CAST(sum(c.n_pieces) AS BIGINT) AS wp_tokens
+         |  FROM docw JOIN wpcounts c ON c.word = docw.w GROUP BY doc_id),
+         |d AS (
+         |  SELECT dd.doc_id, coalesce(w.wp_tokens, 0) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet') dd
+         |  LEFT JOIN wagg w USING (doc_id)),
          |c AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
