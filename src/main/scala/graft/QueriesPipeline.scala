@@ -2784,6 +2784,37 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Image-text ALIGNMENT gate (the LAION/CLIP-filter shape): per
+    // image-caption pair, cosine between the image's feature vector
+    // and a projection of the text embedding, thresholded — the pair
+    // filter a multimodal corpus runs before training. Honest stance
+    // per the Multimodal charter: the image features are the REAL
+    // javax.imageio decode + 16-bin histogram (a model-based encoder
+    // binds at the same batched seam) and the text projection is the
+    // embedding's 16-dim prefix (the MRL-prefix convention); the
+    // plumbing — decode seam, id-keyed pair join, guarded cosine,
+    // integer-exact keep — is the deployable part. Pairs = docs with
+    // an embedding row (partial coverage is the production reality).
+    "media_text_alignment" -> ((s, dir) => {
+      import graft.functions.dotF
+      val feats = Multimodal.extractFeatures(
+          Multimodal.syntheticImages(s, docs(s, dir)),
+          Multimodal.ImageIODecoder).toDF()
+        .select(col("id").as("doc_id"), col("features"))
+      val txt = embs(s, dir).select(
+        col("vec_id").as("doc_id"), slice(col("embedding"), 1, 16).as("e16"))
+      val dn = sqrt(dotF(col("features"), col("features"))) *
+        sqrt(dotF(col("e16"), col("e16")))
+      feats.join(txt, Seq("doc_id"))
+        .withColumn("score",
+          when(dn > 0, dotF(col("features"), col("e16")) / dn)
+            .otherwise(lit(0.0)))
+        .select(
+          col("doc_id"), round(col("score"), 6).as("alignment"),
+          (round(col("score") * 1e6, 0).cast("bigint") >= 0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -7476,6 +7507,45 @@ object QueriesPipeline {
         |  CAST(1 AS BIGINT) AS n_frames,
         |  $bins
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+    },
+
+    // Predicts the real decode arithmetically (the decode_image
+    // oracle's histogram), then float32-exact fractions (binary64
+    // division rounded to REAL is the correctly-rounded binary32
+    // quotient — safe double rounding), the 16-dim prefix cosine, and
+    // the integer-exact keep.
+    "media_text_alignment" -> {
+      def dot16(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 16 AS w,
+         |    16 + (doc_id // 16) % 16 AS h
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |px AS (
+         |  SELECT doc_id, ((doc_id * 31 + t.i) % 256) // 16 AS bin
+         |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) t),
+         |hist AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM px GROUP BY doc_id, bin),
+         |bins AS (
+         |  SELECT d.doc_id, CAST(d.w * d.h AS BIGINT) AS n, t.b
+         |  FROM d, LATERAL (SELECT unnest(range(0, 16)) AS b) t),
+         |fv AS (
+         |  SELECT b.doc_id,
+         |    list(CAST(CAST(coalesce(h.cnt, 0) AS DOUBLE) / b.n AS REAL) ORDER BY b.b) AS f
+         |  FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.b
+         |  GROUP BY b.doc_id),
+         |ev AS (SELECT vec_id AS doc_id, list_slice(embedding, 1, 16) AS e
+         |       FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |sc AS (
+         |  SELECT fv.doc_id,
+         |    CASE WHEN sqrt(${dot16("f", "f")}) * sqrt(${dot16("e", "e")}) > 0
+         |         THEN ${dot16("f", "e")} / (sqrt(${dot16("f", "f")}) * sqrt(${dot16("e", "e")}))
+         |         ELSE 0.0 END AS score
+         |  FROM fv JOIN ev ON ev.doc_id = fv.doc_id)
+         |SELECT doc_id, round(score, 6) AS alignment,
+         |  CAST(round(score * 1e6, 0) AS BIGINT) >= 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
 
     "multimodal_meta" ->
