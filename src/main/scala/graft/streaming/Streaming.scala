@@ -508,6 +508,44 @@ object Streaming {
         })
   }
 
+  case class RetentionEvent(user_id: Long, wk: Long)
+  case class CohortState(cohort_wk: Long, seen: Seq[Long])
+  case class RetentionRow(user_id: Long, wk: Long, cohort_wk: Long)
+
+  /** Streaming retention enrichment — the ingest half of
+    * `events_retention_cohorts`: keyed state holds each user's first
+    * active epoch-week (their cohort) plus the weeks already emitted,
+    * so every (user, week) surfaces exactly once with its cohort
+    * attached; the per-(cohort, offset) counting stays a batch
+    * aggregation over this stream's sink. State is O(active weeks per
+    * user) — bounded by the observation window, the
+    * watermark-eviction candidate on a real deployment. Caveat shared
+    * with every incremental tier: an event arriving EARLIER than the
+    * stored cohort would need retroactive relabeling — the batch
+    * recompute owns corrections; the stream serves the in-order
+    * approximation (in-order arrival makes them identical, which is
+    * what the spec pins).
+    */
+  def retentionStream(events: DataFrame): Dataset[RetentionRow] = {
+    import events.sparkSession.implicits._
+    val us = graft.sources.Bars.eventTimeMicros(events)
+    events.select(col("user_id"), us.as("us"))
+      .select(col("user_id"), expr("us div 604800000000").as("wk"))
+      .as[RetentionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[RetentionEvent],
+            state: GroupState[CohortState]) => {
+          val weeks = rows.map(_.wk).toArray.distinct.sorted
+          val prev = if (state.exists) Some(state.get) else None
+          val cohort = prev.fold(weeks.min)(p => math.min(p.cohort_wk, weeks.min))
+          val seen = prev.fold(Set.empty[Long])(_.seen.toSet)
+          val fresh = weeks.filterNot(seen)
+          state.update(CohortState(cohort, (seen ++ fresh).toSeq.sorted))
+          fresh.iterator.map(w => RetentionRow(uid, w, cohort))
+        })
+  }
+
   case class BitextQuery(src_id: Long, embedding: Array[Float])
   case class BitextCandRow(
       src_id: Long, tgt_id: Long, cos_micro: Long, bsum: Long, bcnt: Long)

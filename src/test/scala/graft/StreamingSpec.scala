@@ -222,6 +222,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
   }
 
+  test("streaming retention: cohorts persist across batches, each user-week once") {
+    implicit val sqlCtx = spark.sqlContext
+    val wk = 604800000000L // one epoch-week of micros
+    def ev(id: Long, user: Long, week: Long) =
+      Ev(id, new java.sql.Timestamp(week * wk / 1000), user, "e", 1.0)
+    val input = MemoryStream[Ev]
+    val q = Streaming.retentionStream(input.toDF()).writeStream
+      .format("memory").queryName("sret").outputMode("append").start()
+    // batch 1: users 1 (weeks 100, 101) and 2 (week 100)
+    input.addData(ev(0, 1, 100), ev(1, 1, 101), ev(2, 2, 100), ev(3, 1, 100))
+    q.processAllAvailable()
+    // batch 2: user 1 returns (week 103 + a repeat of 101), user 3 is new
+    input.addData(ev(4, 1, 103), ev(5, 1, 101), ev(6, 3, 102))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sret").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    // each (user, week) exactly once despite the cross-batch repeat
+    assert(got.map(_._1).distinct.length == got.length, s"dup rows: ${got.toSeq}")
+    assert(got.toMap == Map(
+      (1L, 100L) -> 100L, (1L, 101L) -> 100L, (1L, 103L) -> 100L,
+      (2L, 100L) -> 100L, (3L, 102L) -> 102L), s"got ${got.toSeq}")
+  }
+
   test("streaming bitext scorer matches the batch margin frame exactly") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Similarity
