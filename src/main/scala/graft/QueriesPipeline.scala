@@ -2718,11 +2718,42 @@ object QueriesPipeline {
     // video corpus runs, on a synthetic series corpus whose overlap
     // structure is exact (variants d apart share 8−d of 8+d frames).
     // See [[graft.pipeline.Multimodal.videoDupPairs]].
-    "multimodal_video_dedup" -> ((s, dir) => {
-      val h = Multimodal.aHash(
-        Multimodal.syntheticVideoFrames(s, docs(s, dir)),
-        Multimodal.PcmDecoder)
-      Multimodal.videoDupPairs(h).orderBy("id_a", "id_b")
+    "multimodal_video_dedup" -> ((s, dir) =>
+      Multimodal.videoDupPairs(
+          graft.pipeline.VideoChain.frameHashes(s, dir, docs(s, dir)))
+        .orderBy("id_a", "id_b")),
+
+    // CC over the video near-dup pair graph — cluster labels +
+    // canonicals off the staged chain, completing the video tier
+    // (frames → hashes → pairs → clusters) like every other modality.
+    "multimodal_video_clusters" -> ((s, dir) =>
+      graft.pipeline.VideoChain.clusterLabels(s, dir, docs(s, dir))
+        .orderBy("doc_id")),
+
+    // The canonical-per-cluster manifest for video (the
+    // media_representatives deliverable): per cluster keep the video
+    // with the LARGEST distinct-frame set (the least-truncated cut;
+    // ties to the lowest id) — the row a curation job materializes
+    // when it drops the other re-cuts. Staged labels + one set-size
+    // agg + two windows.
+    "multimodal_video_representatives" -> ((s, dir) => {
+      val sz = graft.pipeline.VideoChain
+        .frameHashes(s, dir, docs(s, dir))
+        .select(expr("doc_id DIV 16").as("doc_id"), col("ahash"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hashes"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_hashes").desc, col("doc_id").asc)
+      graft.pipeline.VideoChain.clusterLabels(s, dir, docs(s, dir))
+        .select("doc_id", "cluster_id")
+        .join(sz, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_video_id"),
+          col("n_hashes").as("keep_n_frames"), col("cluster_size"))
+        .orderBy("cluster_id")
     }),
 
     // Ingest-time video dedup maintenance: the base corpus serves its
@@ -2733,14 +2764,15 @@ object QueriesPipeline {
     // the full chain plus that restriction. See
     // [[graft.pipeline.Multimodal.videoDupPairsIncremental]].
     "multimodal_video_dedup_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val isNew = col("doc_id") % 10 === 0
-      def hashes(dd: org.apache.spark.sql.DataFrame) = Multimodal.aHash(
-        Multimodal.syntheticVideoFrames(s, dd), Multimodal.PcmDecoder)
-      val baseSets = hashes(d.where(!isNew))
+      // the staged frame table serves both sides: base videos read
+      // their stored sets, delta rows are the staged hashes filtered
+      // (the packed id DIV 16 recovers the video; % 10 is the split)
+      val h = graft.pipeline.VideoChain.frameHashes(s, dir, docs(s, dir))
+      val isNew = expr("(doc_id DIV 16) % 10 = 0")
+      val baseSets = h.where(!isNew)
         .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
         .distinct()
-      Multimodal.videoDupPairsIncremental(baseSets, hashes(d.where(isNew)))
+      Multimodal.videoDupPairsIncremental(baseSets, h.where(isNew))
         .orderBy("id_a", "id_b")
     }),
 
@@ -3750,6 +3782,50 @@ object QueriesPipeline {
        |  SELECT src, dst FROM wedges
        |  UNION
        |  SELECT rr.src, e.dst FROM wreach rr JOIN wedges e ON rr.dst = e.src)""".stripMargin
+
+  /** VIDEO frame-dedup CTE chain ending in
+    * `vpairs(id_a, id_b, n_shared, n_union, jaccard_micro)` and the
+    * per-video set sizes `vsz(video_id, sz)` — mirrors
+    * syntheticVideoFrames + aHash + videoDupPairs; shared by all four
+    * video-tier oracles so they can never disagree.
+    */
+  private val VideoPairCtes: String =
+    """vd AS (
+      |  SELECT doc_id FROM read_parquet('{SFDIR}/documents.parquet')),
+      |vfr AS (
+      |  SELECT doc_id, t.f AS f, doc_id // 4 AS series, doc_id % 4 + t.f AS s
+      |  FROM vd, LATERAL (SELECT unnest(range(0, 8)) AS f) t),
+      |vpx AS (
+      |  SELECT doc_id, f, t.i AS i,
+      |    (series * 29 + s * 17 + (1 + 2 * ((series * 13 + s * 5) % 64)) * t.i) % 256 AS v
+      |  FROM vfr, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+      |vsm AS (SELECT doc_id, f, sum(v) AS sv FROM vpx GROUP BY doc_id, f),
+      |vbits AS (
+      |  SELECT vpx.doc_id AS doc_id, vpx.f AS f, i,
+      |    CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS b
+      |  FROM vpx JOIN vsm ON vpx.doc_id = vsm.doc_id AND vpx.f = vsm.f),
+      |vbytes AS (
+      |  SELECT doc_id, f, i // 8 AS k,
+      |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
+      |  FROM vbits GROUP BY doc_id, f, i // 8),
+      |vhx AS (
+      |  SELECT doc_id, f, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
+      |  FROM vbytes GROUP BY doc_id, f),
+      |vsets AS (SELECT DISTINCT doc_id AS video_id, ahash FROM vhx),
+      |vsz AS (SELECT video_id, CAST(count(*) AS BIGINT) AS sz FROM vsets GROUP BY video_id),
+      |vhdf AS (SELECT ahash, count(*) AS df FROM vsets GROUP BY ahash),
+      |vfr2 AS (SELECT v.video_id, v.ahash FROM vsets v JOIN vhdf USING (ahash) WHERE df <= 64),
+      |vsh AS (
+      |  SELECT a.video_id AS id_a, b.video_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM vfr2 a JOIN vfr2 b ON a.ahash = b.ahash AND a.video_id < b.video_id
+      |  GROUP BY a.video_id, b.video_id),
+      |vpairs AS (
+      |  SELECT id_a, id_b, n_shared,
+      |    sa.sz + sb.sz - n_shared AS n_union,
+      |    CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) AS jaccard_micro
+      |  FROM vsh JOIN vsz sa ON vsh.id_a = sa.video_id JOIN vsz sb ON vsh.id_b = sb.video_id
+      |  WHERE CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) >= 500000)""".stripMargin
 
   /** Synthetic-url / host / registered-domain SQL — single source of
     * truth mirroring Corpus.synthUrl / urlHost / registeredDomain.
@@ -7366,85 +7442,55 @@ object QueriesPipeline {
     // CTEs are the audio_dedup chain keyed by (doc_id, f), then the
     // df-capped frame-hash join and exact integer Jaccard.
     "multimodal_video_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id FROM read_parquet('{SFDIR}/documents.parquet')),
-        |fr AS (
-        |  SELECT doc_id, t.f AS f, doc_id // 4 AS series, doc_id % 4 + t.f AS s
-        |  FROM d, LATERAL (SELECT unnest(range(0, 8)) AS f) t),
-        |px AS (
-        |  SELECT doc_id, f, t.i AS i,
-        |    (series * 29 + s * 17 + (1 + 2 * ((series * 13 + s * 5) % 64)) * t.i) % 256 AS v
-        |  FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
-        |sm AS (SELECT doc_id, f, sum(v) AS sv FROM px GROUP BY doc_id, f),
-        |bits AS (
-        |  SELECT px.doc_id AS doc_id, px.f AS f, i,
-        |    CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS b
-        |  FROM px JOIN sm ON px.doc_id = sm.doc_id AND px.f = sm.f),
-        |bytes AS (
-        |  SELECT doc_id, f, i // 8 AS k,
-        |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
-        |  FROM bits GROUP BY doc_id, f, i // 8),
-        |hx AS (
-        |  SELECT doc_id, f, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
-        |  FROM bytes GROUP BY doc_id, f),
-        |vsets AS (SELECT DISTINCT doc_id AS video_id, ahash FROM hx),
-        |vsz AS (SELECT video_id, CAST(count(*) AS BIGINT) AS sz FROM vsets GROUP BY video_id),
-        |hdf AS (SELECT ahash, count(*) AS df FROM vsets GROUP BY ahash),
-        |fr2 AS (SELECT v.video_id, v.ahash FROM vsets v JOIN hdf USING (ahash) WHERE df <= 64),
-        |sh AS (
-        |  SELECT a.video_id AS id_a, b.video_id AS id_b,
-        |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM fr2 a JOIN fr2 b ON a.ahash = b.ahash AND a.video_id < b.video_id
-        |  GROUP BY a.video_id, b.video_id)
-        |SELECT id_a, id_b, n_shared,
-        |  sa.sz + sb.sz - n_shared AS n_union,
-        |  CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) AS jaccard_micro
-        |FROM sh JOIN vsz sa ON sh.id_a = sa.video_id JOIN vsz sb ON sh.id_b = sb.video_id
-        |WHERE CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) >= 500000
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $VideoPairCtes
+         |SELECT id_a, id_b, n_shared, n_union, jaccard_micro
+         |FROM vpairs ORDER BY id_a, id_b""".stripMargin,
 
     // The declared contract: incremental maintenance equals the FULL
     // rebuild restricted to delta-touching pairs (the
     // dedup_clusters_incremental oracle stance) — so the oracle is the
     // multimodal_video_dedup chain verbatim plus that restriction.
     "multimodal_video_dedup_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id FROM read_parquet('{SFDIR}/documents.parquet')),
-        |fr AS (
-        |  SELECT doc_id, t.f AS f, doc_id // 4 AS series, doc_id % 4 + t.f AS s
-        |  FROM d, LATERAL (SELECT unnest(range(0, 8)) AS f) t),
-        |px AS (
-        |  SELECT doc_id, f, t.i AS i,
-        |    (series * 29 + s * 17 + (1 + 2 * ((series * 13 + s * 5) % 64)) * t.i) % 256 AS v
-        |  FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
-        |sm AS (SELECT doc_id, f, sum(v) AS sv FROM px GROUP BY doc_id, f),
-        |bits AS (
-        |  SELECT px.doc_id AS doc_id, px.f AS f, i,
-        |    CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS b
-        |  FROM px JOIN sm ON px.doc_id = sm.doc_id AND px.f = sm.f),
-        |bytes AS (
-        |  SELECT doc_id, f, i // 8 AS k,
-        |    CAST(sum(b * CAST(round(pow(2, 7 - (i % 8)), 0) AS BIGINT)) AS BIGINT) AS byte
-        |  FROM bits GROUP BY doc_id, f, i // 8),
-        |hx AS (
-        |  SELECT doc_id, f, string_agg(printf('%02x', byte), '' ORDER BY k) AS ahash
-        |  FROM bytes GROUP BY doc_id, f),
-        |vsets AS (SELECT DISTINCT doc_id AS video_id, ahash FROM hx),
-        |vsz AS (SELECT video_id, CAST(count(*) AS BIGINT) AS sz FROM vsets GROUP BY video_id),
-        |hdf AS (SELECT ahash, count(*) AS df FROM vsets GROUP BY ahash),
-        |fr2 AS (SELECT v.video_id, v.ahash FROM vsets v JOIN hdf USING (ahash) WHERE df <= 64),
-        |sh AS (
-        |  SELECT a.video_id AS id_a, b.video_id AS id_b,
-        |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM fr2 a JOIN fr2 b ON a.ahash = b.ahash AND a.video_id < b.video_id
-        |  GROUP BY a.video_id, b.video_id)
-        |SELECT id_a, id_b, n_shared,
-        |  sa.sz + sb.sz - n_shared AS n_union,
-        |  CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) AS jaccard_micro
-        |FROM sh JOIN vsz sa ON sh.id_a = sa.video_id JOIN vsz sb ON sh.id_b = sb.video_id
-        |WHERE CAST(floor(n_shared * 1000000.0 / (sa.sz + sb.sz - n_shared) + 0.5) AS BIGINT) >= 500000
-        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $VideoPairCtes
+         |SELECT id_a, id_b, n_shared, n_union, jaccard_micro
+         |FROM vpairs WHERE id_a % 10 = 0 OR id_b % 10 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // CC over the shared vpairs graph (the audio/phash clusters
+    // spelling for video).
+    "multimodal_video_clusters" ->
+      s"""WITH RECURSIVE $VideoPairCtes,
+         |vedges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+         |           UNION SELECT id_b, id_a FROM vpairs),
+         |vreach(src, dst) AS (
+         |  SELECT src, dst FROM vedges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM vreach rr JOIN vedges e ON rr.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_canonical
+         |FROM vreach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // Canonical per video cluster: largest distinct-frame set, ties to
+    // the lowest id (the media_representatives spelling on vsz).
+    "multimodal_video_representatives" ->
+      s"""WITH RECURSIVE $VideoPairCtes,
+         |vedges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+         |           UNION SELECT id_b, id_a FROM vpairs),
+         |vreach(src, dst) AS (
+         |  SELECT src, dst FROM vedges
+         |  UNION
+         |  SELECT rr.src, e.dst FROM vreach rr JOIN vedges e ON rr.dst = e.src),
+         |vlabels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM vreach GROUP BY src),
+         |vwrk AS (
+         |  SELECT l.cluster_id, l.doc_id, z.sz,
+         |    row_number() OVER (PARTITION BY l.cluster_id ORDER BY z.sz DESC, l.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS cs
+         |  FROM vlabels l JOIN vsz z ON z.video_id = l.doc_id)
+         |SELECT cluster_id, doc_id AS keep_video_id,
+         |  sz AS keep_n_frames, CAST(cs AS BIGINT) AS cluster_size
+         |FROM vwrk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // 1-D NN resample prediction: output index i reads source sample
     // (i*n)//m, whose value is the synthetic (id*17 + idx*7) % 256.

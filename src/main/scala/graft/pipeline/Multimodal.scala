@@ -481,6 +481,38 @@ object Multimodal {
   * hash each image once and serve every downstream dedup/cluster/
   * audit question from the stored hashes.
   */
+/** Session-staged video-tier chain — the [[AHashChain]] stance for
+  * frame fingerprints: the per-frame decode+hash pass and the CC
+  * labels each build once per (session, dir), and the four video
+  * consumers (pairs, incremental, clusters, representatives) take
+  * joins/prefixes of the staged frames.
+  */
+object VideoChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** The per-frame aHash table (packed id = video·16 + frame). */
+  def frameHashes(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "vhashes"),
+      Multimodal.aHash(
+        Multimodal.syntheticVideoFrames(s, docs),
+        Multimodal.PcmDecoder).localCheckpoint(true))
+
+  /** CC labels (doc_id, cluster_id, is_canonical) over the df-capped
+    * video near-dup pair graph.
+    */
+  def clusterLabels(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "vclusters"),
+      Dedup.clusters(
+        Multimodal.videoDupPairs(frameHashes(s, dir, docs))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .localCheckpoint(true))
+}
+
 object AHashChain {
   import scala.collection.concurrent.TrieMap
   import org.apache.spark.sql.SparkSession
