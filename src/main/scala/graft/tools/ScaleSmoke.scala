@@ -408,6 +408,25 @@ object ScaleSmoke {
       m
     }
 
+    // Alignment gate: real decode + histogram features joined to the
+    // embedding prefix — decode is the linear bill (the mediaRep
+    // reading), the join is id-keyed.
+    def alignGate(d: DataFrame, e: DataFrame): Long = {
+      import graft.functions.dotF
+      val feats = graft.pipeline.Multimodal.extractFeatures(
+          graft.pipeline.Multimodal.syntheticImages(spark, d),
+          graft.pipeline.Multimodal.ImageIODecoder).toDF()
+        .select(col("id").as("doc_id"), col("features"))
+      val txt = e.select(col("vec_id").as("doc_id"),
+        slice(col("embedding"), 1, 16).as("e16"))
+      val dn = sqrt(dotF(col("features"), col("features"))) *
+        sqrt(dotF(col("e16"), col("e16")))
+      feats.join(txt, Seq("doc_id"))
+        .where(when(dn > 0, dotF(col("features"), col("e16")) / dn)
+          .otherwise(lit(0.0)) >= 0)
+        .count()
+    }
+
     def retention(ev: DataFrame): Long = {
       val uw = ev.select(col("user_id"),
           graft.sources.Bars.eventTimeMicros(ev).as("us"))
@@ -852,7 +871,12 @@ object ScaleSmoke {
       "badwords gate" -> (() => (time("badwords 1x", badwords(docs1)), time(s"badwords ${n}x", badwords(docsN)))),
       "video frame dedup" -> (() => (time("videodedup 1x", videoDedup(vhash1)), time(s"videodedup ${n}x", videoDedup(amplifyVideoHashes(vhash1, n))))),
       "video dedup incremental" -> (() => (time("videoinc 1x", videoDedupInc(vhash1)), time(s"videoinc ${n}x", videoDedupInc(amplifyVideoHashes(vhash1, n))))),
-      "retention cohorts" -> (() => (time("retention 1x", retention(ev1)), time(s"retention ${n}x", retention(evN)))))
+      "retention cohorts" -> (() => (time("retention 1x", retention(ev1)), time(s"retention ${n}x", retention(evN)))),
+      "alignment gate" -> (() => {
+        val eN = amplifyEmbDecor(emb1, n)
+        val dN = amplifyDocs(docs1, n)
+        (time("align 1x", alignGate(docs1, emb1)), time(s"align ${n}x", alignGate(dN, eN)))
+      }))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
