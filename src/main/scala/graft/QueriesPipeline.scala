@@ -75,6 +75,28 @@ object QueriesPipeline {
     // the id mapping is bijective with the symbol string, so the
     // digest pins the exact sequence. See
     // [[graft.pipeline.Bpe.tokenIds]].
+    // Merge-usage table for VOCAB PRUNING: per committed BPE merge id,
+    // its corpus usage count — including ZERO-use rows, which are the
+    // pruning candidates (a merge no document exercises pays vocab
+    // space and embedding rows for nothing; the saturation-trained
+    // table should show near-full usage on its own training corpus,
+    // and usage decay on a NEW corpus is the retrain signal, the
+    // tokenizer tier's sq8_drift). One encode pass (staged chain) +
+    // one id-keyed count; the all-ids frame is a 2400-row range.
+    "bpe_merge_usage" -> ((s, dir) => {
+      val used = BpeChain.encoded(s, dir, docs(s, dir))
+        .select(explode(Bpe.idsFromSymbols(col("bpe"))).as("token_id"))
+        .where(col("token_id") >= 256)
+        .groupBy("token_id").agg(count(lit(1)).as("n_uses"))
+      s.range(256, 256 + graft.pipeline.Bpe.Merges.length)
+        .select(col("id").cast("int").as("token_id"))
+        .join(used, Seq("token_id"), "left")
+        .select(col("token_id"),
+          coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+          (coalesce(col("n_uses"), lit(0L)) > 0L).as("used"))
+        .orderBy("token_id")
+    }),
+
     "tokenizer_ids" -> ((s, dir) =>
       BpeChain.encoded(s, dir, docs(s, dir))
         .select(col("doc_id"), Bpe.idsFromSymbols(col("bpe")).as("_ids"))
@@ -4020,6 +4042,28 @@ object QueriesPipeline {
          |  round(CAST(m.c AS DOUBLE) / t.n_chunks, 6) AS majority_frac,
          |  t.n_langs > 1 AS mixed
          |FROM tot t JOIN mj m USING (doc_id) WHERE m.rk = 1 ORDER BY t.doc_id""".stripMargin,
+
+    // The tokenizer_ids id mapping exploded and counted per merge id;
+    // the all-ids frame is a range over the committed table length.
+    "bpe_merge_usage" ->
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |ids AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(bpe) + 1), i ->
+         |      CASE WHEN unicode(substr(bpe, i, 1)) < 256
+         |           THEN unicode(substr(bpe, i, 1))
+         |           ELSE 256 + unicode(substr(bpe, i, 1)) - 57344 END) AS v
+         |  FROM enc),
+         |u AS (
+         |  SELECT CAST(t.tv AS INTEGER) AS token_id, CAST(count(*) AS BIGINT) AS n_uses
+         |  FROM ids, LATERAL (SELECT unnest(v) AS tv) t
+         |  WHERE t.tv >= 256 GROUP BY t.tv),
+         |allm AS (
+         |  SELECT CAST(t.i AS INTEGER) AS token_id
+         |  FROM (SELECT unnest(range(256, ${256 + graft.pipeline.Bpe.Merges.length})) AS i) t)
+         |SELECT a.token_id, coalesce(u.n_uses, 0) AS n_uses,
+         |  coalesce(u.n_uses, 0) > 0 AS used
+         |FROM allm a LEFT JOIN u USING (token_id) ORDER BY token_id""".stripMargin,
 
     "tokenizer_ids" ->
       s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
