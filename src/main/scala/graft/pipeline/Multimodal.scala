@@ -440,6 +440,29 @@ object Multimodal {
     jaccardTail(shared, sizes, minJaccardMicro)
   }
 
+  /** Served base-side index for the video-dedup STREAM
+    * ([[graft.streaming.Streaming.videoDedupStream]]): df-capped
+    * (ahash → base video) rows carrying each base video's FULL set
+    * size — the cap gates pair generation, sizes stay uncapped,
+    * exactly as in [[videoDupPairs]]. Streaming caveat (batch owns
+    * the correction): the cap here is base-only — a delta that turns
+    * a frame into a hub is re-adjudicated at the next batch pass,
+    * where the [[videoDupPairsIncremental]] contract recomputes the
+    * cap over base ∪ delta.
+    */
+  def videoServedIndex(
+      frameHashes: DataFrame, dfCap: Long = 64L): DataFrame = {
+    val sets = frameHashes
+      .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
+      .distinct()
+      .persist()
+    val sizes = sets.groupBy("video_id").agg(count(lit(1)).as("sz"))
+    val keep = sets.groupBy("ahash").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("ahash")
+    sets.join(keep, Seq("ahash")).join(sizes, Seq("video_id"))
+      .select(col("ahash"), col("video_id"), col("sz"))
+  }
+
   /** Frame sampling for video-modality records: keep every k-th frame
     * index (metadata-level; real decoders sample before featurizing).
     */

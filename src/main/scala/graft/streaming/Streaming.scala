@@ -508,6 +508,58 @@ object Streaming {
         })
   }
 
+  case class VideoSetRecord(video_id: Long, hashes: Seq[String])
+  case class VideoCand(video_id: Long, n_mine: Long, base_id: Long, base_sz: Long)
+  case class VideoDupHit(
+      id_a: Long, id_b: Long, n_shared: Long, n_union: Long,
+      jaccard_micro: Long)
+
+  /** STREAMING video dedup — the ingest half of
+    * [[graft.pipeline.Multimodal.videoDupPairsIncremental]]: each
+    * arriving record carries one whole video's frame-hash set (the
+    * ingest unit IS the video, as with media records), the SERVED
+    * base index ([[graft.pipeline.Multimodal.videoServedIndex]]:
+    * df-capped hash → base video rows with uncapped set sizes)
+    * answers via one stream-static equi-join on the hash, and one
+    * flatMapGroupsWithState computes exact integer Jaccard per
+    * (new, base) pair from the matched-hash counts. Delta-delta pairs
+    * and delta-induced hub re-adjudication stay batch jobs — the same
+    * division of labor as every incremental tier; for in-order
+    * arrivals with no delta-induced hubs the emitted pairs equal the
+    * batch incremental's delta-base rows exactly (spec-pinned).
+    */
+  def videoDedupStream(
+      videos: Dataset[VideoSetRecord], baseIndex: DataFrame,
+      minJaccardMicro: Long = 500000L): Dataset[VideoDupHit] = {
+    import videos.sparkSession.implicits._
+    val cand = videos.toDF
+      .select(col("video_id"),
+        size(array_distinct(col("hashes"))).cast("long").as("n_mine"),
+        explode(array_distinct(col("hashes"))).as("ahash"))
+      .join(baseIndex.select(col("ahash"), col("video_id").as("base_id"),
+        col("sz").as("base_sz")), Seq("ahash"))
+      .select(col("video_id"), col("n_mine"), col("base_id"), col("base_sz"))
+      .as[VideoCand]
+    cand.groupByKey(_.video_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (vid: Long, rows: Iterator[VideoCand],
+            state: GroupState[BestPairState]) => {
+          val rs = rows.toArray
+          val nMine = rs.head.n_mine
+          rs.groupBy(r => (r.base_id, r.base_sz)).iterator.flatMap {
+            case ((b, bsz), g) =>
+              val shared = g.length.toLong
+              val union = nMine + bsz - shared
+              // floor(x + 0.5): the batch jaccardTail spelling
+              val jm = math.floor(shared * 1000000.0 / union + 0.5).toLong
+              if (jm >= minJaccardMicro)
+                Some(VideoDupHit(
+                  math.min(vid, b), math.max(vid, b), shared, union, jm))
+              else None
+          }
+        })
+  }
+
   case class RetentionEvent(user_id: Long, wk: Long)
   case class CohortState(cohort_wk: Long, seen: Seq[Long])
   case class RetentionRow(user_id: Long, wk: Long, cohort_wk: Long)

@@ -222,6 +222,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
   }
 
+  test("streaming video dedup matches the batch incremental's delta-base pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val h = Multimodal.aHash(
+      Multimodal.syntheticVideoFrames(spark, d), Multimodal.PcmDecoder)
+    val isNew = expr("(doc_id DIV 16) % 10 = 0")
+    val served = Multimodal.videoServedIndex(h.where(!isNew))
+    // whole-video records: each delta video's frame-hash set
+    val deltaRecs = h.where(isNew)
+      .select(expr("doc_id DIV 16").as("v"), col("ahash")).collect()
+      .groupBy(_.getLong(0)).map { case (v, rows) =>
+        Streaming.VideoSetRecord(v, rows.map(_.getString(1)).toSeq)
+      }.toSeq
+    val input = MemoryStream[Streaming.VideoSetRecord]
+    input.addData(deltaRecs: _*)
+    val q = Streaming.videoDedupStream(input.toDS(), served).writeStream
+      .format("memory").queryName("svd").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("svd").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // batch incremental restricted to delta-base pairs (delta-delta is
+    // the batch compaction's job, excluded on both sides)
+    val deltaIds = deltaRecs.map(_.video_id).toSet
+    val baseSets = h.where(!isNew)
+      .select(expr("doc_id DIV 16").as("video_id"), col("ahash")).distinct()
+    val want = Multimodal.videoDupPairsIncremental(baseSets, h.where(isNew))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filterNot { case ((a, b), _) => deltaIds(a) && deltaIds(b) }
+      .toMap
+    assert(want.nonEmpty && got == want,
+      s"stream/batch drift: got=${got.size} want=${want.size}")
+  }
+
   test("streaming retention: cohorts persist across batches, each user-week once") {
     implicit val sqlCtx = spark.sqlContext
     val wk = 604800000000L // one epoch-week of micros
