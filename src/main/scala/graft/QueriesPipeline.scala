@@ -2499,6 +2499,50 @@ object QueriesPipeline {
       Corpus.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"), 20)
         .select(col("doc_id"), col("n_terms_matched"), col("score_micro"))),
 
+    // Ordered conversion FUNNEL (view → click → signup → purchase):
+    // a user reaches step k only via an event strictly after their
+    // step-(k-1) time AND within the 6-hour conversion window (the
+    // standard funnel attribution bound) — the chained-min spelling (three user-keyed
+    // equi-joins + four map-side-combinable min aggs; each stage frame
+    // is ≤ one row per user). Exact per-mille conversions, zero-guard
+    // shared with the oracle. The sessionize/retention sibling every
+    // event log serves.
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val e = ev.select(col("user_id"), col("event_type"),
+        graft.sources.Bars.eventTimeMicros(ev).as("us"))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val w = lit(21600000000L) // 6-hour conversion window (micros)
+      val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("us") > col("t1") && col("us") - col("t1") <= w)
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val s3 = e.where(col("event_type") === "signup").join(s2, "user_id")
+        .where(col("us") > col("t2") && col("us") - col("t2") <= w)
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      val s4 = e.where(col("event_type") === "purchase").join(s3, "user_id")
+        .where(col("us") > col("t3") && col("us") - col("t3") <= w)
+        .groupBy("user_id").agg(min(col("us")).as("t4"))
+      val c = s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        .crossJoin(s4.agg(count(lit(1)).as("n4")))
+      val names = Seq("view", "click", "signup", "purchase")
+      val rows = names.zipWithIndex.map { case (nm, i) =>
+        val k = i + 1
+        val prev = if (i == 0) s"n1" else s"n$i"
+        struct(
+          lit(k).as("step"), lit(nm).as("event_type"),
+          col(s"n$k").as("n_users"),
+          expr(s"CASE WHEN $prev = 0 THEN 0 ELSE (n$k * 1000) div $prev END")
+            .as("conv_prev_pm"),
+          expr(s"CASE WHEN n1 = 0 THEN 0 ELSE (n$k * 1000) div n1 END")
+            .as("conv_first_pm"))
+      }
+      c.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        .orderBy("step")
+    }),
+
     // Weekly retention cohorts — the product-analytics read every
     // event log serves: cohort = a user's first active epoch-week,
     // rows = (cohort, week offset) with distinct active users and
@@ -7241,6 +7285,33 @@ object QueriesPipeline {
         |  round(sum(value), 6) AS sum_value
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
+
+    "events_funnel" -> {
+      val names = Seq("view", "click", "signup", "purchase")
+      val sel = names.zipWithIndex.map { case (nm, i) =>
+        val k = i + 1
+        val prev = if (i == 0) "n1" else s"n$i"
+        s"SELECT CAST($k AS INTEGER) AS step, '$nm' AS event_type, n$k AS n_users, " +
+          s"CAST(CASE WHEN $prev = 0 THEN 0 ELSE (n$k * 1000) // $prev END AS BIGINT) AS conv_prev_pm, " +
+          s"CAST(CASE WHEN n1 = 0 THEN 0 ELSE (n$k * 1000) // n1 END AS BIGINT) AS conv_first_pm FROM n"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND us > s1.t AND us - s1.t <= 21600000000 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'signup' AND us > s2.t AND us - s2.t <= 21600000000 GROUP BY e.user_id),
+         |s4 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s3 USING (user_id)
+         |       WHERE event_type = 'purchase' AND us > s3.t AND us - s3.t <= 21600000000 GROUP BY e.user_id),
+         |n AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n4)
+         |SELECT * FROM (
+         |  $sel
+         |) ORDER BY step""".stripMargin
+    },
 
     "events_retention_cohorts" ->
       """WITH w AS (
