@@ -490,7 +490,7 @@ object QueriesPipeline {
     // Token-denominated end-to-end YIELD funnel — the one artifact a
     // pipeline owner publishes: docs AND tokens remaining after each
     // SEQUENTIAL stage (exact dedup → near-dup → quality → language →
-    // badwords) with per-stage drop accounting. Where
+    // badwords → decontamination) with per-stage drop accounting. Where
     // corpus_dedup_report sizes each dedup tier independently and
     // gate_attribution adjudicates gate overlap, THIS is the ordered
     // composition — the number that becomes the training-token budget.
@@ -501,6 +501,8 @@ object QueriesPipeline {
       val d = docs(s, dir)
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical")).select(col("doc_id").as("dup_id"))
+      val decon = Dedup.decontaminate(d, d.where(col("doc_id") % 50 === 0))
+        .select(col("doc_id"), col("contaminated"))
       val flags = Corpus.withExactCanonical(d.select(
           col("doc_id"),
           md5(col("text")).as("cmd5"),
@@ -509,12 +511,16 @@ object QueriesPipeline {
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           (TextOps.badwordsRatioMicro(col("text")) <= 50000L).as("bw_ok")))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .join(decon, Seq("doc_id"))
       val c1 = col("is_exact_canonical")
       val c2 = c1 && col("dup_id").isNull
       val c3 = c2 && col("q_ok")
       val c4 = c3 && col("lang_ok")
       val c5 = c4 && col("bw_ok")
-      val aggs = Seq(c1, c2, c3, c4, c5).zipWithIndex.flatMap { case (c, i) =>
+      // the final stage removes eval items AND their n-gram leaks —
+      // bench docs (every 50th) are contaminated by construction
+      val c6 = c5 && !col("contaminated")
+      val aggs = Seq(c1, c2, c3, c4, c5, c6).zipWithIndex.flatMap { case (c, i) =>
         Seq(
           sum(when(c, 1L).otherwise(0L)).as(s"d${i + 1}"),
           sum(when(c, col("n_tokens")).otherwise(0L)).as(s"t${i + 1}"))
@@ -522,7 +528,7 @@ object QueriesPipeline {
       val a = flags.agg(
         count(lit(1)).as("d0"), (sum(col("n_tokens")).as("t0") +: aggs): _*)
       val names = Seq("raw", "exact_dedup", "neardup_dedup", "quality",
-        "language", "badwords")
+        "language", "badwords", "decontaminate")
       val stageRows = names.zipWithIndex.map { case (nm, i) =>
         val dd = if (i == 0) lit(0L) else col(s"d${i - 1}") - col(s"d$i")
         val td = if (i == 0) lit(0L) else col(s"t${i - 1}") - col(s"t$i")
@@ -4510,19 +4516,25 @@ object QueriesPipeline {
     "corpus_yield_report" -> {
       val lex = graft.pipeline.TextOps.Badwords.map(w => s"'$w'").mkString(", ")
       val stages = Seq("raw", "exact_dedup", "neardup_dedup", "quality",
-        "language", "badwords")
+        "language", "badwords", "decontaminate")
       val sel = stages.zipWithIndex.map { case (nm, i) =>
         val dd = if (i == 0) "CAST(0 AS BIGINT)" else s"d${i - 1} - d$i"
         val td = if (i == 0) "CAST(0 AS BIGINT)" else s"t${i - 1} - t$i"
         s"SELECT CAST($i AS INTEGER) AS stage, '$nm' AS gate, d$i AS n_docs, " +
           s"t$i AS n_tokens, $dd AS n_docs_dropped, $td AS n_tokens_dropped FROM a"
       }.mkString("\n|  UNION ALL ")
-      val cnt = (1 to 5).map(i =>
+      val cnt = (1 to 6).map(i =>
         s"CAST(count(*) FILTER (WHERE c$i) AS BIGINT) AS d$i, " +
           s"CAST(coalesce(sum(n_tokens) FILTER (WHERE c$i), 0) AS BIGINT) AS t$i")
         .mkString(",\n|    ")
       s"""WITH RECURSIVE $CcCtes,
          |dups AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |yg AS (
+         |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |ybench AS (SELECT DISTINCT g FROM yg WHERE doc_id % 50 = 0),
+         |yhits AS (
+         |  SELECT DISTINCT doc_id FROM yg WHERE g IN (SELECT g FROM ybench)),
          |base AS (
          |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
          |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS exact_ok,
@@ -4536,8 +4548,12 @@ object QueriesPipeline {
          |    exact_ok AND nd_ok AS c2,
          |    exact_ok AND nd_ok AND q_ok AS c3,
          |    exact_ok AND nd_ok AND q_ok AND lang_ok AS c4,
-         |    exact_ok AND nd_ok AND q_ok AND lang_ok AND bw_ok AS c5
-         |  FROM (SELECT *, doc_id NOT IN (SELECT doc_id FROM dups) AS nd_ok FROM base)),
+         |    exact_ok AND nd_ok AND q_ok AND lang_ok AND bw_ok AS c5,
+         |    exact_ok AND nd_ok AND q_ok AND lang_ok AND bw_ok AND dc_ok AS c6
+         |  FROM (SELECT *,
+         |          doc_id NOT IN (SELECT doc_id FROM dups) AS nd_ok,
+         |          doc_id NOT IN (SELECT doc_id FROM yhits) AS dc_ok
+         |        FROM base)),
          |a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS d0,
          |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0,

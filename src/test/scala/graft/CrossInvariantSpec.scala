@@ -138,7 +138,7 @@ class CrossInvariantSpec extends SparkSpec {
     val rows = SparkEntry.queries("corpus_yield_report")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
-    assert(rows.map(_._1).toSeq == (0 until 6), "six ordered stages")
+    assert(rows.map(_._1).toSeq == (0 until 7), "seven ordered stages")
     // stage 0 = raw corpus totals
     val d = docs
     assert(rows(0)._2 == d.count())
