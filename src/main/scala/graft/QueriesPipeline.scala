@@ -203,6 +203,24 @@ object QueriesPipeline {
     // Corpus-wide WordPiece piece distribution (top 50): what the
     // embedding table actually trains on — reads directly off the
     // kernel's piece arrays, one explode + combinable count.
+    // The WordPiece analog of bpe_merge_usage: per committed vocab
+    // piece its corpus usage INCLUDING zero-use rows (the pruning
+    // candidates; where wordpiece_piece_freq is the used-top-50 view,
+    // this is the full-vocab audit a pruning decision reads). Map-only
+    // kernel + one piece-keyed count against the literal vocab frame.
+    "wordpiece_vocab_usage" -> ((s, dir) => {
+      import s.implicits._
+      val used = docs(s, dir)
+        .select(explode(Wordpiece.pieces(col("text"))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n_uses"))
+      graft.pipeline.Wordpiece.Vocab.map(_._1).toDF("piece")
+        .join(used, Seq("piece"), "left")
+        .select(col("piece"),
+          coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+          (coalesce(col("n_uses"), lit(0L)) > 0L).as("used"))
+        .orderBy("piece")
+    }),
+
     "wordpiece_piece_freq" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(Wordpiece.pieces(col("text"))).as("piece"))
@@ -4225,6 +4243,23 @@ object QueriesPipeline {
          |SELECT p.piece, CAST(count(*) AS BIGINT) AS cnt
          |FROM docw JOIN wppieces p ON p.word = docw.w
          |GROUP BY p.piece ORDER BY cnt DESC, piece ASC LIMIT 50""".stripMargin,
+
+    // The piece_freq usage join against the FULL literal vocab (the
+    // bpe_merge_usage spelling for WordPiece).
+    "wordpiece_vocab_usage" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |docw AS (
+         |  SELECT t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0),
+         |pu AS (
+         |  SELECT p.piece, CAST(count(*) AS BIGINT) AS n_uses
+         |  FROM docw JOIN wppieces p ON p.word = docw.w GROUP BY p.piece),
+         |vv AS (SELECT CASE WHEN is_cont THEN '##' || ptext ELSE ptext END AS piece
+         |       FROM wpvocab)
+         |SELECT vv.piece, coalesce(u.n_uses, 0) AS n_uses,
+         |  coalesce(u.n_uses, 0) > 0 AS used
+         |FROM vv LEFT JOIN pu u USING (piece) ORDER BY piece""".stripMargin,
 
     "wordpiece_coverage" ->
       s"""WITH RECURSIVE $wordpieceCtes,
