@@ -1354,6 +1354,18 @@ object QueriesPipeline {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")),
 
+    // Binary (1-bit sign) quantized top-k — the extreme compact-
+    // vector point: 8-byte sign fingerprints, integer Hamming
+    // shortlist (bit_count(xor), codegen), exact re-rank of the
+    // top-20. Zero trained artifact like MRL, 32x-per-float like PQ.
+    // See [[Similarity.topKBinary]].
+    "ann_topk_binary" -> ((s, dir) =>
+      Similarity.topKBinary(embs(s, dir))
+        .select(
+          col("query_id"), col("rank"), col("neighbor_id"), col("hamming"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")),
+
     // Matryoshka truncated-dimension top-k (Kusupati et al. 2022):
     // candidates scored over only the first 16 of 64 dims (4x scan-
     // byte drop, zero trained artifact), exact full-dim re-rank. See
@@ -1632,6 +1644,19 @@ object QueriesPipeline {
           Seq(
             "sq8" -> Similarity.topKSq8(e),
             "mrl" -> Similarity.topKMrl(e)))
+        .orderBy("query_id")
+    }),
+
+    // Recall instrument for the 1-bit tier: binary-shortlist top-5 vs
+    // the brute top-5 — read next to ann_recall_compact (SQ8/MRL):
+    // together the three grade the full scan-byte/recall frontier
+    // (8B binary / 16B MRL-prefix / 64B SQ8 per vector). See
+    // [[Similarity.recallAtK]].
+    "ann_recall_binary" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+          Similarity.topK(e),
+          Seq("binary" -> Similarity.topKBinary(e)))
         .orderBy("query_id")
     }),
 
@@ -3412,6 +3437,31 @@ object QueriesPipeline {
        |    FROM mrlcand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
        |  WHERE rank <= 5)""".stripMargin
   }
+
+  /** CTE chain mirroring [[graft.pipeline.Similarity.topKBinary]]:
+    * final CTE `bin` carries (query_id, rank, neighbor_id, hamming,
+    * cosine). Expects a CTE `e(vec_id, embedding)`. The engine packs
+    * sign bits into one BIGINT and counts `bit_count(xor)`; the
+    * oracle counts sign DISAGREEMENTS dim-by-dim — the same integer
+    * by construction, with no bit packing to desynchronize on.
+    */
+  private def binCtes: String =
+    s"""binham AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(len(list_filter(range(1, 65), i -> (q.embedding[i] > 0) <> (n.embedding[i] > 0))) AS BIGINT) AS hamming
+       |  FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+       |bincand AS (
+       |  SELECT query_id, neighbor_id, hamming FROM (
+       |    SELECT query_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS crank
+       |    FROM binham)
+       |  WHERE crank <= 20),
+       |bin AS (
+       |  SELECT query_id, rank, neighbor_id, hamming, cosine FROM (
+       |    SELECT c.query_id, c.neighbor_id, c.hamming, ${cosSql("q.embedding", "n.embedding")} AS cosine,
+       |      CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.neighbor_id ASC) AS INTEGER) AS rank
+       |    FROM bincand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
+       |  WHERE rank <= 5)""".stripMargin
 
   /** K-means training CTE chain mirroring
     * [[graft.pipeline.Similarity.kmeansCentroids]] (k=8, 2 Lloyd
@@ -5361,6 +5411,29 @@ object QueriesPipeline {
          |$mrlCtes
          |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          |FROM mrl ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_binary" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |$binCtes
+         |SELECT query_id, rank, neighbor_id, hamming, round(cosine, 6) AS cosine
+         |FROM bin ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall_binary" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q JOIN e n ON q.vec_id < 5 AND q.vec_id <> n.vec_id)
+         |  WHERE rank <= 5),
+         |$binCtes
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(s.neighbor_id) AS BIGINT) AS binary_hits,
+         |  round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 6) AS binary_recall
+         |FROM brute b
+         |LEFT JOIN bin s ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "sq8_drift" -> {
       def stats(par: String, mAs: String, sAs: String) =

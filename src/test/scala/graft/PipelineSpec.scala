@@ -461,6 +461,39 @@ class PipelineSpec extends SparkSpec {
     shared.foreach(k => assert(mrl(k) == exact(k)))
   }
 
+  test("signBits: Horner packing puts dim 1 in the high bit; hamming = sign disagreements") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // 4-dim hand case: (+,-,+,-) -> 1010b = 10; (+,+,-,-) -> 1100b = 12
+    val rows = Seq(
+      Row(0L, Seq(1f, -1f, 2f, -3f)), Row(1L, Seq(1f, 4f, -2f, -1f))).asJava
+    val bits = spark.createDataFrame(rows, schema)
+      .select(Similarity.signBits(col("embedding"))).collect().map(_.getLong(0))
+    assert(bits.toSeq == Seq(10L, 12L))
+    // xor = 0110b -> hamming 2 = the two dims whose signs disagree
+    assert(java.lang.Long.bitCount(bits(0) ^ bits(1)) == 2)
+  }
+
+  test("topKBinary: re-rank cosines are exact; hamming shortlist keeps high recall at C=20") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pair(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")
+    val exact = Similarity.topK(e, k = 20).collect().map(pair).toMap
+    val bin = Similarity.topKBinary(e).collect().map(pair).toMap
+    // shared pairs carry the IDENTICAL float cosine — binary quantization
+    // is candidate generation only, never the served score
+    val shared = bin.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(bin(k) == exact(k)))
+    // 1-bit recall floor vs brute top-5: 64 sign bits retain enough
+    // angular signal on the isotropic fixture to recover most of top-5
+    val top5 = Similarity.topK(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = bin.keySet.count(top5)
+    assert(hits >= (top5.size * 0.5).toInt,
+      s"binary recall collapsed: $hits of ${top5.size}")
+  }
+
   test("knnGraph: shape (n·k rows, no self-edges, ranked) and NN-descent recall vs brute") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = e.count()
