@@ -20,6 +20,29 @@ object QueriesPipeline {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Bars.readEvents(s, dir)
 
+  /** PII FIXTURE for the `pii_*` queries — the [[Corpus.redactPii]]
+    * footer (same arithmetic as the `redact_pii` query) applied
+    * SPARSELY: doc_id % 3 == 0 gets the email, % 5 the phone, % 7 the
+    * IPv4 (doc 0 gets all three; ~43% of docs stay clean), so
+    * per-source rates genuinely vary. The operator never sees the
+    * injection — it runs real regexes over an opaque text column; the
+    * oracle rebuilds the same augmented text with the same arithmetic
+    * (the syntheticAudio stance).
+    */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" or +1 555-01"), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" node 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit(""))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
@@ -58,6 +81,16 @@ object QueriesPipeline {
     // .badwordsStats]].
     "quality_badwords" -> ((s, dir) =>
       TextOps.badwordsStats(docs(s, dir)).orderBy("doc_id")),
+
+    // Per-source PII audit: which ingest sources leak how much — the
+    // release-review companion to `redact_pii` (that query proves the
+    // scrub byte-for-byte per doc; this one answers WHERE the spans
+    // come from). Same staged regex counts, sparse fixture injection
+    // (see [[piiDocs]]) so rates genuinely vary by source; one shuffle
+    // on source with map-side combine. See
+    // [[graft.pipeline.Corpus.piiReport]].
+    "pii_report" -> ((s, dir) =>
+      Corpus.piiReport(piiDocs(s, dir)).orderBy("source")),
 
     // Tokenizer-fit table per language: whitespace words, byte-BPE
     // token count (the committed 256-merge table), and the two
@@ -3296,6 +3329,16 @@ object QueriesPipeline {
 
   private val Toks = "string_split(text, ' ')"
 
+  /** Oracle mirror of [[piiDocs]] — same sparse fixture arithmetic,
+    * same concatenation, so engine and oracle count the SAME spans.
+    */
+  private def piiFixtureSql: String =
+    s"""SELECT doc_id, source, concat(text,
+       |  CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END,
+       |  CASE WHEN doc_id % 5 = 0 THEN concat(' or +1 555-01', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
+       |  CASE WHEN doc_id % 7 = 0 THEN concat(' node 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END) AS text
+       |FROM read_parquet('{SFDIR}/documents.parquet')""".stripMargin
+
   /** DuckDB word n-gram shingles of a text column. */
   private def shinglesSql(n: Int): String =
     s"list_transform(range(1, len($Toks) - ${n - 2}), i -> array_to_string(list_slice($Toks, i, i + ${n - 1}), ' '))"
@@ -4137,6 +4180,30 @@ object QueriesPipeline {
          |  CAST(floor($blocked * 1000000.0 / len($Toks) + 0.5) AS BIGINT) <= 50000 AS keep
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin
     },
+
+    // Staged counts exactly as the redact_pii oracle (email on raw,
+    // IP on email-scrubbed, phone on IP-scrubbed), aggregated by
+    // source over the sparse fixture.
+    "pii_report" ->
+      s"""WITH piid AS ($piiFixtureSql),
+         |s1 AS (SELECT doc_id, source, text,
+         |         regexp_replace(text, '${Corpus.EmailRe}', '<EMAIL>', 'g') AS e1
+         |       FROM piid),
+         |s2 AS (SELECT *, regexp_replace(e1, '${Corpus.IpRe}', '<IP>', 'g') AS e2 FROM s1),
+         |st AS (SELECT source,
+         |         len(regexp_extract_all(text, '${Corpus.EmailRe}')) AS ne,
+         |         len(regexp_extract_all(e1, '${Corpus.IpRe}')) AS ni,
+         |         len(regexp_extract_all(e2, '${Corpus.PhoneRe}')) AS np
+         |       FROM s2)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(ne) AS BIGINT) AS emails,
+         |  CAST(sum(ni) AS BIGINT) AS ips,
+         |  CAST(sum(np) AS BIGINT) AS phones,
+         |  CAST(sum(ne) + sum(ni) + sum(np) AS BIGINT) AS pii_total,
+         |  CAST(floor(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS pii_doc_micro
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     "lang_consistency" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM read_parquet('{SFDIR}/documents.parquet')),

@@ -961,6 +961,38 @@ object Corpus {
       md5(e3).as("redacted_md5"))
   }
 
+  /** Per-source PII audit — the one-glance table a release review
+    * reads: which ingest sources leak how many spans of each kind,
+    * what fraction of their documents carry ANY span. Counts use the
+    * exact [[redactPii]] staged spelling (email counted on raw text,
+    * IP on the email-scrubbed text, phone on the IP-scrubbed text) so
+    * this report and the scrub can never disagree about what was
+    * found. One shuffle on source with map-side combine; the per-doc
+    * counting itself is the same map-only projection as the scrub, so
+    * at 100 TB the audit rides the corpus scan and exchanges only
+    * |sources| aggregate rows. Rate in exact integer per-micro.
+    */
+  def piiReport(docs: DataFrame): DataFrame = {
+    val e1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val e2 = regexp_replace(e1, IpRe, "<IP>")
+    val st = docs.select(
+      col("source"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("ne"),
+      regexp_count(e1, lit(IpRe)).cast("long").as("ni"),
+      regexp_count(e2, lit(PhoneRe)).cast("long").as("np"))
+    st.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ni") + col("np") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("ne")).as("emails"),
+        sum(col("ni")).as("ips"),
+        sum(col("np")).as("phones"))
+      .withColumn("pii_total", col("emails") + col("ips") + col("phones"))
+      .withColumn("pii_doc_micro",
+        floor(col("docs_with_pii") * 1000000.0 / col("n_docs") + 0.5).cast("bigint"))
+  }
+
   /** Per-document repetition signals (the Gopher/FineWeb-style quality
     * heuristics): `dup_trigram_frac` = fraction of word-3-gram
     * occurrences that are repeats of an earlier occurrence;

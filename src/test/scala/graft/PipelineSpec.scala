@@ -138,6 +138,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.getAs[String]("redacted_md5") == md)
   }
 
+  test("piiReport aggregates the staged redactPii counts by source") {
+    val rows = Seq(
+      Row(1L, "mail a.b@x.co and c.d@y.org here", "sa"),
+      Row(2L, "clean words only", "sa"),
+      Row(3L, "node 10.1.2.3 tel +44 20-7946 0958", "sb")).asJava
+    val out = graft.pipeline.Corpus.piiReport(
+        spark.createDataFrame(rows, docSchema))
+      .orderBy("source").collect()
+    assert(out.length == 2)
+    val sa = out(0)
+    assert(sa.getAs[Long]("n_docs") == 2L && sa.getAs[Long]("docs_with_pii") == 1L)
+    assert(sa.getAs[Long]("emails") == 2L && sa.getAs[Long]("pii_total") == 2L)
+    assert(sa.getAs[Long]("pii_doc_micro") == 500000L)
+    val sb = out(1)
+    assert(sb.getAs[Long]("ips") == 1L && sb.getAs[Long]("phones") == 1L)
+    assert(sb.getAs[Long]("pii_doc_micro") == 1000000L)
+  }
+
   test("exact dedup groups identical texts") {
     val d = docs((1L, "same text here"), (2L, "same text here"), (3L, "different"))
     val g = Dedup.exactGroups(d).orderBy("canonical_doc_id").collect()
