@@ -1952,6 +1952,15 @@ object QueriesPipeline {
       Corpus.packOffsets(docs(s, dir), ctx = 512L)
         .orderBy("doc_id")),
 
+    // Padding-waste audit: concat-split vs per-doc-pad vs bucket-pad,
+    // priced in exact per-micro wasted compute — the table read BEFORE
+    // choosing how to pack a corpus. One aggregate over the packOffsets
+    // frame, unpivoted to three strategy rows. See
+    // [[graft.pipeline.Corpus.packPaddingAudit]].
+    "pack_padding_audit" -> ((s, dir) =>
+      Corpus.packPaddingAudit(docs(s, dir), ctx = 512L)
+        .orderBy("strategy")),
+
     // pack_sequences with tokenizer-faithful accounting: the same
     // distributed-prefix packing plan denominated in [[Bpe]] subword
     // tokens (committed fixture merge table) instead of the whitespace
@@ -6539,6 +6548,46 @@ object QueriesPipeline {
          |  array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
          |  CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_chunk_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // One base CTE computes every strategy's closed-form components;
+    // three SELECTs unpivot it (engine: one agg + three projections).
+    "pack_padding_audit" -> {
+      val bucket = "CASE WHEN r <= 32 THEN 32 WHEN r <= 64 THEN 64 WHEN r <= 128 THEN 128 WHEN r <= 256 THEN 256 ELSE 512 END"
+      def waste(pad: String) = s"CAST(floor($pad * 1000000.0 / (t + $pad) + 0.5) AS BIGINT) AS waste_micro"
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS L
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, L, L % 512 AS r,
+         |    CAST(sum(L) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d),
+         |base AS (
+         |  SELECT
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(L) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN ((cum - L) // 512) <> ((cum - 1) // 512) THEN 1 ELSE 0 END) AS BIGINT) AS concat_split,
+         |    CAST(sum((L + 511) // 512) AS BIGINT) AS pd_seqs,
+         |    CAST(sum((L + 511) // 512 * 512 - L) AS BIGINT) AS pd_pad,
+         |    CAST(sum(CASE WHEN L > 512 THEN 1 ELSE 0 END) AS BIGINT) AS over_ctx,
+         |    CAST(sum(L // 512 + CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bk_seqs,
+         |    CAST(sum(CASE WHEN r = 0 THEN 0 ELSE ($bucket) - r END) AS BIGINT) AS bk_pad
+         |  FROM c)
+         |SELECT * FROM (
+         |  SELECT 'concat_split' AS strategy, n_docs, t AS total_tokens,
+         |    (t + 511) // 512 AS n_sequences,
+         |    (t + 511) // 512 * 512 - t AS padded_tokens,
+         |    concat_split AS docs_split,
+         |    ${waste("((t + 511) // 512 * 512 - t)")}
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 'per_doc_pad', n_docs, t, pd_seqs, pd_pad, over_ctx, ${waste("pd_pad")}
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 'bucket_pad', n_docs, t, bk_seqs, bk_pad, over_ctx, ${waste("bk_pad")}
+         |  FROM base)
+         |ORDER BY strategy""".stripMargin
+    },
 
     "pack_sequences" ->
       s"""WITH d AS (

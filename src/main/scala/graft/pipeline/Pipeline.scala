@@ -1329,6 +1329,64 @@ object Corpus {
     * path inherits packOffsets' no-single-partition plan; the explode
     * factor per doc is ceil(n_tokens/ctx)+1 at most.
     */
+  /** Padding-waste audit across the three packing strategies a trainer
+    * chooses between — the table that prices the choice in wasted
+    * FLOPs before anyone packs 100 TB the wrong way:
+    *
+    *  - `concat_split`: documents concatenated then split at every
+    *    `ctx` boundary (the [[packOffsets]] plan) — padding only in
+    *    the final window, but `docs_split` documents straddle a
+    *    boundary (attention sees truncated context);
+    *  - `per_doc_pad`: one-or-more sequences per document, each padded
+    *    to `ctx` — zero truncation, maximal padding (the naive
+    *    fine-tuning default);
+    *  - `bucket_pad`: per-document remainder padded only to the next
+    *    power-of-two bucket (32/64/128/256/ctx) — the bucketed-batch
+    *    compromise (sequences of one bucket batch together).
+    *
+    * All three are closed-form in per-document token counts, so the
+    * whole audit is ONE aggregate over the [[packOffsets]] frame (the
+    * distributed prefix plan already carries `n_tokens` and the
+    * boundary flag) unpivoted to three rows — at 100 TB it adds one
+    * global 1-row agg to a plan the pipeline already runs.
+    * `waste_micro` = padded/(real+padded) in exact integer per-micro:
+    * the fraction of trainer compute that would burn on pad tokens.
+    */
+  def packPaddingAudit(docs: DataFrame, ctx: Long = 512L): DataFrame = {
+    val off = packOffsets(docs, ctx)
+    val r = col("n_tokens") % ctx
+    val fullChunks = expr(s"n_tokens div $ctx")
+    val perDocSeqs = expr(s"(n_tokens + ${ctx - 1}) div $ctx")
+    val bucket = when(r <= 32, 32L).when(r <= 64, 64L)
+      .when(r <= 128, 128L).when(r <= 256, 256L).otherwise(ctx)
+    val a = off.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("t"),
+      sum(col("spans_boundary").cast("long")).as("concat_split"),
+      sum(perDocSeqs).as("pd_seqs"),
+      sum(perDocSeqs * ctx - col("n_tokens")).as("pd_pad"),
+      sum((col("n_tokens") > ctx).cast("long")).as("over_ctx"),
+      sum(fullChunks + when(r > 0, 1L).otherwise(0L)).as("bk_seqs"),
+      sum(when(r === 0, 0L).otherwise(bucket - r)).as("bk_pad"))
+    def strategyRow(name: String, seqs: Column, pad: Column, split: Column) =
+      a.select(
+        lit(name).as("strategy"),
+        col("n_docs"),
+        col("t").as("total_tokens"),
+        seqs.as("n_sequences"),
+        pad.as("padded_tokens"),
+        split.as("docs_split"),
+        floor(pad * 1000000.0 / (col("t") + pad) + 0.5).cast("bigint")
+          .as("waste_micro"))
+    val concatSeqs = expr(s"(t + ${ctx - 1}) div $ctx")
+    strategyRow("concat_split", concatSeqs, concatSeqs * ctx - col("t"),
+        col("concat_split"))
+      .unionAll(strategyRow("per_doc_pad", col("pd_seqs"), col("pd_pad"),
+        col("over_ctx")))
+      .unionAll(strategyRow("bucket_pad", col("bk_seqs"), col("bk_pad"),
+        col("over_ctx")))
+  }
+
   def packWindows(
       docs: DataFrame,
       ctx: Long = 512L,

@@ -138,6 +138,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.getAs[String]("redacted_md5") == md)
   }
 
+  test("packPaddingAudit: closed-form strategy math on hand-computed lengths") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, words(5)), (2L, words(40)), (3L, words(600)))
+    val out = graft.pipeline.Corpus.packPaddingAudit(d).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_sequences"), r.getAs[Long]("padded_tokens"),
+         r.getAs[Long]("docs_split"), r.getAs[Long]("waste_micro"))).toMap
+    // T = 645; concat: 2 windows, 1024-645=379 pad, doc3 straddles
+    assert(out("concat_split") == ((2L, 379L, 1L, 370117L)))
+    // per-doc: 1+1+2 seqs, 507+472+424 pad, doc3 over ctx
+    assert(out("per_doc_pad") == ((4L, 1403L, 1L, 685059L)))
+    // buckets: 5->32 (27), 40->64 (24), 600 = 512 + r 88 -> 128 (40)
+    assert(out("bucket_pad") == ((4L, 91L, 1L, 123641L)))
+  }
+
   test("piiReport aggregates the staged redactPii counts by source") {
     val rows = Seq(
       Row(1L, "mail a.b@x.co and c.d@y.org here", "sa"),
