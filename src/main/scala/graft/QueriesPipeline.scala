@@ -3295,6 +3295,16 @@ object QueriesPipeline {
     // centroid-table bytes. The table an operator reads before
     // retraining cells at a new corpus size — the "cells track corpus"
     // rule made quantitative.
+    // Shuffle-key skew planner over the event stream's two natural
+    // join keys: measured max/avg imbalance in exact per-mille and
+    // the saltedAgg salt factor that would level the hot key — the
+    // table read BEFORE keying a 100 TB join. See
+    // [[graft.plans.Scale.keySkewPlan]].
+    "join_skew_plan" -> ((s, dir) =>
+      graft.plans.Scale.keySkewPlan(
+          events(s, dir), Seq("user_id", "event_type"))
+        .orderBy("key_col")),
+
     "ivf_param_plan" -> ((s, dir) => {
       import s.implicits._
       val n = embs(s, dir).agg(count(lit(1)).as("n"))
@@ -7427,6 +7437,27 @@ object QueriesPipeline {
          |  ${pAt("0.7")} AS p_at_070,
          |  ${pAt("0.9")} AS p_at_090
          |FROM grid ORDER BY bands DESC""".stripMargin
+    },
+
+    "join_skew_plan" -> {
+      def block(kc: String) =
+        s"""(WITH kc AS (
+           |  SELECT CAST($kc AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+           |  FROM read_parquet('{SFDIR}/events.parquet') GROUP BY 1),
+           |g AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+           |        CAST(max(c) AS BIGINT) AS max_count FROM kc),
+           |t AS (SELECT k FROM kc ORDER BY c DESC, k ASC LIMIT 1)
+           |SELECT '$kc' AS key_col, n_rows, n_keys, max_count, t.k AS top_key,
+           |  n_rows * 1000 // n_keys AS avg_per_key_milli,
+           |  max_count * n_keys * 1000 // n_rows AS skew_milli,
+           |  (max_count * n_keys + n_rows - 1) // n_rows AS salt_factor,
+           |  (max_count * n_keys * 1000 // n_rows) > 4000 AS needs_salt
+           |FROM g, t)""".stripMargin
+      s"""SELECT * FROM (
+         |${block("user_id")}
+         |UNION ALL
+         |${block("event_type")})
+         |ORDER BY key_col""".stripMargin
     },
 
     "ivf_param_plan" ->

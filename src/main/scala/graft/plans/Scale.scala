@@ -27,6 +27,46 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Join/agg KEY-SKEW planner — measures, per candidate shuffle key,
+    * how unevenly its rows distribute and recommends the [[saltedAgg]]
+    * salt factor BEFORE a 100 TB shuffle discovers the hot key the
+    * hard way. For each key column: one groupBy(key).count (map-side
+    * combinable), one global 3-number aggregate over the key-count
+    * frame, and a TakeOrdered top-1 (partial top-k per partition — no
+    * single-partition window even at huge key cardinality).
+    *
+    *  - `skew_milli` = max_count/avg_count in exact integer per-mille
+    *    (`max·keys·1000 div rows`); 1000 = perfectly uniform;
+    *  - `salt_factor` = ceil(max/avg) — the number of salt buckets
+    *    that levels the hot key to an average reducer's load (what
+    *    [[saltedAgg]]'s `salts` wants);
+    *  - `needs_salt` at skew > 4x: below that AQE's runtime skew-join
+    *    split handles it without a plan change.
+    *
+    * Integer products stay exact while max_count·n_keys < 2^63 —
+    * true whenever the skew being measured is real (max ≈ rows/keys·
+    * skew); a perfectly adversarial corner (one giant key among 1e12
+    * singletons) should measure with per-micro dropped to per-cent.
+    */
+  def keySkewPlan(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyCols.map { kc =>
+      val counts = df.groupBy(col(kc).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val glob = counts.agg(
+        sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("c").as("max_count"))
+      val top = counts.orderBy(col("c").desc, col("k").asc).limit(1)
+        .select(col("k").as("top_key"))
+      glob.crossJoin(broadcast(top)).select(
+          lit(kc).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_count"), col("top_key"),
+          expr("n_rows * 1000 div n_keys").as("avg_per_key_milli"),
+          expr("max_count * n_keys * 1000 div n_rows").as("skew_milli"),
+          expr("(max_count * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+        .withColumn("needs_salt", col("skew_milli") > 4000L)
+    }.reduce(_ unionAll _)
+
   /** Two-phase salted aggregation for skew-prone keys: phase 1
     * aggregates on (key, salt) so a hot key's rows spread over
     * `salts` reducers; phase 2 merges the per-salt partials. Use when

@@ -28,6 +28,27 @@ class SaltSpec extends SparkSpec {
     }
   }
 
+  test("keySkewPlan: hand-computed skew math flags the hot key and sizes the salt") {
+    import spark.implicits._
+    // key 'hot' holds 12 of 16 rows over 5 keys: avg 3.2, skew 3.75x
+    val df = (Seq.fill(12)("hot") ++ Seq("a", "b", "c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val row = Scale.keySkewPlan(df, Seq("k")).collect().head
+    assert(row.getAs[Long]("n_rows") == 16L && row.getAs[Long]("n_keys") == 5L)
+    assert(row.getAs[Long]("max_count") == 12L && row.getAs[String]("top_key") == "hot")
+    assert(row.getAs[Long]("avg_per_key_milli") == 3200L)
+    assert(row.getAs[Long]("skew_milli") == 3750L) // 12*5*1000/16
+    assert(row.getAs[Long]("salt_factor") == 4L)   // ceil(12/3.2)
+    assert(!row.getAs[Boolean]("needs_salt"))      // 3.75x < 4x gate
+    // one more hot row tips the gate: 13*5*1000/17 = 3823 < 4000 still;
+    // quadruple instead: 48 hot of 52 -> 48*5*1000/52 = 4615 > 4000
+    val df2 = (Seq.fill(48)("hot") ++ Seq("a", "b", "c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val row2 = Scale.keySkewPlan(df2, Seq("k")).collect().head
+    assert(row2.getAs[Long]("skew_milli") == 4615L && row2.getAs[Boolean]("needs_salt"))
+    assert(row2.getAs[Long]("salt_factor") == 5L)  // ceil(48/10.4)
+  }
+
   test("salted aggregation plan: two hash-partitioned phases, salt pruned from output") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val salted = Scale.saltedAgg(
