@@ -1952,6 +1952,32 @@ object QueriesPipeline {
       Corpus.packOffsets(docs(s, dir), ctx = 512L)
         .orderBy("doc_id")),
 
+    // In-Context-Pretraining packing order (Shi et al. 2023): docs
+    // ordered by staged IVF home cell so related documents share
+    // context windows; same distributed prefix plan as pack_sequences
+    // over the composite (cell, doc_id) key. See
+    // [[graft.pipeline.Corpus.packSemanticOrder]].
+    "pack_semantic_order" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellAssignments(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      Corpus.packSemanticOrder(docs(s, dir), cells, ctx = 512L)
+        .orderBy("doc_id")
+    }),
+
+    // The 1-row gain instrument for semantic packing: adjacent
+    // same-cell fraction, semantic order (closed form n - cells) vs
+    // ingest order (one distributed lag). See
+    // [[graft.pipeline.Corpus.packSemanticGain]].
+    "pack_semantic_gain" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellAssignments(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      Corpus.packSemanticGain(docs(s, dir), cells)
+    }),
+
     // Padding-waste audit: concat-split vs per-doc-pad vs bucket-pad,
     // priced in exact per-micro wasted compute — the table read BEFORE
     // choosing how to pack a corpus. One aggregate over the packOffsets
@@ -6558,6 +6584,57 @@ object QueriesPipeline {
          |  array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
          |  CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_chunk_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Shared cell-assignment CTEs with every IVF oracle; skey mirrors
+    // the engine's (cell+1)*2^32 + doc_id composite order key.
+    "pack_semantic_order" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |d AS (
+         |  SELECT d.doc_id, CAST(coalesce(a.cid, -1) AS BIGINT) AS cell,
+         |    CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    (CAST(coalesce(a.cid, -1) AS BIGINT) + 1) * 4294967296 + d.doc_id AS skey
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN asg a ON a.vec_id = d.doc_id),
+         |c AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY skey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, cell, n_tokens,
+         |  cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // 512 AS first_window,
+         |  (cum - 1) // 512 AS last_window,
+         |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pack_semantic_gain" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |d AS (
+         |  SELECT d.doc_id, CAST(coalesce(a.cid, -1) AS BIGINT) AS cell
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN asg a ON a.vec_id = d.doc_id),
+         |lg AS (SELECT cell, lag(cell) OVER (ORDER BY doc_id) AS prev FROM d),
+         |ido AS (SELECT CAST(coalesce(sum(CASE WHEN cell = prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS id_same FROM lg),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(count(DISTINCT cell) AS BIGINT) AS n_cells FROM d)
+         |SELECT n_docs, n_cells,
+         |  n_docs - n_cells AS sem_same,
+         |  id_same,
+         |  (n_docs - n_cells) * 1000 // (n_docs - 1) AS sem_milli,
+         |  id_same * 1000 // (n_docs - 1) AS id_milli,
+         |  (n_docs - n_cells) * 1000 // (n_docs - 1) - id_same * 1000 // (n_docs - 1) AS gain_milli
+         |FROM g, ido""".stripMargin,
 
     // One base CTE computes every strategy's closed-form components;
     // three SELECTs unpivot it (engine: one agg + three projections).

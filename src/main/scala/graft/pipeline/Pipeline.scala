@@ -1387,6 +1387,71 @@ object Corpus {
         col("over_ctx")))
   }
 
+  /** SEMANTIC packing order — the In-Context Pretraining recipe (Shi
+    * et al. 2023): instead of packing documents in ingest order,
+    * order them so related documents land in the SAME context window
+    * and cross-document attention sees related text. Here "related" =
+    * the session-staged IVF home cell (the SemDeDup-family semantic
+    * bucketing the pipeline already maintains): the pack order key is
+    * `(cell, doc_id)` encoded as one BIGINT (`(cell+1)·2^32 + doc_id`
+    * — cell −1 = unembedded docs, bucketed together rather than
+    * dropped), and the offsets are the SAME distributed prefix plan
+    * as [[packOffsets]] (range partition on the composite key, no
+    * SinglePartition exchange). At 100 TB the only addition over
+    * vanilla packing is the broadcast-cells join — the descent/
+    * k-means cost is already sunk in the staged chain.
+    */
+  def packSemanticOrder(
+      docs: DataFrame,
+      cells: DataFrame,
+      ctx: Long = 512L,
+      numParts: Int = 32): DataFrame = {
+    val keyed = docs.join(cells, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cid").cast("bigint"), lit(-1L)).as("cell"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("skey", (col("cell") + 1L) * 4294967296L + col("doc_id"))
+    graft.plans.Scale.cumSumDistributedLong(keyed, "n_tokens", "skey", "_cum", numParts)
+      .withColumn("start_offset", col("_cum") - col("n_tokens"))
+      .withColumn("first_window", expr(s"start_offset div $ctx"))
+      .withColumn("last_window", expr(s"(_cum - 1) div $ctx"))
+      .select(
+        col("doc_id"), col("cell"), col("n_tokens"), col("start_offset"),
+        col("first_window"), col("last_window"),
+        (col("first_window") =!= col("last_window")).as("spans_boundary"))
+  }
+
+  /** The 1-row instrument that prices [[packSemanticOrder]]: the
+    * fraction of ADJACENT document pairs sharing a semantic cell
+    * under semantic order vs ingest (doc_id) order. Semantic-order
+    * adjacency is closed-form — contiguous cells make same-cell
+    * neighbors exactly `n_docs − n_cells` — so the only data pass is
+    * one distributed lag over ingest order ([[graft.plans.Scale
+    * .lagDistributed]]: range partition + boundary composition, no
+    * SinglePartition window) and one global aggregate. Exact integer
+    * per-mille.
+    */
+  def packSemanticGain(docs: DataFrame, cells: DataFrame): DataFrame = {
+    val keyed = docs.join(cells, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cid").cast("bigint"), lit(-1L)).as("cell"))
+    val lagged = graft.plans.Scale.lagDistributed(keyed, "cell", "doc_id", "prev_cell")
+    lagged.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cell")).as("n_cells"),
+        coalesce(sum((col("cell") === col("prev_cell")).cast("long")), lit(0L))
+          .as("id_same"))
+      .select(
+        col("n_docs"), col("n_cells"),
+        (col("n_docs") - col("n_cells")).as("sem_same"),
+        col("id_same"),
+        expr("(n_docs - n_cells) * 1000 div (n_docs - 1)").as("sem_milli"),
+        expr("id_same * 1000 div (n_docs - 1)").as("id_milli"))
+      .withColumn("gain_milli", col("sem_milli") - col("id_milli"))
+  }
+
   def packWindows(
       docs: DataFrame,
       ctx: Long = 512L,

@@ -138,6 +138,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.getAs[String]("redacted_md5") == md)
   }
 
+  test("packSemanticOrder groups cells contiguously; packSemanticGain closed form") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // ingest order interleaves cells A/B; semantic order must regroup
+    val d = docs((1L, words(10)), (2L, words(20)), (3L, words(30)), (4L, words(40)))
+    val cells = Seq((1L, 7), (2L, 3), (3L, 7), (4L, 3)).toDF("doc_id", "cid")
+    val out = graft.pipeline.Corpus.packSemanticOrder(d, cells, ctx = 32L)
+      .orderBy("start_offset").collect()
+    // cell 3 docs (2, 4) pack before cell 7 docs (1, 3), id-ordered within
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 4L, 1L, 3L))
+    assert(out.map(_.getAs[Long]("start_offset")).toSeq == Seq(0L, 20L, 60L, 70L))
+    val g = graft.pipeline.Corpus.packSemanticGain(d, cells).collect().head
+    // semantic adjacency: 4 docs - 2 cells = 2 of 3 pairs; ingest: 0
+    assert(g.getAs[Long]("sem_same") == 2L && g.getAs[Long]("id_same") == 0L)
+    assert(g.getAs[Long]("sem_milli") == 666L && g.getAs[Long]("gain_milli") == 666L)
+  }
+
   test("packPaddingAudit: closed-form strategy math on hand-computed lengths") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val d = docs((1L, words(5)), (2L, words(40)), (3L, words(600)))
