@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, VarAlphaEwmaWindow, WinnowF, WordpieceEncodeF}
+import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, BpePairsF, DotProductF, DotProductFD, EwmaWindow, QmFeaturesF, SimhashBitsF, TextCountsF, UnigramEncodeF, VarAlphaEwmaWindow, WinnowF, WordpieceEncodeF}
 
 /** SQL surface for graft's custom catalyst expressions.
   *
@@ -42,6 +42,8 @@ import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, 
   *  - `wordpiece_encode(text)` — the greedy longest-match WordPiece
   *    piece array over the committed vocabulary (`##` continuation
   *    prefixes; token count = size of the result).
+  *  - `unigram_encode(text)` — the Viterbi max-log-prob Unigram-LM
+  *    piece array over the committed budgeted vocabulary.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -169,6 +171,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "wordpiece_encode(text) takes 1 argument")
         WordpieceEncodeF(args.head)
+      }),
+    (
+      "unigram_encode",
+      new ExpressionInfo(classOf[UnigramEncodeF].getName, "unigram_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "unigram_encode(text) takes 1 argument")
+        UnigramEncodeF(args.head)
       }))
 
   /** Register on an already-built session. */

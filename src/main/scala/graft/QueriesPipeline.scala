@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, KnnChain, Multimodal, Sessionize, Similarity, TextOps, Wordpiece}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, KnnChain, Multimodal, Sessionize, Similarity, TextOps, Unigram, Wordpiece}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -200,6 +200,81 @@ object QueriesPipeline {
           array_join(p, " ").as("pieces_str"))
         .orderBy("doc_id")
     }),
+
+    // Unigram-LM (SentencePiece) tokenization — the THIRD tokenizer
+    // family: per-word VITERBI max-log-prob segmentation over the
+    // committed budgeted vocab (integer micro scores, so the DP is
+    // exact and the oracle's path-enumeration argmax matches
+    // bit-for-bit). Map-only kernel pass; same fertility accounting
+    // as tokenizer_wordpiece. See [[graft.pipeline.Unigram]].
+    "tokenizer_unigram" -> ((s, dir) => {
+      val p = Unigram.pieces(col("text"))
+      val words = filter(TextOps.tokens(col("text")), w => length(w) > 0)
+      docs(s, dir).select(
+          col("doc_id"),
+          size(p).cast("bigint").as("uni_tokens"),
+          size(words).cast("bigint").as("n_words"))
+        .select(
+          col("doc_id"), col("uni_tokens"), col("n_words"),
+          when(col("n_words") > 0,
+            round(col("uni_tokens").cast("double") / col("n_words"), 6))
+            .as("fertility"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus piece-usage distribution under the budgeted unigram
+    // vocab — budget survivors serve whole words, everything else
+    // pays per-char; the table a vocabulary-budget decision reads
+    // next to wordpiece_piece_freq. One explode + one combinable agg.
+    "unigram_piece_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(Unigram.pieces(col("text"))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(50)),
+
+    // Viterbi on OUT-OF-VOCABULARY words: each doc's first two words
+    // glued into one unseen token — the multi-piece lattice search
+    // (top-budget pieces compete against char decompositions inside
+    // one word) stays oracle-gated even where corpus words alone
+    // would segment trivially. Mirrors wordpiece_oov.
+    "unigram_oov" -> ((s, dir) => {
+      val toks = filter(TextOps.tokens(col("text")), w => length(w) > 0)
+      val oov = concat(element_at(toks, 1), element_at(toks, 2))
+      val p = Unigram.pieces(oov)
+      docs(s, dir)
+        .where(size(toks) >= 2)
+        .select(col("doc_id"), oov.as("word"),
+          size(p).cast("bigint").as("n_pieces"),
+          array_join(p, " ").as("pieces_str"))
+        .orderBy("doc_id")
+    }),
+
+    // The word-bounded tokenizer pair priced against each other: per
+    // source, WordPiece-at-saturation (fertility floor 1) vs the
+    // BUDGETED unigram vocab — uni_delta_milli is what the vocabulary
+    // budget costs in extra tokens per source. Two map-only kernels,
+    // one source agg.
+    "tokenizer_compare_unigram" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          col("source"),
+          size(filter(TextOps.tokens(col("text")), w => length(w) > 0))
+            .cast("bigint").as("nw"),
+          Wordpiece.tokenCount(col("text")).as("nwp"),
+          Unigram.tokenCount(col("text")).as("nuni"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum("nw").cast("bigint").as("n_words"),
+          sum("nwp").cast("bigint").as("n_wp"),
+          sum("nuni").cast("bigint").as("n_uni"))
+        .select(
+          col("source"), col("n_docs"), col("n_words"), col("n_wp"), col("n_uni"),
+          round(col("n_wp").cast("double") / col("n_words"), 6).as("wp_per_word"),
+          round(col("n_uni").cast("double") / col("n_words"), 6).as("uni_per_word"),
+          expr("(n_uni - n_wp) * 1000 div n_wp").as("uni_delta_milli"))
+        .orderBy("source")),
 
     // Cross-tokenizer accounting: per source, the SAME text mass
     // denominated in whitespace words, saturated-BPE symbols and
@@ -3468,6 +3543,68 @@ object QueriesPipeline {
        |wppieces AS (SELECT word, piece FROM wpwalk WHERE piece IS NOT NULL)""".stripMargin
   }
 
+  /** Unigram oracle CTE chain mirroring [[graft.pipeline.Unigram]]'s
+    * Viterbi kernel. Viterbi has NO deterministic successor (the best
+    * piece at a position depends on the whole suffix), so unlike the
+    * WordPiece walk the oracle ENUMERATES every segmentation path —
+    * bounded here by short corpus words (≤ 2^(len−1) paths/word over
+    * ≤ 40-char words) — and argmaxes `ORDER BY score DESC, lens DESC`,
+    * which the kernel's right-to-left DP tie rule provably equals
+    * (equal-total paths share prefixes up to their first diverging
+    * boundary, so suffix-lexicographic = full-lens-lexicographic).
+    * `lens` encodes each piece length as `chr(64+len)`; the linear
+    * `ugwalk` re-derives the pieces from the winning lens string.
+    * Defines: ugvocab (committed (piece, score_micro) literals),
+    * ugwords, ugsteps (vocab edges + byte-fallback edges on chars
+    * outside the vocab), ugpaths, ugbest, ugcounts (word -> piece
+    * count), ugpieces (word -> emitted pieces). Queries embedding
+    * this chain must spell `WITH RECURSIVE`.
+    */
+  private def unigramCtes: String = unigramCtesOver(
+    s"""SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w
+       |    FROM read_parquet('{SFDIR}/documents.parquet'))
+       |  WHERE len(w) > 0""".stripMargin)
+
+  private def unigramCtesOver(wordsSel: String): String = {
+    val vocabVals = graft.pipeline.Unigram.Vocab
+      .map { case (p, sc) => s"('$p', $sc)" }.mkString(", ")
+    val fb = graft.pipeline.Unigram.FallbackMicro
+    s"""ugvocab AS (SELECT piece, CAST(sc AS BIGINT) AS sc FROM (VALUES $vocabVals) v(piece, sc)),
+       |ugwords AS MATERIALIZED (
+       |  $wordsSel),
+       |ugsteps AS MATERIALIZED (
+       |  SELECT w.word, p.pos, len(v.piece) AS l, v.sc
+       |  FROM ugwords w, range(1, 41) p(pos), ugvocab v
+       |  WHERE p.pos <= len(w.word) AND substr(w.word, p.pos, len(v.piece)) = v.piece
+       |  UNION ALL
+       |  SELECT w.word, p.pos, 1, CAST($fb AS BIGINT)
+       |  FROM ugwords w, range(1, 41) p(pos)
+       |  WHERE p.pos <= len(w.word) AND NOT EXISTS (
+       |    SELECT 1 FROM ugvocab v WHERE v.piece = substr(w.word, p.pos, 1))),
+       |ugpaths(word, pos, score, lens) AS (
+       |  SELECT word, 1, CAST(0 AS BIGINT), '' FROM ugwords
+       |  UNION ALL
+       |  SELECT p.word, p.pos + s.l, p.score + s.sc, p.lens || chr(CAST(64 + s.l AS INTEGER))
+       |  FROM ugpaths p JOIN ugsteps s ON s.word = p.word AND s.pos = p.pos),
+       |ugbest AS MATERIALIZED (
+       |  SELECT word, lens, score FROM (
+       |    SELECT word, lens, score,
+       |      row_number() OVER (PARTITION BY word ORDER BY score DESC, lens DESC) AS rn
+       |    FROM ugpaths WHERE pos = len(word) + 1)
+       |  WHERE rn = 1),
+       |ugcounts AS (SELECT word, CAST(len(lens) AS BIGINT) AS n_pieces, score FROM ugbest),
+       |ugwalk(word, k, pos, piece) AS (
+       |  SELECT word, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS VARCHAR) FROM ugbest
+       |  UNION ALL
+       |  SELECT w.word, w.k + 1,
+       |    w.pos + ascii(substr(b.lens, CAST(w.k + 1 AS INTEGER), 1)) - 64,
+       |    substr(b.word, CAST(w.pos AS INTEGER), ascii(substr(b.lens, CAST(w.k + 1 AS INTEGER), 1)) - 64)
+       |  FROM ugwalk w JOIN ugbest b ON b.word = w.word
+       |  WHERE w.k < len(b.lens)),
+       |ugpieces AS (SELECT word, k, piece FROM ugwalk WHERE piece IS NOT NULL)""".stripMargin
+  }
+
   /** CTE chain mirroring [[graft.pipeline.Similarity.topKSq8]]: final
     * CTE `sq8` carries (query_id, rank, neighbor_id, cosine). Expects
     * a CTE `e(vec_id, embedding)`. The encode spelling `floor(... +
@@ -4365,6 +4502,79 @@ object QueriesPipeline {
          |FROM dw JOIN wpcounts c ON c.word = dw.word JOIN wps s ON s.word = dw.word
          |ORDER BY doc_id""".stripMargin
     },
+
+    "tokenizer_unigram" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |docw AS (
+         |  SELECT d.doc_id, t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c.n_pieces) AS BIGINT) AS uni_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_words
+         |  FROM docw JOIN ugcounts c ON c.word = docw.w GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.uni_tokens, 0) AS uni_tokens,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  CASE WHEN coalesce(a.n_words, 0) > 0
+         |       THEN round(CAST(a.uni_tokens AS DOUBLE) / a.n_words, 6) END AS fertility
+         |FROM read_parquet('{SFDIR}/documents.parquet') d
+         |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "unigram_piece_freq" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |docw AS (
+         |  SELECT t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0)
+         |SELECT p.piece, CAST(count(*) AS BIGINT) AS cnt
+         |FROM docw JOIN ugpieces p ON p.word = docw.w
+         |GROUP BY p.piece ORDER BY cnt DESC, piece ASC LIMIT 50""".stripMargin,
+
+    "unigram_oov" -> {
+      val oovWords =
+        s"""SELECT DISTINCT t[1] || t[2] AS word FROM (
+           |    SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+           |    FROM read_parquet('{SFDIR}/documents.parquet'))
+           |  WHERE len(t) >= 2""".stripMargin
+      s"""WITH RECURSIVE ${unigramCtesOver(oovWords)},
+         |dw AS (
+         |  SELECT doc_id, t[1] || t[2] AS word FROM (
+         |    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+         |    FROM read_parquet('{SFDIR}/documents.parquet'))
+         |  WHERE len(t) >= 2),
+         |ups AS (
+         |  SELECT word, array_to_string(list(piece ORDER BY k), ' ') AS pieces_str
+         |  FROM ugwalk WHERE piece IS NOT NULL GROUP BY word)
+         |SELECT dw.doc_id AS doc_id, dw.word AS word, c.n_pieces AS n_pieces,
+         |  s.pieces_str AS pieces_str
+         |FROM dw JOIN ugcounts c ON c.word = dw.word JOIN ups s ON s.word = dw.word
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "tokenizer_compare_unigram" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |$unigramCtes,
+         |docw AS (
+         |  SELECT d.doc_id, d.source, t.w
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wc.n_pieces) AS BIGINT) AS n_wp,
+         |    CAST(sum(uc.n_pieces) AS BIGINT) AS n_uni
+         |  FROM docw
+         |  JOIN wpcounts wc ON wc.word = docw.w
+         |  JOIN ugcounts uc ON uc.word = docw.w
+         |  GROUP BY source)
+         |SELECT source, n_docs, n_words, n_wp, n_uni,
+         |  round(CAST(n_wp AS DOUBLE) / n_words, 6) AS wp_per_word,
+         |  round(CAST(n_uni AS DOUBLE) / n_words, 6) AS uni_per_word,
+         |  (n_uni - n_wp) * 1000 // n_wp AS uni_delta_milli
+         |FROM agg ORDER BY source""".stripMargin,
 
     "tokenizer_compare" ->
       s"""WITH RECURSIVE $wordpieceCtes,

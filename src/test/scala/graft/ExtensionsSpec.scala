@@ -94,6 +94,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getSeq[String](0).head == "window", "in-vocab word is one piece")
   }
 
+  test("unigram_encode is callable from SQL and matches the kernel") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT unigram_encode('window batch') AS p").collect().head
+    assert(got.getSeq[String](0) ==
+      graft.pipeline.Unigram.encodeString("window batch"))
+    assert(got.getSeq[String](0).head == "window", "budget survivor is one piece")
+  }
+
   test("bpe_decode, bpe_pairs and qm_features are callable from SQL") {
     GraftExtensions.register(spark)
     val got = spark.sql(

@@ -2515,6 +2515,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Unigram kernel: Viterbi beats greedy, tie-break is lens-lexicographic, fallback lossless") {
+    import org.apache.spark.sql.graft.expressions.UnigramEncodeF.segmentWord
+    // greedy longest-match would take 'abc' (-2.5); Viterbi finds the
+    // higher-scoring split 'ab'+'c' (-2.2)
+    val v1 = Map("ab" -> -1000000L, "abc" -> -2500000L, "c" -> -1200000L,
+      "a" -> -2000000L, "b" -> -2000000L)
+    assert(segmentWord("abc", v1, 3, -30000000L) == Seq("ab", "c"))
+    // engineered three-way score tie on 'aaa': 'aa'+'a' (lens "BA"),
+    // 'a'+'aa' ("AB"), 'a'+'a'+'a' ("AAA") all sum -3.0; the greatest
+    // lens string must win — the rule the oracle's ORDER BY mirrors
+    val v2 = Map("aa" -> -2000000L, "a" -> -1000000L)
+    assert(segmentWord("aaa", v2, 2, -30000000L) == Seq("aa", "a"))
+    // chars outside the committed vocab fall back losslessly
+    val oov = pipeline.Unigram.encodeString("xyzzy")
+    assert(oov.mkString == "xyzzy" && oov.forall(_.length == 1))
+  }
+
+  test("Unigram kernel: corpus segmentations are score-OPTIMAL and lossless") {
+    val vocab = pipeline.Unigram.Vocab.toMap
+    val fb = pipeline.Unigram.FallbackMicro
+    def score(ps: Seq[String]): Long =
+      ps.map(p => vocab.getOrElse(p, if (p.length == 1) fb else Long.MinValue)).sum
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to w.length).flatMap { l =>
+        val p = w.substring(0, l)
+        if (vocab.contains(p) || l == 1) allSegs(w.substring(l)).map(p +: _)
+        else Nil
+      }
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val got = pipeline.Unigram.encodeString(w)
+      assert(got.mkString == w, s"lossy segmentation of '$w': $got")
+      val best = allSegs(w).map(score).max
+      assert(score(got) == best,
+        s"suboptimal segmentation of '$w': $got scores ${score(got)} < $best")
+    }
+  }
+
+  test("UnigramTrain: distributed hard-EM reproduces the committed table") {
+    val words = tools.WordpieceTrain.wordFreq(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text"))
+    val rows = tools.UnigramTrain.train(words, budget = 16)
+    assert(rows == pipeline.Unigram.Vocab,
+      "trainer must be deterministic against the committed fixture")
+  }
+
   test("WordpieceTrain guards: non-printable and '#' words rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
