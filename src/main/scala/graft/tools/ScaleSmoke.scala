@@ -743,6 +743,34 @@ object ScaleSmoke {
     // corpus rows.
     def sq8(e: DataFrame): Long = graft.pipeline.Similarity.topKSq8(e).count()
     def mrl(e: DataFrame): Long = graft.pipeline.Similarity.topKMrl(e).count()
+    def bin(e: DataFrame): Long = graft.pipeline.Similarity.topKBinary(e).count()
+
+    // Unigram: the Viterbi kernel is map-only like the WordPiece row;
+    // the piece-freq agg is vocabulary-bounded — linear.
+    def uni(d: DataFrame): Long =
+      d.select(explode(graft.pipeline.Unigram.pieces(col("text"))).as("p"))
+        .groupBy("p").agg(count(lit(1))).count()
+
+    // PII audit: staged regex counts are map-only; the source agg is
+    // source-bounded — linear.
+    def piiRep(d: DataFrame): Long = graft.pipeline.Corpus.piiReport(d).count()
+
+    // Padding audit: one aggregate over the packOffsets prefix frame.
+    def padAudit(d: DataFrame): Long =
+      graft.pipeline.Corpus.packPaddingAudit(d).count()
+
+    // Semantic pack order: broadcast cells join + the same distributed
+    // prefix plan as pack offsets (synthetic mod-8 cells — the k-means
+    // cost is measured by its own row).
+    def semOrder(d: DataFrame): Long = {
+      import spark.implicits._
+      val cells = d.select(col("doc_id"), (col("doc_id") % 8).cast("int").as("cid"))
+      graft.pipeline.Corpus.packSemanticOrder(d, cells, ctx = 512L).count()
+    }
+
+    // Key-skew planner: one combinable groupBy per key + TakeOrdered.
+    def keySkew(ev: DataFrame): Long =
+      graft.plans.Scale.keySkewPlan(ev, Seq("user_id", "event_type")).count()
 
     // WordPiece: the greedy-match kernel is map-only; the piece-freq
     // agg is vocabulary-bounded — linear.
@@ -876,7 +904,13 @@ object ScaleSmoke {
         val eN = amplifyEmbDecor(emb1, n)
         val dN = amplifyDocs(docs1, n)
         (time("align 1x", alignGate(docs1, emb1)), time(s"align ${n}x", alignGate(dN, eN)))
-      }))
+      }),
+      "ann binary topk" -> (() => (time("bin 1x", bin(emb1)), time(s"bin ${n}x", bin(embN)))),
+      "unigram pieces" -> (() => (time("uni 1x", uni(docs1)), time(s"uni ${n}x", uni(docsN)))),
+      "pii report" -> (() => (time("piirep 1x", piiRep(docs1)), time(s"piirep ${n}x", piiRep(docsN)))),
+      "padding audit" -> (() => (time("padaudit 1x", padAudit(docs1)), time(s"padaudit ${n}x", padAudit(docsN)))),
+      "semantic pack order" -> (() => (time("semorder 1x", semOrder(docs1)), time(s"semorder ${n}x", semOrder(docsN)))),
+      "key skew plan" -> (() => (time("keyskew 1x", keySkew(ev1)), time(s"keyskew ${n}x", keySkew(evN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
