@@ -2699,6 +2699,54 @@ object QueriesPipeline {
     // is ≤ one row per user). Exact per-mille conversions, zero-guard
     // shared with the oracle. The sessionize/retention sibling every
     // event log serves.
+    // Exact-N uniform sample ("give me exactly 100 eval docs"): rank
+    // every doc by a salted content-free hash of its id and take the
+    // N smallest — a deterministic draw no rate-based sampler can
+    // promise (rates give BINOMIAL sizes). Plan is TakeOrdered:
+    // per-partition partial top-N, one N-row merge — no global sort,
+    // no single-partition window, at any corpus size.
+    "corpus_sample_fixed_n" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.hash32(concat(lit("fixn:"), col("doc_id").cast("string")))
+            .as("pick_key"))
+        .orderBy(col("pick_key").asc, col("doc_id").asc)
+        .limit(100)),
+
+    // Last-touch revenue attribution: each purchase's value goes to
+    // the channel (the props integer — a campaign-id proxy) of the
+    // most recent SAME-USER click within the 6h window; purchases
+    // with no qualifying click land in channel -1 (priced, not
+    // dropped). One user-keyed equi-join bounded by per-user event
+    // counts + one per-purchase max-struct agg + one channel rollup;
+    // money in exact integer cents.
+    "events_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val e = ev.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        graft.sources.Bars.eventTimeMicros(ev).as("us"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("channel"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("us").as("pus"),
+          floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"), col("event_id").as("cid"),
+          col("channel"))
+      val w = lit(21600000000L) // 6h in micros
+      val best = purchases.join(clicks, Seq("user_id"))
+        .where(col("cus") < col("pus") && col("pus") - col("cus") <= w)
+        .groupBy("pid")
+        .agg(max(struct(col("cus"), col("cid"), col("channel"))).as("b"))
+        .select(col("pid"), col("b.channel").as("channel"))
+      purchases.join(best, Seq("pid"), "left")
+        .select(coalesce(col("channel"), lit(-1)).as("channel"), col("cents"))
+        .groupBy("channel")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_purchases"),
+          sum(col("cents")).as("attributed_cents"))
+        .orderBy("channel")
+    }),
+
     "events_funnel" -> ((s, dir) => {
       val ev = events(s, dir)
       val e = ev.select(col("user_id"), col("event_type"),
@@ -7843,6 +7891,35 @@ object QueriesPipeline {
         |  round(sum(value), 6) AS sum_value
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
+
+    "corpus_sample_fixed_n" ->
+      s"""SELECT doc_id, source,
+         |  ${h32("concat('fixn:', CAST(doc_id AS VARCHAR))")} AS pick_key
+         |FROM read_parquet('{SFDIR}/documents.parquet')
+         |ORDER BY pick_key ASC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "events_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us,
+         |    CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) AS channel
+         |  FROM events),
+         |p AS (SELECT event_id AS pid, user_id, us AS pus,
+         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |      FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, us AS cus, event_id AS cid, channel
+         |      FROM e WHERE event_type = 'click'),
+         |best AS (
+         |  SELECT pid, channel FROM (
+         |    SELECT p.pid, c.channel,
+         |      row_number() OVER (PARTITION BY p.pid ORDER BY c.cus DESC, c.cid DESC) AS rn
+         |    FROM p JOIN c ON c.user_id = p.user_id
+         |      AND c.cus < p.pus AND p.pus - c.cus <= 21600000000)
+         |  WHERE rn = 1)
+         |SELECT coalesce(b.channel, -1) AS channel,
+         |  CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(p.cents) AS BIGINT) AS attributed_cents
+         |FROM p LEFT JOIN best b USING (pid)
+         |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "events_funnel" -> {
       val names = Seq("view", "click", "signup", "purchase")

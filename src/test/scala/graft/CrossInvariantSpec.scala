@@ -11,6 +11,53 @@ class CrossInvariantSpec extends SparkSpec {
 
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("events_attribution: last touch wins, window excludes, unattributed priced at -1") {
+    import spark.implicits._
+    // user 1: clicks ch 7 @t10, ch 9 @t20; purchase @t25 -> ch 9 (last touch)
+    // user 2: click ch 3 @t0; purchase @t0 + 7h -> outside 6h window -> -1
+    // user 3: purchase, no clicks at all -> -1
+    val h = 3600000000L
+    val rows = Seq(
+      (1L, 1L, "click", 0.0, 10L * h, "{\"k\": 7}"),
+      (2L, 1L, "click", 0.0, 20L * h, "{\"k\": 9}"),
+      (3L, 1L, "purchase", 10.0, 25L * h, "{\"k\": 1}"),
+      (4L, 2L, "click", 0.0, 0L, "{\"k\": 3}"),
+      (5L, 2L, "purchase", 20.5, 7L * h, "{\"k\": 1}"),
+      (6L, 3L, "purchase", 5.25, 50L * h, "{\"k\": 1}"))
+      .toDF("event_id", "user_id", "event_type", "value", "us", "props")
+    // inline the query body against a pre-computed micros column
+    val e = rows.withColumn("channel",
+      regexp_extract(col("props"), "(\\d+)", 1).cast("int"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("us").as("pus"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"), col("event_id").as("cid"),
+        col("channel"))
+    val best = p.join(c, Seq("user_id"))
+      .where(col("cus") < col("pus") && col("pus") - col("cus") <= lit(6L * h))
+      .groupBy("pid")
+      .agg(max(struct(col("cus"), col("cid"), col("channel"))).as("b"))
+      .select(col("pid"), col("b.channel").as("channel"))
+    val out = p.join(best, Seq("pid"), "left")
+      .select(coalesce(col("channel"), lit(-1)).as("channel"), col("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .orderBy("channel").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((-1, 2L, 2575L), (9, 1L, 1000L)))
+  }
+
+  test("corpus_sample_fixed_n plan is partial top-k (TakeOrdered), never a global sort") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = QueriesPipeline.queries("corpus_sample_fixed_n")
+    val df = q(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-N sample must be a partial top-k:\n$plan")
+    assert(df.count() == math.min(100L, d.count()))
+  }
+
   test("exact duplicates land in one winnow cluster (long docs)") {
     // Any two identical documents of >= w+n-1 tokens share every
     // fingerprint, so winnow clustering must put them in the same
