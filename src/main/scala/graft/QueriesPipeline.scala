@@ -1983,6 +1983,33 @@ object QueriesPipeline {
     // at parity, sample training removes the only full-corpus pass
     // from IVF build. See
     // [[graft.pipeline.Similarity.kmeansCentroidsSampled]].
+    // IVF index drift monitor (the sq8_drift stance for the cell
+    // structure): under the FROZEN serving centroids, compare each
+    // cell's population share between the base half (what the index
+    // was built for) and the delta half (new ingest) — a cell whose
+    // share shifts >100 per-mille is the retrain trigger, read per
+    // cell so the operator sees WHERE the corpus moved. Map-only
+    // assignment vs broadcast staged centroids + one 8-row agg.
+    "ivf_cell_drift" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val asg = Similarity.cellAssignments(
+          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+        .withColumn("is_delta", col("vec_id") % 2 === 1)
+      val agg = asg.groupBy("cid").agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      val tot = broadcast(agg.agg(
+        sum("n_base").as("tb"), sum("n_delta").as("td")))
+      agg.crossJoin(tot)
+        .select(
+          col("cid"), col("n_base"), col("n_delta"),
+          expr("n_base * 1000 div tb").as("base_pm"),
+          expr("n_delta * 1000 div td").as("delta_pm"))
+        .withColumn("drift_pm", abs(col("base_pm") - col("delta_pm")))
+        .withColumn("retrain", col("drift_pm") > 100L)
+        .orderBy("cid")
+    }),
+
     "ann_recall_ivf_sampled" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
@@ -6454,6 +6481,28 @@ object QueriesPipeline {
     // chain is KmeansCtes verbatim; the sampled chain repeats the
     // same Lloyd spelling over the hash-sample with rank-of-sampled-id
     // init; both serve through the identical probe/rank block.
+    "ivf_cell_drift" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |agg AS (
+         |  SELECT cid,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+         |  FROM asg GROUP BY cid),
+         |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |               CAST(sum(n_delta) AS BIGINT) AS td FROM agg)
+         |SELECT cid, n_base, n_delta,
+         |  n_base * 1000 // tb AS base_pm,
+         |  n_delta * 1000 // td AS delta_pm,
+         |  abs(n_base * 1000 // tb - n_delta * 1000 // td) AS drift_pm,
+         |  abs(n_base * 1000 // tb - n_delta * 1000 // td) > 100 AS retrain
+         |FROM agg, tot ORDER BY cid""".stripMargin,
+
     "ann_recall_ivf_sampled" -> {
       def sAssign(cPrev: String, name: String) =
         s"""$name AS MATERIALIZED (

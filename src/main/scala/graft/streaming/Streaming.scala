@@ -598,6 +598,52 @@ object Streaming {
         })
   }
 
+  case class AttrEvent(
+      event_id: Long, user_id: Long, event_type: String, value: Double,
+      us: Long, channel: Int)
+  case class AttrOut(pid: Long, channel: Int, cents: Long)
+  case class LastClick(cus: Long, cid: Long, channel: Int)
+
+  /** STREAMING last-touch attribution — the ingest half of the batch
+    * `events_attribution` rollup: per user, keyed state holds the most
+    * recent click (ts, id, channel); each arriving purchase emits its
+    * attribution row immediately (channel −1 when no click is inside
+    * the 6h window), so the revenue dashboard updates at event
+    * latency while the batch job owns the authoritative per-channel
+    * rollup. One `flatMapGroupsWithState` with O(1) state per user;
+    * within a micro-batch, rows are replayed in (us, event_id) order —
+    * the same total order the batch join's max-struct picks — so a
+    * click and purchase landing in one batch attribute exactly as the
+    * batch twin (spec-pinned, including the cross-batch case where the
+    * click arrived in an earlier batch).
+    */
+  def attributionStream(
+      events: Dataset[AttrEvent],
+      windowUs: Long = 21600000000L): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[AttrEvent], state: GroupState[LastClick]) => {
+          val ordered = rows.toArray.sortBy(e => (e.us, e.event_id))
+          var last = if (state.exists) Some(state.get) else None
+          val out = Seq.newBuilder[AttrOut]
+          ordered.foreach { e =>
+            if (e.event_type == "click")
+              last = Some(LastClick(e.us, e.event_id, e.channel))
+            else if (e.event_type == "purchase") {
+              val ch = last match {
+                case Some(c) if c.cus < e.us && e.us - c.cus <= windowUs => c.channel
+                case _ => -1
+              }
+              out += AttrOut(e.event_id, ch, math.floor(e.value * 100 + 0.5).toLong)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   case class BitextQuery(src_id: Long, embedding: Array[Float])
   case class BitextCandRow(
       src_id: Long, tgt_id: Long, cos_micro: Long, bsum: Long, bcnt: Long)

@@ -222,6 +222,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
   }
 
+  test("streaming attribution matches batch last-touch, including cross-batch clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{AttrEvent, AttrOut}
+    val h = 3600000000L
+    val input = MemoryStream[AttrEvent]
+    val q = Streaming.attributionStream(input.toDS()).writeStream
+      .format("memory").queryName("sattr").outputMode("append").start()
+    // batch 1: user 1 clicks ch 7 then ch 9; purchase -> last touch ch 9;
+    //          user 2 clicks ch 3 (no purchase yet)
+    input.addData(
+      AttrEvent(1L, 1L, "click", 0.0, 10 * h, 7),
+      AttrEvent(2L, 1L, "click", 0.0, 20 * h, 9),
+      AttrEvent(3L, 1L, "purchase", 10.0, 25 * h, 1),
+      AttrEvent(4L, 2L, "click", 0.0, 30 * h, 3))
+    q.processAllAvailable()
+    // batch 2: user 2 purchase within window of the BATCH-1 click (state
+    // carries it); user 3 purchase with no click ever -> -1
+    input.addData(
+      AttrEvent(5L, 2L, "purchase", 20.5, 32 * h, 1),
+      AttrEvent(6L, 3L, "purchase", 5.25, 50 * h, 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sattr").orderBy("pid").collect()
+      .map(r => AttrOut(r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      AttrOut(3L, 9, 1000L), AttrOut(5L, 3, 2050L), AttrOut(6L, -1, 525L)))
+  }
+
   test("streaming video dedup matches the batch incremental's delta-base pairs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Multimodal
