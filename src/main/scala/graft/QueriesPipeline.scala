@@ -2726,6 +2726,35 @@ object QueriesPipeline {
     // is ≤ one row per user). Exact per-mille conversions, zero-guard
     // shared with the oracle. The sessionize/retention sibling every
     // event log serves.
+    // Event-rate spike detector: per (event_type, hour), the count
+    // against the trailing 3-hour mean — exact integer per-mille
+    // (cnt·prev_n·1000 div prev_sum), anomaly gate at 1.5x. Windows
+    // partition by event_type (parallel across types, linear within);
+    // at 100 TB the hourly pre-agg collapses the stream to
+    // types×hours rows before any window runs.
+    "events_rate_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val hourly = ev
+        .select(col("event_type"),
+          graft.sources.Bars.eventTimeMicros(ev).as("us"))
+        .withColumn("hour", expr("us div 3600000000"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-3, -1)
+      hourly
+        .withColumn("prev_sum", sum("cnt").over(w))
+        .withColumn("prev_n", count(lit(1)).over(w))
+        .select(
+          col("event_type"), col("hour"), col("cnt"),
+          col("prev_sum"), col("prev_n"),
+          when(col("prev_n") > 0,
+            expr("cnt * prev_n * 1000 div prev_sum")).as("rate_pm"))
+        .withColumn("anomaly",
+          coalesce(col("rate_pm") > 1500L, lit(false)))
+        .orderBy("event_type", "hour")
+    }),
+
     // Exact-N uniform sample ("give me exactly 100 eval docs"): rank
     // every doc by a salted content-free hash of its id and take the
     // N smallest — a deterministic draw no rate-based sampler can
@@ -7940,6 +7969,23 @@ object QueriesPipeline {
         |  round(sum(value), 6) AS sum_value
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
+
+    "events_rate_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, hour, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
+         |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY hour
+         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n
+         |  FROM h)
+         |SELECT event_type, hour, cnt, prev_sum, prev_n,
+         |  CASE WHEN prev_n > 0 THEN cnt * prev_n * 1000 // prev_sum END AS rate_pm,
+         |  coalesce(CASE WHEN prev_n > 0 THEN cnt * prev_n * 1000 // prev_sum END > 1500, false) AS anomaly
+         |FROM w ORDER BY event_type, hour""".stripMargin,
 
     "corpus_sample_fixed_n" ->
       s"""SELECT doc_id, source,

@@ -2045,8 +2045,7 @@ object Corpus {
     */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val host0 = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
-    val host = regexp_replace(host0, "^www\\.", "")
+    val host = regexp_replace(urlHost(url), "^www\\.", "")
     val port = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)", 1)
     val keepPort = port =!= "" && port =!= "80" && port =!= "443"
     val path0 = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
