@@ -1224,6 +1224,30 @@ object QueriesPipeline {
     // sweep's marginal cost over it is a 7-row broadcast
     // nested-loop join + a 7-group agg); zero-pair thresholds still
     // emit (left join) so the curve has no holes.
+    // τ-calibration for SEMANTIC dedup off the staged kNN graph: per
+    // cosine threshold, qualifying graph edges and distinct touched
+    // docs — the sweep an operator reads before picking the
+    // embedding_neardup_graph cut, amortized over ONE staged
+    // NN-descent build (edge count is n·k-bounded, so the sweep costs
+    // two tiny aggs regardless of corpus size — the scale-sound
+    // sibling of neardup_threshold_sweep's exact-pair grid).
+    "semantic_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = KnnChain.graph(s, dir, embs(s, dir))
+        .select(
+          least(col("vec_id"), col("neighbor_id")).as("a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("b"),
+          col("cosine"))
+        .distinct()
+      val ts = broadcast(Seq(0.3, 0.4, 0.5, 0.6, 0.7).toDF("threshold"))
+      val np = ts.join(pairs, col("cosine") >= col("threshold"), "left")
+        .groupBy("threshold").agg(count(col("cosine")).as("n_pairs"))
+      val eps = pairs.select(explode(array(col("a"), col("b"))).as("d"), col("cosine"))
+      val nd = ts.join(eps, col("cosine") >= col("threshold"), "left")
+        .groupBy("threshold").agg(countDistinct(col("d")).as("n_docs"))
+      np.join(nd, Seq("threshold")).orderBy("threshold")
+    }),
+
     "neardup_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
       val pairs = Similarity.nearDupPairs(embs(s, dir), 0.3)
@@ -5614,6 +5638,18 @@ object QueriesPipeline {
          |FROM brute b
          |LEFT JOIN knng g ON g.query_id = b.query_id AND g.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    "semantic_threshold_sweep" ->
+      s"""WITH $KnnCtes,
+         |pairsq AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b, cos FROM nb3 WHERE rk <= 4),
+         |grid(threshold) AS (VALUES (0.3), (0.4), (0.5), (0.6), (0.7)),
+         |np AS (SELECT threshold, CAST(count(p.cos) AS BIGINT) AS n_pairs
+         |       FROM grid g LEFT JOIN pairsq p ON p.cos >= g.threshold GROUP BY threshold),
+         |eps AS (SELECT a AS d, cos FROM pairsq UNION ALL SELECT b AS d, cos FROM pairsq),
+         |nd AS (SELECT threshold, CAST(count(DISTINCT e.d) AS BIGINT) AS n_docs
+         |       FROM grid g LEFT JOIN eps e ON e.cos >= g.threshold GROUP BY threshold)
+         |SELECT np.threshold, n_pairs, n_docs
+         |FROM np JOIN nd USING (threshold) ORDER BY threshold""".stripMargin,
 
     "embedding_neardup_graph" ->
       s"""WITH RECURSIVE $KnnCcCtes
