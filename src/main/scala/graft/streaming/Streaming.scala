@@ -598,6 +598,59 @@ object Streaming {
         })
   }
 
+  case class RateEvent(event_type: String, us: Long)
+  case class RateOut(
+      event_type: String, hour: Long, cnt: Long,
+      prev_sum: Long, prev_n: Long, rate_pm: Long, anomaly: Boolean)
+  case class RateState(open_hour: Long, open_cnt: Long, closed: Seq[(Long, Long)])
+
+  /** STREAMING event-rate spike detector — the ingest half of the
+    * batch `events_rate_anomaly` table: per event_type, keyed state
+    * holds the OPEN hour's running count plus the last three CLOSED
+    * hourly counts; when an arriving event's hour advances past the
+    * open hour, the closed hour emits its anomaly row (count vs the
+    * trailing-3h mean, the batch query's exact integer per-mille
+    * arithmetic). O(1) state per event type; emission at hour
+    * granularity is the monitoring contract — the open hour never
+    * emits (its count is still growing), so rows equal the batch
+    * table restricted to closed hours (spec-pinned, including hours
+    * that close across micro-batch boundaries). Late events for an
+    * already-closed hour are the batch recompute's job (the
+    * retentionStream ownership split).
+    */
+  def rateAnomalyStream(
+      events: Dataset[RateEvent],
+      thresholdPm: Long = 1500L): Dataset[RateOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (et: String, rows: Iterator[RateEvent], state: GroupState[RateState]) => {
+          val hours = rows.map(_.us / 3600000000L).toArray.sorted
+          var st = if (state.exists) state.get else RateState(-1L, 0L, Nil)
+          val out = Seq.newBuilder[RateOut]
+          def close(): Unit = if (st.open_hour >= 0) {
+            val trail = st.closed.takeRight(3)
+            val (ps, pn) = (trail.map(_._2).sum, trail.size.toLong)
+            val rate = if (pn > 0) st.open_cnt * pn * 1000L / ps else -1L
+            out += RateOut(et, st.open_hour, st.open_cnt, ps, pn,
+              rate, pn > 0 && rate > thresholdPm)
+            st = RateState(-1L, 0L,
+              (st.closed :+ (st.open_hour, st.open_cnt)).takeRight(3))
+          }
+          hours.foreach { h =>
+            if (h != st.open_hour) {
+              if (st.open_hour >= 0 && h > st.open_hour) close()
+              if (st.open_hour < 0 || h > st.open_hour)
+                st = RateState(h, 0L, st.closed)
+            }
+            if (h == st.open_hour) st = st.copy(open_cnt = st.open_cnt + 1)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   case class AttrEvent(
       event_id: Long, user_id: Long, event_type: String, value: Double,
       us: Long, channel: Int)

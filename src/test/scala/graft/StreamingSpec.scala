@@ -222,6 +222,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
   }
 
+  test("streaming rate anomaly matches the batch table on closed hours") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{RateEvent, RateOut}
+    val h = 3600000000L
+    def ev(hr: Long, n: Int) = Seq.fill(n)(RateEvent("click", hr * h + 1))
+    val input = MemoryStream[RateEvent]
+    val q = Streaming.rateAnomalyStream(input.toDS()).writeStream
+      .format("memory").queryName("srate").outputMode("append").start()
+    // batch 1: hours 0..2 with counts 4, 4, 4 (hour 2 stays open)
+    input.addData(ev(0, 4) ++ ev(1, 4) ++ ev(2, 4): _*)
+    q.processAllAvailable()
+    // batch 2: hour 3 spikes to 9, hour 4 opens (closing hour 3)
+    input.addData(ev(3, 9) ++ ev(4, 1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srate").orderBy("hour").collect()
+      .map(r => RateOut(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // closed hours 0..3; hour 0 has no trailing window (batch NULL ->
+    // stream -1); hour 3's 9 vs trailing mean 4 = 2250 pm -> anomaly
+    assert(got.toSeq == Seq(
+      RateOut("click", 0L, 4L, 0L, 0L, -1L, false),
+      RateOut("click", 1L, 4L, 4L, 1L, 1000L, false),
+      RateOut("click", 2L, 4L, 8L, 2L, 1000L, false),
+      RateOut("click", 3L, 9L, 12L, 3L, 2250L, true)))
+    // the closed rows carry the batch query's exact arithmetic
+    // (cnt * prev_n * 1000 div prev_sum) — cross-checked by hand above
+  }
+
   test("streaming attribution matches batch last-touch, including cross-batch clicks") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AttrEvent, AttrOut}
