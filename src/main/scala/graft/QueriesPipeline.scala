@@ -2007,6 +2007,29 @@ object QueriesPipeline {
     // at parity, sample training removes the only full-corpus pass
     // from IVF build. See
     // [[graft.pipeline.Similarity.kmeansCentroidsSampled]].
+    // Semantic OUTLIER audit: vectors far even from their own home
+    // centroid are embedding-space junk (encoder failures, empty
+    // inputs, off-distribution media) — rank the corpus by home-cell
+    // cosine and flag the bottom decile. Map-only assignment vs the
+    // broadcast staged centroids + the distributed exact-rank plan
+    // (range partition + broadcast offsets, no SinglePartition
+    // window). See [[graft.pipeline.Similarity.homeCells]].
+    "embedding_outliers" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val hc = Similarity.homeCells(
+        e, graft.pipeline.IvfChain.centroids(s, dir, e))
+      val (ranked, n) = graft.plans.Scale.rowNumberDistributedWithTotal(
+        hc, Seq(col("ccos").asc, col("vec_id").asc), "rk")
+      ranked
+        .select(
+          col("vec_id"), col("cid"),
+          round(col("ccos"), 6).as("home_cos"),
+          col("rk"),
+          expr(s"(rk - 1) * 10 div $n").as("decile"))
+        .withColumn("is_outlier", col("decile") === 0L)
+        .orderBy("vec_id")
+    }),
+
     // IVF index drift monitor (the sq8_drift stance for the cell
     // structure): under the FROZEN serving centroids, compare each
     // cell's population share between the base half (what the index
@@ -6546,6 +6569,24 @@ object QueriesPipeline {
     // chain is KmeansCtes verbatim; the sampled chain repeats the
     // same Lloyd spelling over the hash-sample with rank-of-sampled-id
     // init; both serve through the identical probe/rank block.
+    "embedding_outliers" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid, ccos FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) AS ccos,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |r AS (SELECT vec_id, cid, ccos,
+         |        CAST(row_number() OVER (ORDER BY ccos ASC, vec_id ASC) AS BIGINT) AS rk,
+         |        CAST(count(*) OVER () AS BIGINT) AS n
+         |      FROM asg)
+         |SELECT vec_id, cid, round(ccos, 6) AS home_cos, rk,
+         |  (rk - 1) * 10 // n AS decile,
+         |  (rk - 1) * 10 // n = 0 AS is_outlier
+         |FROM r ORDER BY vec_id""".stripMargin,
+
     "ivf_cell_drift" ->
       s"""WITH $KmeansCtes,
          |asg AS (

@@ -4880,6 +4880,16 @@ object Similarity {
       .where(col("crank") === 1)
       .select(col("vec_id"), col("cid"))
 
+  /** [[cellAssignments]] WITH the home-cell cosine — what the semantic
+    * outlier audit ranks on (a vector far even from its own centroid
+    * is embedding-space junk: encoder failures, empty inputs,
+    * off-distribution media). Same map-only broadcast-centroid pass.
+    */
+  def homeCells(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    trainedAssignments(embeddings, cents)
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid"), col("ccos"))
+
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram passes ([[Dedup.decontaminate]] catches verbatim/near-
     * verbatim leaks; this one catches paraphrased eval items the
