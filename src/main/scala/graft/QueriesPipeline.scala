@@ -2765,6 +2765,31 @@ object QueriesPipeline {
       Corpus.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"), 20)
         .select(col("doc_id"), col("n_terms_matched"), col("score_micro"))),
 
+    // Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009,
+    // the standard RAG-stack merge) of the lexical BM25 top-20 and
+    // the vector top-20 — RRF_micro = Σ floor(1e6/(60+rank)) over the
+    // lists a doc appears in, exact integers so the fused order is
+    // engine-stable. Both input lists are k-bounded BEFORE fusion, so
+    // the two rank windows run on ≤20-row frames (the corpus-side
+    // work is the two underlying retrievals, both already scale-
+    // shaped); missing-from-one-list docs contribute 0, not NULL.
+    "hybrid_search_rrf" -> ((s, dir) => {
+      val lex = Corpus.bm25TopK(docs(s, dir), Seq("spark", "merge", "window"), 20)
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("bm25_rank"))
+      val vec = Similarity.topK(embs(s, dir), numQueries = 1, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("ann_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + ann_rank)"), lit(0L)))
+        .withColumn("fused_rank", row_number().over(
+          Window.orderBy(col("rrf_micro").desc, col("doc_id").asc)))
+        .where(col("fused_rank") <= 10)
+        .orderBy("fused_rank")
+    }),
+
     // Ordered conversion FUNNEL (view → click → signup → purchase):
     // a user reaches step k only via an event strictly after their
     // step-(k-1) time AND within the 6-hour conversion window (the
@@ -7826,6 +7851,52 @@ object QueriesPipeline {
          |  CAST(sum(c_micro) AS BIGINT) AS score_micro
          |FROM c GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "hybrid_search_rrf" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, $Toks AS t
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |corpus AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |p AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |             unnest(t) AS term FROM tok),
+         |q AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM p WHERE term IN ('spark', 'merge', 'window')
+         |      GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |        FROM q GROUP BY term),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(round(
+         |      ln(1 + (n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6,
+         |      0) AS BIGINT) AS c_micro
+         |  FROM q JOIN dfq USING (term) CROSS JOIN corpus),
+         |bmtop AS (
+         |  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM c GROUP BY doc_id
+         |  ORDER BY score_micro DESC, doc_id ASC LIMIT 20),
+         |bmr AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS bm25_rank
+         |        FROM bmtop),
+         |e AS (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+         |ann AS (
+         |  SELECT neighbor_id AS doc_id, CAST(rank AS INTEGER) AS ann_rank FROM (
+         |    SELECT n.vec_id AS neighbor_id,
+         |      row_number() OVER (ORDER BY ${cosSql("q2.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+         |    FROM e q2 JOIN e n ON q2.vec_id = 0 AND n.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |f AS (
+         |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.bm25_rank, a.ann_rank,
+         |    coalesce(1000000 // (60 + b.bm25_rank), 0) +
+         |    coalesce(1000000 // (60 + a.ann_rank), 0) AS rrf_micro
+         |  FROM bmr b FULL OUTER JOIN ann a ON a.doc_id = b.doc_id)
+         |SELECT doc_id, bm25_rank, ann_rank, rrf_micro,
+         |  fused_rank
+         |FROM (SELECT *, CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS INTEGER) AS fused_rank FROM f)
+         |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
 
     "colocated_join_stats" ->
       s"""WITH d AS (
