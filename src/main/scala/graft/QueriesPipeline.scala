@@ -746,6 +746,23 @@ object QueriesPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // b-bit minwise estimate (Li & König 2010) next to the full-width
+    // one: the 64/b-fold sketch compression priced directly against
+    // the 8×64-bit estimate on the same candidates — the bias
+    // correction (subtract the 2^-b accidental-collision floor) is
+    // what makes the compressed sketch usable. Same staged sigs, same
+    // candidate-bounded join. See [[Dedup.minhashEstimateBbit]].
+    "dedup_minhash_bbit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashEstimateBbit(
+          DedupChain.candidatePairs(s, dir, d),
+          DedupChain.minhashSigs(s, dir, d))
+        .select(
+          col("doc_a"), col("doc_b"), col("n_agree_bbit"),
+          round(col("est_jaccard_bbit"), 6).as("est_jaccard_bbit"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // The five LSH-chain queries (pairs / jaccard / editdist /
     // clusters / corpus_filter) consume stages of one pipeline; the
     // shared stages are materialized once per (session, dir) by
@@ -5296,6 +5313,20 @@ object QueriesPipeline {
          |FROM pairs
          |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_bbit" -> {
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN a.m$i % 4 = b.m$i % 4 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $LshCandCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST($agree AS BIGINT) AS n_agree_bbit,
+         |  round(greatest(0.0, (CAST($agree AS DOUBLE) / 8 - 0.25) / 0.75), 6) AS est_jaccard_bbit
+         |FROM pairs p
+         |JOIN sigs a ON p.doc_a = a.doc_id
+         |JOIN sigs b ON p.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dedup_minhash_est" -> {
       val agree = (0 until 8)

@@ -339,6 +339,37 @@ object Dedup {
         (agree.cast("double") / 8).as("est_jaccard"))
   }
 
+  /** b-BIT minwise estimate (Li & König 2010) over the SAME staged
+    * signatures: keep only the lowest `b` bits of each minhash value
+    * (64/b × signature compression — at 100 TB the stored sketch per
+    * document drops from 8×8 bytes to 8×b bits) and correct the
+    * estimator for accidental low-bit collisions:
+    * `Ĵ = max(0, (match_frac − 2^−b) / (1 − 2^−b))` — an unmatched
+    * pair still agrees on b bits with probability 2^−b, so the raw
+    * match fraction is biased up by exactly that floor. Same
+    * candidate-bounded join shape as [[minhashEstimate]]; the truncated
+    * values are derived on the fly here (`m % 2^b`) — a production
+    * store would persist ONLY the packed b-bit rows.
+    */
+  def minhashEstimateBbit(pairs: DataFrame, sigs: DataFrame, b: Int = 2): DataFrame = {
+    require(b >= 1 && b <= 16, s"bad b=$b")
+    val mod = 1L << b
+    val floorP = 1.0 / mod
+    val agree = (0 until 8)
+      .map(i => when(col(s"a.m$i") % mod === col(s"b.m$i") % mod, 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        agree.cast("bigint").as("n_agree_bbit"),
+        greatest(lit(0.0),
+          (agree.cast("double") / 8 - floorP) / (1.0 - floorP))
+          .as("est_jaccard_bbit"))
+  }
+
   /** Word-3-gram Jaccard similarity for a pair table (doc_a, doc_b).
     * The shingle-set frame is persisted (joined twice — doc_a and
     * doc_b side); cache lifecycle is caller-owned, as in
