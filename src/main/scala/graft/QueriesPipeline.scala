@@ -201,6 +201,34 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // BPE vocabulary-BUDGET curve: the same corpus encoded at four
+    // training-order prefixes of the committed saturated table (any
+    // prefix is a valid shallower vocab — training is deterministic),
+    // read as compression (chars/symbol) and fertility (symbols/word)
+    // against merge budget — the curve a vocab-size decision actually
+    // reads. Four map-only kernel passes (rank-capped, presence-
+    // skipped), one global agg each. See [[graft.pipeline.Bpe
+    // .encodeBudget]].
+    "bpe_budget_sweep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Seq(64, 256, 1024, 2400).map { b =>
+        d.select(
+            length(col("text")).cast("bigint").as("nc"),
+            size(TextOps.tokens(col("text"))).cast("bigint").as("nw"),
+            length(Bpe.encodeBudget(col("text"), b)).cast("bigint").as("nb"))
+          .agg(
+            sum("nc").as("n_chars"), sum("nw").as("n_words"),
+            sum("nb").as("n_bpe_tokens"))
+          .select(
+            lit(b).as("budget"),
+            col("n_chars"), col("n_words"), col("n_bpe_tokens"),
+            round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+              .as("chars_per_bpe"),
+            round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+              .as("bpe_per_word"))
+      }.reduce(_ unionAll _).orderBy("budget")
+    }),
+
     // Unigram-LM (SentencePiece) tokenization — the THIRD tokenizer
     // family: per-word VITERBI max-log-prob segmentation over the
     // committed budgeted vocab (integer micro scores, so the DP is
@@ -4694,6 +4722,35 @@ object QueriesPipeline {
          |  s.pieces_str AS pieces_str
          |FROM dw JOIN wpcounts c ON c.word = dw.word JOIN wps s ON s.word = dw.word
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // The budget points are LAYER BOUNDARIES of the one layered
+    // replace chain (64 merges per CTE layer), so the four budgeted
+    // encodes are intermediate CTEs of a single replay — enc_0 = 64,
+    // enc_3 = 256, enc_15 = 1024, enc = the saturated 2400.
+    "bpe_budget_sweep" -> {
+      def row(budget: Int, encCte: String) =
+        s"""SELECT CAST($budget AS INTEGER) AS budget,
+           |  CAST(sum(b.nc) AS BIGINT) AS n_chars,
+           |  CAST(sum(b.nw) AS BIGINT) AS n_words,
+           |  CAST(sum(length(e.bpe)) AS BIGINT) AS n_bpe_tokens,
+           |  round(CAST(sum(b.nc) AS DOUBLE) / sum(length(e.bpe)), 6) AS chars_per_bpe,
+           |  round(CAST(sum(length(e.bpe)) AS DOUBLE) / sum(b.nw), 6) AS bpe_per_word
+           |FROM bsbase b JOIN $encCte e USING (doc_id)""".stripMargin
+      s"""WITH ${Bpe.sqlEncodeCtes("enc", "read_parquet('{SFDIR}/documents.parquet')")},
+         |bsbase AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len($Toks) AS BIGINT) AS nw
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT * FROM (
+         |${row(64, "enc_0")}
+         |UNION ALL
+         |${row(256, "enc_3")}
+         |UNION ALL
+         |${row(1024, "enc_15")}
+         |UNION ALL
+         |${row(2400, "enc")})
+         |ORDER BY budget""".stripMargin
     },
 
     "tokenizer_unigram" ->

@@ -79,6 +79,15 @@ object Bpe {
       org.apache.spark.sql.graft.expressions.BpeEncodeF(
         org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
+  /** [[encode]] capped to the first `budget` merges — the vocabulary-
+    * budget encode (deterministic training makes any prefix a valid
+    * shallower table). Same fused kernel, same map-only shape.
+    */
+  def encodeBudget(text: Column, budget: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.BpeEncodeF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), budget))
+
   /** BPE token count: length of the merged symbol string. */
   def tokenCount(text: Column): Column = length(encode(text)).cast("long")
 

@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback row boxing) while the loop runs as ordinary JVM
   * code. Scale shape unchanged: map-only, no shuffle, no state.
   */
-case class BpeEncodeF(child: Expression)
+case class BpeEncodeF(child: Expression, maxRank: Int = Int.MaxValue)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -36,12 +36,12 @@ case class BpeEncodeF(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
-      BpeEncodeF.encode(input.asInstanceOf[UTF8String].toString))
+      BpeEncodeF.encode(input.asInstanceOf[UTF8String].toString, maxRank))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"org.apache.spark.sql.graft.expressions.BpeEncodeF.encode($c.toString()))")
+        s"org.apache.spark.sql.graft.expressions.BpeEncodeF.encode($c.toString(), $maxRank))")
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeF =
     copy(child = newChild)
@@ -80,8 +80,14 @@ object BpeEncodeF {
 
   /** One-buffer merge-chain encode, semantics identical to
     * `Merges.foldLeft(s)((acc, m) => acc.replace(m._1, m._2))`.
+    * `maxRank` caps the chain to the first `maxRank` merges — a
+    * vocabulary-BUDGET encode (any capped run is a training-order
+    * prefix of the saturated table, so the budgeted vocab is always
+    * a legitimate shallower table of the same procedure).
     */
-  def encode(s: String): String = {
+  def encode(s: String): String = encode(s, Int.MaxValue)
+
+  def encode(s: String, maxRank: Int): String = {
     val buf = s.toCharArray
     var len = buf.length
     val present = new Array[Boolean](128 + nRanks)
@@ -90,7 +96,7 @@ object BpeEncodeF {
       val d = slot(buf(i)); if (d >= 0) present(d) = true
       i += 1
     }
-    val n = pairA.length
+    val n = math.min(pairA.length, maxRank)
     var changed = false
     var k = 0
     while (k < n) {

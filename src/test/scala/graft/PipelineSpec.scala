@@ -2110,6 +2110,14 @@ class PipelineSpec extends SparkSpec {
       }
       val got = org.apache.spark.sql.graft.expressions.BpeEncodeF.encode(s)
       assert(got == want, s"kernel diverges on ${s.take(40)}...")
+      // the rank-capped budget encode equals the fold of the PREFIX
+      Seq(0, 1, 64, 256).foreach { b =>
+        val wantB = pipeline.Bpe.Merges.take(b).foldLeft(s) {
+          case (acc, (p, r)) => acc.replace(p, r)
+        }
+        assert(org.apache.spark.sql.graft.expressions.BpeEncodeF.encode(s, b) == wantB,
+          s"budget-$b kernel diverges on ${s.take(40)}...")
+      }
     }
   }
 
