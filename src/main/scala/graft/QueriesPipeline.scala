@@ -590,6 +590,35 @@ object QueriesPipeline {
     // with the signature-estimated Jaccard of the closest benchmark
     // match as evidence. Both sides read the session-staged signature
     // frame — text is never re-read (see Dedup.fuzzyContamination).
+    // The price of the 8KB Bloom decontaminator, measured: doc-level
+    // confusion of the Bloom verdict against the exact broadcast-semi
+    // verdict on the SAME 4-gram definition — fp_per_mille is the
+    // over-drop rate a curation run pays for the O(1)-memory probe,
+    // and exact_only (Bloom false negatives) must read 0 by
+    // construction or the bitmap is broken. Both verdict passes
+    // already exist; this is one extra 1-row join-agg.
+    "decontaminate_bloom_fp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+      val bloom = Dedup.bloomDecontaminate(d, Dedup.bloomBitmap(bench))
+        .select(col("doc_id"), col("contaminated").as("bloom_hit"))
+      val exact = Dedup.decontaminate(d, bench)
+        .select(col("doc_id"), col("contaminated").as("exact_hit"))
+      bloom.join(exact, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("bloom_hit") && col("exact_hit"), 1L).otherwise(0L))
+            .as("both_hit"),
+          sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+            .as("bloom_only"),
+          sum(when(!col("bloom_hit") && col("exact_hit"), 1L).otherwise(0L))
+            .as("exact_only"),
+          sum(when(!col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+            .as("neither"))
+        .withColumn("fp_per_mille",
+          expr("bloom_only * 1000 div (bloom_only + neither)"))
+    }),
+
     "decontaminate_fuzzy" -> ((s, dir) => {
       val d = docs(s, dir)
       val sigs = DedupChain.minhashSigs(s, dir, d)
@@ -5019,6 +5048,45 @@ object QueriesPipeline {
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "decontaminate_bloom_fp" ->
+      s"""WITH hset AS (SELECT unnest(range(0, ${Dedup.BloomKHash})) AS h),
+         |bp AS (
+         |  SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits} AS p
+         |  FROM (SELECT unnest(${shinglesSql(Dedup.BloomN)}) AS s
+         |        FROM read_parquet('{SFDIR}/documents.parquet')
+         |        WHERE doc_id % 50 = 0), hset),
+         |gp AS (
+         |  SELECT doc_id, s,
+         |    bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits}
+         |      IN (SELECT p FROM bp)) AS hit
+         |  FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(Dedup.BloomN)})) AS s
+         |        FROM read_parquet('{SFDIR}/documents.parquet')), hset
+         |  GROUP BY doc_id, s),
+         |bh AS (SELECT doc_id, CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS nh FROM gp GROUP BY doc_id),
+         |bl AS (
+         |  SELECT d.doc_id, coalesce(bh.nh, 0) > 0 AS bloom_hit
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d LEFT JOIN bh USING (doc_id)),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |eh AS (
+         |  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS nh
+         |  FROM g WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+         |ex AS (
+         |  SELECT d.doc_id, coalesce(eh.nh, 0) > 0 AS exact_hit
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d LEFT JOIN eh USING (doc_id)),
+         |j AS (SELECT bl.bloom_hit, ex.exact_hit FROM bl JOIN ex USING (doc_id)),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN bloom_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS both_hit,
+         |    CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_only,
+         |    CAST(sum(CASE WHEN NOT bloom_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_only,
+         |    CAST(sum(CASE WHEN NOT bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS neither
+         |  FROM j)
+         |SELECT n_docs, both_hit, bloom_only, exact_only, neither,
+         |  bloom_only * 1000 // (bloom_only + neither) AS fp_per_mille
+         |FROM a""".stripMargin,
     "decontaminate_attribution" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
