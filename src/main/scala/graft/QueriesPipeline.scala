@@ -2353,6 +2353,36 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Exactly-N LEAKAGE-SAFE eval cut — corpus_sample_fixed_n at
+    // CLUSTER granularity: sample 50 near-dup clusters by salted
+    // cluster-key hash (TakeOrdered partial top-N), serve the
+    // min-doc_id member as the eval item, and report how many
+    // near-dup siblings must be EXCLUDED from train for the cut to be
+    // leak-free (an eval doc whose near-dup trains is contamination
+    // by construction — the corpus_split_leakage_safe argument, here
+    // for fixed-size eval sets). Staged CC labels; singleton docs are
+    // their own clusters.
+    "eval_cut_leakage_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = DedupChain.clusterLabels(s, dir, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val keyed = d.select("doc_id").join(labels, Seq("doc_id"), "left")
+        .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      val clusters = keyed.groupBy("ckey")
+        .agg(min(col("doc_id")).as("eval_doc_id"),
+          count(lit(1)).as("cluster_size"))
+        .withColumn("pick_key",
+          TextOps.hash32(concat(lit("evalcut:"), col("ckey").cast("string"))))
+      clusters
+        .orderBy(col("pick_key").asc, col("ckey").asc)
+        .limit(50)
+        .select(
+          col("eval_doc_id"), col("ckey"), col("cluster_size"),
+          (col("cluster_size") - 1L).as("n_excluded_train"),
+          col("pick_key"))
+        .orderBy("eval_doc_id")
+    }),
+
     // Winnowing fingerprint profile (the MOSS sub-sampling): per doc
     // the k-gram count, selected fingerprint count, density (expected
     // 2/(w+1)) and an order-sensitive fingerprint digest. See
@@ -7542,6 +7572,25 @@ object QueriesPipeline {
          |  CAST(sum(seqs) AS BIGINT) AS n_seqs_padded,
          |  round(1.0 - CAST(sum(n) AS DOUBLE) / (CAST(sum(seqs) AS BIGINT) * 512), 6) AS padding_frac
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "eval_cut_leakage_safe" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS ckey
+         |  FROM read_parquet('{SFDIR}/documents.parquet') d
+         |  LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |cl AS (
+         |  SELECT ckey, CAST(min(doc_id) AS BIGINT) AS eval_doc_id,
+         |    CAST(count(*) AS BIGINT) AS cluster_size,
+         |    ${h32("concat('evalcut:', CAST(ckey AS VARCHAR))")} AS pick_key
+         |  FROM k GROUP BY ckey),
+         |pick AS (SELECT * FROM cl ORDER BY pick_key ASC, ckey ASC LIMIT 50)
+         |SELECT eval_doc_id, ckey, cluster_size,
+         |  cluster_size - 1 AS n_excluded_train, pick_key
+         |FROM pick ORDER BY eval_doc_id""".stripMargin,
 
     "corpus_split_leakage_safe" ->
       s"""WITH RECURSIVE $CcCtes,
