@@ -229,6 +229,29 @@ object QueriesPipeline {
       }.reduce(_ unionAll _).orderBy("budget")
     }),
 
+    // WordPiece vocabulary-BUDGET curve — the BERT vocab-size knob
+    // measured: fertility against merge budget at training-order
+    // prefixes of the saturated table (12/25/50/100 merges; the spec
+    // pins any prefix as a valid shallower vocabulary). Capped
+    // budgets exercise multi-piece greedy matching ON CORPUS words —
+    // at saturation only OOV gluing does. Four map-only kernel
+    // passes, one agg each. See [[graft.pipeline.Wordpiece
+    // .piecesBudget]].
+    "wordpiece_budget_sweep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Seq(12, 25, 50, 100).map { b =>
+        val words = filter(TextOps.tokens(col("text")), w => length(w) > 0)
+        d.select(
+            size(words).cast("bigint").as("nw"),
+            size(Wordpiece.piecesBudget(col("text"), b)).cast("bigint").as("np"))
+          .agg(sum("nw").as("n_words"), sum("np").as("n_wp_tokens"))
+          .select(
+            lit(b).as("budget"), col("n_words"), col("n_wp_tokens"),
+            round(col("n_wp_tokens").cast("double") / col("n_words"), 6)
+              .as("wp_per_word"))
+      }.reduce(_ unionAll _).orderBy("budget")
+    }),
+
     // Unigram-LM (SentencePiece) tokenization — the THIRD tokenizer
     // family: per-word VITERBI max-log-prob segmentation over the
     // committed budgeted vocab (integer micro scores, so the DP is
@@ -3795,32 +3818,42 @@ object QueriesPipeline {
     * words; everything downstream (best-step table, linear walk) is
     * identical.
     */
-  private def wordpieceCtesOver(wordsSel: String): String = {
-    val vocabVals =
-      graft.pipeline.Wordpiece.Vocab.map { case (p, _) => s"('$p')" }.mkString(", ")
-    s"""wpvocab AS (
+  private def wordpieceCtesOver(wordsSel: String): String =
+    wordpieceCtesBudget("wp", Int.MaxValue, wordsSel)
+
+  /** [[wordpieceCtesOver]] with CTE names prefixed and the vocabulary
+    * capped to all single-char symbols + the first `budget` merges —
+    * the training-order-prefix semantics the budget sweep reads.
+    * `budget = Int.MaxValue` reproduces the full chain byte-for-byte
+    * (the committed table IS singles ++ merges in order).
+    */
+  private def wordpieceCtesBudget(pfx: String, budget: Int, wordsSel: String): String = {
+    val all = graft.pipeline.Wordpiece.Vocab.map(_._1)
+    val (singles, merges) = all.partition(p => p.replace("##", "").length == 1)
+    val vocabVals = (singles ++ merges.take(budget)).map(p => s"('$p')").mkString(", ")
+    s"""${pfx}vocab AS (
        |  SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS ptext,
        |         piece LIKE '##%' AS is_cont
        |  FROM (VALUES $vocabVals) v(piece)),
-       |wpwords AS MATERIALIZED (
+       |${pfx}words AS MATERIALIZED (
        |  $wordsSel),
-       |wpbest AS MATERIALIZED (
+       |${pfx}best AS MATERIALIZED (
        |  SELECT w.word, p.pos,
        |    coalesce(max(CASE WHEN v.is_cont = (p.pos > 1)
        |                       AND substr(w.word, p.pos, len(v.ptext)) = v.ptext
        |                      THEN len(v.ptext) END), 1) AS step
-       |  FROM wpwords w, range(1, 41) p(pos), wpvocab v
+       |  FROM ${pfx}words w, range(1, 41) p(pos), ${pfx}vocab v
        |  WHERE p.pos <= len(w.word)
        |  GROUP BY w.word, p.pos),
-       |wpwalk(word, pos, n, piece) AS (
-       |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR) FROM wpwords
+       |${pfx}walk(word, pos, n, piece) AS (
+       |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR) FROM ${pfx}words
        |  UNION ALL
        |  SELECT w.word, w.pos + b.step, w.n + 1,
        |    CASE WHEN w.pos > 1 THEN '##' || substr(w.word, w.pos, b.step)
        |         ELSE substr(w.word, w.pos, b.step) END
-       |  FROM wpwalk w JOIN wpbest b ON b.word = w.word AND b.pos = w.pos),
-       |wpcounts AS (SELECT word, max(n) AS n_pieces FROM wpwalk GROUP BY word),
-       |wppieces AS (SELECT word, piece FROM wpwalk WHERE piece IS NOT NULL)""".stripMargin
+       |  FROM ${pfx}walk w JOIN ${pfx}best b ON b.word = w.word AND b.pos = w.pos),
+       |${pfx}counts AS (SELECT word, max(n) AS n_pieces FROM ${pfx}walk GROUP BY word),
+       |${pfx}pieces AS (SELECT word, piece FROM ${pfx}walk WHERE piece IS NOT NULL)""".stripMargin
   }
 
   /** Unigram oracle CTE chain mirroring [[graft.pipeline.Unigram]]'s
@@ -4809,6 +4842,32 @@ object QueriesPipeline {
          |${row(1024, "enc_15")}
          |UNION ALL
          |${row(2400, "enc")})
+         |ORDER BY budget""".stripMargin
+    },
+
+    "wordpiece_budget_sweep" -> {
+      val wordsSel =
+        s"""SELECT DISTINCT w AS word FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w
+           |    FROM read_parquet('{SFDIR}/documents.parquet'))
+           |  WHERE len(w) > 0""".stripMargin
+      val budgets = Seq(12, 25, 50, 100)
+      val chains = budgets
+        .map(b => wordpieceCtesBudget(s"w$b", b, wordsSel)).mkString(",\n")
+      val rows = budgets.map { b =>
+        s"""SELECT CAST($b AS INTEGER) AS budget,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(c.n_pieces) AS BIGINT) AS n_wp_tokens,
+           |  round(CAST(sum(c.n_pieces) AS DOUBLE) / count(*), 6) AS wp_per_word
+           |FROM docw JOIN w${b}counts c ON c.word = docw.w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE $chains,
+         |docw AS (
+         |  SELECT t.w FROM read_parquet('{SFDIR}/documents.parquet') d,
+         |    unnest(string_split(d.text, ' ')) t(w)
+         |  WHERE len(t.w) > 0)
+         |SELECT * FROM (
+         |$rows)
          |ORDER BY budget""".stripMargin
     },
 

@@ -52,6 +52,16 @@ object Wordpiece {
   /** WordPiece token count of `text`. */
   def tokenCount(text: Column): Column = size(pieces(text)).cast("long")
 
+  /** [[pieces]] under a MERGE BUDGET: all single-char symbols (the
+    * byte-fallback tier) plus the first `budget` merges — any budget
+    * is a training-order prefix of the saturated table (deterministic
+    * training), so this is the BERT-style vocabulary-size knob.
+    */
+  def piecesBudget(text: Column, budget: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.expressions.WordpieceEncodeF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), budget))
+
   /** JVM mirror of the kernel for tests. */
   def encodeString(s: String): Seq[String] = {
     val a = org.apache.spark.sql.graft.expressions.WordpieceEncodeF.encode(s)

@@ -24,18 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * state; codegen emits a static call so the row loop stays inside
   * whole-stage codegen.
   */
-case class WordpieceEncodeF(child: Expression)
+case class WordpieceEncodeF(child: Expression, maxMerges: Int = Int.MaxValue)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
-    WordpieceEncodeF.encode(input.asInstanceOf[UTF8String].toString)
+    WordpieceEncodeF.encode(input.asInstanceOf[UTF8String].toString, maxMerges)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.expressions.WordpieceEncodeF.encode($c.toString())")
+      s"org.apache.spark.sql.graft.expressions.WordpieceEncodeF.encode($c.toString(), $maxMerges)")
 
   override protected def withNewChildInternal(newChild: Expression): WordpieceEncodeF =
     copy(child = newChild)
@@ -43,22 +43,33 @@ case class WordpieceEncodeF(child: Expression)
 
 object WordpieceEncodeF {
 
-  // committed vocab split into word-initial / continuation piece sets;
-  // built lazily from the fixture so class-init order cannot deadlock
-  private lazy val (initSet, contSet, maxInit, maxCont): (Set[String], Set[String], Int, Int) = {
-    val rows = graft.pipeline.Wordpiece.Vocab.map(_._1)
-    val init = rows.filterNot(_.startsWith("##")).toSet
-    val cont = rows.filter(_.startsWith("##")).map(_.substring(2)).toSet
-    (init, cont,
-      math.max(1, if (init.isEmpty) 1 else init.map(_.length).max),
-      math.max(1, if (cont.isEmpty) 1 else cont.map(_.length).max))
-  }
+  // committed vocab split into word-initial / continuation piece sets,
+  // memoized PER MERGE BUDGET (a budget keeps all single-char symbols —
+  // the byte-fallback tier — plus the first `maxMerges` merges, the
+  // training-order-prefix semantics the spec pins); built lazily from
+  // the fixture so class-init order cannot deadlock
+  private val budgetSets =
+    scala.collection.concurrent.TrieMap.empty[Int, (Set[String], Set[String], Int, Int)]
+  private def setsFor(maxMerges: Int): (Set[String], Set[String], Int, Int) =
+    budgetSets.getOrElseUpdate(maxMerges, {
+      val all = graft.pipeline.Wordpiece.Vocab.map(_._1)
+      val (singles, merges) = all.partition(p => p.replace("##", "").length == 1)
+      val rows = singles ++ merges.take(maxMerges)
+      val init = rows.filterNot(_.startsWith("##")).toSet
+      val cont = rows.filter(_.startsWith("##")).map(_.substring(2)).toSet
+      (init, cont,
+        math.max(1, if (init.isEmpty) 1 else init.map(_.length).max),
+        math.max(1, if (cont.isEmpty) 1 else cont.map(_.length).max))
+    })
 
   /** Greedy longest-match over every whitespace word of `s` (empty
     * tokens from repeated spaces are skipped, matching the oracle's
     * `len(w) > 0` filter).
     */
-  def encode(s: String): GenericArrayData = {
+  def encode(s: String): GenericArrayData = encode(s, Int.MaxValue)
+
+  def encode(s: String, maxMerges: Int): GenericArrayData = {
+    val (initSet, contSet, maxInit, maxCont) = setsFor(maxMerges)
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val n = s.length
     var i = 0

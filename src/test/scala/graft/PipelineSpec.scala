@@ -2467,6 +2467,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Wordpiece budget kernel: prefix semantics, monotone fertility, saturation = full") {
+    import org.apache.spark.sql.graft.expressions.WordpieceEncodeF
+    def count(s: String, b: Int) = WordpieceEncodeF.encode(s, b).numElements()
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      // budget 0 = pure char fallback; piece count never increases with budget
+      assert(count(w, 0) == w.length)
+      val counts = Seq(0, 12, 25, 50, 100).map(b => count(w, b))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"fertility must be monotone in budget on '$w': $counts")
+      // the saturated table covers every corpus word; 100 merges = full vocab
+      assert(count(w, 100) == 1 && count(w, Int.MaxValue) == 1)
+    }
+  }
+
   test("Wordpiece: single-piece words are exactly the word-initial vocab entries") {
     val initV = pipeline.Wordpiece.Vocab.map(_._1).filterNot(_.startsWith("##")).toSet
     val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
