@@ -4077,6 +4077,18 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** The served binary-fingerprint index [[graft.streaming.Streaming
+    * .binarySearchStream]] scans: one BIGINT of sign bits plus the
+    * float vector for the exact re-rank — 8 bytes of scan key per
+    * corpus row; the vectors are touched only for the ≤nCandidates
+    * shortlist survivors.
+    */
+  def binaryServedIndex(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      signBits(col("embedding")).as("nbits"),
+      col("embedding").as("ne"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold — EXACT,
     * as a distributed block-grid self-join (the textbook triangle
     * grid): both sides are tagged with `id mod numBlocks`, a broadcast

@@ -598,6 +598,67 @@ object Streaming {
         })
   }
 
+  case class BinQuery(query_id: Long, embedding: Array[Float])
+  case class BinScored(
+      query_id: Long, neighbor_id: Long, hamming: Long,
+      qe: Array[Float], ne: Array[Float])
+  case class BinHit(
+      query_id: Long, rank: Int, neighbor_id: Long, hamming: Long, cosine: Double)
+
+  /** STREAMING binary-fingerprint ANN — the serving path of
+    * [[graft.pipeline.Similarity.topKBinary]]: arriving query vectors
+    * scan the SERVED 8-byte sign-bit index ([[graft.pipeline
+    * .Similarity.binaryServedIndex]]) with integer `bit_count(xor)`
+    * Hamming in the stream-static join projection, a bounded
+    * `nCandidates`-heap per query keyed (hamming, neighbor_id) — the
+    * batch shortlist's exact order — and the survivors re-rank with a
+    * JVM fold bit-identical to the codegen dot product
+    * (`acc += (double)a[i] * (double)b[i]`, DotProductF's sequence),
+    * so emitted hits equal the batch top-k exactly (spec-pinned).
+    * No retained state across queries; float vectors are touched only
+    * for the ≤nCandidates survivors.
+    */
+  def binarySearchStream(
+      queries: Dataset[BinQuery], index: DataFrame,
+      k: Int = 5, nCandidates: Int = 20): Dataset[BinHit] = {
+    import queries.sparkSession.implicits._
+    val q = queries.toDF
+      .withColumn("qbits", graft.pipeline.Similarity.signBits(col("embedding")))
+    q.join(index, col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("qbits").bitwiseXOR(col("nbits"))).cast("long").as("hamming"),
+        col("embedding").as("qe"), col("ne"))
+      .as[BinScored]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[BinScored], _: GroupState[Int]) => {
+          def dotF(a: Array[Float], b: Array[Float]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+            acc
+          }
+          type Cand = ((Long, Long), (Array[Float], Array[Float]))
+          val ord = Ordering.Tuple2[Long, Long]
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[Cand](Ordering.by((c: Cand) => c._1))
+          rows.foreach { r =>
+            val key = (r.hamming, r.neighbor_id)
+            if (heap.size < nCandidates) heap.enqueue((key, (r.qe, r.ne)))
+            else if (ord.lt(key, heap.head._1)) {
+              heap.dequeue(); heap.enqueue((key, (r.qe, r.ne)))
+            }
+          }
+          heap.toList.map { case ((h, nid), (qe, ne)) =>
+              (nid, h, dotF(qe, ne) / (math.sqrt(dotF(qe, qe)) * math.sqrt(dotF(ne, ne))))
+            }
+            .sortBy { case (nid, _, cos) => (-cos, nid) }
+            .take(k).zipWithIndex
+            .map { case ((nid, h, cos), i) => BinHit(qid, i + 1, nid, h, cos) }
+            .iterator
+        })
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateOut(
       event_type: String, hour: Long, cnt: Long,

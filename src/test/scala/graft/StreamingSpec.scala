@@ -222,6 +222,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
   }
 
+  test("streaming binary ANN equals the batch topKBinary bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{BinQuery, BinHit}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.pipeline.Similarity.binaryServedIndex(e)
+    val qs = e.where(col("vec_id") < 5).collect()
+      .map(r => BinQuery(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val input = MemoryStream[BinQuery]
+    input.addData(qs.toIndexedSeq: _*)
+    val q = Streaming.binarySearchStream(input.toDS(), index).writeStream
+      .format("memory").queryName("sbin").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbin").orderBy("query_id", "rank").collect()
+      .map(r => BinHit(r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val want = graft.pipeline.Similarity.topKBinary(e)
+      .orderBy("query_id", "rank").collect()
+      .map(r => BinHit(r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming"),
+        r.getAs[Double]("cosine")))
+    assert(got.length == want.length && got.toSeq == want.toSeq)
+  }
+
   test("streaming rate anomaly matches the batch table on closed hours") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{RateEvent, RateOut}
