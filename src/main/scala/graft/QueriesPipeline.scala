@@ -3699,6 +3699,51 @@ object QueriesPipeline {
     // centroid-table bytes. The table an operator reads before
     // retraining cells at a new corpus size — the "cells track corpus"
     // rule made quantitative.
+    // Per-source INGEST DRIFT report (the ivf_cell_drift stance for
+    // the text pipeline): between the base half and the delta-ingest
+    // half of each source, the three signals that regress first when
+    // an upstream crawler breaks — volume share, mean quality score,
+    // exact-dup rate — each with an exact integer per-mille delta.
+    // One scan + one source agg; the quality score is the committed
+    // single-source-of-truth column. A real deployment keys the halves
+    // by snapshot date; the fixture uses the doc_id parity proxy.
+    "source_drift_report" -> ((s, dir) => {
+      // hash-keyed halves: doc_id parity correlates with source in the
+      // fixture (block id assignment), which would degenerate every
+      // per-source split to one empty side
+      val half = (TextOps.hash32(
+        concat(lit("drift:"), col("doc_id").cast("string"))) % 2 === 1)
+        .as("is_delta")
+      val st = docs(s, dir).select(
+        col("source"), half,
+        floor(TextOps.qualityScore(col("text")) * 1000000 + 0.5)
+          .cast("bigint").as("q_micro"),
+        md5(col("text")).as("h"))
+      def side(d: Boolean, pfx: String) = st.where(col("is_delta") === d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("_n"),
+          sum(col("q_micro")).as("_qs"),
+          countDistinct(col("h")).as("_nd"))
+        .select(
+          col("source"),
+          col("_n").as(s"${pfx}_docs"),
+          expr("_qs div _n").as(s"${pfx}_q_micro"),
+          expr("(_n - _nd) * 1000 div _n").as(s"${pfx}_dup_pm"))
+      side(false, "base").join(side(true, "delta"), Seq("source"), "full_outer")
+        .select(
+          col("source"),
+          coalesce(col("base_docs"), lit(0L)).as("base_docs"),
+          coalesce(col("delta_docs"), lit(0L)).as("delta_docs"),
+          coalesce(col("base_q_micro"), lit(0L)).as("base_q_micro"),
+          coalesce(col("delta_q_micro"), lit(0L)).as("delta_q_micro"),
+          coalesce(col("base_dup_pm"), lit(0L)).as("base_dup_pm"),
+          coalesce(col("delta_dup_pm"), lit(0L)).as("delta_dup_pm"))
+        .withColumn("q_drift_micro", abs(col("delta_q_micro") - col("base_q_micro")))
+        .withColumn("dup_drift_pm", abs(col("delta_dup_pm") - col("base_dup_pm")))
+        .orderBy("source")
+    }),
+
     // Shuffle-key skew planner over the event stream's two natural
     // join keys: measured max/avg imbalance in exact per-mille and
     // the saltedAgg salt factor that would level the hot key — the
@@ -8262,6 +8307,33 @@ object QueriesPipeline {
          |  ${pAt("0.7")} AS p_at_070,
          |  ${pAt("0.9")} AS p_at_090
          |FROM grid ORDER BY bands DESC""".stripMargin
+    },
+
+    "source_drift_report" -> {
+      def side(cond: String, pfx: String) =
+        s"""SELECT source,
+           |  CAST(count(*) AS BIGINT) AS ${pfx}_docs,
+           |  CAST(sum(qm) AS BIGINT) // count(*) AS ${pfx}_q_micro,
+           |  (CAST(count(*) AS BIGINT) - count(DISTINCT h)) * 1000 // count(*) AS ${pfx}_dup_pm
+           |FROM st WHERE $cond GROUP BY source""".stripMargin
+      s"""WITH st AS (
+         |  SELECT source, ${h32("concat('drift:', CAST(doc_id AS VARCHAR))")} % 2 = 1 AS is_delta,
+         |    CAST(floor(($QualitySql) * 1000000 + 0.5) AS BIGINT) AS qm,
+         |    md5(text) AS h
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |b AS (${side("NOT is_delta", "base")}),
+         |d AS (${side("is_delta", "delta")})
+         |SELECT coalesce(b.source, d.source) AS source,
+         |  coalesce(base_docs, 0) AS base_docs,
+         |  coalesce(delta_docs, 0) AS delta_docs,
+         |  coalesce(base_q_micro, 0) AS base_q_micro,
+         |  coalesce(delta_q_micro, 0) AS delta_q_micro,
+         |  coalesce(base_dup_pm, 0) AS base_dup_pm,
+         |  coalesce(delta_dup_pm, 0) AS delta_dup_pm,
+         |  abs(coalesce(delta_q_micro, 0) - coalesce(base_q_micro, 0)) AS q_drift_micro,
+         |  abs(coalesce(delta_dup_pm, 0) - coalesce(base_dup_pm, 0)) AS dup_drift_pm
+         |FROM b FULL OUTER JOIN d ON b.source = d.source
+         |ORDER BY source""".stripMargin
     },
 
     "join_skew_plan" -> {
