@@ -772,6 +772,40 @@ object ScaleSmoke {
     def keySkew(ev: DataFrame): Long =
       graft.plans.Scale.keySkewPlan(ev, Seq("user_id", "event_type")).count()
 
+    // Last-touch attribution: user-keyed equi-join bounded by per-user
+    // events + per-purchase max-struct + channel rollup — linear.
+    def attrib(ev: DataFrame): Long = {
+      val e = ev.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        graft.sources.Bars.eventTimeMicros(ev).as("us"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("us").as("pus"),
+          floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"), col("event_id").as("cid"))
+      p.join(c, Seq("user_id"))
+        .where(col("cus") < col("pus") && col("pus") - col("cus") <= 21600000000L)
+        .groupBy("pid").agg(max(struct(col("cus"), col("cid"))).as("b"))
+        .count()
+    }
+
+    // Ingest-drift report: one scan + one source agg per half — linear.
+    def srcDrift(d: DataFrame): Long = {
+      val st = d.select(col("source"),
+        (graft.pipeline.TextOps.hash32(
+          concat(lit("drift:"), col("doc_id").cast("string"))) % 2 === 1).as("dl"),
+        md5(col("text")).as("h"))
+      st.groupBy("source", "dl")
+        .agg(count(lit(1)), countDistinct(col("h"))).count()
+    }
+
+    // WordPiece budget sweep: four rank-capped map-only kernel passes.
+    def wpBudget(d: DataFrame): Long =
+      Seq(12, 50).map { b =>
+        d.select(size(graft.pipeline.Wordpiece.piecesBudget(col("text"), b))
+          .cast("long").as("np")).agg(sum("np")).count()
+      }.sum
+
     // WordPiece: the greedy-match kernel is map-only; the piece-freq
     // agg is vocabulary-bounded — linear.
     def wp(d: DataFrame): Long =
@@ -910,7 +944,10 @@ object ScaleSmoke {
       "pii report" -> (() => (time("piirep 1x", piiRep(docs1)), time(s"piirep ${n}x", piiRep(docsN)))),
       "padding audit" -> (() => (time("padaudit 1x", padAudit(docs1)), time(s"padaudit ${n}x", padAudit(docsN)))),
       "semantic pack order" -> (() => (time("semorder 1x", semOrder(docs1)), time(s"semorder ${n}x", semOrder(docsN)))),
-      "key skew plan" -> (() => (time("keyskew 1x", keySkew(ev1)), time(s"keyskew ${n}x", keySkew(evN)))))
+      "key skew plan" -> (() => (time("keyskew 1x", keySkew(ev1)), time(s"keyskew ${n}x", keySkew(evN)))),
+      "events attribution" -> (() => (time("attrib 1x", attrib(ev1)), time(s"attrib ${n}x", attrib(evN)))),
+      "source drift report" -> (() => (time("srcdrift 1x", srcDrift(docs1)), time(s"srcdrift ${n}x", srcDrift(docsN)))),
+      "wordpiece budget" -> (() => (time("wpbudget 1x", wpBudget(docs1)), time(s"wpbudget ${n}x", wpBudget(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
