@@ -20,6 +20,32 @@ object QueriesPipeline {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Bars.readEvents(s, dir)
 
+  /** Doc-level confusion of a Bloom contamination verdict against the
+    * exact broadcast-semi verdict — shared by the sized-bitmap fp
+    * instrument and the retired fixed-8KB comparison row. Zero-guard
+    * on the clean-doc denominator: with every doc contaminated, Spark
+    * integer div would yield NULL while DuckDB `//` raises, so both
+    * spellings guard and emit NULL.
+    */
+  private def bloomConfusion(bloomVerdict: DataFrame, exactVerdict: DataFrame): DataFrame =
+    bloomVerdict.select(col("doc_id"), col("contaminated").as("bloom_hit"))
+      .join(
+        exactVerdict.select(col("doc_id"), col("contaminated").as("exact_hit")),
+        Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bloom_hit") && col("exact_hit"), 1L).otherwise(0L))
+          .as("both_hit"),
+        sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+          .as("bloom_only"),
+        sum(when(!col("bloom_hit") && col("exact_hit"), 1L).otherwise(0L))
+          .as("exact_only"),
+        sum(when(!col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+          .as("neither"))
+      .withColumn("fp_per_mille",
+        when(col("bloom_only") + col("neither") > 0,
+          expr("bloom_only * 1000 div (bloom_only + neither)")))
+
   /** PII FIXTURE for the `pii_*` queries — the [[Corpus.redactPii]]
     * footer (same arithmetic as the `redact_pii` query) applied
     * SPARSELY: doc_id % 3 == 0 gets the email, % 5 the phone, % 7 the
@@ -576,17 +602,21 @@ object QueriesPipeline {
     }),
 
     // Bloom-filter decontamination over the same benchmark staging:
-    // the bitmap is built once from the bench grams (8 KB at 2^16
-    // bits, FIXED regardless of eval-suite size) and rides along as a
-    // literal — the probe is a map-only pass with no join, the shape
+    // the bitmap is built once from the bench grams and rides along as
+    // a literal — the probe is a map-only pass with no join, the shape
     // that ships a contamination check to every executor at 100 TB.
-    // False positives are part of the contract (compare n_hit_grams
-    // with decontaminate's exact n_hits); the oracle reproduces the
-    // exact bit set, false positives included.
+    // Round 16: the bitmap is SIZED from the bench gram count
+    // (Dedup.bloomBitmapSized — ~20 bits/gram, k=7, ~10‰ doc-level
+    // over-drop) after its own fp instrument measured the fixed 8 KB
+    // bitmap at 307‰ over-drop at sf0.1; the 8 KB row survives as
+    // decontaminate_bloom_fp_8kb. False positives remain part of the
+    // contract; the oracle re-derives m with the same integer
+    // arithmetic and reproduces the exact bit set, false positives
+    // included.
     "decontaminate_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.bloomDecontaminate(
-          d, Dedup.bloomBitmap(d.where(col("doc_id") % 50 === 0)))
+      val (bm, m) = Dedup.bloomBitmapSized(d.where(col("doc_id") % 50 === 0))
+      Dedup.bloomDecontaminate(d, bm, mBits = m, kHash = Dedup.BloomKSized)
         .orderBy("doc_id")
     }),
 
@@ -613,33 +643,37 @@ object QueriesPipeline {
     // with the signature-estimated Jaccard of the closest benchmark
     // match as evidence. Both sides read the session-staged signature
     // frame — text is never re-read (see Dedup.fuzzyContamination).
-    // The price of the 8KB Bloom decontaminator, measured: doc-level
+    // The price of the Bloom decontaminator, measured: doc-level
     // confusion of the Bloom verdict against the exact broadcast-semi
     // verdict on the SAME 4-gram definition — fp_per_mille is the
     // over-drop rate a curation run pays for the O(1)-memory probe,
     // and exact_only (Bloom false negatives) must read 0 by
-    // construction or the bitmap is broken. Both verdict passes
-    // already exist; this is one extra 1-row join-agg.
+    // construction or the bitmap is broken. Grades the SIZED bitmap
+    // (the production gate since round 16); the retired fixed-8KB
+    // bitmap keeps its own comparison row below. The zero-guard on
+    // fp_per_mille covers the every-doc-contaminated corner where the
+    // denominator is empty (Spark div would NULL while DuckDB //
+    // raises — the guard makes both emit NULL).
     "decontaminate_bloom_fp" -> ((s, dir) => {
       val d = docs(s, dir)
       val bench = d.where(col("doc_id") % 50 === 0)
-      val bloom = Dedup.bloomDecontaminate(d, Dedup.bloomBitmap(bench))
-        .select(col("doc_id"), col("contaminated").as("bloom_hit"))
-      val exact = Dedup.decontaminate(d, bench)
-        .select(col("doc_id"), col("contaminated").as("exact_hit"))
-      bloom.join(exact, Seq("doc_id"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("bloom_hit") && col("exact_hit"), 1L).otherwise(0L))
-            .as("both_hit"),
-          sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
-            .as("bloom_only"),
-          sum(when(!col("bloom_hit") && col("exact_hit"), 1L).otherwise(0L))
-            .as("exact_only"),
-          sum(when(!col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
-            .as("neither"))
-        .withColumn("fp_per_mille",
-          expr("bloom_only * 1000 div (bloom_only + neither)"))
+      val (bm, m) = Dedup.bloomBitmapSized(bench)
+      bloomConfusion(
+        Dedup.bloomDecontaminate(d, bm, mBits = m, kHash = Dedup.BloomKSized),
+        Dedup.decontaminate(d, bench))
+    }),
+
+    // The RETIRED fixed-size bitmap's confusion row, kept so the sized
+    // gate's gain is measured, not asserted: 8 KB at 2^16 bits
+    // saturates at bench-suite scale (307‰ over-drop at sf0.1) — read
+    // this next to decontaminate_bloom_fp's ~10‰ for the same probe
+    // cost story at 1.5x the memory.
+    "decontaminate_bloom_fp_8kb" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+      bloomConfusion(
+        Dedup.bloomDecontaminate(d, Dedup.bloomBitmap(bench)),
+        Dedup.decontaminate(d, bench))
     }),
 
     "decontaminate_fuzzy" -> ((s, dir) => {
@@ -3814,6 +3848,71 @@ object QueriesPipeline {
   /** DuckDB 3-gram shingles of a text column. */
   private val Shingles = shinglesSql(3)
 
+  /** The Bloom-verdict CTE chain shared by the decontaminate_bloom
+    * oracles: bench bit positions (`bp`) and the per-(doc, gram) probe
+    * (`gp`). `sized = true` re-derives the bitmap width m from the
+    * bench gram count with the SAME integer arithmetic as
+    * [[Dedup.sizedMBits]] (a float log₂ spelling could differ by an
+    * ulp between engines and flip every position), `false` keeps the
+    * retired fixed 2¹⁶-bit width. Emitted without margin chars: this
+    * block is interpolated into stripMargin strings, which would eat
+    * any inner `|` prefixes.
+    */
+  private def bloomVerdictCtes(sized: Boolean): String = {
+    val k = if (sized) Dedup.BloomKSized else Dedup.BloomKHash
+    val m = if (sized) "(SELECT m FROM prm)" else Dedup.BloomMBits.toString
+    val benchGrams = s"SELECT unnest(${shinglesSql(Dedup.BloomN)}) AS s\n" +
+      "FROM read_parquet('{SFDIR}/documents.parquet')\nWHERE doc_id % 50 = 0"
+    val prm = if (sized)
+      s"prm AS (\nSELECT greatest(32, ((count(DISTINCT s) * ${Dedup.BloomBitsPerGram} + 31) // 32) * 32) AS m\n" +
+        s"FROM ($benchGrams)),\n"
+    else ""
+    s"""hset AS (SELECT unnest(range(0, $k)) AS h),
+$prm bp AS (
+SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % $m AS p
+FROM ($benchGrams), hset),
+gp AS (
+SELECT doc_id, s,
+bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % $m
+IN (SELECT p FROM bp)) AS hit
+FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(Dedup.BloomN)})) AS s
+FROM read_parquet('{SFDIR}/documents.parquet')), hset
+GROUP BY doc_id, s)"""
+  }
+
+  /** Tail of the Bloom-vs-exact confusion oracle, shared by the sized
+    * fp instrument and the retired fixed-8KB comparison row (the CTE
+    * prefix differs only through [[bloomVerdictCtes]]).
+    */
+  private def bloomConfusionSql(sized: Boolean): String =
+    s"""WITH ${bloomVerdictCtes(sized)},
+bh AS (SELECT doc_id, CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS nh FROM gp GROUP BY doc_id),
+bl AS (
+SELECT d.doc_id, coalesce(bh.nh, 0) > 0 AS bloom_hit
+FROM read_parquet('{SFDIR}/documents.parquet') d LEFT JOIN bh USING (doc_id)),
+g AS (
+SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
+FROM read_parquet('{SFDIR}/documents.parquet')),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+eh AS (
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS nh
+FROM g WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+ex AS (
+SELECT d.doc_id, coalesce(eh.nh, 0) > 0 AS exact_hit
+FROM read_parquet('{SFDIR}/documents.parquet') d LEFT JOIN eh USING (doc_id)),
+j AS (SELECT bl.bloom_hit, ex.exact_hit FROM bl JOIN ex USING (doc_id)),
+a AS (
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+CAST(sum(CASE WHEN bloom_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS both_hit,
+CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_only,
+CAST(sum(CASE WHEN NOT bloom_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_only,
+CAST(sum(CASE WHEN NOT bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS neither
+FROM j)
+SELECT n_docs, both_hit, bloom_only, exact_only, neither,
+CASE WHEN (bloom_only + neither) > 0
+THEN bloom_only * 1000 // (bloom_only + neither) END AS fp_per_mille
+FROM a"""
+
   private def minhashSql(i: Int): String = {
     val (a, b) = TextOps.MinhashParams(i)
     s"list_min(list_transform(sh, s -> (${h32("s")} * $a + $b) % 1000000007))"
@@ -5182,45 +5281,8 @@ object QueriesPipeline {
          |FROM read_parquet('{SFDIR}/documents.parquet') d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "decontaminate_bloom_fp" ->
-      s"""WITH hset AS (SELECT unnest(range(0, ${Dedup.BloomKHash})) AS h),
-         |bp AS (
-         |  SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits} AS p
-         |  FROM (SELECT unnest(${shinglesSql(Dedup.BloomN)}) AS s
-         |        FROM read_parquet('{SFDIR}/documents.parquet')
-         |        WHERE doc_id % 50 = 0), hset),
-         |gp AS (
-         |  SELECT doc_id, s,
-         |    bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits}
-         |      IN (SELECT p FROM bp)) AS hit
-         |  FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(Dedup.BloomN)})) AS s
-         |        FROM read_parquet('{SFDIR}/documents.parquet')), hset
-         |  GROUP BY doc_id, s),
-         |bh AS (SELECT doc_id, CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS nh FROM gp GROUP BY doc_id),
-         |bl AS (
-         |  SELECT d.doc_id, coalesce(bh.nh, 0) > 0 AS bloom_hit
-         |  FROM read_parquet('{SFDIR}/documents.parquet') d LEFT JOIN bh USING (doc_id)),
-         |g AS (
-         |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
-         |  FROM read_parquet('{SFDIR}/documents.parquet')),
-         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
-         |eh AS (
-         |  SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS nh
-         |  FROM g WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
-         |ex AS (
-         |  SELECT d.doc_id, coalesce(eh.nh, 0) > 0 AS exact_hit
-         |  FROM read_parquet('{SFDIR}/documents.parquet') d LEFT JOIN eh USING (doc_id)),
-         |j AS (SELECT bl.bloom_hit, ex.exact_hit FROM bl JOIN ex USING (doc_id)),
-         |a AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(CASE WHEN bloom_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS both_hit,
-         |    CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_only,
-         |    CAST(sum(CASE WHEN NOT bloom_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_only,
-         |    CAST(sum(CASE WHEN NOT bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS neither
-         |  FROM j)
-         |SELECT n_docs, both_hit, bloom_only, exact_only, neither,
-         |  bloom_only * 1000 // (bloom_only + neither) AS fp_per_mille
-         |FROM a""".stripMargin,
+    "decontaminate_bloom_fp" -> bloomConfusionSql(sized = true),
+    "decontaminate_bloom_fp_8kb" -> bloomConfusionSql(sized = false),
     "decontaminate_attribution" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(list_transform(${shinglesSql(4)}, s -> ${h32("s")})) AS g
@@ -5242,29 +5304,19 @@ object QueriesPipeline {
     // The bit set is reproduced exactly: a position is "set" iff some
     // bench gram hashes to it, so membership in the distinct-position
     // CTE IS the bitmap lookup — false positives (a non-bench gram
-    // whose 3 salted hashes all collide with set bits) match the
-    // engine's by construction.
+    // whose k salted hashes all collide with set bits) match the
+    // engine's by construction. The bitmap width m is re-derived from
+    // the bench gram count with the engine's integer arithmetic
+    // (bloomVerdictCtes sized = true).
     "decontaminate_bloom" ->
-      s"""WITH hset AS (SELECT unnest(range(0, ${Dedup.BloomKHash})) AS h),
-         |bp AS (
-         |  SELECT DISTINCT ${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits} AS p
-         |  FROM (SELECT unnest(${shinglesSql(Dedup.BloomN)}) AS s
-         |        FROM read_parquet('{SFDIR}/documents.parquet')
-         |        WHERE doc_id % 50 = 0), hset),
-         |gp AS (
-         |  SELECT doc_id, s,
-         |    bool_and(${h32("concat('bloom', CAST(h AS VARCHAR), '_', s)")} % ${Dedup.BloomMBits}
-         |      IN (SELECT p FROM bp)) AS hit
-         |  FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql(Dedup.BloomN)})) AS s
-         |        FROM read_parquet('{SFDIR}/documents.parquet')), hset
-         |  GROUP BY doc_id, s),
-         |hits AS (
-         |  SELECT doc_id, CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hit_grams
-         |  FROM gp GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
-         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
-         |FROM read_parquet('{SFDIR}/documents.parquet') d
-         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""WITH ${bloomVerdictCtes(sized = true)},
+hits AS (
+SELECT doc_id, CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hit_grams
+FROM gp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM read_parquet('{SFDIR}/documents.parquet') d
+LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
 
     "redact_pii" ->
       s"""WITH t AS (

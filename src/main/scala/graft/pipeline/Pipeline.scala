@@ -186,6 +186,45 @@ object Dedup {
   val BloomMBits = 65536
   val BloomKHash = 3
 
+  /** Sized-bitmap contract (round 16): the fixed 2¹⁶-bit bitmap
+    * saturates once the eval suite outgrows it — measured 307‰
+    * clean-doc over-drop at sf0.1 by `decontaminate_bloom_fp`, its own
+    * witness — so the production gate derives m from the bench gram
+    * count instead. Targets are set at the DOCUMENT level, the unit
+    * the over-drop instrument measures: a doc is falsely dropped if
+    * ANY of its ~50-100 distinct clean grams falsely hits, so a 1%
+    * doc-level budget needs a gram-level rate around 1e-4.
+    * m = 1.44·n·log₂(1/1e-4) ≈ 19.1·n, rounded UP to the integer 20
+    * so engine and DuckDB oracle derive m with exact integer
+    * arithmetic (a float log₂ seam could differ by 1 ulp between
+    * engines and flip every bit position). k = 7 instead of the
+    * 13-hash optimum: the probe is map-only but pays k md5 calls per
+    * distinct gram, and 7 hashes already land the measured gram rate
+    * near 2e-4 → ~10‰ doc-level, comfortably inside the 20‰ gate at
+    * half the optimum's hash cost.
+    */
+  val BloomBitsPerGram = 20L
+  val BloomKSized = 7
+
+  /** The sized bitmap width for a bench suite of `nGrams` distinct
+    * grams: BitsPerGram·n rounded up to a whole 32-bit lane. Pure
+    * integer arithmetic — the DuckDB oracle repeats it verbatim.
+    */
+  def sizedMBits(nGrams: Long): Int =
+    math.max(32L, ((nGrams * BloomBitsPerGram + 31L) / 32L) * 32L).toInt
+
+  /** [[bloomBitmap]] with m derived from the benchmark's own distinct
+    * gram count (one count over the eval-suite side only — the corpus
+    * is never touched) and the sized k. Returns the bitmap with its
+    * width, which downstream probes must reuse exactly.
+    */
+  def bloomBitmapSized(benchmark: DataFrame, n: Int = BloomN): (Array[Long], Int) = {
+    val nGrams = benchmark
+      .select(explode(shingles(col("text"), n)).as("s")).distinct().count()
+    val m = sizedMBits(nGrams)
+    (bloomBitmap(benchmark, n, m, BloomKSized), m)
+  }
+
   /** Exact duplicate groups by content hash. One shuffle on md5(text)
     * with map-side combine; linear at any scale.
     */

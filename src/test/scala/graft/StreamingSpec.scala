@@ -495,13 +495,18 @@ class StreamingSpec extends SparkSpec {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val bench = spark.createDataFrame(
       java.util.Arrays.asList(R(100L, "prefix alpha beta gamma delta suffix")), docSchema)
-    val bm = graft.pipeline.Dedup.bloomBitmap(bench)
+    // Sized-bitmap contract (round 16): the production gate derives m
+    // from the bench gram count; the twin must match on the sized
+    // params, not just the retired fixed width.
+    val (bm, m) = graft.pipeline.Dedup.bloomBitmapSized(bench)
     val texts = Seq(
       1L -> "alpha beta gamma delta rest of text",
       2L -> "totally unrelated words in this doc")
     val input = MemoryStream[Doc]
     input.addData(texts.map { case (id, t) => Doc(id, t) }: _*)
-    val q = Streaming.bloomDecontaminateStream(input.toDF(), bm).writeStream
+    val q = Streaming.bloomDecontaminateStream(
+        input.toDF(), bm, mBits = m, kHash = graft.pipeline.Dedup.BloomKSized)
+      .writeStream
       .format("memory").queryName("sbloom").outputMode("append").start()
     q.processAllAvailable()
     q.stop()
@@ -509,7 +514,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val want = graft.pipeline.Dedup.bloomDecontaminate(
         spark.createDataFrame(
-          texts.map { case (id, t) => R(id, t) }.asJava, docSchema), bm)
+          texts.map { case (id, t) => R(id, t) }.asJava, docSchema),
+        bm, mBits = m, kHash = graft.pipeline.Dedup.BloomKSized)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(got.toSeq == want.toSeq && got(0)._3 && !got(1)._3)
