@@ -772,8 +772,10 @@ object ScaleSmoke {
     def keySkew(ev: DataFrame): Long =
       graft.plans.Scale.keySkewPlan(ev, Seq("user_id", "event_type")).count()
 
-    // Last-touch attribution: user-keyed equi-join bounded by per-user
-    // events + per-purchase max-struct + channel rollup — linear.
+    // Last-touch attribution: (user, 6h-bucket)-keyed equi-join
+    // (purchases probe their own bucket + the previous one) +
+    // per-purchase max-struct + channel rollup — linear, and
+    // window-bounded per key even under hot users (own witness below).
     def attrib(ev: DataFrame): Long = {
       val e = ev.select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -783,10 +785,38 @@ object ScaleSmoke {
           floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
       val c = e.where(col("event_type") === "click")
         .select(col("user_id"), col("us").as("cus"), col("event_id").as("cid"))
-      p.join(c, Seq("user_id"))
+        .withColumn("bkt", expr("cus div 21600000000"))
+      p.withColumn("pbkt", expr("pus div 21600000000"))
+        .withColumn("bkt", explode(array(col("pbkt"), col("pbkt") - 1)))
+        .join(c, Seq("user_id", "bkt"))
         .where(col("cus") < col("pus") && col("pus") - col("cus") <= 21600000000L)
         .groupBy("pid").agg(max(struct(col("cus"), col("cid"))).as("b"))
         .count()
+    }
+
+    // Hot-user fixture for the attribution witness: `nClicks` clicks
+    // spread over 30 days across `nUsers` users + 200 purchases on the
+    // same user space. nUsers=1 is the bot-user worst case the bare
+    // user_id join went quadratic on (round-15 verdict); the bucketed
+    // join must keep it within ~1.5x of the uniform fixture because
+    // each purchase probe sees only the hot user's CURRENT+PREVIOUS
+    // bucket, never their whole click history.
+    def attribFixture(nClicks: Long, nUsers: Long): DataFrame = {
+      val base = 1700000000000000L
+      val spreadUs = 30L * 86400000000L
+      val clicks = spark.range(nClicks).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(base) + col("id") * lit(spreadUs / nClicks)).as("ts"),
+        (col("id") % nUsers).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"))
+      val purchases = spark.range(200).select(
+        (col("id") + nClicks).as("event_id"),
+        timestamp_micros(lit(base) + col("id") * lit(spreadUs / 200) + 1000L).as("ts"),
+        (col("id") % nUsers).as("user_id"),
+        lit("purchase").as("event_type"),
+        lit(10.0).as("value"))
+      clicks.union(purchases)
     }
 
     // Ingest-drift report: one scan + one source agg per half — linear.
@@ -946,6 +976,9 @@ object ScaleSmoke {
       "semantic pack order" -> (() => (time("semorder 1x", semOrder(docs1)), time(s"semorder ${n}x", semOrder(docsN)))),
       "key skew plan" -> (() => (time("keyskew 1x", keySkew(ev1)), time(s"keyskew ${n}x", keySkew(evN)))),
       "events attribution" -> (() => (time("attrib 1x", attrib(ev1)), time(s"attrib ${n}x", attrib(evN)))),
+      "attribution hot user" -> (() => (
+        time("attrib uniform", attrib(attribFixture(100000L, 1000L))),
+        time("attrib hotuser", attrib(attribFixture(100000L, 1L))))),
       "source drift report" -> (() => (time("srcdrift 1x", srcDrift(docs1)), time(s"srcdrift ${n}x", srcDrift(docsN)))),
       "wordpiece budget" -> (() => (time("wpbudget 1x", wpBudget(docs1)), time(s"wpbudget ${n}x", wpBudget(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
