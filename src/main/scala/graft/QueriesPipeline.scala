@@ -3734,23 +3734,18 @@ object QueriesPipeline {
         .orderBy(col("bands").desc)
     }),
 
-    // IVF sizing planner — lsh_param_plan's counterpart for the
-    // trained-cell tier, derived from the CORPUS (one count agg, no
-    // scan): per nlist rule (the shipped 8, the sqrt-n heuristics, the
-    // bounded-cell n/64), average cell population, scan fraction at
-    // nprobe 1/2/4 in exact per-mille, the per-Lloyd-iteration
-    // training bill (n·nlist distance evals), and the broadcast
-    // centroid-table bytes. The table an operator reads before
-    // retraining cells at a new corpus size — the "cells track corpus"
-    // rule made quantitative.
     // Per-source INGEST DRIFT report (the ivf_cell_drift stance for
     // the text pipeline): between the base half and the delta-ingest
     // half of each source, the three signals that regress first when
     // an upstream crawler breaks — volume share, mean quality score,
     // exact-dup rate — each with an exact integer per-mille delta.
-    // One scan + one source agg; the quality score is the committed
-    // single-source-of-truth column. A real deployment keys the halves
-    // by snapshot date; the fixture uses the doc_id parity proxy.
+    // ONE corpus scan: a single groupBy(source, is_delta) computes
+    // both halves' stats (round 16 — the per-side spelling scanned the
+    // unpersisted frame twice, the dominant cost at 100 TB), then a
+    // 2-rows-per-source conditional-max pivot assembles the report.
+    // The quality score is the committed single-source-of-truth
+    // column. A real deployment keys the halves by snapshot date; the
+    // fixture uses the doc_id parity proxy.
     "source_drift_report" -> ((s, dir) => {
       // hash-keyed halves: doc_id parity correlates with source in the
       // fixture (block id assignment), which would degenerate every
@@ -3763,26 +3758,25 @@ object QueriesPipeline {
         floor(TextOps.qualityScore(col("text")) * 1000000 + 0.5)
           .cast("bigint").as("q_micro"),
         md5(col("text")).as("h"))
-      def side(d: Boolean, pfx: String) = st.where(col("is_delta") === d)
-        .groupBy("source")
+      val sides = st.groupBy("source", "is_delta")
         .agg(
           count(lit(1)).as("_n"),
           sum(col("q_micro")).as("_qs"),
           countDistinct(col("h")).as("_nd"))
         .select(
-          col("source"),
-          col("_n").as(s"${pfx}_docs"),
-          expr("_qs div _n").as(s"${pfx}_q_micro"),
-          expr("(_n - _nd) * 1000 div _n").as(s"${pfx}_dup_pm"))
-      side(false, "base").join(side(true, "delta"), Seq("source"), "full_outer")
-        .select(
-          col("source"),
-          coalesce(col("base_docs"), lit(0L)).as("base_docs"),
-          coalesce(col("delta_docs"), lit(0L)).as("delta_docs"),
-          coalesce(col("base_q_micro"), lit(0L)).as("base_q_micro"),
-          coalesce(col("delta_q_micro"), lit(0L)).as("delta_q_micro"),
-          coalesce(col("base_dup_pm"), lit(0L)).as("base_dup_pm"),
-          coalesce(col("delta_dup_pm"), lit(0L)).as("delta_dup_pm"))
+          col("source"), col("is_delta"), col("_n"),
+          expr("_qs div _n").as("_q"),
+          expr("(_n - _nd) * 1000 div _n").as("_dup"))
+      def pick(d: Boolean, c: String) =
+        coalesce(max(when(col("is_delta") === d, col(c))), lit(0L))
+      sides.groupBy("source")
+        .agg(
+          pick(d = false, "_n").as("base_docs"),
+          pick(d = true, "_n").as("delta_docs"),
+          pick(d = false, "_q").as("base_q_micro"),
+          pick(d = true, "_q").as("delta_q_micro"),
+          pick(d = false, "_dup").as("base_dup_pm"),
+          pick(d = true, "_dup").as("delta_dup_pm"))
         .withColumn("q_drift_micro", abs(col("delta_q_micro") - col("base_q_micro")))
         .withColumn("dup_drift_pm", abs(col("delta_dup_pm") - col("base_dup_pm")))
         .orderBy("source")
@@ -3798,6 +3792,15 @@ object QueriesPipeline {
           events(s, dir), Seq("user_id", "event_type"))
         .orderBy("key_col")),
 
+    // IVF sizing planner — lsh_param_plan's counterpart for the
+    // trained-cell tier, derived from the CORPUS (one count agg, no
+    // scan): per nlist rule (the shipped 8, the sqrt-n heuristics, the
+    // bounded-cell n/64), average cell population, scan fraction at
+    // nprobe 1/2/4 in exact per-mille, the per-Lloyd-iteration
+    // training bill (n·nlist distance evals), and the broadcast
+    // centroid-table bytes. The table an operator reads before
+    // retraining cells at a new corpus size — the "cells track corpus"
+    // rule made quantitative.
     "ivf_param_plan" -> ((s, dir) => {
       import s.implicits._
       val n = embs(s, dir).agg(count(lit(1)).as("n"))

@@ -819,14 +819,25 @@ object ScaleSmoke {
       clicks.union(purchases)
     }
 
-    // Ingest-drift report: one scan + one source agg per half — linear.
+    // Ingest-drift report: ONE scan (single groupBy(source, is_delta))
+    // + a 2-rows-per-source conditional-max pivot — linear, and the
+    // scan is paid once (round 16; the per-side spelling paid it
+    // twice).
     def srcDrift(d: DataFrame): Long = {
       val st = d.select(col("source"),
         (graft.pipeline.TextOps.hash32(
           concat(lit("drift:"), col("doc_id").cast("string"))) % 2 === 1).as("dl"),
+        floor(graft.pipeline.TextOps.qualityScore(col("text")) * 1000000 + 0.5)
+          .cast("bigint").as("q_micro"),
         md5(col("text")).as("h"))
       st.groupBy("source", "dl")
-        .agg(count(lit(1)), countDistinct(col("h"))).count()
+        .agg(count(lit(1)).as("_n"), sum(col("q_micro")).as("_qs"),
+          countDistinct(col("h")).as("_nd"))
+        .groupBy("source")
+        .agg(
+          max(when(col("dl"), col("_n"))).as("delta_docs"),
+          max(when(!col("dl"), col("_n"))).as("base_docs"))
+        .count()
     }
 
     // WordPiece budget sweep: four rank-capped map-only kernel passes.
