@@ -1618,6 +1618,137 @@ object Streaming {
         graft.pipeline.Multimodal.DeterministicFakeDecoder): DataFrame =
     graft.pipeline.Multimodal.aHash(media, decoder)
 
+  /** STREAMING IVF-cell drift monitor — the ingest half of the batch
+    * `ivf_cell_drift` report: the trained centroids AND the base
+    * snapshot's per-cell counts are FROZEN as literals (the index as
+    * it existed at the last retrain), and the live delta ingest is
+    * watched against them. Three stateless/distributed stages, no
+    * keyed state at all:
+    *
+    *  1. home-cell assignment per arriving vector — literal-centroid
+    *     struct sort (the adcSearchStream stance; (ccos desc, cid asc)
+    *     order exactly as batch trainedAssignments), map-only;
+    *  2. ONE global streaming aggregate of nlist conditional counts
+    *     (complete mode) — partial-aggregated map-side, so the shuffle
+    *     moves nlist longs per partition, never vectors;
+    *  3. a stateless explode back to the batch schema, with base_pm a
+    *     literal (the base side is frozen) and delta_pm normalized by
+    *     the in-plan sum of the nlist counters.
+    *
+    * After the stream drains the same delta rows the batch saw, every
+    * (cid, n_base, n_delta, base_pm, delta_pm, drift_pm, retrain) row
+    * is bit-identical to the batch report (StreamingSpec pins it) —
+    * integer per-milles, so no float convergence caveats.
+    */
+  def ivfCellDriftStream(
+      vectors: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      baseCounts: Seq[(Int, Long)],
+      retrainPm: Long = 100L): DataFrame = {
+    import graft.functions.{dotF, dotFD}
+    require(cents.nonEmpty && baseCounts.map(_._2).sum > 0,
+      "frozen centroids and a non-empty base snapshot are the monitor's contract")
+    val qn = sqrt(dotF(col("embedding"), col("embedding")))
+    val scoredCells = array(cents.map { case (cid, ce) =>
+      val ceLit = array(ce.map(lit): _*)
+      val cn = lit(math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
+      struct(
+        (-(dotFD(col("embedding"), ceLit) / (qn * cn))).as("negccos"),
+        lit(cid).as("cid"))
+    }: _*)
+    val cids = cents.map(_._1).sorted
+    val assigned = vectors.withColumn(
+      "cid", element_at(array_sort(scoredCells), 1).getField("cid"))
+    val counts = assigned.agg(
+      sum(when(col("cid") === cids.head, 1L).otherwise(0L)).as(s"_d${cids.head}"),
+      cids.tail.map(i =>
+        sum(when(col("cid") === i, 1L).otherwise(0L)).as(s"_d$i")): _*)
+    val baseMap = baseCounts.toMap
+    val tb = baseCounts.map(_._2).sum
+    val rows = array(cids.map { i =>
+      val nb = baseMap.getOrElse(i, 0L)
+      struct(
+        lit(i).as("cid"), lit(nb).as("n_base"), col(s"_d$i").as("n_delta"),
+        lit(nb * 1000L / tb).as("base_pm"))
+    }: _*)
+    counts
+      .withColumn("_td", cids.map(i => col(s"_d$i")).reduce(_ + _))
+      .select(explode(rows).as("r"), col("_td"))
+      .select(
+        col("r.cid").as("cid"), col("r.n_base").as("n_base"),
+        col("r.n_delta").as("n_delta"), col("r.base_pm").as("base_pm"),
+        expr("r.n_delta * 1000 div _td").as("delta_pm"))
+      .withColumn("drift_pm", abs(col("base_pm") - col("delta_pm")))
+      .withColumn("retrain", col("drift_pm") > retrainPm)
+  }
+
+  case class DriftDoc(doc_id: Long, source: String, text: String)
+
+  /** Frozen per-source base stats for [[sourceDriftStream]] — the last
+    * full batch pass's side of the report, shipped to the monitor as
+    * plain values.
+    */
+  case class SourceBase(
+      source: String, base_docs: Long, base_q_micro: Long, base_dup_pm: Long)
+  case class SourceDriftState(n: Long, qsum: Long, seen: Set[String])
+  case class SourceDriftOut(
+      source: String, base_docs: Long, delta_docs: Long,
+      base_q_micro: Long, delta_q_micro: Long,
+      base_dup_pm: Long, delta_dup_pm: Long,
+      q_drift_micro: Long, dup_drift_pm: Long)
+
+  /** STREAMING ingest-drift monitor — the ingest half of the batch
+    * `source_drift_report`: the base half's per-source stats ride in
+    * frozen ([[SourceBase]], from the last full pass), delta docs
+    * arrive live, and every micro-batch re-emits each touched source's
+    * full report row. Unlike ivf_cell_drift, NOTHING here crosses
+    * sources — every output column is per-key — so one
+    * flatMapGroupsWithState keyed by source computes the exact batch
+    * row incrementally.
+    *
+    * The q_micro / content-hash columns are computed BEFORE the
+    * stateful op by the SAME Catalyst expressions as the batch query
+    * (TextOps.qualityScore, md5) — a stateless projection — so the
+    * keyed state only folds exact integers: (n, Σq_micro, seen-hash
+    * set). The seen set is the honest cost of an EXACT dup rate on a
+    * stream: O(delta docs per source) 32-char entries; a 100 TB
+    * deployment swaps it for a sketch (the decontaminate_bloom trade,
+    * measured there) or re-keys by (source, hash). Integer divs match
+    * the batch `div` spelling, so rows pin bit-identical once the
+    * stream drains (StreamingSpec).
+    */
+  def sourceDriftStream(
+      docs: Dataset[DriftDoc],
+      base: Seq[SourceBase]): Dataset[SourceDriftOut] = {
+    import docs.sparkSession.implicits._
+    val baseMap = base.map(b => b.source -> b).toMap
+    val staged = docs.toDF.select(
+      col("source"),
+      floor(graft.pipeline.TextOps.qualityScore(col("text")) * 1000000 + 0.5)
+        .cast("bigint").as("q_micro"),
+      md5(col("text")).as("h"))
+      .as[(String, Long, String)]
+    staged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[SourceDriftState]) => {
+          var st = if (state.exists) state.get
+            else SourceDriftState(0L, 0L, Set.empty)
+          rows.foreach { case (_, q, h) =>
+            st = SourceDriftState(st.n + 1, st.qsum + q, st.seen + h)
+          }
+          state.update(st)
+          val b = baseMap.getOrElse(src, SourceBase(src, 0L, 0L, 0L))
+          val dq = st.qsum / st.n
+          val ddup = (st.n - st.seen.size) * 1000L / st.n
+          Iterator.single(SourceDriftOut(
+            src, b.base_docs, st.n, b.base_q_micro, dq,
+            b.base_dup_pm, ddup,
+            math.abs(dq - b.base_q_micro), math.abs(ddup - b.base_dup_pm)))
+        })
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

@@ -246,6 +246,85 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.toSeq == want.toSeq)
   }
 
+  test("streaming ivf cell drift matches the batch report bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.pipeline.Similarity.kmeansCentroids(e)
+    val asg = graft.pipeline.Similarity.cellAssignments(e, cents)
+      .withColumn("is_delta", col("vec_id") % 2 === 1)
+    // the declared query's exact batch spelling
+    val agg = asg.groupBy("cid").agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+    val tot = broadcast(agg.agg(
+      sum("n_base").as("tb"), sum("n_delta").as("td")))
+    val want = agg.crossJoin(tot)
+      .select(col("cid"), col("n_base"), col("n_delta"),
+        expr("n_base * 1000 div tb").as("base_pm"),
+        expr("n_delta * 1000 div td").as("delta_pm"))
+      .withColumn("drift_pm", abs(col("base_pm") - col("delta_pm")))
+      .withColumn("retrain", col("drift_pm") > 100L)
+      .orderBy("cid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // frozen monitor artifacts: centroids + base-side per-cell counts
+    val cl = cents.collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("ce")).toSeq))
+      .toSeq
+    val baseCounts = asg.where(!col("is_delta")).groupBy("cid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val delta = e.where(col("vec_id") % 2 === 1).collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[Vec]
+    input.addData(delta.take(delta.length / 2): _*)
+    val q = Streaming.ivfCellDriftStream(input.toDF(), cl, baseCounts)
+      .writeStream
+      .format("memory").queryName("sivfdrift").outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(delta.drop(delta.length / 2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sivfdrift").orderBy("cid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming source drift matches the batch report per touched source") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("source_drift_report")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    // frozen base stats = the batch report's own base columns
+    val base = want.map { case (src, w) =>
+      Streaming.SourceBase(src, w._1, w._3, w._5)
+    }.toSeq
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val delta = d.where(graft.pipeline.TextOps.hash32(
+        concat(lit("drift:"), col("doc_id").cast("string"))) % 2 === 1)
+      .select("doc_id", "source", "text").collect()
+      .map(r => Streaming.DriftDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    assert(delta.nonEmpty)
+    val input = MemoryStream[Streaming.DriftDoc]
+    input.addData(delta: _*)
+    val q = Streaming.sourceDriftStream(input.toDS(), base).writeStream
+      .format("memory").queryName("ssrcdrift").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssrcdrift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    // every source with delta ingest emits its exact batch row; the
+    // stream (by design) stays silent on delta-free sources
+    assert(got.nonEmpty)
+    got.foreach { case (src, row) => assert(want(src) == row, src) }
+    val deltaSources = delta.map(_.source).toSet
+    assert(got.keySet == deltaSources)
+  }
+
   test("streaming rate anomaly matches the batch table on closed hours") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{RateEvent, RateOut}
