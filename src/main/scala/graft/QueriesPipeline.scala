@@ -98,6 +98,51 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Trained fastText-shaped language ID — the model-based
+    // counterpart of the stopword voter above: per language, one
+    // EXACT integer dot product of the committed NB weight table
+    // (trained in-repo by tools/TrainLangModel, re-derived exactly by
+    // PipelineSpec) over 64 hashed-token buckets; argmax with ties to
+    // the alphabetically-first label. Map-only at any scale — the
+    // md5 per token is computed once and every language reads its own
+    // 64-entry literal. Accuracy on this fixture is honest-low (the
+    // corpus draws all languages from near-identical token
+    // distributions) — lang_id_agreement measures it.
+    "lang_id_model" -> ((s, dir) =>
+      Corpus.langIdModelScore(docs(s, dir)).orderBy("doc_id")),
+
+    // Cross-signal agreement instrument for the two language-ID
+    // spellings (the gate_correlation stance): accuracy of the
+    // trained model and the stopword voter against the corpus's lang
+    // column, plus their agreement on the subset where the voter
+    // commits (!= 'und'). ONE map-only scan + a 1-row agg — both
+    // predictions are projections over the same text column, so no
+    // join exists to pay for.
+    "lang_id_agreement" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("lang"),
+        Corpus.langIdModelPred().as("pm"),
+        TextOps.langPred(col("text")).as("ps"))
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pm") === col("lang"), 1L).otherwise(0L))
+            .as("model_correct"),
+          sum(when(col("ps") === col("lang"), 1L).otherwise(0L))
+            .as("stop_correct"),
+          sum(when(col("ps") =!= "und", 1L).otherwise(0L))
+            .as("n_stop_decided"),
+          sum(when(col("ps") =!= "und" && col("pm") === col("ps"), 1L)
+            .otherwise(0L)).as("n_agree_decided"))
+        .select(
+          col("n_docs"), col("model_correct"), col("stop_correct"),
+          expr("model_correct * 1000 div n_docs").as("model_acc_pm"),
+          expr("stop_correct * 1000 div n_docs").as("stop_acc_pm"),
+          col("n_stop_decided"),
+          when(col("n_stop_decided") > 0,
+            expr("n_agree_decided * 1000 div n_stop_decided"))
+            .as("agree_decided_pm"))
+    }),
+
     // C4-style term-lexicon ("bad words") gate, softened to a
     // blocked-mass ratio (the RefinedWeb stance; ratio 0 degenerates
     // to C4's drop-on-any-hit). The fixture lexicon is a 2-term
@@ -4767,6 +4812,36 @@ FROM a"""
   private val QualitySql: String =
     s"""least(len($Toks) / 100.0, 1.0) * 0.5 +
        |    least(CAST(len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($Toks) * 10, 1.0) * 0.5""".stripMargin
+  /** Shared CTEs of the lang_id_model oracles: hashed-token bucket
+    * list (one md5 per token, 1-based for list_extract) and the five
+    * per-language exact-integer score folds — each the engine's
+    * aggregate-from-bias spelling (list_reduce over a prepended bias,
+    * same left-to-right integer adds). Weight literals interpolate
+    * from the committed Scala arrays, so engine and oracle cannot
+    * drift. Emitted without margin chars (interpolated into
+    * stripMargin strings).
+    */
+  private val LangIdCtes: String = {
+    val scoreCols = Corpus.LangIdLangs.zipWithIndex.map { case (l, i) =>
+      val wList = Corpus.LangIdWMicro(i).mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(${Corpus.LangIdBiasMicro(i)} AS BIGINT), " +
+        s"list_transform(bk, j -> CAST(list_extract($wList, j) AS BIGINT))), " +
+        s"(a, x) -> a + x) AS score_${l}_micro"
+    }.mkString(",\n")
+    s"""t AS (
+SELECT doc_id, lang, text,
+list_transform($Toks, tk -> CAST(${h32("concat('li_', tk)")} % ${Corpus.LangIdBuckets} AS INT) + 1) AS bk
+FROM read_parquet('{SFDIR}/documents.parquet')),
+sc AS (
+SELECT doc_id, lang, text,
+$scoreCols
+FROM t),
+pr AS (
+SELECT *,
+list_sort([${Corpus.LangIdLangs.map(l => s"{'ns': -score_${l}_micro, 'l': '$l'}").mkString(", ")}])[1].l AS lang_pred_model
+FROM sc)"""
+  }
+
   private val LangPredSql: String =
     s"""CASE WHEN len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) > len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) THEN 'en'
        |          WHEN len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) > len(list_filter($Toks, t -> t IN ('the','a','of','to','and'))) THEN 'es'
@@ -4819,6 +4894,30 @@ FROM a"""
          |  CAST(len(list_filter($Toks, t -> t IN ('el','la','de','y','que'))) AS BIGINT) AS es_score,
          |  $LangPredSql AS lang_pred
          |FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "lang_id_model" ->
+      s"""WITH $LangIdCtes
+SELECT doc_id, lang, ${Corpus.LangIdLangs.map(l => s"score_${l}_micro").mkString(", ")}, lang_pred_model
+FROM pr ORDER BY doc_id""",
+
+    "lang_id_agreement" ->
+      s"""WITH $LangIdCtes,
+j AS (
+SELECT lang, lang_pred_model AS pm, $LangPredSql AS ps FROM pr),
+a AS (
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+CAST(sum(CASE WHEN pm = lang THEN 1 ELSE 0 END) AS BIGINT) AS model_correct,
+CAST(sum(CASE WHEN ps = lang THEN 1 ELSE 0 END) AS BIGINT) AS stop_correct,
+CAST(sum(CASE WHEN ps <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_decided,
+CAST(sum(CASE WHEN ps <> 'und' AND pm = ps THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_decided
+FROM j)
+SELECT n_docs, model_correct, stop_correct,
+model_correct * 1000 // n_docs AS model_acc_pm,
+stop_correct * 1000 // n_docs AS stop_acc_pm,
+n_stop_decided,
+CASE WHEN n_stop_decided > 0
+THEN n_agree_decided * 1000 // n_stop_decided END AS agree_decided_pm
+FROM a""",
 
     // Mirrors TextOps.badwordsStats: the lexicon IN-list interpolates
     // from the same Scala constant, so engine and oracle cannot drift.

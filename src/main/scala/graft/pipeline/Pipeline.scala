@@ -1172,6 +1172,118 @@ object Corpus {
     Array(313081089, -62461454, -39196778, 253255879, 40810366)
   val QualityModelBiasMicro: Long = -39196778L
 
+  /** Committed lang_id_model fixture (integer micros) — trained by
+    * [[graft.tools.TrainLangModel]] (multinomial Naive Bayes over 64
+    * hashed-token buckets, Laplace smoothing, sf0.001 corpus;
+    * closed-form, so the trainer re-derives these exact micros —
+    * PipelineSpec pins it). The fastText shape: one integer dot
+    * product per language over the hashed bag, argmax serves.
+    * HONESTY: the synthetic corpus draws every language from nearly
+    * the same token distribution (per-lang unigram L1 distance
+    * ~0.08), so the achievable accuracy sits near the majority-class
+    * rate — `lang_id_agreement` measures it next to the stopword
+    * voter, the ann_recall_opq stance of recording what the fixture
+    * admits rather than inflating it.
+    */
+  val LangIdBuckets = 64
+  val LangIdLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+  val LangIdWMicro: Array[Array[Long]] = Array(
+    // de
+    Array(
+      -8327001, -3378241, -3323054, -8327001, -8327001, -8327001, -3392527, -8327001,
+      -3323054, -8327001, -2646828, -3547877, -8327001, -3329788, -8327001, -3573411,
+      -8327001, -8327001, -8327001, -8327001, -8327001, -8327001, -3283576, -8327001,
+      -3323054, -8327001, -8327001, -2330549, -3336568, -8327001, -8327001, -3467188,
+      -8327001, -2809548, -8327001, -8327001, -8327001, -2751052, -8327001, -8327001,
+      -8327001, -8327001, -8327001, -8327001, -3371174, -8327001, -2340549, -3436652,
+      -8327001, -8327001, -8327001, -8327001, -8327001, -2710230, -8327001, -7228388,
+      -8327001, -8327001, -8327001, -3385358, -3459466, -8327001, -8327001, -3514816
+    ),
+    // en
+    Array(
+      -9250234, -3485043, -3342151, -9250234, -9250234, -9250234, -3460274, -9250234,
+      -3430151, -9250234, -2737004, -3475682, -9250234, -3436103, -9250234, -3427188,
+      -9250234, -9250234, -9250234, -9250234, -9250234, -9250234, -3418351, -9250234,
+      -3475682, -9250234, -9250234, -2318762, -3317989, -9250234, -9250234, -3436103,
+      -9250234, -2731087, -9250234, -9250234, -9250234, -2689203, -9250234, -9250234,
+      -9250234, -9250234, -9250234, -9250234, -3403795, -9250234, -2273886, -3291809,
+      -9250234, -9250234, -9250234, -9250234, -9250234, -2664062, -9250234, -6611177,
+      -9250234, -9250234, -9250234, -3355831, -3412503, -9250234, -9250234, -3504031
+    ),
+    // es
+    Array(
+      -8429454, -3459641, -3418819, -8429454, -8429454, -8429454, -3516799, -8429454,
+      -3281960, -8429454, -2759573, -3425508, -8429454, -3348050, -8429454, -3373208,
+      -8429454, -8429454, -8429454, -8429454, -8429454, -8429454, -3625433, -8429454,
+      -3418819, -8429454, -8429454, -2306961, -3516799, -8429454, -8429454, -3329588,
+      -8429454, -2729011, -8429454, -8429454, -8429454, -2749282, -8429454, -8429454,
+      -8429454, -8429454, -8429454, -8429454, -3287791, -8429454, -2266139, -3270399,
+      -8429454, -8429454, -8429454, -8429454, -8429454, -2722344, -8429454, -6637695,
+      -8429454, -8429454, -8429454, -3466610, -3379598, -8429454, -8429454, -3531614
+    ),
+    // fr
+    Array(
+      -8515191, -3403203, -3497911, -8515191, -8515191, -8515191, -3327805, -8515191,
+      -3446287, -8515191, -2798163, -3333408, -8515191, -3524759, -8515191, -3356136,
+      -8515191, -8515191, -8515191, -8515191, -8515191, -8515191, -3484753, -8515191,
+      -3517979, -8515191, -8515191, -2294601, -3268167, -8515191, -8515191, -3333408,
+      -8515191, -2753140, -8515191, -8515191, -8515191, -2811409, -8515191, -8515191,
+      -8515191, -8515191, -8515191, -8515191, -3379393, -8515191, -2290633, -3440017,
+      -8515191, -8515191, -8515191, -8515191, -8515191, -2657258, -8515191, -6723432,
+      -8515191, -8515191, -8515191, -3511245, -3252501, -8515191, -8515191, -3391227
+    ),
+    // zh
+    Array(
+      -8330382, -3353648, -3447580, -8330382, -8330382, -8330382, -3267787, -8330382,
+      -3432542, -8330382, -2758228, -3494100, -8330382, -3510100, -8330382, -3313102,
+      -8330382, -8330382, -8330382, -8330382, -8330382, -8330382, -3462847, -8330382,
+      -3395908, -8330382, -8330382, -2304516, -3470569, -8330382, -8330382, -3526361,
+      -8330382, -2739395, -8330382, -8330382, -8330382, -2674390, -8330382, -8330382,
+      -8330382, -8330382, -8330382, -8330382, -3395908, -8330382, -2328967, -3470569,
+      -8330382, -8330382, -8330382, -8330382, -8330382, -2724580, -8330382, -6720944,
+      -8330382, -8330382, -8330382, -3346775, -3267787, -8330382, -8330382, -3440032
+    )
+  )
+  val LangIdBiasMicro: Array[Long] = Array(-1951928, -951918, -1832581, -1807889, -1910543)
+
+  /** Per-language NB scores as columns over `text` — one EXACT
+    * integer fold per language over the shared bucket array (one md5
+    * per token, computed once; each language then reads its own
+    * 64-entry literal), the qualityModelLogit stance multiplied
+    * across the label set. Map-only at any scale.
+    */
+  def langIdModelScores(): Seq[Column] = {
+    val bkts = transform(
+      TextOps.tokens(col("text")),
+      t => (pmod(TextOps.hash32(concat(lit("li_"), t)),
+        lit(LangIdBuckets.toLong)) + 1).cast("int"))
+    LangIdLangs.zipWithIndex.map { case (_, i) =>
+      val wLit = typedlit(LangIdWMicro(i))
+      aggregate(bkts, lit(LangIdBiasMicro(i)),
+        (acc, b) => acc + element_at(wLit, b))
+    }
+  }
+
+  /** The argmax language, ties to the alphabetically-first label —
+    * negated-score struct sort, the same tie spelling the ANN tiers
+    * use (both engines compare structs field by field).
+    */
+  def langIdModelPred(): Column =
+    element_at(
+      array_sort(array(langIdModelScores().zip(LangIdLangs).map {
+        case (s, l) => struct((-s).as("ns"), lit(l).as("l"))
+      }: _*)), 1).getField("l")
+
+  /** lang_id_model scoring frame: per-language integer-micro scores +
+    * the argmax prediction next to the corpus's own lang column.
+    */
+  def langIdModelScore(docs: DataFrame): DataFrame =
+    docs.select(
+      Seq(col("doc_id"), col("lang")) ++
+        langIdModelScores().zip(LangIdLangs).map {
+          case (s, l) => s.as(s"score_${l}_micro")
+        } :+ langIdModelPred().as("lang_pred_model"): _*)
+
   /** Classifier-based quality scoring (fastText/DCLM-style) — the
     * single-dot-product alternative to evaluating the full rule gate,
     * the shape a production pipeline ships once a cheap classifier

@@ -1524,6 +1524,18 @@ object Streaming {
   def qualityModelScoreStream(docs: DataFrame): DataFrame =
     graft.pipeline.Corpus.qualityModelScore(docs)
 
+  /** Streaming trained language ID — the stream twin of
+    * [[graft.pipeline.Corpus.langIdModelScore]]: the committed
+    * per-language NB weight tables ride as literals, each score is an
+    * exact integer fold over the hashed-token buckets, and the argmax
+    * is a struct sort — a pure stateless projection, so the twin
+    * delegates verbatim (the qualityModelScoreStream stance). An
+    * ingest feed gets its language label at arrival with
+    * bit-identical scores to the batch backfill (StreamingSpec).
+    */
+  def langIdModelStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Corpus.langIdModelScore(docs)
+
   /** Streaming DSIR scoring against a STATIC trained bucket-ratio
     * table (b, lr_micro — train one with
     * [[graft.pipeline.Corpus.dsirRatios]]): the production shape for

@@ -2254,6 +2254,46 @@ class PipelineSpec extends SparkSpec {
     assert(acc >= 0.93)
   }
 
+  test("distributed TrainLangModel reproduces the committed NB weights exactly") {
+    // closed-form trainer: one distributed (lang, bucket) count pass,
+    // driver-side Laplace log + half-up micro rounding — must
+    // re-derive the committed fixture bit for bit
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (cnt, nd) = tools.TrainLangModel.counts(d)
+    val fitted = tools.TrainLangModel.fit(cnt, nd)
+    assert(fitted.map(_._1) == pipeline.Corpus.LangIdLangs)
+    fitted.zipWithIndex.foreach { case ((_, w, b), i) =>
+      assert(w.toSeq == pipeline.Corpus.LangIdWMicro(i).toSeq)
+      assert(b == pipeline.Corpus.LangIdBiasMicro(i))
+    }
+  }
+
+  test("lang_id_model argmax and tie-break pinned by hand") {
+    // per-language scores are exact integer folds of the committed
+    // table; the prediction is argmax with ties to the alphabetically
+    // first label. Hand fold in the JVM = the independent expected.
+    val texts = Seq(7L -> "the hash join order table", 8L -> "x")
+    val d = spark.createDataFrame(
+      texts.map { case (id, t) => (id, t, "en") }).toDF("doc_id", "text", "lang")
+    val got = pipeline.Corpus.langIdModelScore(d).orderBy("doc_id").collect()
+    val langs = pipeline.Corpus.LangIdLangs
+    texts.zip(got).foreach { case ((_, t), r) =>
+      val bkts = t.split(" ").map { tok =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"li_$tok".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        (java.lang.Long.parseLong(md5, 16) % 64).toInt
+      }
+      val scores = langs.indices.map { i =>
+        pipeline.Corpus.LangIdBiasMicro(i) +
+          bkts.map(b => pipeline.Corpus.LangIdWMicro(i)(b)).sum
+      }
+      langs.indices.foreach(i => assert(r.getLong(2 + i) == scores(i)))
+      val best = langs.indices.minBy(i => (-scores(i), langs(i))).toInt
+      assert(r.getString(2 + langs.size) == langs(best))
+    }
+  }
+
   test("Bpe token ids: bijective with symbols, losslessly decodable, vocab-bounded") {
     import org.apache.spark.sql.graft.expressions.{BpeEncodeF, BpeIdsF}
     val texts = spark.read

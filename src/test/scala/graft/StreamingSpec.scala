@@ -246,6 +246,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.toSeq == want.toSeq)
   }
 
+  test("streaming lang_id_model matches the batch scorer bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      LangDoc(1L, "the hash join order table scan", "en"),
+      LangDoc(2L, "el grupo de la tabla y que", "es"),
+      LangDoc(3L, "merge sort window batch", "de"))
+    val input = MemoryStream[LangDoc]
+    input.addData(rows: _*)
+    val q = Streaming.langIdModelStream(input.toDF()).writeStream
+      .format("memory").queryName("slangid").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slangid").orderBy("doc_id").collect().map(_.toSeq)
+    val want = graft.pipeline.Corpus.langIdModelScore(
+        spark.createDataFrame(rows).toDF("doc_id", "text", "lang"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming ivf cell drift matches the batch report bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
