@@ -1801,29 +1801,39 @@ object Corpus {
       .map { case (s, p) =>
         (s, math.max(0L, math.min(1000L, p - 1000L * e)))
       }.sortBy(_._1)
-    val frames = (0 until maxEpochs).groupBy(cutoffs).toSeq.flatMap {
+    val frames = (0 until maxEpochs).groupBy(cutoffs).toSeq.map {
       case (_, es) =>
         val e0 = es.min
+        val esSorted = es.sorted
         val inSubset = dd.where(
           pmod(hash32(concat(lit("epoch_"), col("doc_id").cast("string"))),
             lit(1000L)) < col("_permille") - lit(e0 * 1000L))
         val mat = packMaterialize(inSubset, ctx)
           .select(col("window_id"), col("n_tokens"), col("window_md5"))
           .persist()
-        es.map { e =>
-          // train order derived from the materialized window set
-          // itself (same set packShuffle ranks: stream packing leaves
-          // no empty window) — one prefix plan per epoch, no join
-          val keyed = mat.withColumn("shuffle_key",
-            hash32(concat(lit(s"shuffle_${e}_"), col("window_id").cast("string"))))
-          graft.plans.Scale.rowNumberDistributed(
-              keyed, Seq(col("shuffle_key").asc, col("window_id").asc),
-              "train_pos", 32)
-            .select(
-              lit(e).as("epoch"),
-              expr(s"(train_pos - 1) div $batch").as("batch_id"),
-              col("n_tokens"), col("window_md5"), col("train_pos"))
-        }
+        // ONE prefix plan for the whole group (round 16; one per epoch
+        // before): explode the shared window set across the group's
+        // epochs, range-partition ONCE on (epoch, epoch-salted key,
+        // window_id) — epoch leads the order, so each epoch's block is
+        // contiguous and exactly n_windows rows, and the per-epoch
+        // train position is the global one folded back by modulo.
+        // Same salted-key string, same within-epoch order, identical
+        // train_pos/batch digests — at 1/|group| the rank shuffles.
+        val expl = mat
+          .withColumn("epoch", explode(array(esSorted.map(e => lit(e)): _*)))
+          .withColumn("shuffle_key",
+            hash32(concat(lit("shuffle_"), col("epoch").cast("string"),
+              lit("_"), col("window_id").cast("string"))))
+        val (ranked, total) = graft.plans.Scale.rowNumberDistributedWithTotal(
+          expl,
+          Seq(col("epoch").asc, col("shuffle_key").asc, col("window_id").asc),
+          "gpos", 32)
+        val nW = math.max(1L, total / es.size)
+        ranked.select(
+          col("epoch"),
+          expr(s"((gpos - 1) % $nW) div $batch").as("batch_id"),
+          col("n_tokens"), col("window_md5"),
+          (((col("gpos") - 1) % nW) + 1).as("train_pos"))
     }
     frames.reduce(_ unionAll _)
       .groupBy("epoch", "batch_id")
