@@ -4044,8 +4044,9 @@ FROM a"""
        |    coalesce(max(CASE WHEN v.is_cont = (p.pos > 1)
        |                       AND substr(w.word, p.pos, len(v.ptext)) = v.ptext
        |                      THEN len(v.ptext) END), 1) AS step
-       |  FROM ${pfx}words w, range(1, 41) p(pos), ${pfx}vocab v
-       |  WHERE p.pos <= len(w.word)
+       |  FROM ${pfx}words w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS pos) p,
+       |  ${pfx}vocab v
        |  GROUP BY w.word, p.pos),
        |${pfx}walk(word, pos, n, piece) AS (
        |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR) FROM ${pfx}words
@@ -4062,8 +4063,10 @@ FROM a"""
     * Viterbi kernel. Viterbi has NO deterministic successor (the best
     * piece at a position depends on the whole suffix), so unlike the
     * WordPiece walk the oracle ENUMERATES every segmentation path —
-    * bounded here by short corpus words (≤ 2^(len−1) paths/word over
-    * ≤ 40-char words) — and argmaxes `ORDER BY score DESC, lens DESC`,
+    * bounded here by short corpus words (≤ 2^(len−1) paths/word;
+    * positions are generated per word with a lateral generate_series,
+    * so no fixed length cap can silently drop a long glued word) —
+    * and argmaxes `ORDER BY score DESC, lens DESC`,
     * which the kernel's right-to-left DP tie rule provably equals
     * (equal-total paths share prefixes up to their first diverging
     * boundary, so suffix-lexicographic = full-lens-lexicographic).
@@ -4090,12 +4093,15 @@ FROM a"""
        |  $wordsSel),
        |ugsteps AS MATERIALIZED (
        |  SELECT w.word, p.pos, len(v.piece) AS l, v.sc
-       |  FROM ugwords w, range(1, 41) p(pos), ugvocab v
-       |  WHERE p.pos <= len(w.word) AND substr(w.word, p.pos, len(v.piece)) = v.piece
+       |  FROM ugwords w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS pos) p,
+       |  ugvocab v
+       |  WHERE substr(w.word, p.pos, len(v.piece)) = v.piece
        |  UNION ALL
        |  SELECT w.word, p.pos, 1, CAST($fb AS BIGINT)
-       |  FROM ugwords w, range(1, 41) p(pos)
-       |  WHERE p.pos <= len(w.word) AND NOT EXISTS (
+       |  FROM ugwords w
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS pos) p
+       |  WHERE NOT EXISTS (
        |    SELECT 1 FROM ugvocab v WHERE v.piece = substr(w.word, p.pos, 1))),
        |ugpaths(word, pos, score, lens) AS (
        |  SELECT word, 1, CAST(0 AS BIGINT), '' FROM ugwords

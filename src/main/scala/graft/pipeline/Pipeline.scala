@@ -1588,12 +1588,24 @@ object Corpus {
       cells: DataFrame,
       ctx: Long = 512L,
       numParts: Int = 32): DataFrame = {
+    // the composite BIGINT key holds 32 bits of doc_id; an id past
+    // 2^32 would silently collide/mis-order, so the plan itself
+    // asserts the precondition (coalesce turns assert_true's NULL
+    // into +0 on the pass path) — widen to a struct range key if a
+    // deployment ever outgrows 32-bit ids
+    val idGuard = coalesce(
+      assert_true(
+        col("doc_id") >= 0L && col("doc_id") < 4294967296L,
+        lit("packSemanticOrder: doc_id outside [0, 2^32) would collide " +
+          "the composite (cell, doc_id) order key")).cast("bigint"),
+      lit(0L))
     val keyed = docs.join(cells, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("cid").cast("bigint"), lit(-1L)).as("cell"),
         size(tokens(col("text"))).cast("bigint").as("n_tokens"))
-      .withColumn("skey", (col("cell") + 1L) * 4294967296L + col("doc_id"))
+      .withColumn("skey",
+        (col("cell") + 1L) * 4294967296L + col("doc_id") + idGuard)
     graft.plans.Scale.cumSumDistributedLong(keyed, "n_tokens", "skey", "_cum", numParts)
       .withColumn("start_offset", col("_cum") - col("n_tokens"))
       .withColumn("first_window", expr(s"start_offset div $ctx"))

@@ -82,13 +82,21 @@ object UnigramTrain {
     // broadcast; output is vocab-bounded piece counts.
     def usage(scores: Map[String, Long]): Map[String, Long] = {
       val b = spark.sparkContext.broadcast(scores)
-      val maxLen = math.max(1, scores.keys.map(_.length).max)
-      wordDs.flatMap { case (w, f) =>
-          segmentWord(w, b.value, maxLen, FallbackMicro).map(p => (p, f))
-        }
-        .groupBy(col("_1").as("piece"))
-        .agg(sum(col("_2")).as("cnt"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      try {
+        val maxLen = math.max(1, scores.keys.map(_.length).max)
+        wordDs.flatMap { case (w, f) =>
+            segmentWord(w, b.value, maxLen, FallbackMicro).map(p => (p, f))
+          }
+          .groupBy(col("_1").as("piece"))
+          .agg(sum(col("_2")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally {
+        // one score map is broadcast per EM round; without an explicit
+        // destroy each round's copy lingers on driver and executors
+        // for the session's lifetime (harmless at budget 16, a leak at
+        // a 100 TB seed vocabulary)
+        b.destroy()
+      }
     }
 
     var scores = rescore(seed)
