@@ -2190,6 +2190,29 @@ object QueriesPipeline {
     // broadcast staged centroids + the distributed exact-rank plan
     // (range partition + broadcast offsets, no SinglePartition
     // window). See [[graft.pipeline.Similarity.homeCells]].
+    // Embedding variance spectrum — the rank-collapse detector run
+    // before trusting an embedding column: variance per trained
+    // eigen-direction (the session-staged OPQ rotation — eigensolve
+    // cost sunk) in exact integer micros, with per-mille shares and
+    // the cumulative energy curve. One map-only rotate + one d-sum
+    // aggregate; ranking touches 64 rows. Oracle replays from the
+    // Verify-dumped rotation fixture ({OPQROT}).
+    "embedding_spectrum" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.embeddingSpectrum(
+        e, graft.pipeline.IvfChain.opqRotation(s, dir, e))
+    }),
+
+    // 1-row intrinsic-dimension summary of the spectrum: participation
+    // ratio (1 = collapsed, 64 = isotropic; on this deliberately
+    // isotropic fixture it reads near 64 — the honest value), dims
+    // covering 90% of energy, top direction's share.
+    "embedding_intrinsic_dim" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.embeddingIntrinsicDim(
+        e, graft.pipeline.IvfChain.opqRotation(s, dir, e))
+    }),
+
     "embedding_outliers" -> ((s, dir) => {
       val e = embs(s, dir)
       val hc = Similarity.homeCells(
@@ -3134,6 +3157,43 @@ object QueriesPipeline {
     // map-side combinable after the distinct) + one tiny cohort-sized
     // join; epoch-week is integer µs division so the bucketing is
     // engine-exact.
+    // RFM user segmentation — the product-analytics companion of the
+    // retention cohorts: per user recency (last event), frequency
+    // (event count), monetary (purchase cents), each quartiled on the
+    // distributed two-pass rank plan (the quality_deciles pattern —
+    // range partition + local row_number + offsets, NO SinglePartition
+    // window), then rolled up to the ≤64 (r,f,m) segments. The three
+    // rank passes run over the POST-AGG users frame (|users| ≪
+    // |events|), so the corpus-scale cost is the one events groupBy.
+    "events_rfm_segments" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val e = ev.select(col("user_id"), col("event_type"), col("value"),
+        graft.sources.Bars.eventTimeMicros(ev).as("us"))
+      val u = e.groupBy("user_id").agg(
+        max(col("us")).as("last_us"),
+        count(lit(1)).cast("bigint").as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("bigint")).otherwise(0L))
+          .as("cents"))
+      val (r1, n) = graft.plans.Scale.rowNumberDistributedWithTotal(
+        u, Seq(col("last_us").desc, col("user_id").asc), "_rr")
+      val r2 = graft.plans.Scale.rowNumberDistributed(
+        r1, Seq(col("n_events").desc, col("user_id").asc), "_fr")
+      val r3 = graft.plans.Scale.rowNumberDistributed(
+        r2, Seq(col("cents").desc, col("user_id").asc), "_mr")
+      r3.select(
+          expr(s"((_rr - 1) * 4) div $n").as("r_q"),
+          expr(s"((_fr - 1) * 4) div $n").as("f_q"),
+          expr(s"((_mr - 1) * 4) div $n").as("m_q"),
+          col("cents"), col("n_events"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("n_events")).as("total_events"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
     "events_retention_cohorts" -> ((s, dir) => {
       val ev = events(s, dir)
       val uw = ev.select(
@@ -4371,6 +4431,33 @@ FROM a"""
        |remb AS MATERIALIZED (
        |  SELECT e.vec_id, list(CAST(${dotMixedSql("e.embedding", "rot.rrow")} AS REAL) ORDER BY rot.r) AS embedding
        |  FROM eraw e, rot GROUP BY e.vec_id)""".stripMargin
+
+  /** Spectrum CTEs shared by embedding_spectrum /
+    * embedding_intrinsic_dim: per (vector, eigen-direction) projection
+    * through the Verify-dumped rotation fixture with the ENGINE's
+    * float cast ([[graft.pipeline.Opq.rotate]] casts each rotated
+    * coordinate to REAL before anything reads it), per-dim
+    * exact-integer micro second moments, the 64-row rank/cum frame
+    * (`srk`: dim, sq, n, rank, cum_sq) and the total (`stot`). Emitted
+    * without margin chars (interpolated into plain strings).
+    */
+  private val SpectrumCtes: String =
+    s"""eraw AS (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')),
+rot AS (SELECT r, rrow FROM read_parquet('{OPQROT}/*.parquet')),
+proj AS (
+SELECT rot.r AS dim,
+CAST(CAST(${dotMixedSql("e.embedding", "rot.rrow")} AS REAL) AS DOUBLE) AS x
+FROM eraw e, rot),
+ssq AS (
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+CAST(sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+FROM proj GROUP BY dim),
+stot AS (SELECT CAST(sum(sq) AS BIGINT) AS tot FROM ssq),
+srk AS (
+SELECT dim, sq, n,
+CAST(row_number() OVER (ORDER BY sq DESC, dim ASC) AS BIGINT) AS rank,
+CAST(sum(sq) OVER (ORDER BY sq DESC, dim ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sq
+FROM ssq)"""
 
   /** Shared by ann_topk_opq_ivfpq and its disk-served _loaded twin
     * (one spelling of the composed-index replay, two engine paths).
@@ -7050,6 +7137,37 @@ LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     },
 
+    // Spectrum oracles: projections through the Verify-dumped rotation
+    // fixture with the engine's exact float cast, per-dim exact-integer
+    // micro second moments, 64-row rank/cum frame (SpectrumCtes).
+    "embedding_spectrum" ->
+      s"""WITH $SpectrumCtes
+SELECT dim, rank, sq // n AS var_micro,
+sq * 1000 // (SELECT tot FROM stot) AS share_pm,
+cum_sq * 1000 // (SELECT tot FROM stot) AS cum_share_pm
+FROM srk ORDER BY rank""",
+
+    // PR folds run in dim order from 0.0 — the engine's aggregate()
+    // over the dim-sorted collect_list, mirrored here by list_reduce
+    // over list(... ORDER BY dim): identical IEEE sequences.
+    "embedding_intrinsic_dim" ->
+      s"""WITH $SpectrumCtes,
+fold AS (
+SELECT
+max(n) AS n_vecs,
+CAST(count(*) AS BIGINT) AS n_dims,
+list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(sq AS DOUBLE) ORDER BY dim)),
+(a, x) -> a + x) AS sd,
+list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(sq AS DOUBLE) ORDER BY dim)),
+(a, x) -> a + x * x) AS sq2,
+min(CASE WHEN cum_sq * 1000 // (SELECT tot FROM stot) >= 900 THEN rank END) AS dims_for_90pct,
+max(CASE WHEN rank = 1 THEN sq * 1000 // (SELECT tot FROM stot) END) AS top1_share_pm
+FROM srk)
+SELECT n_vecs, n_dims,
+CAST(floor(sd * sd / sq2 * 1000000 + 0.5) AS BIGINT) AS participation_ratio_micro,
+dims_for_90pct, top1_share_pm
+FROM fold""",
+
     // Sample-trained vs full-trained IVF recall: the full-trained
     // chain is KmeansCtes verbatim; the sampled chain repeats the
     // same Lloyd spelling over the hash-sample with rank-of-sampled-id
@@ -8696,6 +8814,33 @@ LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
          |  $sel
          |) ORDER BY step""".stripMargin
     },
+
+    // RFM quartiles mirror the engine's distributed rank plan with
+    // plain window row_numbers (same (metric desc, user_id asc) tie
+    // rule), same ((rank-1)*4)//n quartile arithmetic as the deciles.
+    "events_rfm_segments" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events),
+         |u AS (
+         |  SELECT user_id, max(us) AS last_us,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                  ELSE 0 END) AS BIGINT) AS cents
+         |  FROM e GROUP BY user_id),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY last_us DESC, user_id ASC) AS rr,
+         |    row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS fr,
+         |    row_number() OVER (ORDER BY cents DESC, user_id ASC) AS mr,
+         |    count(*) OVER () AS n
+         |  FROM u)
+         |SELECT ((rr - 1) * 4) // n AS r_q, ((fr - 1) * 4) // n AS f_q,
+         |  ((mr - 1) * 4) // n AS m_q,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents,
+         |  CAST(sum(n_events) AS BIGINT) AS total_events
+         |FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
 
     "events_retention_cohorts" ->
       """WITH w AS (

@@ -5106,6 +5106,91 @@ object Similarity {
       .where(col("crank") === 1)
       .select(col("vec_id"), col("cid"), col("ccos"))
 
+  /** Shared base of the embedding-spectrum instruments: ONE map-only
+    * pass (the trained rotation applied as d codegen'd dot kernels —
+    * [[Opq.rotate]]'s exact spelling, float cast included, so the
+    * DuckDB oracle's REAL cast matches bit for bit) + ONE global
+    * aggregate of d exact-integer second-moment sums. Per rotated
+    * dimension r the summand is floor(x̂ᵣ²·10⁶ + 0.5) — integer micros,
+    * so the distributed sum is order-free and cross-engine exact (at
+    * ~10¹² rows the micro sums approach BIGINT range; a deployment at
+    * that count drops the scale to 10³, same trade as the dedup
+    * micros). Output: one row with `_n` and `_s0.._s{d−1}`.
+    */
+  private[graft] def spectrumRow(embs: DataFrame, rotation: Array[Array[Double]]): DataFrame = {
+    val rotated = Opq.rotate(embs, rotation)
+    val sums = (0 until Opq.Dim).map { r =>
+      val x = element_at(col("embedding"), r + 1).cast("double")
+      sum(floor(x * x * 1e6 + 0.5).cast("bigint")).as(s"_s$r")
+    }
+    rotated.agg(count(lit(1)).as("_n"), sums: _*)
+  }
+
+  /** The ranked per-dimension spectrum frame (internal): (dim, sq,
+    * _n, _tot, rank, cum_sq). The rank/cumsum window runs over d rows
+    * — a SinglePartition on a 64-row frame, the bounded-output shape
+    * every drift monitor here uses.
+    */
+  private def spectrumRanked(embs: DataFrame, rotation: Array[Array[Double]]): DataFrame = {
+    val row = spectrumRow(embs, rotation)
+      .withColumn("_tot", (0 until Opq.Dim).map(r => col(s"_s$r")).reduce(_ + _))
+    val items = array((0 until Opq.Dim).map(r =>
+      struct(lit(r).as("dim"), col(s"_s$r").as("sq"))): _*)
+    val w = Window.orderBy(col("sq").desc, col("dim").asc)
+    row.select(col("_n"), col("_tot"), explode(items).as("t"))
+      .select(col("t.dim").as("dim"), col("t.sq").as("sq"), col("_n"), col("_tot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_sq",
+        sum(col("sq")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Embedding-space variance SPECTRUM — the rank-collapse detector a
+    * training-data pipeline runs before trusting an embedding column:
+    * variance along each trained eigen-direction (the [[Opq]] rotation
+    * the ANN tier already maintains — the eigensolve cost is sunk), as
+    * exact integer micros with per-mille shares and the cumulative
+    * energy curve. A healthy isotropic cloud spreads energy evenly; an
+    * encoder failure (constant outputs, dead dimensions, mode
+    * collapse) concentrates it — read `cum_share_pm` at low ranks.
+    * Cost at any scale: one map-only rotate + one d-sum aggregate; the
+    * ranking touches d rows.
+    */
+  def embeddingSpectrum(embs: DataFrame, rotation: Array[Array[Double]]): DataFrame =
+    spectrumRanked(embs, rotation)
+      .select(
+        col("dim"), col("rank"),
+        expr("sq div _n").as("var_micro"),
+        expr("sq * 1000 div _tot").as("share_pm"),
+        expr("cum_sq * 1000 div _tot").as("cum_share_pm"))
+      .orderBy("rank")
+
+  /** 1-row intrinsic-dimension summary of [[embeddingSpectrum]]:
+    * participation ratio PR = (Σλ)²/Σλ² (1 = fully collapsed, d =
+    * isotropic; both folds run in dim order from 0.0 over the exact
+    * integer sums, mirrored by the oracle's list_reduce, so the two
+    * IEEE sequences match), the dim count covering 90% of energy, and
+    * the top direction's share.
+    */
+  def embeddingIntrinsicDim(embs: DataFrame, rotation: Array[Array[Double]]): DataFrame = {
+    val r = spectrumRanked(embs, rotation)
+    val lst = array_sort(collect_list(struct(col("dim"), col("sq"))))
+    val sD = aggregate(
+      lst, lit(0.0), (a, s) => a + s.getField("sq").cast("double"))
+    val sQ = aggregate(
+      lst, lit(0.0), (a, s) => {
+        val x = s.getField("sq").cast("double"); a + x * x
+      })
+    r.agg(
+        max(col("_n")).as("n_vecs"),
+        count(lit(1)).as("n_dims"),
+        floor(sD * sD / sQ * 1e6 + 0.5).cast("bigint")
+          .as("participation_ratio_micro"),
+        min(when(expr("cum_sq * 1000 div _tot") >= 900L, col("rank")))
+          .as("dims_for_90pct"),
+        max(when(col("rank") === 1L, expr("sq * 1000 div _tot")))
+          .as("top1_share_pm"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram passes ([[Dedup.decontaminate]] catches verbatim/near-
     * verbatim leaks; this one catches paraphrased eval items the

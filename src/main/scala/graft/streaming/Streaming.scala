@@ -1694,6 +1694,47 @@ object Streaming {
       .withColumn("retrain", col("drift_pm") > retrainPm)
   }
 
+  /** STREAMING embedding-spectrum monitor — the ingest half of the
+    * batch `embedding_spectrum`: the trained rotation rides as plan
+    * literals (64 codegen'd dot kernels, the batch [[graft.pipeline
+    * .Opq.rotate]] spelling verbatim) and ONE distributed global
+    * aggregate folds the d exact-integer micro second moments
+    * (map-side combined — the shuffle carries d longs per partition,
+    * never vectors). A streaming aggregate cannot be followed by a
+    * rank window, so the d-row ranking/cumsum happens with ARRAY
+    * expressions on the single aggregate row (struct sort on
+    * (−sq, dim) = the batch (sq desc, dim asc) order; cumulative sums
+    * via slice+aggregate — O(d²) integer adds on one row) before a
+    * stateless posexplode back to the batch schema. Complete mode;
+    * bit-identical to the batch spectrum once the stream drains
+    * (StreamingSpec) — the live rank-collapse alarm for an embedding
+    * ingest feed.
+    */
+  def embeddingSpectrumStream(
+      vectors: DataFrame, rotation: Array[Array[Double]]): DataFrame = {
+    import graft.pipeline.{Opq, Similarity}
+    val d = Opq.Dim
+    val row = Similarity.spectrumRow(vectors, rotation)
+    val items = array((0 until d).map(r =>
+      struct((-col(s"_s$r")).as("nsq"), lit(r).as("dim"))): _*)
+    val sorted = array_sort(items)
+    row
+      .withColumn("_tot", (0 until d).map(r => col(s"_s$r")).reduce(_ + _))
+      .withColumn("_sorted", sorted)
+      .select(
+        posexplode(col("_sorted")).as(Seq("_p", "t")),
+        col("_sorted"), col("_n"), col("_tot"))
+      .withColumn("cum_sq",
+        aggregate(slice(col("_sorted"), lit(1), col("_p") + 1), lit(0L),
+          (a, s) => a - s.getField("nsq")))
+      .select(
+        col("t.dim").as("dim"),
+        (col("_p") + 1).cast("long").as("rank"),
+        expr("(-t.nsq) div _n").as("var_micro"),
+        expr("(-t.nsq) * 1000 div _tot").as("share_pm"),
+        expr("cum_sq * 1000 div _tot").as("cum_share_pm"))
+  }
+
   case class DriftDoc(doc_id: Long, source: String, text: String)
 
   /** Frozen per-source base stats for [[sourceDriftStream]] — the last

@@ -2254,6 +2254,76 @@ class PipelineSpec extends SparkSpec {
     assert(acc >= 0.93)
   }
 
+  test("embedding spectrum: shares close, PR bounded, collapse detected") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rot = pipeline.Opq.trainRotation(e)
+    val spec = pipeline.Similarity.embeddingSpectrum(e, rot).collect()
+    assert(spec.length == 64)
+    // integer-div shares must sum to <= 1000 and within 64 of it
+    val shareSum = spec.map(_.getAs[Long]("share_pm")).sum
+    assert(shareSum <= 1000 && shareSum >= 1000 - 64)
+    assert(spec.map(_.getAs[Long]("cum_share_pm")).max <= 1000)
+    val dim = pipeline.Similarity.embeddingIntrinsicDim(e, rot).collect().head
+    val pr = dim.getAs[Long]("participation_ratio_micro")
+    assert(pr >= 1000000L && pr <= 64000000L)
+    // isotropic fixture: PR should be high (near d)
+    assert(pr > 40000000L, s"isotropic corpus should read high PR, got $pr")
+    // COLLAPSED fixture: energy on one axis -> PR near 1, 90% in 1 dim
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val collapsed = spark.createDataFrame(
+      java.util.Arrays.asList((0 until 32).map { i =>
+        R(i.toLong, Array.tabulate(64)(j =>
+          if (j == 0) (1.0f + i) else 0.001f * ((i + j) % 3)))
+      }: _*), schema)
+    val ident = Array.tabulate(64, 64)((a, b) => if (a == b) 1.0 else 0.0)
+    val cdim = pipeline.Similarity.embeddingIntrinsicDim(collapsed, ident)
+      .collect().head
+    assert(cdim.getAs[Long]("participation_ratio_micro") < 3000000L)
+    assert(cdim.getAs[Long]("dims_for_90pct") == 1L)
+  }
+
+  test("events RFM segmentation: quartile arithmetic pinned by hand") {
+    import org.apache.spark.sql.{Row => R}
+    // 8 users, metrics arranged so user u has recency rank u+1,
+    // frequency rank u+1, monetary rank u+1 -> quartile u/2 for all 3
+    val rows = (0 until 8).flatMap { u =>
+      val nEv = 9 - u // frequency: user 0 most active
+      (0 until nEv).map { k =>
+        R(u * 100L + k, // event_id
+          new java.sql.Timestamp(1700000000000L - u * 3600000L + k),
+          u.toLong,
+          if (k == 0) "purchase" else "click",
+          if (k == 0) (800.0 - u * 100.0) else 1.0)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val ev = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    import scala.jdk.CollectionConverters._
+    val e = ev.select(col("user_id"), col("event_type"), col("value"),
+      graft.sources.Bars.eventTimeMicros(ev).as("us"))
+    val u = e.groupBy("user_id").agg(
+      max(col("us")).as("last_us"),
+      count(lit(1)).cast("bigint").as("n_events"),
+      sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast("bigint")).otherwise(0L)).as("cents"))
+    val (r1, n) = plans.Scale.rowNumberDistributedWithTotal(
+      u, Seq(col("last_us").desc, col("user_id").asc), "_rr")
+    assert(n == 8)
+    val got = r1.select(col("user_id"), expr("((_rr - 1) * 4) div 8").as("r_q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user u is the (u+1)-th most recent -> quartile u/2
+    (0 until 8).foreach(u => assert(got(u.toLong) == u / 2, s"user $u"))
+  }
+
   test("distributed TrainLangModel reproduces the committed NB weights exactly") {
     // closed-form trainer: one distributed (lang, bucket) count pass,
     // driver-side Laplace log + half-up micro rounding — must

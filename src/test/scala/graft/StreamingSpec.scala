@@ -265,6 +265,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming embedding spectrum matches the batch instrument bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rot = graft.pipeline.Opq.trainRotation(e)
+    val want = graft.pipeline.Similarity.embeddingSpectrum(e, rot)
+      .orderBy("rank").collect().map(_.toSeq)
+    val vecs = e.collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[Vec]
+    input.addData(vecs.take(vecs.length / 2): _*)
+    val q = Streaming.embeddingSpectrumStream(input.toDF(), rot).writeStream
+      .format("memory").queryName("sspec").outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(vecs.drop(vecs.length / 2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sspec").orderBy("rank").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming ivf cell drift matches the batch report bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
