@@ -77,6 +77,24 @@ final class Indicators private (
     */
   def dataframe: DataFrame = df
 
+  /** Reference `show_graph(optimized)` (indicators.py:41-54): render
+    * the query plan of the chained operations. Polars draws the
+    * LazyFrame graph; the Spark-native spelling is the Catalyst plan —
+    * `optimized = true` shows the optimized logical plan (the polars
+    * default's analogue), `false` the analyzed (pre-optimization)
+    * plan. Returns the string AND prints it, so the fluent chain can
+    * keep flowing exactly like the reference (which returns the
+    * display object).
+    */
+  def showGraph(optimized: Boolean = true): String = {
+    val qe = df.queryExecution
+    val s = if (optimized) qe.optimizedPlan.toString else qe.analyzed.toString
+    // scalastyle:off println
+    println(s)
+    // scalastyle:on println
+    s
+  }
+
   private def chain(d: DataFrame): Indicators =
     new Indicators(d, syntheticSymbol, partitionAll)
 

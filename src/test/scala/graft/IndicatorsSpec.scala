@@ -198,6 +198,19 @@ class IndicatorsSpec extends SparkSpec {
     assert(doubles(out, "close_rsi_3") == doubles(out, "open_rsi_3"))
   }
 
+  test("show_graph renders the chained plan, optimized and analyzed") {
+    val ind = Indicators(tiny).sma(Seq("close"), 3).ema(Seq("close"), 3)
+    val opt = ind.showGraph()
+    val raw = ind.showGraph(optimized = false)
+    // both plans must mention the chained output columns; the
+    // optimized plan collapses the chained projections the analyzed
+    // plan still stacks
+    assert(opt.contains("close_sma_3") && opt.contains("close_ema_3"))
+    assert(raw.contains("close_sma_3") && raw.contains("close_ema_3"))
+    assert(raw.linesIterator.count(_.contains("Project")) >=
+      opt.linesIterator.count(_.contains("Project")))
+  }
+
   test("validate_columns raises on missing") {
     intercept[IllegalArgumentException] {
       Indicators(tiny.drop("volume")).vwap()
