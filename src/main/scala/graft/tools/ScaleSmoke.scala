@@ -840,6 +840,38 @@ object ScaleSmoke {
         .count()
     }
 
+    // Embedding spectrum: one map-only rotate + one d-sum global agg
+    // (the rotation is trained ONCE on the 1x frame and frozen — the
+    // monitor's contract; training cost has its own OPQ rows).
+    lazy val smokeRot = graft.pipeline.Opq.trainRotation(emb1)
+    def spectrum(e: DataFrame): Long =
+      graft.pipeline.Similarity.embeddingSpectrum(e, smokeRot).count()
+
+    // RFM segmentation: one events groupBy + three rank plans over the
+    // post-agg users frame.
+    def rfm(ev: DataFrame): Long = {
+      val e = ev.select(col("user_id"), col("event_type"), col("value"),
+        graft.sources.Bars.eventTimeMicros(ev).as("us"))
+      val u = e.groupBy("user_id").agg(
+        max(col("us")).as("last_us"),
+        count(lit(1)).cast("bigint").as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("bigint")).otherwise(0L))
+          .as("cents"))
+      val (r1, n) = graft.plans.Scale.rowNumberDistributedWithTotal(
+        u, Seq(col("last_us").desc, col("user_id").asc), "_rr")
+      val r2 = graft.plans.Scale.rowNumberDistributed(
+        r1, Seq(col("n_events").desc, col("user_id").asc), "_fr")
+      graft.plans.Scale.rowNumberDistributed(
+          r2, Seq(col("cents").desc, col("user_id").asc), "_mr")
+        .select(
+          expr(s"((_rr - 1) * 4) div $n").as("r_q"),
+          expr(s"((_fr - 1) * 4) div $n").as("f_q"),
+          expr(s"((_mr - 1) * 4) div $n").as("m_q"))
+        .groupBy("r_q", "f_q", "m_q").agg(count(lit(1)))
+        .count()
+    }
+
     // WordPiece budget sweep: four rank-capped map-only kernel passes.
     def wpBudget(d: DataFrame): Long =
       Seq(12, 50).map { b =>
@@ -991,7 +1023,9 @@ object ScaleSmoke {
         time("attrib uniform", attrib(attribFixture(100000L, 1000L))),
         time("attrib hotuser", attrib(attribFixture(100000L, 1L))))),
       "source drift report" -> (() => (time("srcdrift 1x", srcDrift(docs1)), time(s"srcdrift ${n}x", srcDrift(docsN)))),
-      "wordpiece budget" -> (() => (time("wpbudget 1x", wpBudget(docs1)), time(s"wpbudget ${n}x", wpBudget(docsN)))))
+      "wordpiece budget" -> (() => (time("wpbudget 1x", wpBudget(docs1)), time(s"wpbudget ${n}x", wpBudget(docsN)))),
+      "embedding spectrum" -> (() => (time("spectrum 1x", spectrum(emb1)), time(s"spectrum ${n}x", spectrum(embN)))),
+      "events rfm" -> (() => (time("rfm 1x", rfm(ev1)), time(s"rfm ${n}x", rfm(evN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)
