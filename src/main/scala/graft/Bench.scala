@@ -142,6 +142,7 @@ object Bench {
         graft.pipeline.DedupChain.release(spark)
         graft.pipeline.IvfChain.release(spark)
         graft.pipeline.BpeChain.release(spark)
+        graft.pipeline.PackChain.release(spark)
         spark.catalog.clearCache()
       }
       runPass()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, KnnChain, Multimodal, Sessionize, Similarity, TextOps, Unigram, Wordpiece}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, KnnChain, Multimodal, PackChain, Sessionize, Similarity, TextOps, Unigram, Wordpiece}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -2389,7 +2389,9 @@ object QueriesPipeline {
     // one batch agg whose groups are 8 rows by construction.
     "pack_batches" -> ((s, dir) => {
       val d = docs(s, dir)
-      val mat = Corpus.packMaterialize(d, ctx = 512L)
+      // the session-staged window table (PackChain): materialize once
+      // per snapshot, every manifest derives from it
+      val mat = PackChain.materialized(s, dir, d)
         .select("window_id", "n_tokens", "window_md5")
       // train order derived from the materialized window set (the
       // same set packShuffle ranks — stream packing leaves no empty
@@ -2423,7 +2425,8 @@ object QueriesPipeline {
     // single-partition window. See
     // [[graft.pipeline.Corpus.packBatchesEpochs]].
     "pack_batches_epochs" -> ((s, dir) =>
-      Corpus.packBatchesEpochs(docs(s, dir), ctx = 512L)
+      Corpus.packBatchesEpochs(docs(s, dir), ctx = 512L,
+          fullMat = Some(PackChain.materialized(s, dir, docs(s, dir))))
         .orderBy("epoch", "batch_id")),
 
     // The packed windows MATERIALIZED — the training-batch content
@@ -2432,7 +2435,7 @@ object QueriesPipeline {
     // corpus + one window_id shuffle of the sliced pieces — see
     // [[graft.pipeline.Corpus.packMaterialize]].
     "pack_materialize" -> ((s, dir) =>
-      Corpus.packMaterialize(docs(s, dir), ctx = 512L)
+      PackChain.materialized(s, dir, docs(s, dir))
         .orderBy("window_id")),
 
     // The BPE-denominated materialization: window content is a

@@ -1778,11 +1778,20 @@ object Corpus {
     * a live pipeline accumulates, then runs this at materialization
     * time.
     */
+  /** @param fullMat optional pre-materialized FULL-corpus window table
+    *   for `ctx` (the [[PackChain]] artifact): epoch groups whose
+    *   participation cutoffs are all 1000‰ repack the whole corpus, so
+    *   their window set is exactly this frame — passing it skips their
+    *   offsets+slice+md5 pass. Groups with partial participation
+    *   always materialize their own subset (different docs → different
+    *   windows by construction).
+    */
   def packBatchesEpochs(
       docs: DataFrame,
       ctx: Long = 512L,
       batch: Int = 8,
-      maxEpochs: Int = 4): DataFrame = {
+      maxEpochs: Int = 4,
+      fullMat: Option[DataFrame] = None): DataFrame = {
     require(batch > 0 && maxEpochs > 0, s"bad batch=$batch epochs=$maxEpochs")
     val mw = mixWeights(docs)
     val tot = broadcast(mw.agg(sum("n_tokens").cast("long").as("_tot")))
@@ -1814,13 +1823,14 @@ object Corpus {
         (s, math.max(0L, math.min(1000L, p - 1000L * e)))
       }.sortBy(_._1)
     val frames = (0 until maxEpochs).groupBy(cutoffs).toSeq.map {
-      case (_, es) =>
+      case (cuts, es) =>
         val e0 = es.min
         val esSorted = es.sorted
         val inSubset = dd.where(
           pmod(hash32(concat(lit("epoch_"), col("doc_id").cast("string"))),
             lit(1000L)) < col("_permille") - lit(e0 * 1000L))
-        val mat = packMaterialize(inSubset, ctx)
+        val mat = (if (cuts.forall(_._2 == 1000L)) fullMat else None)
+          .getOrElse(packMaterialize(inSubset, ctx))
           .select(col("window_id"), col("n_tokens"), col("window_md5"))
           .persist()
         // ONE prefix plan for the whole group (round 16; one per epoch
@@ -5542,6 +5552,40 @@ object OpqChain {
   * their text column with `length` as the token counter; every
   * downstream plan is unchanged in shape.
   */
+/** Session-staged MATERIALIZED packing windows — the BpeChain stance
+  * applied to the packing tier: three declared queries read the SAME
+  * full-corpus ctx=512 window set (`pack_materialize` emits it,
+  * `pack_batches` ranks it into batch manifests, and
+  * `pack_batches_epochs`' full-participation epoch group repacks it),
+  * and each was paying its own offsets-prefix + slice + window
+  * shuffle + md5 pass. A production pipeline materializes windows
+  * ONCE per corpus snapshot and every manifest derives from the
+  * stored window table — the staged frame IS that artifact:
+  * (window_id, n_docs, n_tokens, window_md5), checkpointed once per
+  * (session, sfDir). Released between bench passes like the other
+  * data-transform chains (Dedup/Ivf/Bpe): it is per-snapshot work,
+  * not a trained artifact.
+  */
+object PackChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The full-corpus ctx=512 materialized window table, built once
+    * per (session, sfDir).
+    */
+  def materialized(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir),
+      Corpus.packMaterialize(docs, ctx = 512L).localCheckpoint(true))
+
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
+}
+
 object BpeChain {
   import scala.collection.concurrent.TrieMap
   import org.apache.spark.sql.SparkSession
