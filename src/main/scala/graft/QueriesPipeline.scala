@@ -2686,6 +2686,37 @@ object QueriesPipeline {
     "shard_assign" -> ((s, dir) =>
       Corpus.shardAssign(docs(s, dir)).orderBy("doc_id")),
 
+    // The JSONL delivery sink made a DECLARED surface: shards are
+    // WRITTEN once per JVM (gzip JSONL, one repartition-aligned task
+    // per shard directory — graft.sources.ShardStore serving
+    // tools/ExportShards' write shape), then this query READS the
+    // files back with an explicit schema and digests their content
+    // per shard. The oracle replays the shard plan from the parquet
+    // source and never sees the files, so any write-side loss
+    // (escaping, truncation, mis-sharding, a dropped row) goes red —
+    // the end-to-end sink integrity check a delivery pipeline runs
+    // before handing shards to a trainer.
+    "shard_export_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val dataDir = graft.sources.ShardStore.dataDir(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      graft.sources.Io.readJson(s, dataDir, schema)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("bigint")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc_id"),
+          max(col("doc_id")).as("last_doc_id"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"),
+                md5(col("text")).as("h")))),
+              x => x.getField("h")),
+            "")).as("content_md5"))
+        .orderBy("shard")
+    }),
+
     // LEAKAGE-SAFE shard plan: near-dup cluster members land in ONE
     // shard (an eval/train shard boundary between two near-dups is
     // cross-shard leakage — corpus_split_leakage_safe's argument
@@ -8197,6 +8228,32 @@ FROM fold""",
          |SELECT doc_id, n_tokens, cum_tokens,
          |  CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
          |FROM c, t ORDER BY doc_id""".stripMargin,
+
+    // Replays the shard plan from the parquet source — the engine's
+    // numbers come from reading the WRITTEN JSONL back, so equality IS
+    // the round-trip proof (content digest = md5 of doc-ordered
+    // per-doc text md5s; n_tokens re-tokenized from read-back text).
+    "shard_export_roundtrip" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, text, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |c AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM k),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM k),
+         |a AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
+         |  FROM c, t)
+         |SELECT shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc_id,
+         |  max(doc_id) AS last_doc_id,
+         |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // The shard_assign prefix spelling at the CLUSTER level (CC labels
     // -> per-key token sums -> key shards -> members join).

@@ -86,3 +86,34 @@ object Io {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 }
+
+/** Write-once/serve-many JSONL shard delivery — the DedupStateStore
+  * stance applied to the TRAINING-DATA SINK: on first touch per
+  * (JVM, sfDir) the token-balanced shard plan is materialized as gzip
+  * JSONL shard directories (tools/ExportShards' write shape: one
+  * repartition-aligned task per shard, partitionBy directory
+  * addressing); every later touch — including bench passes — serves
+  * the written files. This is what makes the sink a DECLARED,
+  * oracle-checked surface instead of a tool: the round-trip query
+  * reads the JSONL back and digests its content, so any write-side
+  * loss (escaping, truncation, mis-sharding) goes red against an
+  * oracle that never saw the files.
+  */
+object ShardStore {
+  private lazy val storeRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_shards_").toString
+
+  /** The JSONL data dir for `sfDir`'s export, written on first touch. */
+  def dataDir(spark: SparkSession, sfDir: String, nShards: Int = 8): String =
+    synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = s"$storeRoot/$key"
+      val marker = new java.io.File(p, "_SAVED")
+      if (!marker.exists()) {
+        graft.tools.ExportShards.export(spark, sfDir, p, nShards)
+        marker.createNewFile()
+      }
+      s"$p/data"
+    }
+}
