@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2715,6 +2715,47 @@ object QueriesPipeline {
               x => x.getField("h")),
             "")).as("content_md5"))
         .orderBy("shard")
+    }),
+
+    // Right-to-be-forgotten IMPACT report: given a delete set (the
+    // doc_id % 97 fixture — a real run feeds the request list), how
+    // far does the deletion propagate through the SERVING artifacts?
+    // One row per tier: raw docs, token mass, JSONL shards to rewrite,
+    // IVF cells whose population changes, near-dup clusters losing a
+    // member — each an exact count with the blast-radius share in
+    // per-mille. Every tier is the tiny delete set probed against a
+    // session-staged artifact (broadcast-size semi-join or a map-only
+    // conditional agg); nothing rescans beyond the artifacts the
+    // pipeline already maintains. The operational read: docs/tokens
+    // price the data loss, shards price the rewrite, cells and
+    // clusters say which indexes must refresh.
+    "deletion_impact_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val isDel = col("doc_id") % 97 === 0
+      def row(tier: String, hit: Column, total: Column, src: DataFrame) =
+        src.agg(hit.as("_h"), total.as("_t"))
+          .select(
+            lit(tier).as("tier"), col("_h").as("n_hit"), col("_t").as("n_total"),
+            expr("_h * 1000 div _t").as("share_pm"))
+      val nTok = size(TextOps.tokens(col("text"))).cast("bigint")
+      val docsRow = row("1_docs",
+        sum(when(isDel, 1L).otherwise(0L)), count(lit(1)), d)
+      val tokRow = row("2_tokens",
+        sum(when(isDel, nTok).otherwise(0L)), sum(nTok), d)
+      val shardRow = row("3_shards",
+        countDistinct(when(isDel, col("shard"))), countDistinct(col("shard")),
+        Corpus.shardAssign(d))
+      val cellRow = row("4_ivf_cells",
+        countDistinct(when(col("vec_id") % 97 === 0, col("cid"))),
+        countDistinct(col("cid")),
+        Similarity.cellAssignments(e, graft.pipeline.IvfChain.centroids(s, dir, e)))
+      val clRow = row("5_neardup_clusters",
+        countDistinct(when(isDel, col("cluster_id"))),
+        countDistinct(col("cluster_id")),
+        DedupChain.clusterLabels(s, dir, d))
+      docsRow.unionAll(tokRow).unionAll(shardRow).unionAll(cellRow)
+        .unionAll(clRow).orderBy("tier")
     }),
 
     // LEAKAGE-SAFE shard plan: near-dup cluster members land in ONE
@@ -8228,6 +8269,58 @@ FROM fold""",
          |SELECT doc_id, n_tokens, cum_tokens,
          |  CAST(least(((cum_tokens - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
          |FROM c, t ORDER BY doc_id""".stripMargin,
+
+    // Every tier replayed from scratch: the delete predicate against
+    // raw docs/tokens, the shard-plan prefix CTE, the Lloyd-trained
+    // cell assignment (KmeansCtes), and the LSH-CC cluster labels
+    // (CcCtes) — the same shared CTE spellings their own queries use,
+    // so the tiers can never disagree with their sources of truth.
+    "deletion_impact_report" ->
+      s"""WITH RECURSIVE $CcCtes,
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |$KmeansCtes,
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotMixedSql("e.embedding", "c.ce")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * ${normDblSql("c.ce")}) DESC, c.cid ASC) AS crank
+         |    FROM e, c2 c) WHERE crank = 1),
+         |dii AS (
+         |  SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |    doc_id % 97 = 0 AS del
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |dic AS (
+         |  SELECT doc_id, n_tokens, del,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum
+         |  FROM dii),
+         |dit AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM dii),
+         |dia AS (
+         |  SELECT doc_id, del,
+         |    CAST(least(((cum - n_tokens) * 8) // tot, 7) AS BIGINT) AS shard
+         |  FROM dic, dit),
+         |rows_ AS (
+         |  SELECT '1_docs' AS tier,
+         |    CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(count(*) AS BIGINT) AS n_total FROM dii
+         |  UNION ALL
+         |  SELECT '2_tokens',
+         |    CAST(sum(CASE WHEN del THEN n_tokens ELSE 0 END) AS BIGINT),
+         |    CAST(sum(n_tokens) AS BIGINT) FROM dii
+         |  UNION ALL
+         |  SELECT '3_shards',
+         |    CAST(count(DISTINCT CASE WHEN del THEN shard END) AS BIGINT),
+         |    CAST(count(DISTINCT shard) AS BIGINT) FROM dia
+         |  UNION ALL
+         |  SELECT '4_ivf_cells',
+         |    CAST(count(DISTINCT CASE WHEN vec_id % 97 = 0 THEN cid END) AS BIGINT),
+         |    CAST(count(DISTINCT cid) AS BIGINT) FROM asg
+         |  UNION ALL
+         |  SELECT '5_neardup_clusters',
+         |    CAST(count(DISTINCT CASE WHEN doc_id % 97 = 0 THEN cluster_id END) AS BIGINT),
+         |    CAST(count(DISTINCT cluster_id) AS BIGINT) FROM labels)
+         |SELECT tier, n_hit, n_total, n_hit * 1000 // n_total AS share_pm
+         |FROM rows_ ORDER BY tier""".stripMargin,
 
     // Replays the shard plan from the parquet source — the engine's
     // numbers come from reading the WRITTEN JSONL back, so equality IS
