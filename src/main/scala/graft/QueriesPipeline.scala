@@ -3914,6 +3914,41 @@ object QueriesPipeline {
         .orderBy(col("bands").desc)
     }),
 
+    // Snapshot CHANGELOG — the membership complement of the stats
+    // drift monitor below: between two corpus snapshots, per source,
+    // how many docs were ADDED, REMOVED, MODIFIED (same id, different
+    // content hash), or unchanged, with the churn rate in per-mille of
+    // the union. Fixture snapshots derive from the one table (A drops
+    // doc_id%10==0, B drops %10==1 and revises %13==0's text); a real
+    // ingest keys them by snapshot date. ONE full-outer join on doc_id
+    // (equi-join, linear at any scale — membership diff is the one
+    // question that genuinely needs both snapshots keyed side by side)
+    // + one source rollup.
+    "snapshot_diff_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("ha"))
+      val b = d.where(col("doc_id") % 10 =!= 1)
+        .select(col("doc_id"), col("source").as("source_b"),
+          md5(when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("source"), col("source_b")).as("source"),
+          col("ha"), col("hb"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("ha").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("ha").isNotNull && col("hb").isNotNull &&
+            col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_modified"),
+          sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_unchanged"),
+          count(lit(1)).as("n_union"))
+        .withColumn("churn_pm",
+          expr("(n_added + n_removed + n_modified) * 1000 div n_union"))
+        .orderBy("source")
+    }),
+
     // Per-source INGEST DRIFT report (the ivf_cell_drift stance for
     // the text pipeline): between the base half and the delta-ingest
     // half of each source, the three signals that regress first when
@@ -8749,6 +8784,30 @@ FROM fold""",
          |  ${pAt("0.9")} AS p_at_090
          |FROM grid ORDER BY bands DESC""".stripMargin
     },
+
+    "snapshot_diff_report" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, source, md5(text) AS ha
+         |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 10 <> 0),
+         |b AS (
+         |  SELECT doc_id, source AS source_b,
+         |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS hb
+         |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 10 <> 1),
+         |j AS (
+         |  SELECT coalesce(a.source, b.source_b) AS source, a.ha, b.hb
+         |  FROM a FULL OUTER JOIN b USING (doc_id))
+         |SELECT source,
+         |  CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+         |  CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |  CAST(count(*) AS BIGINT) AS n_union,
+         |  (CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   + CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   + CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb
+         |              THEN 1 ELSE 0 END) AS BIGINT)) * 1000 // count(*) AS churn_pm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "source_drift_report" -> {
       def side(cond: String, pfx: String) =
