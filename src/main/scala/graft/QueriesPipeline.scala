@@ -3914,11 +3914,14 @@ object QueriesPipeline {
         .orderBy(col("bands").desc)
     }),
 
-    // Snapshot CHANGELOG — the membership complement of the stats
-    // drift monitor below: between two corpus snapshots, per source,
-    // how many docs were ADDED, REMOVED, MODIFIED (same id, different
-    // content hash), or unchanged, with the churn rate in per-mille of
-    // the union. Fixture snapshots derive from the one table (A drops
+    // Snapshot CHANGELOG — the membership complement of BOTH existing
+    // snapshot monitors: corpus_snapshot_diff tracks token-VOLUME
+    // share drift (no id join, no content hashes) and
+    // source_drift_report tracks quality/dup-rate STATS; neither can
+    // say WHICH documents changed. This one can: between two
+    // snapshots, per source, how many docs were ADDED, REMOVED,
+    // MODIFIED (same id, different content hash), or unchanged, with
+    // the churn rate in per-mille of the union. Fixture snapshots derive from the one table (A drops
     // doc_id%10==0, B drops %10==1 and revises %13==0's text); a real
     // ingest keys them by snapshot date. ONE full-outer join on doc_id
     // (equi-join, linear at any scale — membership diff is the one
