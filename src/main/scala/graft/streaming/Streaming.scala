@@ -1694,6 +1694,28 @@ object Streaming {
       .withColumn("retrain", col("drift_pm") > retrainPm)
   }
 
+  /** STREAMING snapshot changelog — the ingest half of the batch
+    * `snapshot_diff_report`: each arriving document is classified
+    * against the BASE snapshot (added / modified / unchanged) the
+    * moment it lands, via one stream-static LEFT join on doc_id —
+    * the static side is the base snapshot's (doc_id, content-hash)
+    * projection read where it sits, never broadcast or held as
+    * state, so the monitor scales with the join, not with memory.
+    * `removed` is batch-only BY DECISION: absence cannot be observed
+    * on an arrival stream; the batch changelog owns it. Per-doc
+    * classes are pinned equal to the batch report's arithmetic in
+    * StreamingSpec.
+    */
+  def changelogStream(docs: DataFrame, base: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("_hb"))
+      .join(base.select(col("doc_id"), col("_ha")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        when(col("_ha").isNull, "added")
+          .when(col("_ha") =!= col("_hb"), "modified")
+          .otherwise("unchanged").as("change"))
+
   /** STREAMING embedding-spectrum monitor — the ingest half of the
     * batch `embedding_spectrum`: the trained rotation rides as plan
     * literals (64 codegen'd dot kernels, the batch [[graft.pipeline

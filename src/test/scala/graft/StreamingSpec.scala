@@ -265,6 +265,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming snapshot changelog classifies arrivals like the batch diff") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // base = snapshot A; the stream carries snapshot B's docs (the
+    // batch snapshot_diff_report fixture arithmetic)
+    val base = d.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("_ha"))
+    val bRows = d.where(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      .collect().map(r => DocSrc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[DocSrc]
+    input.addData(bRows: _*)
+    val q = Streaming.changelogStream(input.toDF(), base).writeStream
+      .format("memory").queryName("schange").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("schange").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == bRows.length)
+    bRows.foreach { b =>
+      val expected =
+        if (b.doc_id % 10 == 0) "added"
+        else if (b.doc_id % 13 == 0) "modified"
+        else "unchanged"
+      assert(got(b.doc_id) == expected, s"doc ${b.doc_id}")
+    }
+  }
+
   test("streaming embedding spectrum matches the batch instrument bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
