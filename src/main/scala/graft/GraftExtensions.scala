@@ -46,10 +46,16 @@ import org.apache.spark.sql.graft.expressions.{BpeDecodeF, BpeEncodeF, BpeIdsF, 
   *    piece array over the committed budgeted vocabulary.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer rewrite: size(split(text, ' ')) -> TokenCountF, the
+    // allocation-free token count (see rules.RewriteTokenCount for
+    // the only-consumer guard)
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.rules.RewriteTokenCount)
+  }
 }
 
 object GraftExtensions {
@@ -186,5 +192,13 @@ object GraftExtensions {
     functions.foreach { case (name, info, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
+    // runtime path for an EXISTING session (extensions only apply at
+    // build time): the rewrite joins the experimental batch, which
+    // runs once after the main optimizer — same fixed point here
+    // since the rule is idempotent
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(org.apache.spark.sql.graft.rules.RewriteTokenCount))
+      spark.experimental.extraOptimizations =
+        extra :+ org.apache.spark.sql.graft.rules.RewriteTokenCount
   }
 }

@@ -138,6 +138,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getSeq[Long](2).nonEmpty)
   }
 
+  test("RewriteTokenCount: byte-exact with size(split), fires count-only, stays out otherwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 1. equivalence on every empty-token edge: empty string, leading/
+    //    trailing/double spaces, single token
+    val edges = Seq("", " ", "a", "a b", " a", "a ", "a  b", "  ", "a b c ")
+    edges.foreach { s =>
+      val viaKernel = org.apache.spark.sql.graft.expressions.TokenCountF
+        .count(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val viaSplit = s.split(" ", -1).length
+      assert(viaKernel == viaSplit, s"'$s'")
+    }
+    // values equal the spelling on the literal edge frame (the tiny
+    // frame constant-folds to a LocalRelation, so plan-shape asserts
+    // use the parquet-backed table below)
+    val df = edges.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    assert(got == edges.map(_.split(" ", -1).length).toSeq)
+    // ANSI-off sessions run the legacy -1-on-null Size; the rewrite
+    // must preserve it (coalesce(kernel, -1))
+    val nullGot = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(size(split(col("text"), " ")).as("n")).collect().head
+    assert(nullGot.getInt(0) == -1)
+    // 2. count-only shape over a scan: the rewrite fires (optimized
+    //    plan carries TokenCountF, no StringSplit)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counted = d.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val opt = counted.queryExecution.optimizedPlan.toString
+    assert(opt.contains("tokencountf") || opt.contains("TokenCountF"), opt)
+    assert(!opt.contains("split("), opt)
+    // and the rewritten scan agrees with a rule-free evaluation
+    val want = d.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length).toMap
+    counted.collect().foreach(r => assert(r.getInt(1) == want(r.getLong(0))))
+    // 3. mixed shape: a sibling consumes the split array, so the rule
+    //    must stay out (subexpression elimination already shares the
+    //    one split; rewriting would add a byte scan)
+    val mixed = d.select(
+      size(split(col("text"), " ")).as("n"),
+      array_join(split(col("text"), " "), "|").as("joined"))
+    val optMixed = mixed.queryExecution.optimizedPlan.toString
+    assert(!optMixed.contains("tokencountf") && !optMixed.contains("TokenCountF"), optMixed)
+    // 4. non-space patterns untouched
+    val other = d.select(size(split(col("text"), ",")).as("n"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("TokenCountF"))
+  }
+
   test("var_alpha_ewma is callable from SQL with OVER") {
     GraftExtensions.register(spark)
     val df = bars("x", Seq(10.0, 20.0, 30.0))
