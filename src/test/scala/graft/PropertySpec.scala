@@ -239,6 +239,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TokenCountF equals size(split) on arbitrary unicode strings") {
+    // the rewrite's byte-exactness claim, fuzzed: 0x20 never occurs
+    // inside a UTF-8 multibyte sequence, so counting separator BYTES
+    // equals counting separator CHARS equals the regex split length
+    val rnd = new scala.util.Random(1601L)
+    (1 to 2000).foreach { trial =>
+      val len = rnd.nextInt(40)
+      val s = new String((1 to len).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => ' '
+          case 1 => (0x4e00 + rnd.nextInt(100)).toChar // CJK, 3-byte UTF-8
+          case 2 => (0xe9 + rnd.nextInt(4)).toChar // latin-1, 2-byte UTF-8
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      }.toArray)
+      val got = org.apache.spark.sql.graft.expressions.TokenCountF
+        .count(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == s.split(" ", -1).length, s"trial $trial: '$s'")
+    }
+  }
+
   test("quality model logit is invariant to doc order and partitioning") {
     import org.apache.spark.sql.functions._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
