@@ -86,6 +86,46 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // The one-row DATASHEET a dataset release publishes (Gebru et al.
+    // "Datasheets for Datasets" made machine-readable): headline
+    // composition (docs, sources, languages, token/char mass), the
+    // exact-dup rate, the rule-gate pass rate, the committed
+    // quality-score mean in exact micros, and the token-length
+    // median/p90. ONE scan — a single global aggregate with map-side
+    // partial combine (the two distinct counts and the percentile ride
+    // the same Expand); every figure is either an exact integer or the
+    // pinned Spark-percentile interpolation quantile_cont mirrors.
+    "corpus_datasheet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nTok = size(TextOps.tokens(col("text"))).cast("bigint")
+      d.select(
+          col("source"), col("lang"), nTok.as("nt"),
+          length(col("text")).cast("bigint").as("nc"),
+          md5(col("text")).as("h"),
+          Corpus.gopherKeep().as("keep"),
+          floor(TextOps.qualityScore(col("text")) * 1000000 + 0.5)
+            .cast("bigint").as("q"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"),
+          countDistinct(col("h")).as("_nd"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("_gp"),
+          sum(col("q")).as("_qs"),
+          expr("percentile(nt, 0.5)").as("_p50"),
+          expr("percentile(nt, 0.9)").as("_p90"))
+        .select(
+          col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars"),
+          expr("(n_docs - _nd) * 1000 div n_docs").as("exact_dup_pm"),
+          expr("_gp * 1000 div n_docs").as("gopher_pass_pm"),
+          expr("_qs div n_docs").as("mean_quality_micro"),
+          round(col("_p50"), 6).as("p50_tokens"),
+          round(col("_p90"), 6).as("p90_tokens"))
+    }),
+
     "lang_id" -> ((s, dir) => {
       val en = TextOps.stopCount(col("text"), TextOps.EnStop).cast("bigint")
       val es = TextOps.stopCount(col("text"), TextOps.EsStop).cast("bigint")
@@ -5550,6 +5590,47 @@ FROM a""",
          |  ((rank - 1) * 10) // n AS decile,
          |  rank <= (n + 4) // 5 AS top_20pct
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same Gopher-rule and quality-micro spellings as the calibration
+    // oracle; medians via quantile_cont (the pinned Spark-percentile
+    // interpolation twin).
+    "corpus_datasheet" ->
+      s"""WITH b AS (
+         |  SELECT source, lang,
+         |    CAST(len($Toks) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    md5(text) AS h,
+         |    CAST(floor(($QualitySql) * 1000000 + 0.5) AS BIGINT) AS q,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |k AS (
+         |  SELECT *,
+         |    ((nt >= 30 AND nt <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+         |  FROM b),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS nd,
+         |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS gp,
+         |    CAST(sum(q) AS BIGINT) AS qs,
+         |    quantile_cont(nt, 0.5) AS p50,
+         |    quantile_cont(nt, 0.9) AS p90
+         |  FROM k)
+         |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+         |  (n_docs - nd) * 1000 // n_docs AS exact_dup_pm,
+         |  gp * 1000 // n_docs AS gopher_pass_pm,
+         |  qs // n_docs AS mean_quality_micro,
+         |  round(p50, 6) AS p50_tokens,
+         |  round(p90, 6) AS p90_tokens
+         |FROM a""".stripMargin,
 
     "quality_calibration" ->
       s"""WITH b AS (
