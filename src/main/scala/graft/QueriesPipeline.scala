@@ -2735,25 +2735,30 @@ object QueriesPipeline {
     // source and never sees the files, so any write-side loss
     // (escaping, truncation, mis-sharding, a dropped row) goes red —
     // the end-to-end sink integrity check a delivery pipeline runs
-    // before handing shards to a trainer.
+    // before handing shards to a trainer. The content digest is an
+    // ORDER-FREE exact fold: bit_xor of a per-doc 60-bit hash
+    // (15 hex chars of md5(doc_id ':' md5(text))) — constant
+    // aggregation-buffer memory per shard group regardless of shard
+    // size (a 100 TB shard holds millions of docs; a collect_list
+    // digest would buffer them all per reducer), order-independent so
+    // no sort is needed, and still exact: any write-side loss flips
+    // the xor and goes red against the oracle's identical fold.
     "shard_export_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val dataDir = graft.sources.ShardStore.dataDir(s, dir)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       graft.sources.Io.readJson(s, dataDir, schema)
+        .withColumn("_dh",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            md5(col("text")))), 1, 15), 16, 10).cast("bigint"))
         .groupBy(col("shard").cast("bigint").as("shard"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(size(TextOps.tokens(col("text"))).cast("bigint")).as("n_tokens"),
           min(col("doc_id")).as("first_doc_id"),
           max(col("doc_id")).as("last_doc_id"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(struct(col("doc_id"),
-                md5(col("text")).as("h")))),
-              x => x.getField("h")),
-            "")).as("content_md5"))
+          expr("bit_xor(_dh)").as("content_digest"))
         .orderBy("shard")
     }),
 
@@ -8443,8 +8448,9 @@ FROM fold""",
 
     // Replays the shard plan from the parquet source — the engine's
     // numbers come from reading the WRITTEN JSONL back, so equality IS
-    // the round-trip proof (content digest = md5 of doc-ordered
-    // per-doc text md5s; n_tokens re-tokenized from read-back text).
+    // the round-trip proof (content digest = order-free bit_xor of the
+    // per-doc 60-bit md5 slice; n_tokens re-tokenized from read-back
+    // text).
     "shard_export_roundtrip" ->
       s"""WITH k AS (
          |  SELECT doc_id, text, CAST(len($Toks) AS BIGINT) AS n_tokens
@@ -8464,7 +8470,8 @@ FROM fold""",
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc_id,
          |  max(doc_id) AS last_doc_id,
-         |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+         |  bit_xor(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':', md5(text))), 1, 15)) AS BIGINT)) AS content_digest
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // The shard_assign prefix spelling at the CLUSTER level (CC labels

@@ -158,6 +158,28 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("shard_export_roundtrip digest is an order-free fold (no per-doc buffering in the plan)") {
+    val df = graft.QueriesPipeline
+      .queries("shard_export_roundtrip")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the r16 digest buffered every doc of a shard in a collect_list
+    // aggregation buffer — a per-reducer memory cliff at 100 TB shard
+    // sizes. The bit_xor fold keeps the shard group in constant space:
+    // no object-buffering aggregate may appear anywhere in the plan.
+    assert(!plan.contains("collect_list"),
+      "shard digest must not buffer per-doc state")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "shard digest must stay in fixed-width hash aggregation")
+    // order independence of the fold itself: xor over any permutation
+    // of the same per-doc hashes yields the same digest, so the query
+    // needs no sort — pin the algebra on a tiny frame
+    import spark.implicits._
+    val h = Seq(7L, 11L, 13L).toDF("v")
+    val fwd = h.agg(expr("bit_xor(v)")).head.getLong(0)
+    val rev = Seq(13L, 7L, 11L).toDF("v").agg(expr("bit_xor(v)")).head.getLong(0)
+    assert(fwd == rev && fwd == (7L ^ 11L ^ 13L))
+  }
+
   test("Zorder: morton16 interleaves bits; bin8 clamps and guards degenerate ranges") {
     import spark.implicits._
     val out = Seq((0, 0), (255, 255), (1, 0), (0, 1), (3, 5))
