@@ -4095,7 +4095,74 @@ object QueriesPipeline {
     // 100 TB). One union of three shingle explodes, one grouped
     // distinct aggregate.
     "ngram_diversity" -> ((s, dir) =>
-      Corpus.ngramDiversity(docs(s, dir)).orderBy("source", "n"))
+      Corpus.ngramDiversity(docs(s, dir)).orderBy("source", "n")),
+
+    // The 100 TB spelling of the release card: same composition row as
+    // corpus_datasheet, with every figure whose exact form needs an
+    // unbounded shuffle or buffer replaced by its bounded-state sketch
+    // — distinct documents via the KMV sketch
+    // ([[graft.functions.kmvSketch]]: O(k) aggregation state, the key
+    // space never shuffles), token-length p50/p90 via the
+    // deterministic bottom-256-by-md5-hash priority sample
+    // (TakeOrdered: per-partition top-k then a 256-row driver merge —
+    // the approx_quantiles_sample spelling at corpus scope). Sources
+    // and langs stay exact countDistinct (cardinality ~10: partial
+    // aggregation bounds the exchange regardless of corpus size).
+    // Exact witnesses ride alongside at test scale — `exact_dup_pm`
+    // next to `est_dup_pm`, exact percentiles next to the sampled
+    // ones — so the sketch error is MEASURED per run, not asserted;
+    // a 100 TB run drops the witness columns, which removes the only
+    // full-width distinct shuffle and the exact-percentile buffer.
+    // k = 256 (vs approx_distinct_kmv's 64) because the dup rate is
+    // this card's headline: a k-sketch resolves dup rates only down
+    // to ~1/sqrt(k) of the corpus (~60‰ at k=64, ~30‰ at k=256) —
+    // at sf0.1 the true rate is 1‰, so est_dup_pm mostly reports the
+    // sketch's own noise; the witness column makes that visible
+    // rather than hiding it (measured r17 at sf0.1: est −7‰ vs
+    // exact 1‰ at k=256; −64‰ at k=64).
+    "corpus_datasheet_sketch" -> ((s, dir) => {
+      import graft.functions.kmvSketch
+      val k = 256
+      val d = docs(s, dir).select(
+        col("source"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("nt"),
+        length(col("text")).cast("bigint").as("nc"),
+        TextOps.hash32(col("text")).as("h"),
+        TextOps.hash32(concat(lit("dsq_"), col("doc_id").cast("string")))
+          .as("sh"),
+        col("doc_id"))
+      val head = d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"),
+          kmvSketch(col("h"), k).as("kmv"),
+          countDistinct(col("h")).as("_nd"),
+          expr("percentile(nt, 0.5)").as("_p50x"),
+          expr("percentile(nt, 0.9)").as("_p90x"))
+        .withColumn("_est",
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble * 4294967296.0) /
+                element_at(col("kmv"), k).cast("double")))
+      val samp = d.orderBy(col("sh").asc, col("doc_id").asc).limit(256)
+        .agg(
+          expr("percentile(nt, 0.5)").as("_p50s"),
+          expr("percentile(nt, 0.9)").as("_p90s"))
+      head.crossJoin(samp)
+        .select(
+          col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars"),
+          round(col("_est"), 6).as("est_distinct_docs"),
+          round((col("n_docs").cast("double") - col("_est")) * 1000.0 /
+            col("n_docs").cast("double"), 6).as("est_dup_pm"),
+          expr("(n_docs - _nd) * 1000 div n_docs").as("exact_dup_pm"),
+          round(col("_p50s"), 6).as("p50_tokens_est"),
+          round(col("_p90s"), 6).as("p90_tokens_est"),
+          round(col("_p50x"), 6).as("p50_tokens_exact"),
+          round(col("_p90x"), 6).as("p90_tokens_exact"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -5636,6 +5703,54 @@ FROM a""",
          |  round(p50, 6) AS p50_tokens,
          |  round(p90, 6) AS p90_tokens
          |FROM a""".stripMargin,
+
+    // Sketch-tier release card: the KMV estimator replayed exactly
+    // (64 smallest DISTINCT doc-content hashes, kth-smallest in the
+    // denominator, the same exact-integer-inputs double expression)
+    // and the sampled percentiles replayed over the SAME deterministic
+    // bottom-256-by-md5-hash sample (hash then doc_id tiebreak, so the
+    // sample SET is engine-independent); quantile_cont mirrors the
+    // pinned Spark-percentile interpolation. Exact witnesses
+    // recomputed alongside.
+    "corpus_datasheet_sketch" ->
+      s"""WITH b AS (
+         |  SELECT source, lang, doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    ${h32("text")} AS h,
+         |    ${h32("concat('dsq_', CAST(doc_id AS VARCHAR))")} AS sh
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS r
+         |       FROM (SELECT DISTINCT h FROM b)),
+         |sk AS (SELECT CAST(count(*) AS BIGINT) AS kmv_k, max(h) AS kth
+         |       FROM rk WHERE r <= 256),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS nd,
+         |    quantile_cont(nt, 0.5) AS p50x,
+         |    quantile_cont(nt, 0.9) AS p90x
+         |  FROM b),
+         |smp AS (SELECT nt FROM b ORDER BY sh, doc_id LIMIT 256),
+         |sq AS (SELECT quantile_cont(nt, 0.5) AS p50s,
+         |              quantile_cont(nt, 0.9) AS p90s FROM smp),
+         |e AS (SELECT *,
+         |        CASE WHEN kmv_k < 256 THEN CAST(kmv_k AS DOUBLE)
+         |             ELSE CAST(255 * 4294967296 AS DOUBLE) / CAST(kth AS DOUBLE)
+         |        END AS est
+         |      FROM a, sk, sq)
+         |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+         |  round(est, 6) AS est_distinct_docs,
+         |  round((CAST(n_docs AS DOUBLE) - est) * 1000.0 / CAST(n_docs AS DOUBLE), 6) AS est_dup_pm,
+         |  (n_docs - nd) * 1000 // n_docs AS exact_dup_pm,
+         |  round(p50s, 6) AS p50_tokens_est,
+         |  round(p90s, 6) AS p90_tokens_est,
+         |  round(p50x, 6) AS p50_tokens_exact,
+         |  round(p90x, 6) AS p90_tokens_exact
+         |FROM e""".stripMargin,
 
     "quality_calibration" ->
       s"""WITH b AS (
