@@ -231,6 +231,7 @@ object Bench {
     println(compactLine(
       chosen.map { case (n, m) => n -> (if (m.ok) m.wall else -m.wall) },
       total, rawTotal, sfDir, nFailed, stealTotal, out, cpus.toInt))
+    graft.pipeline.Chains.releaseAll(spark)
     spark.stop()
   }
 }

@@ -2431,7 +2431,7 @@ object QueriesPipeline {
       val d = docs(s, dir)
       // the session-staged window table (PackChain): materialize once
       // per snapshot, every manifest derives from it
-      val mat = PackChain.materialized(s, dir, d)
+      val mat = PackChain.materialized(s, dir, d)._2
         .select("window_id", "n_tokens", "window_md5")
       // train order derived from the materialized window set (the
       // same set packShuffle ranks — stream packing leaves no empty
@@ -2475,7 +2475,7 @@ object QueriesPipeline {
     // corpus + one window_id shuffle of the sliced pieces — see
     // [[graft.pipeline.Corpus.packMaterialize]].
     "pack_materialize" -> ((s, dir) =>
-      PackChain.materialized(s, dir, docs(s, dir))
+      PackChain.materialized(s, dir, docs(s, dir))._2
         .orderBy("window_id")),
 
     // The BPE-denominated materialization: window content is a
@@ -3200,10 +3200,12 @@ object QueriesPipeline {
     // those two, since the bucket width equals the window), so one
     // bot user with 10^6 clicks stays window-bounded per key instead
     // of going quadratic-per-user (round-15 verdict; hot-user witness
-    // in ScaleSmoke). Bucket index by integer `div` — a double
-    // division could round across a bucket edge. Then one
-    // per-purchase max-struct agg + one channel rollup; money in
-    // exact integer cents.
+    // in ScaleSmoke). Bucket index by FLOOR division
+    // ([[graft.sources.Bars.timeBucket]]) — a double division could
+    // round across a bucket edge, and truncating `div` would land a
+    // pre-1970 (negative-micros) event one bucket high and silently
+    // drop its attribution. Then one per-purchase max-struct agg +
+    // one channel rollup; money in exact integer cents.
     "events_attribution" -> ((s, dir) => {
       val ev = events(s, dir)
       val e = ev.select(
@@ -3217,8 +3219,10 @@ object QueriesPipeline {
         .select(col("user_id"), col("us").as("cus"), col("event_id").as("cid"),
           col("channel"))
       val w = lit(21600000000L) // 6h in micros
-      val clicksB = clicks.withColumn("bkt", expr("cus div 21600000000"))
-      val probes = purchases.withColumn("pbkt", expr("pus div 21600000000"))
+      val clicksB = clicks.withColumn("bkt",
+        graft.sources.Bars.timeBucket("cus", 21600000000L))
+      val probes = purchases.withColumn("pbkt",
+        graft.sources.Bars.timeBucket("pus", 21600000000L))
         .withColumn("bkt", explode(array(col("pbkt"), col("pbkt") - 1)))
       val best = probes.join(clicksB, Seq("user_id", "bkt"))
         .where(col("cus") < col("pus") && col("pus") - col("cus") <= w)

@@ -71,6 +71,7 @@ object Verify {
         s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir).replace("{OPQROT}", opqRotDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.pipeline.Chains.releaseAll(spark)
     spark.stop()
   }
 }

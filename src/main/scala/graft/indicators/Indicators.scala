@@ -84,10 +84,15 @@ final class Indicators private (
     * default's analogue), `false` the analyzed (pre-optimization)
     * plan. Returns the string AND prints it, so the fluent chain can
     * keep flowing exactly like the reference (which returns the
-    * display object).
+    * display object). When the symbol column is synthetic, the
+    * rendered plan excludes it (indicators.py:51-52
+    * `pl.exclude('symbol')`) — the graph a symbol-less caller sees
+    * never mentions the injected column; unlike the reference, the
+    * exclusion does NOT mutate the wrapped frame (the immutability
+    * stance of `collect`, SURVEY.md §2.5 Q1).
     */
   def showGraph(optimized: Boolean = true): String = {
-    val qe = df.queryExecution
+    val qe = (if (syntheticSymbol) df.drop(Symbol) else df).queryExecution
     val s = if (optimized) qe.optimizedPlan.toString else qe.analyzed.toString
     // scalastyle:off println
     println(s)

@@ -209,9 +209,20 @@ object Dedup {
   /** The sized bitmap width for a bench suite of `nGrams` distinct
     * grams: BitsPerGram·n rounded up to a whole 32-bit lane. Pure
     * integer arithmetic — the DuckDB oracle repeats it verbatim.
+    * Guarded against Int overflow: past ~107M distinct grams the
+    * 20·n product exceeds Int.MaxValue and a silent `.toInt` would
+    * wrap to a mis-sized (possibly negative) bitmap that diverges
+    * from the oracle's exact-integer m — fail loudly instead (a
+    * benchmark suite that large needs a partitioned filter, not a
+    * single driver-held bitmap).
     */
-  def sizedMBits(nGrams: Long): Int =
-    math.max(32L, ((nGrams * BloomBitsPerGram + 31L) / 32L) * 32L).toInt
+  def sizedMBits(nGrams: Long): Int = {
+    val mBits = math.max(32L, ((nGrams * BloomBitsPerGram + 31L) / 32L) * 32L)
+    require(mBits <= Int.MaxValue.toLong,
+      s"sized Bloom bitmap needs $mBits bits for $nGrams grams — past the " +
+        "single-bitmap Int range; shard the benchmark or partition the filter")
+    mBits.toInt
+  }
 
   /** [[bloomBitmap]] with m derived from the benchmark's own distinct
     * gram count (one count over the eval-suite side only — the corpus
@@ -1779,20 +1790,28 @@ object Corpus {
     * time.
     */
   /** @param fullMat optional pre-materialized FULL-corpus window table
-    *   for `ctx` (the [[PackChain]] artifact): epoch groups whose
-    *   participation cutoffs are all 1000‰ repack the whole corpus, so
-    *   their window set is exactly this frame — passing it skips their
-    *   offsets+slice+md5 pass. Groups with partial participation
-    *   always materialize their own subset (different docs → different
-    *   windows by construction).
+    *   tagged with the ctx it was materialized at (the [[PackChain]]
+    *   artifact): epoch groups whose participation cutoffs are all
+    *   1000‰ repack the whole corpus, so their window set is exactly
+    *   this frame — passing it skips their offsets+slice+md5 pass.
+    *   The tag must match this call's `ctx` (a frame staged at a
+    *   different window size would silently produce wrong window
+    *   sets — rejected loudly instead). Groups with partial
+    *   participation always materialize their own subset (different
+    *   docs → different windows by construction).
     */
   def packBatchesEpochs(
       docs: DataFrame,
       ctx: Long = 512L,
       batch: Int = 8,
       maxEpochs: Int = 4,
-      fullMat: Option[DataFrame] = None): DataFrame = {
+      fullMat: Option[(Long, DataFrame)] = None): DataFrame = {
     require(batch > 0 && maxEpochs > 0, s"bad batch=$batch epochs=$maxEpochs")
+    fullMat.foreach { case (matCtx, _) =>
+      require(matCtx == ctx,
+        s"fullMat was materialized at ctx=$matCtx but this pack runs at " +
+          s"ctx=$ctx — the staged window table only matches its own ctx")
+    }
     val mw = mixWeights(docs)
     val tot = broadcast(mw.agg(sum("n_tokens").cast("long").as("_tot")))
     // mix_epochs' allocation arithmetic verbatim (floor of the
@@ -1829,7 +1848,7 @@ object Corpus {
         val inSubset = dd.where(
           pmod(hash32(concat(lit("epoch_"), col("doc_id").cast("string"))),
             lit(1000L)) < col("_permille") - lit(e0 * 1000L))
-        val mat = (if (cuts.forall(_._2 == 1000L)) fullMat else None)
+        val mat = (if (cuts.forall(_._2 == 1000L)) fullMat.map(_._2) else None)
           .getOrElse(packMaterialize(inSubset, ctx))
           .select(col("window_id"), col("n_tokens"), col("window_md5"))
           .persist()
@@ -5511,6 +5530,41 @@ object OpqChain {
     memo.getOrElseUpdate(
       (s, dir, "opqcents"),
       Similarity.kmeansCentroids(rotated(s, dir, embs)).localCheckpoint(true))
+
+  /** Session teardown hook, mirroring [[PackChain.release]]: drop the
+    * memoized rotation and unpersist the checkpointed books/centroids
+    * for `s`. Bench deliberately does NOT call this between passes —
+    * OpqChain is a TRAINED-artifact chain whose min-of-passes measures
+    * marginal serve cost — but a long-lived multi-session deployment
+    * must, or the localCheckpointed frames and the SparkSession
+    * references they hold leak for the JVM lifetime.
+    */
+  def release(s: SparkSession): Unit = {
+    rotMemo.keys.filter(_._1 eq s).foreach(rotMemo.remove)
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
+  }
+}
+
+/** Session-teardown sweep over every session-staged chain — the one
+  * call a long-lived multi-session deployment makes when a session
+  * retires, so no memoized frame or rotation keeps the dead session
+  * reachable. Bench's BETWEEN-pass reset deliberately releases only
+  * the DATA-transform chains (trained-artifact chains stay staged so
+  * min-of-passes measures marginal serve cost); this releases both
+  * kinds.
+  */
+object Chains {
+  import org.apache.spark.sql.SparkSession
+  def releaseAll(s: SparkSession): Unit = {
+    DedupChain.release(s)
+    IvfChain.release(s)
+    BpeChain.release(s)
+    PackChain.release(s)
+    OpqChain.release(s)
+  }
 }
 
 /** Dedup STATE as data — the [[IndexStore]] write-once/serve-many
@@ -5570,14 +5624,18 @@ object PackChain {
   import scala.collection.concurrent.TrieMap
   import org.apache.spark.sql.SparkSession
 
-  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memo = TrieMap.empty[(SparkSession, String, Long), DataFrame]
 
-  /** The full-corpus ctx=512 materialized window table, built once
-    * per (session, sfDir).
+  /** The full-corpus materialized window table for `ctx`, built once
+    * per (session, sfDir, ctx) — the memo key carries the ctx so a
+    * consumer packing at a different window size can never be served
+    * a mismatched staged frame.
     */
-  def materialized(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir),
-      Corpus.packMaterialize(docs, ctx = 512L).localCheckpoint(true))
+  def materialized(
+      s: SparkSession, dir: String, docs: => DataFrame,
+      ctx: Long = 512L): (Long, DataFrame) =
+    ctx -> memo.getOrElseUpdate((s, dir, ctx),
+      Corpus.packMaterialize(docs, ctx = ctx).localCheckpoint(true))
 
   def release(s: SparkSession): Unit =
     memo.keys.filter(_._1 eq s).foreach { k =>

@@ -54,6 +54,20 @@ object Bars {
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
 
+  /** FLOOR-division time bucket of a LONG-micros column by a positive
+    * width. Spark's `div` truncates toward zero, so for a pre-1970
+    * (negative-micros) event `t div w` lands one bucket HIGH and a
+    * bucketed window join would silently miss it; subtracting the
+    * always-non-negative `pmod` first makes the dividend exactly
+    * divisible, where truncation and floor coincide — correct for
+    * either sign, in pure integer arithmetic (no doubles near bucket
+    * edges).
+    */
+  def timeBucket(microsCol: String, widthMicros: Long): Column = {
+    require(widthMicros > 0, s"bucket width must be positive: $widthMicros")
+    expr(s"($microsCol - pmod($microsCol, $widthMicros)) div $widthMicros")
+  }
+
   def fromEventsDF(events: DataFrame): DataFrame = {
     val ts: Column = timestamp_micros(eventTimeMicros(events))
     events

@@ -785,8 +785,8 @@ object ScaleSmoke {
           floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
       val c = e.where(col("event_type") === "click")
         .select(col("user_id"), col("us").as("cus"), col("event_id").as("cid"))
-        .withColumn("bkt", expr("cus div 21600000000"))
-      p.withColumn("pbkt", expr("pus div 21600000000"))
+        .withColumn("bkt", graft.sources.Bars.timeBucket("cus", 21600000000L))
+      p.withColumn("pbkt", graft.sources.Bars.timeBucket("pus", 21600000000L))
         .withColumn("bkt", explode(array(col("pbkt"), col("pbkt") - 1)))
         .join(c, Seq("user_id", "bkt"))
         .where(col("cus") < col("pus") && col("pus") - col("cus") <= 21600000000L)

@@ -209,6 +209,18 @@ class IndicatorsSpec extends SparkSpec {
     assert(raw.contains("close_sma_3") && raw.contains("close_ema_3"))
     assert(raw.linesIterator.count(_.contains("Project")) >=
       opt.linesIterator.count(_.contains("Project")))
+    // reference parity (indicators.py:51-52): with a SYNTHETIC symbol
+    // the rendered graph excludes it from the OUTPUT
+    // (pl.exclude('symbol') — the injected column may still appear in
+    // inner nodes, e.g. the window partition spec, exactly as polars'
+    // graph still shows the with_columns node) while a caller-supplied
+    // symbol stays in the output; rendering does NOT mutate the
+    // wrapped frame (Q1 immutability: toDF still works after)
+    val synth = Indicators(tiny.drop("symbol")).sma(Seq("close"), 3)
+    val synthTop = synth.showGraph().linesIterator.next()
+    assert(synthTop.startsWith("Project") && !synthTop.contains("symbol"))
+    assert(opt.linesIterator.next().contains("symbol"))
+    assert(synth.toDF.count() == 8)
   }
 
   test("validate_columns raises on missing") {
