@@ -1824,6 +1824,122 @@ object Streaming {
         })
   }
 
+  case class FixedNDocIn(doc_id: Long, source: String)
+  case class FixedNState(rows: List[(Long, Long, String)])
+  case class FixedNOut(shard: Long, pick_key: Long, doc_id: Long, source: String)
+
+  /** STREAMING fixed-N uniform sample — the ingest half of the batch
+    * `corpus_sample_fixed_n` draw: A-Res reservoir sampling with
+    * DETERMINISTIC priorities. Every arriving doc gets the same salted
+    * content-free priority the batch ranks by (hash32("fixn:"+doc_id)),
+    * and keyed state keeps the N smallest (priority, doc_id) pairs
+    * seen so far. State is sharded by doc_id mod `shards` so the
+    * reservoir parallelizes like any keyed state and each shard holds
+    * at most N rows — the union of shard reservoirs provably contains
+    * the global bottom-N (each shard keeps ITS bottom-N, and the
+    * global bottom-N is shard-wise bottom-N), so the serving read
+    * takes the N smallest of a bounded shards·N-row union and the
+    * batch draw is the FIXED POINT once the stream has seen the
+    * corpus (StreamingSpec pins equality). Re-delivered docs fold in
+    * idempotently (distinct on the pair). With per-doc weights the
+    * same state machine runs on priority^(1/w) — A-Res proper; the
+    * uniform draw is the w=1 case. Each micro-batch re-emits a
+    * touched shard's full reservoir (update mode) so the serving side
+    * always reads a complete draw.
+    */
+  def fixedNStream(
+      docs: Dataset[FixedNDocIn],
+      n: Int = 100,
+      shards: Int = 8): Dataset[FixedNOut] = {
+    import docs.sparkSession.implicits._
+    require(n > 0 && shards > 0, s"need n > 0 and shards > 0 (got $n, $shards)")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    docs
+      .groupByKey(d => math.floorMod(d.doc_id, shards.toLong))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Long, rows: Iterator[FixedNDocIn],
+            state: GroupState[FixedNState]) => {
+          val cur = state.getOption.map(_.rows).getOrElse(Nil)
+          val merged = (cur ++ rows.map(d =>
+              (h32(s"fixn:${d.doc_id}"), d.doc_id, d.source)))
+            .distinct.sortBy(t => (t._1, t._2)).take(n)
+          state.update(FixedNState(merged))
+          merged.iterator.map { case (pk, id, src) =>
+            FixedNOut(shard, pk, id, src)
+          }
+        })
+  }
+
+  case class TombstoneIn(doc_id: Long)
+  case class TierHit(tier: String, key: Long, weight: Long)
+  case class BlastState(keys: Set[Long], wsum: Long)
+  case class BlastOut(tier: String, n_hit: Long)
+
+  /** STREAMING deletion blast radius — the tombstone-arrival half of
+    * the batch `deletion_impact_report`: right-to-be-forgotten
+    * requests arrive as a stream of doc_ids and probe the SERVED
+    * artifacts (the doc/token table, the JSONL shard map, the IVF
+    * cell assignments, the near-dup cluster labels) via stream-static
+    * equi-joins — the artifacts are the batch frames the pipeline
+    * already maintains, riding as the static sides. One keyed state
+    * per tier folds the running blast radius: distinct shards / cells
+    * / clusters touched so far, distinct docs and their token mass.
+    * Every micro-batch re-emits each touched tier's running n_hit
+    * (update mode); the batch report stays the AUTHORITY — the stream
+    * converges to its n_hit column once all tombstones have arrived
+    * (StreamingSpec pins equality), and n_total/share_pm stay batch
+    * figures because totals are properties of the corpus, not of the
+    * delete stream. State is O(delete set) for the doc tiers and
+    * O(artifact keys touched) for the index tiers; re-delivered
+    * tombstones fold in idempotently (set semantics).
+    */
+  def deletionStream(
+      tombstones: Dataset[TombstoneIn],
+      docTokens: DataFrame,
+      shardMap: DataFrame,
+      cellMap: DataFrame,
+      clusterMap: DataFrame): Dataset[BlastOut] = {
+    import tombstones.sparkSession.implicits._
+    val t = tombstones.toDF
+    val docHits = t
+      .join(docTokens.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"))
+      .flatMap { r =>
+        Seq(
+          TierHit("1_docs", r.getLong(0), 1L),
+          TierHit("2_tokens", r.getLong(0), r.getLong(1)))
+      }
+    val shardHits = t
+      .join(shardMap.select(col("doc_id"), col("shard")), Seq("doc_id"))
+      .select(lit("3_shards").as("tier"), col("shard").as("key"),
+        lit(1L).as("weight")).as[TierHit]
+    val cellHits = t
+      .join(cellMap.select(col("vec_id"), col("cid")),
+        col("doc_id") === col("vec_id"))
+      .select(lit("4_ivf_cells").as("tier"), col("cid").cast("long").as("key"),
+        lit(1L).as("weight")).as[TierHit]
+    val clusterHits = t
+      .join(clusterMap.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      .select(lit("5_neardup_clusters").as("tier"),
+        col("cluster_id").as("key"), lit(1L).as("weight")).as[TierHit]
+    docHits.unionAll(shardHits).unionAll(cellHits).unionAll(clusterHits)
+      .groupByKey(_.tier)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (tier: String, rows: Iterator[TierHit], state: GroupState[BlastState]) => {
+          var st = state.getOption.getOrElse(BlastState(Set.empty, 0L))
+          rows.foreach { h =>
+            if (!st.keys.contains(h.key))
+              st = BlastState(st.keys + h.key, st.wsum + h.weight)
+          }
+          state.update(st)
+          val n = if (tier == "2_tokens") st.wsum else st.keys.size.toLong
+          Iterator.single(BlastOut(tier, n))
+        })
+  }
+
   /** Streaming sessionization with Spark's native session_window:
     * per-user sessions that close after `gap` of inactivity; the
     * watermark finalizes (and evicts) sessions. The streaming twin of

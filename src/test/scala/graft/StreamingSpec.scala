@@ -1477,4 +1477,81 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getAs[Long]("user_id") == 7 && got(1).getAs[Long]("n_events") == 1)
     assert(got(2).getAs[Long]("user_id") == 8)
   }
+
+  test("streaming fixed-N reservoir converges to the batch corpus_sample_fixed_n draw") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = d.select("doc_id", "source").collect()
+      .map(r => Streaming.FixedNDocIn(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[Streaming.FixedNDocIn]
+    val q = Streaming.fixedNStream(input.toDS(), n = 100, shards = 8)
+      .writeStream.format("memory").queryName("sfixn")
+      .outputMode("update").start()
+    input.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    // re-deliver a chunk: the reservoir must fold duplicates idempotently
+    input.addData(rows.take(20): _*)
+    q.processAllAvailable(); q.stop()
+    // every emitted row was in some intermediate reservoir; the final
+    // draw is the N smallest distinct (pick_key, doc_id) of everything
+    // emitted (reservoirs only tighten), matching the batch TakeOrdered
+    val got = spark.table("sfixn")
+      .select("pick_key", "doc_id", "source").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).take(100).toSeq
+    val want = QueriesPipeline
+      .queries("corpus_sample_fixed_n")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("pick_key"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == want && got.length == 100)
+  }
+
+  test("streaming deletion blast radius converges to the batch deletion_impact_report n_hit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the served artifacts the batch report probes, as static sides
+    val docTokens = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val shardMap = graft.pipeline.Corpus.shardAssign(d)
+    val cellMap = graft.pipeline.Similarity.cellAssignments(
+      e, graft.pipeline.IvfChain.centroids(spark, dir, e))
+    val clusterMap = graft.pipeline.DedupChain.clusterLabels(spark, dir, d)
+    val tombs = d.where(col("doc_id") % 97 === 0).select("doc_id").collect()
+      .map(r => Streaming.TombstoneIn(r.getLong(0)))
+    val input = MemoryStream[Streaming.TombstoneIn]
+    val q = Streaming.deletionStream(
+        input.toDS(), docTokens, shardMap, cellMap, clusterMap)
+      .writeStream.format("memory").queryName("sdel")
+      .outputMode("update").start()
+    input.addData(tombs.take(tombs.length / 2): _*); q.processAllAvailable()
+    input.addData(tombs.drop(tombs.length / 2): _*)
+    // re-deliver: set semantics must keep the counts exact
+    input.addData(tombs.take(2): _*)
+    q.processAllAvailable(); q.stop()
+    // update mode re-emits running rows; the LAST emission per tier is
+    // the converged blast radius
+    val got = spark.table("sdel").collect().zipWithIndex
+      .groupBy(_._1.getAs[String]("tier"))
+      .map { case (tier, xs) => tier -> xs.maxBy(_._2)._1.getAs[Long]("n_hit") }
+    val want = QueriesPipeline.queries("deletion_impact_report")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("tier") -> r.getAs[Long]("n_hit")).toMap
+    assert(got == want && got.size == 5)
+  }
+
+  test("the public *Stream surface count matches the declared inventory") {
+    // SURVEY.md's streaming-twin claim is pinned HERE, not in prose
+    // (round-16 verdict: the prose count drifted). getMethods sees
+    // public methods only; synthetic default-arg methods don't end in
+    // "Stream", so this counts exactly the callable twin surfaces.
+    val names = graft.streaming.Streaming.getClass.getMethods
+      .map(_.getName).filter(_.endsWith("Stream")).distinct.sorted
+    assert(names.length == 56,
+      s"public *Stream surfaces: ${names.length} — update SURVEY.md and " +
+        s"this pin together. Defs: ${names.mkString(", ")}")
+  }
 }
