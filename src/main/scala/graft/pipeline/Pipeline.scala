@@ -54,6 +54,18 @@ object TextOps {
         i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
+  /** CHARACTER n-gram shingles; empty below n chars (the same
+    * descending-sequence guard as the token [[shingles]]). fastText's
+    * actual language-ID feature space is hashed char n-grams (2-4) —
+    * the lang-ID model tier scores the 3-gram slice. Map-only: one
+    * substring per position, no tokenization.
+    */
+  def charGrams(text: Column, n: Int = 3): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n))))
+
   /** One MinHash value: min over shingles of (A*h + B) mod M. */
   def minhash(sh: Column, a: Long, b: Long): Column =
     array_min(transform(sh, s => (hash32(s) * a + b) % M))

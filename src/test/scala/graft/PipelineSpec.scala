@@ -2338,6 +2338,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("char-trigram lang-ID is measurably WORSE than token buckets on this fixture") {
+    // the round-17 negative result pinned reproducible (see
+    // TrainLangModel scaladoc): fastText's char-n-gram feature space
+    // buys orthography signal real multilingual text has — this
+    // fixture draws every language from the SAME English vocabulary,
+    // so trigrams only dilute the frequency-mixture evidence across
+    // boundary grams. Train both on sf0.001, evaluate on held-out
+    // sf0.01: token buckets must stay strictly ahead, and both exact
+    // accuracies are pinned so a fixture or trainer change that moves
+    // the comparison is surfaced, not silently absorbed.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val tok = tools.TrainLangModel.fit(tools.TrainLangModel.counts(d)._1,
+      tools.TrainLangModel.counts(d)._2)
+    val c3 = tools.TrainLangModel.fit(tools.TrainLangModel.countsC3(d)._1,
+      tools.TrainLangModel.countsC3(d)._2, tools.TrainLangModel.BC)
+    val (tokC, n) = tools.TrainLangModel.evalAccuracy(
+      ev, tok, "li_", tools.TrainLangModel.B, charGrams = false)
+    val (c3C, n2) = tools.TrainLangModel.evalAccuracy(
+      ev, c3, "lc_", tools.TrainLangModel.BC, charGrams = true)
+    assert(n == 500 && n2 == 500)
+    assert((tokC, c3C) == (209L, 117L), s"measured ($tokC, $c3C)")
+    assert(tokC > c3C)
+  }
+
   test("lang_id_model argmax and tie-break pinned by hand") {
     // per-language scores are exact integer folds of the committed
     // table; the prediction is argmax with ties to the alphabetically
