@@ -534,6 +534,13 @@ object VideoChain {
         Multimodal.videoDupPairs(frameHashes(s, dir, docs))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
         .localCheckpoint(true))
+
+  /** Session teardown (see [[Chains.releaseAll]]). */
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
 }
 
 object AHashChain {
@@ -564,4 +571,11 @@ object AHashChain {
         Multimodal.aHashPairs(imageHashes(s, dir, docs), maxHamming = 3)
           .select(col("doc_a"), col("doc_b")))
         .localCheckpoint(true))
+
+  /** Session teardown (see [[Chains.releaseAll]]). */
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
 }

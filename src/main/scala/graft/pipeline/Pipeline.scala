@@ -5576,6 +5576,11 @@ object Chains {
     BpeChain.release(s)
     PackChain.release(s)
     OpqChain.release(s)
+    DsirChain.release(s)
+    BigramChain.release(s)
+    KnnChain.release(s)
+    AHashChain.release(s)
+    VideoChain.release(s)
   }
 }
 
@@ -5708,6 +5713,14 @@ object DsirChain {
         p.select("doc_id", "b", "cnt"),
         Corpus.dsirRatiosFromPairs(p)).localCheckpoint(true)
     })
+
+  /** Session teardown (see [[Chains.releaseAll]]). */
+  def release(s: SparkSession): Unit =
+    Seq(memoP, memoW).foreach(m =>
+      m.keys.filter(_._1 eq s).foreach { k =>
+        m.remove(k).foreach(df =>
+          CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+      })
 }
 
 object BigramChain {
@@ -5723,6 +5736,13 @@ object BigramChain {
   def model(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate(
       (s, dir), Corpus.bigramModel(bigrams(docs)).localCheckpoint(true))
+
+  /** Session teardown (see [[Chains.releaseAll]]). */
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
 }
 
 /** Session-scoped memo for the NN-descent k-NN graph — the DedupChain
@@ -5784,6 +5804,17 @@ object KnnChain {
   def baseWorkingList(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
     baseMemo.getOrElseUpdate((s, dir),
       Similarity.knnWorkingList(embs.where(col("vec_id") % 50 =!= 0)))
+
+  /** Session teardown (see [[Chains.releaseAll]]) — like OpqChain, a
+    * TRAINED-artifact chain Bench deliberately keeps staged between
+    * passes; this is for session retirement only.
+    */
+  def release(s: SparkSession): Unit =
+    Seq(memo, baseMemo).foreach(m =>
+      m.keys.filter(_._1 eq s).foreach { k =>
+        m.remove(k).foreach(df =>
+          CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+      })
 }
 
 object DedupStateStore {
