@@ -872,6 +872,40 @@ object ScaleSmoke {
         .count()
     }
 
+    // Sketch-tier datasheet, WITNESS-FREE (the 100 TB path): one global
+    // agg where the KMV carries O(k) state map-side combined, plus the
+    // TakeOrdered 256-row sample — no exact countDistinct, no exact
+    // percentile buffer, so the ratio must track the scan alone.
+    def dsketch(d: DataFrame): Long = {
+      import graft.functions.kmvSketch
+      val b = d.select(
+        col("doc_id"),
+        size(graft.pipeline.TextOps.tokens(col("text"))).cast("bigint").as("nt"),
+        graft.pipeline.TextOps.hash32(col("text")).as("h"),
+        graft.pipeline.TextOps.hash32(
+          concat(lit("dsq_"), col("doc_id").cast("string"))).as("sh"))
+      val head = b.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        kmvSketch(col("h"), 256).as("kmv"))
+      val samp = b.orderBy(col("sh").asc, col("doc_id").asc).limit(256)
+        .agg(expr("percentile(nt, 0.5)").as("p50"))
+      head.crossJoin(samp).count()
+    }
+
+    // Order-free shard digest: the bit_xor fold keeps constant
+    // aggregation-buffer state per shard group (the retired
+    // collect_list digest buffered the WHOLE group) — ratio tracks the
+    // scan, group count fixed at 8.
+    def xdigest(d: DataFrame): Long =
+      d.select(
+          (col("doc_id") % 8).as("shard"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            md5(col("text")))), 1, 15), 16, 10).cast("bigint").as("dh"))
+        .groupBy("shard")
+        .agg(expr("bit_xor(dh)").as("dg"), count(lit(1)).as("nd"))
+        .count()
+
     // WordPiece budget sweep: four rank-capped map-only kernel passes.
     def wpBudget(d: DataFrame): Long =
       Seq(12, 50).map { b =>
@@ -1025,7 +1059,9 @@ object ScaleSmoke {
       "source drift report" -> (() => (time("srcdrift 1x", srcDrift(docs1)), time(s"srcdrift ${n}x", srcDrift(docsN)))),
       "wordpiece budget" -> (() => (time("wpbudget 1x", wpBudget(docs1)), time(s"wpbudget ${n}x", wpBudget(docsN)))),
       "embedding spectrum" -> (() => (time("spectrum 1x", spectrum(emb1)), time(s"spectrum ${n}x", spectrum(embN)))),
-      "events rfm" -> (() => (time("rfm 1x", rfm(ev1)), time(s"rfm ${n}x", rfm(evN)))))
+      "events rfm" -> (() => (time("rfm 1x", rfm(ev1)), time(s"rfm ${n}x", rfm(evN)))),
+      "datasheet sketch" -> (() => (time("dsketch 1x", dsketch(docs1)), time(s"dsketch ${n}x", dsketch(docsN)))),
+      "xor shard digest" -> (() => (time("xdigest 1x", xdigest(docs1)), time(s"xdigest ${n}x", xdigest(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

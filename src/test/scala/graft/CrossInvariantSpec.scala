@@ -48,6 +48,41 @@ class CrossInvariantSpec extends SparkSpec {
     assert(out.toSeq == Seq((-1, 2L, 2575L), (9, 1L, 1000L)))
   }
 
+  test("datasheet sketch card: witnesses equal the exact card, estimator inside its error band") {
+    // the sketch card's exact-witness columns must be THE SAME figures
+    // the exact card publishes (one source of truth), and the KMV
+    // estimate must sit inside a generous k=256 error band (stderr
+    // ~1/sqrt(k) ≈ 6.3%; band 20% — catches a broken estimator, not
+    // sketch noise)
+    val dir = "/root/testdata/sf0.001"
+    val exact = QueriesPipeline.queries("corpus_datasheet")(spark, dir).head
+    val sk = QueriesPipeline.queries("corpus_datasheet_sketch")(spark, dir).head
+    Seq("n_docs", "n_sources", "n_langs", "n_tokens", "n_chars").foreach { c =>
+      assert(sk.getAs[Long](c) == exact.getAs[Long](c), c)
+    }
+    assert(sk.getAs[Long]("exact_dup_pm") == exact.getAs[Long]("exact_dup_pm"))
+    assert(sk.getAs[Double]("p50_tokens_exact") == exact.getAs[Double]("p50_tokens"))
+    assert(sk.getAs[Double]("p90_tokens_exact") == exact.getAs[Double]("p90_tokens"))
+    val nDocs = exact.getAs[Long]("n_docs").toDouble
+    val exactDistinct = nDocs * (1000L - exact.getAs[Long]("exact_dup_pm")) / 1000.0
+    val est = sk.getAs[Double]("est_distinct_docs")
+    assert(math.abs(est - exactDistinct) / exactDistinct < 0.20,
+      s"KMV estimate $est vs ~$exactDistinct distinct docs")
+  }
+
+  test("timeBucket is true floor division for either timestamp sign") {
+    import spark.implicits._
+    // truncating div would put -1us in bucket 0 (one high); floor puts
+    // it in bucket -1 — the wrong-bucket silent-drop the r16 advice
+    // flagged. Pin the algebra across the sign boundary and bucket edges.
+    val w = 21600000000L
+    val got = Seq(-w - 1L, -w, -1L, 0L, 1L, w - 1L, w, 2L * w)
+      .toDF("us")
+      .select(graft.sources.Bars.timeBucket("us", w).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 0L, 1L, 2L))
+  }
+
   test("corpus_sample_fixed_n plan is partial top-k (TakeOrdered), never a global sort") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = QueriesPipeline.queries("corpus_sample_fixed_n")
