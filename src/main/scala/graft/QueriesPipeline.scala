@@ -4127,11 +4127,21 @@ object QueriesPipeline {
     "corpus_datasheet_sketch" -> ((s, dir) => {
       import graft.functions.kmvSketch
       val k = 256
+      // 60-bit hash space for the KMV (15 hex chars of md5, the same
+      // width the vocab sketch uses): a 32-bit space saturates near
+      // 2^32 distinct keys — ~11% low at 1e9 docs, i.e. exactly the
+      // corpus size this card exists for. 60 bits keeps expected
+      // collisions <1 up to ~10^9 keys. The EXACT witness counts full md5
+      // strings — the same figure corpus_datasheet publishes
+      // (CrossInvariantSpec pins the equality), never a hash-width
+      // approximation.
       val d = docs(s, dir).select(
         col("source"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("bigint").as("nt"),
         length(col("text")).cast("bigint").as("nc"),
-        TextOps.hash32(col("text")).as("h"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint")
+          .as("h"),
+        md5(col("text")).as("hx"),
         TextOps.hash32(concat(lit("dsq_"), col("doc_id").cast("string")))
           .as("sh"),
         col("doc_id"))
@@ -4142,13 +4152,13 @@ object QueriesPipeline {
           sum(col("nt")).as("n_tokens"),
           sum(col("nc")).as("n_chars"),
           kmvSketch(col("h"), k).as("kmv"),
-          countDistinct(col("h")).as("_nd"),
+          countDistinct(col("hx")).as("_nd"),
           expr("percentile(nt, 0.5)").as("_p50x"),
           expr("percentile(nt, 0.9)").as("_p90x"))
         .withColumn("_est",
           when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
             .otherwise(
-              lit((k - 1).toDouble * 4294967296.0) /
+              lit((k - 1).toDouble * 1152921504606846976.0) /
                 element_at(col("kmv"), k).cast("double")))
       val samp = d.orderBy(col("sh").asc, col("doc_id").asc).limit(256)
         .agg(
@@ -5709,19 +5719,21 @@ FROM a""",
          |FROM a""".stripMargin,
 
     // Sketch-tier release card: the KMV estimator replayed exactly
-    // (64 smallest DISTINCT doc-content hashes, kth-smallest in the
-    // denominator, the same exact-integer-inputs double expression)
-    // and the sampled percentiles replayed over the SAME deterministic
-    // bottom-256-by-md5-hash sample (hash then doc_id tiebreak, so the
-    // sample SET is engine-independent); quantile_cont mirrors the
-    // pinned Spark-percentile interpolation. Exact witnesses
-    // recomputed alongside.
+    // (the k=256 smallest DISTINCT 60-bit doc-content hashes,
+    // kth-smallest in the denominator, the same exact-integer-inputs
+    // double expression) and the sampled percentiles replayed over the
+    // SAME deterministic bottom-256-by-md5-hash sample (hash then
+    // doc_id tiebreak, so the sample SET is engine-independent);
+    // quantile_cont mirrors the pinned Spark-percentile interpolation.
+    // Exact witnesses recomputed alongside over FULL md5 strings —
+    // the corpus_datasheet figures verbatim.
     "corpus_datasheet_sketch" ->
       s"""WITH b AS (
          |  SELECT source, lang, doc_id,
          |    CAST(len($Toks) AS BIGINT) AS nt,
          |    CAST(length(text) AS BIGINT) AS nc,
-         |    ${h32("text")} AS h,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h,
+         |    md5(text) AS hx,
          |    ${h32("concat('dsq_', CAST(doc_id AS VARCHAR))")} AS sh
          |  FROM read_parquet('{SFDIR}/documents.parquet')),
          |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS r
@@ -5734,7 +5746,7 @@ FROM a""",
          |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          |    CAST(sum(nt) AS BIGINT) AS n_tokens,
          |    CAST(sum(nc) AS BIGINT) AS n_chars,
-         |    CAST(count(DISTINCT h) AS BIGINT) AS nd,
+         |    CAST(count(DISTINCT hx) AS BIGINT) AS nd,
          |    quantile_cont(nt, 0.5) AS p50x,
          |    quantile_cont(nt, 0.9) AS p90x
          |  FROM b),
@@ -5743,7 +5755,7 @@ FROM a""",
          |              quantile_cont(nt, 0.9) AS p90s FROM smp),
          |e AS (SELECT *,
          |        CASE WHEN kmv_k < 256 THEN CAST(kmv_k AS DOUBLE)
-         |             ELSE CAST(255 * 4294967296 AS DOUBLE) / CAST(kth AS DOUBLE)
+         |             ELSE 255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
          |        END AS est
          |      FROM a, sk, sq)
          |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
@@ -9704,7 +9716,9 @@ FROM fold""",
       s"""WITH tok AS (
          |  SELECT source, unnest($Toks) AS token
          |  FROM read_parquet('{SFDIR}/documents.parquet')),
-         |h AS (SELECT DISTINCT source, ${h32("token")} AS h FROM tok),
+         |h AS (SELECT DISTINCT source,
+         |        CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+         |      FROM tok),
          |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
          |      FROM h GROUP BY source),
          |rk AS (SELECT source, h,
@@ -9715,7 +9729,7 @@ FROM fold""",
          |  FROM rk WHERE rk <= 64 GROUP BY source),
          |est AS (SELECT k.source, k.kmv_k, k.kth_hash, n.n_types,
          |    CASE WHEN k.kmv_k < 64 THEN CAST(k.kmv_k AS DOUBLE)
-         |         ELSE 63.0 * 4294967296.0 / CAST(k.kth_hash AS DOUBLE)
+         |         ELSE 63.0 * 1152921504606846976.0 / CAST(k.kth_hash AS DOUBLE)
          |    END AS est_raw
          |  FROM kmv k JOIN n ON k.source = n.source)
          |SELECT source, kmv_k, kth_hash, n_types,

@@ -37,6 +37,27 @@ object TextOps {
     */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** JVM-side twin of [[hash32]] — bit-identical to the Catalyst
+    * expression, for driver/state code that must agree with the plan
+    * (streaming reservoir priorities, quantile-sample keys, trainer
+    * eval). ONE shared definition so the copies can't drift; the
+    * MessageDigest is thread-local (getInstance per call is the hot
+    * cost in keyed-state folds).
+    */
+  def hash32Jvm(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val hex = d.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Word n-gram shingles; empty for docs shorter than n tokens.
     * The short-doc branch is load-bearing: `sequence(1, size-n+1)`
     * with size < n counts DOWN (Spark defaults to step -1 when
@@ -3276,7 +3297,11 @@ object Corpus {
   /** Per-source approximate distinct-token (vocabulary) counts via the
     * KMV sketch ([[org.apache.spark.sql.graft.expressions.KmvSketch]]):
     * hash every token occurrence, keep the k smallest distinct hashes
-    * per source, estimate |vocab| = (k-1)·2^32 / kthSmallest. The
+    * per source, estimate |vocab| = (k-1)·2^60 / kthSmallest. The
+    * hash space is 60-bit (15 hex chars of md5) — a 32-bit space
+    * saturates near 2^32 distinct keys (~11% low at 1e9 types, i.e.
+    * exactly the web-scale vocabulary the sketch exists for); 60 bits
+    * keeps expected collisions <1 up to ~10^9 keys. The
     * aggregation state is O(k) per source and map-side partials fold
     * locally, so the exchange carries one <=k-element array per source
     * — at 100 TB the vocabulary itself (potentially 1e9 types) never
@@ -3293,14 +3318,15 @@ object Corpus {
     * asserted in PipelineSpec).
     *
     * Estimate math stays OUTSIDE the aggregate in plain column
-    * arithmetic over exact integers (63·2^32 is exact in double; one
+    * arithmetic over exact integers (63·2^60 is exact in double; one
     * IEEE division) so both engines compute bit-identical doubles.
     */
   def kmvTypes(docs: DataFrame, k: Int = 64, witness: Boolean = true): DataFrame = {
     import graft.functions.kmvSketch
     val hashed = docs
       .select(col("source"), explode(tokens(col("text"))).as("token"))
-      .select(col("source"), hash32(col("token")).as("h"))
+      .select(col("source"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType).as("h"))
     val aggs =
       if (witness) Seq(kmvSketch(col("h"), k).as("kmv"), countDistinct(col("h")).as("n_types"))
       else Seq(kmvSketch(col("h"), k).as("kmv"))
@@ -3309,7 +3335,7 @@ object Corpus {
       .withColumn("est_raw",
         when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
           .otherwise(
-            lit((k - 1).toDouble * 4294967296.0) /
+            lit((k - 1).toDouble * 1152921504606846976.0) /
               element_at(col("kmv"), k).cast("double")))
     val base = Seq(
       col("source"),
@@ -5581,6 +5607,7 @@ object Chains {
     KnnChain.release(s)
     AHashChain.release(s)
     VideoChain.release(s)
+    BucketStore.release(s)
   }
 }
 
@@ -5904,6 +5931,22 @@ object BucketStore {
         eTab, s"$root/embs", "doc_id")
       (dTab, eTab)
     })
+  }
+
+  /** Session teardown (see [[Chains.releaseAll]]): forget the memoized
+    * session key and drop its catalog tables — without this the memo
+    * holds the retired SparkSession strongly for the JVM lifetime (the
+    * OpqChain leak, round-16 advice). The temp parquet directories
+    * stay on disk (write-once store; the OS temp reaper owns them).
+    */
+  def release(s: SparkSession): Unit = synchronized {
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach { case (dTab, eTab) =>
+        Seq(dTab, eTab).foreach(t =>
+          try s.sql(s"DROP TABLE IF EXISTS $t")
+          catch { case _: Throwable => () })
+      }
+    }
   }
 }
 

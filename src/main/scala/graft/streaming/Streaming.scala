@@ -192,10 +192,7 @@ object Streaming {
   def quantileSketchStream(
       events: Dataset[QEventIn], k: Int = 128): Dataset[QSketchOut] = {
     import events.sparkSession.implicits._
-    def md5hex(s: String) =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    def h32(s: String) = graft.pipeline.TextOps.hash32Jvm(s)
     def pct(sorted: IndexedSeq[Double], p: Double): Double = {
       val pos = p * (sorted.length - 1)
       val lo = math.floor(pos).toInt
@@ -1853,19 +1850,22 @@ object Streaming {
       shards: Int = 8): Dataset[FixedNOut] = {
     import docs.sparkSession.implicits._
     require(n > 0 && shards > 0, s"need n > 0 and shards > 0 (got $n, $shards)")
-    def md5hex(s: String) =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
     docs
       .groupByKey(d => math.floorMod(d.doc_id, shards.toLong))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (shard: Long, rows: Iterator[FixedNDocIn],
             state: GroupState[FixedNState]) => {
           val cur = state.getOption.map(_.rows).getOrElse(Nil)
+          // dedupe on the (priority, doc_id) SORT KEY, state first: a
+          // doc re-delivered with changed metadata must not occupy two
+          // reservoir slots (a triple-distinct would let it evict a
+          // legitimate bottom-N doc), and first-seen metadata wins
+          // deterministically
           val merged = (cur ++ rows.map(d =>
-              (h32(s"fixn:${d.doc_id}"), d.doc_id, d.source)))
-            .distinct.sortBy(t => (t._1, t._2)).take(n)
+              (graft.pipeline.TextOps.hash32Jvm(s"fixn:${d.doc_id}"),
+                d.doc_id, d.source)))
+            .distinctBy(t => (t._1, t._2))
+            .sortBy(t => (t._1, t._2)).take(n)
           state.update(FixedNState(merged))
           merged.iterator.map { case (pk, id, src) =>
             FixedNOut(shard, pk, id, src)

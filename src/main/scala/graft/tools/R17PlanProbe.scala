@@ -18,7 +18,9 @@ object R17PlanProbe {
     names.foreach { n =>
       val df = graft.QueriesPipeline.queries(n)(spark, dir)
       val p = df.queryExecution.executedPlan.toString
-      val ex = "Exchange".r.findAllIn(p).length
+      // negative lookbehind: a BroadcastExchange must not inflate the
+      // SHUFFLE-exchange figure this audit exists to count
+      val ex = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       val sp = "SinglePartition".r.findAllIn(p).length
       val bc = "BroadcastExchange".r.findAllIn(p).length
       val cl = "collect_list".r.findAllIn(p).length

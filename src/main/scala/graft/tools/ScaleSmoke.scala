@@ -881,7 +881,7 @@ object ScaleSmoke {
       val b = d.select(
         col("doc_id"),
         size(graft.pipeline.TextOps.tokens(col("text"))).cast("bigint").as("nt"),
-        graft.pipeline.TextOps.hash32(col("text")).as("h"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint").as("h"),
         graft.pipeline.TextOps.hash32(
           concat(lit("dsq_"), col("doc_id").cast("string"))).as("sh"))
       val head = b.agg(

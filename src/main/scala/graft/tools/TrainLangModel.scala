@@ -144,18 +144,19 @@ object TrainLangModel {
       salt: String,
       nBuckets: Int,
       charGrams: Boolean): (Long, Long) = {
-    def md5hex(s: String) =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    def h32(s: String) = graft.pipeline.TextOps.hash32Jvm(s)
     val langs = fitted.map(_._1)
     val rows = docs.select("lang", "text").collect()
     var correct = 0L
     rows.foreach { r =>
       val text = r.getString(1)
+      // split with limit -1: Spark's split(text, ' ') KEEPS trailing
+      // empty tokens — the serve/training feature multiset; Java's
+      // default split drops them and would score a subtly different
+      // model on any doc with trailing whitespace
       val feats =
         if (charGrams) (0 to text.length - 3).map(i => text.substring(i, i + 3))
-        else text.split(" ").toSeq
+        else text.split(" ", -1).toSeq
       val bkts = feats.map(f => (h32(s"$salt$f") % nBuckets).toInt)
       val scores = fitted.map { case (_, w, b) => b + bkts.map(w(_)).sum }
       val best = langs.indices.minBy(i => (-scores(i), langs(i)))

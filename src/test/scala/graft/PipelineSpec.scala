@@ -2350,10 +2350,10 @@ class PipelineSpec extends SparkSpec {
     // the comparison is surfaced, not silently absorbed.
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ev = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val tok = tools.TrainLangModel.fit(tools.TrainLangModel.counts(d)._1,
-      tools.TrainLangModel.counts(d)._2)
-    val c3 = tools.TrainLangModel.fit(tools.TrainLangModel.countsC3(d)._1,
-      tools.TrainLangModel.countsC3(d)._2, tools.TrainLangModel.BC)
+    val (tokCnt, tokNd) = tools.TrainLangModel.counts(d)
+    val tok = tools.TrainLangModel.fit(tokCnt, tokNd)
+    val (c3Cnt, c3Nd) = tools.TrainLangModel.countsC3(d)
+    val c3 = tools.TrainLangModel.fit(c3Cnt, c3Nd, tools.TrainLangModel.BC)
     val (tokC, n) = tools.TrainLangModel.evalAccuracy(
       ev, tok, "li_", tools.TrainLangModel.B, charGrams = false)
     val (c3C, n2) = tools.TrainLangModel.evalAccuracy(
