@@ -1873,6 +1873,68 @@ object Streaming {
         })
   }
 
+  case class CardState(
+      n: Long, nt: Long, nc: Long,
+      kmv: List[Long], smp: List[(Long, Long, Long)])
+  case class CardShardOut(
+      shard: Long, n_docs: Long, n_tokens: Long, n_chars: Long,
+      kmv: Seq[Long], sample: Seq[(Long, Long, Long)])
+
+  /** STREAMING running release card — the ingest half of the batch
+    * `corpus_datasheet_sketch`: every arriving doc folds into bounded
+    * per-shard state holding exactly the sketch card's inputs — the
+    * exact counters (docs, token mass, char mass), the KMV k-smallest
+    * distinct 60-bit content hashes, and the bottom-k-by-hash
+    * percentile sample. The stateless projection computes nt/nc/h/sh
+    * with the batch query's OWN Catalyst expressions (the
+    * sourceDriftStream stance), so the folded integers are
+    * bit-identical to the batch scan's. State is bounded at
+    * O(2k) rows per shard regardless of stream length; the sketch
+    * structures fold idempotently under re-delivery (set semantics on
+    * the hash / (priority, doc_id) keys — the counters, like any
+    * streaming counters, rely on the pipeline's exactly-once
+    * delivery). Each micro-batch re-emits a touched shard's partials
+    * (update mode); the serving read merges ≤`shards` rows with plain
+    * arithmetic — sum the counters, take the k smallest of the hash
+    * union (each shard keeps ITS k smallest, so the union contains
+    * the global bottom-k; same argument as [[fixedNStream]]) — and
+    * the batch card is the FIXED POINT once the stream has seen the
+    * corpus (StreamingSpec pins the merged figures equal to the batch
+    * row's sketch columns).
+    */
+  def datasheetStream(
+      docs: DataFrame, k: Int = 256, shards: Int = 8): Dataset[CardShardOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs.select(
+      col("doc_id"),
+      size(graft.pipeline.TextOps.tokens(col("text"))).cast("bigint").as("nt"),
+      length(col("text")).cast("bigint").as("nc"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint").as("h"),
+      graft.pipeline.TextOps.hash32(
+        concat(lit("dsq_"), col("doc_id").cast("string"))).as("sh"))
+      .as[(Long, Long, Long, Long, Long)]
+    staged
+      .groupByKey(t => math.floorMod(t._1, shards.toLong))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Long, rows: Iterator[(Long, Long, Long, Long, Long)],
+            state: GroupState[CardState]) => {
+          val st = state.getOption.getOrElse(CardState(0L, 0L, 0L, Nil, Nil))
+          val batch = rows.toList
+          val merged = CardState(
+            st.n + batch.size,
+            st.nt + batch.map(_._2).sum,
+            st.nc + batch.map(_._3).sum,
+            (st.kmv ++ batch.map(_._4)).distinct.sorted.take(k),
+            (st.smp ++ batch.map(t => (t._5, t._1, t._2)))
+              .distinctBy(x => (x._1, x._2))
+              .sortBy(x => (x._1, x._2)).take(k))
+          state.update(merged)
+          Iterator.single(CardShardOut(
+            shard, merged.n, merged.nt, merged.nc, merged.kmv, merged.smp))
+        })
+  }
+
   case class TombstoneIn(doc_id: Long)
   case class TierHit(tier: String, key: Long, weight: Long)
   case class BlastState(keys: Set[Long], wsum: Long)

@@ -1543,6 +1543,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.size == 5)
   }
 
+  test("streaming running release card converges to the batch sketch datasheet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = d.select("doc_id", "source", "text").collect()
+      .map(r => Streaming.DriftDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[Streaming.DriftDoc]
+    val q = Streaming.datasheetStream(input.toDF()).writeStream
+      .format("memory").queryName("scard").outputMode("update").start()
+    input.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    // re-delivery: the sketch structures must fold idempotently
+    input.addData(rows.take(7): _*)
+    q.processAllAvailable(); q.stop()
+    // serving-side merge: last emission per shard, then sum counters /
+    // k-smallest of the hash union / bottom-k of the sample union
+    val last = spark.table("scard").collect().zipWithIndex
+      .groupBy(_._1.getAs[Long]("shard"))
+      .map { case (_, xs) => xs.maxBy(_._2)._1 }.toSeq
+    // counters are NOT re-delivery-proof (documented); back the 7
+    // duplicate docs out with their exact batch figures
+    val dup = rows.take(7)
+    val dupNt = dup.map(_.text.split(" ", -1).length.toLong).sum
+    val dupNc = dup.map(_.text.length.toLong).sum
+    val nDocs = last.map(_.getAs[Long]("n_docs")).sum - 7
+    val nTok = last.map(_.getAs[Long]("n_tokens")).sum - dupNt
+    val nCh = last.map(_.getAs[Long]("n_chars")).sum - dupNc
+    val kmv = last.flatMap(_.getSeq[Long](4)).distinct.sorted.take(256)
+    val smp = last.flatMap(_.getSeq[org.apache.spark.sql.Row](5)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .distinct.sortBy(x => (x._1, x._2)).take(256)
+    def pct(sorted: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val est =
+      if (kmv.length < 256) kmv.length.toDouble
+      else 255.0 * 1152921504606846976.0 / kmv(255).toDouble
+    val nts = smp.map(_._3.toDouble).sorted.toIndexedSeq
+    val card = QueriesPipeline.queries("corpus_datasheet_sketch")(spark, dir).head
+    assert(nDocs == card.getAs[Long]("n_docs"))
+    assert(nTok == card.getAs[Long]("n_tokens"))
+    assert(nCh == card.getAs[Long]("n_chars"))
+    assert(math.abs(est - card.getAs[Double]("est_distinct_docs")) < 1e-4)
+    assert(math.abs(pct(nts, 0.5) - card.getAs[Double]("p50_tokens_est")) < 1e-4)
+    assert(math.abs(pct(nts, 0.9) - card.getAs[Double]("p90_tokens_est")) < 1e-4)
+  }
+
   test("the public *Stream surface count matches the declared inventory") {
     // SURVEY.md's streaming-twin claim is pinned HERE, not in prose
     // (round-16 verdict: the prose count drifted). getMethods sees
@@ -1550,7 +1601,7 @@ class StreamingSpec extends SparkSpec {
     // "Stream", so this counts exactly the callable twin surfaces.
     val names = graft.streaming.Streaming.getClass.getMethods
       .map(_.getName).filter(_.endsWith("Stream")).distinct.sorted
-    assert(names.length == 56,
+    assert(names.length == 57,
       s"public *Stream surfaces: ${names.length} — update SURVEY.md and " +
         s"this pin together. Defs: ${names.mkString(", ")}")
   }
