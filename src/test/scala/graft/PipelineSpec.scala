@@ -1969,6 +1969,26 @@ class PipelineSpec extends SparkSpec {
       s"witness-free KMV must shuffle only the k-bounded partials, got $exchanges exchanges:\n$plan")
   }
 
+  test("Chains.releaseAll forgets session-staged state: memos rebuild after release") {
+    // the teardown contract (round-16 advice): after releaseAll the
+    // session must not be served stale staged frames — a fresh request
+    // rebuilds. Pinned on PackChain (cheap at sf0.001); the same memo
+    // pattern backs every chain the sweep covers.
+    val dir = "/root/testdata/sf0.001"
+    def d = spark.read.parquet(s"$dir/documents.parquet")
+    val (ctx1, m1) = pipeline.PackChain.materialized(spark, dir, d)
+    assert(ctx1 == 512L)
+    val n1 = m1.count() // before release: an unpersisted localCheckpoint
+    //                     has truncated lineage and cannot be recounted
+    // same session, same dir: the memo serves the identical frame
+    assert(pipeline.PackChain.materialized(spark, dir, d)._2 eq m1)
+    pipeline.Chains.releaseAll(spark)
+    val (_, m2) = pipeline.PackChain.materialized(spark, dir, d)
+    assert(!(m2 eq m1), "release must drop the memo, not serve the dead frame")
+    // and the rebuilt frame carries the same content
+    assert(m2.count() == n1)
+  }
+
   test("packShuffle: train_pos is a 1..N bijection; epochs permute independently; no SinglePartition") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val e0 = pipeline.Corpus.packShuffle(d, ctx = 512L, epoch = 0)
