@@ -2741,8 +2741,14 @@ object QueriesPipeline {
     // aggregation-buffer memory per shard group regardless of shard
     // size (a 100 TB shard holds millions of docs; a collect_list
     // digest would buffer them all per reducer), order-independent so
-    // no sort is needed, and still exact: any write-side loss flips
-    // the xor and goes red against the oracle's identical fold.
+    // no sort is needed, and exact for any ODD-multiplicity change:
+    // a lost, altered, or once-duplicated doc flips the xor and goes
+    // red against the oracle's identical fold. Even-multiplicity
+    // corruptions (a doc written an even number of extra times, or a
+    // dup+drop pair whose hashes xor-cancel) are invisible to the xor
+    // alone — the companion n_docs/n_tokens columns are the witnesses
+    // for those count-preserving anomalies, which is why the digest
+    // rides next to them rather than replacing them.
     "shard_export_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val dataDir = graft.sources.ShardStore.dataDir(s, dir)

@@ -53,9 +53,13 @@ object TextOps {
   def hash32Jvm(s: String): Long = {
     val d = md5Digest.get()
     d.reset()
-    val hex = d.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 8)
-    java.lang.Long.parseLong(hex, 16)
+    val b = d.digest(s.getBytes("UTF-8"))
+    // value of the first 8 hex chars = the first 4 digest bytes,
+    // big-endian unsigned — computed directly instead of formatting
+    // all 16 bytes to hex and re-parsing a prefix (the hot keyed-state
+    // path threw away ~75% of that formatting work)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
 
   /** Word n-gram shingles; empty for docs shorter than n tokens.
@@ -5944,7 +5948,9 @@ object BucketStore {
       memo.remove(k).foreach { case (dTab, eTab) =>
         Seq(dTab, eTab).foreach(t =>
           try s.sql(s"DROP TABLE IF EXISTS $t")
-          catch { case _: Throwable => () })
+          // NonFatal only: swallowing OutOfMemoryError/InterruptedException
+          // here would mask a dying JVM or lose an interrupt mid-teardown
+          catch { case scala.util.control.NonFatal(_) => () })
       }
     }
   }

@@ -15,6 +15,36 @@ import org.apache.spark.sql.types.LongType
   */
 object Streaming {
 
+  /** THE declared streaming-twin inventory — the single source of
+    * truth for the public `*Stream` surface. StreamingSpec asserts the
+    * reflection scan of this object equals this list exactly (so a
+    * rename or an undeclared helper ending in "Stream" points HERE,
+    * not at a bare count), and SURVEY.md cites the pin instead of
+    * carrying a literal number (the count drifted in prose twice —
+    * r16 and r17 verdicts). Add the def AND its entry here together.
+    */
+  val StreamSurfaces: Seq[String] = Seq(
+    "aHashStream", "adcSearchStream", "asofStream", "attributionStream",
+    "badwordsGateStream", "bigramScoreStream", "binarySearchStream",
+    "bitextScoreStream", "bloomDecontaminateStream", "bm25ScoreStream",
+    "bpeTokenCountStream", "budgetFillStream", "changelogStream",
+    "chunkStream", "datasheetStream", "decontaminateStream",
+    "dedupStream", "deletionStream", "domainGateStream",
+    "dsirScoreStream", "emaStream", "embeddingSpectrumStream",
+    "fertilityStream", "fixedNStream", "fuzzyDecontaminateStream",
+    "graphWalkStream", "intraDocDedupStream",
+    "intraDocSubstringDedupStream", "ivfCellDriftStream",
+    "langConsistencyStream", "langIdModelStream", "lshCandidateStream",
+    "lshVerifiedStream", "mediaFeaturesStream", "paragraphsStream",
+    "pqEncodeStream", "prepareStream", "qualityFilterStream",
+    "qualityModelScoreStream", "quantileSketchStream",
+    "rateAnomalyStream", "rateSampleStream", "redactPiiStream",
+    "retentionStream", "semanticDeconStream", "smaStream",
+    "sourceDriftStream", "spanDeconStream", "splitStream",
+    "sq8EncodeStream", "tokenIdsStream", "urlDedupStream",
+    "urlNormalizeStream", "videoDedupStream", "winnowStream",
+    "wordpieceStream", "zkeyStream")
+
   /** Event-time column handling that actually mirrors the batch side:
     * a LongType ts is the repo's canonical long-of-NANOS (nanosAsLong
     * parquet reading) and must go through integer `div 1000` +
@@ -1880,20 +1910,25 @@ object Streaming {
       shard: Long, n_docs: Long, n_tokens: Long, n_chars: Long,
       kmv: Seq[Long], sample: Seq[(Long, Long, Long)])
 
-  /** STREAMING running release card — the ingest half of the batch
-    * `corpus_datasheet_sketch`: every arriving doc folds into bounded
-    * per-shard state holding exactly the sketch card's inputs — the
-    * exact counters (docs, token mass, char mass), the KMV k-smallest
-    * distinct 60-bit content hashes, and the bottom-k-by-hash
-    * percentile sample. The stateless projection computes nt/nc/h/sh
-    * with the batch query's OWN Catalyst expressions (the
-    * sourceDriftStream stance), so the folded integers are
-    * bit-identical to the batch scan's. State is bounded at
-    * O(2k) rows per shard regardless of stream length; the sketch
-    * structures fold idempotently under re-delivery (set semantics on
-    * the hash / (priority, doc_id) keys — the counters, like any
-    * streaming counters, rely on the pipeline's exactly-once
-    * delivery). Each micro-batch re-emits a touched shard's partials
+  /** STREAMING running release card — REQUIRES EXACTLY-ONCE DELIVERY:
+    * the exact counters (n_docs / n_tokens / n_chars) are plain adds
+    * and silently over-count every re-delivered doc; only the sketch
+    * structures (KMV hash set, (priority, doc_id)-keyed sample) fold
+    * idempotently. Deploy behind Structured Streaming's exactly-once
+    * sink contract or accept sketch-only figures. (A seen-key
+    * structure for the counters would be O(corpus), not O(k) —
+    * unbounded state is exactly what this stream exists to avoid.)
+    *
+    * The ingest half of the batch `corpus_datasheet_sketch`: every
+    * arriving doc folds into bounded per-shard state holding exactly
+    * the sketch card's inputs — the exact counters (docs, token mass,
+    * char mass), the KMV k-smallest distinct 60-bit content hashes,
+    * and the bottom-k-by-hash percentile sample. The stateless
+    * projection computes nt/nc/h/sh with the batch query's OWN
+    * Catalyst expressions (the sourceDriftStream stance), so the
+    * folded integers are bit-identical to the batch scan's. State is
+    * bounded at O(2k) rows per shard regardless of stream length.
+    * Each micro-batch re-emits a touched shard's partials
     * (update mode); the serving read merges ≤`shards` rows with plain
     * arithmetic — sum the counters, take the k smallest of the hash
     * union (each shard keeps ITS k smallest, so the union contains

@@ -26,6 +26,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1564557354L)
   }
 
+  test("hash32Jvm is bit-identical to the hash32 column") {
+    // the JVM twin feeds streaming keyed state (quantileSketchStream,
+    // fixedNStream) whose batch fixed points use the COLUMN spelling —
+    // any divergence silently breaks those equalities. Pins the known
+    // value and a spread of shapes (empty, unicode, long, salt-prefixed).
+    assert(TextOps.hash32Jvm("hello") == 1564557354L)
+    val samples = Seq("", "a", "héllo wörld", "qs_12345", "fixn:999",
+      "x" * 1000, "dsq_42")
+    val viaCol = spark.createDataFrame(
+      samples.zipWithIndex.map { case (s, i) => Row(i.toLong, s, "src") }.asJava,
+      docSchema)
+      .select(col("doc_id"), TextOps.hash32(col("text")).as("h")).collect()
+      .map(r => samples(r.getLong(0).toInt) -> r.getLong(1)).toMap
+    samples.foreach(s => assert(TextOps.hash32Jvm(s) == viaCol(s), s"on '$s'"))
+  }
+
   test("shingles are word 3-grams") {
     val out = docs((1L, "a b c d"))
       .select(TextOps.shingles(col("text")).as("sh")).collect()

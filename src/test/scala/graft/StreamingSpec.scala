@@ -1594,15 +1594,22 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(pct(nts, 0.9) - card.getAs[Double]("p90_tokens_est")) < 1e-4)
   }
 
-  test("the public *Stream surface count matches the declared inventory") {
+  test("the public *Stream surface set matches the declared inventory") {
     // SURVEY.md's streaming-twin claim is pinned HERE, not in prose
-    // (round-16 verdict: the prose count drifted). getMethods sees
-    // public methods only; synthetic default-arg methods don't end in
-    // "Stream", so this counts exactly the callable twin surfaces.
-    val names = graft.streaming.Streaming.getClass.getMethods
-      .map(_.getName).filter(_.endsWith("Stream")).distinct.sorted
-    assert(names.length == 57,
-      s"public *Stream surfaces: ${names.length} — update SURVEY.md and " +
-        s"this pin together. Defs: ${names.mkString(", ")}")
+    // (round-16 verdict: the prose count drifted). The expected set is
+    // Streaming.StreamSurfaces — ONE declared inventory instead of a
+    // hand-bumped count (r17 advice): a rename or an undeclared helper
+    // ending in "Stream" fails with the exact name diff, pointing at
+    // the inventory to update. getMethods sees public methods only;
+    // synthetic default-arg methods don't end in "Stream", so the scan
+    // counts exactly the callable twin surfaces.
+    val scanned = graft.streaming.Streaming.getClass.getMethods
+      .map(_.getName).filter(_.endsWith("Stream")).distinct.sorted.toSeq
+    val declared = graft.streaming.Streaming.StreamSurfaces.sorted
+    assert(declared == declared.distinct, "inventory has duplicates")
+    assert(scanned == declared,
+      s"undeclared: ${(scanned.toSet -- declared.toSet).toSeq.sorted.mkString(", ")}; " +
+        s"missing: ${(declared.toSet -- scanned.toSet).toSeq.sorted.mkString(", ")} — " +
+        "update Streaming.StreamSurfaces together with the def")
   }
 }
