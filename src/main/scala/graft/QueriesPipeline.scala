@@ -4182,6 +4182,65 @@ object QueriesPipeline {
           round(col("_p90s"), 6).as("p90_tokens_est"),
           round(col("_p50x"), 6).as("p50_tokens_exact"),
           round(col("_p90x"), 6).as("p90_tokens_exact"))
+    }),
+
+    // The witness-FREE release card — corpus_datasheet_sketch with the
+    // measuring instruments removed: this is the DECLARED plan a
+    // 100 TB run actually executes, and R18PlanProbe/PipelineSpec
+    // assert the optimized plan carries NO exact distinct aggregate,
+    // NO Expand, and NO percentile outside the bounded 256-row sample
+    // — the properties the sketch tier exists for, gated instead of
+    // claimed. Every figure is bounded-state: exact counters (plain
+    // sums, partial-combined), KMV k=256 estimates for distinct docs
+    // AND the source/lang cardinalities (which the witnessed card
+    // still counted exactly via countDistinct — that pair of
+    // distincts is what forced its Expand; at cardinality << k the
+    // KMV array is the exact distinct-hash set, so nothing is lost),
+    // and sample percentiles over the deterministic
+    // bottom-256-by-md5-hash draw (TakeOrdered: per-partition top-k,
+    // 256-row merge). Sketch error stays measured WHERE the witnesses
+    // live — corpus_datasheet_sketch; this row is the production
+    // spelling those measurements license.
+    "corpus_datasheet_sketch_pure" -> ((s, dir) => {
+      import graft.functions.kmvSketch
+      val k = 256
+      def h60(c: Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+      def est(kmv: Column) =
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble * 1152921504606846976.0) /
+              element_at(kmv, k).cast("double"))
+      val d = docs(s, dir).select(
+        size(TextOps.tokens(col("text"))).cast("bigint").as("nt"),
+        length(col("text")).cast("bigint").as("nc"),
+        h60(col("text")).as("h"),
+        h60(col("source")).as("hs"),
+        h60(col("lang")).as("hl"),
+        TextOps.hash32(concat(lit("dsq_"), col("doc_id").cast("string")))
+          .as("sh"),
+        col("doc_id"))
+      val head = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        kmvSketch(col("h"), k).as("kmv"),
+        kmvSketch(col("hs"), k).as("kmvs"),
+        kmvSketch(col("hl"), k).as("kmvl"))
+      val samp = d.orderBy(col("sh").asc, col("doc_id").asc).limit(256)
+        .agg(
+          expr("percentile(nt, 0.5)").as("_p50s"),
+          expr("percentile(nt, 0.9)").as("_p90s"))
+      head.crossJoin(samp)
+        .select(
+          col("n_docs"), col("n_tokens"), col("n_chars"),
+          round(est(col("kmv")), 6).as("est_distinct_docs"),
+          round((col("n_docs").cast("double") - est(col("kmv"))) * 1000.0 /
+            col("n_docs").cast("double"), 6).as("est_dup_pm"),
+          round(est(col("kmvs")), 6).as("est_sources"),
+          round(est(col("kmvl")), 6).as("est_langs"),
+          round(col("_p50s"), 6).as("p50_tokens_est"),
+          round(col("_p90s"), 6).as("p90_tokens_est"))
     })
   )
 
@@ -5772,6 +5831,59 @@ FROM a""",
          |  round(p90s, 6) AS p90_tokens_est,
          |  round(p50x, 6) AS p50_tokens_exact,
          |  round(p90x, 6) AS p90_tokens_exact
+         |FROM e""".stripMargin,
+
+    // Witness-free card: the same KMV replay (k smallest DISTINCT
+    // 60-bit hashes, kth in the denominator, size-below-k exact
+    // branch) applied to all three key spaces (content, source,
+    // lang), the same bottom-256 sample — and nothing else. The
+    // estimator CASE and the double expression are byte-identical to
+    // the witnessed card's so the two rows can never drift apart.
+    "corpus_datasheet_sketch_pure" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len($Toks) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h,
+         |    CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT) AS hs,
+         |    CAST(concat('0x', substr(md5(lang), 1, 15)) AS BIGINT) AS hl,
+         |    ${h32("concat('dsq_', CAST(doc_id AS VARCHAR))")} AS sh
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |skh AS (SELECT CAST(count(*) AS BIGINT) AS k_h, max(h) AS kth_h
+         |        FROM (SELECT h, row_number() OVER (ORDER BY h) AS r
+         |              FROM (SELECT DISTINCT h FROM b)) WHERE r <= 256),
+         |sks AS (SELECT CAST(count(*) AS BIGINT) AS k_s, max(hs) AS kth_s
+         |        FROM (SELECT hs, row_number() OVER (ORDER BY hs) AS r
+         |              FROM (SELECT DISTINCT hs FROM b)) WHERE r <= 256),
+         |skl AS (SELECT CAST(count(*) AS BIGINT) AS k_l, max(hl) AS kth_l
+         |        FROM (SELECT hl, row_number() OVER (ORDER BY hl) AS r
+         |              FROM (SELECT DISTINCT hl FROM b)) WHERE r <= 256),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars
+         |  FROM b),
+         |smp AS (SELECT nt FROM b ORDER BY sh, doc_id LIMIT 256),
+         |sq AS (SELECT quantile_cont(nt, 0.5) AS p50s,
+         |              quantile_cont(nt, 0.9) AS p90s FROM smp),
+         |e AS (SELECT *,
+         |        CASE WHEN k_h < 256 THEN CAST(k_h AS DOUBLE)
+         |             ELSE 255.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE)
+         |        END AS est_h,
+         |        CASE WHEN k_s < 256 THEN CAST(k_s AS DOUBLE)
+         |             ELSE 255.0 * 1152921504606846976.0 / CAST(kth_s AS DOUBLE)
+         |        END AS est_s,
+         |        CASE WHEN k_l < 256 THEN CAST(k_l AS DOUBLE)
+         |             ELSE 255.0 * 1152921504606846976.0 / CAST(kth_l AS DOUBLE)
+         |        END AS est_l
+         |      FROM a, skh, sks, skl, sq)
+         |SELECT n_docs, n_tokens, n_chars,
+         |  round(est_h, 6) AS est_distinct_docs,
+         |  round((CAST(n_docs AS DOUBLE) - est_h) * 1000.0 / CAST(n_docs AS DOUBLE), 6) AS est_dup_pm,
+         |  round(est_s, 6) AS est_sources,
+         |  round(est_l, 6) AS est_langs,
+         |  round(p50s, 6) AS p50_tokens_est,
+         |  round(p90s, 6) AS p90_tokens_est
          |FROM e""".stripMargin,
 
     "quality_calibration" ->

@@ -70,6 +70,66 @@ class CrossInvariantSpec extends SparkSpec {
       s"KMV estimate $est vs ~$exactDistinct distinct docs")
   }
 
+  test("pure sketch card equals the witnessed card's sketch figures") {
+    // corpus_datasheet_sketch_pure is the witnessed card minus the
+    // witnesses — its counters and sketch estimates must be the SAME
+    // numbers (one estimator, one sample), and the below-k KMV source/
+    // lang estimates must equal the exact cardinalities the witnessed
+    // card still countDistincts.
+    val dir = "/root/testdata/sf0.001"
+    val w = QueriesPipeline.queries("corpus_datasheet_sketch")(spark, dir).head
+    val p = QueriesPipeline.queries("corpus_datasheet_sketch_pure")(spark, dir).head
+    Seq("n_docs", "n_tokens", "n_chars").foreach(c =>
+      assert(p.getAs[Long](c) == w.getAs[Long](c), c))
+    Seq("est_distinct_docs", "est_dup_pm", "p50_tokens_est", "p90_tokens_est")
+      .foreach(c => assert(p.getAs[Double](c) == w.getAs[Double](c), c))
+    val exact = QueriesPipeline.queries("corpus_datasheet")(spark, dir).head
+    assert(p.getAs[Double]("est_sources") == exact.getAs[Long]("n_sources").toDouble)
+    assert(p.getAs[Double]("est_langs") == exact.getAs[Long]("n_langs").toDouble)
+  }
+
+  test("pure sketch card plan: no distinct aggregate, no Expand, percentile only above a bounded limit") {
+    // THE gate the sketch tier exists for (r17 verdict What's-missing
+    // #1): the witnessed card deliberately carries exact witnesses, so
+    // its declared plan still pays the full-width distinct shuffle and
+    // the exact-percentile buffer. The pure card is the 100 TB
+    // spelling — assert structurally that nothing unbounded survived
+    // optimization.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, GlobalLimit}
+    val df = QueriesPipeline
+      .queries("corpus_datasheet_sketch_pure")(spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan
+    // 1. no exact distinct aggregation anywhere — the full-width
+    //    distinct shuffle is exactly what the KMV sketch replaces
+    val distincts = opt.collect { case a: Aggregate =>
+      a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression if ae.isDistinct => ae })
+    }.flatten
+    assert(distincts.isEmpty, s"distinct aggregates survived: $distincts")
+    // 2. no Expand — the multi-distinct rewrite that multiplies the scan
+    assert(opt.collect { case e: Expand => e }.isEmpty, "Expand in plan")
+    // 3. every Percentile aggregate sits above a bounded limit (the
+    //    256-row sample), never over the full corpus; and the sample
+    //    percentiles are actually present (the gate can't pass vacuously)
+    val percAggs = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.aggregateFunction.isInstanceOf[Percentile]
+        case _ => false
+      }) => a
+    }
+    assert(percAggs.nonEmpty, "sample percentiles missing from the plan")
+    percAggs.foreach(a =>
+      assert(a.exists { case _: GlobalLimit => true; case _ => false },
+        s"percentile over an unbounded input:\n$a"))
+    // 4. physical double-check: the sample executes as a partial top-k
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Expand") && !exec.contains("(distinct"))
+    assert(exec.contains("TakeOrderedAndProject"),
+      "sample must execute as per-partition top-k")
+  }
+
   test("timeBucket is true floor division for either timestamp sign") {
     import spark.implicits._
     // truncating div would put -1us in bucket 0 (one high); floor puts
