@@ -2922,7 +2922,9 @@ object QueriesPipeline {
     // screen for source-level length anomalies (a source whose MAD
     // explodes is mixing content types). Two passes: medians, join
     // back, deviation medians; both exact percentile (quantile_cont
-    // parity proven by bar_quantiles) — approx_percentile at 100 TB.
+    // parity proven by bar_quantiles). The 100 TB spelling is the
+    // DECLARED source_robust_stats_sketch below — per-source bounded
+    // sample, measured error — not an undeclared approx_percentile.
     "source_robust_stats" -> ((s, dir) => {
       val base = docs(s, dir).select(
         col("source"), size(TextOps.tokens(col("text"))).cast("double").as("n_tok"))
@@ -2934,6 +2936,65 @@ object QueriesPipeline {
           count(lit(1)).as("n_docs"),
           round(first(col("median_tokens")), 6).as("median_tokens"),
           round(expr("percentile(abs(n_tok - median_tokens), 0.5)"), 6).as("mad_tokens"))
+        .orderBy("source")
+    }),
+
+    // The 100 TB spelling of source_robust_stats — per-GROUP sampled
+    // quantiles (the sketch card's bottom-k-by-hash trick, grouped):
+    // median and MAD per source computed from the deterministic
+    // bottom-128-by-md5-hash sample WITHIN each source, with the exact
+    // figures as witness columns and the relative errors the operator
+    // reports (the approx_quantiles_sample instrument stance). k=128
+    // (not the card's 256) so the fixture's 250-doc sources are
+    // genuinely SAMPLED at every scale — at k=256 the sample covers
+    // each whole group and the measured error is vacuously zero. The
+    // per-source rank executes as a WindowGroupLimit partial top-k
+    // before the shuffle, so state per source is 128 rows regardless
+    // of source size — the bounded-memory property the exact 2-pass
+    // plan lacks (its percentile buffers every doc of a source per
+    // reducer). The MAD's second pass runs over the SAMPLE only
+    // (≤128 rows/source, broadcast-joined medians); a 100 TB run
+    // drops the witness columns, leaving one WindowGroupLimit shuffle
+    // + two sample-sized aggregates.
+    "source_robust_stats_sketch" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("double").as("n_tok"))
+      val w = Window.partitionBy("source")
+        .orderBy(
+          TextOps.hash32(concat(lit("srq_"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      val samp = base.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 128)
+      val med = samp.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_sample"),
+          expr("percentile(n_tok, 0.5)").as("med_s"))
+      val sk = samp.join(broadcast(med), Seq("source"))
+        .groupBy("source")
+        .agg(
+          first(col("n_sample")).as("n_sample"),
+          first(col("med_s")).as("med_s"),
+          expr("percentile(abs(n_tok - med_s), 0.5)").as("mad_s"))
+      val medX = base.groupBy("source")
+        .agg(expr("percentile(n_tok, 0.5)").as("med_x"))
+      val exact = base.join(broadcast(medX), Seq("source"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          first(col("med_x")).as("med_x"),
+          expr("percentile(abs(n_tok - med_x), 0.5)").as("mad_x"))
+      sk.join(exact, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("n_sample"),
+          round(col("med_s"), 6).as("median_tokens_est"),
+          round(col("med_x"), 6).as("median_tokens_exact"),
+          round(abs(col("med_s") - col("med_x")) /
+            greatest(abs(col("med_x")), lit(1e-9)), 6).as("median_rel_err"),
+          round(col("mad_s"), 6).as("mad_tokens_est"),
+          round(col("mad_x"), 6).as("mad_tokens_exact"),
+          round(abs(col("mad_s") - col("mad_x")) /
+            greatest(abs(col("mad_x")), lit(1e-9)), 6).as("mad_rel_err"))
         .orderBy("source")
     }),
 
@@ -3001,8 +3062,10 @@ object QueriesPipeline {
 
     // Exact per-symbol close-price quantiles (linear interpolation).
     // Exact percentile buffers each group's values — fine for bounded
-    // per-symbol bar counts; at 100 TB the same query shape runs with
-    // approx_percentile (t-digest, mergeable map-side sketches).
+    // per-symbol bar counts; at unbounded group sizes the declared
+    // per-group sampled spelling applies (approx_quantiles_sample on
+    // events, source_robust_stats_sketch on docs — WindowGroupLimit
+    // bounded state, measured error).
     "bar_quantiles" -> ((s, dir) =>
       graft.sources.Bars.fromEvents(s, dir)
         .groupBy("symbol")
@@ -8814,6 +8877,46 @@ FROM fold""",
          |  round(quantile_cont(abs(b.n_tok - m.median_tokens), 0.5), 6) AS mad_tokens
          |FROM base b JOIN med m ON b.source = m.source
          |GROUP BY b.source ORDER BY b.source""".stripMargin,
+
+    // Per-source sampled median/MAD replay: the same bottom-128-by-hash
+    // sample SET (hash then doc_id tiebreak within each source), the
+    // same two-pass MAD over the sample, exact witnesses recomputed via
+    // the source_robust_stats plan verbatim.
+    "source_robust_stats_sketch" ->
+      s"""WITH base AS (
+         |  SELECT source, doc_id, CAST(len($Toks) AS DOUBLE) AS n_tok
+         |  FROM read_parquet('{SFDIR}/documents.parquet')),
+         |r AS (
+         |  SELECT source, n_tok,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h32("concat('srq_', CAST(doc_id AS VARCHAR))")} ASC, doc_id ASC) AS rn
+         |  FROM base),
+         |smp AS (SELECT source, n_tok FROM r WHERE rn <= 128),
+         |sm AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_sample,
+         |    quantile_cont(n_tok, 0.5) AS med_s
+         |  FROM smp GROUP BY source),
+         |smad AS (
+         |  SELECT s.source, first(m.n_sample) AS n_sample, first(m.med_s) AS med_s,
+         |    quantile_cont(abs(s.n_tok - m.med_s), 0.5) AS mad_s
+         |  FROM smp s JOIN sm m ON s.source = m.source GROUP BY s.source),
+         |xm AS (
+         |  SELECT source, quantile_cont(n_tok, 0.5) AS med_x
+         |  FROM base GROUP BY source),
+         |xmad AS (
+         |  SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    first(m.med_x) AS med_x,
+         |    quantile_cont(abs(b.n_tok - m.med_x), 0.5) AS mad_x
+         |  FROM base b JOIN xm m ON b.source = m.source GROUP BY b.source)
+         |SELECT s.source, x.n_docs, s.n_sample,
+         |  round(s.med_s, 6) AS median_tokens_est,
+         |  round(x.med_x, 6) AS median_tokens_exact,
+         |  round(abs(s.med_s - x.med_x) / greatest(abs(x.med_x), 1e-9), 6) AS median_rel_err,
+         |  round(s.mad_s, 6) AS mad_tokens_est,
+         |  round(x.mad_x, 6) AS mad_tokens_exact,
+         |  round(abs(s.mad_s - x.mad_x) / greatest(abs(x.mad_x), 1e-9), 6) AS mad_rel_err
+         |FROM smad s JOIN xmad x ON s.source = x.source
+         |ORDER BY s.source""".stripMargin,
 
     "length_outliers" ->
       s"""WITH base AS (

@@ -130,6 +130,29 @@ class CrossInvariantSpec extends SparkSpec {
       "sample must execute as per-partition top-k")
   }
 
+  test("per-source sampled quantiles: WindowGroupLimit bounds group state; below-k groups are exact") {
+    // source_robust_stats_sketch closes the "approx_percentile at
+    // 100 TB" commentary: the per-source rank must execute as a
+    // WindowGroupLimit partial top-k (128 rows per group before the
+    // shuffle, never a full-group percentile buffer), and wherever the
+    // sample covers the whole source (sf0.001: 25 docs/source < 128)
+    // the estimate IS the exact figure — the below-k exactness the
+    // KMV tier also relies on. Real sampling error is measured at
+    // sf0.1 (250 docs/source; recorded in SURVEY §8).
+    val df = QueriesPipeline
+      .queries("source_robust_stats_sketch")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-source sample must rank-limit before the shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sample") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("median_rel_err") == 0.0, r.getAs[String]("source"))
+      assert(r.getAs[Double]("mad_rel_err") == 0.0, r.getAs[String]("source"))
+    }
+  }
+
   test("timeBucket is true floor division for either timestamp sign") {
     import spark.implicits._
     // truncating div would put -1us in bucket 0 (one high); floor puts
