@@ -4070,6 +4070,66 @@ object QueriesPipeline {
         .orderBy("source")
     }),
 
+    // Datasheet CHANGELOG — the release-card delta between two
+    // snapshots, completing the governance trio: snapshot_diff_report
+    // says WHICH docs changed, source_drift_report says WHICH sources
+    // moved, THIS says what the published card fields did — docs,
+    // token/char mass, dup rate, gopher pass rate, mean quality, and
+    // the token-length p50/p90, each as (a, b, delta). The fixture
+    // snapshots are snapshot_diff_report's own convention (A drops
+    // doc_id%10==0, B drops %10==1 and revises %13==0's text), so the
+    // membership diff and this field diff describe the SAME release
+    // pair. Two 1-row card aggregates (each one corpus scan with
+    // map-side partial combine) cross-joined broadcast — no keyed
+    // join exists to pay for at any scale.
+    "datasheet_diff" -> ((s, dir) => {
+      def card(d: DataFrame) = {
+        val nTok = size(TextOps.tokens(col("text"))).cast("bigint")
+        d.select(
+            nTok.as("nt"),
+            length(col("text")).cast("bigint").as("nc"),
+            md5(col("text")).as("h"),
+            Corpus.gopherKeep().as("keep"),
+            floor(TextOps.qualityScore(col("text")) * 1000000 + 0.5)
+              .cast("bigint").as("q"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            sum(col("nc")).as("n_chars"),
+            countDistinct(col("h")).as("_nd"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("_gp"),
+            sum(col("q")).as("_qs"),
+            expr("percentile(nt, 0.5)").as("_p50"),
+            expr("percentile(nt, 0.9)").as("_p90"))
+          .select(
+            col("n_docs"), col("n_tokens"), col("n_chars"),
+            expr("(n_docs - _nd) * 1000 div n_docs").as("dup_pm"),
+            expr("_gp * 1000 div n_docs").as("gopher_pass_pm"),
+            expr("_qs div n_docs").as("mean_quality_micro"),
+            col("_p50").as("p50_tokens"),
+            col("_p90").as("p90_tokens"))
+      }
+      val d0 = docs(s, dir)
+      val a = card(d0.where(col("doc_id") % 10 =!= 0).select(col("text")))
+      val b = card(d0.where(col("doc_id") % 10 =!= 1).select(
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text")))
+      def tag(df: DataFrame, t: String) =
+        df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, s"${c}_$t"))
+      val ints = Seq("n_docs", "n_tokens", "n_chars", "dup_pm",
+        "gopher_pass_pm", "mean_quality_micro")
+      val dbls = Seq("p50_tokens", "p90_tokens")
+      tag(a, "a").crossJoin(broadcast(tag(b, "b")))
+        .select(
+          ints.flatMap(f => Seq(
+            col(s"${f}_a"), col(s"${f}_b"),
+            (col(s"${f}_b") - col(s"${f}_a")).as(s"${f}_delta"))) ++
+          dbls.flatMap(f => Seq(
+            round(col(s"${f}_a"), 6).as(s"${f}_a"),
+            round(col(s"${f}_b"), 6).as(s"${f}_b"),
+            round(col(s"${f}_b") - col(s"${f}_a"), 6).as(s"${f}_delta"))): _*)
+    }),
+
     // Per-source INGEST DRIFT report (the ivf_cell_drift stance for
     // the text pipeline): between the base half and the delta-ingest
     // half of each source, the three signals that regress first when
@@ -9251,6 +9311,64 @@ FROM fold""",
          |   + CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb
          |              THEN 1 ELSE 0 END) AS BIGINT)) * 1000 // count(*) AS churn_pm
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // Release-card field deltas: each side replays the corpus_datasheet
+    // card body over its snapshot (A/B per snapshot_diff_report's
+    // fixture convention), then one cross join computes (a, b, delta)
+    // per field. The card helper strips its own margins BEFORE
+    // interpolation (the stripMargin hazard — see bloomVerdictCtes).
+    "datasheet_diff" -> {
+      def cardSql(where: String, textExpr: String) =
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |  CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  CAST(count(DISTINCT h) AS BIGINT) AS nd,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS gp,
+           |  CAST(sum(q) AS BIGINT) AS qs,
+           |  quantile_cont(nt, 0.5) AS p50,
+           |  quantile_cont(nt, 0.9) AS p90
+           |FROM (
+           |  SELECT *,
+           |    ((nt >= 30 AND nt <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+           |      AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS keep
+           |  FROM (
+           |    SELECT CAST(len($Toks) AS BIGINT) AS nt,
+           |      CAST(length(text) AS BIGINT) AS nc,
+           |      md5(text) AS h,
+           |      CAST(floor(($QualitySql) * 1000000 + 0.5) AS BIGINT) AS q,
+           |      CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+           |      CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+           |      CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+           |      CASE WHEN len($Shingles) = 0 THEN 0.0
+           |           ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+           |    FROM (SELECT $textExpr AS text
+           |          FROM read_parquet('{SFDIR}/documents.parquet')
+           |          WHERE $where)))""".stripMargin
+      val fin =
+        """SELECT n_docs, n_tokens, n_chars,
+          |  (n_docs - nd) * 1000 // n_docs AS dup_pm,
+          |  gp * 1000 // n_docs AS gopher_pass_pm,
+          |  qs // n_docs AS mean_quality_micro,
+          |  p50, p90""".stripMargin
+      val ints = Seq("n_docs", "n_tokens", "n_chars", "dup_pm",
+        "gopher_pass_pm", "mean_quality_micro")
+      val sel = (ints.map(f =>
+        s"fa.$f AS ${f}_a, fb.$f AS ${f}_b, fb.$f - fa.$f AS ${f}_delta") ++
+        Seq("p50" -> "p50_tokens", "p90" -> "p90_tokens").map { case (c, f) =>
+          s"round(fa.$c, 6) AS ${f}_a, round(fb.$c, 6) AS ${f}_b, " +
+            s"round(fb.$c - fa.$c, 6) AS ${f}_delta"
+        }).mkString(",\n")
+      s"""WITH ca AS (
+${cardSql("doc_id % 10 <> 0", "text")}),
+cb AS (
+${cardSql("doc_id % 10 <> 1",
+        "CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END")}),
+fa AS ($fin FROM ca),
+fb AS ($fin FROM cb)
+SELECT
+$sel
+FROM fa, fb"""
+    },
 
     "source_drift_report" -> {
       def side(cond: String, pfx: String) =
