@@ -32,7 +32,8 @@ object Bench {
     * steal / executor-task-time deltas that attribute an outlier.
     */
   private final case class Meas(
-      wall: Double, ok: Boolean, gc: Long, steal: Long, task: Long)
+      wall: Double, ok: Boolean, gc: Long, steal: Long, task: Long,
+      chain: Long)
 
   private def jnum(m: Seq[(String, Double)]) =
     m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -114,6 +115,7 @@ object Bench {
     def runPass(): Seq[(String, Meas)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val gc0 = gcMillis(); val st0 = stealMillis(); val tt0 = taskTime.get()
+        val cb0 = graft.pipeline.ChainBill.totalMs
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -129,8 +131,9 @@ object Bench {
         // owns the release so repeated runs don't accumulate blocks.
         spark.catalog.clearCache()
         name -> Meas(dt, ok, gcMillis() - gc0, stealMillis() - st0,
-          taskTime.get() - tt0)
+          taskTime.get() - tt0, graft.pipeline.ChainBill.totalMs - cb0)
       }
+    graft.pipeline.ChainBill.reset()
     val allPasses = (1 to passes).map { p =>
       // Reset session-staged state so every pass pays the chain build:
       // min-of-N must compare equal work, not first-build vs marginal.
@@ -206,6 +209,15 @@ object Bench {
       s""""gc_ms":${jlong(chosen.map { case (n, m) => n -> m.gc })},""" +
       s""""steal_ms":${jlong(chosen.map { case (n, m) => n -> m.steal })},""" +
       s""""task_ms":${jlong(chosen.map { case (n, m) => n -> m.task })},""" +
+      // chain-build attribution (r17 verdict #4): pass-1 deltas of the
+      // ChainBill ledger — the pass whose raw walls carry every one-time
+      // session-staged build, so a headline query's wall decomposes into
+      // chain_build_ms + marginal right in the committed record. The
+      // per-chain totals let the build bill be read chain-by-chain.
+      s""""chain_build_ms":${jlong(allPasses.head.collect {
+        case (n, m) if m.chain > 0 => n -> m.chain })},""" +
+      s""""chain_bill_totals":${jlong(
+        graft.pipeline.ChainBill.snapshot.toSeq.sortBy(_._1))},""" +
       s""""par":${jnum(chosen.map { case (n, m) =>
         n -> r3(m.task / math.max(m.wall * 1000.0, 1.0)) })},""" +
       passWalls + "}"

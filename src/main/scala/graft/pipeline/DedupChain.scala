@@ -34,7 +34,8 @@ object DedupChain {
 
   private def cached(s: SparkSession, dir: String, stage: String)(
       build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir, stage), build.localCheckpoint(true))
+    memo.getOrElseUpdate((s, dir, stage),
+      ChainBill.time("DedupChain")(build.localCheckpoint(true)))
 
   /** Drop every staged frame for `s` and free its checkpoint blocks.
     * The memo is session-lifetime by design (Bench/Verify never need

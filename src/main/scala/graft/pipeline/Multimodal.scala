@@ -520,9 +520,10 @@ object VideoChain {
   def frameHashes(
       s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, "vhashes"),
-      Multimodal.aHash(
-        Multimodal.syntheticVideoFrames(s, docs),
-        Multimodal.PcmDecoder).localCheckpoint(true))
+      ChainBill.time("VideoChain")(
+        Multimodal.aHash(
+          Multimodal.syntheticVideoFrames(s, docs),
+          Multimodal.PcmDecoder).localCheckpoint(true)))
 
   /** CC labels (doc_id, cluster_id, is_canonical) over the df-capped
     * video near-dup pair graph.
@@ -530,10 +531,11 @@ object VideoChain {
   def clusterLabels(
       s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, "vclusters"),
-      Dedup.clusters(
-        Multimodal.videoDupPairs(frameHashes(s, dir, docs))
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-        .localCheckpoint(true))
+      ChainBill.time("VideoChain")(
+        Dedup.clusters(
+          Multimodal.videoDupPairs(frameHashes(s, dir, docs))
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+          .localCheckpoint(true)))
 
   /** Session teardown (see [[Chains.releaseAll]]). */
   def release(s: SparkSession): Unit =
@@ -552,9 +554,10 @@ object AHashChain {
   def imageHashes(
       s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, "hashes"),
-      Multimodal.aHash(
-        Multimodal.syntheticImages(s, docs),
-        Multimodal.ImageIODecoder).localCheckpoint(true))
+      ChainBill.time("AHashChain")(
+        Multimodal.aHash(
+          Multimodal.syntheticImages(s, docs),
+          Multimodal.ImageIODecoder).localCheckpoint(true)))
 
   /** The CC labels (doc_id, cluster_id, is_canonical) over the
     * banded-Hamming pair graph, staged once per (session, dir): both
@@ -567,10 +570,11 @@ object AHashChain {
   def clusterLabels(
       s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, "clusters"),
-      Dedup.clusters(
-        Multimodal.aHashPairs(imageHashes(s, dir, docs), maxHamming = 3)
-          .select(col("doc_a"), col("doc_b")))
-        .localCheckpoint(true))
+      ChainBill.time("AHashChain")(
+        Dedup.clusters(
+          Multimodal.aHashPairs(imageHashes(s, dir, docs), maxHamming = 3)
+            .select(col("doc_a"), col("doc_b")))
+          .localCheckpoint(true)))
 
   /** Session teardown (see [[Chains.releaseAll]]). */
   def release(s: SparkSession): Unit =

@@ -5429,16 +5429,18 @@ object IvfChain {
   private val memo = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def centroids(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      (s, dir, "ivf"), Similarity.kmeansCentroids(embs).localCheckpoint(true))
+    memo.getOrElseUpdate((s, dir, "ivf"),
+      ChainBill.time("IvfChain")(
+        Similarity.kmeansCentroids(embs).localCheckpoint(true)))
 
   /** The trained PQ codebook table (sub, cid, ce) — m·ksub tiny rows,
     * shared by `pq_codes` and `ann_topk_pq` exactly as the IVF
     * centroids are shared by their three consumers.
     */
   def pqBooks(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      (s, dir, "pq"), Similarity.pqCodebooks(embs).localCheckpoint(true))
+    memo.getOrElseUpdate((s, dir, "pq"),
+      ChainBill.time("IvfChain")(
+        Similarity.pqCodebooks(embs).localCheckpoint(true)))
 
   /** Trained parametric-OPQ rotation — delegates to [[OpqChain]]
     * (round-16: the OPQ train moved to a once-per-SESSION chain, the
@@ -5544,7 +5546,8 @@ object OpqChain {
     * build and every OPQ query.
     */
   def rotation(s: SparkSession, dir: String, embs: => DataFrame): Array[Array[Double]] =
-    rotMemo.getOrElseUpdate((s, dir), Opq.trainRotation(embs))
+    rotMemo.getOrElseUpdate((s, dir),
+      ChainBill.time("OpqChain")(Opq.trainRotation(embs)))
 
   /** OPQ-rotated corpus: NOT checkpointed — the rotation apply is a
     * map-only pass (64 codegen'd dot kernels per row), cheaper to
@@ -5559,9 +5562,9 @@ object OpqChain {
     * basis.
     */
   def books(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      (s, dir, "opq"),
-      Similarity.pqCodebooks(rotated(s, dir, embs)).localCheckpoint(true))
+    memo.getOrElseUpdate((s, dir, "opq"),
+      ChainBill.time("OpqChain")(
+        Similarity.pqCodebooks(rotated(s, dir, embs)).localCheckpoint(true)))
 
   /** IVF centroids trained in the OPQ-rotated space — the coarse
     * quantizer of the composed OPQ+IVF+PQ index (both stages must live
@@ -5569,9 +5572,9 @@ object OpqChain {
     * rotated residual-free subvectors).
     */
   def centroids(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      (s, dir, "opqcents"),
-      Similarity.kmeansCentroids(rotated(s, dir, embs)).localCheckpoint(true))
+    memo.getOrElseUpdate((s, dir, "opqcents"),
+      ChainBill.time("OpqChain")(
+        Similarity.kmeansCentroids(rotated(s, dir, embs)).localCheckpoint(true)))
 
   /** Session teardown hook, mirroring [[PackChain.release]]: drop the
     * memoized rotation and unpersist the checkpointed books/centroids
@@ -5683,7 +5686,8 @@ object PackChain {
       s: SparkSession, dir: String, docs: => DataFrame,
       ctx: Long = 512L): (Long, DataFrame) =
     ctx -> memo.getOrElseUpdate((s, dir, ctx),
-      Corpus.packMaterialize(docs, ctx = ctx).localCheckpoint(true))
+      ChainBill.time("PackChain")(
+        Corpus.packMaterialize(docs, ctx = ctx).localCheckpoint(true)))
 
   def release(s: SparkSession): Unit =
     memo.keys.filter(_._1 eq s).foreach { k =>
@@ -5700,12 +5704,13 @@ object BpeChain {
 
   def encoded(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir),
-      docs.select(
-        col("doc_id"), col("source"), col("lang"),
-        length(col("text")).cast("bigint").as("nc"),
-        size(TextOps.tokens(col("text"))).cast("bigint").as("nw"),
-        Bpe.encode(col("text")).as("bpe"))
-        .localCheckpoint(true))
+      ChainBill.time("BpeChain")(
+        docs.select(
+          col("doc_id"), col("source"), col("lang"),
+          length(col("text")).cast("bigint").as("nc"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("nw"),
+          Bpe.encode(col("text")).as("bpe"))
+          .localCheckpoint(true)))
 
   def release(s: SparkSession): Unit =
     memo.keys.filter(_._1 eq s).foreach { k =>
@@ -5734,11 +5739,12 @@ object DsirChain {
 
   def pairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memoP.getOrElseUpdate((s, dir),
-      Corpus.dsirPairs(docs, col("source") === "src1", 128)
-        .localCheckpoint(true))
+      ChainBill.time("DsirChain")(
+        Corpus.dsirPairs(docs, col("source") === "src1", 128)
+          .localCheckpoint(true)))
 
   def weights(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
-    memoW.getOrElseUpdate((s, dir), {
+    memoW.getOrElseUpdate((s, dir), ChainBill.time("DsirChain") {
       val p = pairs(s, dir, docs)
       Corpus.dsirScore(
         p.select("doc_id", "b", "cnt"),
@@ -5765,8 +5771,9 @@ object BigramChain {
       explode(TextOps.shingles(col("text"), 2)).as("bg"))
 
   def model(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      (s, dir), Corpus.bigramModel(bigrams(docs)).localCheckpoint(true))
+    memo.getOrElseUpdate((s, dir),
+      ChainBill.time("BigramChain")(
+        Corpus.bigramModel(bigrams(docs)).localCheckpoint(true)))
 
   /** Session teardown (see [[Chains.releaseAll]]). */
   def release(s: SparkSession): Unit =
@@ -5799,7 +5806,8 @@ object KnnChain {
     * built once per (session, scale dir).
     */
   def workingList(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir), Similarity.knnWorkingList(embs))
+    memo.getOrElseUpdate((s, dir),
+      ChainBill.time("KnnChain")(Similarity.knnWorkingList(embs)))
 
   /** The finished top-`k` graph (vec_id, rank, neighbor_id, cosine) —
     * a prefix projection of the staged working list.
@@ -5814,7 +5822,7 @@ object KnnChain {
     * stance for the embedding tier.
     */
   def clusterLabels(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir + "#cc"), {
+    memo.getOrElseUpdate((s, dir + "#cc"), ChainBill.time("KnnChain") {
       val edges = Similarity.graphPrefix(workingList(s, dir, embs), 4)
         .where(col("cosine") >= 0.4)
         .select(
@@ -5834,7 +5842,8 @@ object KnnChain {
     */
   def baseWorkingList(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
     baseMemo.getOrElseUpdate((s, dir),
-      Similarity.knnWorkingList(embs.where(col("vec_id") % 50 =!= 0)))
+      ChainBill.time("KnnChain")(
+        Similarity.knnWorkingList(embs.where(col("vec_id") % 50 =!= 0))))
 
   /** Session teardown (see [[Chains.releaseAll]]) — like OpqChain, a
     * TRAINED-artifact chain Bench deliberately keeps staged between
@@ -5914,7 +5923,7 @@ object BucketStore {
 
   /** (docStatsTable, embNormTable), both bucketed by doc_id. */
   def tables(s: SparkSession, dir: String): (String, String) = synchronized {
-    memo.getOrElseUpdate((s, dir), {
+    memo.getOrElseUpdate((s, dir), ChainBill.time("BucketStore") {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val root = java.nio.file.Files

@@ -26,6 +26,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1564557354L)
   }
 
+  test("ChainBill bills a build once; the memo never re-bills a served chain") {
+    import graft.pipeline.{BigramChain, ChainBill}
+    val key = s"chainbill-test-${System.nanoTime()}"
+    val d = docs((1L, "a b c d e"), (2L, "b c d e f"))
+    val b0 = ChainBill.snapshot.getOrElse("BigramChain", 0L)
+    BigramChain.model(spark, key, d).count()
+    val b1 = ChainBill.snapshot.getOrElse("BigramChain", 0L)
+    assert(b1 >= b0, "build must be billed (>= 0 ms recorded)")
+    assert(ChainBill.totalMs >= b1)
+    BigramChain.model(spark, key, d).count()
+    val b2 = ChainBill.snapshot.getOrElse("BigramChain", 0L)
+    assert(b2 == b1, "a memo hit must not re-bill the chain")
+    // direct ledger arithmetic: time() adds the elapsed wall
+    val t0 = ChainBill.snapshot.getOrElse("TestChain", 0L)
+    assert(ChainBill.time("TestChain") { Thread.sleep(15); 42 } == 42)
+    assert(ChainBill.snapshot.getOrElse("TestChain", 0L) - t0 >= 10)
+  }
+
   test("hash32Jvm is bit-identical to the hash32 column") {
     // the JVM twin feeds streaming keyed state (quantileSketchStream,
     // fixedNStream) whose batch fixed points use the COLUMN spelling —
