@@ -1,0 +1,168 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Chains, DedupChain, IvfChain, KnnChain, OpqChain}
+import graft.sources.Sessions
+
+/** Chain-BUILD scaling tier (round 18): the 10x [[ScaleSmoke]] matrix
+  * grades chain CONSUMERS; the session-staged builds (DedupChain,
+  * KnnChain, OpqChain, IvfChain) are the real 100 TB cost centers —
+  * a production deployment pays each once per corpus snapshot, and a
+  * super-linear build is a scale-killer no marginal-cost bench row
+  * can see. This tool measures each build THROUGH THE SAME MEMO PATH
+  * the declared queries trigger (ChainBill-billed, localCheckpoint
+  * I/O included) at geometric fixture scales (default 1x/10x/100x of
+  * the sf0.1 tables — 100x sf0.1 = 500k docs / 200k vectors, the
+  * largest tier that comfortably fits the 128 GiB harness), and
+  * prints per-decade scaling exponents
+  * alpha = log(t_hi/t_lo) / log(n_hi/n_lo).
+  *
+  * alpha ~ 1.0 is volume-linear; a sustained last-decade alpha > 1.3
+  * is flagged SUPER-LINEAR. Exponents are reported on three clocks —
+  * wall, executor task-RUNTIME sum, and executor CPU-time sum — and
+  * the CPU alpha is the graded number: wall saturates while 32
+  * threads absorb a small fixture (a 10x volume rise can read ~1x
+  * wall), and the runtime sum counts time-sliced WAITING, which on
+  * this oversubscribed host grows with concurrency itself (measured:
+  * linear-by-construction dedup stages read task_a ~1.5 while their
+  * cpu_a reads ~1.0). executorCpuTime counts on-CPU nanoseconds only,
+  * so it is robust to both the steal storms documented in BASELINE.md
+  * and the multiplexing inflation.
+  *
+  * Fixtures are [[Amplify]]'s decorrelated amplifiers (per-copy token
+  * suffixes / Rademacher diagonals): the pairwise chains must see ~Nx
+  * candidate volume, not the fixture's own N² cross-copy duplication.
+  * Fixtures are localCheckpointed and counted before the clock starts
+  * so amplification cost never pollutes the build measurement.
+  *
+  * Stage rows are MARGINAL: within one (chain, scale) sweep the memo
+  * keeps earlier stages staged, so `dedup.jaccard` is the candidate
+  * join + verify given staged signatures — the same increment a
+  * production chain pays. Each chain is released between scales.
+  *
+  * Usage: runMain graft.tools.ChainScale [sfDir] [scalesCsv] [filter]
+  *   e.g. runMain graft.tools.ChainScale /root/testdata/sf0.1 1,10,100 dedup
+  */
+object ChainScale {
+
+  private val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private final case class Obs(
+      scale: Int, wallS: Double, taskS: Double, cpuS: Double)
+
+  private def time(run: () => Long): (Double, Double, Double) = {
+    val tt0 = taskMs.get(); val cp0 = cpuNs.get()
+    val t0 = System.nanoTime()
+    run()
+    ((System.nanoTime() - t0) / 1e9, (taskMs.get() - tt0) / 1e3,
+      (cpuNs.get() - cp0) / 1e9)
+  }
+
+  private def alpha(lo: Obs, hi: Obs, f: Obs => Double): Double =
+    math.log(f(hi) / f(lo)) / math.log(hi.scale.toDouble / lo.scale)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val only = args.lift(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession =
+      Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          taskMs.addAndGet(te.taskMetrics.executorRunTime)
+          cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+        }
+    })
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    docs1.count(); emb1.count() // warm footers + codegen
+
+    // Staged fixtures per scale, built OUTSIDE the measured window.
+    def staged(df: DataFrame): DataFrame = {
+      val f = df.localCheckpoint(true); f.count(); f
+    }
+    def docsAt(n: Int): DataFrame =
+      staged(if (n == 1) docs1 else Amplify.docsDistinct(docs1, n))
+    def embAt(n: Int): DataFrame =
+      staged(if (n == 1) emb1 else Amplify.embDecor(emb1, n))
+
+    def free(df: DataFrame): Unit =
+      graft.pipeline.CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false))
+
+    // One chain = its fixture builder, its ordered MARGINAL stages
+    // (each a first-touch memo call at dir key "chainscale:<n>x"),
+    // and its release hook.
+    final case class Stage(name: String, run: (DataFrame, String) => Long)
+    final case class Chain(
+        name: String,
+        fixture: Int => DataFrame,
+        stages: Seq[Stage],
+        release: SparkSession => Unit)
+
+    val chains = Seq(
+      Chain("dedup", docsAt, Seq(
+        Stage("sigs", (d, k) => DedupChain.minhashSigs(spark, k, d).count()),
+        Stage("jaccard", (d, k) => DedupChain.jaccardPairs(spark, k, d).count()),
+        Stage("cc_labels", (d, k) => DedupChain.clusterLabels(spark, k, d).count()),
+        Stage("winnow_pairs", (d, k) => DedupChain.winnowPairs(spark, k, d).count()),
+        Stage("token_hashes", (d, k) => DedupChain.tokenHashes(spark, k, d).count()),
+        Stage("simhash64", (d, k) => DedupChain.simhashes64(spark, k, d).count())),
+        DedupChain.release),
+      Chain("knn", embAt, Seq(
+        Stage("working_list", (e, k) => KnnChain.workingList(spark, k, e).count())),
+        KnnChain.release),
+      Chain("opq", embAt, Seq(
+        Stage("rotation", (e, k) => { OpqChain.rotation(spark, k, e); 64L }),
+        Stage("books", (e, k) => OpqChain.books(spark, k, e).count()),
+        Stage("centroids", (e, k) => OpqChain.centroids(spark, k, e).count())),
+        OpqChain.release),
+      Chain("ivf", embAt, Seq(
+        Stage("centroids", (e, k) => IvfChain.centroids(spark, k, e).count()),
+        Stage("pq_books", (e, k) => IvfChain.pqBooks(spark, k, e).count())),
+        IvfChain.release))
+
+    val picked = chains.filter(c => only.forall(c.name.contains))
+    val results =
+      scala.collection.mutable.LinkedHashMap.empty[(String, String), Vector[Obs]]
+
+    picked.foreach { chain =>
+      scales.foreach { n =>
+        val fx = chain.fixture(n)
+        val key = s"chainscale:${n}x"
+        chain.stages.foreach { st =>
+          val (wall, task, cpu) = time(() => st.run(fx, key))
+          results.updateWith((chain.name, st.name))(v =>
+            Some(v.getOrElse(Vector.empty) :+ Obs(n, wall, task, cpu)))
+          println(f"[chainscale] ${chain.name}.${st.name}%-22s ${n}%4dx " +
+            f"wall=$wall%8.2f s  task=$task%9.2f s  cpu=$cpu%9.2f s")
+        }
+        chain.release(spark)
+        free(fx)
+        spark.catalog.clearCache()
+      }
+    }
+
+    println("\n== scaling exponents (cpu alpha is the graded number) ==")
+    results.foreach { case ((cn, sn), obs) =>
+      val decades = obs.sliding(2).collect { case Vector(lo, hi) =>
+        f"${lo.scale}->${hi.scale}x wall_a=${alpha(lo, hi, _.wallS)}%.2f " +
+          f"task_a=${alpha(lo, hi, _.taskS)}%.2f cpu_a=${alpha(lo, hi, _.cpuS)}%.2f"
+      }.mkString(" | ")
+      val lastCpuAlpha = obs.sliding(2).collect {
+        case Vector(lo, hi) => alpha(lo, hi, _.cpuS)
+      }.toSeq.lastOption.getOrElse(Double.NaN)
+      val flag = if (lastCpuAlpha > 1.3) "  <-- SUPER-LINEAR" else ""
+      println(f"[alpha] $cn.$sn%-24s $decades$flag")
+    }
+    Chains.releaseAll(spark)
+    spark.stop()
+  }
+}

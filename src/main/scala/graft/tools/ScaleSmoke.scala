@@ -19,83 +19,14 @@ import graft.sources.{Bars, Sessions}
   */
 object ScaleSmoke {
 
-  private def amplify(events: DataFrame, n: Int): DataFrame = {
-    // offset derived from the data: a hardcoded stride would silently
-    // collide id spaces on inputs with larger ids, merging unrelated
-    // users/events and corrupting the measurement
-    val maxId = events
-      .agg(greatest(max(col("event_id")), max(col("user_id"))))
-      .head.getLong(0) + 1
-    (0 until n).map { i =>
-      events.select(
-        (col("event_id") + i * maxId).as("event_id"),
-        col("ts"),
-        (col("user_id") + i * maxId).as("user_id"),
-        concat(col("event_type"), lit(s"_$i")).as("event_type"),
-        col("value"))
-    }.reduce(_ union _)
-  }
-
-  private def amplifyDocs(docs: DataFrame, n: Int): DataFrame = {
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    (0 until n).map { i =>
-      docs.select(
-        (col("doc_id") + i * maxId).as("doc_id"),
-        // suffix token varies the tail grams per copy; fine here because
-        // the decontamination path has no pairwise (copy-vs-copy) work
-        concat(col("text"), lit(s" copy$i")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ union _)
-  }
-
-  /** Docs amplifier for the PAIRWISE paths (LSH chain): every token
-    * gets a per-copy suffix, so copies of the same document share NO
-    * shingles and cannot LSH-collide across copies — each copy
-    * reproduces the corpus's own near-dup structure and candidate
-    * volume grows ~Nx, which is exactly the linearity being measured.
-    * (The plain `amplifyDocs` text-suffix variant would leave the
-    * minhash signatures of copies nearly identical: cross-copy band
-    * collisions would grow candidates ~N², measuring the FIXTURE's
-    * quadratic duplication, not the operator.)
-    */
-  private def amplifyDocsDistinct(docs: DataFrame, n: Int): DataFrame = {
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    (0 until n).map { i =>
-      docs.select(
-        (col("doc_id") + i * maxId).as("doc_id"),
-        concat_ws(" ",
-          transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ union _)
-  }
-
-  private def amplifyEmb(e: DataFrame, n: Int): DataFrame = {
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1
-    (0 until n).map { i =>
-      e.select((col("vec_id") + i * maxId).as("vec_id"), col("embedding"))
-    }.reduce(_ union _)
-  }
-
-  /** Embeddings amplifier for the PAIRWISE paths (semantic dedup):
-    * each copy is multiplied by its own deterministic ±1 diagonal
-    * (Rademacher signs), so cross-copy cosines collapse toward 0 —
-    * copies reproduce the corpus's own near-dup structure instead of
-    * being exact duplicates of each other (the plain [[amplifyEmb]]
-    * would make every cross-copy pair cosine 1.0 and measure the
-    * fixture's N² duplication, exactly like the lsh-chain amplifier
-    * note above).
-    */
-  private def amplifyEmbDecor(e: DataFrame, n: Int): DataFrame = {
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1
-    (0 until n).map { i =>
-      val rnd = new scala.util.Random(i)
-      val signs = array(Seq.fill(64)(lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
-      e.select(
-        (col("vec_id") + i * maxId).as("vec_id"),
-        zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
-        col("label"))
-    }.reduce(_ union _)
-  }
+  // Fixture amplifiers live in [[Amplify]] (shared with ChainScale);
+  // the stance notes (plain vs decorrelated, which measures what) are
+  // on the Amplify methods.
+  private def amplify(events: DataFrame, n: Int): DataFrame = Amplify.events(events, n)
+  private def amplifyDocs(docs: DataFrame, n: Int): DataFrame = Amplify.docs(docs, n)
+  private def amplifyDocsDistinct(docs: DataFrame, n: Int): DataFrame = Amplify.docsDistinct(docs, n)
+  private def amplifyEmb(e: DataFrame, n: Int): DataFrame = Amplify.emb(e, n)
+  private def amplifyEmbDecor(e: DataFrame, n: Int): DataFrame = Amplify.embDecor(e, n)
 
   private def time(what: String, f: => Long): Double = {
     val t0 = System.nanoTime()
