@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductD, DotProductF, DotProductFD, EwmaWindow, KmvSketch, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductD, DotProductF, DotProductFD, EwmaWindow, KmvSketch, MatVecFD, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -72,6 +72,14 @@ package object functions {
   def dotD(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused constant-matrix × float-vector product (the OPQ rotation
+    * apply) — one JIT-hot loop nest per row instead of `m` inlined
+    * dot kernels; see
+    * [[org.apache.spark.sql.graft.expressions.MatVecFD]].
+    */
+  def matvecFD(v: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVecFD(ColumnBridge.expression(v), matrix))
 
   /** Fused 32-bit SimHash majority vote over a token-hash array, bits
     * placed at `offset`..`offset+31` — see

@@ -175,18 +175,24 @@ object Opq {
     rotationRows(v, allocate(eig, m))
   }
 
-  /** Apply the rotation map-only: the rotated embedding is d literal-
-    * row [[dotFD]] kernels (codegen'd; no higher-order function, so
-    * the pass stays inside whole-stage codegen), cast back to float so
-    * every downstream PQ stage sees the unchanged (vec_id,
-    * embedding: array<float>) contract.
+  /** Apply the rotation map-only as ONE fused [[graft.functions.matvecFD]]
+    * expression (cast back to float inside, so every downstream PQ
+    * stage sees the unchanged (vec_id, embedding: array<float>)
+    * contract). Round-18: this replaced the
+    * `array(64 × dotFD(e, lit(row)).cast(float))` spelling —
+    * numerically identical per element (MatVecFdSpec pins exact
+    * equality incl. null/mismatch shapes), but the 64 inlined kernel
+    * loops in one generated projection ran past JIT compilation
+    * budgets at bytecode-interpreter speed: R18ChainProbe measured the
+    * old map at ~1 ms/row (≈15× the cost of 64 separate one-kernel
+    * passes), which made the rotate recompute the dominant — and, under
+    * wide fan-out, super-linear-reading — bill of every OpqChain build.
     */
   def rotate(embeddings: DataFrame, rows: Array[Array[Double]]): DataFrame = {
     require(rows.length == Dim, s"rotation must be ${Dim}x$Dim")
     require(rows.forall(_.length == Dim),
       s"rotation rows must all be width $Dim — a ragged matrix would silently mis-rotate")
     embeddings.withColumn(
-      "embedding",
-      array(rows.map(r => dotFD(col("embedding"), lit(r)).cast("float")).toIndexedSeq: _*))
+      "embedding", graft.functions.matvecFD(col("embedding"), rows))
   }
 }

@@ -166,4 +166,42 @@ class OpqSpec extends SparkSpec {
     // the gap should be decisive, not marginal.
     assert(opqR > pqR + 0.1, s"expected OPQ ($opqR) > PQ ($pqR) + 0.1")
   }
+
+  test("MatVecFD rotate ≡ the 64-kernel array(dotFD) spelling, incl. null shapes") {
+    import graft.functions.{dotFD, matvecFD}
+    // real vectors + the degenerate shapes: a NULL array, a short
+    // array (length mismatch), and an array with one NULL element —
+    // each must yield 64 NULL elements, exactly what 64 individually
+    // nulled kernels produced
+    val spark2 = spark
+    import spark2.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val weird = Seq(
+      (100000L, null.asInstanceOf[Array[java.lang.Float]]),
+      (100001L, Array[java.lang.Float](1.0f, 2.0f)),
+      (100002L, Array.tabulate[java.lang.Float](64)(i =>
+        if (i == 7) null else java.lang.Float.valueOf(i * 0.5f))))
+      .toDF("vec_id", "embedding")
+    val df = real.unionByName(weird).localCheckpoint(true)
+    val rot = Opq.trainRotation(real)
+    val oldSpelling = df.select(col("vec_id"),
+      array(rot.map(r => dotFD(col("embedding"), lit(r)).cast("float")).toIndexedSeq: _*)
+        .as("e"))
+    val fused = df.select(col("vec_id"), matvecFD(col("embedding"), rot).as("e"))
+    def dump(d: DataFrame): Map[Long, Seq[Option[Float]]] =
+      d.collect().map { r =>
+        val a = r.getSeq[Any](1).map(v => Option(v).map(_.asInstanceOf[Float]))
+        r.getLong(0) -> a
+      }.toMap
+    val (o, f) = (dump(oldSpelling), dump(fused))
+    assert(o.keySet == f.keySet)
+    o.keySet.foreach { k =>
+      assert(o(k) == f(k), s"vec $k: fused rotate diverges from the kernel spelling")
+    }
+    // the degenerate rows all come back as 64 NULL elements
+    Seq(100000L, 100001L, 100002L).foreach { k =>
+      assert(f(k).length == 64 && f(k).forall(_.isEmpty), s"vec $k null shape")
+    }
+  }
 }
