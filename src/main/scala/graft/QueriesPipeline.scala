@@ -2746,9 +2746,15 @@ object QueriesPipeline {
     // red against the oracle's identical fold. Even-multiplicity
     // corruptions (a doc written an even number of extra times, or a
     // dup+drop pair whose hashes xor-cancel) are invisible to the xor
-    // alone — the companion n_docs/n_tokens columns are the witnesses
-    // for those count-preserving anomalies, which is why the digest
-    // rides next to them rather than replacing them.
+    // alone, so a second order-free fold rides next to it:
+    // content_checksum = sum(dh mod 1e9+7) — same constant group
+    // state, permutation-invariant, and any multiset change the xor
+    // misses shifts the modular sum unless the colliding docs are
+    // ALSO congruent mod p (IoSpec pins the dup+drop case the xor
+    // alone is blind to). p = 1e9+7 keeps every addend < 2^30, so the
+    // BIGINT sum cannot overflow below ~2^33 docs per shard — no
+    // wrap-semantics divergence between engines at any real scale.
+    // n_docs/n_tokens stay alongside as the cheap count witnesses.
     "shard_export_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val dataDir = graft.sources.ShardStore.dataDir(s, dir)
@@ -2764,7 +2770,8 @@ object QueriesPipeline {
           sum(size(TextOps.tokens(col("text"))).cast("bigint")).as("n_tokens"),
           min(col("doc_id")).as("first_doc_id"),
           max(col("doc_id")).as("last_doc_id"),
-          expr("bit_xor(_dh)").as("content_digest"))
+          expr("bit_xor(_dh)").as("content_digest"),
+          sum(col("_dh") % 1000000007L).as("content_checksum"))
         .orderBy("shard")
     }),
 
@@ -5029,8 +5036,18 @@ FROM ssq)"""
          |      SELECT p.u, p.v, ${cosSql("a.embedding", "b.embedding")} AS cos
          |      FROM $pool p JOIN e a ON a.vec_id = p.u JOIN e b ON b.vec_id = p.v))
          |  WHERE rk <= 16)""".stripMargin
+    // reverse edges are CAPPED at the searchK strongest per node
+    // (cos DESC, id ASC) before the neighbor-of-neighbor join — the
+    // deterministic reverse-neighbor sampling that keeps every g
+    // degree ≤ 2·searchK (mirrors Similarity.knnWorkingList round 18)
     def round_(prev: String, g: String, c: String, p: String, out: String) =
-      s"""$g AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM $prev UNION ALL SELECT v AS u, u AS v FROM $prev)),
+      s"""$g AS (SELECT DISTINCT u, v FROM (
+         |  SELECT u, v FROM $prev
+         |  UNION ALL
+         |  SELECT u, v FROM (
+         |    SELECT v AS u, u AS v, rr FROM (
+         |      SELECT u, v, row_number() OVER (PARTITION BY v ORDER BY cos DESC, u ASC) AS rr
+         |      FROM $prev)) WHERE rr <= 16)),
          |$c AS (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v),
          |$p AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM $prev UNION ALL SELECT u, v FROM $c)),
          |${ranked(p, out)}""".stripMargin
@@ -8843,7 +8860,10 @@ FROM fold""",
          |  min(doc_id) AS first_doc_id,
          |  max(doc_id) AS last_doc_id,
          |  bit_xor(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-         |    ':', md5(text))), 1, 15)) AS BIGINT)) AS content_digest
+         |    ':', md5(text))), 1, 15)) AS BIGINT)) AS content_digest,
+         |  CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':', md5(text))), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT)
+         |    AS content_checksum
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // The shard_assign prefix spelling at the CLUSTER level (CC labels

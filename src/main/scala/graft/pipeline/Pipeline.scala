@@ -3902,7 +3902,11 @@ object Similarity {
     * then iterate "a neighbor of my neighbor is probably my neighbor":
     * each round unions the graph with its reverse, generates
     * neighbor-of-neighbor candidates by ONE equi-join of the edge list
-    * with itself, scores candidates ∪ current neighbors, and keeps the
+    * with itself (reverse edges capped at the searchK strongest per
+    * node — deterministic reverse-neighbor sampling, Dong et al. 2011
+    * §2.3; without the cap hub nodes' unbounded in-degree breaks the
+    * candidate bound below, measured in R18ChainProbe), scores
+    * candidates ∪ current neighbors, and keeps the
     * top-`searchK` per node. The descent runs on a WIDENED working
     * list (`searchK` > `k`, the standard NN-descent fix for weak
     * neighbor-of-neighbor signal — with only k=4 slots on isotropic
@@ -3929,9 +3933,13 @@ object Similarity {
     * to end: seed is arithmetic, ranking ties break on neighbor id,
     * cosines are the shared left-to-right folds.
     *
-    * Measured (RecallSweep knn mode, recall@4 vs brute): at n=500
-    * searchK=16/iters=3 → 0.986; at n=2000 the same config → 0.799
-    * and searchK=24 → 0.971. The working-list width must grow slowly
+    * Measured (RecallSweep knn mode, recall@4 vs brute, reverse cap
+    * in): at n=500 searchK=16/iters=3 → 0.977; at n=2000 the same
+    * config → 0.766 and searchK=24 → 0.962 (the uncapped variants
+    * read 0.986/0.799/0.971 — the few recall points the cap costs are
+    * the price of an UNCONDITIONAL candidate bound; hub-heavy real
+    * corpora would pay quadratic candidates without it).
+    * The working-list width must grow slowly
     * (~log n) with corpus size — the standard NN-descent sizing — so
     * at larger n callers raise `searchK`, not `iters`; cost stays
     * n·(2·searchK)² per round either way.
@@ -3961,9 +3969,24 @@ object Similarity {
     var nb = topk(init).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val edges = nb.select("u", "v")
-      val g = edges
-        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
+      // Reverse-degree CAP (round 18): the forward out-degree is
+      // searchK by construction, but a node's IN-degree is unbounded —
+      // hub vectors sit in many top-searchK lists, and hubness grows
+      // with n in high dimensions — so an uncapped edges ∪ reverse
+      // union gives g per-node degrees of searchK + d_in and the
+      // neighbor-of-neighbor join Σ deg² work that OUTGROWS the
+      // documented n·(2·searchK)² bound (R18ChainProbe measured
+      // candidate rows per node rising with n, cpu alpha ~1.7 on the
+      // 10→30x decade at fixed threads). Keeping only the searchK
+      // STRONGEST reverse edges per node (cos desc, id asc — Dong et
+      // al.'s reverse-neighbor sampling made deterministic) restores
+      // the bound for real: every g degree ≤ 2·searchK.
+      val wr = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)
+      val rev = nb.select(col("v").as("u"), col("u").as("v"), col("cosine"))
+        .withColumn("rr", row_number().over(wr))
+        .where(col("rr") <= searchK)
+        .select("u", "v")
+      val g = edges.unionAll(rev).distinct()
       val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
         .where(col("u") =!= col("v"))

@@ -178,6 +178,21 @@ class IoSpec extends SparkSpec {
     val fwd = h.agg(expr("bit_xor(v)")).head.getLong(0)
     val rev = Seq(13L, 7L, 11L).toDF("v").agg(expr("bit_xor(v)")).head.getLong(0)
     assert(fwd == rev && fwd == (7L ^ 11L ^ 13L))
+    // the xor blind spot the checksum column exists for: a doc
+    // duplicated to EVEN multiplicity xor-cancels ({a,a,b} folds to
+    // the same digest as {b}), but the modular-sum checksum shifts by
+    // 2·(a mod p) — the count-preserving dup+drop corruption goes red
+    // on the checksum even where digest, and possibly n_tokens, agree
+    val p = 1000000007L
+    def fold(vs: Seq[Long]) = {
+      val df = vs.toDF("v")
+      (df.agg(expr("bit_xor(v)")).head.getLong(0),
+        df.agg(sum(col("v") % p)).head.getLong(0))
+    }
+    val (xCorrupt, sCorrupt) = fold(Seq(7L, 7L, 11L))
+    val (xTrue, sTrue) = fold(Seq(11L))
+    assert(xCorrupt == xTrue, "xor alone is blind to even multiplicity")
+    assert(sCorrupt != sTrue, "the checksum catches what the xor misses")
   }
 
   test("Zorder: morton16 interleaves bits; bin8 clamps and guards degenerate ranges") {
