@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding,
   CurrentRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.graft.expressions.{DotProductD, DotProductF, DotProductFD, EwmaWindow, KmvSketch, MatVecFD, PsarWindow, SimhashBitsF, VarAlphaEwmaWindow}
+import org.apache.spark.sql.graft.expressions.{DotProductD, DotProductF, DotProductFD, EwmaWindow, KmvSketch, MatVecFD, PsarWindow, SecondMomentAgg, SimhashBitsF, VarAlphaEwmaWindow}
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom column functions built on catalyst expressions (zero UDFs). */
@@ -80,6 +80,14 @@ package object functions {
     */
   def matvecFD(v: Column, matrix: Array[Array[Double]]): Column =
     ColumnBridge.column(MatVecFD(ColumnBridge.expression(v), matrix))
+
+  /** One-pass upper-triangle second-moment aggregate over a
+    * float-vector column — d(d+1)/2 bounded state, map-side combined;
+    * see [[org.apache.spark.sql.graft.expressions.SecondMomentAgg]].
+    */
+  def secondMomentAgg(v: Column, dim: Int): Column =
+    ColumnBridge.column(
+      SecondMomentAgg(ColumnBridge.expression(v), dim).toAggregateExpression())
 
   /** Fused 32-bit SimHash majority vote over a token-hash array, bits
     * placed at `offset`..`offset+31` — see

@@ -41,38 +41,35 @@ object Opq {
   /** The d×d second moment E[x xᵀ] (un-centered: centering would shift
     * vectors and change cosines; an orthogonal rotation of the
     * UN-centered cloud preserves both cosine and L2, which is what the
-    * ANN queries score). Distributed: two chained generators produce
-    * the upper triangle (i, j≥i, xᵢ·xⱼ) map-side, the aggregation
-    * partial-combines each partition down to ≤ d(d+1)/2 rows before
-    * the single 2,080-row exchange, and the driver mirrors the
-    * triangle. Entries are 6dp-rounded (the repo's cross-run
-    * determinism seam: float summation order varies with partitioning;
-    * the rotation must not), so the eigensolve input is bit-stable.
+    * ANN queries score). Distributed as ONE
+    * [[graft.functions.secondMomentAgg]] pass (round 18): the
+    * aggregation state is the d(d+1)/2 upper-triangle sums + per-pair
+    * counts (~33 KB), map-side partials merge elementwise, and the
+    * exchange carries one buffer instead of the n·d(d+1)/2 exploded
+    * pair rows the previous `posexplode × posexplode(slice) →
+    * groupBy(i,j).avg` plan shuffled — ChainScale measured that plan
+    * at ~0.5 ms/row (pair-ROW overhead, not arithmetic; 102 cpu-s at
+    * 100× sf0.1 — the whole OpqChain bill after MatVecFD), the fused
+    * pass at ~6 µs/row. The driver mirrors the triangle. Entries are
+    * 6dp-rounded inside the aggregate with Spark `round` semantics
+    * (BigDecimal HALF_UP — the repo's cross-run determinism seam:
+    * float summation order varies with partitioning; the rotation
+    * must not), so the eigensolve input is bit-stable; OpqSpec pins
+    * the fused pass against the exploded spelling to one 6dp ulp.
     */
   def secondMoment(embeddings: DataFrame): Array[Array[Double]] = {
-    val pairs = embeddings
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .select(
-        col("i"),
-        // Symmetry halves the generate + aggregate volume: only the
-        // upper triangle j >= i is produced (slice from position i+1
-        // onward; j = i + offset) and the mirror fills on the driver,
-        // so the matrix is symmetric by construction — no averaging
-        // seam needed.
-        posexplode(
-          transform(
-            slice(col("embedding"), col("i") + 1, lit(Dim)),
-            xj => xj.cast("double") * col("xi").cast("double")))
-          .as(Seq("dj", "p")))
-      .groupBy("i", "dj")
-      .agg(round(avg(col("p")), 6).as("m"))
+    val flat = embeddings
+      .agg(graft.functions.secondMomentAgg(col("embedding"), Dim).as("m"))
+      .head.getAs[scala.collection.Seq[Double]]("m")
     val m = Array.ofDim[Double](Dim, Dim)
-    // d(d+1)/2 rows — the trained artifact itself, not data.
-    pairs.collect().foreach { r =>
-      val i = r.getInt(0)
-      val j = i + r.getInt(1)
-      m(i)(j) = r.getDouble(2)
-      m(j)(i) = r.getDouble(2)
+    var idx = 0
+    var i = 0
+    while (i < Dim) {
+      var j = i
+      while (j < Dim) {
+        m(i)(j) = flat(idx); m(j)(i) = flat(idx); idx += 1; j += 1
+      }
+      i += 1
     }
     m
   }

@@ -167,6 +167,43 @@ class OpqSpec extends SparkSpec {
     assert(opqR > pqR + 0.1, s"expected OPQ ($opqR) > PQ ($pqR) + 0.1")
   }
 
+  test("SecondMomentAgg ≡ the exploded groupBy(i,j).avg spelling to one 6dp ulp") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fused = Opq.secondMoment(e)
+    // the retired exploded plan, inlined as the reference spelling:
+    // pair rows via chained posexplodes, per-(i,j) avg rounded 6dp.
+    // Pre-round float sums accumulate in different orders (hash
+    // aggregate vs sequential buffer), so cells may differ by one 6dp
+    // rounding step — that seam is the tolerance; anything larger is
+    // a real divergence.
+    val exploded = e
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(
+        col("i"),
+        posexplode(
+          org.apache.spark.sql.functions.transform(
+            slice(col("embedding"), col("i") + 1, lit(64)),
+            xj => xj.cast("double") * col("xi").cast("double")))
+          .as(Seq("dj", "p")))
+      .groupBy("i", "dj")
+      .agg(round(avg(col("p")), 6).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(0) + r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    var exact = 0
+    exploded.foreach { case ((i, j), v) =>
+      val d = math.abs(fused(i)(j) - v)
+      assert(d <= 1.0000001e-6, s"cell ($i,$j): fused ${fused(i)(j)} vs exploded $v")
+      if (d == 0.0) exact += 1
+    }
+    assert(exact >= exploded.size * 95 / 100,
+      s"only $exact/${exploded.size} cells bit-equal — more than rounding drift")
+    // symmetry + a PSD witness (diagonal of E[x xᵀ] is E[xᵢ²] ≥ 0)
+    (0 until 64).foreach { i =>
+      assert(fused(i)(i) >= 0.0)
+      (0 until 64).foreach(j => assert(fused(i)(j) == fused(j)(i)))
+    }
+  }
+
   test("MatVecFD rotate ≡ the 64-kernel array(dotFD) spelling, incl. null shapes") {
     import graft.functions.{dotFD, matvecFD}
     // real vectors + the degenerate shapes: a NULL array, a short
