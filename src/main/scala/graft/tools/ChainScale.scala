@@ -8,7 +8,8 @@ import graft.sources.Sessions
 
 /** Chain-BUILD scaling tier (round 18): the 10x [[ScaleSmoke]] matrix
   * grades chain CONSUMERS; the session-staged builds (DedupChain,
-  * KnnChain, OpqChain, IvfChain) are the real 100 TB cost centers —
+  * KnnChain, OpqChain, IvfChain, BpeChain, PackChain) are the real
+  * 100 TB cost centers —
   * a production deployment pays each once per corpus snapshot, and a
   * super-linear build is a scale-killer no marginal-cost bench row
   * can see. This tool measures each build THROUGH THE SAME MEMO PATH
@@ -127,7 +128,15 @@ object ChainScale {
       Chain("ivf", embAt, Seq(
         Stage("centroids", (e, k) => IvfChain.centroids(spark, k, e).count()),
         Stage("pq_books", (e, k) => IvfChain.pqBooks(spark, k, e).count())),
-        IvfChain.release))
+        IvfChain.release),
+      Chain("bpe", docsAt, Seq(
+        Stage("encoded", (d, k) =>
+          graft.pipeline.BpeChain.encoded(spark, k, d).count())),
+        graft.pipeline.BpeChain.release),
+      Chain("pack", docsAt, Seq(
+        Stage("windows", (d, k) =>
+          graft.pipeline.PackChain.materialized(spark, k, d)._2.count())),
+        graft.pipeline.PackChain.release))
 
     val picked = chains.filter(c => only.forall(c.name.contains))
     val results =

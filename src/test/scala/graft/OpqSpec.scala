@@ -204,6 +204,20 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("rotate plan is one matvec_fd; moment plan is one bounded-state agg, no Generate") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val eye = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val rplan = Opq.rotate(e, eye).queryExecution.executedPlan.toString
+    assert(rplan.contains("matvec_fd"), "rotate must be the fused kernel")
+    assert(!rplan.contains("dot_product_fd"),
+      "no per-row kernel array may survive in the rotate plan")
+    val mplan = e.agg(graft.functions.secondMomentAgg(col("embedding"), 64))
+      .queryExecution.executedPlan.toString
+    assert(mplan.contains("second_moment"), "moment must be the bounded-state agg")
+    assert(!mplan.contains("Generate"),
+      "the n*d(d+1)/2 pair explode must not reappear in the moment plan")
+  }
+
   test("MatVecFD rotate ≡ the 64-kernel array(dotFD) spelling, incl. null shapes") {
     import graft.functions.{dotFD, matvecFD}
     // real vectors + the degenerate shapes: a NULL array, a short
