@@ -70,10 +70,15 @@ object Amplify {
   def docsDistinct(d: DataFrame, n: Int): DataFrame = {
     val maxId = d.agg(max(col("doc_id"))).head.getLong(0) + 1
     (0 until n).map { i =>
+      // fixed-width copy tag: a variable-width "_9" vs "_99" suffix
+      // grows every token (so every md5'd shingle) by an extra byte
+      // between the 10x and 100x tiers, which reads as a spurious
+      // ~1.1-1.2 exponent on hashing-bound stages (round-18 dedup.sigs
+      // measurement); %03d keeps per-row bytes identical for n <= 1000
       d.select(
         (col("doc_id") + i * maxId).as("doc_id"),
         concat_ws(" ",
-          transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))).as("text"),
+          transform(split(col("text"), " "), t => concat(t, lit(f"_$i%03d")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ union _)
   }
