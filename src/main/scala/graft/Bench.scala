@@ -240,10 +240,19 @@ object Bench {
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     val nFailed = chosen.count(!_._2.ok)
+    // Teardown LAST and silenced: Chains.releaseAll unpersists the
+    // locally-checkpointed chain RDDs, and each one emits a
+    // `MapPartitionsRDD ... locally checkpointed` WARN. Two rounds of
+    // driver artifacts (BENCH_r17/r18) came back `parsed: null`
+    // because that spam scrolled the metric line out of the driver's
+    // ~2,000-char captured tail. Measurement is over at this point, so
+    // drop to ERROR, tear down, and only THEN print the compact line —
+    // it is the final stdout write of the process.
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.pipeline.Chains.releaseAll(spark)
     println(compactLine(
       chosen.map { case (n, m) => n -> (if (m.ok) m.wall else -m.wall) },
       total, rawTotal, sfDir, nFailed, stealTotal, out, cpus.toInt))
-    graft.pipeline.Chains.releaseAll(spark)
     spark.stop()
   }
 }

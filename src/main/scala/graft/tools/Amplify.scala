@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Amplify {
 
+  /** max(id)+1 with an empty-input guard: max() over zero rows is
+    * NULL, and `.getLong(0)` on that NULL is an opaque NPE (r18
+    * ADVICE). Tools-only blast radius, but the clear message beats
+    * the stack trace.
+    */
+  private def nextId(df: DataFrame, idExpr: org.apache.spark.sql.Column,
+      what: String): Long = {
+    val row = df.agg(idExpr.cast("long")).head
+    require(!row.isNullAt(0),
+      s"Amplify.$what: input frame is empty (max id is NULL) - nothing to amplify")
+    row.getLong(0) + 1
+  }
+
   /** Events volume amplifier: disjoint event/user id spaces, per-copy
     * event_type suffix. Offset derived from the data: a hardcoded
     * stride would silently collide id spaces on inputs with larger
@@ -30,9 +43,8 @@ object Amplify {
     * measurement.
     */
   def events(ev: DataFrame, n: Int): DataFrame = {
-    val maxId = ev
-      .agg(greatest(max(col("event_id")), max(col("user_id"))))
-      .head.getLong(0) + 1
+    val maxId =
+      nextId(ev, greatest(max(col("event_id")), max(col("user_id"))), "events")
     (0 until n).map { i =>
       ev.select(
         (col("event_id") + i * maxId).as("event_id"),
@@ -48,7 +60,7 @@ object Amplify {
     * the measured path has no pairwise (copy-vs-copy) work.
     */
   def docs(d: DataFrame, n: Int): DataFrame = {
-    val maxId = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val maxId = nextId(d, max(col("doc_id")), "docs")
     (0 until n).map { i =>
       d.select(
         (col("doc_id") + i * maxId).as("doc_id"),
@@ -68,7 +80,7 @@ object Amplify {
     * quadratic duplication, not the operator.)
     */
   def docsDistinct(d: DataFrame, n: Int): DataFrame = {
-    val maxId = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val maxId = nextId(d, max(col("doc_id")), "docsDistinct")
     (0 until n).map { i =>
       // fixed-width copy tag: a variable-width "_9" vs "_99" suffix
       // grows every token (so every md5'd shingle) by an extra byte
@@ -85,7 +97,7 @@ object Amplify {
 
   /** Plain embeddings amplifier (id-space shift only). */
   def emb(e: DataFrame, n: Int): DataFrame = {
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val maxId = nextId(e, max(col("vec_id")), "emb")
     (0 until n).map { i =>
       e.select((col("vec_id") + i * maxId).as("vec_id"), col("embedding"))
     }.reduce(_ union _)
@@ -101,7 +113,7 @@ object Amplify {
     * note above).
     */
   def embDecor(e: DataFrame, n: Int): DataFrame = {
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val maxId = nextId(e, max(col("vec_id")), "embDecor")
     (0 until n).map { i =>
       val rnd = new scala.util.Random(i)
       val signs = array(Seq.fill(64)(lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)

@@ -62,8 +62,16 @@ object ChainScale {
       (cpuNs.get() - cp0) / 1e9)
   }
 
+  /** Per-decade exponent; NaN (printed "n/a") when the low-tier timing
+    * is below clock resolution — a ~0 denominator reads as an Inf/NaN
+    * blowup that is measurement noise, not a scaling fact (r18 ADVICE).
+    */
+  private val AlphaFloorS = 0.05
   private def alpha(lo: Obs, hi: Obs, f: Obs => Double): Double =
-    math.log(f(hi) / f(lo)) / math.log(hi.scale.toDouble / lo.scale)
+    if (f(lo) < AlphaFloorS) Double.NaN
+    else math.log(f(hi) / f(lo)) / math.log(hi.scale.toDouble / lo.scale)
+
+  private def fmtA(a: Double): String = if (a.isNaN) "n/a" else f"$a%.2f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -162,13 +170,19 @@ object ChainScale {
     println("\n== scaling exponents (cpu alpha is the graded number) ==")
     results.foreach { case ((cn, sn), obs) =>
       val decades = obs.sliding(2).collect { case Vector(lo, hi) =>
-        f"${lo.scale}->${hi.scale}x wall_a=${alpha(lo, hi, _.wallS)}%.2f " +
-          f"task_a=${alpha(lo, hi, _.taskS)}%.2f cpu_a=${alpha(lo, hi, _.cpuS)}%.2f"
+        s"${lo.scale}->${hi.scale}x wall_a=${fmtA(alpha(lo, hi, _.wallS))} " +
+          s"task_a=${fmtA(alpha(lo, hi, _.taskS))} cpu_a=${fmtA(alpha(lo, hi, _.cpuS))}"
       }.mkString(" | ")
-      val lastCpuAlpha = obs.sliding(2).collect {
+      // Flag on the WORST measurable decade, not just the last: a
+      // 1x->10x blowup that flattens at 10x->100x (e.g. a fixed-cost
+      // stage crossing the broadcast threshold early) is still worth a
+      // look (r18 ADVICE).
+      val cpuAlphas = obs.sliding(2).collect {
         case Vector(lo, hi) => alpha(lo, hi, _.cpuS)
-      }.toSeq.lastOption.getOrElse(Double.NaN)
-      val flag = if (lastCpuAlpha > 1.3) "  <-- SUPER-LINEAR" else ""
+      }.toSeq.filterNot(_.isNaN)
+      val flag =
+        if (cpuAlphas.nonEmpty && cpuAlphas.max > 1.3) "  <-- SUPER-LINEAR"
+        else ""
       println(f"[alpha] $cn.$sn%-24s $decades$flag")
     }
     Chains.releaseAll(spark)

@@ -104,6 +104,30 @@ case class MatVecFD(child: Expression, matrix: Array[Array[Double]])
 
   override def prettyName: String = "matvec_fd"
 
+  // An Array field leaves the synthesized case-class equals/hashCode
+  // reference-based, so two semantically identical rotations never
+  // compare equal — defeating Catalyst canonicalization and
+  // common-subexpression elimination (r18 ADVICE). Deep-compare the
+  // matrix instead; the JVM identity fast path keeps the common
+  // self-compare cheap.
+  override def equals(other: Any): Boolean = other match {
+    case that: MatVecFD =>
+      (this eq that) || (child == that.child &&
+        matrix.length == that.matrix.length &&
+        matrix.indices.forall(j =>
+          java.util.Arrays.equals(matrix(j), that.matrix(j))))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    var j = 0
+    while (j < matrix.length) {
+      h = h * 31 + java.util.Arrays.hashCode(matrix(j)); j += 1
+    }
+    h
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MatVecFD =
     copy(child = newChild)
 }

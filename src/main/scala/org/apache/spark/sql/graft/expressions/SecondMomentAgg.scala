@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `posexplode × posexplode(slice) → groupBy(i,j).avg` plan shuffles
   * (the [[KmvSketch]] argument applied to moment collection — the
   * aggregate the built-ins can't express without materializing the
-  * pair stream; ChainScale measured the exploded plan at ~0.6 ms/row,
+  * pair stream; ChainScale measured the exploded plan at ~0.5 ms/row
+  * — 102 cpu-s over the 200k-vector 100× tier —
   * the pair-row overhead, not the arithmetic).
   *
   * Returns the upper triangle row-major as `array<double>`:
@@ -32,7 +33,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * nothing; a NULL ELEMENT voids only the pairs it touches (avg over
   * the others is unchanged), matching `avg`'s null-skipping over the
   * exploded `xi·xj` products. Vectors shorter than `dim` contribute
-  * the pairs they have.
+  * the pairs they have; vectors LONGER than `dim` throw (a malformed
+  * fixture the exploded plan would have surfaced as out-of-range
+  * (i,j) rows must not pass silently).
   */
 case class SecondMomentAgg(
     child: Expression,
@@ -58,7 +61,15 @@ case class SecondMomentAgg(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val n = math.min(a.numElements(), dim)
+      // OVER-long vectors throw rather than silently clamp: the
+      // retired exploded plan surfaced such malformed fixtures as
+      // out-of-range (i,j) rows, and a silent min() here would let a
+      // bad fixture pass unnoticed (r18 ADVICE). Shorter vectors still
+      // contribute the pairs they have (documented above).
+      if (a.numElements() > dim)
+        throw new IllegalArgumentException(
+          s"second_moment(dim=$dim) got a vector of ${a.numElements()} elements")
+      val n = a.numElements()
       var i = 0
       while (i < n) {
         if (!a.isNullAt(i)) {
