@@ -3434,6 +3434,35 @@ object QueriesPipeline {
         .orderBy(col("n_events").desc, col("user_id").asc)
         .limit(50)),
 
+    // The SKEWED-key salted witness (r18 verdict): the same two-phase
+    // plan keyed on the LOW-cardinality column join_skew_plan measures
+    // (event_type — 5 keys over the whole stream, so every key is
+    // "hot" relative to a single reducer), with the salt count wired
+    // to the keySkewPlan RECOMMENDATION (a 1-row bounded collect of
+    // three map-side-combinable aggregates), floored at 8 because this
+    // fixture is deliberately near-uniform (skew_milli ~1008; the
+    // planner alone would answer 1 and the witness would never spread)
+    // — a production power-law stream drives the factor itself. The
+    // oracle is the plain ONE-stage groupBy: salting must be invisible
+    // in the result. SaltSpec asserts the declared plan's two-stage
+    // shape (partial exchange on (event_type, _salt), final on
+    // event_type alone).
+    "events_hotkey_stats_salted" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val recommended = graft.plans.Scale.keySkewPlan(ev, Seq("event_type"))
+        .select("salt_factor").head.getLong(0).toInt
+      graft.plans.Scale.saltedAgg(
+        ev, "event_type", col("event_id"), math.max(recommended, 8),
+        Seq(count(lit(1)).as("_n"), sum(col("value")).as("_sv"),
+          min(col("value")).as("_mn"), max(col("value")).as("_mx")),
+        Seq(
+          sum(col("_n")).cast("bigint").as("n_events"),
+          round(sum(col("_sv")), 6).as("sum_value"),
+          min(col("_mn")).as("min_value"),
+          max(col("_mx")).as("max_value")))
+        .orderBy("event_type")
+    }),
+
     // The batched per-partition decode seam (mapPartitions, the
     // mapInPandas shape) run end-to-end with the deterministic fake
     // decoder; its hash-derived dimensions are reproduced byte-exactly
@@ -9534,6 +9563,17 @@ FROM fa, fb"""
         |  round(sum(value), 6) AS sum_value
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
+
+    // The oracle is again the UNSALTED one-stage groupBy, this time on
+    // the skewed key — the two-phase spread must be invisible.
+    "events_hotkey_stats_salted" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS sum_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "events_rate_anomaly" ->
       s"""WITH h AS (

@@ -64,4 +64,25 @@ class SaltSpec extends SparkSpec {
       s"phase-2 exchange must partition on the key alone:\n$plan")
     assert(!salted.columns.contains("_salt"), "salt must not leak into the result")
   }
+
+  test("declared skewed-key salted query keeps the two-stage shape through optimization") {
+    // The oracle-gated witness (events_hotkey_stats_salted) must
+    // actually EXECUTE the salted plan, not collapse to a one-stage
+    // groupBy: assert on the DECLARED query's physical plan that the
+    // partial exchange partitions on (event_type, _salt) and the final
+    // on event_type alone — the skew spread lives between the two.
+    val df = QueriesPipeline.queries("events_hotkey_stats_salted")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(event_type#\\d+, _salt".r.findFirstIn(plan).isDefined,
+      s"phase-1 exchange must partition on (event_type, _salt):\n$plan")
+    assert("hashpartitioning\\(event_type#\\d+, \\d+\\)".r.findFirstIn(plan).isDefined,
+      s"phase-2 exchange must partition on event_type alone:\n$plan")
+    assert(!df.columns.contains("_salt"), "salt must not leak into the result")
+    // and the salt count honors the floor even on this near-uniform
+    // fixture (keySkewPlan alone would recommend 1-2 here, which
+    // would never spread the witness)
+    assert("pmod\\(hash\\(event_id#\\d+L, 42\\), 8\\)".r.findFirstIn(plan).isDefined,
+      s"salt modulus must be the floored 8:\n$plan")
+  }
 }
