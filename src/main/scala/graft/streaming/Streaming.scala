@@ -1904,38 +1904,42 @@ object Streaming {
   }
 
   case class CardState(
-      n: Long, nt: Long, nc: Long,
-      kmv: List[Long], smp: List[(Long, Long, Long)])
+      kmvd: List[Long], kmv: List[Long],
+      smp: List[(Long, Long, Long, Long)])
   case class CardShardOut(
-      shard: Long, n_docs: Long, n_tokens: Long, n_chars: Long,
-      kmv: Seq[Long], sample: Seq[(Long, Long, Long)])
+      shard: Long, kmv_doc: Seq[Long], kmv: Seq[Long],
+      sample: Seq[(Long, Long, Long, Long)])
 
-  /** STREAMING running release card — REQUIRES EXACTLY-ONCE DELIVERY:
-    * the exact counters (n_docs / n_tokens / n_chars) are plain adds
-    * and silently over-count every re-delivered doc; only the sketch
-    * structures (KMV hash set, (priority, doc_id)-keyed sample) fold
-    * idempotently. Deploy behind Structured Streaming's exactly-once
-    * sink contract or accept sketch-only figures. (A seen-key
-    * structure for the counters would be O(corpus), not O(k) —
-    * unbounded state is exactly what this stream exists to avoid.)
+  /** STREAMING running release card — re-delivery-SAFE (round 19,
+    * twice-carried ADVICE): every piece of state is a KEYED bounded
+    * structure that folds a re-delivered doc into itself — the KMV
+    * k-smallest distinct 60-bit doc-key hashes (doc count estimator),
+    * the KMV k-smallest distinct 60-bit CONTENT hashes (distinct-doc
+    * estimator), and the bottom-k-by-(priority, doc_id) sample
+    * carrying each sampled doc's token/char mass. No plain-add
+    * counter survives: the old exact n_docs/n_tokens/n_chars silently
+    * over-counted every re-delivered row and so REQUIRED an
+    * exactly-once sink; this is the "split the card" resolution — the
+    * stream serves sketch-only columns, the batch card stays the
+    * authority for exact figures, and at-least-once delivery needs no
+    * caveat (StreamingSpec injects duplicates and pins the output
+    * unchanged, no hand-compensation).
     *
-    * The ingest half of the batch `corpus_datasheet_sketch`: every
-    * arriving doc folds into bounded per-shard state holding exactly
-    * the sketch card's inputs — the exact counters (docs, token mass,
-    * char mass), the KMV k-smallest distinct 60-bit content hashes,
-    * and the bottom-k-by-hash percentile sample. The stateless
-    * projection computes nt/nc/h/sh with the batch query's OWN
-    * Catalyst expressions (the sourceDriftStream stance), so the
-    * folded integers are bit-identical to the batch scan's. State is
-    * bounded at O(2k) rows per shard regardless of stream length.
-    * Each micro-batch re-emits a touched shard's partials
-    * (update mode); the serving read merges ≤`shards` rows with plain
-    * arithmetic — sum the counters, take the k smallest of the hash
-    * union (each shard keeps ITS k smallest, so the union contains
-    * the global bottom-k; same argument as [[fixedNStream]]) — and
-    * the batch card is the FIXED POINT once the stream has seen the
-    * corpus (StreamingSpec pins the merged figures equal to the batch
-    * row's sketch columns).
+    * The ingest half of the batch `corpus_datasheet_sketch_pure`:
+    * the stateless projection computes nt/nc/h/sh with the batch
+    * query's OWN Catalyst expressions (the sourceDriftStream stance),
+    * so the folded hashes are bit-identical to the batch scan's.
+    * State is bounded at O(3k) rows per shard regardless of stream
+    * length. Each micro-batch re-emits a touched shard's partials
+    * (update mode); the serving read merges ≤`shards` rows — the k
+    * smallest of each hash union (each shard keeps ITS k smallest, so
+    * the union contains the global bottom-k; same argument as
+    * [[fixedNStream]]), the bottom-k of the sample union — and
+    * derives the card: est_n_docs (KMV over doc keys), est_distinct
+    * (KMV over content), est token/char mass = est_n_docs × sample
+    * mean, sample percentiles. The batch sketch card's estimates are
+    * the FIXED POINT once the stream has seen the corpus
+    * (StreamingSpec pins the merged figures against the batch row).
     */
   def datasheetStream(
       docs: DataFrame, k: Int = 256, shards: Int = 8): Dataset[CardShardOut] = {
@@ -1946,27 +1950,27 @@ object Streaming {
       size(graft.pipeline.TextOps.tokens(col("text"))).cast("bigint").as("nt"),
       length(col("text")).cast("bigint").as("nc"),
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint").as("h"),
+      conv(substring(md5(concat(lit("dsd_"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint").as("hd"),
       graft.pipeline.TextOps.hash32(
         concat(lit("dsq_"), col("doc_id").cast("string"))).as("sh"))
-      .as[(Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long)]
     staged
       .groupByKey(t => math.floorMod(t._1, shards.toLong))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (shard: Long, rows: Iterator[(Long, Long, Long, Long, Long)],
+        (shard: Long, rows: Iterator[(Long, Long, Long, Long, Long, Long)],
             state: GroupState[CardState]) => {
-          val st = state.getOption.getOrElse(CardState(0L, 0L, 0L, Nil, Nil))
+          val st = state.getOption.getOrElse(CardState(Nil, Nil, Nil))
           val batch = rows.toList
           val merged = CardState(
-            st.n + batch.size,
-            st.nt + batch.map(_._2).sum,
-            st.nc + batch.map(_._3).sum,
+            (st.kmvd ++ batch.map(_._5)).distinct.sorted.take(k),
             (st.kmv ++ batch.map(_._4)).distinct.sorted.take(k),
-            (st.smp ++ batch.map(t => (t._5, t._1, t._2)))
+            (st.smp ++ batch.map(t => (t._6, t._1, t._2, t._3)))
               .distinctBy(x => (x._1, x._2))
               .sortBy(x => (x._1, x._2)).take(k))
           state.update(merged)
           Iterator.single(CardShardOut(
-            shard, merged.n, merged.nt, merged.nc, merged.kmv, merged.smp))
+            shard, merged.kmvd, merged.kmv, merged.smp))
         })
   }
 

@@ -1553,27 +1553,48 @@ class StreamingSpec extends SparkSpec {
     val q = Streaming.datasheetStream(input.toDF()).writeStream
       .format("memory").queryName("scard").outputMode("update").start()
     input.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
-    input.addData(rows.drop(rows.length / 2): _*)
-    // re-delivery: the sketch structures must fold idempotently
+    input.addData(rows.drop(rows.length / 2): _*); q.processAllAvailable()
+    // serving-side merge: last emission per shard, then k-smallest of
+    // each hash union / bottom-k of the sample union
+    def merged(): (Seq[Long], Seq[Long], Seq[(Long, Long, Long, Long)]) = {
+      val last = spark.table("scard").collect().zipWithIndex
+        .groupBy(_._1.getAs[Long]("shard"))
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }.toSeq
+      (last.flatMap(_.getSeq[Long](1)).distinct.sorted.take(256),
+        last.flatMap(_.getSeq[Long](2)).distinct.sorted.take(256),
+        last.flatMap(_.getSeq[org.apache.spark.sql.Row](3)
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+          .distinct.sortBy(x => (x._1, x._2)).take(256))
+    }
+    val before = merged()
+    // re-delivery: EVERY state structure is keyed, so a duplicate
+    // batch must be a NO-OP on the served card — no hand-compensation
+    // (the old exact counters needed the duplicates backed out by
+    // hand; r18 ADVICE, twice carried)
     input.addData(rows.take(7): _*)
     q.processAllAvailable(); q.stop()
-    // serving-side merge: last emission per shard, then sum counters /
-    // k-smallest of the hash union / bottom-k of the sample union
-    val last = spark.table("scard").collect().zipWithIndex
-      .groupBy(_._1.getAs[Long]("shard"))
-      .map { case (_, xs) => xs.maxBy(_._2)._1 }.toSeq
-    // counters are NOT re-delivery-proof (documented); back the 7
-    // duplicate docs out with their exact batch figures
-    val dup = rows.take(7)
-    val dupNt = dup.map(_.text.split(" ", -1).length.toLong).sum
-    val dupNc = dup.map(_.text.length.toLong).sum
-    val nDocs = last.map(_.getAs[Long]("n_docs")).sum - 7
-    val nTok = last.map(_.getAs[Long]("n_tokens")).sum - dupNt
-    val nCh = last.map(_.getAs[Long]("n_chars")).sum - dupNc
-    val kmv = last.flatMap(_.getSeq[Long](4)).distinct.sorted.take(256)
-    val smp = last.flatMap(_.getSeq[org.apache.spark.sql.Row](5)
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
-      .distinct.sortBy(x => (x._1, x._2)).take(256)
+    val (kmvd, kmv, smp) = merged()
+    assert((kmvd, kmv, smp) == before,
+      "re-delivered docs must fold into the keyed state unchanged")
+    // bit-level convergence pins: the merged KMV arrays and the merged
+    // sample ARE the batch aggregates over the same Catalyst
+    // expressions (the stream folded the identical hashes)
+    val st = d.select(
+      col("doc_id"),
+      size(graft.pipeline.TextOps.tokens(col("text"))).cast("bigint").as("nt"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint").as("h"),
+      conv(substring(md5(concat(lit("dsd_"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint").as("hd"),
+      graft.pipeline.TextOps.hash32(
+        concat(lit("dsq_"), col("doc_id").cast("string"))).as("sh"))
+    assert(kmvd == st.select("hd").distinct.orderBy("hd").limit(256)
+      .collect().map(_.getLong(0)).toSeq)
+    assert(kmv == st.select("h").distinct.orderBy("h").limit(256)
+      .collect().map(_.getLong(0)).toSeq)
+    assert(smp.map(x => (x._1, x._2)) ==
+      st.orderBy(col("sh").asc, col("doc_id").asc).limit(256)
+        .select("sh", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
     def pct(sorted: IndexedSeq[Double], p: Double): Double = {
       val pos = p * (sorted.length - 1)
       val lo = math.floor(pos).toInt
@@ -1581,17 +1602,26 @@ class StreamingSpec extends SparkSpec {
       if (lo == hi) sorted(lo)
       else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
     }
-    val est =
-      if (kmv.length < 256) kmv.length.toDouble
-      else 255.0 * 1152921504606846976.0 / kmv(255).toDouble
+    def est(a: Seq[Long]) =
+      if (a.length < 256) a.length.toDouble
+      else 255.0 * 1152921504606846976.0 / a(255).toDouble
     val nts = smp.map(_._3.toDouble).sorted.toIndexedSeq
     val card = QueriesPipeline.queries("corpus_datasheet_sketch")(spark, dir).head
-    assert(nDocs == card.getAs[Long]("n_docs"))
-    assert(nTok == card.getAs[Long]("n_tokens"))
-    assert(nCh == card.getAs[Long]("n_chars"))
-    assert(math.abs(est - card.getAs[Double]("est_distinct_docs")) < 1e-4)
+    // the distinct-content estimate and the sample percentiles are the
+    // batch sketch card's own figures (the stream's fixed point)
+    assert(math.abs(est(kmv) - card.getAs[Double]("est_distinct_docs")) < 1e-4)
     assert(math.abs(pct(nts, 0.5) - card.getAs[Double]("p50_tokens_est")) < 1e-4)
     assert(math.abs(pct(nts, 0.9) - card.getAs[Double]("p90_tokens_est")) < 1e-4)
+    // the sketch-only replacements for the retired exact counters:
+    // est_n_docs from the doc-key KMV, token mass = est_n_docs x
+    // sample mean — each within KMV error (k=256 -> ~6% sigma) of the
+    // exact batch figures they estimate
+    val estDocs = est(kmvd)
+    val estTok = estDocs * nts.sum / nts.length
+    assert(math.abs(estDocs - card.getAs[Long]("n_docs")) <
+      0.25 * card.getAs[Long]("n_docs"))
+    assert(math.abs(estTok - card.getAs[Long]("n_tokens")) <
+      0.25 * card.getAs[Long]("n_tokens"))
   }
 
   test("the public *Stream surface set matches the declared inventory") {
