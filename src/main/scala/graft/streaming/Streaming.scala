@@ -28,6 +28,7 @@ object Streaming {
     "badwordsGateStream", "bigramScoreStream", "binarySearchStream",
     "bitextScoreStream", "bloomDecontaminateStream", "bm25ScoreStream",
     "bpeTokenCountStream", "budgetFillStream", "changelogStream",
+    "changelogTombstoneStream",
     "chunkStream", "datasheetStream", "decontaminateStream",
     "dedupStream", "deletionStream", "domainGateStream",
     "dsirScoreStream", "emaStream", "embeddingSpectrumStream",
@@ -1728,10 +1729,12 @@ object Streaming {
     * the static side is the base snapshot's (doc_id, content-hash)
     * projection read where it sits, never broadcast or held as
     * state, so the monitor scales with the join, not with memory.
-    * `removed` is batch-only BY DECISION: absence cannot be observed
-    * on an arrival stream; the batch changelog owns it. Per-doc
-    * classes are pinned equal to the batch report's arithmetic in
-    * StreamingSpec.
+    * `removed` is batch-only HERE: absence cannot be observed on a
+    * plain arrival stream; the batch changelog owns it — unless the
+    * feed marks deletions, in which case
+    * [[changelogTombstoneStream]] observes `removed` at ingest too.
+    * Per-doc classes are pinned equal to the batch report's
+    * arithmetic in StreamingSpec.
     */
   def changelogStream(docs: DataFrame, base: DataFrame): DataFrame =
     docs
@@ -1740,6 +1743,32 @@ object Streaming {
       .select(
         col("doc_id"), col("source"),
         when(col("_ha").isNull, "added")
+          .when(col("_ha") =!= col("_hb"), "modified")
+          .otherwise("unchanged").as("change"))
+
+  /** [[changelogStream]] with the TOMBSTONE convention (round 19, the
+    * r18 by-decision gap closed): `removed` becomes observable at
+    * ingest when the feed marks deletions as rows — the stream carries
+    * a boolean `tombstone` column, and a marked row classifies as
+    * `removed` when the base snapshot holds the doc. A tombstone for a
+    * doc the base never had emits NOTHING (the batch full-outer diff
+    * has no row for a doc in neither snapshot — the no-op delete).
+    * Same stream-static LEFT join plan as [[changelogStream]]; the
+    * marker is a map-side predicate. With a delta feed of snapshot B's
+    * docs plus tombstones for base∖B, the emitted classes converge to
+    * the batch `snapshot_diff_report`'s full-outer classification
+    * INCLUDING `removed` (StreamingSpec pins the fixture arithmetic).
+    */
+  def changelogTombstoneStream(docs: DataFrame, base: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("tombstone"),
+        md5(col("text")).as("_hb"))
+      .join(base.select(col("doc_id"), col("_ha")), Seq("doc_id"), "left")
+      .where(!col("tombstone") || col("_ha").isNotNull)
+      .select(
+        col("doc_id"), col("source"),
+        when(col("tombstone"), "removed")
+          .when(col("_ha").isNull, "added")
           .when(col("_ha") =!= col("_hb"), "modified")
           .otherwise("unchanged").as("change"))
 

@@ -60,6 +60,8 @@ class StreamingSpec extends SparkSpec {
 
   case class Doc(doc_id: Long, text: String)
   case class DocSrc(doc_id: Long, text: String, source: String)
+  case class DocSrcT(
+      doc_id: Long, text: String, source: String, tombstone: Boolean)
   case class SrcDoc(doc_id: Long, source: String)
   case class LangDoc(doc_id: Long, text: String, lang: String)
   case class Vec(vec_id: Long, embedding: Seq[Float])
@@ -288,6 +290,51 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got.size == bRows.length)
     bRows.foreach { b =>
+      val expected =
+        if (b.doc_id % 10 == 0) "added"
+        else if (b.doc_id % 13 == 0) "modified"
+        else "unchanged"
+      assert(got(b.doc_id) == expected, s"doc ${b.doc_id}")
+    }
+  }
+
+  test("tombstone changelog makes removed observable, converging to the batch full-outer diff") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // base = snapshot A (doc_id % 10 != 0); delta = snapshot B
+    // (doc_id % 10 != 1) → A∖B = docs with doc_id % 10 == 1 arrive as
+    // TOMBSTONES; plus one no-op tombstone for a doc in NEITHER
+    // snapshot (id % 10 == 1 is in A; pick an id far outside the
+    // corpus) that must emit nothing.
+    val base = d.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("_ha"))
+    val live = d.where(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      .collect().map(r => DocSrcT(r.getLong(0), r.getString(1), r.getString(2),
+        tombstone = false))
+    val dead = d.where(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => DocSrcT(r.getLong(0), "", r.getString(1),
+        tombstone = true))
+    val noop = DocSrcT(999999999L, "", "webcrawl", tombstone = true)
+    val input = MemoryStream[DocSrcT]
+    input.addData((live ++ dead :+ noop): _*)
+    val q = Streaming.changelogTombstoneStream(input.toDF(), base).writeStream
+      .format("memory").queryName("schangeT").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("schangeT").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the batch full-outer classification over (A, B): every A∖B doc
+    // is removed, B∖A added, changed-hash modified, rest unchanged —
+    // and the doc in neither snapshot has NO row
+    assert(got.size == live.length + dead.length)
+    assert(!got.contains(noop.doc_id), "no-op tombstone must emit nothing")
+    dead.foreach(t => assert(got(t.doc_id) == "removed", s"doc ${t.doc_id}"))
+    live.foreach { b =>
       val expected =
         if (b.doc_id % 10 == 0) "added"
         else if (b.doc_id % 13 == 0) "modified"
