@@ -5043,7 +5043,9 @@ FROM ssq)"""
     * nb3) mirroring [[graft.pipeline.Similarity.knnWorkingList]]
     * exactly: scattered-LCG seed `(u*48271 + j*1999) % n` with j in
     * 1..16, THREE neighbor-of-neighbor rounds on a searchK=16 working
-    * list. One descent round: rank `pool`(u,v) by cosine, keep
+    * list. One descent round: reverse-cap, candidate join, binary
+    * PREFILTER (candK=128 hamming-strongest per node), then rank
+    * `pool`(u,v) by cosine, keep
     * top-16 (cos computed once in the inner select). Interpolated by
     * ann_knn_graph, ann_recall_knn_graph and embedding_neardup_graph
     * so the three oracles can never disagree about the graph.
@@ -5068,7 +5070,13 @@ FROM ssq)"""
     // reverse edges are CAPPED at the searchK strongest per node
     // (cos DESC, id ASC) before the neighbor-of-neighbor join — the
     // deterministic reverse-neighbor sampling that keeps every g
-    // degree ≤ 2·searchK (mirrors Similarity.knnWorkingList round 18)
+    // degree ≤ 2·searchK (mirrors Similarity.knnWorkingList round 18);
+    // candidates are then PREFILTERED to the candK=8·searchK=128
+    // hamming-strongest per node against the 1-bit sign fingerprints
+    // (hamming ASC, id ASC — mirrors the round-19 binary prefilter;
+    // the sign-disagreement count over the 64 dims IS
+    // bit_count(signBits ^ signBits), the binCtes identity) before
+    // the exact cosine ranking sees them
     def round_(prev: String, g: String, c: String, p: String, out: String) =
       s"""$g AS (SELECT DISTINCT u, v FROM (
          |  SELECT u, v FROM $prev
@@ -5077,7 +5085,14 @@ FROM ssq)"""
          |    SELECT v AS u, u AS v, rr FROM (
          |      SELECT u, v, row_number() OVER (PARTITION BY v ORDER BY cos DESC, u ASC) AS rr
          |      FROM $prev)) WHERE rr <= 16)),
-         |$c AS (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v),
+         |$c AS (SELECT u, v FROM (
+         |  SELECT cc.u, cc.v,
+         |    row_number() OVER (PARTITION BY cc.u ORDER BY
+         |      len(list_filter(range(1, 65), i -> (a.embedding[i] > 0) <> (b.embedding[i] > 0))) ASC,
+         |      cc.v ASC) AS hr
+         |  FROM (SELECT DISTINCT a.u, b.v FROM $g a JOIN $g b ON a.v = b.u WHERE a.u <> b.v) cc
+         |  JOIN e a ON a.vec_id = cc.u JOIN e b ON b.vec_id = cc.v)
+         |  WHERE hr <= 128),
          |$p AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM $prev UNION ALL SELECT u, v FROM $c)),
          |${ranked(p, out)}""".stripMargin
     s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM read_parquet('{SFDIR}/embeddings.parquet')$where),

@@ -3934,11 +3934,15 @@ object Similarity {
     * cosines are the shared left-to-right folds.
     *
     * Measured (RecallSweep knn mode, recall@4 vs brute, reverse cap
-    * in): at n=500 searchK=16/iters=3 → 0.977; at n=2000 the same
-    * config → 0.766 and searchK=24 → 0.962 (the uncapped variants
-    * read 0.986/0.799/0.971 — the few recall points the cap costs are
-    * the price of an UNCONDITIONAL candidate bound; hub-heavy real
-    * corpora would pay quadratic candidates without it).
+    * AND the round-19 binary prefilter in, candK=8·searchK): at n=500
+    * searchK=16/iters=3 → 0.969; at n=2000 the same config → 0.744
+    * and searchK=24 → 0.906. Prefilter-off (the r18 behavior) read
+    * 0.981/0.766/0.962, the uncapped-and-unfiltered variants
+    * 0.986/0.799/0.971 — the few recall points the cap and the
+    * prefilter cost are the price of an UNCONDITIONAL candidate bound
+    * and a ~7× cut in exact scorings per node; hub-heavy real corpora
+    * would pay quadratic candidates without them. Callers chasing the
+    * last points raise `candK` (candK=Int.MaxValue IS prefilter-off).
     * The working-list width must grow slowly
     * (~log n) with corpus size — the standard NN-descent sizing — so
     * at larger n callers raise `searchK`, not `iters`; cost stays
@@ -3946,7 +3950,14 @@ object Similarity {
     */
   def knnWorkingList(
       embeddings: DataFrame, iters: Int = 3,
-      searchK: Int = 16): DataFrame = {
+      searchK: Int = 16, candK: Int = 0): DataFrame = {
+    // candK <= 0 -> the measured default: 8·searchK (128 at the
+    // shipped searchK=16). The shortlist must scale WITH the working
+    // list — candidate volume per node is (2·searchK)², so a fixed
+    // width that is generous at searchK=16 silently strangles a
+    // caller-raised searchK=24 (RecallSweep measured 0.676 vs 0.962
+    // at n=2000 with a fixed 64).
+    val candK_ = if (candK <= 0) 8 * searchK else candK
     val nRow = broadcast(embeddings.agg(count(lit(1)).as("nn")))
     val init = embeddings.select(col("vec_id").as("u"))
       .crossJoin(nRow)
@@ -3956,6 +3967,16 @@ object Similarity {
       .where(col("u") =!= col("v")).distinct()
     val us = withNorm(embeddings, "uid", "ue", "un")
     val vs = withNorm(embeddings, "vid", "ve", "vn")
+    // The 8-byte sign-fingerprint copy of the build side ([[signBits]],
+    // the [[topKBinary]] coding) — the candidate-scoring representation.
+    // At any corpus size the bits frame is n × 16 B, so it stays
+    // BROADCASTABLE orders of magnitude past where the float vectors
+    // cross the threshold (200k vectors: ~3 MB of bits vs ~60 MB of
+    // floats) — candidate scoring never shuffles the corpus.
+    val ub = broadcast(embeddings.select(
+      col("vec_id").as("ubid"), signBits(col("embedding")).as("ubits")))
+    val vb = broadcast(embeddings.select(
+      col("vec_id").as("vbid"), signBits(col("embedding")).as("vbits")))
     def topk(pool: DataFrame): DataFrame = {
       val w = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)
       pool
@@ -3990,7 +4011,50 @@ object Similarity {
       val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
         .where(col("u") =!= col("v"))
-      nb = topk(edges.unionAll(cand).distinct()).localCheckpoint(true)
+      // Binary PREFILTER (round 19): the ~n·(2·searchK)² candidate
+      // rows are scored against the 8-byte sign fingerprints first —
+      // integer xor+popcount through two BROADCAST joins — and only
+      // the `candK` hamming-strongest per node reach the exact float
+      // pass. This shrinks bytes-per-candidate-row ~40× (two packed
+      // longs vs two 256 B float arrays) and exact scorings per node
+      // from ~(2·searchK)² to searchK+candK; the r18 SMJ/shuffled-hash
+      // A/B showed the join ALGORITHM was not the knn working-list
+      // lever — the candidate-row payload was (ChainScale cpu-alpha
+      // 1.36 at 10→100×, residual sort/spill once the float joins
+      // crossed the broadcast threshold). Deterministic: hamming asc,
+      // id asc — integer ties, no float in the shortlist cut. Recall
+      // price at the candK=8·searchK=128 default (RecallSweep knn
+      // mode, recall@4 vs brute, vs prefilter-off in the same sweep):
+      // n=500 searchK=16/iters=3 → 0.969 (off 0.981); n=2000 same
+      // config → 0.744 (off 0.766) — ~1-2 recall points for a ~7× cut
+      // in exact scorings per node (searchK+candK=144 vs
+      // ~(2·searchK)²≈1024), same shape as the reverse-cap trade
+      // above; a caller-raised searchK=24 pays more (0.906 vs 0.962
+      // off) because its candidate pool grows as (2·searchK)² while
+      // the 8·searchK shortlist grows linearly — raise candK there.
+      // Tighter widths are NOT worth it: candK=64 reads 0.864 at
+      // n=500 — the 64-bit hamming proxy needs the 8× slack.
+      // candK=Int.MaxValue is a TRUE off-switch (the r18 plan, no
+      // hamming pass at all) — kept callable so the prefilter can be
+      // A/B-measured in one session (KnnPrefilterProbe) and callers
+      // can buy the last recall points back.
+      val pool =
+        if (candK_ == Int.MaxValue) edges.unionAll(cand).distinct()
+        else {
+          val wh = Window.partitionBy("u")
+            .orderBy(col("hamming").asc, col("v").asc)
+          val shortlist = cand.distinct()
+            .join(ub, col("u") === col("ubid"))
+            .join(vb, col("v") === col("vbid"))
+            .select(col("u"), col("v"),
+              bit_count(col("ubits").bitwiseXOR(col("vbits")))
+                .cast(LongType).as("hamming"))
+            .withColumn("hr", row_number().over(wh))
+            .where(col("hr") <= candK_)
+            .select("u", "v")
+          edges.unionAll(shortlist).distinct()
+        }
+      nb = topk(pool).localCheckpoint(true)
     }
     nb.select(col("u"), col("v"), col("cosine"), col("rank"))
   }
@@ -4002,8 +4066,8 @@ object Similarity {
     */
   def knnGraph(
       embeddings: DataFrame, k: Int = 4, iters: Int = 3,
-      searchK: Int = 16): DataFrame =
-    graphPrefix(knnWorkingList(embeddings, iters, searchK), k)
+      searchK: Int = 16, candK: Int = 0): DataFrame =
+    graphPrefix(knnWorkingList(embeddings, iters, searchK, candK), k)
 
   /** (vec_id, rank, neighbor_id, cosine) top-`k` prefix of a
     * searchK-wide working list — the projection both [[knnGraph]] and

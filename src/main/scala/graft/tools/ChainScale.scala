@@ -167,6 +167,34 @@ object ChainScale {
       }
     }
 
+    // Durable JSON artifact (r18 verdict #4): the exponents used to
+    // live only in PLANS.md prose; a committed per-stage record (n,
+    // wall/task/cpu per tier, per-decade cpu alphas) makes chain-BUILD
+    // regressions diffable round over round the way bench_out.json
+    // made query regressions diffable. One line per run.
+    val jsonStages = results.map { case ((cn, sn), obs) =>
+      def tier(o: Obs) =
+        s"""{"scale":${o.scale},"wall_s":${math.rint(o.wallS * 100) / 100},""" +
+          s""""task_s":${math.rint(o.taskS * 100) / 100},""" +
+          s""""cpu_s":${math.rint(o.cpuS * 100) / 100}}"""
+      val cpuAs = obs.sliding(2).collect { case Vector(lo, hi) =>
+        val a = alpha(lo, hi, _.cpuS)
+        s""""${lo.scale}->${hi.scale}":""" +
+          (if (a.isNaN) "null" else (math.rint(a * 100) / 100).toString)
+      }.mkString(",")
+      s""""$cn.$sn":{"tiers":[${obs.map(tier).mkString(",")}],""" +
+        s""""cpu_alpha":{$cpuAs}}"""
+    }.mkString(",")
+    val artifact =
+      s"""{"sf_dir":"$sfDir","scales":[${scales.mkString(",")}],""" +
+        s""""cpus":$cpus,"stages":{$jsonStages}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_CHAINSCALE_OUT", "chainscale_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), artifact + "\n")
+    catch {
+      case e: Exception =>
+        System.err.println(s"[chainscale] could not write $outPath: ${e.getMessage}")
+    }
+
     println("\n== scaling exponents (cpu alpha is the graded number) ==")
     results.foreach { case ((cn, sn), obs) =>
       val decades = obs.sliding(2).collect { case Vector(lo, hi) =>

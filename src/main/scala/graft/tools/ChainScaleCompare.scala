@@ -1,0 +1,89 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Mechanical chain-BUILD adjudication (r18 verdict #4, the
+  * [[BenchCompare]] stance applied to the ChainScale artifact): given
+  * two `chainscale_out.json` records (old, new), print per stage the
+  * top-tier cpu ratio and the per-decade cpu-alpha deltas, flagging
+  *  - REGRESSED: top-tier cpu grew >1.5× (and >5 cpu-s absolute —
+  *    sub-resolution stages must not page anyone),
+  *  - ALPHA-UP: any shared decade's cpu alpha rose >0.15 (the
+  *    run-to-run band ChainScale's local[4] discipline holds on this
+  *    host is ~±0.1),
+  *  - SUPER-LINEAR: the new record's worst decade exceeds 1.3 (the
+  *    same gate ChainScale itself prints).
+  * cpu-time is the graded clock for the same reason it is in
+  * ChainScale: wall saturates on small fixtures and task-runtime
+  * counts time-sliced waiting on this oversubscribed host.
+  *
+  * Usage: runMain graft.tools.ChainScaleCompare old.json new.json
+  */
+object ChainScaleCompare {
+
+  private final case class Stage(
+      tiers: Map[Int, Double],          // scale -> cpu_s
+      alphas: Map[String, Double])      // "10->100" -> cpu alpha
+
+  private def load(path: String): Map[String, Stage] = {
+    val n = new ObjectMapper().readTree(new java.io.File(path))
+    n.path("stages").properties().asScala.map { e =>
+      val tiers = e.getValue.path("tiers").elements().asScala.map { t =>
+        t.path("scale").asInt() -> t.path("cpu_s").asDouble()
+      }.toMap
+      val alphas = e.getValue.path("cpu_alpha").properties().asScala.collect {
+        case a if !a.getValue.isNull => a.getKey -> a.getValue.asDouble()
+      }.toMap
+      e.getKey -> Stage(tiers, alphas)
+    }.toMap
+  }
+
+  private def describe(node: JsonNode): String =
+    s"${node.path("sf_dir").asText()} scales=${node.path("scales")} cpus=${node.path("cpus").asInt()}"
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ChainScaleCompare <old.json> <new.json>")
+    val om = new ObjectMapper()
+    println(s"[chaincompare] old: ${describe(om.readTree(new java.io.File(args(0))))}")
+    println(s"[chaincompare] new: ${describe(om.readTree(new java.io.File(args(1))))}")
+    val oldS = load(args(0)); val newS = load(args(1))
+    var flagged = 0
+    (oldS.keySet ++ newS.keySet).toSeq.sorted.foreach { name =>
+      (oldS.get(name), newS.get(name)) match {
+        case (None, Some(_)) => println(f"[chaincompare] $name%-26s NEW STAGE")
+        case (Some(_), None) => println(f"[chaincompare] $name%-26s DROPPED")
+        case (Some(o), Some(n)) =>
+          val topScale = (o.tiers.keySet intersect n.tiers.keySet)
+            .maxOption.getOrElse(0)
+          val oc = o.tiers.getOrElse(topScale, 0.0)
+          val nc = n.tiers.getOrElse(topScale, 0.0)
+          val ratio = nc / math.max(oc, 1e-9)
+          val alphaFlags = (o.alphas.keySet intersect n.alphas.keySet)
+            .toSeq.sorted.flatMap { d =>
+              val da = n.alphas(d) - o.alphas(d)
+              if (da > 0.15) Some(f"ALPHA-UP $d +$da%.2f") else None
+            }
+          val worstNew = n.alphas.values.maxOption.getOrElse(Double.NaN)
+          val flags = Seq(
+            if (ratio > 1.5 && nc - oc > 5.0) Seq(f"REGRESSED ${ratio}%.2fx") else Nil,
+            alphaFlags,
+            if (worstNew > 1.3) Seq(f"SUPER-LINEAR $worstNew%.2f") else Nil).flatten
+          if (flags.nonEmpty) flagged += 1
+          val alphaStr = n.alphas.toSeq.sorted
+            .map { case (d, a) =>
+              f"$d $a%.2f (${o.alphas.get(d).map(x => f"$x%.2f").getOrElse("n/a")})" }
+            .mkString("  ")
+          println(f"[chaincompare] $name%-26s cpu@${topScale}x $oc%8.1f -> $nc%8.1f s " +
+            f"(${ratio}%.2fx)  alpha: $alphaStr" +
+            (if (flags.nonEmpty) s"  <-- ${flags.mkString("; ")}" else ""))
+        case _ => ()
+      }
+    }
+    println(if (flagged == 0)
+      "[chaincompare] verdict: CLEAN — no stage regressed, no alpha rose past the band"
+    else
+      s"[chaincompare] verdict: $flagged stage(s) flagged — read the rows above")
+  }
+}

@@ -49,6 +49,21 @@ object RecallSweep {
         val rec = got.intersect(exactSet).size.toDouble / exactSet.size
         println(f"[sweep] knn searchK=$sk%2d iters=$it  recall@4 = $rec%.3f   wall $dt%5.2f s")
       }
+      // Binary-prefilter width sweep (round 19): the recall price of
+      // scoring descent candidates against the 8-byte sign
+      // fingerprints and keeping only the candK hamming-strongest per
+      // node before the exact pass. MaxValue = prefilter off (every
+      // candidate exact-scored, the r18 behavior).
+      for (ck <- Seq(48, 64, 96, 128, 160, 192, Int.MaxValue)) {
+        val t0 = System.nanoTime()
+        val got = Similarity.knnGraph(ec, k = 4, iters = 3, searchK = 16, candK = ck)
+          .collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = got.intersect(exactSet).size.toDouble / exactSet.size
+        val ckS = if (ck == Int.MaxValue) "off" else ck.toString
+        println(f"[sweep] knn candK=$ckS%4s searchK=16 iters=3  recall@4 = $rec%.3f   wall $dt%5.2f s")
+      }
       spark.stop()
       return
     }
