@@ -606,9 +606,10 @@ class PipelineSpec extends SparkSpec {
     val got = out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
     // 3 neighbor-of-neighbor rounds on the searchK=16 working list from
-    // the arithmetic seed; RecallSweep (knn mode) measures 0.986 at
-    // n=500 — the bound is an empirical floor with slack, not the
-    // measured point value
+    // the arithmetic seed; RecallSweep (knn mode) measures 0.969 at
+    // n=500 with the reverse cap and the r19 binary prefilter in —
+    // the bound is an empirical floor with slack, not the measured
+    // point value
     assert(recall >= 0.9, s"NN-descent recall vs brute-force graph: $recall")
   }
 
