@@ -3948,6 +3948,28 @@ object Similarity {
     * at larger n callers raise `searchK`, not `iters`; cost stays
     * n·(2·searchK)² per round either way.
     */
+  /** One descent round's candidate PREFILTER, factored out so its
+    * physical shape is plan-gated (PipelineSpec): distinct candidates
+    * join the two broadcast 8-byte fingerprint frames, integer
+    * xor+popcount hamming, per-node top-candK via row_number — which
+    * Spark executes as WindowGroupLimit (Partial before the exchange,
+    * Final after), so each map partition prunes to its local candK
+    * rows per key BEFORE the shuffle; only (u, v) survives.
+    */
+  private[graft] def descentShortlist(
+      cand: DataFrame, ub: DataFrame, vb: DataFrame, candK: Int): DataFrame = {
+    val wh = Window.partitionBy("u").orderBy(col("hamming").asc, col("v").asc)
+    cand.distinct()
+      .join(ub, col("u") === col("ubid"))
+      .join(vb, col("v") === col("vbid"))
+      .select(col("u"), col("v"),
+        bit_count(col("ubits").bitwiseXOR(col("vbits")))
+          .cast(LongType).as("hamming"))
+      .withColumn("hr", row_number().over(wh))
+      .where(col("hr") <= candK)
+      .select("u", "v")
+  }
+
   def knnWorkingList(
       embeddings: DataFrame, iters: Int = 3,
       searchK: Int = 16, candK: Int = 0): DataFrame = {
@@ -4040,20 +4062,7 @@ object Similarity {
       // can buy the last recall points back.
       val pool =
         if (candK_ == Int.MaxValue) edges.unionAll(cand).distinct()
-        else {
-          val wh = Window.partitionBy("u")
-            .orderBy(col("hamming").asc, col("v").asc)
-          val shortlist = cand.distinct()
-            .join(ub, col("u") === col("ubid"))
-            .join(vb, col("v") === col("vbid"))
-            .select(col("u"), col("v"),
-              bit_count(col("ubits").bitwiseXOR(col("vbits")))
-                .cast(LongType).as("hamming"))
-            .withColumn("hr", row_number().over(wh))
-            .where(col("hr") <= candK_)
-            .select("u", "v")
-          edges.unionAll(shortlist).distinct()
-        }
+        else edges.unionAll(descentShortlist(cand, ub, vb, candK_)).distinct()
       nb = topk(pool).localCheckpoint(true)
     }
     nb.select(col("u"), col("v"), col("cosine"), col("rank"))

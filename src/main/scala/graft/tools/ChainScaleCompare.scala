@@ -23,11 +23,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object ChainScaleCompare {
 
-  private final case class Stage(
+  private[tools] final case class Stage(
       tiers: Map[Int, Double],          // scale -> cpu_s
       alphas: Map[String, Double])      // "10->100" -> cpu alpha
 
-  private def load(path: String): Map[String, Stage] = {
+  private[tools] def load(path: String): Map[String, Stage] = {
     val n = new ObjectMapper().readTree(new java.io.File(path))
     n.path("stages").properties().asScala.map { e =>
       val tiers = e.getValue.path("tiers").elements().asScala.map { t =>
@@ -40,20 +40,20 @@ object ChainScaleCompare {
     }.toMap
   }
 
-  private def describe(node: JsonNode): String =
-    s"${node.path("sf_dir").asText()} scales=${node.path("scales")} cpus=${node.path("cpus").asInt()}"
-
-  def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: ChainScaleCompare <old.json> <new.json>")
-    val om = new ObjectMapper()
-    println(s"[chaincompare] old: ${describe(om.readTree(new java.io.File(args(0))))}")
-    println(s"[chaincompare] new: ${describe(om.readTree(new java.io.File(args(1))))}")
-    val oldS = load(args(0)); val newS = load(args(1))
+  /** The adjudication text — separated from main() so the gates are
+    * unit-pinned on synthetic records (ChainScaleCompareSpec), the
+    * [[BenchCompare.compare]] stance.
+    */
+  private[tools] def compare(
+      oldS: Map[String, Stage], newS: Map[String, Stage]): String = {
+    val sb = new StringBuilder
     var flagged = 0
     (oldS.keySet ++ newS.keySet).toSeq.sorted.foreach { name =>
       (oldS.get(name), newS.get(name)) match {
-        case (None, Some(_)) => println(f"[chaincompare] $name%-26s NEW STAGE")
-        case (Some(_), None) => println(f"[chaincompare] $name%-26s DROPPED")
+        case (None, Some(_)) =>
+          sb ++= f"[chaincompare] $name%-26s NEW STAGE%n"
+        case (Some(_), None) =>
+          sb ++= f"[chaincompare] $name%-26s DROPPED%n"
         case (Some(o), Some(n)) =>
           val topScale = (o.tiers.keySet intersect n.tiers.keySet)
             .maxOption.getOrElse(0)
@@ -67,7 +67,7 @@ object ChainScaleCompare {
             }
           val worstNew = n.alphas.values.maxOption.getOrElse(Double.NaN)
           val flags = Seq(
-            if (ratio > 1.5 && nc - oc > 5.0) Seq(f"REGRESSED ${ratio}%.2fx") else Nil,
+            if (ratio > 1.5 && nc - oc > 5.0) Seq(f"REGRESSED $ratio%.2fx") else Nil,
             alphaFlags,
             if (worstNew > 1.3) Seq(f"SUPER-LINEAR $worstNew%.2f") else Nil).flatten
           if (flags.nonEmpty) flagged += 1
@@ -75,15 +75,26 @@ object ChainScaleCompare {
             .map { case (d, a) =>
               f"$d $a%.2f (${o.alphas.get(d).map(x => f"$x%.2f").getOrElse("n/a")})" }
             .mkString("  ")
-          println(f"[chaincompare] $name%-26s cpu@${topScale}x $oc%8.1f -> $nc%8.1f s " +
-            f"(${ratio}%.2fx)  alpha: $alphaStr" +
-            (if (flags.nonEmpty) s"  <-- ${flags.mkString("; ")}" else ""))
-        case _ => ()
+          sb ++= f"[chaincompare] $name%-26s cpu@${topScale}x $oc%8.1f -> $nc%8.1f s " +
+            f"($ratio%.2fx)  alpha: $alphaStr" +
+            (if (flags.nonEmpty) s"  <-- ${flags.mkString("; ")}" else "") + "\n"
       }
     }
-    println(if (flagged == 0)
+    sb ++= (if (flagged == 0)
       "[chaincompare] verdict: CLEAN — no stage regressed, no alpha rose past the band"
     else
       s"[chaincompare] verdict: $flagged stage(s) flagged — read the rows above")
+    sb.toString
+  }
+
+  private def describe(node: JsonNode): String =
+    s"${node.path("sf_dir").asText()} scales=${node.path("scales")} cpus=${node.path("cpus").asInt()}"
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ChainScaleCompare <old.json> <new.json>")
+    val om = new ObjectMapper()
+    println(s"[chaincompare] old: ${describe(om.readTree(new java.io.File(args(0))))}")
+    println(s"[chaincompare] new: ${describe(om.readTree(new java.io.File(args(1))))}")
+    println(compare(load(args(0)), load(args(1))))
   }
 }

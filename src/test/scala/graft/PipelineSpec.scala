@@ -665,6 +665,34 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("descent shortlist plan: WindowGroupLimit partial top-k, broadcast fingerprint joins") {
+    // The r19 prefilter's byte argument is a PLAN property: the
+    // per-node top-candK must execute as WindowGroupLimit (each map
+    // partition pruned to its local candK rows per key BEFORE the
+    // exchange) and the fingerprint joins must broadcast the n x 16 B
+    // bits frames — never shuffle the candidate volume for scoring.
+    // knnWorkingList localCheckpoints eagerly, so the gate sits on the
+    // factored descentShortlist the loop calls.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ub = broadcast(e.select(col("vec_id").as("ubid"),
+      Similarity.signBits(col("embedding")).as("ubits")))
+    val vb = broadcast(e.select(col("vec_id").as("vbid"),
+      Similarity.signBits(col("embedding")).as("vbits")))
+    val g = e.select(col("vec_id").as("u"), (col("vec_id") + 1).as("v"))
+    val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("u"), col("b.v").as("v"))
+      .where(col("u") =!= col("v"))
+    val plan = Similarity.descentShortlist(cand, ub, vb, 128)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit .*row_number\\(\\), 128, Partial".r.findFirstIn(plan).isDefined,
+      s"partial (pre-exchange) WindowGroupLimit missing:\n$plan")
+    assert("WindowGroupLimit .*row_number\\(\\), 128, Final".r.findFirstIn(plan).isDefined,
+      s"final WindowGroupLimit missing:\n$plan")
+    val bcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bcastJoins >= 2,
+      s"both fingerprint joins must broadcast (found $bcastJoins):\n$plan")
+  }
+
   test("graph delete repair: refills from the wide working list, no tombstones survive") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val wl = Similarity.knnWorkingList(e).localCheckpoint(true)
