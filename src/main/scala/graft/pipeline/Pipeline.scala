@@ -3949,23 +3949,38 @@ object Similarity {
     * n·(2·searchK)² per round either way.
     */
   /** One descent round's candidate PREFILTER, factored out so its
-    * physical shape is plan-gated (PipelineSpec): distinct candidates
-    * join the two broadcast 8-byte fingerprint frames, integer
-    * xor+popcount hamming, per-node top-candK via row_number — which
-    * Spark executes as WindowGroupLimit (Partial before the exchange,
-    * Final after), so each map partition prunes to its local candK
-    * rows per key BEFORE the shuffle; only (u, v) survives.
+    * physical shape is plan-gated (PipelineSpec): candidates join the
+    * two broadcast 8-byte fingerprint frames, integer xor+popcount
+    * hamming, per-node top-candK via DENSE_RANK — which Spark executes
+    * as WindowGroupLimit (Partial before the exchange, Final after),
+    * so each map partition prunes to its local candK rows per key
+    * BEFORE the shuffle; only (u, v) survives.
+    *
+    * dense_rank over the RAW (duplicated) candidate stream, not
+    * row_number over a pre-distinct: for a fixed u the ordering key
+    * (hamming, v) is injective on distinct v (v determines hamming),
+    * so dense_rank ≤ candK selects exactly the candK
+    * hamming-strongest DISTINCT neighbors — the same set a
+    * distinct-then-row_number spelling produces (the DuckDB oracle
+    * keeps that spelling) — while skipping the full-candidate-volume
+    * Exchange a .distinct() would add in front of the window's own
+    * pruned exchange (measured, KnnPrefilterProbe shuffle-write at
+    * 10×·sf0.1: pre-distinct spelling 572 MB, r18 plan 321 MB, this
+    * spelling 355 MB — the prefilter costs ~10% bytes at the
+    * broadcast-friendly tier instead of +78%; at 100× it CUTS bytes
+    * outright, 6.4 vs 8.5 GB). Surviving duplicate (u, v) rows are
+    * deduped by the pool-level distinct the caller already performs.
     */
   private[graft] def descentShortlist(
       cand: DataFrame, ub: DataFrame, vb: DataFrame, candK: Int): DataFrame = {
     val wh = Window.partitionBy("u").orderBy(col("hamming").asc, col("v").asc)
-    cand.distinct()
+    cand
       .join(ub, col("u") === col("ubid"))
       .join(vb, col("v") === col("vbid"))
       .select(col("u"), col("v"),
         bit_count(col("ubits").bitwiseXOR(col("vbits")))
           .cast(LongType).as("hamming"))
-      .withColumn("hr", row_number().over(wh))
+      .withColumn("hr", dense_rank().over(wh))
       .where(col("hr") <= candK)
       .select("u", "v")
   }
@@ -4043,7 +4058,14 @@ object Similarity {
       // A/B showed the join ALGORITHM was not the knn working-list
       // lever — the candidate-row payload was (ChainScale cpu-alpha
       // 1.36 at 10→100×, residual sort/spill once the float joins
-      // crossed the broadcast threshold). Deterministic: hamming asc,
+      // crossed the broadcast threshold). Measured A/B
+      // (KnnPrefilterProbe, interleaved ×2, local[4], dense_rank
+      // spelling): 10× — ON 77-80 vs OFF 70-74 cpu-s (+9%, the price
+      // while the float joins still broadcast); 100× — ON 1058-1249
+      // vs OFF 2369-2507 cpu-s, wall 277-323 vs 623-670 s (−55% on
+      // both clocks), shuffle-write 6.4 vs 8.5 GB. Always-on because
+      // the graph must be candK-deterministic at every scale, not
+      // cluster-memory-dependent. Deterministic: hamming asc,
       // id asc — integer ties, no float in the shortlist cut. Recall
       // price at the candK=8·searchK=128 default (RecallSweep knn
       // mode, recall@4 vs brute, vs prefilter-off in the same sweep):

@@ -50,16 +50,17 @@ object ChainScale {
 
   private val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private final case class Obs(
-      scale: Int, wallS: Double, taskS: Double, cpuS: Double)
+      scale: Int, wallS: Double, taskS: Double, cpuS: Double, shufMb: Double)
 
-  private def time(run: () => Long): (Double, Double, Double) = {
-    val tt0 = taskMs.get(); val cp0 = cpuNs.get()
+  private def time(run: () => Long): (Double, Double, Double, Double) = {
+    val tt0 = taskMs.get(); val cp0 = cpuNs.get(); val sw0 = shufW.get()
     val t0 = System.nanoTime()
     run()
     ((System.nanoTime() - t0) / 1e9, (taskMs.get() - tt0) / 1e3,
-      (cpuNs.get() - cp0) / 1e9)
+      (cpuNs.get() - cp0) / 1e9, (shufW.get() - sw0) / 1048576.0)
   }
 
   /** Per-decade exponent; NaN (printed "n/a") when the low-tier timing
@@ -87,6 +88,10 @@ object ChainScale {
         if (te.taskMetrics != null) {
           taskMs.addAndGet(te.taskMetrics.executorRunTime)
           cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+          // shuffle WRITE bytes: the direct witness of the
+          // bytes-per-row arguments the chain designs rest on (the
+          // r19 descent prefilter shrank exactly this number)
+          shufW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
     })
 
@@ -155,11 +160,12 @@ object ChainScale {
         val fx = chain.fixture(n)
         val key = s"chainscale:${n}x"
         chain.stages.foreach { st =>
-          val (wall, task, cpu) = time(() => st.run(fx, key))
+          val (wall, task, cpu, shufMb) = time(() => st.run(fx, key))
           results.updateWith((chain.name, st.name))(v =>
-            Some(v.getOrElse(Vector.empty) :+ Obs(n, wall, task, cpu)))
+            Some(v.getOrElse(Vector.empty) :+ Obs(n, wall, task, cpu, shufMb)))
           println(f"[chainscale] ${chain.name}.${st.name}%-22s ${n}%4dx " +
-            f"wall=$wall%8.2f s  task=$task%9.2f s  cpu=$cpu%9.2f s")
+            f"wall=$wall%8.2f s  task=$task%9.2f s  cpu=$cpu%9.2f s  " +
+            f"shufW=$shufMb%8.1f MB")
         }
         chain.release(spark)
         free(fx)
@@ -176,7 +182,8 @@ object ChainScale {
       def tier(o: Obs) =
         s"""{"scale":${o.scale},"wall_s":${math.rint(o.wallS * 100) / 100},""" +
           s""""task_s":${math.rint(o.taskS * 100) / 100},""" +
-          s""""cpu_s":${math.rint(o.cpuS * 100) / 100}}"""
+          s""""cpu_s":${math.rint(o.cpuS * 100) / 100},""" +
+          s""""shuffle_write_mb":${math.rint(o.shufMb * 10) / 10}}"""
       val cpuAs = obs.sliding(2).collect { case Vector(lo, hi) =>
         val a = alpha(lo, hi, _.cpuS)
         s""""${lo.scale}->${hi.scale}":""" +

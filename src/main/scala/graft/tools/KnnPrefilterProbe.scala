@@ -20,6 +20,7 @@ import graft.sources.Sessions
 object KnnPrefilterProbe {
 
   private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -30,16 +31,20 @@ object KnnPrefilterProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+        if (te.taskMetrics != null) {
+          cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+          shufW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb1.count()
 
     def run(label: String, ck: Int, fx: org.apache.spark.sql.DataFrame): Unit = {
-      val c0 = cpuNs.get(); val t0 = System.nanoTime()
+      val c0 = cpuNs.get(); val s0 = shufW.get(); val t0 = System.nanoTime()
       val n = Similarity.knnWorkingList(fx, candK = ck).count()
       println(f"[prefilter] $label%-22s wall=${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-        f"  cpu=${(cpuNs.get() - c0) / 1e9}%9.2f s  ($n rows)")
+        f"  cpu=${(cpuNs.get() - c0) / 1e9}%9.2f s" +
+        f"  shufW=${(shufW.get() - s0) / 1048576.0}%8.1f MB  ($n rows)")
       spark.catalog.clearCache()
     }
 

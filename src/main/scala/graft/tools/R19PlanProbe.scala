@@ -1,8 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.sources.Sessions
 
@@ -32,16 +30,7 @@ object R19PlanProbe {
     val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
       .select(col("a.u").as("u"), col("b.v").as("v"))
       .where(col("u") =!= col("v"))
-    val wh = Window.partitionBy("u").orderBy(col("hamming").asc, col("v").asc)
-    val shortlist = cand.distinct()
-      .join(ub, col("u") === col("ubid"))
-      .join(vb, col("v") === col("vbid"))
-      .select(col("u"), col("v"),
-        bit_count(col("ubits").bitwiseXOR(col("vbits")))
-          .cast(LongType).as("hamming"))
-      .withColumn("hr", row_number().over(wh))
-      .where(col("hr") <= 128)
-      .select("u", "v")
+    val shortlist = graft.pipeline.Similarity.descentShortlist(cand, ub, vb, 128)
     val plan = shortlist.queryExecution.executedPlan.toString
     println("HAS WindowGroupLimit: " + plan.contains("WindowGroupLimit"))
     plan.linesIterator

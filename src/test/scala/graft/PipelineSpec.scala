@@ -682,15 +682,34 @@ class PipelineSpec extends SparkSpec {
     val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
       .select(col("a.u").as("u"), col("b.v").as("v"))
       .where(col("u") =!= col("v"))
-    val plan = Similarity.descentShortlist(cand, ub, vb, 128)
-      .queryExecution.executedPlan.toString
-    assert("WindowGroupLimit .*row_number\\(\\), 128, Partial".r.findFirstIn(plan).isDefined,
+    val df = Similarity.descentShortlist(cand, ub, vb, 128)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit .*dense_rank\\(.*, 128, Partial".r.findFirstIn(plan).isDefined,
       s"partial (pre-exchange) WindowGroupLimit missing:\n$plan")
-    assert("WindowGroupLimit .*row_number\\(\\), 128, Final".r.findFirstIn(plan).isDefined,
+    assert("WindowGroupLimit .*dense_rank\\(.*, 128, Final".r.findFirstIn(plan).isDefined,
       s"final WindowGroupLimit missing:\n$plan")
     val bcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
     assert(bcastJoins >= 2,
       s"both fingerprint joins must broadcast (found $bcastJoins):\n$plan")
+    // and NO full-candidate-volume exchange ahead of the window: the
+    // only hashpartitioning on (u, v) the old pre-distinct spelling
+    // added must be gone (the 572 -> ~70 MB measured shuffle cut)
+    assert(!"Exchange hashpartitioning\\(u#\\d+L, v#\\d+L".r.findFirstIn(plan).isDefined,
+      s"candidate pre-distinct exchange crept back:\n$plan")
+    // semantics: dense_rank over raw == row_number over distinct
+    // ((hamming, v) is injective on distinct v for fixed u)
+    val viaDistinct = cand.distinct()
+      .join(ub, col("u") === col("ubid"))
+      .join(vb, col("v") === col("vbid"))
+      .select(col("u"), col("v"),
+        bit_count(col("ubits").bitwiseXOR(col("vbits")))
+          .cast(org.apache.spark.sql.types.LongType).as("hamming"))
+      .withColumn("hr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(col("hamming").asc, col("v").asc)))
+      .where(col("hr") <= 128).select("u", "v")
+    assert(df.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      viaDistinct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("graph delete repair: refills from the wide working list, no tombstones survive") {
