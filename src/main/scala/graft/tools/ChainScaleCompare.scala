@@ -14,8 +14,13 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    run-to-run band ChainScale's local[4] discipline holds on this
   *    host is ~±0.1),
   *  - SUPER-LINEAR: the new record's worst decade exceeds 1.3 (the
-  *    same gate ChainScale itself prints).
-  * cpu-time is the graded clock for the same reason it is in
+  *    same gate ChainScale itself prints),
+  *  - BYTES-UP: top-tier shuffle-write grew >1.3× (and >100 MB
+  *    absolute) — the least noisy gate of the four: row counts are
+  *    deterministic, so shuffle bytes barely move run to run while
+  *    every timing clock swings with the host (r19: this witness is
+  *    what caught the prefilter's redundant candidate exchange).
+  * cpu-time is the graded timing clock for the same reason it is in
   * ChainScale: wall saturates on small fixtures and task-runtime
   * counts time-sliced waiting on this oversubscribed host.
   *
@@ -25,18 +30,23 @@ object ChainScaleCompare {
 
   private[tools] final case class Stage(
       tiers: Map[Int, Double],          // scale -> cpu_s
-      alphas: Map[String, Double])      // "10->100" -> cpu alpha
+      alphas: Map[String, Double],      // "10->100" -> cpu alpha
+      shuf: Map[Int, Double] = Map.empty) // scale -> shuffle-write MB
 
   private[tools] def load(path: String): Map[String, Stage] = {
     val n = new ObjectMapper().readTree(new java.io.File(path))
     n.path("stages").properties().asScala.map { e =>
-      val tiers = e.getValue.path("tiers").elements().asScala.map { t =>
-        t.path("scale").asInt() -> t.path("cpu_s").asDouble()
+      val tierNodes = e.getValue.path("tiers").elements().asScala.toSeq
+      val tiers = tierNodes.map(t =>
+        t.path("scale").asInt() -> t.path("cpu_s").asDouble()).toMap
+      val shuf = tierNodes.collect {
+        case t if t.has("shuffle_write_mb") =>
+          t.path("scale").asInt() -> t.path("shuffle_write_mb").asDouble()
       }.toMap
       val alphas = e.getValue.path("cpu_alpha").properties().asScala.collect {
         case a if !a.getValue.isNull => a.getKey -> a.getValue.asDouble()
       }.toMap
-      e.getKey -> Stage(tiers, alphas)
+      e.getKey -> Stage(tiers, alphas, shuf)
     }.toMap
   }
 
@@ -66,10 +76,19 @@ object ChainScaleCompare {
               if (da > 0.15) Some(f"ALPHA-UP $d +$da%.2f") else None
             }
           val worstNew = n.alphas.values.maxOption.getOrElse(Double.NaN)
+          val shufScale = (o.shuf.keySet intersect n.shuf.keySet)
+            .maxOption.getOrElse(0)
+          val os = o.shuf.getOrElse(shufScale, 0.0)
+          val ns = n.shuf.getOrElse(shufScale, 0.0)
+          val bytesUp = shufScale > 0 && ns / math.max(os, 1e-9) > 1.3 &&
+            ns - os > 100.0
           val flags = Seq(
             if (ratio > 1.5 && nc - oc > 5.0) Seq(f"REGRESSED $ratio%.2fx") else Nil,
             alphaFlags,
-            if (worstNew > 1.3) Seq(f"SUPER-LINEAR $worstNew%.2f") else Nil).flatten
+            if (worstNew > 1.3) Seq(f"SUPER-LINEAR $worstNew%.2f") else Nil,
+            if (bytesUp)
+              Seq(f"BYTES-UP ${ns / math.max(os, 1e-9)}%.2fx ($os%.0f -> $ns%.0f MB)")
+            else Nil).flatten
           if (flags.nonEmpty) flagged += 1
           val alphaStr = n.alphas.toSeq.sorted
             .map { case (d, a) =>

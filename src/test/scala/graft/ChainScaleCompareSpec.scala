@@ -47,6 +47,23 @@ class ChainScaleCompareSpec extends AnyFunSuite {
     assert(ChainScaleCompare.compare(a, b).contains("SUPER-LINEAR 1.35"))
   }
 
+  test("shuffle-write growth past both gates flags BYTES-UP; noise-band growth does not") {
+    val a = Map("c.s" -> ChainScaleCompare.Stage(
+      Map(100 -> 100.0), lin, Map(100 -> 1000.0)))
+    val b = Map("c.s" -> ChainScaleCompare.Stage(
+      Map(100 -> 101.0), lin, Map(100 -> 1400.0)))
+    assert(ChainScaleCompare.compare(a, b).contains("BYTES-UP 1.40x (1000 -> 1400 MB)"))
+    // 2x but only 80 MB absolute: below the 100 MB gate
+    val c = Map("c.s" -> ChainScaleCompare.Stage(
+      Map(100 -> 100.0), lin, Map(100 -> 80.0)))
+    val d = Map("c.s" -> ChainScaleCompare.Stage(
+      Map(100 -> 100.0), lin, Map(100 -> 160.0)))
+    assert(ChainScaleCompare.compare(c, d).contains("verdict: CLEAN"))
+    // records without the field (pre-r19 artifacts) never flag
+    val e = Map("c.s" -> ChainScaleCompare.Stage(Map(100 -> 100.0), lin))
+    assert(ChainScaleCompare.compare(e, b).contains("verdict: CLEAN"))
+  }
+
   test("stage churn is reported, never crashed on") {
     val a = Map("old.only" -> stage(Map(100 -> 1.0), lin))
     val b = Map("new.only" -> stage(Map(100 -> 1.0), lin))
