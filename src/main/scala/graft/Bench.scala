@@ -249,7 +249,14 @@ object Bench {
     // drop to ERROR, tear down, and only THEN print the compact line —
     // it is the final stdout write of the process.
     spark.sparkContext.setLogLevel("ERROR")
-    graft.pipeline.Chains.releaseAll(spark)
+    // teardown must never take the metric line with it: an unpersist
+    // hiccup here would recreate the exact parsed-null failure this
+    // ordering exists to fix
+    try graft.pipeline.Chains.releaseAll(spark)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] teardown failed (ignored): ${e.getMessage}")
+    }
     println(compactLine(
       chosen.map { case (n, m) => n -> (if (m.ok) m.wall else -m.wall) },
       total, rawTotal, sfDir, nFailed, stealTotal, out, cpus.toInt))

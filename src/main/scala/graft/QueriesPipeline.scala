@@ -3451,13 +3451,22 @@ object QueriesPipeline {
       val ev = events(s, dir)
       val recommended = graft.plans.Scale.keySkewPlan(ev, Seq("event_type"))
         .select("salt_factor").head.getLong(0).toInt
+      // The value sum is EXACT-INTEGER (floor to micro-units, then a
+      // bigint sum): each of the 5 keys sums ~n/5 of the whole stream,
+      // so a double sum's accumulation-order error would sit right on
+      // the oracle's 6dp rounding grid at larger SF — the two-phase
+      // salted association differs from DuckDB's single pass by
+      // construction, and this witness must stay green at ANY scale.
+      // floor(value*1e6) is bit-identical IEEE in both engines (the
+      // topKSq8 floor(+0.5) argument); min/max are order-independent.
       graft.plans.Scale.saltedAgg(
         ev, "event_type", col("event_id"), math.max(recommended, 8),
-        Seq(count(lit(1)).as("_n"), sum(col("value")).as("_sv"),
+        Seq(count(lit(1)).as("_n"),
+          sum(floor(col("value") * 1000000).cast("long")).as("_sv"),
           min(col("value")).as("_mn"), max(col("value")).as("_mx")),
         Seq(
           sum(col("_n")).cast("bigint").as("n_events"),
-          round(sum(col("_sv")), 6).as("sum_value"),
+          sum(col("_sv")).cast("bigint").as("sum_value_micro"),
           min(col("_mn")).as("min_value"),
           max(col("_mx")).as("max_value")))
         .orderBy("event_type")
@@ -9580,11 +9589,14 @@ FROM fa, fb"""
         |ORDER BY n_events DESC, user_id ASC LIMIT 50""".stripMargin,
 
     // The oracle is again the UNSALTED one-stage groupBy, this time on
-    // the skewed key — the two-phase spread must be invisible.
+    // the skewed key — the two-phase spread must be invisible. The
+    // value sum is exact-integer micro-units (floor is bit-identical
+    // IEEE in both engines; a rounded double sum would sit on the 6dp
+    // grid once each of the 5 keys sums ~n/5 of the stream).
     "events_hotkey_stats_salted" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  round(sum(value), 6) AS sum_value,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro,
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY event_type

@@ -4006,13 +4006,19 @@ object Similarity {
     val vs = withNorm(embeddings, "vid", "ve", "vn")
     // The 8-byte sign-fingerprint copy of the build side ([[signBits]],
     // the [[topKBinary]] coding) — the candidate-scoring representation.
-    // At any corpus size the bits frame is n × 16 B, so it stays
-    // BROADCASTABLE orders of magnitude past where the float vectors
-    // cross the threshold (200k vectors: ~3 MB of bits vs ~60 MB of
-    // floats) — candidate scoring never shuffles the corpus.
-    val ub = broadcast(embeddings.select(
+    // The bits frame is n × 16 B, broadcastable orders of magnitude
+    // past where the float vectors cross the threshold (200k vectors:
+    // ~3 MB of bits vs ~60 MB of floats) — but NOT at any size: Spark
+    // hard-caps broadcast tables at 8 GB (~500M rows of bits), so the
+    // hint is gated at 100M rows (~1.6 GB). Above the gate the bits
+    // joins shuffle 16 B rows instead — still the narrow-row plan, and
+    // the join strategy never changes the shortlist set.
+    val bitsBroadcastable = embeddings.count() <= 100000000L
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bitsBroadcastable) broadcast(df) else df
+    val ub = maybeBcast(embeddings.select(
       col("vec_id").as("ubid"), signBits(col("embedding")).as("ubits")))
-    val vb = broadcast(embeddings.select(
+    val vb = maybeBcast(embeddings.select(
       col("vec_id").as("vbid"), signBits(col("embedding")).as("vbits")))
     def topk(pool: DataFrame): DataFrame = {
       val w = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)

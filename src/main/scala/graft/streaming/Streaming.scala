@@ -1761,7 +1761,13 @@ object Streaming {
     */
   def changelogTombstoneStream(docs: DataFrame, base: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("source"), col("tombstone"),
+      // a NULL marker (nullable source column, field omitted) means
+      // "not a tombstone" — normalized ONCE so the filter and the
+      // classifier below cannot disagree (an un-coalesced NULL made
+      // the filter DROP a new doc's row while the classifier would
+      // have said "added")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("tombstone"), lit(false)).as("tombstone"),
         md5(col("text")).as("_hb"))
       .join(base.select(col("doc_id"), col("_ha")), Seq("doc_id"), "left")
       .where(!col("tombstone") || col("_ha").isNotNull)

@@ -69,7 +69,10 @@ object ChainScale {
     */
   private val AlphaFloorS = 0.05
   private def alpha(lo: Obs, hi: Obs, f: Obs => Double): Double =
-    if (f(lo) < AlphaFloorS) Double.NaN
+    // BOTH tiers floored: a ~0 high tier would read log(0) = -Inf,
+    // which the JSON emitter would serialize as a bare -Infinity
+    // token — invalid strict JSON that breaks ChainScaleCompare.load
+    if (f(lo) < AlphaFloorS || f(hi) < AlphaFloorS) Double.NaN
     else math.log(f(hi) / f(lo)) / math.log(hi.scale.toDouble / lo.scale)
 
   private def fmtA(a: Double): String = if (a.isNaN) "n/a" else f"$a%.2f"

@@ -322,7 +322,17 @@ class StreamingSpec extends SparkSpec {
     val noop = DocSrcT(999999999L, "", "webcrawl", tombstone = true)
     val input = MemoryStream[DocSrcT]
     input.addData((live ++ dead :+ noop): _*)
-    val q = Streaming.changelogTombstoneStream(input.toDF(), base).writeStream
+    // a NULLABLE marker column (field omitted at the source) must read
+    // as "not a tombstone" EVERYWHERE — an un-coalesced NULL made the
+    // filter drop a new doc's row while the classifier would have said
+    // "added". Rewrite the marker to NULL on the live ADDED docs (the
+    // base-absent rows the bug dropped) and assert classes unchanged.
+    val nullMarked = input.toDF()
+      .withColumn("tombstone",
+        when(!col("tombstone") && col("doc_id") % 10 === 0,
+          lit(null).cast("boolean"))
+          .otherwise(col("tombstone")))
+    val q = Streaming.changelogTombstoneStream(nullMarked, base).writeStream
       .format("memory").queryName("schangeT").outputMode("append").start()
     q.processAllAvailable()
     q.stop()
