@@ -758,6 +758,16 @@ object Streaming {
     * click and purchase landing in one batch attribute exactly as the
     * batch twin (spec-pinned, including the cross-batch case where the
     * click arrived in an earlier batch).
+    *
+    * State cardinality: one LastClick row (~24 B) per user EVER seen —
+    * bounded per key but O(|users|) overall, ~24 GB of state at 1e9
+    * users spread across the shuffle partitions. That is priced into
+    * the "batch owns the rollup" stance (the stream only needs users
+    * with a live 6h window); a deployment that cannot carry it should
+    * switch the stream to event-time + `GroupStateTimeout` and evict
+    * users inactive past `windowUs` — the attribution answer is
+    * unchanged because an expired click can never be inside the
+    * window of a later purchase.
     */
   def attributionStream(
       events: Dataset[AttrEvent],
@@ -1975,6 +1985,15 @@ object Streaming {
     * mean, sample percentiles. The batch sketch card's estimates are
     * the FIXED POINT once the stream has seen the corpus
     * (StreamingSpec pins the merged figures against the batch row).
+    *
+    * CHECKPOINT COMPATIBILITY: the round-19 restructure (exact
+    * counters removed, `kmvd` added, sample rows widened to 4-tuples)
+    * changed both the state encoder ([[CardState]]) and the public
+    * output schema ([[CardShardOut]]). A query resuming from a
+    * pre-round-19 Structured Streaming checkpoint will fail at state
+    * restore (the encoder change is silent until then) — resume
+    * requires a FRESH checkpoint directory; the sketches rebuild from
+    * the replayed source.
     */
   def datasheetStream(
       docs: DataFrame, k: Int = 256, shards: Int = 8): Dataset[CardShardOut] = {

@@ -181,6 +181,16 @@ object ChainScale {
     // wall/task/cpu per tier, per-decade cpu alphas) makes chain-BUILD
     // regressions diffable round over round the way bench_out.json
     // made query regressions diffable. One line per run.
+    // Interpolated strings are JSON-escaped (r19 ADVICE): an sfDir
+    // containing a quote or backslash must not yield an artifact
+    // ChainScaleCompare.load then chokes on.
+    def jstr(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val jsonStages = results.map { case ((cn, sn), obs) =>
       def tier(o: Obs) =
         s"""{"scale":${o.scale},"wall_s":${math.rint(o.wallS * 100) / 100},""" +
@@ -192,11 +202,11 @@ object ChainScale {
         s""""${lo.scale}->${hi.scale}":""" +
           (if (a.isNaN) "null" else (math.rint(a * 100) / 100).toString)
       }.mkString(",")
-      s""""$cn.$sn":{"tiers":[${obs.map(tier).mkString(",")}],""" +
+      s""""${jstr(s"$cn.$sn")}":{"tiers":[${obs.map(tier).mkString(",")}],""" +
         s""""cpu_alpha":{$cpuAs}}"""
     }.mkString(",")
     val artifact =
-      s"""{"sf_dir":"$sfDir","scales":[${scales.mkString(",")}],""" +
+      s"""{"sf_dir":"${jstr(sfDir)}","scales":[${scales.mkString(",")}],""" +
         s""""cpus":$cpus,"stages":{$jsonStages}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_CHAINSCALE_OUT", "chainscale_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), artifact + "\n")

@@ -64,6 +64,17 @@ object ChainScaleCompare {
           sb ++= f"[chaincompare] $name%-26s NEW STAGE%n"
         case (Some(_), None) =>
           sb ++= f"[chaincompare] $name%-26s DROPPED%n"
+        case (Some(o), Some(n))
+            if (o.tiers.keySet intersect n.tiers.keySet).isEmpty =>
+          // No tier both records measured (scales changed between
+          // runs): say so explicitly instead of comparing two 0.0
+          // defaults that silently read as CLEAN (r19 ADVICE). Counts
+          // as flagged — an incomparable stage is not an adjudicated
+          // one.
+          flagged += 1
+          sb ++= f"[chaincompare] $name%-26s NO SHARED TIER " +
+            s"(old ${o.tiers.keySet.toSeq.sorted.mkString("/")}x vs " +
+            s"new ${n.tiers.keySet.toSeq.sorted.mkString("/")}x) — rerun at matching scales\n"
         case (Some(o), Some(n)) =>
           val topScale = (o.tiers.keySet intersect n.tiers.keySet)
             .maxOption.getOrElse(0)

@@ -64,6 +64,16 @@ class ChainScaleCompareSpec extends AnyFunSuite {
     assert(ChainScaleCompare.compare(e, b).contains("verdict: CLEAN"))
   }
 
+  test("disjoint tier sets flag NO SHARED TIER instead of a fake 0.0 CLEAN row") {
+    val a = Map("c.s" -> stage(Map(1 -> 1.0, 10 -> 10.0), lin))
+    val b = Map("c.s" -> stage(Map(100 -> 100.0), lin))
+    val r = ChainScaleCompare.compare(a, b)
+    assert(r.contains("NO SHARED TIER"), r)
+    assert(r.contains("old 1/10x vs new 100x"), r)
+    assert(!r.contains("cpu@0x"), r)
+    assert(r.contains("1 stage(s) flagged"), r)
+  }
+
   test("stage churn is reported, never crashed on") {
     val a = Map("old.only" -> stage(Map(100 -> 1.0), lin))
     val b = Map("new.only" -> stage(Map(100 -> 1.0), lin))
