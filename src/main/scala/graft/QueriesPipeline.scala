@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, KnnChain, Multimodal, PackChain, Sessionize, Similarity, TextOps, Unigram, Wordpiece}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Html, KnnChain, Multimodal, PackChain, Sessionize, Similarity, TextOps, Unigram, Wordpiece}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -557,6 +557,43 @@ object QueriesPipeline {
         TextOps.hash32(substring(col("text"), 1, 64)).as("prefix_hash32"),
         TextOps.polyHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
+
+    // RAW-CRAWL FRONT DOOR (r19 verdict ask #2): synthetic-HTML
+    // fixture -> native-expression extraction; roundtrip_ok is the
+    // per-row self-proof that extraction re-derives the clean text.
+    // Map-only — no shuffle before the presentation sort.
+    "extract_html" -> ((s, dir) =>
+      Html.extractDocs(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+          Html.synthHtml(col("doc_id"), col("text")).as("html")))
+        .select(col("doc_id"), col("extracted_text"),
+          col("n_chars_html"), col("n_chars_extracted"),
+          col("lines_total"), col("lines_kept"),
+          (replace(col("extracted_text"), lit("\n"), lit(" ")) === col("text"))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")),
+
+    // Per-source extraction-yield audit over the same fixture — the
+    // C4-style "how much of the crawl survived the gates" report.
+    // Integer sums + integer-div per-mille so the row is exact at any
+    // scale.
+    "html_extract_stats" -> ((s, dir) =>
+      Html.extractDocs(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+          Html.synthHtml(col("doc_id"), col("text")).as("html")))
+        .withColumn("rt",
+          replace(col("extracted_text"), lit("\n"), lit(" ")) === col("text"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("rt"), 1L).otherwise(0L)).as("roundtrip_ok_docs"),
+          sum(col("n_chars_html")).as("html_chars"),
+          sum(col("n_chars_extracted")).as("extracted_chars"),
+          sum(col("lines_total")).as("lines_total"),
+          sum(col("lines_kept")).as("lines_kept"))
+        .withColumn("yield_per_mille",
+          expr("extracted_chars * 1000 div html_chars"))
+        .orderBy("source")),
 
     // Pre-dedup canonical normalization (case/control/whitespace) with
     // the post-normalization content hash; map-only.
@@ -4419,6 +4456,87 @@ object QueriesPipeline {
   /** DuckDB equivalent of TextOps.hash32. */
   private def h32(c: String) = s"CAST(concat('0x', substr(md5($c), 1, 8)) AS BIGINT)"
 
+  /** Oracle mirror of [[graft.pipeline.Html.cleanLine]] over a line
+    * expression `l` — the one spelling both html oracles interpolate
+    * (inside list lambdas, so it must be a closed expression; the
+    * 'g' flags match Spark's replace-all default).
+    */
+  private def htmlCleanSql(l: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($l, '<[^>]*>', ' ', 'g'), " +
+      "'&#113;', 'q'), '&lt;', '<'), '&gt;', '>'), '&middot;', ' '), " +
+      "'&mdash;', ' '), '&copy;', ' '), '&amp;', '&'), " +
+      "' +', ' ', 'g'))"
+
+  /** Oracle mirror of [[graft.pipeline.Html.keepLine]] (lambda var
+    * `x` is the raw line): letter present, 5·links ≤ words,
+    * 10·non-[a-z ] ≤ 3·len — integer gates, no float.
+    */
+  private def htmlKeepSql: String = {
+    val c = htmlCleanSql("x")
+    s"regexp_matches($c, '[a-z]') AND " +
+      s"(len(string_split(x, '<a ')) - 1) * 5 <= len(string_split($c, ' ')) AND " +
+      s"len(regexp_replace($c, '[a-z ]', '', 'g')) * 10 <= len($c) * 3"
+  }
+
+  /** Shared CTE chain for the two html-front-door oracles: the
+    * deterministic page fixture (midpoint cut, entity encode, head/
+    * nav/script/footer framing — mirrors [[graft.pipeline.Html
+    * .synthHtml]]) then the extraction passes (head/script/style
+    * dotall removal, line gates, newline join — mirrors
+    * [[graft.pipeline.Html.extractDocs]]). Ends with relation
+    * `he(doc_id, source, text, html, body, kept, extracted_text)`.
+    */
+  private val HtmlCtes: String =
+    s"""hf AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(floor(length(text) / 2) AS INT) AS mid,
+       |    strpos(substr(text, CAST(floor(length(text) / 2) AS INT) + 1), ' ') AS sp
+       |  FROM read_parquet('{SFDIR}/documents.parquet')),
+       |hp AS (
+       |  SELECT doc_id, source, text,
+       |    replace(replace(CASE WHEN sp > 0 THEN substr(text, 1, mid + sp - 1) ELSE text END,
+       |      '&', '&amp;'), 'q', '&#113;') AS p1,
+       |    replace(replace(CASE WHEN sp > 0 THEN substr(text, mid + sp + 1) ELSE '' END,
+       |      '&', '&amp;'), 'q', '&#113;') AS p2
+       |  FROM hf),
+       |hh AS (
+       |  SELECT doc_id, source, text, concat_ws(chr(10),
+       |    '<html>',
+       |    concat('<head><title>doc ', CAST(doc_id AS VARCHAR), '</title>'),
+       |    concat('<script type="text/javascript">var id = ', CAST(doc_id AS VARCHAR), ' &amp;&amp; 1;</script>'),
+       |    '<style>',
+       |    '.nav a { color: #00f; }',
+       |    '</style>',
+       |    '</head>',
+       |    '<body>',
+       |    '<div class="nav"><a href="/">home</a> &middot; <a href="/about">about</a> &middot; <a href="/contact">contact</a></div>',
+       |    concat('<p>', p1, '</p>'),
+       |    '<script>',
+       |    concat('track(', CAST(doc_id AS VARCHAR), ');'),
+       |    '</script>',
+       |    concat('<p>', p2, '</p>'),
+       |    '<div class="footer">&copy; 2026 corpus &mdash; <a href="/tos">terms</a> <a href="/privacy">privacy</a></div>',
+       |    '</body>',
+       |    '</html>') AS html
+       |  FROM hp),
+       |hb AS (
+       |  SELECT doc_id, source, text, html,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?s)<head>.*?</head>', ' ', 'g'),
+       |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS body
+       |  FROM hh),
+       |hk AS (
+       |  SELECT doc_id, source, text, html, body,
+       |    list_filter(string_split(body, chr(10)), x -> $htmlKeepSql) AS kept
+       |  FROM hb),
+       |he AS (
+       |  SELECT doc_id, source, text, html, body, kept,
+       |    array_to_string(list_transform(kept, x -> ${htmlCleanSql("x")}), chr(10)) AS extracted_text
+       |  FROM hk)""".stripMargin
+
   private val Toks = "string_split(text, ' ')"
 
   /** Oracle mirror of [[piiDocs]] — same sparse fixture arithmetic,
@@ -6434,6 +6552,28 @@ LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
          |LEFT JOIN (SELECT * FROM nr WHERE rn = 1) n ON b.vec_id = n.bench_id
          |WHERE b.vec_id % 50 = 0
          |ORDER BY bench_id""".stripMargin,
+
+    "extract_html" ->
+      s"""WITH $HtmlCtes
+         |SELECT doc_id, extracted_text,
+         |  CAST(length(html) AS BIGINT) AS n_chars_html,
+         |  CAST(length(extracted_text) AS BIGINT) AS n_chars_extracted,
+         |  CAST(len(string_split(body, chr(10))) AS BIGINT) AS lines_total,
+         |  CAST(len(kept) AS BIGINT) AS lines_kept,
+         |  replace(extracted_text, chr(10), ' ') = text AS roundtrip_ok
+         |FROM he ORDER BY doc_id""".stripMargin,
+
+    "html_extract_stats" ->
+      s"""WITH $HtmlCtes
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(CASE WHEN replace(extracted_text, chr(10), ' ') = text THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_ok_docs,
+         |  CAST(sum(length(html)) AS BIGINT) AS html_chars,
+         |  CAST(sum(length(extracted_text)) AS BIGINT) AS extracted_chars,
+         |  CAST(sum(len(string_split(body, chr(10)))) AS BIGINT) AS lines_total,
+         |  CAST(sum(len(kept)) AS BIGINT) AS lines_kept,
+         |  CAST(sum(length(extracted_text)) * 1000 // sum(length(html)) AS BIGINT) AS yield_per_mille
+         |FROM he GROUP BY source ORDER BY source""".stripMargin,
 
     "normalize_text" ->
       """WITH n AS (

@@ -33,7 +33,7 @@ object Streaming {
     "dedupStream", "deletionStream", "domainGateStream",
     "dsirScoreStream", "emaStream", "embeddingSpectrumStream",
     "fertilityStream", "fixedNStream", "fuzzyDecontaminateStream",
-    "graphWalkStream", "intraDocDedupStream",
+    "graphWalkStream", "htmlExtractStream", "intraDocDedupStream",
     "intraDocSubstringDedupStream", "ivfCellDriftStream",
     "langConsistencyStream", "langIdModelStream", "lshCandidateStream",
     "lshVerifiedStream", "mediaFeaturesStream", "paragraphsStream",
@@ -1249,6 +1249,19 @@ object Streaming {
     */
   def redactPiiStream(docs: DataFrame): DataFrame =
     graft.pipeline.Corpus.redactPii(docs)
+
+  /** Streaming HTML→text extraction — the raw-crawl FRONT DOOR as a
+    * stream: [[graft.pipeline.Html.extractDocs]] is a pure stateless
+    * projection (dotall block removal, per-line tag strip + entity
+    * decode + integer line gates, newline join, in a fixed stage
+    * order), so the stream twin is the batch operator verbatim (the
+    * [[redactPiiStream]] stance). A live crawl feed extracts at
+    * ingest latency with nothing retained between micro-batches;
+    * every downstream twin (dedup, quality, tokenize) can chain off
+    * `extracted_text` in the same query.
+    */
+  def htmlExtractStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Html.extractDocs(docs)
 
   case class FuzzyRow(
       doc_id: Long, bench_id: Option[Long], n_agree: Option[Long])

@@ -59,6 +59,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   case class Doc(doc_id: Long, text: String)
+  case class HtmlPage(doc_id: Long, html: String)
   case class DocSrc(doc_id: Long, text: String, source: String)
   case class DocSrcT(
       doc_id: Long, text: String, source: String, tombstone: Boolean)
@@ -743,6 +744,31 @@ class StreamingSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     assert(got.toSeq == want.toSeq && got(0)._2 == 1L && got(1)._2 == 0L)
+  }
+
+  test("streaming HTML extraction matches the batch front door bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      1L -> ("<html>\n<head><title>doc 1</title></head>\n<body>\n" +
+        "<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/b\">b</a> <a href=\"/c\">c</a></div>\n" +
+        "<p>spark &#113;uery join &amp; merge</p>\n<script>\ntrack(1);\n</script>\n" +
+        "<p>value sort</p>\n</body>\n</html>"),
+      2L -> "<html>\n<body>\n<p>lone paragraph</p>\n</body>\n</html>")
+    val input = MemoryStream[HtmlPage]
+    input.addData(pages.map { case (id, h) => HtmlPage(id, h) }: _*)
+    val q = Streaming.htmlExtractStream(input.toDF()).writeStream
+      .format("memory").queryName("shtml").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def snap(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val got = spark.table("shtml").orderBy("doc_id").collect().map(snap)
+    val want = graft.pipeline.Html.extractDocs(pages.toDF("doc_id", "html"))
+      .orderBy("doc_id").collect().map(snap)
+    assert(got.toSeq == want.toSeq)
+    // boilerplate dropped, entities decoded, body script gone
+    assert(got(0)._2 == "spark query join & merge\nvalue sort", got(0)._2)
+    assert(got(1)._2 == "lone paragraph")
   }
 
   test("streaming chunking matches the batch Corpus.chunk") {
