@@ -5204,6 +5204,17 @@ FROM ssq)"""
     // the sign-disagreement count over the 64 dims IS
     // bit_count(signBits ^ signBits), the binCtes identity) before
     // the exact cosine ranking sees them
+    // NEW-FLAG rounds (mirrors the round-20 incremental NN-descent):
+    // from round 2 on, candidates join only pairs with ≥1 edge NEW vs
+    // the previous round's g (set-difference, then the two one-sided
+    // joins). Round 1 keeps the full self-join — no baseline, all new.
+    // Full self-join every round — mirrors the shipped
+    // `incremental = false` default. Round 20 measured Dong et al.'s
+    // new-flag rounds (only pairs with ≥1 new edge from round 2 on)
+    // a NEGATIVE at iters=3 post-prefilter (+17% cpu at the 100×
+    // tier, per-round churn 0.45-0.6 — see
+    // Similarity.knnWorkingList), so the engine and this oracle both
+    // stay on the full spelling.
     def round_(prev: String, g: String, c: String, p: String, out: String) =
       s"""$g AS (SELECT DISTINCT u, v FROM (
          |  SELECT u, v FROM $prev

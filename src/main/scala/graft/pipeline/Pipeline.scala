@@ -3947,6 +3947,28 @@ object Similarity {
     * (~log n) with corpus size — the standard NN-descent sizing — so
     * at larger n callers raise `searchK`, not `iters`; cost stays
     * n·(2·searchK)² per round either way.
+    *
+    * NEW-FLAG rounds (round 20, `incremental = true` — Dong et al.'s
+    * full algorithm, a MEASURED NEGATIVE here and therefore off by
+    * default): from round 2 on, the neighbor-of-neighbor join
+    * generates only pairs with ≥1 edge NEW vs the previous round's g
+    * (edge-level anti-join; old-old pairs are safe to skip because
+    * the first round where both edges co-existed already generated
+    * them, and an edge that leaves g and returns is new again, so
+    * the induction holds under churn). The lever is real in the
+    * paper's regime — many rounds, decaying churn — but at the
+    * shipped iters=3 the measured per-round churn is 0.45-0.6
+    * (KnnChurnProbe), the skippable both-old share only ~15-30% of
+    * candidate volume, and post-r19-prefilter a candidate row is too
+    * cheap for that cut to repay the anti/semi joins and the extra
+    * per-round checkpoint: break-even at best at the 100× tier,
+    * same-window interleaved A/B (KnnIncrementalProbe; the in-loop
+    * comment carries the numbers). Kept callable, deterministic, and
+    * oracle-comparable (iters=1 is identical to the default by
+    * construction, unit-pinned) so the conclusion stays
+    * re-measurable when the regime changes — e.g. a caller running
+    * iters≫3 to convergence, where churn decays and the skip set
+    * grows toward 100%.
     */
   /** One descent round's candidate PREFILTER, factored out so its
     * physical shape is plan-gated (PipelineSpec): candidates join the
@@ -3987,7 +4009,8 @@ object Similarity {
 
   def knnWorkingList(
       embeddings: DataFrame, iters: Int = 3,
-      searchK: Int = 16, candK: Int = 0): DataFrame = {
+      searchK: Int = 16, candK: Int = 0,
+      incremental: Boolean = false): DataFrame = {
     // candK <= 0 -> the measured default: 8·searchK (128 at the
     // shipped searchK=16). The shortlist must scale WITH the working
     // list — candidate volume per node is (2·searchK)², so a fixed
@@ -4035,6 +4058,11 @@ object Similarity {
         .where(col("rank") <= searchK)
     }
     var nb = topk(init).localCheckpoint(true)
+    // Previous round's FULL neighbor graph (forward ∪ capped reverse)
+    // — the baseline the new-flag anti-join diffs against; only
+    // tracked (and only checkpointed) on the incremental path, so the
+    // shipped default pays zero for the lever's existence.
+    var prevG: DataFrame = null
     for (_ <- 1 to iters) {
       val edges = nb.select("u", "v")
       // Reverse-degree CAP (round 18): the forward out-degree is
@@ -4054,8 +4082,51 @@ object Similarity {
         .withColumn("rr", row_number().over(wr))
         .where(col("rr") <= searchK)
         .select("u", "v")
-      val g = edges.unionAll(rev).distinct()
-      val cand = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+      val g0 = edges.unionAll(rev).distinct()
+      // NEW-FLAG rounds (`incremental = true` — Dong et al.'s
+      // incremental NN-descent, the r19 verdict's candidate-VOLUME
+      // lever): a neighbor-of-neighbor pair (u→w→v) whose BOTH edges
+      // already sat in last round's g was generated and offered to
+      // the shortlist last round, so from round 2 on only pairs with
+      // ≥1 edge NEW this round are generated — DISJOINT arms
+      // a-new × b-any ∪ a-old × b-new, each qualifying pair exactly
+      // once (the first two-sided ng⋈g ∪ g⋈ng spelling produced every
+      // new-new pair twice: +22% cpu / +11% shuffle at 100×).
+      //
+      // MEASURED NEGATIVE at the shipped iters=3, and therefore NOT
+      // the default: per-round list churn is 0.45-0.6 (KnnChurnProbe,
+      // 1×/10×), so the skippable both-old share is only ~15-30% of
+      // candidate volume — and after the r19 binary prefilter a
+      // candidate row costs one 8-byte xor+popcount through broadcast
+      // joins + a WindowGroupLimit-pruned window, too cheap for that
+      // cut to repay two anti/semi joins, two half-joins, and an
+      // extra per-round checkpoint of g. Same-window interleaved A/B
+      // (KnnIncrementalProbe, local[4], 100× tier, ×2): the two-sided
+      // first spelling read +22% cpu / 7.1 vs 6.4 GB shuffle in both
+      // pairs — decisively negative; the disjoint respelling read
+      // +17% then −11% across two pairs (a steal patch hit the second
+      // OFF run) — break-even within host noise — with the
+      // DETERMINISTIC byte witness at +2% (6,568 vs 6,436 MB). At
+      // best it buys nothing and complicates the plan. Both
+      // candidate-side levers are now measured: bytes-per-row (r19,
+      // −55% cpu at 100×, kept) and row count (r20, no win at
+      // iters=3 post-prefilter, off). The off-switch semantics are
+      // inverted from the prefilter's on purpose: the prefilter is
+      // always-on because it WINS at the tier that matters; this
+      // stays callable because the measurement says it does not.
+      val cand0 =
+        if (!incremental || prevG == null)
+          g0.as("a").join(g0.as("b"), col("a.v") === col("b.u"))
+        else {
+          val g = g0.localCheckpoint(true)
+          val ng = g.join(prevG, Seq("u", "v"), "left_anti")
+          val og = g.join(prevG, Seq("u", "v"), "left_semi")
+          prevG = g
+          ng.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+            .unionAll(og.as("a").join(ng.as("b"), col("a.v") === col("b.u")))
+        }
+      if (incremental && prevG == null) prevG = g0.localCheckpoint(true)
+      val cand = cand0
         .select(col("a.u").as("u"), col("b.v").as("v"))
         .where(col("u") =!= col("v"))
       // Binary PREFILTER (round 19): the ~n·(2·searchK)² candidate
@@ -4107,8 +4178,9 @@ object Similarity {
     */
   def knnGraph(
       embeddings: DataFrame, k: Int = 4, iters: Int = 3,
-      searchK: Int = 16, candK: Int = 0): DataFrame =
-    graphPrefix(knnWorkingList(embeddings, iters, searchK, candK), k)
+      searchK: Int = 16, candK: Int = 0,
+      incremental: Boolean = false): DataFrame =
+    graphPrefix(knnWorkingList(embeddings, iters, searchK, candK, incremental), k)
 
   /** (vec_id, rank, neighbor_id, cosine) top-`k` prefix of a
     * searchK-wide working list — the projection both [[knnGraph]] and

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sources.Sessions
+
+/** Measures the per-round working-list CHURN of the NN-descent — the
+  * quantity that decides whether new-flag rounds can pay at the
+  * shipped iters=3: the fraction of (u, v) edges in round r's list
+  * that were not in round r−1's. Candidate volume under a
+  * disjoint new-flag join is 1 − (1 − c)² of the full join (both
+  * edges old ⇔ pair skippable), so c ≈ 0.9 leaves nothing to cut
+  * while c ≈ 0.3 halves the round.
+  *
+  * Usage: runMain graft.tools.KnnChurnProbe [sfDir] [scalesCsv]
+  */
+object KnnChurnProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb1.count()
+    scales.foreach { n =>
+      val fx = (if (n == 1) emb1 else Amplify.embDecor(emb1, n)).localCheckpoint(true)
+      val total = fx.count()
+      val lists = (1 to 3).map(it =>
+        Similarity.knnWorkingList(fx, iters = it)
+          .select("u", "v").localCheckpoint(true))
+      lists.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        val nb = b.count()
+        val fresh = b.join(a, Seq("u", "v"), "left_anti").count()
+        val c = fresh.toDouble / nb
+        println(f"[churn] ${n}x n=$total%7d round${i + 2} list-churn = $c%.3f" +
+          f"  ($fresh%,d of $nb%,d edges new)  cut-if-disjoint = ${1 - (1 - c) * (1 - c)}%.3f of full")
+      }
+      graft.pipeline.CheckpointUtil.checkpointRdd(fx).foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}

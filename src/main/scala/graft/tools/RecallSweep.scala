@@ -64,6 +64,19 @@ object RecallSweep {
         val ckS = if (ck == Int.MaxValue) "off" else ck.toString
         println(f"[sweep] knn candK=$ckS%4s searchK=16 iters=3  recall@4 = $rec%.3f   wall $dt%5.2f s")
       }
+      // New-flag rounds (round 20): the recall price of joining only
+      // candidate pairs with >=1 new edge from round 2 on, vs the
+      // full g⋈g every round, at the shipped defaults.
+      for (inc <- Seq(true, false)) {
+        val t0 = System.nanoTime()
+        val got = Similarity.knnGraph(ec, k = 4, incremental = inc)
+          .collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = got.intersect(exactSet).size.toDouble / exactSet.size
+        println(f"[sweep] knn newflag=${if (inc) " on" else "off"}  searchK=16 iters=3" +
+          f"  recall@4 = $rec%.3f   wall $dt%5.2f s")
+      }
       spark.stop()
       return
     }

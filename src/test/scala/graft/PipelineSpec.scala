@@ -613,6 +613,24 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"NN-descent recall vs brute-force graph: $recall")
   }
 
+  test("new-flag rounds: round 1 is exactly the full join; repeat runs are deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 120).localCheckpoint(true)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Int]("rank"))).toSet
+    // iters=1: no previous round exists, so incremental and full are
+    // THE SAME algorithm — the sets must be identical, not just close
+    val inc1 = snap(Similarity.knnWorkingList(e, iters = 1, incremental = true))
+    val full1 = snap(Similarity.knnWorkingList(e, iters = 1, incremental = false))
+    assert(inc1 == full1, "round 1 must be unaffected by the new-flag path")
+    // determinism: the anti-join is set logic over checkpointed g's —
+    // two builds of the 3-round incremental list agree bit-wise
+    val a = snap(Similarity.knnWorkingList(e, incremental = true))
+    val b = snap(Similarity.knnWorkingList(e, incremental = true))
+    assert(a == b, "incremental descent must be deterministic")
+  }
+
   test("graphSearch: beam-walk shape, self excluded, and serving recall vs brute") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val g = Similarity.graphPrefix(Similarity.knnWorkingList(e), 16)
