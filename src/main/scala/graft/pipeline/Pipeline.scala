@@ -4007,10 +4007,32 @@ object Similarity {
       .select("u", "v")
   }
 
+  /** One descent round's EXACT scorer, factored out (the
+    * [[descentShortlist]] stance) so its physical shape is plan-gated
+    * in PipelineSpec: with broadcast-hinted `us`/`vs` (the round-20
+    * float gate) both vector joins are BroadcastHashJoin — the pool
+    * never shuffles for scoring — and the rank window executes as
+    * WindowGroupLimit (Partial before its exchange, Final after), so
+    * the ONLY pool exchange left in the exact pass is the window's
+    * own, already pruned to ≤searchK rows per (partition, u).
+    */
+  private[graft] def exactTopK(
+      pool: DataFrame, us: DataFrame, vs: DataFrame, searchK: Int): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)
+    pool
+      .join(us, col("u") === col("uid"))
+      .join(vs, col("v") === col("vid"))
+      .select(col("u"), col("v"),
+        (dotF(col("ue"), col("ve")) / (col("un") * col("vn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= searchK)
+  }
+
   def knnWorkingList(
       embeddings: DataFrame, iters: Int = 3,
       searchK: Int = 16, candK: Int = 0,
-      incremental: Boolean = false): DataFrame = {
+      incremental: Boolean = false,
+      floatBcastRows: Long = 6000000L): DataFrame = {
     // candK <= 0 -> the measured default: 8·searchK (128 at the
     // shipped searchK=16). The shortlist must scale WITH the working
     // list — candidate volume per node is (2·searchK)², so a fixed
@@ -4018,6 +4040,10 @@ object Similarity {
     // caller-raised searchK=24 (RecallSweep measured 0.676 vs 0.962
     // at n=2000 with a fixed 64).
     val candK_ = if (candK <= 0) 8 * searchK else candK
+    // One gate count per build, shared by the bits and float
+    // broadcast gates below; lazy so a caller that disables both
+    // (candK=Int.MaxValue AND floatBcastRows=0) still pays nothing.
+    lazy val nVecs = embeddings.count()
     val nRow = broadcast(embeddings.agg(count(lit(1)).as("nn")))
     val init = embeddings.select(col("vec_id").as("u"))
       .crossJoin(nRow)
@@ -4025,8 +4051,22 @@ object Similarity {
       .select(col("u"),
         ((col("u") * lit(48271L) + col("j") * lit(1999L)) % col("nn")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-    val us = withNorm(embeddings, "uid", "ue", "un")
-    val vs = withNorm(embeddings, "vid", "ve", "vn")
+    // FLOAT-JOIN broadcast gate (round 20): the exact pass joins the
+    // pool against the ~270 B/row float-vector frames twice per
+    // round; past Spark's 10 MB auto threshold (≈40k vectors) those
+    // joins fall into shuffle+sort mechanics — the r18/r19-diagnosed
+    // residual behind the knn cpu-alpha (the 10×→100× tier crossing
+    // IS the threshold crossing). The bits frames already broadcast
+    // under an explicit row gate; the float frames get the same
+    // stance at the same ~1.6 GB budget (6M × ~270 B). Join strategy
+    // never changes the ranked output, so the gate is a pure plan
+    // decision; above it the joins shuffle exactly as before.
+    // `floatBcastRows = 0` is the A/B off-switch (KnnFloatBcastProbe).
+    val floatsBroadcastable = floatBcastRows > 0L && nVecs <= floatBcastRows
+    def maybeBcastF(df: DataFrame): DataFrame =
+      if (floatsBroadcastable) broadcast(df) else df
+    val us = maybeBcastF(withNorm(embeddings, "uid", "ue", "un"))
+    val vs = maybeBcastF(withNorm(embeddings, "vid", "ve", "vn"))
     // The 8-byte sign-fingerprint copy of the build side ([[signBits]],
     // the [[topKBinary]] coding) — the candidate-scoring representation.
     // The bits frame is n × 16 B, broadcastable orders of magnitude
@@ -4036,27 +4076,18 @@ object Similarity {
     // hint is gated at 100M rows (~1.6 GB). Above the gate the bits
     // joins shuffle 16 B rows instead — still the narrow-row plan, and
     // the join strategy never changes the shortlist set.
-    // Lazy (r19 verdict nit #2): the gate count is a real Spark job
-    // and the fingerprint frames are only consumed by the shortlist
-    // path — with candK=Int.MaxValue (the A/B off-switch) none of the
-    // three may run, so the off path costs zero fingerprint work.
-    lazy val bitsBroadcastable = embeddings.count() <= 100000000L
+    // Lazy (r19 verdict nit #2): the fingerprint frames are only
+    // consumed by the shortlist path — with candK=Int.MaxValue (the
+    // A/B off-switch) neither is built, and the shared gate count
+    // above only runs if some gate needs it.
+    lazy val bitsBroadcastable = nVecs <= 100000000L
     def maybeBcast(df: DataFrame): DataFrame =
       if (bitsBroadcastable) broadcast(df) else df
     lazy val ub = maybeBcast(embeddings.select(
       col("vec_id").as("ubid"), signBits(col("embedding")).as("ubits")))
     lazy val vb = maybeBcast(embeddings.select(
       col("vec_id").as("vbid"), signBits(col("embedding")).as("vbits")))
-    def topk(pool: DataFrame): DataFrame = {
-      val w = Window.partitionBy("u").orderBy(col("cosine").desc, col("v").asc)
-      pool
-        .join(us, col("u") === col("uid"))
-        .join(vs, col("v") === col("vid"))
-        .select(col("u"), col("v"),
-          (dotF(col("ue"), col("ve")) / (col("un") * col("vn"))).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= searchK)
-    }
+    def topk(pool: DataFrame): DataFrame = exactTopK(pool, us, vs, searchK)
     var nb = topk(init).localCheckpoint(true)
     // Previous round's FULL neighbor graph (forward ∪ capped reverse)
     // — the baseline the new-flag anti-join diffs against; only

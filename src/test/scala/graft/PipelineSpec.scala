@@ -613,6 +613,39 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"NN-descent recall vs brute-force graph: $recall")
   }
 
+  test("exact-pass plan: float joins broadcast under the gate, pool never shuffles for scoring") {
+    // The r20 float gate's byte argument is a PLAN property: with the
+    // vector frames broadcast-hinted, both pool ⋈ vectors joins are
+    // BroadcastHashJoin — the ~n·(searchK+candK) pool rows are never
+    // exchanged for scoring — and the rank window executes as
+    // WindowGroupLimit, so the only pool exchange in the exact pass
+    // is the window's own, pre-pruned to searchK rows per partition
+    // per node (measured: 6,436 → 3,804 MB shuffle-write at the 100×
+    // build tier, −37% wall). knnWorkingList localCheckpoints
+    // eagerly, so the gate sits on the factored exactTopK the loop
+    // calls (the descentShortlist stance).
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def norm(id: String, v: String, n: String) = e.select(
+      col("vec_id").as(id), col("embedding").as(v),
+      sqrt(graft.functions.dotF(col("embedding"), col("embedding"))).as(n))
+    val us = broadcast(norm("uid", "ue", "un"))
+    val vs = broadcast(norm("vid", "ve", "vn"))
+    val pool = e.select(col("vec_id").as("u"), ((col("vec_id") + 7) % 500).as("v"))
+      .where(col("u") =!= col("v"))
+    val df = Similarity.exactTopK(pool, us, vs, 16)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val bcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bcastJoins >= 2,
+      s"both float vector joins must broadcast under the gate (found $bcastJoins):\n$plan")
+    assert("WindowGroupLimit .*row_number\\(.*, 16, Partial".r.findFirstIn(plan).isDefined,
+      s"partial (pre-exchange) WindowGroupLimit missing:\n$plan")
+    assert(!"Exchange hashpartitioning\\(u#\\d+L, v#\\d+L".r.findFirstIn(plan).isDefined,
+      s"pool must not be exchanged for scoring:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring fell back to sort-merge mechanics:\n$plan")
+  }
+
   test("new-flag rounds: round 1 is exactly the full join; repeat runs are deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("vec_id") < 120).localCheckpoint(true)
