@@ -3963,7 +3963,9 @@ object Similarity {
     * cheap for that cut to repay the anti/semi joins and the extra
     * per-round checkpoint: break-even at best at the 100× tier,
     * same-window interleaved A/B (KnnIncrementalProbe; the in-loop
-    * comment carries the numbers). Kept callable, deterministic, and
+    * comment carries the numbers), and recall-NEUTRAL (0.750 vs
+    * 0.744 at n=2000, RecallSweep newflag rows — the cost was the
+    * whole verdict). Kept callable, deterministic, and
     * oracle-comparable (iters=1 is identical to the default by
     * construction, unit-pinned) so the conclusion stays
     * re-measurable when the regime changes — e.g. a caller running

@@ -123,8 +123,19 @@ object ChainScaleCompare {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ChainScaleCompare <old.json> <new.json>")
     val om = new ObjectMapper()
-    println(s"[chaincompare] old: ${describe(om.readTree(new java.io.File(args(0))))}")
-    println(s"[chaincompare] new: ${describe(om.readTree(new java.io.File(args(1))))}")
+    val (o, n) = (om.readTree(new java.io.File(args(0))),
+      om.readTree(new java.io.File(args(1))))
+    println(s"[chaincompare] old: ${describe(o)}")
+    println(s"[chaincompare] new: ${describe(n)}")
+    // Task-CPU sums inflate with concurrent task count on an
+    // oversubscribed host (identical code reads 1.5-10x "slower" at
+    // local[32] vs local[4] — measured r20), so cross-thread-count
+    // records are NOT comparable: say so loudly instead of letting
+    // every row read REGRESSED.
+    if (o.path("cpus").asInt() != n.path("cpus").asInt())
+      println(s"[chaincompare] CONFIG MISMATCH: cpus ${o.path("cpus").asInt()} vs " +
+        s"${n.path("cpus").asInt()} — cpu ratios below are thread-count artifacts; " +
+        "rerun the new record at the old record's SPARK_GRAFT_CPUS before adjudicating")
     println(compare(load(args(0)), load(args(1))))
   }
 }
