@@ -4464,8 +4464,11 @@ object QueriesPipeline {
   private def htmlCleanSql(l: String): String =
     "trim(regexp_replace(" +
       "replace(replace(replace(replace(replace(replace(replace(" +
+      "replace(replace(replace(replace(" +
       s"regexp_replace($l, '<[^>]*>', ' ', 'g'), " +
-      "'&#113;', 'q'), '&lt;', '<'), '&gt;', '>'), '&middot;', ' '), " +
+      "'&#113;', 'q'), '&#39;', chr(39)), '&apos;', chr(39)), " +
+      "'&quot;', '\"'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&middot;', ' '), " +
       "'&mdash;', ' '), '&copy;', ' '), '&amp;', '&'), " +
       "' +', ' ', 'g'))"
 

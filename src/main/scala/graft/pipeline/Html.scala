@@ -115,14 +115,28 @@ object Html {
 
   /** Pass 3 per line: tags → space, entity decode (`&amp;` LAST so a
     * literal `&amp;` in content never double-decodes), squeeze, trim.
+    *
+    * The decoder is an explicit entity TABLE (named + the numeric
+    * forms the fixture and common crawls actually emit), not a
+    * general `&#NN;`/`&#xNN;` evaluator — computing chr(NN) from a
+    * regex capture is not expressible in native column functions on
+    * either engine; a general decoder would need a custom codegen
+    * Expression and is out of scope while every input speaks the
+    * table. The same table is interpolated into the DuckDB oracle
+    * (QueriesPipeline.htmlCleanSql) so the engines cannot drift.
     */
   def cleanLine(l: Column): Column = {
     val tagless = regexp_replace(l, "<[^>]*>", " ")
     val decoded = replace(replace(replace(replace(replace(replace(replace(
+      replace(replace(replace(replace(
       tagless,
       lit("&#113;"), lit("q")),
+      lit("&#39;"), lit("'")),
+      lit("&apos;"), lit("'")),
+      lit("&quot;"), lit("\"")),
       lit("&lt;"), lit("<")),
       lit("&gt;"), lit(">")),
+      lit("&nbsp;"), lit(" ")),
       lit("&middot;"), lit(" ")),
       lit("&mdash;"), lit(" ")),
       lit("&copy;"), lit(" ")),

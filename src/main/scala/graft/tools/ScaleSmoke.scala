@@ -883,6 +883,16 @@ object ScaleSmoke {
         .join(spark.table(s"graft_smoke_b_$tag"), Seq("doc_id")).count()
     }
 
+    // HTML front door: synth + extract, map-only — the aggregate over
+    // extracted chars defeats count()'s column pruning so the whole
+    // extraction actually runs; the returned char mass is the
+    // deterministic cross-scale witness.
+    def htmlx(d: DataFrame): Long =
+      graft.pipeline.Html.extractDocs(
+        d.select(col("doc_id"),
+          graft.pipeline.Html.synthHtml(col("doc_id"), col("text")).as("html")))
+        .agg(sum(col("n_chars_extracted"))).collect()(0).getLong(0)
+
     lazy val evN = amplify(ev1, n)
     lazy val docsN = amplifyDocs(docs1, n)
     lazy val docsNDistinct = amplifyDocsDistinct(docs1, n)
@@ -992,7 +1002,8 @@ object ScaleSmoke {
       "embedding spectrum" -> (() => (time("spectrum 1x", spectrum(emb1)), time(s"spectrum ${n}x", spectrum(embN)))),
       "events rfm" -> (() => (time("rfm 1x", rfm(ev1)), time(s"rfm ${n}x", rfm(evN)))),
       "datasheet sketch" -> (() => (time("dsketch 1x", dsketch(docs1)), time(s"dsketch ${n}x", dsketch(docsN)))),
-      "xor shard digest" -> (() => (time("xdigest 1x", xdigest(docs1)), time(s"xdigest ${n}x", xdigest(docsN)))))
+      "xor shard digest" -> (() => (time("xdigest 1x", xdigest(docs1)), time(s"xdigest ${n}x", xdigest(docsN)))),
+      "html extract" -> (() => (time("htmlx 1x", htmlx(docs1)), time(s"htmlx ${n}x", htmlx(docsN)))))
     // Optional 3rd arg: substring filter on row names (targeted re-runs
     // of just-touched paths without paying the whole matrix).
     val only = args.lift(2)

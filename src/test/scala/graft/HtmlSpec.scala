@@ -64,6 +64,16 @@ class HtmlSpec extends SparkSpec {
     // &amp;#113; must decode to the LITERAL &#113;, not to q — the
     // numeric pass runs before the &amp; pass ever creates a new &#.
     assert(out == "alpha beta a qb <c> &#113; d&e gamma delta epsilon words", s"<$out>")
+    // the wider table: quotes, apostrophes (named + numeric), nbsp
+    val df2 = Seq((2L,
+      "<p>she said &quot;it&apos;s mine&quot; and it&#39;s done alpha beta gamma delta</p>"))
+      .toDF("doc_id", "html")
+    val out2 = Html.extractDocs(df2).collect()(0).getAs[String]("extracted_text")
+    assert(out2 == "she said \"it's mine\" and it's done alpha beta gamma delta", s"<$out2>")
+    val df3 = Seq((3L, "<p>alpha&nbsp;beta&nbsp;&nbsp;gamma delta epsilon</p>"))
+      .toDF("doc_id", "html")
+    val out3 = Html.extractDocs(df3).collect()(0).getAs[String]("extracted_text")
+    assert(out3 == "alpha beta gamma delta epsilon", s"<$out3>")
   }
 
   test("line gates: high link density and non-alpha lines drop, content lines keep") {
