@@ -595,6 +595,29 @@ object QueriesPipeline {
           expr("extracted_chars * 1000 div html_chars"))
         .orderBy("source")),
 
+    // THE COMPOSED FRONT SEGMENT: crawl(HTML) → extract → quality /
+    // language / token gates → split — the FineWeb front half in one
+    // declarative query. The engine recovers the corpus FROM the
+    // synthetic pages; the ORACLE computes the same gates on the
+    // clean text directly, sharing zero extraction code with the
+    // engine — a hash match proves the whole extract→prepare segment
+    // is semantics-preserving end to end. Still map-only.
+    "crawl_prepare" -> ((s, dir) => {
+      val ex = Html.extractDocs(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          Html.synthHtml(col("doc_id"), col("text")).as("html")))
+      ex.select(col("doc_id"), col("lang"),
+          replace(col("extracted_text"), lit("\n"), lit(" ")).as("text"))
+        .select(
+          col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("q"),
+          (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          Corpus.gopherKeep().as("gopher_keep"),
+          Corpus.splitCol(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Pre-dedup canonical normalization (case/control/whitespace) with
     // the post-normalization content hash; map-only.
     "normalize_text" -> ((s, dir) =>
@@ -6588,6 +6611,32 @@ LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
          |  CAST(sum(len(kept)) AS BIGINT) AS lines_kept,
          |  CAST(sum(length(extracted_text)) * 1000 // sum(length(html)) AS BIGINT) AS yield_per_mille
          |FROM he GROUP BY source ORDER BY source""".stripMargin,
+
+    // Deliberately NOT built on HtmlCtes: the oracle gates the CLEAN
+    // text while the engine gates the text it recovered from the
+    // synthetic pages — the two sides share no extraction code, so
+    // the hash compare is an end-to-end semantics-preservation proof
+    // for the whole crawl→corpus front segment.
+    "crawl_prepare" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len($Toks) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len($Toks) - 1) AS DOUBLE) / len($Toks) AS mwl,
+         |    CAST(len(list_filter($Toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len($Toks) AS af,
+         |    CAST(len(list_distinct(list_filter($Toks, w -> w IN ('the','a','of','to','and')))) AS BIGINT) AS ns,
+         |    CASE WHEN len($Shingles) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($Shingles)) AS DOUBLE) / len($Shingles) END AS df
+         |  FROM read_parquet('{SFDIR}/documents.parquet'))
+         |SELECT doc_id,
+         |  round($QualitySql, 6) AS q,
+         |  ($LangPredSql = lang) AS lang_ok,
+         |  n_words AS n_tokens,
+         |  ((n_words >= 30 AND n_words <= 10000) AND (mwl >= 4.0 AND mwl <= 10.0)
+         |    AND (af >= 0.8) AND (ns >= 2) AND (df <= 0.1)) AS gopher_keep,
+         |  CASE WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "normalize_text" ->
       """WITH n AS (
