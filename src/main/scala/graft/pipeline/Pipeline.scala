@@ -4096,7 +4096,7 @@ object Similarity {
     // tracked (and only checkpointed) on the incremental path, so the
     // shipped default pays zero for the lever's existence.
     var prevG: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val edges = nb.select("u", "v")
       // Reverse-degree CAP (round 18): the forward out-degree is
       // searchK by construction, but a node's IN-degree is unbounded —
@@ -4154,11 +4154,14 @@ object Similarity {
           val g = g0.localCheckpoint(true)
           val ng = g.join(prevG, Seq("u", "v"), "left_anti")
           val og = g.join(prevG, Seq("u", "v"), "left_semi")
-          prevG = g
+          if (r < iters) prevG = g
           ng.as("a").join(g.as("b"), col("a.v") === col("b.u"))
             .unionAll(og.as("a").join(ng.as("b"), col("a.v") === col("b.u")))
         }
-      if (incremental && prevG == null) prevG = g0.localCheckpoint(true)
+      // round-1 baseline for the next round's anti-join — only worth
+      // materializing when a next round exists
+      if (incremental && r < iters && prevG == null)
+        prevG = g0.localCheckpoint(true)
       val cand = cand0
         .select(col("a.u").as("u"), col("b.v").as("v"))
         .where(col("u") =!= col("v"))
