@@ -3510,7 +3510,7 @@ object QueriesPipeline {
     "events_hotkey_stats_salted" -> ((s, dir) => {
       val ev = events(s, dir)
       val recommended = graft.plans.Scale.keySkewPlan(ev, Seq("event_type"))
-        .select("salt_factor").head.getLong(0).toInt
+        .select("salt_factor").head().getLong(0).toInt
       // The value sum is EXACT-INTEGER (floor to micro-units, then a
       // bigint sum): each of the 5 keys sums ~n/5 of the whole stream,
       // so a double sum's accumulation-order error would sit right on

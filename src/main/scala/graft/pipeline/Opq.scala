@@ -60,7 +60,7 @@ object Opq {
   def secondMoment(embeddings: DataFrame): Array[Array[Double]] = {
     val flat = embeddings
       .agg(graft.functions.secondMomentAgg(col("embedding"), Dim).as("m"))
-      .head.getAs[scala.collection.Seq[Double]]("m")
+      .head().getAs[scala.collection.Seq[Double]]("m")
     val m = Array.ofDim[Double](Dim, Dim)
     var idx = 0
     var i = 0

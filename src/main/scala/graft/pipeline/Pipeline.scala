@@ -889,7 +889,7 @@ object Dedup {
     // sum() over an empty frame is NULL — coalesce so a corpus with no
     // qualifying edges returns an empty result instead of an NPE.
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
     var iter = 0
     var converged = false
     var prevSum = labelSum(labels)

@@ -512,7 +512,7 @@ object Streaming {
       }.toSeq: _*)
       acc + element_at(d2s, element_at(col("codes"), j + 1).cast("int") + 1)
     }
-    queries.toDF
+    queries.toDF()
       .join(packed, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_dist"))
       .as[AdcScored]
@@ -560,7 +560,7 @@ object Streaming {
       videos: Dataset[VideoSetRecord], baseIndex: DataFrame,
       minJaccardMicro: Long = 500000L): Dataset[VideoDupHit] = {
     import videos.sparkSession.implicits._
-    val cand = videos.toDF
+    val cand = videos.toDF()
       .select(col("video_id"),
         size(array_distinct(col("hashes"))).cast("long").as("n_mine"),
         explode(array_distinct(col("hashes"))).as("ahash"))
@@ -650,7 +650,7 @@ object Streaming {
       queries: Dataset[BinQuery], index: DataFrame,
       k: Int = 5, nCandidates: Int = 20): Dataset[BinHit] = {
     import queries.sparkSession.implicits._
-    val q = queries.toDF
+    val q = queries.toDF()
       .withColumn("qbits", graft.pipeline.Similarity.signBits(col("embedding")))
     q.join(index, col("query_id") =!= col("vec_id"))
       .select(
@@ -835,7 +835,7 @@ object Streaming {
         (-(dotFD(col("embedding"), ceLit) / (qn * cn))).as("negccos"),
         lit(cid).as("cid"))
     }.toSeq: _*)
-    val probes = queries.toDF
+    val probes = queries.toDF()
       .withColumn("qn", qn)
       .withColumn("cell",
         explode(transform(slice(array_sort(scoredCells), 1, nCells),
@@ -893,7 +893,7 @@ object Streaming {
     import queries.sparkSession.implicits._
     import graft.functions.dotF
     val edges = graph.select(col("vec_id").as("enode"), col("neighbor_id"))
-    var frontier = queries.toDF
+    var frontier = queries.toDF()
       .select(col("query_id"), col("embedding"), lit(0L).as("node"))
     for (_ <- 1 to hops) {
       frontier = frontier.unionAll(
@@ -1882,7 +1882,7 @@ object Streaming {
       base: Seq[SourceBase]): Dataset[SourceDriftOut] = {
     import docs.sparkSession.implicits._
     val baseMap = base.map(b => b.source -> b).toMap
-    val staged = docs.toDF.select(
+    val staged = docs.toDF().select(
       col("source"),
       floor(graft.pipeline.TextOps.qualityScore(col("text")) * 1000000 + 0.5)
         .cast("bigint").as("q_micro"),
@@ -2071,7 +2071,7 @@ object Streaming {
       cellMap: DataFrame,
       clusterMap: DataFrame): Dataset[BlastOut] = {
     import tombstones.sparkSession.implicits._
-    val t = tombstones.toDF
+    val t = tombstones.toDF()
     val docHits = t
       .join(docTokens.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"))

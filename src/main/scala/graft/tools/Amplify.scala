@@ -30,7 +30,7 @@ object Amplify {
     */
   private def nextId(df: DataFrame, idExpr: org.apache.spark.sql.Column,
       what: String): Long = {
-    val row = df.agg(idExpr.cast("long")).head
+    val row = df.agg(idExpr.cast("long")).head()
     require(!row.isNullAt(0),
       s"Amplify.$what: input frame is empty (max id is NULL) - nothing to amplify")
     row.getLong(0) + 1

@@ -24,14 +24,14 @@ object ChainProfile {
       spark.catalog.clearCache()
     }
     time("tokenize only") {
-      docs.select(size(split(col("text"), " ")).as("n")).agg(sum("n")).head.getLong(0)
+      docs.select(size(split(col("text"), " ")).as("n")).agg(sum("n")).head().getLong(0)
     }
     time("shingle strings") {
       docs.select(explode(graft.pipeline.TextOps.shingles(col("text"))).as("s")).count()
     }
     time("shingle md5 hashes") {
       docs.select(explode(transform(graft.pipeline.TextOps.shingles(col("text")),
-        s => graft.pipeline.TextOps.hash32(s))).as("h")).agg(max("h")).head.getLong(0)
+        s => graft.pipeline.TextOps.hash32(s))).as("h")).agg(max("h")).head().getLong(0)
     }
     time("minhash signatures")(Dedup.minhashSignatures(docs).count())
     time("banded explode")(Dedup.lshBands(Dedup.minhashSignatures(docs))

@@ -68,7 +68,7 @@ object R18ChainProbe {
       // ran), which is exactly the trap the first cut of this probe
       // fell into.
       def force(df: DataFrame): Long =
-        df.agg(sum(crc32(to_json(struct(df.columns.map(col): _*))))).head.getLong(0)
+        df.agg(sum(crc32(to_json(struct(df.columns.map(col): _*))))).head().getLong(0)
 
       def rawBooks(): Long = force(Similarity.pqCodebooks(fx))
       def unstagedBooks(): Long = force(Similarity.pqCodebooks(Opq.rotate(fx, rot)))
@@ -83,11 +83,11 @@ object R18ChainProbe {
       // — separates kernel-evaluation cost from checkpoint mechanics.
       def rotateAgg(): Long =
         Opq.rotate(fx, rot)
-          .agg(sum(element_at(col("embedding"), 1).cast("double"))).head.getDouble(0).toLong
+          .agg(sum(element_at(col("embedding"), 1).cast("double"))).head().getDouble(0).toLong
       def rotate1Agg(): Long = {
         import graft.functions.dotFD
         fx.select(dotFD(col("embedding"), lit(rot(0))).as("x"))
-          .agg(sum(col("x"))).head.getDouble(0).toLong
+          .agg(sum(col("x"))).head().getDouble(0).toLong
       }
       def plainCkpt(): Long = {
         val r = fx.select(col("vec_id"), col("embedding")).localCheckpoint(true)
@@ -165,7 +165,7 @@ object R18ChainProbe {
           .select(col("a.u").as("u"), col("b.v").as("v"))
           .where(col("u") =!= col("v"))
         val nc = cand.count()
-        val maxDeg = g.groupBy("u").count().agg(max("count")).head.getLong(0)
+        val maxDeg = g.groupBy("u").count().agg(max("count")).head().getLong(0)
         println(s"[probe] knn ${n}x round $r: cand=$nc cand/n=${nc / rows} " +
           s"bound/n=1024 maxdeg=$maxDeg")
         nb = topkOf(edges.unionAll(cand).distinct()).localCheckpoint(true)

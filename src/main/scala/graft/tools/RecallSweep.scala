@@ -113,7 +113,7 @@ object RecallSweep {
       val rec = Similarity.recallAtK(
         exact,
         Seq("ivft" -> Similarity.topKIvfTrained(e, cents, nProbe = p)))
-        .agg(avg(col("ivft_recall"))).head.getDouble(0)
+        .agg(avg(col("ivft_recall"))).head().getDouble(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] nProbe=$p  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }
@@ -127,7 +127,7 @@ object RecallSweep {
       val rec = Similarity.recallAtK(
         exact,
         Seq("ivfs" -> Similarity.topKIvfTrained(e, sc)))
-        .agg(avg(col("ivfs_recall"))).head.getDouble(0)
+        .agg(avg(col("ivfs_recall"))).head().getDouble(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] sampled 1/$mod  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }
@@ -140,7 +140,7 @@ object RecallSweep {
       val rec = Similarity.recallAtK(
         exact,
         Seq("pq" -> Similarity.topKPq(e, books, m = m)))
-        .agg(avg(col("pq_recall"))).head.getDouble(0)
+        .agg(avg(col("pq_recall"))).head().getDouble(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] pq m=$m%2d ksub=$ksub%3d (${256 / m}%3dx compression)  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }
@@ -160,7 +160,7 @@ object RecallSweep {
       val rec = Similarity.recallAtK(
         exact,
         Seq("opq" -> Similarity.topKPq(rot, books, m = m)))
-        .agg(avg(col("opq_recall"))).head.getDouble(0)
+        .agg(avg(col("opq_recall"))).head().getDouble(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] opq m=$m%2d ksub=$ksub%3d (${256 / m}%3dx compression)  avg recall@5 = $rec%.3f   wall $dt%5.2f s")
     }

@@ -312,7 +312,7 @@ object ScaleSmoke {
       graft.pipeline.Multimodal.syntheticVideoFrames(spark, docs1),
       graft.pipeline.Multimodal.PcmDecoder).localCheckpoint(true)
     def amplifyVideoHashes(h: DataFrame, copies: Int): DataFrame = {
-      val maxPacked = h.agg(max(col("doc_id"))).head.getLong(0) + 16
+      val maxPacked = h.agg(max(col("doc_id"))).head().getLong(0) + 16
       (0 until copies).map { i =>
         h.select(
           (col("doc_id") + i * maxPacked).as("doc_id"),
@@ -475,7 +475,7 @@ object ScaleSmoke {
     val embBench1 = emb1.where(col("vec_id") % 50 === 0)
     def semDecon(e: DataFrame): Long =
       graft.pipeline.Similarity.semanticContamination(e, embBench1)
-        .agg(sum(col("n_leaks"))).head.getLong(0)
+        .agg(sum(col("n_leaks"))).head().getLong(0)
 
     // Span decon: fixed bench window-key set broadcast, Nx corpus
     // windows probe it — linear by the same argument as decontaminate.
@@ -511,7 +511,7 @@ object ScaleSmoke {
     // Shard plan: the distributed prefix sum is the bill; Nx docs ->
     // Nx prefix rows, the per-partition offset map stays O(partitions).
     def shard(d: DataFrame): Long =
-      graft.pipeline.Corpus.shardAssign(d).agg(max("shard")).head.getLong(0)
+      graft.pipeline.Corpus.shardAssign(d).agg(max("shard")).head().getLong(0)
 
     // Classifier quality score: one md5 + literal lookup per token,
     // five dense mul-adds per doc — pure map, must track volume.
@@ -525,7 +525,7 @@ object ScaleSmoke {
     // not the operator.
     def srcOverlap(d: DataFrame): Long =
       graft.pipeline.Corpus.sourceWindowOverlap(d)
-        .agg(coalesce(sum("n_shared_windows"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("n_shared_windows"), lit(0L))).head().getLong(0)
 
     // Vocab coverage: count shuffle + distributed rank over the vocab
     // + 3-row broadcast sweep; must track token volume.
@@ -536,7 +536,7 @@ object ScaleSmoke {
       val (ranked, _) = graft.plans.Scale.rowNumberDistributedWithTotal(
         counts, Seq(col("n_occ").desc, col("token").asc), "rank")
       val m = ranked.where(col("rank") <= 1000)
-        .agg(coalesce(sum("n_occ"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("n_occ"), lit(0L))).head().getLong(0)
       spark.catalog.clearCache()
       m
     }
@@ -545,7 +545,7 @@ object ScaleSmoke {
     // map, must track volume.
     def winnow(d: DataFrame): Long =
       graft.pipeline.Corpus.winnowFingerprints(d)
-        .agg(sum("n_fingerprints")).head.getLong(0)
+        .agg(sum("n_fingerprints")).head().getLong(0)
 
     // Hot-window worst case for the source-overlap matrix: the SAME
     // 8-token phrase in EVERY document (every source shares the one
@@ -582,7 +582,7 @@ object ScaleSmoke {
         scored, Seq(col("logit").desc, col("doc_id").asc), "curriculum_pos")
       val m = graft.plans.Scale
         .cumSumDistributedLong(ranked, "n_tokens", "curriculum_pos", "cum_tokens")
-        .agg(max("cum_tokens")).head.getLong(0)
+        .agg(max("cum_tokens")).head().getLong(0)
       spark.catalog.clearCache()
       m
     }
@@ -621,7 +621,7 @@ object ScaleSmoke {
         .withColumn("_ord", struct((-col("a")).as("a"), col("doc_id").as("d")))
       val m = graft.plans.Scale
         .cumSumDistributedLong(scored, "n_bigrams", "_ord", "cum")
-        .agg(max("cum")).head.getLong(0)
+        .agg(max("cum")).head().getLong(0)
       spark.catalog.clearCache()
       m
     }
