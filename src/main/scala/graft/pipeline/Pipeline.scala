@@ -4147,21 +4147,44 @@ object Similarity {
       // inverted from the prefilter's on purpose: the prefilter is
       // always-on because it WINS at the tier that matters; this
       // stays callable because the measurement says it does not.
+      // Checkpoints this round supersedes (last round's nb; on the
+      // incremental path, replaced baselines and the final round's
+      // g): RELEASED only after the new nb materializes below — a
+      // local checkpoint's lineage is truncated, so its blocks must
+      // outlive every plan that reads them. Without the release a
+      // long descent (the iters≫3 regime the incremental flag is kept
+      // for) holds one full edge-graph snapshot per round in the
+      // block manager for the life of the session.
+      var stale = List(nb)
       val cand0 =
-        if (!incremental || prevG == null)
+        if (!incremental)
           g0.as("a").join(g0.as("b"), col("a.v") === col("b.u"))
         else {
-          val g = g0.localCheckpoint(true)
-          val ng = g.join(prevG, Seq("u", "v"), "left_anti")
-          val og = g.join(prevG, Seq("u", "v"), "left_semi")
-          if (r < iters) prevG = g
-          ng.as("a").join(g.as("b"), col("a.v") === col("b.u"))
-            .unionAll(og.as("a").join(ng.as("b"), col("a.v") === col("b.u")))
+          // ONE materialization of g per round serves both the
+          // candidate joins and (when a next round exists) the next
+          // round's baseline — round 1 previously paid the reverse-cap
+          // window + distinct twice, once uncheckpointed in the join
+          // lineage and once for the baseline. A last round with no
+          // baseline to diff against (iters = 1) skips the checkpoint
+          // entirely; PipelineSpec pins it equal to the full spelling.
+          val g =
+            if (r == iters && prevG == null) g0
+            else g0.localCheckpoint(true)
+          val out =
+            if (prevG == null)
+              g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+            else {
+              val ng = g.join(prevG, Seq("u", "v"), "left_anti")
+              val og = g.join(prevG, Seq("u", "v"), "left_semi")
+              ng.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+                .unionAll(og.as("a").join(ng.as("b"), col("a.v") === col("b.u")))
+            }
+          if (prevG != null) stale ::= prevG
+          prevG =
+            if (r < iters) g
+            else { if (g ne g0) stale ::= g; null }
+          out
         }
-      // round-1 baseline for the next round's anti-join — only worth
-      // materializing when a next round exists
-      if (incremental && r < iters && prevG == null)
-        prevG = g0.localCheckpoint(true)
       val cand = cand0
         .select(col("a.u").as("u"), col("b.v").as("v"))
         .where(col("u") =!= col("v"))
@@ -4203,6 +4226,8 @@ object Similarity {
         if (candK_ == Int.MaxValue) edges.unionAll(cand).distinct()
         else edges.unionAll(descentShortlist(cand, ub, vb, candK_)).distinct()
       nb = topk(pool).localCheckpoint(true)
+      stale.foreach(d =>
+        CheckpointUtil.checkpointRdd(d).foreach(_.unpersist(false)))
     }
     nb.select(col("u"), col("v"), col("cosine"), col("rank"))
   }

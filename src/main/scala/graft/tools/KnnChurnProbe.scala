@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
 import graft.pipeline.Similarity
 import graft.sources.Sessions
 
@@ -12,6 +10,17 @@ import graft.sources.Sessions
   * disjoint new-flag join is 1 − (1 − c)² of the full join (both
   * edges old ⇔ pair skippable), so c ≈ 0.9 leaves nothing to cut
   * while c ≈ 0.3 halves the round.
+  *
+  * PROXY CAVEAT: this diffs the rank≤searchK WORKING LISTS across
+  * iteration counts (each rebuilt from scratch — rounds 1..r−1 are
+  * recomputed per point, ~2× total work for the 3-point curve); the
+  * in-loop skip actually keys on g = forward ∪ capped-REVERSE edges,
+  * whose churn the reverse cap can move independently (hub in-edges
+  * entering/leaving a node's top-searchK). List churn bounds the
+  * decision well enough for the order-of-magnitude question the
+  * probe answers (is the skippable share ~70% or ~20%?), and the
+  * definitive word is KnnIncrementalProbe's end-to-end cpu/byte A/B
+  * anyway.
   *
   * Usage: runMain graft.tools.KnnChurnProbe [sfDir] [scalesCsv]
   */
