@@ -664,6 +664,25 @@ class PipelineSpec extends SparkSpec {
     assert(a == b, "incremental descent must be deterministic")
   }
 
+  test("descent releases superseded checkpoints: one persistent RDD per build") {
+    // Every round eagerly localCheckpoints its working list (and, on
+    // the incremental path, its edge graph); superseded snapshots are
+    // released as soon as the next round's list materializes, so a
+    // finished build must leave exactly ONE new persisted RDD — the
+    // returned list. Without the release a long descent holds
+    // O(iters) full snapshots in the block manager for the session.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 120).localCheckpoint(true)
+    def leaked(build: => org.apache.spark.sql.DataFrame): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      build.count()
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }
+    for (inc <- Seq(false, true); it <- Seq(1, 3))
+      assert(leaked(Similarity.knnWorkingList(e, iters = it, incremental = inc)) == 1,
+        s"incremental=$inc iters=$it left more than the returned list persisted")
+  }
+
   test("graphSearch: beam-walk shape, self excluded, and serving recall vs brute") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val g = Similarity.graphPrefix(Similarity.knnWorkingList(e), 16)
