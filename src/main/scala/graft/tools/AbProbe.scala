@@ -30,7 +30,11 @@ object AbProbe {
     val scales = args.lift(1).getOrElse(defaultScales)
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: the constant-bytes-per-partition
+    // control (see [[ChainScale]]); default = cpus, the config every
+    // committed A/B was measured under.
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    val spark = Sessions.builder(s"local[$cpus]", shufP).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =

@@ -83,8 +83,19 @@ object ChainScale {
       .split(",").map(_.trim.toInt).toSeq.sorted
     val only = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS (default: = cpus, the historic
+    // config every committed artifact was measured under): the
+    // constant-bytes-per-partition CONTROL. A single-host tier sweep
+    // holds partition count fixed while bytes grow, so past some tier
+    // the per-partition sort depth — not the plan — drives the cpu
+    // alpha; a real cluster runs the opposite regime (more data ⇒
+    // more executors ⇒ more partitions, bytes/partition ~constant).
+    // Re-running the top tier with partitions scaled by the tier
+    // ratio separates the two: byte-linear + alpha that collapses
+    // under the control ⇒ harness artifact, not an engine regression.
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
     val spark: SparkSession =
-      Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+      Sessions.builder(s"local[$cpus]", shufP).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
