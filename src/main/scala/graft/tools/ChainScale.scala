@@ -53,14 +53,15 @@ object ChainScale {
   private val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private final case class Obs(
-      scale: Int, wallS: Double, taskS: Double, cpuS: Double, shufMb: Double)
+      scale: Int, wallS: Double, taskS: Double, cpuS: Double, shufMb: Double,
+      n: Long)
 
-  private def time(run: () => Long): (Double, Double, Double, Double) = {
+  private def time(run: () => Long): (Double, Double, Double, Double, Long) = {
     val tt0 = taskMs.get(); val cp0 = cpuNs.get(); val sw0 = shufW.get()
     val t0 = System.nanoTime()
-    run()
+    val n = run()
     ((System.nanoTime() - t0) / 1e9, (taskMs.get() - tt0) / 1e3,
-      (cpuNs.get() - cp0) / 1e9, (shufW.get() - sw0) / 1048576.0)
+      (cpuNs.get() - cp0) / 1e9, (shufW.get() - sw0) / 1048576.0, n)
   }
 
   /** Per-decade exponent; NaN (printed "n/a") when the low-tier timing
@@ -174,12 +175,12 @@ object ChainScale {
         val fx = chain.fixture(n)
         val key = s"chainscale:${n}x"
         chain.stages.foreach { st =>
-          val (wall, task, cpu, shufMb) = time(() => st.run(fx, key))
+          val (wall, task, cpu, shufMb, rows) = time(() => st.run(fx, key))
           results.updateWith((chain.name, st.name))(v =>
-            Some(v.getOrElse(Vector.empty) :+ Obs(n, wall, task, cpu, shufMb)))
+            Some(v.getOrElse(Vector.empty) :+ Obs(n, wall, task, cpu, shufMb, rows)))
           println(f"[chainscale] ${chain.name}.${st.name}%-22s ${n}%4dx " +
             f"wall=$wall%8.2f s  task=$task%9.2f s  cpu=$cpu%9.2f s  " +
-            f"shufW=$shufMb%8.1f MB")
+            f"shufW=$shufMb%8.1f MB  n=$rows%d")
         }
         chain.release(spark)
         free(fx)
@@ -207,7 +208,7 @@ object ChainScale {
         s"""{"scale":${o.scale},"wall_s":${math.rint(o.wallS * 100) / 100},""" +
           s""""task_s":${math.rint(o.taskS * 100) / 100},""" +
           s""""cpu_s":${math.rint(o.cpuS * 100) / 100},""" +
-          s""""shuffle_write_mb":${math.rint(o.shufMb * 10) / 10}}"""
+          s""""shuffle_write_mb":${math.rint(o.shufMb * 10) / 10},"n":${o.n}}"""
       val cpuAs = obs.sliding(2).collect { case Vector(lo, hi) =>
         val a = alpha(lo, hi, _.cpuS)
         s""""${lo.scale}->${hi.scale}":""" +
