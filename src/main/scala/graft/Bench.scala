@@ -146,6 +146,10 @@ object Bench {
         graft.pipeline.IvfChain.release(spark)
         graft.pipeline.BpeChain.release(spark)
         graft.pipeline.PackChain.release(spark)
+        // The serving-walk frontier is per-query-batch work, not a
+        // trained artifact — released so every pass pays the walk once
+        // (its input, the KnnChain graph, stays staged as before).
+        graft.pipeline.WalkChain.release(spark)
         spark.catalog.clearCache()
       }
       runPass()

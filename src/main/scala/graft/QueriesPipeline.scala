@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Html, KnnChain, Multimodal, PackChain, Sessionize, Similarity, TextOps, Unigram, Wordpiece}
+import graft.pipeline.{Bpe, BpeChain, Corpus, Dedup, DedupChain, Html, KnnChain, Multimodal, PackChain, Sessionize, Similarity, TextOps, Unigram, WalkChain, Wordpiece}
 
 /** Declared queries + DuckDB oracles for the beyond-reference
   * training-data pipeline operators (documents / embeddings / events).
@@ -1041,8 +1041,13 @@ object QueriesPipeline {
     // session-staged signature chain. See [[Dedup.containmentPairs]].
     "dedup_containment" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.containmentPairs(
-          Dedup.lshCandidatePairsFromSigs(DedupChain.minhashSigs(s, dir, d)), d)
+      // r21: ride the session-staged candidate set (the jaccard
+      // stage's projection — inner joins against the all-docs shingle
+      // frame preserve every candidate pair, and dedup_lsh_pairs
+      // already oracle-proves the staged set equals the from-scratch
+      // LSH set) instead of re-running the band-explode self-join +
+      // distinct per query.
+      Dedup.containmentPairs(DedupChain.candidatePairs(s, dir, d), d)
         .select(
           col("doc_a"), col("doc_b"), col("n_common"),
           round(col("containment_a"), 6).as("containment_a"),
@@ -1878,8 +1883,11 @@ object QueriesPipeline {
     // [[graft.streaming.Streaming.graphWalkStream]]. See
     // [[Similarity.graphSearch]].
     "ann_graph_walk" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.graphSearch(e, KnnChain.graph(s, dir, e, k = 16))
+      // All four walk consumers rank/filter from ONE session-staged
+      // frontier (WalkChain — the r21 optimization); graphSearch is
+      // rankWalkOut ∘ servingFrontier, so the output is unchanged.
+      Similarity.graphSearchFromFrontier(
+          WalkChain.frontier(s, dir, embs(s, dir)))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -1894,8 +1902,8 @@ object QueriesPipeline {
     // [[graft.pipeline.Similarity.graphSearchFiltered]].
     "ann_graph_walk_filtered" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.graphSearchFiltered(
-          e, KnnChain.graph(s, dir, e, k = 16),
+      Similarity.graphSearchFilteredFromFrontier(
+          WalkChain.frontier(s, dir, e),
           e.where(pmod(col("label"), lit(2)) === 1))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -1965,7 +1973,8 @@ object QueriesPipeline {
       val e = embs(s, dir)
       Similarity.recallAtK(
         Similarity.topK(e, numQueries = 8, k = 4),
-        Seq("walk" -> Similarity.graphSearch(e, KnnChain.graph(s, dir, e, k = 16))
+        Seq("walk" -> Similarity.graphSearchFromFrontier(
+            WalkChain.frontier(s, dir, e))
           .select(col("query_id"), col("neighbor_id"))))
         .orderBy("query_id")
     }),
@@ -1980,8 +1989,8 @@ object QueriesPipeline {
       val allowed = e.where(pmod(col("label"), lit(2)) === 1)
       Similarity.recallAtK(
         Similarity.topKFrom(e, allowed, numQueries = 8, k = 4),
-        Seq("fwalk" -> Similarity.graphSearchFiltered(
-            e, KnnChain.graph(s, dir, e, k = 16), allowed)
+        Seq("fwalk" -> Similarity.graphSearchFilteredFromFrontier(
+            WalkChain.frontier(s, dir, e), allowed)
           .select(col("query_id"), col("neighbor_id"))))
         .orderBy("query_id")
     }),

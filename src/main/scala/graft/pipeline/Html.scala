@@ -148,21 +148,40 @@ object Html {
   private def nLinks(l: Column): Column =
     (size(split(l, "<a ")) - lit(1)).cast("long")
 
-  /** Pass 4 — the line gates. Integer arithmetic only (no float
-    * thresholds to drift between engines): letter present; link
-    * density ≤ 0.2 links/word as `5·links ≤ words`; alpha-space
-    * ratio ≥ 70% as `10·other ≤ 3·len`.
+  /** Pass 4 — the line gates over a pre-cleaned line. Integer
+    * arithmetic only (no float thresholds to drift between engines):
+    * letter present; link density ≤ 0.2 links/word as
+    * `5·links ≤ words`; alpha-space ratio ≥ 70% as `10·other ≤ 3·len`.
+    * Takes the RAW line (for the anchor count) and its CLEANED form
+    * separately so the caller can bind the clean chain once — see
+    * [[lineStructs]].
     */
-  def keepLine(l: Column): Column = {
-    val c = cleanLine(l)
+  private def keepFrom(raw: Column, c: Column): Column =
     c.rlike("[a-z]") &&
-      nLinks(l) * lit(5L) <= size(split(c, " ")).cast("long") &&
+      nLinks(raw) * lit(5L) <= size(split(c, " ")).cast("long") &&
       length(regexp_replace(c, "[a-z ]", "")).cast("long") * lit(10L) <=
         length(c).cast("long") * lit(3L)
-  }
 
-  private def keptLines(body: Column): Column =
-    filter(split(body, "\n"), keepLine _)
+  /** [[keepFrom]] over a raw line (the pre-r21 gate spelling, kept for
+    * spec-level use): cleans inline, so each reference of the cleaned
+    * value re-evaluates the chain — use [[lineStructs]] on any hot
+    * path.
+    */
+  def keepLine(l: Column): Column = keepFrom(l, cleanLine(l))
+
+  /** Per-line (raw, clean) structs for a body column. The ONE place
+    * [[cleanLine]] is spelled on the extraction path (r21): HOF
+    * lambdas are CodegenFallback and never CSE duplicated subtrees —
+    * the previous filter(keepLine)-then-transform(cleanLine) spelling
+    * re-evaluated the 11-replace + 2-regex clean chain up to 5× per
+    * line (4 references inside the keep gate + the survivor
+    * re-clean). Materializing the struct array binds the cleaned
+    * string once per line; the gate and the output projection read
+    * struct fields.
+    */
+  private def lineStructs(body: Column): Column =
+    transform(split(body, "\n"),
+      l => struct(l.as("raw"), cleanLine(l).as("clean")))
 
   /** The whole extraction over a frame carrying (doc_id, html):
     * adds body/lines bookkeeping and the extracted text. Stateless —
@@ -172,9 +191,11 @@ object Html {
   def extractDocs(docs: DataFrame): DataFrame =
     docs
       .withColumn("_body", bodyOf(col("html")))
-      .withColumn("_kept", keptLines(col("_body")))
+      .withColumn("_kept",
+        filter(lineStructs(col("_body")),
+          x => keepFrom(x.getField("raw"), x.getField("clean"))))
       .withColumn("extracted_text",
-        array_join(transform(col("_kept"), cleanLine _), "\n"))
+        array_join(transform(col("_kept"), x => x.getField("clean")), "\n"))
       .withColumn("n_chars_html", length(col("html")).cast("long"))
       .withColumn("n_chars_extracted", length(col("extracted_text")).cast("long"))
       .withColumn("lines_total",

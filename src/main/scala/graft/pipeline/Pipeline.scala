@@ -4289,10 +4289,41 @@ object Similarity {
   def graphSearch(
       embeddings: DataFrame, graph: DataFrame, numQueries: Int = 8,
       k: Int = 4, beam: Int = 16, hops: Int = 5): DataFrame =
-    graphSearchFrom(
+    graphSearchFromFrontier(
+      servingFrontier(embeddings, graph, numQueries, beam, hops), k)
+
+  /** The converged serving-walk frontier for the standard query frame
+    * (query_id < numQueries) — the expensive hops loop of
+    * [[graphSearch]]/[[graphSearchFiltered]], factored out so the
+    * session-staged [[WalkChain]] can build it ONCE and fan the four
+    * declared walk consumers out from it (each hop is a separate
+    * eagerly-checkpointed job, so re-running the loop per consumer
+    * paid ~13 scheduler-bound jobs four times for one frontier).
+    */
+  private[graft] def servingFrontier(
+      embeddings: DataFrame, graph: DataFrame, numQueries: Int = 8,
+      beam: Int = 16, hops: Int = 5): DataFrame =
+    walkFrontier(
       broadcast(withNorm(embeddings, "query_id", "qe", "qn")
         .where(col("query_id") < numQueries)),
-      embeddings, graph, k, beam, hops)
+      embeddings, graph, beam, hops, entryNode = 0L, truncate = true)
+
+  /** Serving output over a pre-built walk frontier — [[graphSearch]]
+    * minus the hops loop; identical output by construction (the
+    * function composition is unchanged, WalkChainSpec pins equality).
+    */
+  def graphSearchFromFrontier(frontier: DataFrame, k: Int = 4): DataFrame =
+    rankWalkOut(frontier, k)
+
+  /** [[graphSearchFiltered]] over a pre-built walk frontier: the
+    * attribute predicate applies at the final ranking via the same
+    * frontier-side semi-join.
+    */
+  def graphSearchFilteredFromFrontier(
+      frontier: DataFrame, allowed: DataFrame, k: Int = 4): DataFrame =
+    rankWalkOut(
+      frontier.join(
+        allowed.select(col("vec_id").as("node")), Seq("node"), "left_semi"), k)
 
   /** [[graphSearch]] for an ARBITRARY broadcast-small query frame
     * (query_id, qe, qn) — the seam [[knnGraphAppend]] uses to walk
@@ -4320,15 +4351,9 @@ object Similarity {
   def graphSearchFiltered(
       embeddings: DataFrame, graph: DataFrame, allowed: DataFrame,
       numQueries: Int = 8, k: Int = 4, beam: Int = 16,
-      hops: Int = 5): DataFrame = {
-    val queries = broadcast(withNorm(embeddings, "query_id", "qe", "qn")
-      .where(col("query_id") < numQueries))
-    val frontier = walkFrontier(queries, embeddings, graph, beam, hops, 0L,
-      truncate = true)
-    rankWalkOut(
-      frontier.join(
-        allowed.select(col("vec_id").as("node")), Seq("node"), "left_semi"), k)
-  }
+      hops: Int = 5): DataFrame =
+    graphSearchFilteredFromFrontier(
+      servingFrontier(embeddings, graph, numQueries, beam, hops), allowed, k)
 
   /** Final exact ranking over a walk frontier (self excluded) —
     * shared by [[graphSearchFrom]] and [[graphSearchFiltered]].
@@ -5873,6 +5898,7 @@ object Chains {
     DsirChain.release(s)
     BigramChain.release(s)
     KnnChain.release(s)
+    WalkChain.release(s)
     AHashChain.release(s)
     VideoChain.release(s)
     BucketStore.release(s)
@@ -6116,6 +6142,49 @@ object KnnChain {
         m.remove(k).foreach(df =>
           CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
       })
+}
+
+/** Session-staged serving-walk FRONTIER — the DedupChain stance
+  * applied to graph serving (round 21): four declared queries
+  * (`ann_graph_walk`, `ann_graph_walk_filtered`,
+  * `ann_recall_graph_walk`, `ann_recall_walk_filtered`) walk the SAME
+  * 8-query frame over the SAME staged k=16 graph with the same
+  * beam/hops, and each was re-running the whole hops loop — ~13
+  * scheduler-bound jobs per consumer (every hop eagerly
+  * localCheckpoints a ~128-row frontier, so the loop is latency-bound,
+  * not data-bound) for one identical frontier. A serving deployment
+  * computes a query batch's frontier once and both ranks and
+  * post-filters from it; the staged frame IS that artifact:
+  * (query_id, node, cosine), O(queries·beam) rows. Released between
+  * bench passes like the data-transform chains (the walk is per-query-
+  * batch work, not a trained artifact — unlike the KnnChain graph it
+  * walks). Output-identical by construction: [[Similarity.graphSearch]]
+  * is literally rankWalkOut ∘ servingFrontier, and the consumers now
+  * share the servingFrontier value (WalkChainSpec pins equality).
+  */
+object WalkChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The converged default-parameter serving frontier (numQueries=8,
+    * beam=16, hops=5 over the k=16 staged graph), built once per
+    * (session, scale dir). Already lineage-truncated by the walk's own
+    * per-hop checkpointing — the memo pins the final frame as-is.
+    */
+  def frontier(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir), ChainBill.time("WalkChain") {
+      lazy val e = embs
+      Similarity.servingFrontier(e, KnnChain.graph(s, dir, e, k = 16))
+    })
+
+  /** Session teardown / between-pass release (see [[Chains.releaseAll]]). */
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
 }
 
 object DedupStateStore {

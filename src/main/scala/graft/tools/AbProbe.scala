@@ -49,12 +49,24 @@ object AbProbe {
     def once(
         label: String, build: (SparkSession, DataFrame) => Long,
         fx: DataFrame): Unit = {
+      // clearCache() drops CacheManager persists but NOT checkpoint RDD
+      // blocks: each knnWorkingList build leaves its converged list
+      // locally checkpointed with no handle here, so interleaved ×2
+      // runs would accumulate one full-list snapshot per run per tier
+      // in the block manager — a memory-pressure bias against LATER
+      // runs at the big tiers (r20 ADVICE). Snapshot the persistent-RDD
+      // set before the build and release the delta after the count,
+      // mirroring the per-tier fixture release below.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val c0 = cpuNs.get(); val s0 = shufW.get(); val t0 = System.nanoTime()
       val n = build(spark, fx)
       println(f"[$tag] $label%-22s wall=${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         f"  cpu=${(cpuNs.get() - c0) / 1e9}%9.2f s" +
         f"  shufW=${(shufW.get() - s0) / 1048576.0}%8.1f MB  ($n rows)")
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(false))
     }
 
     scales.foreach { n =>

@@ -99,4 +99,25 @@ class HtmlSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"front door claims a shuffle-free map pass but the plan has an Exchange:\n$plan")
   }
+
+  test("cleanLine chain is spelled once per line in the extraction plan (r21 fusion)") {
+    // HOF lambdas are CodegenFallback — duplicated subtrees inside or
+    // across lambda bodies never CSE — so the pre-r21 spelling carried
+    // the 11-replace + 2-regex clean chain 5× per line (4 gate
+    // references + the survivor re-clean). The struct fusion must pin
+    // it to exactly ONE occurrence; the DECODER direction of the
+    // numeric-entity replace prints as `&#113;, q` (the generator's
+    // encode side prints `q, &#113;`), so its count in the executed
+    // plan counts clean-chain spellings and nothing else.
+    // spark.range input: a literal fixture constant-folds the whole
+    // extraction into a LocalTableScan and the assertion sees no plan
+    val src = spark.range(1).select(col("id").as("doc_id"),
+      concat(lit("spark join merge sort "), col("id").cast("string")).as("text"))
+    val plan = Html.extractDocs(
+        src.select(col("doc_id"), col("text"),
+          Html.synthHtml(col("doc_id"), col("text")).as("html")))
+      .queryExecution.executedPlan.toString
+    val n = "&#113;, q".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly 1 cleanLine spelling, found $n:\n$plan")
+  }
 }
