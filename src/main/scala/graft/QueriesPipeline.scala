@@ -1592,9 +1592,11 @@ object QueriesPipeline {
     // mutual-best pairs at margin >= 1.0 are the mined bitext. See
     // [[graft.pipeline.Similarity.bitextMine]].
     "bitext_mine" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.bitextMine(
-          e, graft.pipeline.IvfChain.centroids(s, dir, e))
+      // r21: mine from the session-staged candidate frontier (built
+      // once; ann_recall_bitext audits the same frame) — the mine IS
+      // margins ∘ candidates, so the output is unchanged.
+      Similarity.bitextMineFrom(
+          graft.pipeline.IvfChain.bitextCandidates(s, dir, embs(s, dir)))
         .orderBy("src_id")
     }),
 
@@ -1606,8 +1608,8 @@ object QueriesPipeline {
     // [[graft.pipeline.Similarity.bitextRecall]].
     "ann_recall_bitext" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.bitextRecall(
-        e, graft.pipeline.IvfChain.centroids(s, dir, e))
+      Similarity.bitextRecallFrom(
+        e, graft.pipeline.IvfChain.bitextCandidates(s, dir, e))
     }),
 
     // Recall@5 of the ADC/PQ index against the brute-force ground

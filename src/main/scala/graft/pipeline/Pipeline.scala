@@ -5257,13 +5257,23 @@ object Similarity {
       k: Int = 4,
       minMargin: Double = 1.0): DataFrame = {
     require(nCells >= 1 && k >= 1, s"bad nCells=$nCells k=$k")
-    bitextMargins(bitextCandidates(embeddings, cents, nCells), k)
+    bitextMineFrom(bitextCandidates(embeddings, cents, nCells), k, minMargin)
+  }
+
+  /** [[bitextMine]] over a pre-built candidate frontier (r21: the
+    * frontier is session-staged — [[IvfChain.bitextCandidates]] — so
+    * the miner and its recall instrument stop rebuilding it per
+    * consumer; output identical by construction, the mine IS
+    * margins ∘ candidates).
+    */
+  def bitextMineFrom(
+      cand: DataFrame, k: Int = 4, minMargin: Double = 1.0): DataFrame =
+    bitextMargins(cand, k)
       .where(col("fwd_rank") === 1 && col("bwd_rank") === 1 &&
         col("margin") >= minMargin)
       .select(
         col("src_id"), col("tgt_id"), round(col("cosv"), 6).as("cosine"),
         round(col("margin") * 1e6, 0).cast("bigint").as("margin_micro"))
-  }
 
   /** The tgt side's candidate-neighborhood integer sums — the state a
     * mining deployment SERVES so the streaming scorer
@@ -5376,7 +5386,18 @@ object Similarity {
     */
   def bitextRecall(
       embeddings: DataFrame, cents: DataFrame,
-      nCells: Int = 2, maxQueryId: Long = 32L): DataFrame = {
+      nCells: Int = 2, maxQueryId: Long = 32L): DataFrame =
+    bitextRecallFrom(
+      embeddings, bitextCandidates(embeddings, cents, nCells), maxQueryId)
+
+  /** [[bitextRecall]] over a pre-built candidate frontier — before r21
+    * the instrument rebuilt the frontier TWICE internally (once for
+    * `hit_cand`, once inside the mine call for `hit_mined`); with the
+    * session-staged frontier both reads and the miner share one build.
+    */
+  def bitextRecallFrom(
+      embeddings: DataFrame, candFrontier: DataFrame,
+      maxQueryId: Long = 32L): DataFrame = {
     val srcQ = broadcast(
       withNorm(embeddings.where(pmod(col("label"), lit(2)) === 0), "src_id", "qe", "qn")
         .where(col("src_id") < maxQueryId))
@@ -5394,9 +5415,9 @@ object Similarity {
       .where(col("rank") === 1)
       .select(col("src_id"), col("tgt_id").as("brute_tgt"),
         round(col("cosine"), 6).as("brute_cosine"))
-    val cand = bitextCandidates(embeddings, cents, nCells)
+    val cand = candFrontier
       .select(col("src_id"), col("tgt_id").as("cand_tgt"))
-    val mined = bitextMine(embeddings, cents, nCells)
+    val mined = bitextMineFrom(candFrontier)
       .select(col("src_id"), col("tgt_id").as("mined_tgt"))
     brute
       .join(cand,
@@ -5727,6 +5748,23 @@ object IvfChain {
     memo.getOrElseUpdate((s, dir, "pq"),
       ChainBill.time("IvfChain")(
         Similarity.pqCodebooks(embs).localCheckpoint(true)))
+
+  /** The bitext-mining candidate frontier (src_id, tgt_id, cosv,
+    * cos_micro) over the staged centroids, staged once per (session,
+    * dir) — r21: `bitext_mine` built it once and `ann_recall_bitext`
+    * twice more (its hit_cand read + the mine it audits), three
+    * trainedAssignments + cell-tile cosine passes per bench pass for
+    * one identical O(candidate) frame. A mining deployment
+    * materializes the frontier per batch pass and derives margins and
+    * audits from it; released between passes with the rest of the
+    * chain.
+    */
+  def bitextCandidates(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "bitext"), ChainBill.time("IvfChain") {
+      lazy val e = embs
+      Similarity.bitextCandidates(e, centroids(s, dir, e))
+        .localCheckpoint(true)
+    })
 
   /** Trained parametric-OPQ rotation — delegates to [[OpqChain]]
     * (round-16: the OPQ train moved to a once-per-SESSION chain, the
