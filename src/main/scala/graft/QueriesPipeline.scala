@@ -3639,10 +3639,10 @@ object QueriesPipeline {
     // (multimodal_audio_dedup) can never catch. Same 8×8-bit banded
     // equi-join, exhaustive ≤ hamming 3 by pigeonhole.
     "multimodal_audio_pairs" -> ((s, dir) =>
-      Multimodal.aHashPairs(
-        Multimodal.aHash(
-          Multimodal.syntheticAudio(s, docs(s, dir)), Multimodal.PcmDecoder),
-        maxHamming = 3)
+      // r21: the audio hash + banded pair graph is session-staged
+      // (AHashChain.audioPairs) — four audio consumers previously each
+      // re-ran the PCM decode pass, and the CC query re-ran this join.
+      graft.pipeline.AHashChain.audioPairs(s, dir, docs(s, dir))
         .orderBy("doc_a", "doc_b")),
 
     // CC over the audio perceptual pair graph — cluster labels +
@@ -3650,10 +3650,7 @@ object QueriesPipeline {
     // exactly as multimodal_phash_clusters completes images.
     "multimodal_audio_clusters" -> ((s, dir) =>
       Dedup.clusters(
-        Multimodal.aHashPairs(
-          Multimodal.aHash(
-            Multimodal.syntheticAudio(s, docs(s, dir)), Multimodal.PcmDecoder),
-          maxHamming = 3)
+        graft.pipeline.AHashChain.audioPairs(s, dir, docs(s, dir))
           .select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
@@ -3696,8 +3693,7 @@ object QueriesPipeline {
     // (1-row frames, broadcast by construction).
     "media_dedup_report" -> ((s, dir) => {
       val img = graft.pipeline.AHashChain.imageHashes(s, dir, docs(s, dir))
-      val aud = Multimodal.aHash(
-        Multimodal.syntheticAudio(s, docs(s, dir)), Multimodal.PcmDecoder)
+      val aud = graft.pipeline.AHashChain.audioHashes(s, dir, docs(s, dir))
       def tier(h: DataFrame, prefix: String): DataFrame = {
         val g = h.groupBy("ahash").agg(count(lit(1)).as("n"))
         g.agg(
@@ -3717,9 +3713,7 @@ object QueriesPipeline {
     // kernel serves both modalities, which is the point of the
     // decode-seam contract.
     "multimodal_audio_dedup" -> ((s, dir) => {
-      val h = Multimodal.aHash(
-        Multimodal.syntheticAudio(s, docs(s, dir)),
-        Multimodal.PcmDecoder)
+      val h = graft.pipeline.AHashChain.audioHashes(s, dir, docs(s, dir))
       val g = h.groupBy("ahash").agg(
         count(lit(1)).as("n_same"),
         min(col("doc_id")).as("_canon"))
@@ -3738,8 +3732,9 @@ object QueriesPipeline {
     // structure is exact (variants d apart share 8−d of 8+d frames).
     // See [[graft.pipeline.Multimodal.videoDupPairs]].
     "multimodal_video_dedup" -> ((s, dir) =>
-      Multimodal.videoDupPairs(
-          graft.pipeline.VideoChain.frameHashes(s, dir, docs(s, dir)))
+      // r21: the pair graph is session-staged (VideoChain.dupPairs) —
+      // the CC consumer re-ran the same frame-set Jaccard join.
+      graft.pipeline.VideoChain.dupPairs(s, dir, docs(s, dir))
         .orderBy("id_a", "id_b")),
 
     // CC over the video near-dup pair graph — cluster labels +

@@ -525,6 +525,17 @@ object VideoChain {
           Multimodal.syntheticVideoFrames(s, docs),
           Multimodal.PcmDecoder).localCheckpoint(true)))
 
+  /** The df-capped video near-dup pair graph over the staged frame
+    * hashes, staged r21: both `multimodal_video_dedup` and the CC
+    * consumer ([[clusterLabels]]) re-ran the frame-set Jaccard join.
+    */
+  def dupPairs(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "vpairs"),
+      ChainBill.time("VideoChain")(
+        Multimodal.videoDupPairs(frameHashes(s, dir, docs))
+          .localCheckpoint(true)))
+
   /** CC labels (doc_id, cluster_id, is_canonical) over the df-capped
     * video near-dup pair graph.
     */
@@ -533,7 +544,7 @@ object VideoChain {
     memo.getOrElseUpdate((s, dir, "vclusters"),
       ChainBill.time("VideoChain")(
         Dedup.clusters(
-          Multimodal.videoDupPairs(frameHashes(s, dir, docs))
+          dupPairs(s, dir, docs)
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
           .localCheckpoint(true)))
 
@@ -574,6 +585,32 @@ object AHashChain {
         Dedup.clusters(
           Multimodal.aHashPairs(imageHashes(s, dir, docs), maxHamming = 3)
             .select(col("doc_a"), col("doc_b")))
+          .localCheckpoint(true)))
+
+  /** The per-audio-blob aHash table — the audio twin of
+    * [[imageHashes]], staged r21: four declared consumers
+    * (`multimodal_audio_pairs`, `multimodal_audio_clusters`,
+    * `multimodal_audio_dedup`, `media_dedup_report`) each re-ran the
+    * PCM synth + decode + resample + hash pass for the same
+    * (doc_id, ahash) frame.
+    */
+  def audioHashes(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "audiohashes"),
+      ChainBill.time("AHashChain")(
+        Multimodal.aHash(
+          Multimodal.syntheticAudio(s, docs),
+          Multimodal.PcmDecoder).localCheckpoint(true)))
+
+  /** The banded-Hamming audio pair graph over the staged hashes —
+    * shared by the pair query and the CC consumer (each re-ran the
+    * 8-band self-join before r21). O(near-dup pairs) rows.
+    */
+  def audioPairs(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "audiopairs"),
+      ChainBill.time("AHashChain")(
+        Multimodal.aHashPairs(audioHashes(s, dir, docs), maxHamming = 3)
           .localCheckpoint(true)))
 
   /** Session teardown (see [[Chains.releaseAll]]). */
