@@ -2264,11 +2264,16 @@ object QueriesPipeline {
     // (the assignment pass already exists in the update step). See
     // [[graft.pipeline.Similarity.kmeansInertia]].
     "ivf_inertia" -> ((s, dir) => {
+      // r21: ONE training run with per-iteration snapshots
+      // (kmeansCentroidsTrace — snapshot i is bit-equal to training
+      // iters=i from the same deterministic init) instead of three
+      // independent trainings re-executing shared Lloyd prefixes.
       val e = embs(s, dir)
-      (0 to 2).map { i =>
-        Similarity.kmeansInertia(e, Similarity.kmeansCentroids(e, k = 8, iters = i))
-          .select(lit(i).as("iter"), col("n_vecs"), col("inertia_micro"))
-      }.reduce(_ union _).orderBy("iter")
+      Similarity.kmeansCentroidsTrace(e, k = 8, iters = 2)
+        .zipWithIndex.map { case (c, i) =>
+          Similarity.kmeansInertia(e, c)
+            .select(lit(i).as("iter"), col("n_vecs"), col("inertia_micro"))
+        }.reduce(_ union _).orderBy("iter")
     }),
 
     // Recall@k of the two approximate indexes against the brute-force
@@ -3200,11 +3205,10 @@ object QueriesPipeline {
     // (the score join is deliberately un-hinted — model is
     // corpus-scale at 100 TB; AQE broadcasts it when small).
     "doc_bigram_logprob" -> ((s, dir) => {
+      // r21: the scored frame is session-staged (BigramChain.scored) —
+      // ppl_buckets re-ran the same bigram explode + score join.
       import graft.pipeline.BigramChain
-      Corpus.bigramScore(
-          BigramChain.bigrams(docs(s, dir)),
-          BigramChain.model(s, dir, docs(s, dir)))
-        .orderBy("doc_id")
+      BigramChain.scored(s, dir, docs(s, dir)).orderBy("doc_id")
     }),
 
     // CCNet-style perplexity buckets: docs ranked by per-bigram mean
@@ -3216,9 +3220,7 @@ object QueriesPipeline {
     // on the IEEE-exact micro ratio with doc_id tiebreak.
     "ppl_buckets" -> ((s, dir) => {
       import graft.pipeline.BigramChain
-      val scored = Corpus.bigramScore(
-          BigramChain.bigrams(docs(s, dir)),
-          BigramChain.model(s, dir, docs(s, dir)))
+      val scored = BigramChain.scored(s, dir, docs(s, dir))
         .select(col("doc_id"), col("n_bigrams"),
           (col("logprob_micro").cast("double") / col("n_bigrams"))
             .as("avg_lp_micro"))

@@ -4834,6 +4834,30 @@ object Similarity {
       iters)
   }
 
+  /** [[kmeansCentroids]] with per-iteration SNAPSHOTS — the centroid
+    * table after 0..iters Lloyd steps, each materialized (k tiny rows)
+    * so a convergence instrument can score every stage of ONE training
+    * run. r21: `ivf_inertia` previously trained iters=0/1/2 as three
+    * independent plans — re-executing shared Lloyd prefixes per branch
+    * — where a production run logs inertia DURING one training pass.
+    * Snapshot i is bit-equal to `kmeansCentroids(e, k, iters = i)`
+    * (the loop is deterministic and the 6dp update rounding is the
+    * cross-iteration seam; PipelineSpec pins equality).
+    */
+  def kmeansCentroidsTrace(
+      embeddings: DataFrame, k: Int = 8, iters: Int = 2): Seq[DataFrame] = {
+    require(k >= 1 && iters >= 0, s"bad kmeans params k=$k iters=$iters")
+    var cents = embeddings.where(col("vec_id") < k)
+      .select(
+        col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+      .localCheckpoint(true)
+    cents +: (1 to iters).map { _ =>
+      cents = lloyd(embeddings, cents, 1).localCheckpoint(true)
+      cents
+    }
+  }
+
   /** IVF training on a deterministic hash-SAMPLE of the corpus — the
     * billion-scale reality the [[kmeansCentroids]] scaladoc promises
     * (centroids from a bounded sample serve the full corpus; only
@@ -6099,6 +6123,18 @@ object BigramChain {
     memo.getOrElseUpdate((s, dir),
       ChainBill.time("BigramChain")(
         Corpus.bigramModel(bigrams(docs)).localCheckpoint(true)))
+
+  /** The per-doc scored frame (doc_id, n_bigrams, logprob_micro),
+    * staged r21: both fluency consumers (`doc_bigram_logprob` and
+    * `ppl_buckets`) re-ran the corpus bigram explode + model score
+    * join for the same O(docs)-row result; the scored frame is three
+    * numeric columns per doc — far cheaper to hold than to re-derive.
+    */
+  def scored(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir + "#scored"), ChainBill.time("BigramChain") {
+      lazy val d = docs
+      Corpus.bigramScore(bigrams(d), model(s, dir, d)).localCheckpoint(true)
+    })
 
   /** Session teardown (see [[Chains.releaseAll]]). */
   def release(s: SparkSession): Unit =

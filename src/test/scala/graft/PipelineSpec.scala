@@ -953,6 +953,18 @@ class PipelineSpec extends SparkSpec {
       s"no corpus-side shuffle join in training:\n$plan")
   }
 
+  test("kmeansCentroidsTrace: snapshot i bit-equals an independent iters=i training (r21)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val trace = graft.pipeline.Similarity.kmeansCentroidsTrace(e, k = 8, iters = 2)
+    assert(trace.size == 3)
+    trace.zipWithIndex.foreach { case (snap, i) =>
+      val direct = graft.pipeline.Similarity.kmeansCentroids(e, k = 8, iters = i)
+        .orderBy("cid").collect().map(_.toString).toSeq
+      val got = snap.orderBy("cid").collect().map(_.toString).toSeq
+      assert(got == direct, s"trace snapshot $i diverged from iters=$i training")
+    }
+  }
+
   test("trained IVF returns full ranked top-k per query on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = graft.pipeline.Similarity.kmeansCentroids(e, k = 4, iters = 1)
