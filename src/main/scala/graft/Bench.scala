@@ -137,10 +137,14 @@ object Bench {
     val allPasses = (1 to passes).map { p =>
       // Reset session-staged state so every pass pays the chain build:
       // min-of-N must compare equal work, not first-build vs marginal.
-      // Deliberately NOT released: KnnChain and OpqChain — trained
-      // indexes are build-once/serve-many artifacts, so min-of-passes
-      // measures their marginal serve cost (full train stays visible
-      // in pass-1 raw walls).
+      // Deliberately NOT released: KnnChain, OpqChain and DsirChain —
+      // trained indexes/models are build-once/serve-many artifacts, so
+      // min-of-passes measures their marginal serve cost (full train
+      // stays visible in pass-1 raw walls). Everything computed from
+      // the corpus per run (signatures, hashes, pair graphs, scored
+      // frames, frontiers) is released: r21 pass-reset fix — the
+      // image-hash tier had ridden a warm pass 2 since r14, which
+      // min-of-N then silently preferred.
       if (p > 1) {
         graft.pipeline.DedupChain.release(spark)
         graft.pipeline.IvfChain.release(spark)
@@ -150,6 +154,9 @@ object Bench {
         // trained artifact — released so every pass pays the walk once
         // (its input, the KnnChain graph, stays staged as before).
         graft.pipeline.WalkChain.release(spark)
+        graft.pipeline.AHashChain.release(spark)
+        graft.pipeline.VideoChain.release(spark)
+        graft.pipeline.BigramChain.release(spark)
         spark.catalog.clearCache()
       }
       runPass()

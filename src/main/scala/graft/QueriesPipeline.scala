@@ -864,9 +864,12 @@ object QueriesPipeline {
           (count(lit(1)) / 2).cast("bigint").as("n_winnow_pairs"),
           countDistinct(col("wd")).as("n_winnow_docs"))
       // the near-SUBSET tier: candidate pairs where either direction's
-      // containment reaches 0.8 — absorption the jaccard tier misses
+      // containment reaches 0.8 — absorption the jaccard tier misses.
+      // r21: rides the staged candidate-pair projection instead of
+      // re-running the band-explode self-join + distinct per query
+      // (the dedup_containment stance).
       val ct = Dedup.containmentPairs(
-          Dedup.lshCandidatePairsFromSigs(DedupChain.minhashSigs(s, dir, d)), d)
+          DedupChain.candidatePairs(s, dir, d), d)
         .where(greatest(col("containment_a"), col("containment_b")) >= 0.8)
         .agg(count(lit(1)).cast("bigint").as("n_containment_pairs"))
       ex.crossJoin(nd).crossJoin(pa).crossJoin(sb).crossJoin(wn).crossJoin(ct)
@@ -1107,7 +1110,10 @@ object QueriesPipeline {
       val d = docs(s, dir)
       val isNew = col("doc_id") % 10 === 0
       val sigs = DedupChain.minhashSigs(s, dir, d)
-      val deltaEdges = Dedup.jaccardPairs(
+      // r21: the delta verify prunes the shingle-set frame to the
+      // candidate-pair members (guide §3.2) — the O(delta) candidate
+      // set no longer pays a full-corpus shingle + persist pass.
+      val deltaEdges = Dedup.jaccardPairsPruned(
         Dedup.incrementalCandidatePairs(sigs.where(!isNew), sigs.where(isNew))
           .select(col("doc_a"), col("doc_b")), d)
         .where(col("jaccard") >= 0.5)
@@ -1168,11 +1174,20 @@ object QueriesPipeline {
     // only the cluster's first (doc_id, para_idx) occurrence survives
     // the rebuild. Same 32-token units as dedup_paragraphs.
     "paragraph_neardedup_filter" -> ((s, dir) => {
-      val units = Corpus.chunk(docs(s, dir), chunkSize = 32, stride = 32)
+      val d = docs(s, dir)
+      val units = Corpus.chunk(d, chunkSize = 32, stride = 32)
         .select(
           col("doc_id"), col("chunk_id").as("para_idx"),
           col("chunk_text").as("para_text"))
-      Corpus.paragraphNearDedupFilter(units).orderBy("doc_id")
+      // r21: the fuzzy layer rides the session-staged unit pair frame
+      // (shared with dedup_paragraphs) instead of re-running the
+      // unit-level MinHash/LSH + verify chain per query.
+      Corpus.paragraphNearDedupFilter(units,
+          fuzzyPairs = Some(DedupChain.paraPairs(s, dir,
+            Corpus.chunk(d, chunkSize = 32, stride = 32).select(
+              (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+              col("chunk_text").as("text")))))
+        .orderBy("doc_id")
     }),
 
     // WITHIN-document repeated-unit removal (CCNet-style line dedup):
@@ -1250,7 +1265,9 @@ object QueriesPipeline {
         .select(
           (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
           col("chunk_text").as("text"))
-      Dedup.paragraphPairs(units)
+      // r21: rides the session-staged unit pair frame (shared with
+      // paragraph_neardedup_filter's fuzzy layer).
+      DedupChain.paraPairs(s, dir, units)
         .where(expr("doc_a div 1000 <> doc_b div 1000"))
         .select(
           expr("doc_a div 1000").as("doc_a"),
@@ -1342,8 +1359,9 @@ object QueriesPipeline {
     // banded by fingerprint with the df<=16 stop-list cap.
     "corpus_prepare_winnow" -> ((s, dir) => {
       val d = docs(s, dir)
-      val dupIds = Dedup.clusters(
-          DedupChain.winnowPairs(s, dir, d).select("doc_a", "doc_b"))
+      // r21: rides the session-staged winnow CC labels (shared with
+      // dedup_winnow_clusters) instead of re-running label propagation.
+      val dupIds = DedupChain.winnowClusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
       Corpus.withExactCanonical(d.select(
@@ -2656,8 +2674,9 @@ object QueriesPipeline {
     // require the Jaccard pass. Same pointer-jumping CC as the LSH
     // chain; only docs with at least one shared run appear.
     "dedup_winnow_clusters" -> ((s, dir) =>
-      Dedup.clusters(
-        DedupChain.winnowPairs(s, dir, docs(s, dir)).select("doc_a", "doc_b"))
+      // r21: session-staged CC labels (corpus_prepare_winnow gates on
+      // the same frame).
+      DedupChain.winnowClusterLabels(s, dir, docs(s, dir))
         .orderBy("doc_id")),
 
     // Winnow-keyed candidate pairs: docs sharing a selected

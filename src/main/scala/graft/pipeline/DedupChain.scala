@@ -108,18 +108,47 @@ object DedupChain {
     * per query would charge the incremental path for the full history
     * it exists to avoid.
     */
-  def baseClusterLabels(s: SparkSession, dir: String, docs: => DataFrame): DataFrame = {
-    lazy val d = docs
+  def baseClusterLabels(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     cached(s, dir, "baselabels") {
-      val isNew = col("doc_id") % 10 === 0
+      // r21: filter the staged all-docs verify stage instead of
+      // rebuilding signatures + band join + jaccard verify over the
+      // 90% base snapshot. Plan-equal by construction: the band
+      // self-join has no df cap (a pair of old docs shares a band
+      // independently of which new docs exist), jaccard is pair-local,
+      // and CC sees the identical edge set either way — so the base
+      // state table is one filter + CC over the frame the session
+      // already stages for the five all-docs consumers. The
+      // incremental DELTA path stays O(delta) (it never reads this
+      // all-docs stage; see dedup_clusters_incremental).
       Dedup.clusters(
-        Dedup.jaccardPairs(
-          Dedup.lshCandidatePairsFromSigs(minhashSigs(s, dir, d).where(!isNew)),
-          d.where(!isNew))
-          .where(col("jaccard") >= 0.5)
+        jaccardPairs(s, dir, docs)
+          .where(col("jaccard") >= 0.5 &&
+            col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
           .select(col("doc_a"), col("doc_b")))
     }
-  }
+
+  /** The unit-level (32-token chunk, uid = doc_id·1000 + idx) near-dup
+    * pair frame (doc_a, doc_b, jaccard ≥ 0.5), staged once per
+    * (session, dir): `dedup_paragraphs` and
+    * `paragraph_neardedup_filter` fold the IDENTICAL unit MinHash/LSH
+    * + jaccard-verify chain — each re-ran it per query before r21.
+    * O(near-dup unit pairs) rows, the same stance as the
+    * document-level jaccard stage. `units` must be the keyed
+    * (doc_id = uid, text) frame both consumers build from
+    * Corpus.chunk(·, 32, 32).
+    */
+  def paraPairs(s: SparkSession, dir: String, units: => DataFrame): DataFrame =
+    cached(s, dir, "parapairs")(Dedup.paragraphPairs(units))
+
+  // NOT staged: the paragraph/substring REBUILD outputs
+  // (paragraphDedupFilter / substringDedupFilter). Measured r21
+  // (PerfProbe, sf0.1): a checkpointed rebuild frame materializes the
+  // expensive text_clean column that the count-timed consumers never
+  // evaluate (Catalyst prunes it under both the declared query's
+  // count and corpus_dedup_report's numeric aggregates), so staging
+  // turned dedup_substrings 0.44 s → 4.13 s for zero second-reader
+  // benefit. The report re-derives its sums from the lazy frames and
+  // lets pruning do the sharing.
 
   /** The df-capped winnow candidate graph (doc_a, doc_b,
     * n_shared_fingerprints), staged once per (session, dir): four
@@ -130,6 +159,16 @@ object DedupChain {
     */
   def winnowPairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     cached(s, dir, "winpairs")(Corpus.winnowCandidatePairs(docs))
+
+  /** CC labels over the winnow candidate graph, staged once per
+    * (session, dir): `dedup_winnow_clusters` declares the frame and
+    * `corpus_prepare_winnow` gates on its non-canonicals — each ran
+    * the ~20-round CC label propagation over the staged pairs per
+    * query before r21. Same stance as the LSH [[clusterLabels]].
+    */
+  def winnowClusterLabels(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "winlabels")(
+      Dedup.clusters(winnowPairs(s, dir, docs).select("doc_a", "doc_b")))
 
   /** The (doc_id, th1, th2) token-hash frame ([[Dedup.tokenHashes]]),
     * staged once per (session, dir): md5 over the token stream is the

@@ -465,6 +465,30 @@ object Dedup {
   def jaccardPairs(pairs: DataFrame, docs: DataFrame): DataFrame =
     jaccardPairsSh(pairs, shingled(docs))
 
+  /** [[jaccardPairs]] for a SMALL candidate set (the delta-ingest
+    * verify): the shingle-set frame is semi-join-pruned to the pair
+    * members before the verify joins, so shingling + the persisted
+    * set frame cost O(pair members), not O(corpus) — the guide-§3.2
+    * stance (reduce the big side before it is materialized). The
+    * member-id set is tiny (≤ 2·|pairs| ids), so the semi-join is a
+    * broadcast and the corpus scan stays one pass with the filter
+    * pushed below the shingle projection. Output identical to
+    * [[jaccardPairs]]: pruning only removes docs no pair references.
+    */
+  def jaccardPairsPruned(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // persisted: read three times (both id sides + the verify join);
+    // caller-owned lifecycle like every per-query persist (the
+    // harness clears the cache after the consuming action)
+    val p = pairs.persist()
+    val ids = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    // broadcast hint: the member-id set has no size estimate after the
+    // persist, so the planner would otherwise shuffle the corpus TEXT
+    // through a sort-merge semi-join — the exact payload shuffle the
+    // pruning exists to avoid
+    jaccardPairsSh(p, shingled(docs.join(broadcast(ids), Seq("doc_id"), "leftsemi")))
+  }
+
   /** [[jaccardPairs]] over a pre-shingled (doc_id, sh) frame. */
   def jaccardPairsSh(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val withSets = sh
@@ -2976,16 +3000,22 @@ object Corpus {
       idxCol: String = "para_idx",
       textCol: String = "para_text",
       minJaccard: Double = 0.5,
-      idxCap: Long = 1000L): DataFrame = {
+      idxCap: Long = 1000L,
+      fuzzyPairs: Option[DataFrame] = None): DataFrame = {
     val keyed = units.withColumn("_uid", col(idCol) * idxCap + col(idxCol))
     val hashed = keyed.withColumn("_h", md5(col(textCol)))
     val roots = hashed.groupBy(col("_h")).agg(min(col("_uid")).as("_root"))
     val exactEdges = hashed.join(roots, "_h")
       .where(col("_uid") =!= col("_root"))
       .select(col("_root").as("doc_a"), col("_uid").as("doc_b"))
-    val fuzzyEdges = Dedup.paragraphPairs(
-        keyed.select(col("_uid").as("doc_id"), col(textCol).as("text")),
-        minJaccard)
+    // fuzzyPairs: callers with the unit pair graph already staged
+    // (DedupChain.paraPairs — the same (uid, text) keying) pass it in
+    // instead of re-running the unit-level MinHash/LSH + verify chain
+    // per query (r21; the default builds it as before).
+    val fuzzyEdges = fuzzyPairs.getOrElse(
+        Dedup.paragraphPairs(
+          keyed.select(col("_uid").as("doc_id"), col(textCol).as("text")),
+          minJaccard))
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.clusters(exactEdges.union(fuzzyEdges))
       .select(col("doc_id").as("_uid"), col("cluster_id"))
