@@ -891,13 +891,13 @@ object QueriesPipeline {
         .where(!col("is_canonical")).select(col("doc_id").as("dup_id"))
       val decon = Dedup.decontaminate(d, d.where(col("doc_id") % 50 === 0))
         .select(col("doc_id"), col("contaminated"))
-      val flags = Corpus.withExactCanonical(d.select(
+      val flags = d.select(
           col("doc_id"),
-          md5(col("text")).as("cmd5"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
           (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
-          (TextOps.badwordsRatioMicro(col("text")) <= 50000L).as("bw_ok")))
+          (TextOps.badwordsRatioMicro(col("text")) <= 50000L).as("bw_ok"))
+        .join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .join(decon, Seq("doc_id"))
       val c1 = col("is_exact_canonical")
@@ -1283,20 +1283,22 @@ object QueriesPipeline {
     // AND quality gate AND language agreement. Every input is one of
     // the already-declared operators; composing them keeps the whole
     // chain map/shuffle-parallel (skew-safe groupBy+min join-back for
-    // exact canonicals — Corpus.withExactCanonical, the
-    // paragraphDedupFilter spelling — the CC labels joined back for
+    // exact canonicals — Corpus.withExactCanonical inside the staged
+    // DedupChain.exactCanonical frame — the CC labels joined back for
     // near-dup canonicals, pure projections for the two content gates).
     "corpus_filter" -> ((s, dir) => {
       val d = docs(s, dir)
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
+      // r21: the exact-canonical flag rides the session-staged frame
+      // (DedupChain.exactCanonical, shared by seven gate queries)
+      // instead of a per-query md5 + groupBy + join-back.
       val base = d.select(
         col("doc_id"),
-        md5(col("text")).as("cmd5"),
         TextOps.qualityScore(col("text")).as("q"),
         (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"))
-      Corpus.withExactCanonical(base)
+      base.join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .select(
           col("doc_id"),
@@ -1330,13 +1332,13 @@ object QueriesPipeline {
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      Corpus.withExactCanonical(d.select(
+      d.select(
           col("doc_id"),
-          md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
-          Corpus.gopherKeep().as("keep")))
+          Corpus.gopherKeep().as("keep"))
+        .join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep"))
@@ -1364,13 +1366,13 @@ object QueriesPipeline {
       val dupIds = DedupChain.winnowClusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      Corpus.withExactCanonical(d.select(
+      d.select(
           col("doc_id"),
-          md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
-          Corpus.gopherKeep().as("keep")))
+          Corpus.gopherKeep().as("keep"))
+        .join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep"))
@@ -1396,14 +1398,14 @@ object QueriesPipeline {
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      val flags = Corpus.withExactCanonical(d.select(
+      val flags = d.select(
           col("doc_id"),
-          md5(col("text")).as("cmd5"),
           (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           Corpus.gopherKeep().as("gopher_ok"),
           (Corpus.qualityModelLogit() >= 0).as("model_ok"),
-          Corpus.domainGate().as("domain_ok")))
+          Corpus.domainGate().as("domain_ok"))
+        .join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .select(
           col("is_exact_canonical").as("exact_ok"),
@@ -1435,13 +1437,13 @@ object QueriesPipeline {
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      Corpus.withExactCanonical(d.select(
+      d.select(
           col("doc_id"),
-          md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
-          (Corpus.qualityModelLogit() >= 0).as("keep")))
+          (Corpus.qualityModelLogit() >= 0).as("keep"))
+        .join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep"))
@@ -1492,14 +1494,14 @@ object QueriesPipeline {
       val dupIds = DedupChain.clusterLabels(s, dir, d)
         .where(!col("is_canonical"))
         .select(col("doc_id").as("dup_id"))
-      Corpus.withExactCanonical(d.select(
+      d.select(
           col("doc_id"),
-          md5(col("text")).as("cmd5"),
           TextOps.qualityScore(col("text")).as("q"),
           (TextOps.langPred(col("text")) === col("lang")).as("lang_ok"),
           size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
           Corpus.gopherKeep().as("keep"),
-          Corpus.domainGate().as("domain_ok")))
+          Corpus.domainGate().as("domain_ok"))
+        .join(DedupChain.exactCanonical(s, dir, d), Seq("doc_id"))
         .join(dupIds, col("doc_id") === col("dup_id"), "left")
         .where(col("is_exact_canonical") && col("dup_id").isNull &&
           col("q") >= 0.5 && col("lang_ok") && col("keep") && col("domain_ok"))

@@ -160,6 +160,22 @@ object DedupChain {
   def winnowPairs(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     cached(s, dir, "winpairs")(Corpus.winnowCandidatePairs(docs))
 
+  /** The (doc_id, is_exact_canonical) flag frame, staged once per
+    * (session, dir): SEVEN declared queries (corpus_filter, the four
+    * corpus_prepare variants, gate_attribution, corpus_yield_report)
+    * each ran the full-corpus md5 + groupBy(cmd5) + join-back per
+    * query — two corpus scans and two exchanges apiece for the same
+    * O(docs) boolean. Consumers equi-join this frame on doc_id (the
+    * staged side is tiny per partition, so the join broadcasts) and
+    * drop the md5 from their own scan entirely. The per-snapshot
+    * canonical-flag table of a production chain.
+    */
+  def exactCanonical(s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    cached(s, dir, "exactcanon")(
+      Corpus.withExactCanonical(
+        docs.select(col("doc_id"), md5(col("text")).as("cmd5")))
+        .select(col("doc_id"), col("is_exact_canonical")))
+
   /** CC labels over the winnow candidate graph, staged once per
     * (session, dir): `dedup_winnow_clusters` declares the frame and
     * `corpus_prepare_winnow` gates on its non-canonicals — each ran

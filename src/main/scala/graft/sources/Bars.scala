@@ -97,5 +97,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Runtime Bloom-filter injection OFF (r21, measured): every join
+      // in this engine is already explicitly shaped (broadcast hints,
+      // banded equi-joins, staged-frame probes), and the injector
+      // misfires on the session-staged localCheckpoint frames — an RDD
+      // scan has no size estimate, so it passes the application-side
+      // threshold and Spark adds a WHOLE EXTRA CORPUS SCAN per query
+      // to build a bloom over the big side's ids just to pre-filter a
+      // label frame of a few hundred rows (seen live in the
+      // corpus_prepare* plans). At cluster scale the same joins have
+      // both sides over the creation threshold, so the filter would
+      // not fire there either — the conf removes a local-mode planner
+      // artifact, not a scale lever.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
 }
