@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Once per JVM (r21): ImageIO's default stream cache backs EVERY
+  // read/write with a synchronized temp FILE — under the repartitioned
+  // 32-thread encode/decode the lock + file churn ballooned the image
+  // chain's executor task time ~8x (9.9 -> 77 s measured at sf0.1) and
+  // erased the parallelism win. Memory-backed streams remove the shared
+  // lock; blobs here are KB-sized, so the memory trade is nil. Both
+  // encodePng and ImageIODecoder live in this object, so any executor
+  // JVM that touches either initializes this first.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(
       id: Long,
       modality: String,
@@ -129,13 +139,30 @@ object Multimodal {
     */
   def syntheticImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+    spreadIds(spark, docs).as[(Long, String)]
       .map { case (id, src) =>
         val w = (16 + id % 16).toInt
         val h = (16 + (id / 16) % 16).toInt
         MediaRecord(id, "image", encodePng(w, h, i => ((id * 31 + i) % 256).toInt), src)
       }
   }
+
+  /** The (doc_id, source) projection spread across the session's full
+    * parallelism BEFORE the per-record encode/decode maps (r21):
+    * documents.parquet is a sub-MB single scan split at every test
+    * scale, so without this every synthetic-media pipeline — PNG
+    * encode + ImageIO decode, PCM synth, frame generation — ran its
+    * whole per-record compute in ONE task (measured: the image-chain
+    * carrier at 8.6 s wall on 9.9 s task — parallelism 1.15 on 32
+    * cores). The exchange moves two tiny columns; the expensive blob
+    * work happens after it. Round-robin (not hash-of-id) for an even
+    * spread; Spark's sort-before-repartition keeps it retry-safe; the
+    * partition count follows the session's parallelism, not a local
+    * constant.
+    */
+  private def spreadIds(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long"), col("source"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** PCM "decoder": an 8-bit waveform blob IS its decoded payload —
     * width carries the sample count, height 1 (audio is the 1-D
@@ -156,7 +183,7 @@ object Multimodal {
     */
   def syntheticAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+    spreadIds(spark, docs).as[(Long, String)]
       .map { case (id, src) =>
         val n = (256 + id % 512).toInt
         MediaRecord(id, "audio",
@@ -327,7 +354,7 @@ object Multimodal {
   def syntheticVideoFrames(
       spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+    spreadIds(spark, docs).as[(Long, String)]
       .flatMap { case (id, src) =>
         val series = id / 4
         (0 until 8).map { f =>

@@ -928,6 +928,14 @@ object Dedup {
           col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+      // NOTE (r21, measured negative): a second pointer jump per round
+      // (self-joining the un-checkpointed first jump to multiply hop
+      // reach per action) was tried and REVERTED — the extra broadcast
+      // self-join per round cost more than the rounds it saved
+      // (dedup_clusters 2.6 → 5.8 s) and the duplicated subtree drove
+      // the knn-edge CC consumer into a ~370 s driver-side stall
+      // (embedding_neardup_graph 17 → 388 s, task time flat at 10 s).
+      // One jump per round, checkpoint-truncated, stands.
       val jumped = viaNbr.as("a")
         .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cl")),
           col("a.cluster_id") === col("p_id"), "left")
