@@ -157,6 +157,7 @@ object Bench {
         graft.pipeline.AHashChain.release(spark)
         graft.pipeline.VideoChain.release(spark)
         graft.pipeline.BigramChain.release(spark)
+        graft.pipeline.TopKChain.release(spark)
         spark.catalog.clearCache()
       }
       runPass()

@@ -1646,7 +1646,7 @@ object QueriesPipeline {
     "ann_recall_pq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-          Similarity.topK(e),
+          graft.pipeline.TopKChain.exact(s, dir, e),
           Seq("pq" -> Similarity.topKPq(e, graft.pipeline.IvfChain.pqBooks(s, dir, e))))
         .orderBy("query_id")
     }),
@@ -1747,7 +1747,7 @@ object QueriesPipeline {
     "ann_recall_opq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-          Similarity.topK(e),
+          graft.pipeline.TopKChain.exact(s, dir, e),
           Seq("opq" -> Similarity.topKPq(
             graft.pipeline.IvfChain.opqRotated(s, dir, e),
             graft.pipeline.IvfChain.opqBooks(s, dir, e))))
@@ -1771,7 +1771,9 @@ object QueriesPipeline {
     }),
 
     "ann_topk" -> ((s, dir) =>
-      Similarity.topK(embs(s, dir))
+      // r21: the exact top-5 is session-staged (TopKChain) — seven
+      // recall instruments grade against the same frame.
+      graft.pipeline.TopKChain.exact(s, dir, embs(s, dir))
         .select(
           col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -2079,7 +2081,7 @@ object QueriesPipeline {
     "ann_recall_compact" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-          Similarity.topK(e),
+          graft.pipeline.TopKChain.exact(s, dir, e),
           Seq(
             "sq8" -> Similarity.topKSq8(e),
             "mrl" -> Similarity.topKMrl(e)))
@@ -2094,7 +2096,7 @@ object QueriesPipeline {
     "ann_recall_binary" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-          Similarity.topK(e),
+          graft.pipeline.TopKChain.exact(s, dir, e),
           Seq("binary" -> Similarity.topKBinary(e)))
         .orderBy("query_id")
     }),
@@ -2190,7 +2192,8 @@ object QueriesPipeline {
     // them.
     "contrastive_triplets" -> ((s, dir) => {
       val e = embs(s, dir)
-      val pos = Similarity.topK(e, numQueries = 5, k = 1)
+      val pos = graft.pipeline.TopKChain.exact(s, dir, e)
+        .where(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id").as("pos_id"),
           round(col("cosine"), 6).as("pos_cos"))
       val neg = Similarity.hardNegatives(e, numQueries = 5, k = 3)
@@ -2302,7 +2305,7 @@ object QueriesPipeline {
     "ann_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-        Similarity.topK(e),
+        graft.pipeline.TopKChain.exact(s, dir, e),
         Seq(
           "ivf" -> Similarity.topKIvf(e),
           "ivft" -> Similarity.topKIvfTrained(
@@ -2395,7 +2398,7 @@ object QueriesPipeline {
     "ann_recall_ivf_sampled" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-        Similarity.topK(e),
+        graft.pipeline.TopKChain.exact(s, dir, e),
         Seq(
           "ivft" -> Similarity.topKIvfTrained(
             e, graft.pipeline.IvfChain.centroids(s, dir, e)),
@@ -2412,7 +2415,7 @@ object QueriesPipeline {
     "ann_recall_ivfpq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.recallAtK(
-        Similarity.topK(e),
+        graft.pipeline.TopKChain.exact(s, dir, e),
         Seq("ivfpq" -> Similarity.topKIvfPq(
           e,
           graft.pipeline.IvfChain.centroids(s, dir, e),

@@ -3990,10 +3990,17 @@ object Similarity {
     * full algorithm, a MEASURED NEGATIVE here and therefore off by
     * default): from round 2 on, the neighbor-of-neighbor join
     * generates only pairs with ≥1 edge NEW vs the previous round's g
-    * (edge-level anti-join; old-old pairs are safe to skip because
-    * the first round where both edges co-existed already generated
-    * them, and an edge that leaves g and returns is new again, so
-    * the induction holds under churn). The lever is real in the
+    * (edge-level anti-join; old-old pairs are skipped because the
+    * first round where both edges co-existed already generated them,
+    * and an edge that leaves g and returns is new again). NOTE
+    * (r21, ADVICE): that induction is exact only WITHOUT the candK
+    * hamming shortlist (candK=Int.MaxValue) — the shortlist is
+    * per-round volume-dependent, so a pair cut by a larger shortlist
+    * in round r−1 can re-qualify in round r under the full spelling
+    * while incremental=true never regenerates it. At iters>1 with
+    * the prefilter on the two spellings may differ (measured
+    * recall-NEUTRAL: 0.750 vs 0.744 at n=2000); only iters=1
+    * equality is exact and test-pinned. The lever is real in the
     * paper's regime — many rounds, decaying churn — but at the
     * shipped iters=3 the measured per-round churn is 0.45-0.6
     * (KnnChurnProbe), the skippable both-old share only ~15-30% of
@@ -5791,6 +5798,34 @@ object Similarity {
   * is k rows of 64 doubles — nothing at any scale — while the build
   * it amortizes is the corpus-scale assignment passes.
   */
+/** Session-scoped memo for the brute-force exact top-5 ground truth
+  * ([[Similarity.topK]] at the default numQueries=5/k=5): ONE declared
+  * query states it (`ann_topk`) and SEVEN recall instruments grade
+  * their shortlist against it (`ann_recall`, `_pq`, `_opq`, `_ivfpq`,
+  * `_ivf_sampled`, `_binary`, `_compact`), plus `contrastive_triplets`
+  * reads its rank-1 prefix — each re-ran the broadcast-queries
+  * corpus-scan + window per query before r21. O(numQueries·k) rows.
+  * Released between bench passes (computed, not trained).
+  */
+object TopKChain {
+  import scala.collection.concurrent.TrieMap
+  import org.apache.spark.sql.SparkSession
+
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def exact(s: SparkSession, dir: String, embs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir),
+      ChainBill.time("TopKChain")(
+        Similarity.topK(embs).localCheckpoint(true)))
+
+  /** Session teardown / between-pass release (see [[Chains.releaseAll]]). */
+  def release(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(df =>
+        CheckpointUtil.checkpointRdd(df).foreach(_.unpersist(false)))
+    }
+}
+
 object IvfChain {
   import scala.collection.concurrent.TrieMap
   import org.apache.spark.sql.SparkSession
@@ -6001,6 +6036,7 @@ object Chains {
     WalkChain.release(s)
     AHashChain.release(s)
     VideoChain.release(s)
+    TopKChain.release(s)
     BucketStore.release(s)
   }
 }
