@@ -108,7 +108,10 @@ object Sessions {
       // corpus_prepare* plans). At cluster scale the same joins have
       // both sides over the creation threshold, so the filter would
       // not fire there either — the conf removes a local-mode planner
-      // artifact, not a scale lever.
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // artifact, not a scale lever. Parameterised (env) so the big-tier
+      // probes can A/B it: ChainScale's 100x amplified fixtures live in
+      // a different size regime than the declared queries.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
       .config("spark.ui.enabled", "false")
 }
