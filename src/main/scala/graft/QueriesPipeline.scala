@@ -3777,10 +3777,10 @@ object QueriesPipeline {
     // when it drops the other re-cuts. Staged labels + one set-size
     // agg + two windows.
     "multimodal_video_representatives" -> ((s, dir) => {
-      val sz = graft.pipeline.VideoChain
-        .frameHashes(s, dir, docs(s, dir))
-        .select(expr("doc_id DIV 16").as("doc_id"), col("ahash"))
-        .distinct()
+      // r22: set sizes off the staged SET table (the distinct ran per
+      // query before)
+      val sz = graft.pipeline.VideoChain.sets(s, dir, docs(s, dir))
+        .select(col("video_id").as("doc_id"), col("ahash"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hashes"))
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("n_hashes").desc, col("doc_id").asc)
@@ -3804,15 +3804,16 @@ object QueriesPipeline {
     // the full chain plus that restriction. See
     // [[graft.pipeline.Multimodal.videoDupPairsIncremental]].
     "multimodal_video_dedup_incremental" -> ((s, dir) => {
-      // the staged frame table serves both sides: base videos read
-      // their stored sets, delta rows are the staged hashes filtered
-      // (the packed id DIV 16 recovers the video; % 10 is the split)
-      val h = graft.pipeline.VideoChain.frameHashes(s, dir, docs(s, dir))
-      val isNew = expr("(doc_id DIV 16) % 10 = 0")
-      val baseSets = h.where(!isNew)
-        .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
-        .distinct()
-      Multimodal.videoDupPairsIncremental(baseSets, h.where(isNew))
+      // the staged SET table serves both sides (r22): base videos read
+      // their stored sets, the delta's sets are a filter of the same
+      // staged frame, and base ∪ delta IS the frame — so the union +
+      // distinct the generic entry point rebuilds per call collapses
+      // to two filters of the session-staged artifact (% 10 on the
+      // video id is the split; the declared result is spec-pinned
+      // equal to the full rebuild restricted to delta pairs).
+      val sets = graft.pipeline.VideoChain.sets(s, dir, docs(s, dir))
+      Multimodal.videoDupPairsIncrementalFromSets(
+          sets, sets.where(expr("video_id % 10 = 0")))
         .orderBy("id_a", "id_b")
     }),
 

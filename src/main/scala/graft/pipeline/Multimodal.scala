@@ -20,15 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // Once per JVM (r21): ImageIO's default stream cache backs EVERY
-  // read/write with a synchronized temp FILE — under the repartitioned
-  // 32-thread encode/decode the lock + file churn ballooned the image
-  // chain's executor task time ~8x (9.9 -> 77 s measured at sf0.1) and
-  // erased the parallelism win. Memory-backed streams remove the shared
-  // lock; blobs here are KB-sized, so the memory trade is nil. Both
-  // encodePng and ImageIODecoder live in this object, so any executor
-  // JVM that touches either initializes this first.
-  javax.imageio.ImageIO.setUseCache(false)
+  // Memory-backed ImageIO streams, scoped PER OPERATION (r22, ADVICE):
+  // ImageIO's default stream cache backs every read/write with a
+  // synchronized temp FILE — under the repartitioned 32-thread
+  // encode/decode the lock + file churn ballooned the image chain's
+  // executor task time ~8x (9.9 -> 77 s measured at sf0.1, r21). The
+  // r21 fix was a JVM-global `ImageIO.setUseCache(false)` in this
+  // object's initializer — a mutable global that also silently changed
+  // co-resident code and relied on initialization order. Both call
+  // sites ([[encodePng]], [[ImageIODecoder]]) now hand ImageIO an
+  // explicit MemoryCacheImageInput/OutputStream, which bypasses the
+  // file cache for exactly these operations and nothing else; blobs
+  // here are KB-sized, so the memory trade is nil.
 
   case class MediaRecord(
       id: Long,
@@ -84,7 +87,12 @@ object Multimodal {
     */
   object ImageIODecoder extends MediaDecoder {
     override def decode(modality: String, blob: Array[Byte]): Decoded = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      // explicit memory-backed stream (not ImageIO.read(InputStream),
+      // which consults the global use-cache flag); read(ImageInputStream)
+      // closes the stream itself
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(blob)))
       require(img != null, s"undecodable $modality blob (${blob.length} bytes)")
       val w = img.getWidth
       val h = img.getHeight
@@ -126,7 +134,11 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // explicit memory-backed stream (see the object note): write(…,
+    // OutputStream) would route through the global-use-cache factory
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close() // flushes the cache buffer into bos
     bos.toByteArray
   }
 
@@ -388,11 +400,26 @@ object Multimodal {
   def videoDupPairs(
       frameHashes: DataFrame,
       minJaccardMicro: Long = 500000L,
+      dfCap: Long = 64L): DataFrame =
+    videoDupPairsFromSets(
+      frameHashes
+        .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
+        .distinct()
+        .persist(), // read by sizes, df, and the pair join
+      minJaccardMicro, dfCap)
+
+  /** [[videoDupPairs]] over a pre-distinct (video_id, ahash) SET frame
+    * (r22): the distinct set table is the tier's shared intermediate —
+    * the pair graph, the incremental consumer (whose base ∪ delta IS
+    * this frame) and the representatives' set sizes each re-derived it
+    * per query; a chain caller stages it once ([[VideoChain.sets]])
+    * and every consumer projects from it. The caller owns the frame's
+    * persistence (this method reads it three times).
+    */
+  def videoDupPairsFromSets(
+      sets: DataFrame,
+      minJaccardMicro: Long = 500000L,
       dfCap: Long = 64L): DataFrame = {
-    val sets = frameHashes
-      .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
-      .distinct()
-      .persist() // read by sizes, df, and the pair join
     val sizes = sets.groupBy("video_id").agg(count(lit(1)).as("sz"))
     val hashDf = sets.groupBy("ahash").agg(count(lit(1)).as("df"))
     val frontier = sets
@@ -447,6 +474,23 @@ object Multimodal {
       .distinct()
     val all = baseSets.select(col("video_id"), col("ahash")).union(dSets)
       .persist() // read by sizes, the df-cap, and the pair join
+    videoDupPairsIncrementalFromSets(all, dSets, minJaccardMicro, dfCap)
+  }
+
+  /** [[videoDupPairsIncremental]] over a pre-built base ∪ delta SET
+    * frame (r22): when base and delta partition one corpus whose
+    * distinct set table is already staged ([[VideoChain.sets]]),
+    * `all` IS that frame and `dSets` a filter of it — re-deriving the
+    * union + distinct per query was a second pass over the tier's own
+    * staged artifact. The caller owns `all`'s persistence; `dSets`
+    * must be exactly the delta videos' rows of `all` (the contract —
+    * and the spec-pinned full-rebuild equality — is unchanged).
+    */
+  def videoDupPairsIncrementalFromSets(
+      all: DataFrame,
+      dSets: DataFrame,
+      minJaccardMicro: Long = 500000L,
+      dfCap: Long = 64L): DataFrame = {
     val sizes = all.groupBy("video_id").agg(count(lit(1)).as("sz"))
     val keep = all.groupBy("ahash").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("ahash")
@@ -552,15 +596,32 @@ object VideoChain {
           Multimodal.syntheticVideoFrames(s, docs),
           Multimodal.PcmDecoder).localCheckpoint(true)))
 
+  /** The distinct (video_id, ahash) SET table over the staged frame
+    * hashes, staged r22: the pair graph, the incremental consumer
+    * (whose base ∪ delta is exactly this frame) and the
+    * representatives' set sizes each re-ran the distinct per query —
+    * the per-video frame-set table is the tier's shared state, the
+    * thing a production video-dedup store persists next to the hashes.
+    */
+  def sets(
+      s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, "vsets"),
+      ChainBill.time("VideoChain")(
+        frameHashes(s, dir, docs)
+          .select(expr("doc_id DIV 16").as("video_id"), col("ahash"))
+          .distinct()
+          .localCheckpoint(true)))
+
   /** The df-capped video near-dup pair graph over the staged frame
     * hashes, staged r21: both `multimodal_video_dedup` and the CC
     * consumer ([[clusterLabels]]) re-ran the frame-set Jaccard join.
+    * r22: derives from the staged [[sets]] stage.
     */
   def dupPairs(
       s: SparkSession, dir: String, docs: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, "vpairs"),
       ChainBill.time("VideoChain")(
-        Multimodal.videoDupPairs(frameHashes(s, dir, docs))
+        Multimodal.videoDupPairsFromSets(sets(s, dir, docs))
           .localCheckpoint(true)))
 
   /** CC labels (doc_id, cluster_id, is_canonical) over the df-capped

@@ -474,6 +474,16 @@ object Dedup {
     * broadcast and the corpus scan stays one pass with the filter
     * pushed below the shingle projection. Output identical to
     * [[jaccardPairs]]: pruning only removes docs no pair references.
+    *
+    * Lifecycle + scale contract (ADVICE r21): the pair frame is
+    * `persist`ed here and NOT unpersisted — the caller owns the cache
+    * (the harness clears it after the consuming action; a long-lived
+    * caller must `spark.catalog.clearCache()` or unpersist itself).
+    * The explicit broadcast of the member-id set assumes the
+    * DELTA-INGEST size regime this method exists for (≤ ~100M member
+    * ids — comfortably inside Spark's 8 GB / 512M-row broadcast cap);
+    * a caller verifying a corpus-scale pair set should use
+    * [[jaccardPairs]], whose shuffled joins have no such bound.
     */
   def jaccardPairsPruned(pairs: DataFrame, docs: DataFrame): DataFrame = {
     // persisted: read three times (both id sides + the verify join);
@@ -896,6 +906,14 @@ object Dedup {
     * plain shuffle joins so AQE handles skew. Near-dup components are
     * shallow (dup clusters, not social graphs), so rounds stay small;
     * every round is one join + one aggregate on the edge list.
+    *
+    * Large-star/small-star itself was A/B'd r22 (tools/CcProbe, the
+    * r21 deferred ask) and measured NEGATIVE on every real edge family:
+    * it does save rounds on the deepest graph (image Hamming chains,
+    * 4 vs 7) but each round rewrites and re-dedups the whole EDGE list
+    * (2 groupBys + distinct over O(edges)) where a label round shuffles
+    * only the O(nodes) label table — video 3.7-5.1 s vs 3.4 s, lsh
+    * 2.1-2.4 s vs 0.9-1.0 s, output-identical. Not shipped.
     */
   def clusters(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not persist) for the loop-carried frames:
@@ -907,13 +925,23 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
     // sum() over an empty frame is NULL — coalesce so a corpus with no
     // qualifying edges returns an empty result instead of an NPE.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
+    // Round 1 folded into the init (r22, CcProbe-measured): with
+    // identity labels the neighbor-min join IS the per-node
+    // neighborhood min and the pointer jump is the identity, so the
+    // first round's three joins collapse to this one groupBy — one
+    // fewer round for every caller. Labels checkpoint LAZILY: the
+    // label-sum convergence witness is the frame's first action, so
+    // one job both materializes the checkpoint and reads the witness
+    // (the eager spelling paid a separate checkpoint job per round).
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("_m")).as("cluster_id"))
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     var prevSum = labelSum(labels)
@@ -943,11 +971,12 @@ object Dedup {
           col("a.doc_id").as("doc_id"),
           least(col("a.cluster_id"), coalesce(col("p_cl"), col("a.cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // Labels only ever decrease, so the label sum is a strictly
       // monotone convergence witness: unchanged sum <=> fixpoint. One
       // cheap aggregate action per round instead of a join-and-count
-      // against the previous labels.
+      // against the previous labels — and, with the lazy checkpoint
+      // above, the SAME action materializes the round's label blocks.
       val sumNow = labelSum(jumped)
       // free the previous round's checkpoint blocks eagerly — at scale
       // the label table is O(nodes) and up to maxIter copies would
@@ -3001,6 +3030,13 @@ object Corpus {
     * component min IS the first occurrence — callers with more than
     * `idxCap` units per document must raise it (the default matches
     * the `dedup_paragraphs` encoding).
+    *
+    * @param fuzzyPairs a pre-built unit pair graph to use INSTEAD of
+    *   running the fuzzy chain here (DedupChain.paraPairs). The frame
+    *   must already embody this call's `minJaccard` threshold and
+    *   `idxCap` uid keying — a frame staged at different parameters
+    *   would silently win over the arguments, so non-default
+    *   minJaccard/idxCap with a supplied frame is rejected loudly.
     */
   def paragraphNearDedupFilter(
       units: DataFrame,
@@ -3010,6 +3046,9 @@ object Corpus {
       minJaccard: Double = 0.5,
       idxCap: Long = 1000L,
       fuzzyPairs: Option[DataFrame] = None): DataFrame = {
+    require(fuzzyPairs.isEmpty || (minJaccard == 0.5 && idxCap == 1000L),
+      "fuzzyPairs embodies its own minJaccard/idxCap; pass the frame " +
+        "only with the defaults it was staged at (0.5 / 1000)")
     val keyed = units.withColumn("_uid", col(idCol) * idxCap + col(idxCol))
     val hashed = keyed.withColumn("_h", md5(col(textCol)))
     val roots = hashed.groupBy(col("_h")).agg(min(col("_uid")).as("_root"))
