@@ -99,6 +99,12 @@ object Multimodal {
       val raster = img.getRaster
       val bands = raster.getNumBands
       val out = new Array[Byte](w * h)
+      // NOTE (r22, measured wash): a bulk per-band getSamples spelling
+      // of this loop was A/B'd single-JVM on the exact synthetic PNG
+      // population (tools/DecodeBench, outputs byte-equal) — the whole
+      // pixel loop is ~0.2 s for 5,000 images either way; the image
+      // chain's cost is the PNG codec round-trip (reader lookup,
+      // inflate/deflate), not this loop. Kept in the simpler spelling.
       var y = 0
       while (y < h) {
         var x = 0

@@ -4452,15 +4452,40 @@ object Similarity {
         col("cosine"))
   }
 
+  /** A/B seam for the walk loop's intra-hop truncation spelling
+    * (tools/WalkProbe flips it in-session to dodge host storms):
+    * false = lazy per-hop checkpoints (shipped), true = the pre-r22
+    * eager count() per hop. Not a production knob — both spellings
+    * are output-identical; this exists so the probe's comparison is
+    * same-window.
+    */
+  private[graft] object WalkTuning {
+    @volatile var eagerHops: Boolean = false
+  }
+
   /** The converged walk frontier of [[graphSearchFrom]] — the hops
     * loop alone, exposed so the filtered variant can apply its
     * predicate before the final ranking.
     */
-  private def walkFrontier(
+  private[graft] def walkFrontier(
       queries: DataFrame, corpusEmb: DataFrame, graph: DataFrame,
       beam: Int, hops: Int, entryNode: Long,
       truncate: Boolean): DataFrame = {
+    // Intra-loop truncation is LAZY (r22): an eager per-hop checkpoint
+    // ran one count() job per hop just to materialize a ~128-row
+    // frontier. A lazy localCheckpoint still truncates the LOGICAL
+    // plan to a LogicalRDD leaf immediately — the loop's
+    // carry-∪-expand double reference shares the one marked RDD by
+    // reference, so there is no 2^h re-execution — and the frontier
+    // materializes (and persists) as a side effect of the next hop's
+    // broadcast collect. Only the LAST hop stays eager: chain callers
+    // (WalkChain) stage the returned frame and bill its build, so it
+    // must come back materialized. A/B: tools/WalkProbe.
     def cut(df: DataFrame): DataFrame =
+      if (truncate)
+        df.localCheckpoint(WalkTuning.eagerHops)
+      else df
+    def cutLast(df: DataFrame): DataFrame =
       if (truncate) df.localCheckpoint(true) else df
     val corpus = withNorm(corpusEmb, "nid", "ne", "nnorm")
     val edges = graph.select(col("vec_id").as("enode"), col("neighbor_id"))
@@ -4487,12 +4512,13 @@ object Similarity {
     // remainder is ~13 tiny jobs of scheduler overhead, not data.
     var frontier = cut(rank(
       queries.select(col("query_id"), lit(entryNode).as("node"))))
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val expanded = frontier.select("query_id", "node")
         .join(edges, col("node") === col("enode"))
         .select(col("query_id"), col("neighbor_id").as("node"))
-      frontier = cut(rank(
-        frontier.select("query_id", "node").unionAll(expanded).distinct()))
+      val next = rank(
+        frontier.select("query_id", "node").unionAll(expanded).distinct())
+      frontier = if (h == hops) cutLast(next) else cut(next)
     }
     frontier
   }
