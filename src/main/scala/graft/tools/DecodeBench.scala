@@ -54,5 +54,96 @@ object DecodeBench {
       timeIt(s"old(per-pixel) rep$r")(decodeOld)
       timeIt(s"new(bulk-band) rep$r")(neu)
     }
+
+    // r22 second experiment: per-call ImageIO.read (reader lookup +
+    // stream per image) vs ONE reusable PNG ImageReader per batch —
+    // the §4.5 "heavyweight state once per task" lever at the decode
+    // seam — and the same for the PNG encode side.
+    def readReusable(): Long = {
+      val t0 = System.nanoTime()
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      var acc = 0L
+      blobs.foreach { b =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        acc += img.getWidth * img.getHeight
+        iis.close()
+      }
+      reader.dispose()
+      val dt = (System.nanoTime() - t0) / 1000000
+      println(s"[decode] reusable-reader ${dt} ms (acc=$acc)")
+      dt
+    }
+    def readPerCall(): Long = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      blobs.foreach { b =>
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(b)))
+        acc += img.getWidth * img.getHeight
+      }
+      val dt = (System.nanoTime() - t0) / 1000000
+      println(s"[decode] per-call-read   ${dt} ms (acc=$acc)")
+      dt
+    }
+    def encodeReusable(): Long = {
+      val t0 = System.nanoTime()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      var acc = 0L
+      (0 until n).foreach { id =>
+        val w = (16 + id % 16); val h = (16 + (id / 16) % 16)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) { raster.setSample(i % w, i / w, 0, (id * 31 + i) % 256); i += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
+        acc += bos.size()
+      }
+      writer.dispose()
+      val dt = (System.nanoTime() - t0) / 1000000
+      println(s"[decode] reusable-writer ${dt} ms (acc=$acc)")
+      dt
+    }
+    def encodePerCall(): Long = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      (0 until n).foreach { id =>
+        val w = (16 + id % 16); val h = (16 + (id / 16) % 16)
+        acc += Multimodal.encodePng(w, h, i => ((id * 31 + i) % 256)).length
+      }
+      val dt = (System.nanoTime() - t0) / 1000000
+      println(s"[decode] per-call-write  ${dt} ms (acc=$acc)")
+      dt
+    }
+    // byte-equality witness for the reusable writer
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val eqW = (0 until 200).forall { id =>
+      val w = (16 + id % 16); val h = (16 + (id / 16) % 16)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) { raster.setSample(i % w, i / w, 0, (id * 31 + i) % 256); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      wtr.setOutput(ios); wtr.write(img); ios.close()
+      java.util.Arrays.equals(bos.toByteArray,
+        Multimodal.encodePng(w, h, i => ((id * 31 + i) % 256)))
+    }
+    wtr.dispose()
+    println(s"[decode] reusable-writer bytes equal on 200 samples: $eqW")
+    (1 to 3).foreach { _ =>
+      readPerCall(); readReusable(); encodePerCall(); encodeReusable()
+    }
   }
 }
