@@ -206,6 +206,24 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("clusters: folded-init boundaries — star already at fixpoint, reversed ids, singleton edge") {
+    // r22 pin for the folded round-1 init: a min-centered star is at
+    // the fixpoint after the init itself (the loop's one remaining
+    // round only WITNESSES convergence), labels and canonical flags
+    // must still be exact — including when edges arrive max-first so
+    // the fold's least(src, min(dst)) matters on both directions.
+    val star = df(edgeSchema, Row(7L, 1L), Row(7L, 3L), Row(7L, 5L))
+    val got = Dedup.clusters(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (3L, 1L, false), (5L, 1L, false),
+      (7L, 1L, false)))
+    // single edge, both orientations label to the min
+    val one = df(edgeSchema, Row(9L, 4L))
+    val got1 = Dedup.clusters(one).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got1 == Map(4L -> 4L, 9L -> 4L))
+  }
+
   test("asof forward direction and tolerance") {
     val left = df(leftSchema,
       Row("a", 5L, 1L), Row("a", 10L, 2L), Row("a", 25L, 3L))

@@ -46,4 +46,18 @@ class WalkChainSpec extends SparkSpec {
     assert(!(a eq c), "release must forget the staged frame")
     WalkChain.release(spark)
   }
+
+  test("lazy intra-hop truncation equals the eager per-hop spelling (r22)") {
+    // r22 pin for the walk loop's checkpoint spelling: intra-loop cuts
+    // are now lazy (materialized by the next hop's broadcast collect);
+    // flipping the probe seam back to the pre-r22 eager per-hop
+    // count() must not move a single output row.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val g = KnnChain.graph(spark, dir, e, k = 16)
+    def out(): Seq[String] = rows(Similarity.graphSearch(e, g))
+    val lazySpelling = out()
+    Similarity.WalkTuning.eagerHops = true
+    try assert(out() == lazySpelling)
+    finally Similarity.WalkTuning.eagerHops = false
+  }
 }
